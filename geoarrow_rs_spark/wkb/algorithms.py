@@ -1,0 +1,1382 @@
+"""Geometry algorithms over the numpy Geom model (no shapely/GEOS).
+
+Covers the unary/binary kernel inventory of SURVEY.md §2.4/§2.5, mirroring the
+reference's semantics:
+
+- measures: area/signed_area (/root/reference/rust/geoarrow-expr-geo/src/area.rs:11-64),
+  spherical area (chamberlain_duquette_area.rs:61), length
+  (length.rs:12 + haversine/geodesic variants), centroid (centroid.rs:10),
+  bounding_rect (bounding_rect.rs:13), distance (distance.rs:9),
+  frechet (frechet_distance.rs:25)
+- transforms: affine ops (affine_ops.rs:24), simplify (simplify.rs:19,
+  simplify_vw.rs:19), densify (densify.rs:18), chaikin (chaikin_smoothing.rs:22),
+  remove_repeated_points (remove_repeated_points.rs:19)
+- hulls: convex (convex_hull.rs:10), minimum rotated rect
+  (minimum_rotated_rect.rs:10)
+- predicates: intersects/contains/within/... (intersects.rs:9, contains.rs:9,
+  within.rs, geos/bool_ops.rs:11-28)
+
+Null-in → null-out is handled at the UDF layer; here inputs are Geom or None.
+All planar math is exact shoelace/segment arithmetic; geodesic variants use a
+spherical earth (haversine / Chamberlain–Duquette) with the WGS84 mean radius.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .core import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geom,
+    all_coords,
+    box,
+    collection,
+    empty,
+    iter_parts,
+    multipoint,
+    point,
+)
+
+EARTH_RADIUS_M = 6_371_008.8  # mean earth radius (IUGG), as used by geo crate
+WGS84_A = 6_378_137.0
+WGS84_F = 1 / 298.257223563
+
+
+# ---------------------------------------------------------------------------
+# bounds / area / length / centroid
+# ---------------------------------------------------------------------------
+
+def bounds(g):
+    """(xmin, ymin, xmax, ymax) or None for empty. Mirrors bounding_rect.rs:13."""
+    if g is None:
+        return None
+    c = all_coords(g)
+    if len(c) == 0:
+        return None
+    return (
+        float(np.min(c[:, 0])),
+        float(np.min(c[:, 1])),
+        float(np.max(c[:, 0])),
+        float(np.max(c[:, 1])),
+    )
+
+
+def _ring_signed_area(r):
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def signed_area(g):
+    """Planar signed area (shell orientation respected). area.rs:15."""
+    if g is None:
+        return None
+    total = 0.0
+    for p in iter_parts(g):
+        if p.kind == POLYGON and p.data:
+            shell = _ring_signed_area(p.data[0])
+            holes = sum(abs(_ring_signed_area(r)) for r in p.data[1:])
+            total += shell - math.copysign(holes, shell)
+    return total
+
+
+def area(g):
+    """Planar unsigned area. area.rs:11-64 (euclidean method)."""
+    if g is None:
+        return None
+    total = 0.0
+    for p in iter_parts(g):
+        if p.kind == POLYGON and p.data:
+            total += abs(_ring_signed_area(p.data[0]))
+            total -= sum(abs(_ring_signed_area(r)) for r in p.data[1:])
+    return total
+
+
+def _ring_spherical_excess(r):
+    # Chamberlain–Duquette signed spherical area on unit sphere
+    # (chamberlain_duquette_area.rs:61)
+    if len(r) < 3:
+        return 0.0
+    lam = np.radians(r[:, 0])
+    phi = np.radians(r[:, 1])
+    lam2 = np.roll(lam, -1)
+    phi2 = np.roll(phi, -1)
+    return float(np.sum((lam2 - lam) * (2 + np.sin(phi) + np.sin(phi2))) / 2.0)
+
+
+def spherical_area(g, radius=EARTH_RADIUS_M):
+    """Signed spherical (CD) area in m^2 for lon/lat input."""
+    if g is None:
+        return None
+    total = 0.0
+    for p in iter_parts(g):
+        if p.kind == POLYGON and p.data:
+            shell = _ring_spherical_excess(p.data[0]) * radius * radius
+            holes = sum(
+                abs(_ring_spherical_excess(r)) * radius * radius for r in p.data[1:]
+            )
+            total += shell - math.copysign(holes, shell)
+    return total
+
+
+def _seg_lengths(line):
+    d = np.diff(line[:, :2], axis=0)
+    return np.hypot(d[:, 0], d[:, 1])
+
+
+def length(g):
+    """Planar euclidean length of linear parts. length.rs:12."""
+    if g is None:
+        return None
+    total = 0.0
+    for p in iter_parts(g):
+        if p.kind == LINESTRING and len(p.data) >= 2:
+            total += float(np.sum(_seg_lengths(p.data)))
+        elif p.kind == POLYGON:
+            pass  # length of polygon = 0 in geo crate euclidean_length
+    return total
+
+
+def perimeter(g):
+    """Sum of ring lengths of polygonal parts."""
+    if g is None:
+        return None
+    total = 0.0
+    for p in iter_parts(g):
+        if p.kind == POLYGON:
+            for r in p.data:
+                total += float(np.sum(_seg_lengths(r)))
+    return total
+
+
+def haversine_length(g, radius=EARTH_RADIUS_M):
+    """Great-circle length for lon/lat linestrings (haversine_length.rs:18)."""
+    if g is None:
+        return None
+    total = 0.0
+    for p in iter_parts(g):
+        if p.kind == LINESTRING and len(p.data) >= 2:
+            lon = np.radians(p.data[:, 0])
+            lat = np.radians(p.data[:, 1])
+            dlon = np.diff(lon)
+            dlat = np.diff(lat)
+            a = (
+                np.sin(dlat / 2) ** 2
+                + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2) ** 2
+            )
+            total += float(np.sum(2 * radius * np.arcsin(np.sqrt(np.clip(a, 0, 1)))))
+    return total
+
+
+def centroid(g):
+    """Dimension-weighted centroid (GEOS semantics): areal parts dominate,
+    then linear, then puntal. centroid.rs:42."""
+    if g is None or g.is_empty():
+        return empty(POINT)
+    # areal
+    asum = 0.0
+    acx = acy = 0.0
+    lsum = 0.0
+    lcx = lcy = 0.0
+    pn = 0
+    pcx = pcy = 0.0
+    for p in iter_parts(g):
+        if p.kind == POLYGON and p.data:
+            for i, r in enumerate(p.data):
+                sa = _ring_signed_area(r)
+                w = abs(sa) * (1 if i == 0 else -1)
+                if len(r) >= 3:
+                    x, y = r[:, 0], r[:, 1]
+                    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+                    cross = x * y2 - x2 * y
+                    ssum = np.sum(cross)
+                    if ssum != 0:
+                        cx = float(np.sum((x + x2) * cross) / (3 * ssum))
+                        cy = float(np.sum((y + y2) * cross) / (3 * ssum))
+                        asum += w
+                        acx += cx * w
+                        acy += cy * w
+        elif p.kind == LINESTRING and len(p.data) >= 2:
+            seg = _seg_lengths(p.data)
+            mids = (p.data[:-1, :2] + p.data[1:, :2]) / 2
+            w = float(np.sum(seg))
+            if w > 0:
+                lsum += w
+                lcx += float(np.sum(mids[:, 0] * seg))
+                lcy += float(np.sum(mids[:, 1] * seg))
+            else:  # zero-length line: treat as point
+                pn += 1
+                pcx += float(p.data[0, 0])
+                pcy += float(p.data[0, 1])
+        elif p.kind == POINT and not p.is_empty():
+            pn += 1
+            pcx += float(p.data[0])
+            pcy += float(p.data[1])
+    if asum != 0:
+        return point(acx / asum, acy / asum)
+    if lsum > 0:
+        return point(lcx / lsum, lcy / lsum)
+    if pn > 0:
+        return point(pcx / pn, pcy / pn)
+    return empty(POINT)
+
+
+def center(g):
+    """Bbox center. center.rs:13."""
+    b = bounds(g)
+    if b is None:
+        return empty(POINT)
+    return point((b[0] + b[2]) / 2, (b[1] + b[3]) / 2)
+
+
+def envelope(g):
+    """Bounding box as Polygon (degenerate cases -> Point/LineString)."""
+    b = bounds(g)
+    if b is None:
+        return empty(POLYGON)
+    xmin, ymin, xmax, ymax = b
+    if xmin == xmax and ymin == ymax:
+        return point(xmin, ymin)
+    return box(xmin, ymin, xmax, ymax)
+
+
+# ---------------------------------------------------------------------------
+# hulls
+# ---------------------------------------------------------------------------
+
+def convex_hull(g):
+    """Andrew monotone chain. convex_hull.rs:10. Returns Polygon (or
+    Point/LineString for degenerate inputs)."""
+    if g is None:
+        return None
+    pts = all_coords(g)[:, :2]
+    if len(pts) == 0:
+        return empty(POLYGON)
+    pts = np.unique(pts, axis=0)
+    if len(pts) == 1:
+        return point(pts[0, 0], pts[0, 1])
+    # lexicographic sort
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) == 2:
+        return Geom(LINESTRING, np.asarray(hull, dtype=np.float64))
+    ring = np.asarray(hull + [hull[0]], dtype=np.float64)
+    return Geom(POLYGON, [ring])
+
+
+def minimum_rotated_rect(g):
+    """Rotating calipers over the convex hull. minimum_rotated_rect.rs:10."""
+    h = convex_hull(g)
+    if h is None or h.kind != POLYGON or not h.data:
+        return h
+    ring = h.data[0][:-1]
+    n = len(ring)
+    best = None
+    for i in range(n):
+        e = ring[(i + 1) % n] - ring[i]
+        norm = math.hypot(e[0], e[1])
+        if norm == 0:
+            continue
+        ux, uy = e[0] / norm, e[1] / norm
+        # rotate all points into edge frame
+        rx = ring[:, 0] * ux + ring[:, 1] * uy
+        ry = -ring[:, 0] * uy + ring[:, 1] * ux
+        w = rx.max() - rx.min()
+        hgt = ry.max() - ry.min()
+        a = w * hgt
+        if best is None or a < best[0]:
+            best = (a, ux, uy, rx.min(), rx.max(), ry.min(), ry.max())
+    if best is None:
+        return h
+    _, ux, uy, x0, x1, y0, y1 = best
+    corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    world = np.column_stack(
+        (corners[:, 0] * ux - corners[:, 1] * uy, corners[:, 0] * uy + corners[:, 1] * ux)
+    )
+    return Geom(POLYGON, [world])
+
+
+# ---------------------------------------------------------------------------
+# point location / predicates
+# ---------------------------------------------------------------------------
+
+_EPS = 1e-12
+
+
+def _on_segment(px, py, ax, ay, bx, by, eps=1e-9):
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    L = math.hypot(bx - ax, by - ay)
+    if abs(cross) > eps * max(L, 1.0):
+        return False
+    dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+    return -eps <= dot <= L * L + eps
+
+
+def _point_in_ring(px, py, ring):
+    """2=inside, 1=on boundary, 0=outside (ray casting)."""
+    n = len(ring) - 1
+    if n < 3:
+        return 0
+    inside = False
+    x, y = ring[:, 0], ring[:, 1]
+    for i in range(n):
+        ax, ay, bx, by = x[i], y[i], x[i + 1], y[i + 1]
+        if _on_segment(px, py, ax, ay, bx, by):
+            return 1
+        if (ay > py) != (by > py):
+            t = (py - ay) / (by - ay)
+            xi = ax + t * (bx - ax)
+            if xi > px:
+                inside = not inside
+    return 2 if inside else 0
+
+
+def point_in_polygon(px, py, poly_data):
+    """2=interior, 1=boundary, 0=exterior; poly_data = list of rings."""
+    if not poly_data:
+        return 0
+    r = _point_in_ring(px, py, poly_data[0])
+    if r != 2:
+        return r
+    for hole in poly_data[1:]:
+        h = _point_in_ring(px, py, hole)
+        if h == 2:
+            return 0
+        if h == 1:
+            return 1
+    return 2
+
+
+def _seg_intersect(a1, a2, b1, b2, eps=1e-12):
+    """Segment intersection test. Returns 0 none, 1 proper, 2 touching/collinear."""
+    d1x, d1y = a2[0] - a1[0], a2[1] - a1[1]
+    d2x, d2y = b2[0] - b1[0], b2[1] - b1[1]
+    denom = d1x * d2y - d1y * d2x
+    ex, ey = b1[0] - a1[0], b1[1] - a1[1]
+    if abs(denom) > eps:
+        t = (ex * d2y - ey * d2x) / denom
+        u = (ex * d1y - ey * d1x) / denom
+        if -eps <= t <= 1 + eps and -eps <= u <= 1 + eps:
+            proper = eps < t < 1 - eps and eps < u < 1 - eps
+            return 1 if proper else 2
+        return 0
+    # parallel
+    if abs(ex * d1y - ey * d1x) > eps * max(1.0, math.hypot(d1x, d1y)):
+        return 0  # parallel non-collinear
+    # collinear: check 1-D overlap
+    if abs(d1x) >= abs(d1y):
+        a_lo, a_hi = sorted((a1[0], a2[0]))
+        b_lo, b_hi = sorted((b1[0], b2[0]))
+    else:
+        a_lo, a_hi = sorted((a1[1], a2[1]))
+        b_lo, b_hi = sorted((b1[1], b2[1]))
+    if a_hi < b_lo - eps or b_hi < a_lo - eps:
+        return 0
+    return 2
+
+
+def _bbox_disjoint(g1, g2):
+    b1, b2 = bounds(g1), bounds(g2)
+    if b1 is None or b2 is None:
+        return True
+    return b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]
+
+
+def _lines_of(p):
+    """Segments source arrays for a part: rings for polygons, the line for lines."""
+    if p.kind == LINESTRING:
+        return [p.data]
+    if p.kind == POLYGON:
+        return list(p.data)
+    return []
+
+
+def _any_seg_intersection(lines1, lines2):
+    for l1 in lines1:
+        if len(l1) < 2:
+            continue
+        b1 = (l1[:, 0].min(), l1[:, 1].min(), l1[:, 0].max(), l1[:, 1].max())
+        for l2 in lines2:
+            if len(l2) < 2:
+                continue
+            if (
+                l2[:, 0].max() < b1[0]
+                or l2[:, 0].min() > b1[2]
+                or l2[:, 1].max() < b1[1]
+                or l2[:, 1].min() > b1[3]
+            ):
+                continue
+            for i in range(len(l1) - 1):
+                a1, a2 = l1[i], l1[i + 1]
+                sxmin, sxmax = min(a1[0], a2[0]), max(a1[0], a2[0])
+                symin, symax = min(a1[1], a2[1]), max(a1[1], a2[1])
+                for j in range(len(l2) - 1):
+                    b1_, b2_ = l2[j], l2[j + 1]
+                    if (
+                        max(b1_[0], b2_[0]) < sxmin
+                        or min(b1_[0], b2_[0]) > sxmax
+                        or max(b1_[1], b2_[1]) < symin
+                        or min(b1_[1], b2_[1]) > symax
+                    ):
+                        continue
+                    if _seg_intersect(a1, a2, b1_, b2_):
+                        return True
+    return False
+
+
+def _parts_intersect(p1, p2):
+    k1, k2 = p1.kind, p2.kind
+    if k1 > k2:
+        return _parts_intersect(p2, p1)
+    if p1.is_empty() or p2.is_empty():
+        return False
+    if k1 == POINT:
+        x, y = float(p1.data[0]), float(p1.data[1])
+        if k2 == POINT:
+            return abs(x - p2.data[0]) < 1e-9 and abs(y - p2.data[1]) < 1e-9
+        if k2 == LINESTRING:
+            L = p2.data
+            return any(
+                _on_segment(x, y, L[i, 0], L[i, 1], L[i + 1, 0], L[i + 1, 1])
+                for i in range(len(L) - 1)
+            )
+        return point_in_polygon(x, y, p2.data) > 0
+    if k1 == LINESTRING:
+        if k2 == LINESTRING:
+            return _any_seg_intersection([p1.data], [p2.data])
+        # line vs polygon
+        if _any_seg_intersection([p1.data], _lines_of(p2)):
+            return True
+        return point_in_polygon(p1.data[0, 0], p1.data[0, 1], p2.data) > 0
+    # polygon vs polygon
+    if _any_seg_intersection(_lines_of(p1), _lines_of(p2)):
+        return True
+    if point_in_polygon(p1.data[0][0, 0], p1.data[0][0, 1], p2.data) > 0:
+        return True
+    return point_in_polygon(p2.data[0][0, 0], p2.data[0][0, 1], p1.data) > 0
+
+
+def intersects(g1, g2):
+    """intersects.rs:9 semantics."""
+    if g1 is None or g2 is None:
+        return None
+    if _bbox_disjoint(g1, g2):
+        return False
+    for p1 in iter_parts(g1):
+        for p2 in iter_parts(g2):
+            if not _bbox_disjoint(p1, p2) and _parts_intersect(p1, p2):
+                return True
+    return False
+
+
+def disjoint(g1, g2):
+    r = intersects(g1, g2)
+    return None if r is None else not r
+
+
+def _locate_point_in_geom(x, y, g):
+    """0 exterior, 1 boundary, 2 interior, w.r.t. the (areal/linear/puntal) geom."""
+    best = 0
+    for p in iter_parts(g):
+        if p.is_empty():
+            continue
+        if p.kind == POLYGON:
+            best = max(best, point_in_polygon(x, y, p.data))
+        elif p.kind == LINESTRING:
+            L = p.data
+            for i in range(len(L) - 1):
+                if _on_segment(x, y, L[i, 0], L[i, 1], L[i + 1, 0], L[i + 1, 1]):
+                    # interior of a line unless at an endpoint of the whole line
+                    closed = np.allclose(L[0, :2], L[-1, :2])
+                    at_end = (not closed) and (
+                        (abs(x - L[0, 0]) < 1e-9 and abs(y - L[0, 1]) < 1e-9)
+                        or (abs(x - L[-1, 0]) < 1e-9 and abs(y - L[-1, 1]) < 1e-9)
+                    )
+                    best = max(best, 1 if at_end else 2)
+        else:
+            if abs(x - p.data[0]) < 1e-9 and abs(y - p.data[1]) < 1e-9:
+                best = max(best, 2)
+        if best == 2:
+            return 2
+    return best
+
+
+def _densified_probe_points(line, k=4):
+    """Sample points along segments (midpoints + quarters) for containment probing."""
+    pts = []
+    for i in range(len(line) - 1):
+        a, b = line[i], line[i + 1]
+        for t in (0.5, 0.25, 0.75)[: max(1, k - 1)]:
+            pts.append((a[0] + (b[0] - a[0]) * t, a[1] + (b[1] - a[1]) * t))
+    return pts
+
+
+def contains(g1, g2):
+    """g1 contains g2: g2 in closure(g1), interiors intersect, and no part of
+    g2 in exterior(g1). contains.rs:9 semantics (pragmatic implementation)."""
+    if g1 is None or g2 is None:
+        return None
+    if g1.is_empty() or g2.is_empty():
+        return False
+    if not covers(g1, g2):
+        return False
+    # need at least one interior-interior intersection
+    return _interiors_touch(g1, g2)
+
+
+def _interiors_touch(g1, g2):
+    dim1 = _top_dim(g1)
+    # probe candidate interior points of g2 and test interior of g1
+    for p2 in iter_parts(g2):
+        if p2.is_empty():
+            continue
+        probes = []
+        if p2.kind == POINT:
+            probes = [(float(p2.data[0]), float(p2.data[1]))]
+        elif p2.kind == LINESTRING:
+            probes = _densified_probe_points(p2.data)
+        else:
+            c = centroid(p2)
+            if not c.is_empty():
+                probes = [(float(c.data[0]), float(c.data[1]))]
+            probes += _densified_probe_points(p2.data[0])
+        for (x, y) in probes:
+            loc = _locate_point_in_geom(x, y, g1)
+            if loc == 2:
+                return True
+            if loc == 1 and dim1 < 2 and p2.kind == POINT:
+                pass
+    return False
+
+
+def _top_dim(g):
+    d = -1
+    for p in iter_parts(g):
+        if p.is_empty():
+            continue
+        d = max(d, {POINT: 0, LINESTRING: 1, POLYGON: 2}[p.kind])
+    return d
+
+
+def covers(g1, g2):
+    """Every point of g2 within closure of g1 (geos/bool_ops.rs covers)."""
+    if g1 is None or g2 is None:
+        return None
+    if g1.is_empty() or g2.is_empty():
+        return False
+    if _bbox_disjoint(g1, g2):
+        return False
+    b1, b2 = bounds(g1), bounds(g2)
+    if b2[0] < b1[0] - 1e-12 or b2[1] < b1[1] - 1e-12 or b2[2] > b1[2] + 1e-12 or b2[3] > b1[3] + 1e-12:
+        return False
+    for p2 in iter_parts(g2):
+        if p2.is_empty():
+            continue
+        if p2.kind == POINT:
+            if _locate_point_in_geom(float(p2.data[0]), float(p2.data[1]), g1) == 0:
+                return False
+        elif p2.kind == LINESTRING:
+            for (x, y) in [tuple(r[:2]) for r in p2.data] + _densified_probe_points(p2.data):
+                if _locate_point_in_geom(x, y, g1) == 0:
+                    return False
+            # no proper crossings out of g1's area: if g1 areal, a segment
+            # crossing the shell would put a probe outside — probes cover it.
+        else:  # polygon within
+            for ring in p2.data:
+                for (x, y) in [tuple(r[:2]) for r in ring] + _densified_probe_points(ring):
+                    if _locate_point_in_geom(x, y, g1) == 0:
+                        return False
+            # also ensure no hole of g1 sits strictly inside p2
+            for p1 in iter_parts(g1):
+                if p1.kind == POLYGON:
+                    for hole in p1.data[1:]:
+                        hx, hy = float(hole[0, 0]), float(hole[0, 1])
+                        if point_in_polygon(hx, hy, p2.data) == 2:
+                            # hole boundary point inside g2's interior => g2 pokes into hole
+                            if point_in_polygon(hx, hy, p1.data) != 1:
+                                continue
+                            return False
+    return True
+
+
+def covered_by(g1, g2):
+    return covers(g2, g1)
+
+
+def within(g1, g2):
+    return contains(g2, g1)
+
+
+def touches(g1, g2):
+    """Boundaries meet, interiors don't."""
+    r = intersects(g1, g2)
+    if r is None:
+        return None
+    if not r:
+        return False
+    return not _interiors_intersect(g1, g2)
+
+
+def _interiors_intersect(g1, g2):
+    # pragmatic: probe interior points of the lower-dimension geometry
+    a, b = (g1, g2) if _top_dim(g1) <= _top_dim(g2) else (g2, g1)
+    for p in iter_parts(a):
+        if p.is_empty():
+            continue
+        if p.kind == POINT:
+            probes = [(float(p.data[0]), float(p.data[1]))]
+            if any(_locate_point_in_geom(x, y, b) == 2 for x, y in probes):
+                return True
+        elif p.kind == LINESTRING:
+            for (x, y) in _densified_probe_points(p.data, k=6):
+                if (
+                    _locate_point_in_geom(x, y, a) == 2
+                    and _locate_point_in_geom(x, y, b) == 2
+                ):
+                    return True
+        else:
+            c = centroid(p)
+            probes = [(float(c.data[0]), float(c.data[1]))] if not c.is_empty() else []
+            for ring in p.data:
+                probes += _densified_probe_points(ring)
+            for (x, y) in probes:
+                if (
+                    _locate_point_in_geom(x, y, a) == 2
+                    and _locate_point_in_geom(x, y, b) == 2
+                ):
+                    return True
+            # proper edge crossings imply interior overlap for areal pairs
+            for p2 in iter_parts(b):
+                if p2.kind == POLYGON and _has_proper_crossing(p.data, p2.data):
+                    return True
+    return False
+
+
+def _has_proper_crossing(rings1, rings2):
+    for l1 in rings1:
+        for l2 in rings2:
+            for i in range(len(l1) - 1):
+                for j in range(len(l2) - 1):
+                    if _seg_intersect(l1[i], l1[i + 1], l2[j], l2[j + 1]) == 1:
+                        return True
+    return False
+
+
+def crosses(g1, g2):
+    """Interiors intersect, dims differ (or line/line point-crossing)."""
+    if g1 is None or g2 is None:
+        return None
+    d1, d2 = _top_dim(g1), _top_dim(g2)
+    if not intersects(g1, g2):
+        return False
+    if d1 == d2 == 1:
+        # line/line: crosses iff a proper (point) intersection exists and
+        # lines are not collinear-overlapping
+        for p1 in iter_parts(g1):
+            for p2 in iter_parts(g2):
+                if p1.kind == LINESTRING and p2.kind == LINESTRING:
+                    for i in range(len(p1.data) - 1):
+                        for j in range(len(p2.data) - 1):
+                            if _seg_intersect(
+                                p1.data[i], p1.data[i + 1], p2.data[j], p2.data[j + 1]
+                            ) == 1:
+                                return True
+        return False
+    if d1 == d2:
+        return False
+    if not _interiors_intersect(g1, g2):
+        return False
+    # lower-dim geometry must not be fully contained
+    lo, hi = (g1, g2) if d1 < d2 else (g2, g1)
+    return not covers(hi, lo)
+
+
+def overlaps(g1, g2):
+    """Same dim, interiors intersect, neither contains the other."""
+    if g1 is None or g2 is None:
+        return None
+    if _top_dim(g1) != _top_dim(g2):
+        return False
+    if not intersects(g1, g2):
+        return False
+    if covers(g1, g2) or covers(g2, g1):
+        return False
+    return _interiors_intersect(g1, g2)
+
+
+def equals(g1, g2):
+    """Topological equality (pragmatic: mutual covers)."""
+    if g1 is None or g2 is None:
+        return None
+    if g1.is_empty() and g2.is_empty():
+        return True
+    if g1.is_empty() != g2.is_empty():
+        return False
+    return covers(g1, g2) and covers(g2, g1)
+
+
+def equals_exact(g1, g2, tolerance=0.0):
+    """Structural equality within tolerance (geos equals_exact)."""
+    if g1 is None or g2 is None:
+        return None
+    if g1.kind != g2.kind or g1.dim != g2.dim:
+        return False
+    c1, c2 = all_coords(g1), all_coords(g2)
+    if c1.shape != c2.shape:
+        return False
+    if len(c1) == 0:
+        return True
+    return bool(np.all(np.abs(c1 - c2) <= max(tolerance, 1e-12)))
+
+
+# ---------------------------------------------------------------------------
+# distance
+# ---------------------------------------------------------------------------
+
+def _pt_seg_dist(px, py, ax, ay, bx, by):
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0:
+        return math.hypot(px - ax, py - ay)
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def _pts_to_lines_min(pts, lines):
+    best = math.inf
+    for line in lines:
+        if len(line) == 1:
+            for p in pts:
+                best = min(best, math.hypot(p[0] - line[0, 0], p[1] - line[0, 1]))
+            continue
+        for i in range(len(line) - 1):
+            a, b = line[i], line[i + 1]
+            for p in pts:
+                d = _pt_seg_dist(p[0], p[1], a[0], a[1], b[0], b[1])
+                if d < best:
+                    best = d
+    return best
+
+
+def distance(g1, g2):
+    """Min euclidean distance; 0 if intersecting. distance.rs:9."""
+    if g1 is None or g2 is None:
+        return None
+    if g1.is_empty() or g2.is_empty():
+        return None
+    if intersects(g1, g2):
+        return 0.0
+    best = math.inf
+    for p1 in iter_parts(g1):
+        for p2 in iter_parts(g2):
+            if p1.is_empty() or p2.is_empty():
+                continue
+            l1 = _lines_of(p1) or [p1.data.reshape(1, -1)]
+            l2 = _lines_of(p2) or [p2.data.reshape(1, -1)]
+            # vertex-to-segment both directions (sufficient for disjoint convex
+            # pieces since min distance is attained at a vertex of one side
+            # or between two segment interiors — covered by both sweeps)
+            v1 = np.vstack([a[:, :2] for a in l1])
+            v2 = np.vstack([a[:, :2] for a in l2])
+            best = min(best, _pts_to_lines_min(v1, l2), _pts_to_lines_min(v2, l1))
+    return float(best)
+
+
+def haversine_distance(x1, y1, x2, y2, radius=EARTH_RADIUS_M):
+    lon1, lat1, lon2, lat2 = map(math.radians, (x1, y1, x2, y2))
+    a = (
+        math.sin((lat2 - lat1) / 2) ** 2
+        + math.cos(lat1) * math.cos(lat2) * math.sin((lon2 - lon1) / 2) ** 2
+    )
+    return 2 * radius * math.asin(min(1.0, math.sqrt(a)))
+
+
+def frechet_distance(g1, g2):
+    """Discrete Fréchet between two linestrings. frechet_distance.rs:25."""
+    if g1 is None or g2 is None:
+        return None
+    a = all_coords(g1)[:, :2]
+    b = all_coords(g2)[:, :2]
+    if len(a) == 0 or len(b) == 0:
+        return None
+    n, m = len(a), len(b)
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2))
+    ca = np.full((n, m), -1.0)
+    ca[0, 0] = d[0, 0]
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], d[i, 0])
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], d[0, j])
+    for i in range(1, n):
+        for j in range(1, m):
+            ca[i, j] = max(min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1]), d[i, j])
+    return float(ca[n - 1, m - 1])
+
+
+def hausdorff_distance(g1, g2):
+    if g1 is None or g2 is None:
+        return None
+    a = all_coords(g1)[:, :2]
+    b = all_coords(g2)[:, :2]
+    if len(a) == 0 or len(b) == 0:
+        return None
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2))
+    return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
+
+
+# ---------------------------------------------------------------------------
+# line referencing
+# ---------------------------------------------------------------------------
+
+def line_interpolate_point(g, fraction):
+    """Point at fraction of length along a linestring.
+    line_interpolate_point.rs:42."""
+    if g is None or fraction is None:
+        return None
+    line = None
+    for p in iter_parts(g):
+        if p.kind == LINESTRING and len(p.data) >= 2:
+            line = p.data
+            break
+    if line is None:
+        return empty(POINT)
+    f = min(1.0, max(0.0, float(fraction)))
+    seg = _seg_lengths(line)
+    total = float(np.sum(seg))
+    if total == 0:
+        return point(float(line[0, 0]), float(line[0, 1]))
+    target = f * total
+    acc = 0.0
+    for i, s in enumerate(seg):
+        if acc + s >= target or i == len(seg) - 1:
+            t = 0.0 if s == 0 else (target - acc) / s
+            a, b = line[i], line[i + 1]
+            return point(
+                float(a[0] + (b[0] - a[0]) * t), float(a[1] + (b[1] - a[1]) * t)
+            )
+        acc += s
+    return point(float(line[-1, 0]), float(line[-1, 1]))
+
+
+def line_locate_point(g, pt):
+    """Fraction of length at nearest point on line. line_locate_point.rs:22."""
+    if g is None or pt is None:
+        return None
+    line = None
+    for p in iter_parts(g):
+        if p.kind == LINESTRING and len(p.data) >= 2:
+            line = p.data
+            break
+    if line is None or pt.is_empty():
+        return None
+    px, py = float(pt.data[0]), float(pt.data[1])
+    seg = _seg_lengths(line)
+    total = float(np.sum(seg))
+    if total == 0:
+        return 0.0
+    best = (math.inf, 0.0)
+    acc = 0.0
+    for i in range(len(line) - 1):
+        ax, ay = line[i, :2]
+        bx, by = line[i + 1, :2]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+        d = math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+        if d < best[0]:
+            best = (d, acc + t * seg[i])
+        acc += seg[i]
+    return best[1] / total
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+def _map_coords(g, fn):
+    """Apply fn((n,2) array) -> (n,2) to xy of every coord array; preserves Z/M.
+    Mirrors map_coords.rs:19."""
+    if g is None:
+        return None
+
+    def tx(a):
+        if a is None or len(a) == 0:
+            return a
+        a = np.array(a, dtype=np.float64)
+        flat = a.reshape(-1, a.shape[-1]) if a.ndim > 1 else a.reshape(1, -1)
+        xy = fn(flat[:, :2])
+        flat = flat.copy()
+        flat[:, :2] = xy
+        return flat.reshape(a.shape) if a.ndim > 1 else flat[0]
+
+    k, d = g.kind, g.data
+    if k == POINT:
+        return Geom(k, tx(d), g.has_z, g.has_m)
+    if k in (LINESTRING, MULTIPOINT):
+        return Geom(k, tx(d), g.has_z, g.has_m)
+    if k in (POLYGON, MULTILINESTRING):
+        return Geom(k, [tx(r) for r in d], g.has_z, g.has_m)
+    if k == MULTIPOLYGON:
+        return Geom(k, [[tx(r) for r in rings] for rings in d], g.has_z, g.has_m)
+    return Geom(k, [_map_coords(sub, fn) for sub in d], g.has_z, g.has_m)
+
+
+def affine_transform(g, a, b, d, e, xoff, yoff):
+    """2D affine: x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff.
+    (shapely parameter order; affine_ops.rs:24)."""
+    return _map_coords(
+        g,
+        lambda xy: np.column_stack(
+            (a * xy[:, 0] + b * xy[:, 1] + xoff, d * xy[:, 0] + e * xy[:, 1] + yoff)
+        ),
+    )
+
+
+def translate(g, xoff=0.0, yoff=0.0):
+    return affine_transform(g, 1, 0, 0, 1, xoff, yoff)
+
+
+def _origin_xy(g, origin):
+    if isinstance(origin, (tuple, list)):
+        return float(origin[0]), float(origin[1])
+    if origin == "centroid":
+        c = centroid(g)
+        return (float(c.data[0]), float(c.data[1])) if not c.is_empty() else (0.0, 0.0)
+    b = bounds(g)
+    if b is None:
+        return 0.0, 0.0
+    return (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+
+
+def scale(g, xfact=1.0, yfact=1.0, origin="center"):
+    ox, oy = _origin_xy(g, origin)
+    return affine_transform(g, xfact, 0, 0, yfact, ox - xfact * ox, oy - yfact * oy)
+
+
+def rotate(g, angle_deg, origin="center"):
+    ox, oy = _origin_xy(g, origin)
+    t = math.radians(angle_deg)
+    c, s = math.cos(t), math.sin(t)
+    return affine_transform(g, c, -s, s, c, ox - ox * c + oy * s, oy - ox * s - oy * c)
+
+
+def skew(g, xs_deg=0.0, ys_deg=0.0, origin="center"):
+    ox, oy = _origin_xy(g, origin)
+    tx, ty = math.tan(math.radians(xs_deg)), math.tan(math.radians(ys_deg))
+    return affine_transform(g, 1, tx, ty, 1, -tx * oy, -ty * ox)
+
+
+def remove_repeated_points(g, tolerance=0.0):
+    """remove_repeated_points.rs:19."""
+    tol = max(tolerance, 0.0)
+
+    def dedup(a, closed):
+        if len(a) < 2:
+            return a
+        keep = [0]
+        for i in range(1, len(a)):
+            d = math.hypot(a[i, 0] - a[keep[-1], 0], a[i, 1] - a[keep[-1], 1])
+            if d > tol:
+                keep.append(i)
+        out = a[keep]
+        if closed and (len(out) < 2 or not np.allclose(out[0, :2], out[-1, :2])):
+            out = np.vstack([out, out[0]])
+        return out
+
+    k, d = g.kind, g.data
+    if g is None or k == POINT:
+        return g
+    if k in (LINESTRING, MULTIPOINT):
+        return Geom(k, dedup(d, False), g.has_z, g.has_m)
+    if k == POLYGON:
+        return Geom(k, [dedup(r, True) for r in d], g.has_z, g.has_m)
+    if k == MULTILINESTRING:
+        return Geom(k, [dedup(l, False) for l in d], g.has_z, g.has_m)
+    if k == MULTIPOLYGON:
+        return Geom(k, [[dedup(r, True) for r in rings] for rings in d], g.has_z, g.has_m)
+    return Geom(k, [remove_repeated_points(sub, tol) for sub in d], g.has_z, g.has_m)
+
+
+def _rdp(points, eps):
+    if len(points) < 3:
+        return points
+    ax, ay = points[0, :2]
+    bx, by = points[-1, :2]
+    d = np.array([_pt_seg_dist(p[0], p[1], ax, ay, bx, by) for p in points[1:-1, :2]])
+    imax = int(np.argmax(d)) if len(d) else 0
+    if len(d) and d[imax] > eps:
+        left = _rdp(points[: imax + 2], eps)
+        right = _rdp(points[imax + 1:], eps)
+        return np.vstack([left[:-1], right])
+    return np.vstack([points[0], points[-1]])
+
+
+def simplify(g, epsilon):
+    """Ramer–Douglas–Peucker. simplify.rs:19."""
+    if g is None:
+        return None
+
+    def simp(a, closed):
+        if len(a) < 3:
+            return a
+        out = _rdp(a, epsilon)
+        if closed and len(out) < 4:
+            return a  # keep valid ring
+        return out
+
+    k, d = g.kind, g.data
+    if k in (POINT, MULTIPOINT):
+        return g
+    if k == LINESTRING:
+        return Geom(k, simp(d, False), g.has_z, g.has_m)
+    if k == POLYGON:
+        return Geom(k, [simp(r, True) for r in d], g.has_z, g.has_m)
+    if k == MULTILINESTRING:
+        return Geom(k, [simp(l, False) for l in d], g.has_z, g.has_m)
+    if k == MULTIPOLYGON:
+        return Geom(k, [[simp(r, True) for r in rings] for rings in d], g.has_z, g.has_m)
+    return Geom(k, [simplify(sub, epsilon) for sub in d], g.has_z, g.has_m)
+
+
+def simplify_vw(g, epsilon):
+    """Visvalingam–Whyatt: drop points whose triangle area < epsilon.
+    simplify_vw.rs:19."""
+    if g is None:
+        return None
+
+    def vw(a, closed):
+        pts = list(range(len(a)))
+        if len(pts) < 3:
+            return a
+
+        def tri_area(i, j, k):
+            return abs(
+                (a[j, 0] - a[i, 0]) * (a[k, 1] - a[i, 1])
+                - (a[k, 0] - a[i, 0]) * (a[j, 1] - a[i, 1])
+            ) / 2
+
+        changed = True
+        while changed and len(pts) > (4 if closed else 2):
+            changed = False
+            areas = [
+                (tri_area(pts[i - 1], pts[i], pts[i + 1]), i)
+                for i in range(1, len(pts) - 1)
+            ]
+            if not areas:
+                break
+            amin, imin = min(areas)
+            if amin < epsilon:
+                pts.pop(imin)
+                changed = True
+        return a[pts]
+
+    k, d = g.kind, g.data
+    if k in (POINT, MULTIPOINT):
+        return g
+    if k == LINESTRING:
+        return Geom(k, vw(d, False), g.has_z, g.has_m)
+    if k == POLYGON:
+        return Geom(k, [vw(r, True) for r in d], g.has_z, g.has_m)
+    if k == MULTILINESTRING:
+        return Geom(k, [vw(l, False) for l in d], g.has_z, g.has_m)
+    if k == MULTIPOLYGON:
+        return Geom(k, [[vw(r, True) for r in rings] for rings in d], g.has_z, g.has_m)
+    return Geom(k, [simplify_vw(sub, epsilon) for sub in d], g.has_z, g.has_m)
+
+
+def densify(g, max_distance):
+    """Insert vertices so no segment exceeds max_distance. densify.rs:18."""
+    if g is None:
+        return None
+    md = float(max_distance)
+    if md <= 0:
+        raise ValueError("max_distance must be > 0")
+
+    def dens(a):
+        if len(a) < 2:
+            return a
+        rows = [a[0]]
+        for i in range(len(a) - 1):
+            seg = a[i + 1] - a[i]
+            L = math.hypot(seg[0], seg[1])
+            n = max(1, int(math.ceil(L / md)))
+            for j in range(1, n + 1):
+                rows.append(a[i] + seg * (j / n))
+        return np.asarray(rows)
+
+    k, d = g.kind, g.data
+    if k in (POINT, MULTIPOINT):
+        return g
+    if k == LINESTRING:
+        return Geom(k, dens(d), g.has_z, g.has_m)
+    if k == POLYGON:
+        return Geom(k, [dens(r) for r in d], g.has_z, g.has_m)
+    if k == MULTILINESTRING:
+        return Geom(k, [dens(l) for l in d], g.has_z, g.has_m)
+    if k == MULTIPOLYGON:
+        return Geom(k, [[dens(r) for r in rings] for rings in d], g.has_z, g.has_m)
+    return Geom(k, [densify(sub, md) for sub in d], g.has_z, g.has_m)
+
+
+def chaikin_smoothing(g, n_iterations=1):
+    """Chaikin corner cutting. chaikin_smoothing.rs:22."""
+    if g is None:
+        return None
+
+    def one(a, closed):
+        if len(a) < 3:
+            return a
+        pts = a
+        for _ in range(int(n_iterations)):
+            new = []
+            rng = range(len(pts) - 1)
+            for i in rng:
+                p, q = pts[i], pts[i + 1]
+                new.append(0.75 * p + 0.25 * q)
+                new.append(0.25 * p + 0.75 * q)
+            if closed:
+                new.append(new[0])
+            else:
+                new = [pts[0]] + new + [pts[-1]]
+            pts = np.asarray(new)
+        return pts
+
+    k, d = g.kind, g.data
+    if k in (POINT, MULTIPOINT):
+        return g
+    if k == LINESTRING:
+        return Geom(k, one(d, False), g.has_z, g.has_m)
+    if k == POLYGON:
+        return Geom(k, [one(r, True) for r in d], g.has_z, g.has_m)
+    if k == MULTILINESTRING:
+        return Geom(k, [one(l, False) for l in d], g.has_z, g.has_m)
+    if k == MULTIPOLYGON:
+        return Geom(k, [[one(r, True) for r in rings] for rings in d], g.has_z, g.has_m)
+    return Geom(k, [chaikin_smoothing(sub, n_iterations) for sub in d], g.has_z, g.has_m)
+
+
+def buffer(g, width, quadsegs=8):
+    """Buffer. Full GEOS buffering is out of scope without a boolean-ops
+    engine; supported: points and multipoints (circle polygons), zero/negative
+    width on points -> EMPTY. geos/buffer.rs:7-12."""
+    if g is None:
+        return None
+    if width <= 0:
+        return empty(POLYGON)
+    n = max(4, int(quadsegs) * 4)
+    ang = np.linspace(0, 2 * math.pi, n, endpoint=False)
+    circ = np.column_stack((np.cos(ang), np.sin(ang))) * float(width)
+    polys = []
+    for p in iter_parts(g):
+        if p.kind == POINT and not p.is_empty():
+            ring = circ + p.data[:2]
+            ring = np.vstack([ring, ring[:1]])
+            polys.append([ring])
+        elif not p.is_empty():
+            raise NotImplementedError(
+                "buffer of non-point geometries requires boolean ops (planned)"
+            )
+    if not polys:
+        return empty(POLYGON)
+    if len(polys) == 1:
+        return Geom(POLYGON, polys[0])
+    return Geom(MULTIPOLYGON, polys)
+
+
+def interior_point(g):
+    """A point guaranteed on the geometry (representative point).
+    interior_point.rs:10."""
+    if g is None or g.is_empty():
+        return empty(POINT)
+    d = _top_dim(g)
+    if d == 0:
+        for p in iter_parts(g):
+            if p.kind == POINT and not p.is_empty():
+                return point(float(p.data[0]), float(p.data[1]))
+    if d == 1:
+        for p in iter_parts(g):
+            if p.kind == LINESTRING and len(p.data):
+                mid = len(p.data) // 2
+                return point(float(p.data[mid, 0]), float(p.data[mid, 1]))
+    # areal: scanline through bbox mid-y; midpoint of widest inside interval
+    best = None
+    for p in iter_parts(g):
+        if p.kind != POLYGON or not p.data:
+            continue
+        c = centroid(p)
+        if not c.is_empty() and point_in_polygon(float(c.data[0]), float(c.data[1]), p.data) == 2:
+            cand = (area(p), float(c.data[0]), float(c.data[1]))
+        else:
+            b = bounds(p)
+            ymid = (b[1] + b[3]) / 2
+            xs = []
+            for ring in p.data:
+                for i in range(len(ring) - 1):
+                    ay, by = ring[i, 1], ring[i + 1, 1]
+                    if (ay > ymid) != (by > ymid):
+                        t = (ymid - ay) / (by - ay)
+                        xs.append(ring[i, 0] + t * (ring[i + 1, 0] - ring[i, 0]))
+            xs.sort()
+            if len(xs) >= 2:
+                widths = [(xs[i + 1] - xs[i], i) for i in range(0, len(xs) - 1, 2)]
+                w, i = max(widths)
+                cand = (area(p), (xs[i] + xs[i + 1]) / 2, ymid)
+            else:
+                cand = (area(p), float(p.data[0][0, 0]), float(p.data[0][0, 1]))
+        if best is None or cand[0] > best[0]:
+            best = cand
+    if best is None:
+        return empty(POINT)
+    return point(best[1], best[2])
+
+
+def polylabel(g, tolerance=1.0):
+    """Pole of inaccessibility via grid refinement (quadtree-ish).
+    polylabel.rs:24."""
+    if g is None or g.is_empty():
+        return empty(POINT)
+    poly = None
+    best_a = -1.0
+    for p in iter_parts(g):
+        if p.kind == POLYGON and p.data:
+            a = area(p)
+            if a > best_a:
+                best_a, poly = a, p
+    if poly is None:
+        return interior_point(g)
+
+    rings = poly.data
+    segs = []
+    for r in rings:
+        for i in range(len(r) - 1):
+            segs.append((r[i, 0], r[i, 1], r[i + 1, 0], r[i + 1, 1]))
+
+    def dist_to_boundary(x, y):
+        d = min(_pt_seg_dist(x, y, *s) for s in segs)
+        return d if point_in_polygon(x, y, rings) == 2 else -d
+
+    b = bounds(poly)
+    cell = max(b[2] - b[0], b[3] - b[1]) / 2
+    cx, cy = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+    best = (dist_to_boundary(cx, cy), cx, cy)
+    c = centroid(poly)
+    if not c.is_empty():
+        d = dist_to_boundary(float(c.data[0]), float(c.data[1]))
+        if d > best[0]:
+            best = (d, float(c.data[0]), float(c.data[1]))
+    # breadth-first grid refinement
+    queue = [(cx, cy, cell)]
+    while queue:
+        nxt = []
+        for (x, y, h) in queue:
+            for dx in (-h / 2, h / 2):
+                for dy in (-h / 2, h / 2):
+                    px, py = x + dx, y + dy
+                    d = dist_to_boundary(px, py)
+                    if d > best[0]:
+                        best = (d, px, py)
+                    # potential max in this cell = d + h*sqrt2/2
+                    if d + h * 0.7071067811865476 - best[0] > tolerance:
+                        nxt.append((px, py, h / 2))
+        queue = nxt
+        if len(queue) > 4096:
+            queue = sorted(queue, key=lambda t: -dist_to_boundary(t[0], t[1]))[:1024]
+    return point(best[1], best[2])
+
+
+# ---------------------------------------------------------------------------
+# validity & structure checks
+# ---------------------------------------------------------------------------
+
+def is_ring(g):
+    """Closed and simple linestring. geos/is_ring.rs."""
+    if g is None:
+        return None
+    for p in iter_parts(g):
+        if p.kind == LINESTRING:
+            a = p.data
+            if len(a) < 4:
+                return False
+            return bool(np.allclose(a[0, :2], a[-1, :2])) and is_simple(p)
+    return False
+
+
+def is_simple(g):
+    """No self-intersection (pragmatic O(n^2) check). geos/is_simple.rs:12."""
+    if g is None:
+        return None
+    for p in iter_parts(g):
+        if p.kind == LINESTRING:
+            a = p.data
+            n = len(a) - 1
+            closed = n >= 1 and np.allclose(a[0, :2], a[-1, :2])
+            for i in range(n):
+                for j in range(i + 1, n):
+                    r = _seg_intersect(a[i], a[i + 1], a[j], a[j + 1])
+                    if r == 0:
+                        continue
+                    adjacent = j == i + 1 or (closed and i == 0 and j == n - 1)
+                    if r == 1 or not adjacent:
+                        return False
+        elif p.kind == MULTIPOINT:
+            u = np.unique(p.data[:, :2], axis=0)
+            if len(u) != len(p.data):
+                return False
+    return True
+
+
+def validity_reason(g):
+    """None if valid, else a reason string. validation.rs:9,28 (subset)."""
+    if g is None:
+        return None
+    for p in iter_parts(g):
+        if p.kind == POLYGON:
+            for idx, r in enumerate(p.data):
+                if 0 < len(r) < 4:
+                    return f"ring {idx} has fewer than 4 points"
+                if len(r) and not np.allclose(r[0, :2], r[-1, :2]):
+                    return f"ring {idx} is not closed"
+            if p.data:
+                ring_geom = Geom(LINESTRING, p.data[0])
+                if len(p.data[0]) >= 4 and not is_simple(ring_geom):
+                    return "shell is self-intersecting"
+                shell = p.data[0]
+                for hidx, hole in enumerate(p.data[1:], 1):
+                    if len(hole) >= 4:
+                        hx, hy = float(hole[0, 0]), float(hole[0, 1])
+                        if _point_in_ring(hx, hy, shell) == 0:
+                            return f"hole {hidx} lies outside shell"
+        elif p.kind == LINESTRING:
+            if len(p.data) == 1:
+                return "linestring has a single point"
+    return None
+
+
+def is_valid(g):
+    if g is None:
+        return None
+    return validity_reason(g) is None
