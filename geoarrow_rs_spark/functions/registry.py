@@ -1,0 +1,242 @@
+"""Function registry: every kernel registered for SQL (`spark.sql("ST_...")`)
+and usable from the Column API via :mod:`geoarrow_rs_spark.functions`.
+
+Mirrors the reference's Python function surface
+(/root/reference/python/geoarrow-compute/python/geoarrow/rust/compute/_compute.pyi)
+re-expressed as Spark SQL functions, like ``spark.udf.register`` entries.
+
+Design notes (scale):
+- Kernels are Arrow-batched pandas UDFs (JVM->Arrow->numpy, no per-row Python
+  boundary crossings beyond geometry parse).
+- bbox predicates are **native column expressions** (see ``bbox_intersects_expr``)
+  so Catalyst pushes them to Parquet row-group stats — the same trick as the
+  reference's spatial pushdown
+  (/root/reference/rust/geoparquet/src/reader/spatial_filter.rs:167-181).
+- ``ST_Extent_Agg`` is a grouped-agg pandas UDF; at scale prefer the native
+  min/max aggregation in :func:`geoarrow_rs_spark.ops.table.total_bounds`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import kernels as K
+
+BBOX_SCHEMA = StructType(
+    [
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ]
+)
+
+# name -> (kernel fn, return type)
+_SCALAR_UDFS = {
+    # constructors / conversions
+    "ST_Point": (K.k_point, BinaryType()),
+    "ST_MakePoint": (K.k_point, BinaryType()),
+    "ST_PointZ": (K.k_point_z, BinaryType()),
+    "ST_MakeEnvelope": (K.k_make_envelope, BinaryType()),
+    "ST_PolygonFromEnvelope": (K.k_make_envelope, BinaryType()),
+    "ST_MakeLine": (K.k_make_line, BinaryType()),
+    "ST_Collect": (K.k_collect_two, BinaryType()),
+    "ST_GeomFromWKT": (K.k_geom_from_wkt, BinaryType()),
+    "ST_GeomFromText": (K.k_geom_from_wkt, BinaryType()),
+    "ST_AsText": (K.k_as_wkt, StringType()),
+    "ST_AsWKT": (K.k_as_wkt, StringType()),
+    "ST_GeomFromWKB": (K.k_geom_from_wkb, BinaryType()),
+    "ST_AsGeoJSON": (K.k_as_geojson, StringType()),
+    "ST_GeomFromGeoJSON": (K.k_geom_from_geojson, BinaryType()),
+    "ST_Multi": (K.k_multi, BinaryType()),
+    "ST_Dump": (K.k_dump, ArrayType(BinaryType())),
+    "ST_SetSRID": (K.k_set_srid, BinaryType()),
+    "ST_SRID": (K.k_srid, IntegerType()),
+    "ST_GeoHash": (K.k_geohash, StringType()),
+    # accessors / metadata
+    "ST_GeometryType": (K.k_geometry_type, StringType()),
+    "ST_GeoArrowTypeId": (K.k_type_id, IntegerType()),
+    "ST_X": (K.k_x, DoubleType()),
+    "ST_Y": (K.k_y, DoubleType()),
+    "ST_Z": (K.k_z, DoubleType()),
+    "ST_M": (K.k_m, DoubleType()),
+    "ST_XMin": (K.k_xmin, DoubleType()),
+    "ST_YMin": (K.k_ymin, DoubleType()),
+    "ST_XMax": (K.k_xmax, DoubleType()),
+    "ST_YMax": (K.k_ymax, DoubleType()),
+    "ST_NumGeometries": (K.k_num_geometries, IntegerType()),
+    "ST_NPoints": (K.k_npoints, IntegerType()),
+    "ST_HasZ": (K.k_has_z, BooleanType()),
+    "ST_HasM": (K.k_has_m, BooleanType()),
+    "ST_IsEmpty": (K.k_is_empty, BooleanType()),
+    "ST_IsValid": (K.k_is_valid, BooleanType()),
+    "ST_IsValidReason": (K.k_is_valid_reason, StringType()),
+    "ST_IsSimple": (K.k_is_simple, BooleanType()),
+    "ST_IsRing": (K.k_is_ring, BooleanType()),
+    # measures
+    "ST_Area": (K.k_area, DoubleType()),
+    "ST_SignedArea": (K.k_signed_area, DoubleType()),
+    "ST_AreaSpherical": (K.k_area_spherical, DoubleType()),
+    "ST_Length": (K.k_length, DoubleType()),
+    "ST_LengthSphere": (K.k_length_spherical, DoubleType()),
+    "ST_Perimeter": (K.k_perimeter, DoubleType()),
+    # derived geometries
+    "ST_Centroid": (K.k_centroid, BinaryType()),
+    "ST_Center": (K.k_center, BinaryType()),
+    "ST_Envelope": (K.k_envelope, BinaryType()),
+    "ST_BBox": (K.k_bbox_struct, BBOX_SCHEMA),
+    "ST_ConvexHull": (K.k_convex_hull, BinaryType()),
+    "ST_MinimumRotatedRectangle": (K.k_min_rotated_rect, BinaryType()),
+    "ST_PointOnSurface": (K.k_interior_point, BinaryType()),
+    "ST_InteriorPoint": (K.k_interior_point, BinaryType()),
+    "ST_Polylabel": (K.k_polylabel, BinaryType()),
+    "ST_Reverse": (K.k_reverse, BinaryType()),
+    "ST_FlipCoordinates": (K.k_flip_coordinates, BinaryType()),
+    # transforms
+    "ST_Simplify": (K.k_simplify, BinaryType()),
+    "ST_SimplifyVW": (K.k_simplify_vw, BinaryType()),
+    "ST_Densify": (K.k_densify, BinaryType()),
+    "ST_ChaikinSmoothing": (K.k_chaikin, BinaryType()),
+    "ST_RemoveRepeatedPoints": (K.k_remove_repeated, BinaryType()),
+    "ST_Buffer": (K.k_buffer, BinaryType()),
+    "ST_Translate": (K.k_translate, BinaryType()),
+    "ST_Rotate": (K.k_rotate, BinaryType()),
+    "ST_Scale": (K.k_scale, BinaryType()),
+    "ST_Skew": (K.k_skew, BinaryType()),
+    "ST_Affine": (K.k_affine, BinaryType()),
+    "ST_ClipByBox2D": (K.k_clip_by_box, BinaryType()),
+    "ST_LineInterpolatePoint": (K.k_line_interpolate_point, BinaryType()),
+    # binary predicates / measures
+    "ST_Intersects": (K.k_intersects, BooleanType()),
+    "ST_Contains": (K.k_contains, BooleanType()),
+    "ST_Within": (K.k_within, BooleanType()),
+    "ST_Disjoint": (K.k_disjoint, BooleanType()),
+    "ST_Touches": (K.k_touches, BooleanType()),
+    "ST_Crosses": (K.k_crosses, BooleanType()),
+    "ST_Overlaps": (K.k_overlaps, BooleanType()),
+    "ST_Equals": (K.k_equals, BooleanType()),
+    "ST_EqualsExact": (K.k_equals_exact, BooleanType()),
+    "ST_Covers": (K.k_covers, BooleanType()),
+    "ST_CoveredBy": (K.k_covered_by, BooleanType()),
+    "ST_Distance": (K.k_distance, DoubleType()),
+    "ST_DistanceSphere": (K.k_distance_sphere, DoubleType()),
+    "ST_FrechetDistance": (K.k_frechet, DoubleType()),
+    "ST_HausdorffDistance": (K.k_hausdorff, DoubleType()),
+    "ST_LineLocatePoint": (K.k_line_locate_point, DoubleType()),
+}
+
+_registered_sessions = set()
+
+
+def _extent_agg(s: pd.Series):
+    """Grouped-agg: union of bboxes -> [xmin,ymin,xmax,ymax]."""
+    from ..wkb import algorithms as alg
+    from ..wkb.core import from_wkb
+
+    xmin = ymin = np.inf
+    xmax = ymax = -np.inf
+    for v in s:
+        if v is None:
+            continue
+        b = alg.bounds(from_wkb(v))
+        if b is None:
+            continue
+        xmin, ymin = min(xmin, b[0]), min(ymin, b[1])
+        xmax, ymax = max(xmax, b[2]), max(ymax, b[3])
+    if xmin > xmax:
+        return None
+    return [xmin, ymin, xmax, ymax]
+
+
+def _union_agg(s: pd.Series):
+    """Grouped-agg: combine geometries into one Multi*/Collection (merge-only
+    union — no dissolve; matches collecting semantics, and is exact for
+    disjoint inputs)."""
+    from ..wkb import core as wc
+
+    parts = []
+    for v in s:
+        if v is None:
+            continue
+        g = wc.from_wkb(v)
+        if g is not None and not g.is_empty():
+            parts.extend(wc.iter_parts(g))
+    if not parts:
+        return None
+    kinds = {p.kind for p in parts}
+    if kinds == {wc.POINT}:
+        return wc.to_wkb(wc.multipoint(np.vstack([p.data[:2] for p in parts])))
+    if kinds == {wc.LINESTRING}:
+        return wc.to_wkb(wc.Geom(wc.MULTILINESTRING, [p.data for p in parts]))
+    if kinds == {wc.POLYGON}:
+        return wc.to_wkb(wc.Geom(wc.MULTIPOLYGON, [p.data for p in parts]))
+    return wc.to_wkb(wc.collection(parts))
+
+
+def register_functions(spark):
+    """Register all ST_* functions with the session (idempotent)."""
+    key = id(spark)
+    if key in _registered_sessions:
+        return spark
+    for name, (fn, rtype) in _SCALAR_UDFS.items():
+        spark.udf.register(name, F.pandas_udf(fn, rtype))
+    spark.udf.register(
+        "ST_Extent_Agg",
+        F.pandas_udf(_extent_agg, ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG),
+    )
+    spark.udf.register(
+        "ST_Union_Agg",
+        F.pandas_udf(_union_agg, BinaryType(), F.PandasUDFType.GROUPED_AGG),
+    )
+    _registered_sessions.add(key)
+    return spark
+
+
+# ---------------------------------------------------------------------------
+# native (non-UDF) expressions — stay inside WholeStageCodegen
+# ---------------------------------------------------------------------------
+
+def bbox_struct_expr(xmin, ymin, xmax, ymax):
+    """Build a covering struct column from plain doubles (native)."""
+    return F.struct(
+        F.col(xmin).alias("xmin") if isinstance(xmin, str) else xmin.alias("xmin"),
+        F.col(ymin).alias("ymin") if isinstance(ymin, str) else ymin.alias("ymin"),
+        F.col(xmax).alias("xmax") if isinstance(xmax, str) else xmax.alias("xmax"),
+        F.col(ymax).alias("ymax") if isinstance(ymax, str) else ymax.alias("ymax"),
+    )
+
+
+def bbox_intersects_expr(bbox_col, xmin, ymin, xmax, ymax):
+    """Native rect-overlap predicate on a covering struct column. Pushes to
+    Parquet row-group stats (spatial_filter.rs:167-181 equivalent)."""
+    b = F.col(bbox_col) if isinstance(bbox_col, str) else bbox_col
+    return (
+        (b["xmin"] <= F.lit(xmax))
+        & (b["xmax"] >= F.lit(xmin))
+        & (b["ymin"] <= F.lit(ymax))
+        & (b["ymax"] >= F.lit(ymin))
+    )
+
+
+def bbox_overlap_expr(b1, b2):
+    """Native rect-overlap between two covering struct columns (join cond)."""
+    a = F.col(b1) if isinstance(b1, str) else b1
+    b = F.col(b2) if isinstance(b2, str) else b2
+    return (
+        (a["xmin"] <= b["xmax"])
+        & (a["xmax"] >= b["xmin"])
+        & (a["ymin"] <= b["ymax"])
+        & (a["ymax"] >= b["ymin"])
+    )

@@ -1,0 +1,123 @@
+"""Distributed spatial join strategies (SURVEY.md §2.6 / §7 item 6).
+
+The reference ships only the building blocks of a spatial join — bbox filters
+(/root/reference/rust/geoparquet/src/reader/spatial_filter.rs:183-254), binary
+predicates, and an experimental R-tree
+(/root/reference/rust/geoarrow-old/src/indexed/array.rs:20-31). The join itself
+is net-new Spark design, and the main scale lever at 100 TB:
+
+Strategies
+----------
+1. ``broadcast`` — small build side: native broadcast join on the bbox
+   range predicate (BroadcastNestedLoopJoin), then exact-predicate refine.
+   Right for dim-table-sized polygon sides (countries, admin areas).
+2. ``grid`` — both sides large: map each geometry to the integer grid cells
+   its bbox covers (explode), shuffle both sides **by cell id** (an
+   equi-join key -> sort-merge/shuffled-hash join, never a cartesian),
+   bbox-filter within cell, then exact refine and de-dup pairs. This is the
+   classic PBSM/GeoSpark-style partitioned spatial join; cell_size trades
+   duplication factor vs per-cell fanout. Skewed cells are handled by AQE
+   (skew-join splitting) since the join is a plain equi-join.
+
+Both paths run the cheap native bbox test BEFORE any Python UDF so the
+pUDF refine (``ST_Intersects``) only sees candidate pairs — the reference's
+two-stage bbox-pretest-then-exact design
+(/root/reference/rust/geoparquet/src/reader/geo_ext.rs:140-148).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.registry import bbox_overlap_expr
+
+
+def grid_cells_expr(bbox_col, cell_size: float):
+    """Array of int64 cell ids covered by a bbox struct (native expression).
+
+    Cell id packs (ix, iy) as ix*2^21 + iy offset-encoded; geometries whose
+    bbox spans multiple cells are duplicated into each (standard PBSM
+    duplication; pairs are de-duplicated after the join)."""
+    b = F.col(bbox_col) if isinstance(bbox_col, str) else bbox_col
+    cs = float(cell_size)
+    x0 = F.floor(b["xmin"] / cs).cast("long")
+    x1 = F.floor(b["xmax"] / cs).cast("long")
+    y0 = F.floor(b["ymin"] / cs).cast("long")
+    y1 = F.floor(b["ymax"] / cs).cast("long")
+    # sequence() is native; flatten the 2-D cover
+    return F.flatten(
+        F.transform(
+            F.sequence(x0, x1),
+            lambda ix: F.transform(F.sequence(y0, y1), lambda iy: ix * F.lit(1 << 21) + iy),
+        )
+    )
+
+
+def spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_geom: str = "geometry",
+    right_geom: str = "geometry",
+    predicate: str = "intersects",
+    how: str = "inner",
+    strategy: str = "auto",
+    cell_size: float = 1.0,
+    broadcast_threshold: int = 100_000,
+) -> DataFrame:
+    """Join rows whose geometries satisfy the predicate.
+
+    Column name collisions must be resolved by the caller (alias first).
+    ``predicate`` in {intersects, contains, within, covers, touches,
+    overlaps, crosses, distance_lt:<x>} — refine runs the matching ST_* pUDF.
+    """
+    lb, rb = "__lbbox", "__rbbox"
+    L = left.withColumn(lb, F.expr(f"ST_BBox({left_geom})"))
+    R = right.withColumn(rb, F.expr(f"ST_BBox({right_geom})"))
+
+    if strategy == "auto":
+        try:
+            rc = right.count()
+            strategy = "broadcast" if rc <= broadcast_threshold else "grid"
+        except Exception:
+            strategy = "grid"
+
+    refine = _refine_expr(predicate, left_geom, right_geom)
+
+    if strategy == "broadcast":
+        joined = L.join(F.broadcast(R), on=bbox_overlap_expr(lb, rb), how="inner")
+        return joined.filter(refine).drop(lb, rb)
+
+    # grid strategy: equi-join on exploded cell ids
+    Lg = L.withColumn("__cell", F.explode(grid_cells_expr(lb, cell_size)))
+    Rg = R.withColumn("__cell", F.explode(grid_cells_expr(rb, cell_size)))
+    joined = Lg.join(Rg, on="__cell", how="inner").filter(bbox_overlap_expr(lb, rb))
+    # de-dup pairs duplicated across cells: keep the pair only in the cell
+    # that owns the overlap's lower-left corner (standard PBSM reference-point
+    # rule — no distinct() shuffle needed)
+    cs = float(cell_size)
+    ref_x = F.greatest(F.col(f"{lb}.xmin"), F.col(f"{rb}.xmin"))
+    ref_y = F.greatest(F.col(f"{lb}.ymin"), F.col(f"{rb}.ymin"))
+    owner = (
+        F.floor(ref_x / cs).cast("long") * F.lit(1 << 21)
+        + F.floor(ref_y / cs).cast("long")
+    )
+    joined = joined.filter(F.col("__cell") == owner)
+    return joined.filter(refine).drop("__cell", lb, rb)
+
+
+def _refine_expr(predicate: str, lg: str, rg: str):
+    if predicate.startswith("distance_lt:"):
+        dist = float(predicate.split(":", 1)[1])
+        return F.expr(f"ST_Distance({lg}, {rg})") < F.lit(dist)
+    fn = {
+        "intersects": "ST_Intersects",
+        "contains": "ST_Contains",
+        "within": "ST_Within",
+        "covers": "ST_Covers",
+        "covered_by": "ST_CoveredBy",
+        "touches": "ST_Touches",
+        "overlaps": "ST_Overlaps",
+        "crosses": "ST_Crosses",
+        "equals": "ST_Equals",
+    }[predicate]
+    return F.expr(f"{fn}({lg}, {rg})")

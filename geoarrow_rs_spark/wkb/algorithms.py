@@ -1380,3 +1380,175 @@ def is_valid(g):
     if g is None:
         return None
     return validity_reason(g) is None
+
+
+# ---------------------------------------------------------------------------
+# rectangle clipping (ST_ClipByBox2D / intersection-with-envelope)
+# ---------------------------------------------------------------------------
+
+def _clip_ring_rect(ring, xmin, ymin, xmax, ymax):
+    """Sutherland–Hodgman clip of a ring against an axis-aligned rect."""
+    def clip_edge(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, prv = pts[i], pts[i - 1]
+            ci, pi = inside(cur), inside(prv)
+            if ci:
+                if not pi:
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif pi:
+                out.append(intersect(prv, cur))
+        return out
+
+    def ix(p, q, axis, v):
+        t = (v - p[axis]) / (q[axis] - p[axis])
+        r = p + (q - p) * t
+        r[axis] = v
+        return r
+
+    pts = [np.array(p, dtype=np.float64) for p in ring[:-1]] if len(ring) else []
+    for axis, v, keep_ge in ((0, xmin, True), (0, xmax, False), (1, ymin, True), (1, ymax, False)):
+        if not pts:
+            return None
+        if keep_ge:
+            pts = clip_edge(pts, lambda p: p[axis] >= v, lambda p, q: ix(p, q, axis, v))
+        else:
+            pts = clip_edge(pts, lambda p: p[axis] <= v, lambda p, q: ix(p, q, axis, v))
+    if len(pts) < 3:
+        return None
+    pts.append(pts[0])
+    return np.asarray(pts)
+
+
+def _clip_line_rect(line, xmin, ymin, xmax, ymax):
+    """Clip a linestring to a rect; returns list of clipped sub-lines."""
+    out = []
+    cur = []
+
+    def inside(p):
+        return xmin - 1e-12 <= p[0] <= xmax + 1e-12 and ymin - 1e-12 <= p[1] <= ymax + 1e-12
+
+    def clip_seg(a, b):
+        # Liang–Barsky
+        t0, t1 = 0.0, 1.0
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        for p, q in ((-dx, a[0] - xmin), (dx, xmax - a[0]), (-dy, a[1] - ymin), (dy, ymax - a[1])):
+            if p == 0:
+                if q < 0:
+                    return None
+            else:
+                r = q / p
+                if p < 0:
+                    if r > t1:
+                        return None
+                    t0 = max(t0, r)
+                else:
+                    if r < t0:
+                        return None
+                    t1 = min(t1, r)
+        pa = np.array([a[0] + t0 * dx, a[1] + t0 * dy])
+        pb = np.array([a[0] + t1 * dx, a[1] + t1 * dy])
+        return pa, pb
+
+    for i in range(len(line) - 1):
+        seg = clip_seg(line[i], line[i + 1])
+        if seg is None:
+            if len(cur) >= 2:
+                out.append(np.asarray(cur))
+            cur = []
+            continue
+        pa, pb = seg
+        if cur and np.allclose(cur[-1], pa):
+            cur.append(pb)
+        else:
+            if len(cur) >= 2:
+                out.append(np.asarray(cur))
+            cur = [pa, pb]
+    if len(cur) >= 2:
+        out.append(np.asarray(cur))
+    return out
+
+
+def clip_by_rect(g, xmin, ymin, xmax, ymax):
+    """Intersection with an axis-aligned rectangle (PostGIS ST_ClipByBox2D;
+    covers the reference's bbox row-filter semantics,
+    /root/reference/rust/geoparquet/src/reader/spatial_filter.rs:183-254)."""
+    if g is None:
+        return None
+    polys = []
+    lines = []
+    pts = []
+    for p in iter_parts(g):
+        if p.is_empty():
+            continue
+        if p.kind == POINT:
+            x, y = float(p.data[0]), float(p.data[1])
+            if xmin <= x <= xmax and ymin <= y <= ymax:
+                pts.append([x, y])
+        elif p.kind == LINESTRING:
+            lines.extend(_clip_line_rect(p.data[:, :2], xmin, ymin, xmax, ymax))
+        else:
+            shell = _clip_ring_rect(p.data[0][:, :2], xmin, ymin, xmax, ymax)
+            if shell is None:
+                continue
+            rings = [shell]
+            for hole in p.data[1:]:
+                h = _clip_ring_rect(hole[:, :2], xmin, ymin, xmax, ymax)
+                if h is not None:
+                    rings.append(h)
+            polys.append(rings)
+    if polys:
+        return Geom(POLYGON, polys[0]) if len(polys) == 1 else Geom(MULTIPOLYGON, polys)
+    if lines:
+        return Geom(LINESTRING, lines[0]) if len(lines) == 1 else Geom(MULTILINESTRING, lines)
+    if pts:
+        return (
+            point(pts[0][0], pts[0][1])
+            if len(pts) == 1
+            else multipoint(np.asarray(pts))
+        )
+    return empty(GEOMETRYCOLLECTION)
+
+
+# ---------------------------------------------------------------------------
+# geohash (grid keys for spatial partitioning / joins)
+# ---------------------------------------------------------------------------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon, lat, precision=9):
+    """Standard geohash of a lon/lat point."""
+    if lon is None or lat is None or math.isnan(lon) or math.isnan(lat):
+        return None
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    chars = []
+    for i in range(0, len(bits), 5):
+        v = 0
+        for b in bits[i:i + 5]:
+            v = (v << 1) | b
+        chars.append(_GH32[v])
+    return "".join(chars)

@@ -1,0 +1,165 @@
+"""ST_* registry tests through real Spark SQL + Column API."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from geoarrow_rs_spark import functions as stf
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    rows = [
+        Row(id=0, wkt="POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))"),
+        Row(
+            id=1,
+            wkt="POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))",
+        ),
+        Row(id=2, wkt=None),
+        Row(id=3, wkt="POLYGON EMPTY"),
+    ]
+    return spark.createDataFrame(rows).withColumn("geom", F.expr("ST_GeomFromWKT(wkt)"))
+
+
+def test_area_golden_sql(golden):
+    # area.rs:73-93 golden values through the full Spark path
+    out = {r["id"]: r["a"] for r in golden.selectExpr("id", "ST_Area(geom) AS a").collect()}
+    assert out[0] == 550.0
+    assert out[1] == 675.0
+    assert out[2] is None or math.isnan(out[2])
+    assert out[3] == 0.0
+
+
+def test_wkt_roundtrip_sql(golden):
+    out = golden.selectExpr("id", "ST_AsText(geom) AS wkt2", "wkt").collect()
+    for r in out:
+        if r["wkt"] is None:
+            assert r["wkt2"] is None
+        else:
+            assert r["wkt2"].replace(", ", ",") == r["wkt"].replace(", ", ",")
+
+
+def test_point_accessors(spark):
+    df = spark.range(5).selectExpr(
+        "id",
+        "ST_Point(CAST(id AS DOUBLE), CAST(id*2 AS DOUBLE)) AS p",
+    )
+    rows = df.selectExpr("ST_X(p) AS x", "ST_Y(p) AS y", "ST_GeometryType(p) AS t").collect()
+    for i, r in enumerate(rows):
+        assert r["x"] == float(i)
+        assert r["y"] == float(2 * i)
+        assert r["t"] == "ST_Point"
+
+
+def test_distance_and_makeline(spark):
+    df = spark.createDataFrame([Row(x1=0.0, y1=0.0, x2=3.0, y2=4.0)])
+    r = df.selectExpr(
+        "ST_Distance(ST_Point(x1,y1), ST_Point(x2,y2)) AS d",
+        "ST_Length(ST_MakeLine(ST_Point(x1,y1), ST_Point(x2,y2))) AS l",
+    ).collect()[0]
+    assert r["d"] == 5.0
+    assert r["l"] == 5.0
+
+
+def test_predicates_sql(spark):
+    df = spark.createDataFrame([Row(dummy=1)])
+    r = df.selectExpr(
+        "ST_Intersects(ST_GeomFromWKT('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), ST_Point(5.0, 5.0)) AS i",
+        "ST_Contains(ST_GeomFromWKT('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), ST_Point(15.0, 5.0)) AS c",
+        "ST_Within(ST_Point(5.0, 5.0), ST_GeomFromWKT('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')) AS w",
+    ).collect()[0]
+    assert r["i"] is True
+    assert r["c"] is False
+    assert r["w"] is True
+
+
+def test_envelope_bbox_dump(spark):
+    df = spark.createDataFrame([Row(wkt="MULTIPOINT (1 2, 5 9, -3 4)")])
+    r = df.selectExpr(
+        "ST_BBox(ST_GeomFromWKT(wkt)) AS b",
+        "ST_Area(ST_Envelope(ST_GeomFromWKT(wkt))) AS a",
+        "size(ST_Dump(ST_GeomFromWKT(wkt))) AS n",
+        "ST_NumGeometries(ST_GeomFromWKT(wkt)) AS ng",
+    ).collect()[0]
+    assert r["b"]["xmin"] == -3.0 and r["b"]["ymax"] == 9.0
+    assert r["a"] == 8 * 7
+    assert r["n"] == 3 and r["ng"] == 3
+
+
+def test_transforms_sql(spark):
+    df = spark.createDataFrame([Row(wkt="POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")])
+    r = df.selectExpr(
+        "ST_Area(ST_Scale(ST_GeomFromWKT(wkt), 2.0, 2.0)) AS sa",
+        "ST_XMin(ST_Translate(ST_GeomFromWKT(wkt), 5.0, 0.0)) AS tx",
+        "ST_Area(ST_ClipByBox2D(ST_GeomFromWKT(wkt), 5.0, 5.0, 20.0, 20.0)) AS ca",
+    ).collect()[0]
+    assert r["sa"] == 400.0
+    assert r["tx"] == 5.0
+    assert r["ca"] == 25.0
+
+
+def test_geojson_roundtrip(spark):
+    df = spark.createDataFrame([Row(wkt="LINESTRING (0 0, 10 0, 10 10)")])
+    r = df.selectExpr(
+        "ST_AsGeoJSON(ST_GeomFromWKT(wkt)) AS gj",
+    ).collect()[0]
+    assert '"type":"LineString"' in r["gj"]
+    r2 = df.selectExpr(
+        "ST_Length(ST_GeomFromGeoJSON(ST_AsGeoJSON(ST_GeomFromWKT(wkt)))) AS l"
+    ).collect()[0]
+    assert r2["l"] == 20.0
+
+
+def test_column_api(spark, golden=None):
+    df = spark.range(3).select(
+        stf.st_point(F.col("id").cast("double"), F.lit(1.0)).alias("p")
+    )
+    out = df.select(stf.st_x("p").alias("x")).collect()
+    assert [r["x"] for r in out] == [0.0, 1.0, 2.0]
+
+
+def test_extent_union_agg(spark):
+    df = spark.createDataFrame(
+        [Row(grp=1, x=1.0, y=2.0), Row(grp=1, x=5.0, y=-1.0), Row(grp=2, x=0.0, y=0.0)]
+    ).selectExpr("grp", "ST_Point(x, y) AS p")
+    rows = {
+        r["grp"]: r
+        for r in df.groupBy("grp")
+        .agg(
+            F.expr("ST_Extent_Agg(p) AS ext"),
+            F.expr("ST_NumGeometries(ST_Union_Agg(p)) AS n"),
+        )
+        .collect()
+    }
+    assert rows[1]["ext"] == [1.0, -1.0, 5.0, 2.0]
+    assert rows[1]["n"] == 2
+    assert rows[2]["n"] == 1
+
+
+def test_geohash(spark):
+    df = spark.createDataFrame([Row(x=-5.6, y=42.6)])
+    r = df.selectExpr("ST_GeoHash(ST_Point(x, y), 5) AS gh").collect()[0]
+    assert r["gh"] == "ezs42"
+
+
+def test_null_propagation(spark):
+    df = spark.createDataFrame([Row(wkt=None)], schema="wkt string")
+    r = df.selectExpr(
+        "ST_Area(ST_GeomFromWKT(wkt)) AS a",
+        "ST_Intersects(ST_GeomFromWKT(wkt), ST_Point(1.0, 1.0)) AS i",
+        "ST_AsText(ST_GeomFromWKT(wkt)) AS t",
+    ).collect()[0]
+    assert r["a"] is None or math.isnan(r["a"])
+    assert r["i"] is None
+    assert r["t"] is None
+
+
+def test_bbox_native_exprs(spark):
+    from geoarrow_rs_spark.functions import bbox_intersects_expr, bbox_struct_expr
+
+    df = spark.createDataFrame(
+        [Row(xmin=0.0, ymin=0.0, xmax=1.0, ymax=1.0), Row(xmin=5.0, ymin=5.0, xmax=6.0, ymax=6.0)]
+    ).select(bbox_struct_expr("xmin", "ymin", "xmax", "ymax").alias("bbox"))
+    hits = df.filter(bbox_intersects_expr("bbox", 0.5, 0.5, 2.0, 2.0)).count()
+    assert hits == 1
