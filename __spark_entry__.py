@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query at sf0.001 (spatial join: customers-as-
+  points against nation boxes via the PBSM grid strategy).
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 +
+  north-star pipeline operators), each (spark, sf_dir) -> DataFrame.
+- ``oracle_sql()``: equivalent DuckDB ANSI SQL for each query (geometry
+  queries build geometries from numeric columns so their oracles are plain
+  arithmetic — the runtime has no duckdb-spatial extension).
 """
 
 from __future__ import annotations
@@ -13,26 +15,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import geoarrow_rs_spark as gs
+from geoarrow_rs_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    gs.register_all(spark)
+    return Q.geo_spatial_join(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        gs.register_all(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _wrap(fn) for name, fn in Q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a hash-of-all-columns aggregate so
+Catalyst cannot prune away the measured work (a plain count() would skip
+projected kernel columns)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "geo_distance",
+    "geo_box_measures",
+    "geo_spatial_join",
+    "geo_within_triangle",
+    "dedup_minhash_pairs",
+    "text_fingerprint",
+    "sim_cosine_topk",
+    "events_hourly",
+    "events_sessions",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from pyspark.sql import SparkSession, functions as F
+
+    import geoarrow_rs_spark as gs
+    from geoarrow_rs_spark.queries import QUERIES
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("geoarrow-rs-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    gs.register_all(spark)
+
+    # warm up the Python UDF workers so first-query timing isn't dominated by
+    # worker spawn
+    spark.range(1000).selectExpr("sum(ST_X(ST_Point(CAST(id AS DOUBLE), 0.0)))").collect()
+
+    def force(df):
+        cols = [F.hash(F.col(c)) for c in df.columns]
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = acc + c
+        return df.select(F.sum(acc)).collect()
+
+    timings = {}
+    for name in HEADLINE:
+        fn = QUERIES[name][0]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

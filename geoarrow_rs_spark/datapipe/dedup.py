@@ -1,0 +1,188 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these at 100 TB):
+- exact dedup: hash-groupBy on a digest — one shuffle keyed by the digest,
+  map-side combine; never compares full texts across the cluster.
+- MinHash LSH: per-doc signature (narrow, native expressions) -> explode to
+  (band_hash) keys -> self-equi-join on band key. The only wide operation is
+  an equi-join on short hash strings; candidate pairs are then refined with
+  exact Jaccard. No O(n^2) stage anywhere.
+- SimHash: 64-bit signature via md5-derived token hashes; near-dup = equal
+  band keys on bit-blocks, refined by hamming distance (native popcount).
+
+All signature math is md5-based (available and identical in Spark and DuckDB)
+so every stage is oracle-checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import char_ngrams
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str, keep: str = "min") -> DataFrame:
+    """Keep one row per distinct text (by md5 digest). ``keep``: 'min'/'max'
+    id wins. Single shuffle on the digest; text itself never shuffles twice."""
+    h = F.md5(F.col(text_col)).alias("__h")
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keepers = df.select(h, F.col(id_col)).groupBy("__h").agg(agg.alias(id_col))
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def minhash_signature(text, num_perm: int = 16, shingle: int = 8, max_chars: int = 128):
+    """Array<string> of ``num_perm`` min-hashes over char shingles (native).
+
+    Permutation i is simulated by md5(i || gram) — deterministic and
+    reproducible in ANSI SQL for oracle checks."""
+    grams = char_ngrams(text, n=shingle, max_chars=max_chars)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(grams, lambda g: F.md5(F.concat(i.cast("string"), F.lit(":"), g)))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 8,
+    max_chars: int = 128,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a_id < b_id) via banded MinHash LSH;
+    optionally refined by exact shingle-Jaccard >= threshold."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(text_col, num_perm, shingle, max_chars)
+    with_sig = df.select(F.col(id_col), F.col(text_col)).withColumn("__sig", sig)
+    banded = with_sig.withColumn(
+        "__band",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat(
+                    b.cast("string"),
+                    F.lit("|"),
+                    F.concat_ws(",", F.slice("__sig", b * rows_per_band + 1, rows_per_band)),
+                ),
+            )
+        ),
+    ).select(id_col, text_col, "__band")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on="__band")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col(f"a.{text_col}").alias("__ta"),
+            F.col(f"b.{text_col}").alias("__tb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    if jaccard_threshold is not None:
+        jac = ngram_jaccard(F.col("__ta"), F.col("__tb"), n=shingle, max_chars=max_chars)
+        pairs = pairs.withColumn("jaccard", jac).where(
+            F.col("jaccard") >= F.lit(jaccard_threshold)
+        )
+    return pairs.drop("__ta", "__tb")
+
+
+def ngram_jaccard(t1, t2, n: int = 8, max_chars: int = 128):
+    """Exact Jaccard similarity of char n-gram SETS of two texts (native)."""
+    g1 = F.array_distinct(char_ngrams(t1, n=n, max_chars=max_chars))
+    g2 = F.array_distinct(char_ngrams(t2, n=n, max_chars=max_chars))
+    inter = F.size(F.array_intersect(g1, g2)).cast("double")
+    union = F.size(F.array_union(g1, g2)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash64(text, shingle: int = 4, max_chars: int = 128):
+    """64-bit SimHash over char shingles. Per-gram hash = first 16 hex chars
+    of md5 as a signed-safe long; bit votes aggregated natively."""
+    grams = F.array_distinct(char_ngrams(text, n=shingle, max_chars=max_chars))
+    gram_hashes = F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+    # votes per bit (60 usable bits from 15 hex chars)
+    bits = F.sequence(F.lit(0), F.lit(59))
+    return F.aggregate(
+        bits,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.size(
+                F.filter(gram_hashes, lambda h: h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i.cast("int"))) != 0)
+            )
+            * 2
+            > F.size(gram_hashes),
+            F.shiftleft(F.lit(1).cast("long"), i.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit bands (4 bands -> any pair
+    within hamming<=3 shares at least one exact band), refine by popcount."""
+    sh = df.select(id_col, simhash64(text_col).alias("__sh"))
+    banded = sh.withColumn(
+        "__band",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{i}|"), F.shiftrightunsigned("__sh", i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"))
+                    for i in range(4)
+                ]
+            )
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on="__band")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col("a.__sh").alias("__sa"),
+            F.col("b.__sh").alias("__sb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .drop("__sa", "__sb")
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane (SRP) LSH blocking
+    + exact cosine refine. Deterministic planes derived from md5 of indices."""
+    from .similarity import cosine_expr, srp_bucket_expr
+
+    sh = df.select(id_col, vec_col).withColumn(
+        "__bucket", srp_bucket_expr(vec_col, n_planes=n_planes)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, on="__bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+    )
+    return pairs.where(F.col("cosine") >= F.lit(threshold))

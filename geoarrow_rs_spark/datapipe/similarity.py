@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force baseline — broadcast the (small) query set,
+  native dot products, window top-k. Exact; scales linearly in corpus size.
+- ``ivf_topk``: scale path — coarse quantizer (deterministic grid/LSH
+  centroids) partitions the corpus; queries probe only matching partitions.
+- ``srp_bucket_expr``: sign-random-projection bucket for LSH blocking.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (native, no UDF). For
+cross-engine oracle determinism the decimal variant ``dot_decimal_expr``
+accumulates per-term products as DECIMAL(30,12) — exact, order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dot_expr(v1, v2):
+    return F.aggregate(
+        F.zip_with(v1, v2, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_decimal_expr(v1, v2, scale: int = 12):
+    """Order-independent exact dot product: each term rounded to DECIMAL(38,12)
+    then summed as decimals (deterministic across engines/partitionings)."""
+    prods = F.zip_with(
+        v1, v2, lambda a, b: (a.cast("double") * b.cast("double")).cast(f"decimal(38,{scale})")
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(f"decimal(38,{scale})"),
+        # Spark widens decimal addition (38,12)+(38,12) -> (38,11); cast back
+        # so the merge type equals the accumulator type (exact for our
+        # magnitudes: |terms| << 10^26)
+        lambda acc, x: (acc + x).cast(f"decimal(38,{scale})"),
+    )
+
+
+def norm_decimal_expr(v, scale: int = 12):
+    return dot_decimal_expr(v, v, scale)
+
+
+def cosine_expr(v1, v2):
+    """Cosine similarity, deterministic decimal accumulation, double result."""
+    num = dot_decimal_expr(v1, v2).cast("double")
+    den = F.sqrt(norm_decimal_expr(v1).cast("double")) * F.sqrt(
+        norm_decimal_expr(v2).cast("double")
+    )
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast queries x corpus, rank by
+    (cosine desc, corpus id) for determinism. Output: query_id, neighbor_id,
+    cosine, rank."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 8).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def srp_bucket_expr(vec, n_planes: int = 12, seed: int = 7):
+    """Sign-random-projection bucket id (string of sign bits). Plane j weight
+    for dimension i = md5-derived pseudo-random in [-0.5, 0.5) — deterministic,
+    no data movement, reproducible in SQL."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bits = []
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: x.cast("double")
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{seed}:{j}:"), i.cast("string"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                    / F.lit(float(16**8))
+                    - F.lit(0.5)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket the corpus (inverted file), probe only
+    the query's bucket. Recall < 1 by construction; the scale path when the
+    corpus no longer fits a broadcast cross-join."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        srp_bucket_expr(query_vec, n_planes).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        srp_bucket_expr(corpus_vec, n_planes).alias("__bucket"),
+    )
+    scored = c.join(F.broadcast(q), on="__bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 8).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

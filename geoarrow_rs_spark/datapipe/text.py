@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north-star: language-ID, quality scoring, token counting, fingerprinting).
+
+Everything here is a **native Column expression** — no Python UDFs — so these
+run inside WholeStageCodegen and scale linearly with no Python boundary at
+100 TB. Each helper returns a Column usable in select/filter/groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def token_count(text) -> Column:
+    """Whitespace-token count (empty tokens dropped)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+
+
+def char_ngrams(text, n: int = 8, max_chars: int = 128) -> Column:
+    """Array of character n-grams over the first max_chars chars (native)."""
+    t = F.col(text) if isinstance(text, str) else text
+    head = F.substring(t, 1, max_chars)
+    ln = F.length(head)
+    return F.when(ln < n, F.array(head)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)),
+            lambda i: head.substr(i, F.lit(n)),
+        )
+    )
+
+
+def fingerprint(text, n: int = 8, max_chars: int = 64) -> Column:
+    """Deterministic document fingerprint: min md5 over char n-grams
+    (a 1-permutation MinHash — stable under whitespace-preserving edits
+    beyond the sampled window)."""
+    grams = char_ngrams(text, n=n, max_chars=max_chars)
+    return F.array_min(F.transform(grams, lambda g: F.md5(g)))
+
+
+def alpha_ratio(text) -> Column:
+    """Fraction of [A-Za-z] characters (0 for empty text)."""
+    t = F.col(text) if isinstance(text, str) else text
+    ln = F.length(t)
+    letters = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    return F.when(ln > 0, letters.cast("double") / ln.cast("double")).otherwise(F.lit(0.0))
+
+
+def upper_ratio(text) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    ln = F.length(t)
+    uppers = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    return F.when(ln > 0, uppers.cast("double") / ln.cast("double")).otherwise(F.lit(0.0))
+
+
+def digit_ratio(text) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    ln = F.length(t)
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    return F.when(ln > 0, digits.cast("double") / ln.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text) -> Column:
+    """Composite [0,1] quality heuristic: favors alphabetic prose with
+    moderate word lengths, penalizes digit/symbol soup. Deterministic
+    arithmetic only (safe for cross-engine oracles when rounded)."""
+    a = alpha_ratio(text)
+    d = digit_ratio(text)
+    mwl = mean_word_length(text)
+    mwl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    raw = a * F.lit(0.6) + (F.lit(1.0) - d) * F.lit(0.2) + mwl_score * F.lit(0.2)
+    return F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+
+
+# language-ID: tiny stopword lists per language, counted as substring hits.
+# The heuristic is intentionally simple enough to be replicated in ANSI SQL
+# (oracle-checkable) while behaving like a real n-gram/stopword classifier.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " das "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " que ", " los ", " una ", " es "],
+}
+
+
+def _marker_hits(text, markers) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    total = F.lit(0)
+    for m in markers:
+        # occurrence count via length difference (substring hits)
+        total = total + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
+            / F.lit(len(m))
+        ).cast("int")
+    return total
+
+
+def lang_scores(text) -> dict:
+    return {lang: _marker_hits(text, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def lang_id(text) -> Column:
+    """Predicted language code ('und' when no marker hits). Ties break by
+    fixed priority en > de > fr > es (deterministic)."""
+    scores = lang_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(list(LANG_MARKERS)):  # later wins ties -> en last = top priority
+        s = scores[lang]
+        cond = s >= F.greatest(best_score, F.lit(1))
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return best

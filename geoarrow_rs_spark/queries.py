@@ -1,0 +1,825 @@
+"""Query catalog: every entry pairs a Spark implementation with a DuckDB
+oracle (plain ANSI SQL — the runtime has no duckdb-spatial, so geometry
+queries construct geometries from numeric columns and the oracle states the
+equivalent arithmetic).
+
+Determinism rules used throughout (so order-insensitive value hashes match
+across engines):
+- money/e-commerce aggregates: cast to DECIMAL before SUM (exact,
+  order-independent), cast the final value to DOUBLE;
+- geometry queries use integer-valued coordinates wherever the oracle must
+  reproduce the arithmetic exactly; irrational results (sqrt/sin) are rounded
+  to a tolerance far above the cross-engine ulp difference;
+- ranks/counts are BIGINT on both sides; ties are broken by explicit keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .datapipe import dedup, similarity, text
+from .join import spatial_join
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark reads it as int64
+        # nanos with this legacy conf (all events math is then exact int64,
+        # mirrored by duckdb's epoch_ns()).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _money_sum(col, alias):
+    """Exact, order- and engine-independent money aggregation: round to
+    integer cents with floor(x*100+0.5) (pure double ops — identical in any
+    IEEE engine, no decimal-cast tie-breaking semantics), sum as BIGINT,
+    present as double. Oracle mirror: _MONEY_SUM_SQL."""
+    cents = F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (F.sum(cents).cast("double") / F.lit(100.0)).alias(alias)
+
+
+def _money_sum_sql(expr, alias):
+    return (
+        f"CAST(SUM(CAST(floor(({expr}) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core (native Spark — Catalyst does pushdown/pruning/AQE)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(F.col("l_quantity"), "sum_qty"),
+            _money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "sum_disc_price",
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_money_sum_sql('l_quantity', 'sum_qty')},
+       {_money_sum_sql('l_extendedprice', 'sum_base_price')},
+       {_money_sum_sql('l_extendedprice * (1.0 - l_discount)', 'sum_disc_price')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+ORACLE_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_money_sum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q5 = f"""
+SELECT n_name,
+       {_money_sum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q6 = f"""
+SELECT {_money_sum_sql('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_top_customers_per_nation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+"""
+
+
+def q_order_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# geometry queries (real WKB kernel pipeline; arithmetic oracles)
+# ---------------------------------------------------------------------------
+
+def geo_point_accessors(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "ST_X(ST_Point(c_acctbal, CAST(c_custkey AS DOUBLE))) AS x",
+        "ST_Y(ST_Point(c_acctbal, CAST(c_custkey AS DOUBLE))) AS y",
+    )
+
+
+ORACLE_GEO_POINT = """
+SELECT c_custkey, c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y FROM customer
+"""
+
+
+def geo_distance(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        # axis-aligned distance: exact (no sqrt) — |x|
+        "ST_Distance(ST_Point(o_totalprice, 0.0), ST_Point(0.0, 0.0)) AS d_axis",
+        # euclidean with sqrt: rounded to tolerate hypot-vs-sqrt ulp diffs
+        "round(ST_Distance(ST_Point(o_totalprice, CAST(o_custkey % 1000 AS DOUBLE)), ST_Point(0.0, 0.0)), 2) AS d_euclid",
+    )
+
+
+ORACLE_GEO_DISTANCE = """
+SELECT o_orderkey,
+       o_totalprice AS d_axis,
+       round(sqrt(o_totalprice * o_totalprice +
+                  CAST(o_custkey % 1000 AS DOUBLE) * CAST(o_custkey % 1000 AS DOUBLE)), 2) AS d_euclid
+FROM orders
+"""
+
+
+def geo_box_measures(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "ST_Area(ST_MakeEnvelope(0.0, 0.0, CAST(p_size AS DOUBLE), CAST(p_size + 3 AS DOUBLE))) AS box_area",
+        "ST_Perimeter(ST_MakeEnvelope(0.0, 0.0, CAST(p_size AS DOUBLE), CAST(p_size + 3 AS DOUBLE))) AS box_perimeter",
+    )
+
+
+ORACLE_GEO_BOX = """
+SELECT p_partkey,
+       CAST(p_size AS DOUBLE) * CAST(p_size + 3 AS DOUBLE) AS box_area,
+       2.0 * (CAST(p_size AS DOUBLE) + CAST(p_size + 3 AS DOUBLE)) AS box_perimeter
+FROM part
+"""
+
+
+def geo_total_bounds(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier").selectExpr(
+        "ST_BBox(ST_Point(s_acctbal, CAST(s_suppkey AS DOUBLE))) AS b"
+    )
+    return s.agg(
+        F.min("b.xmin").alias("xmin"),
+        F.min("b.ymin").alias("ymin"),
+        F.max("b.xmax").alias("xmax"),
+        F.max("b.ymax").alias("ymax"),
+    )
+
+
+ORACLE_GEO_BOUNDS = """
+SELECT MIN(s_acctbal) AS xmin, MIN(CAST(s_suppkey AS DOUBLE)) AS ymin,
+       MAX(s_acctbal) AS xmax, MAX(CAST(s_suppkey AS DOUBLE)) AS ymax
+FROM supplier
+"""
+
+
+def geo_spatial_join(spark, sf_dir):
+    """Points-in-boxes spatial join via the PBSM grid strategy."""
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "ST_Point(c_acctbal, CAST(c_custkey % 500 AS DOUBLE)) AS geometry",
+    )
+    boxes = _t(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey",
+        "ST_MakeEnvelope(CAST(n_nationkey * 400 - 1000 AS DOUBLE), 0.0, "
+        "CAST(n_nationkey * 400 - 550 AS DOUBLE), CAST(100 + n_nationkey * 20 AS DOUBLE)) AS geometry",
+    )
+    joined = spatial_join(
+        pts,
+        boxes.withColumnRenamed("geometry", "box_geom"),
+        left_geom="geometry",
+        right_geom="box_geom",
+        predicate="intersects",
+        strategy="grid",
+        cell_size=500.0,
+    )
+    return joined.groupBy("n_nationkey").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+ORACLE_GEO_SJOIN = """
+SELECT n_nationkey, COUNT(*) AS n_points
+FROM nation JOIN customer
+  ON c_acctbal >= CAST(n_nationkey * 400 - 1000 AS DOUBLE)
+ AND c_acctbal <= CAST(n_nationkey * 400 - 550 AS DOUBLE)
+ AND CAST(c_custkey % 500 AS DOUBLE) >= 0.0
+ AND CAST(c_custkey % 500 AS DOUBLE) <= CAST(100 + n_nationkey * 20 AS DOUBLE)
+GROUP BY n_nationkey
+"""
+
+
+def geo_within_triangle(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    tri = "ST_GeomFromWKT('POLYGON ((0 0, 8000 0, 0 400, 0 0))')"
+    return c.selectExpr(
+        "c_custkey",
+        f"ST_Within(ST_Point(c_acctbal, CAST(c_custkey % 450 AS DOUBLE)), {tri}) AS inside",
+    )
+
+
+ORACLE_GEO_WITHIN = """
+SELECT c_custkey,
+       (c_acctbal > 0 AND CAST(c_custkey % 450 AS DOUBLE) > 0
+        AND (c_acctbal * 400.0 + CAST(c_custkey % 450 AS DOUBLE) * 8000.0) < 3200000.0) AS inside
+FROM customer
+"""
+
+
+def geo_centroid(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    env = "ST_MakeEnvelope(0.0, 0.0, CAST(p_size * 2 AS DOUBLE), 10.0)"
+    return p.selectExpr(
+        "p_partkey",
+        f"ST_X(ST_Centroid({env})) AS cx",
+        f"ST_Y(ST_Centroid({env})) AS cy",
+    )
+
+
+ORACLE_GEO_CENTROID = """
+SELECT p_partkey, CAST(p_size AS DOUBLE) AS cx, 5.0 AS cy FROM part
+"""
+
+
+def geo_buffer_area(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "round(ST_Area(ST_Buffer(ST_Point(0.0, 0.0), CAST(1 + o_orderkey % 5 AS DOUBLE), 8)), 4) AS buf_area",
+    )
+
+
+ORACLE_GEO_BUFFER = """
+SELECT o_orderkey,
+       round(0.5 * 32.0 * CAST(1 + o_orderkey % 5 AS DOUBLE) * CAST(1 + o_orderkey % 5 AS DOUBLE)
+             * sin(2.0 * pi() / 32.0), 4) AS buf_area
+FROM orders
+"""
+
+
+def geo_convex_hull(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    x = "CAST(o_orderkey % 100 + 1 AS DOUBLE)"
+    y = "CAST(o_custkey % 50 + 1 AS DOUBLE)"
+    return o.selectExpr(
+        "o_orderkey",
+        f"ST_Area(ST_ConvexHull(ST_Collect(ST_Collect(ST_Point(0.0, 0.0), ST_Point({x}, 0.0)), ST_Point(0.0, {y})))) AS hull_area",
+    )
+
+
+ORACLE_GEO_HULL = """
+SELECT o_orderkey,
+       CAST(o_orderkey % 100 + 1 AS DOUBLE) * CAST(o_custkey % 50 + 1 AS DOUBLE) / 2.0 AS hull_area
+FROM orders
+"""
+
+
+def geo_wkt_types(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wkt = (
+        "CASE CAST(o_orderkey % 4 AS INT) "
+        "WHEN 0 THEN 'POINT (1 2)' "
+        "WHEN 1 THEN 'LINESTRING (0 0, 5 0, 5 5)' "
+        "WHEN 2 THEN 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))' "
+        "ELSE 'MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))' END"
+    )
+    g = f"ST_GeomFromWKT({wkt})"
+    return (
+        o.selectExpr(
+            f"ST_GeometryType({g}) AS gtype",
+            f"ST_GeoArrowTypeId({g}) AS type_id",
+            f"ST_NPoints({g}) AS npoints",
+            f"ST_NumGeometries({g}) AS ngeoms",
+        )
+        .groupBy("gtype", "type_id", "npoints", "ngeoms")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_GEO_WKT_TYPES = """
+SELECT gtype, type_id, npoints, ngeoms, COUNT(*) AS n FROM (
+  SELECT CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN 'ST_Point' WHEN 1 THEN 'ST_LineString'
+           WHEN 2 THEN 'ST_Polygon' ELSE 'ST_MultiPolygon' END AS gtype,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 6 END AS type_id,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5 ELSE 10 END AS npoints,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END AS ngeoms
+  FROM orders
+) GROUP BY gtype, type_id, npoints, ngeoms
+"""
+
+
+def geo_simplify_scale(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sx = "CAST(l_partkey % 20 + 1 AS DOUBLE)"
+    g = f"ST_Affine(ST_GeomFromWKT('LINESTRING (0 0, 5 0.1, 10 0)'), {sx}, 0.0, 0.0, 1.0, 0.0, 0.0)"
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        f"ST_Length(ST_Simplify({g}, 1.0)) AS len_simplified",
+        f"ST_NPoints(ST_Simplify({g}, 1.0)) AS np_simplified",
+    )
+
+
+ORACLE_GEO_SIMPLIFY = """
+SELECT l_orderkey, l_linenumber,
+       10.0 * CAST(l_partkey % 20 + 1 AS DOUBLE) AS len_simplified,
+       2 AS np_simplified
+FROM lineitem
+"""
+
+
+def geo_clip(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    box = "ST_MakeEnvelope(0.0, 0.0, CAST(p_size AS DOUBLE), CAST(p_size AS DOUBLE))"
+    return p.selectExpr(
+        "p_partkey",
+        f"ST_Area(ST_ClipByBox2D({box}, 3.0, 3.0, 40.0, 40.0)) AS clip_area",
+    )
+
+
+ORACLE_GEO_CLIP = """
+SELECT p_partkey,
+       CASE WHEN p_size > 3
+            THEN (LEAST(CAST(p_size AS DOUBLE), 40.0) - 3.0) * (LEAST(CAST(p_size AS DOUBLE), 40.0) - 3.0)
+            ELSE 0.0 END AS clip_area
+FROM part
+"""
+
+
+def geo_geohash(spark, sf_dir):
+    """Geohash cell keys (no plain-SQL oracle — checked rows-only by driver,
+    exactly by pytest)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "ST_GeoHash(ST_Point(CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5, CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5), 6) AS gh",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents
+"""
+
+
+def dedup_exact_keepers(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(d, "text", "doc_id", keep="min")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_checksum")
+    )
+
+
+ORACLE_DEDUP_KEEPERS = """
+SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+"""
+
+
+def text_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+ORACLE_TEXT_TOKENS = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(text.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        F.round(text.digit_ratio("text"), 6).alias("digit_ratio"),
+        F.round(text.mean_word_length("text"), 6).alias("mean_word_len"),
+        F.round(text.quality_score("text"), 6).alias("quality"),
+    )
+
+
+ORACLE_TEXT_QUALITY = """
+SELECT doc_id,
+       round(CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END, 6) AS alpha_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END, 6) AS digit_ratio,
+       round(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) > 0
+             THEN CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), x -> length(x))) AS DOUBLE)
+                  / CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)
+             ELSE 0.0 END, 6) AS mean_word_len,
+       round(LEAST(GREATEST(
+         (CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END) * 0.6
+         + (1.0 - (CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END)) * 0.2
+         + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) > 0
+               THEN CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), x -> length(x))) AS DOUBLE)
+                    / CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)
+               ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         , 0.0), 1.0), 6) AS quality
+FROM documents
+"""
+
+
+def text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+def _hits_sql(markers):
+    parts = []
+    for m in markers:
+        parts.append(
+            f"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '{m}', ''))) / {len(m)} AS INT)"
+        )
+    return " + ".join(parts)
+
+
+ORACLE_TEXT_LANGID = f"""
+SELECT doc_id,
+       CASE WHEN s_en >= GREATEST(1, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de >= GREATEST(1, s_fr, s_es) THEN 'de'
+            WHEN s_fr >= GREATEST(1, s_es) THEN 'fr'
+            WHEN s_es >= 1 THEN 'es'
+            ELSE 'und' END AS lang_pred
+FROM (
+  SELECT doc_id,
+         {_hits_sql(text.LANG_MARKERS['en'])} AS s_en,
+         {_hits_sql(text.LANG_MARKERS['de'])} AS s_de,
+         {_hits_sql(text.LANG_MARKERS['fr'])} AS s_fr,
+         {_hits_sql(text.LANG_MARKERS['es'])} AS s_es
+  FROM documents
+)
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint("text", n=8, max_chars=64).alias("fp"))
+
+
+ORACLE_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       CASE WHEN length(substr(text, 1, 64)) < 8 THEN md5(substr(text, 1, 64))
+            ELSE list_min(list_transform(range(1, length(substr(text, 1, 64)) - 6),
+                                         i -> md5(substr(substr(text, 1, 64), CAST(i AS INT), 8))))
+       END AS fp
+FROM documents
+"""
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    )
+    return pairs.select("a_id", "b_id")
+
+
+ORACLE_MINHASH_PAIRS = """
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN length(substr(text, 1, 128)) < 8 THEN [substr(text, 1, 128)]
+              ELSE list_transform(range(1, length(substr(text, 1, 128)) - 6),
+                                  i -> substr(substr(text, 1, 128), CAST(i AS INT), 8))
+         END AS g
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+                        i -> list_min(list_transform(g, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sig
+  FROM grams
+), banded AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, 4),
+                b -> CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ','))) AS band
+  FROM sigs
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM banded a JOIN banded b USING (band)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def sim_embedding_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(similarity.norm_decimal_expr(F.col("embedding")).cast("double")), 6
+        ).alias("l2_norm"),
+    )
+
+
+ORACLE_SIM_STATS = """
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(CAST((SELECT SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12) AS DECIMAL(38,12)))
+                        FROM unnest(embedding) AS t(x)) AS DOUBLE)), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def sim_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    corpus = e.where(F.col("vec_id") >= 8)
+    out = similarity.cosine_topk(q, corpus, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+ORACLE_SIM_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+terms AS (
+  SELECT query_id, neighbor_id,
+         unnest(qe)::DOUBLE AS qv, unnest(ce)::DOUBLE AS cv
+  FROM q CROSS JOIN c
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         SUM(CAST(round(qv * cv, 12) AS DECIMAL(38,12))) AS dot,
+         SUM(CAST(round(qv * qv, 12) AS DECIMAL(38,12))) AS qn,
+         SUM(CAST(round(cv * cv, 12) AS DECIMAL(38,12))) AS cn
+  FROM terms GROUP BY query_id, neighbor_id
+),
+cosined AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)) > 0
+                    THEN CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+                    ELSE 0.0 END, 8) AS cosine
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM cosined
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (batch analogues of the streaming operators)
+# ---------------------------------------------------------------------------
+
+_NS_HOUR = 3_600_000_000_000
+_NS_GAP = 1_800_000_000_000  # 30 min
+
+
+def events_hourly(spark, sf_dir):
+    # ts column is int64 nanoseconds (see _t); hour bucket via exact
+    # integer division — the batch analogue of window(ts, '1 hour')
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour_epoch", F.expr(f"(ts div {_NS_HOUR}) * 3600"))
+        .groupBy("hour_epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = f"""
+SELECT (epoch_ns(ts) // {_NS_HOUR}) * 3600 AS hour_epoch, event_type,
+       COUNT(*) AS n_events,
+       {_money_sum_sql('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__events_sessions_src")
+    return spark.sql(
+        f"""
+        SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        FROM (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > {_NS_GAP}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM __events_sessions_src
+        ) GROUP BY user_id
+        """
+    )
+
+
+ORACLE_EVENTS_SESSIONS = f"""
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > {_NS_GAP}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def mm_blob_stats(spark, sf_dir):
+    from .datapipe.multimodal import blob_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return blob_stats(d, "blob").select(
+        "doc_id", F.col("blob_bytes").cast("long").alias("blob_bytes"), "blob_sha256"
+    )
+
+
+ORACLE_MM_BLOB = """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS blob_bytes,
+       sha256(text) AS blob_sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # relational
+    "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
+    "q3_shipping_priority": (q3_shipping_priority, ORACLE_Q3),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, ORACLE_Q5),
+    "q6_forecast_revenue": (q6_forecast_revenue, ORACLE_Q6),
+    "q_top_customers_per_nation": (q_top_customers_per_nation, ORACLE_TOP_CUSTOMERS),
+    "q_order_priority": (q_order_priority, ORACLE_ORDER_PRIORITY),
+    # geometry
+    "geo_point_accessors": (geo_point_accessors, ORACLE_GEO_POINT),
+    "geo_distance": (geo_distance, ORACLE_GEO_DISTANCE),
+    "geo_box_measures": (geo_box_measures, ORACLE_GEO_BOX),
+    "geo_total_bounds": (geo_total_bounds, ORACLE_GEO_BOUNDS),
+    "geo_spatial_join": (geo_spatial_join, ORACLE_GEO_SJOIN),
+    "geo_within_triangle": (geo_within_triangle, ORACLE_GEO_WITHIN),
+    "geo_centroid": (geo_centroid, ORACLE_GEO_CENTROID),
+    "geo_buffer_area": (geo_buffer_area, ORACLE_GEO_BUFFER),
+    "geo_convex_hull": (geo_convex_hull, ORACLE_GEO_HULL),
+    "geo_wkt_types": (geo_wkt_types, ORACLE_GEO_WKT_TYPES),
+    "geo_simplify_scale": (geo_simplify_scale, ORACLE_GEO_SIMPLIFY),
+    "geo_clip": (geo_clip, ORACLE_GEO_CLIP),
+    "geo_geohash": (geo_geohash, None),  # no ANSI-SQL geohash; rows-only
+    # dedup / text / similarity
+    "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
+    "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_MINHASH_PAIRS),
+    "text_tokens": (text_tokens, ORACLE_TEXT_TOKENS),
+    "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
+    "text_langid": (text_langid, ORACLE_TEXT_LANGID),
+    "text_fingerprint": (text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    "sim_embedding_stats": (sim_embedding_stats, ORACLE_SIM_STATS),
+    "sim_cosine_topk": (sim_cosine_topk, ORACLE_SIM_TOPK),
+    # events
+    "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
+    "events_sessions": (events_sessions, ORACLE_EVENTS_SESSIONS),
+    # multimodal plumbing
+    "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
