@@ -102,26 +102,28 @@ def ngram_jaccard(t1, t2, n: int = 8, max_chars: int = 128):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def simhash64(text, shingle: int = 4, max_chars: int = 128):
-    """64-bit SimHash over char shingles. Per-gram hash = first 16 hex chars
-    of md5 as a signed-safe long; bit votes aggregated natively."""
+def simhash64(text, shingle: int = 4, max_chars: int = 128, n_bits: int = 60):
+    """SimHash over char shingles (60 usable bits from 15 md5 hex chars).
+    Per-gram hash is md5-derived; per-bit majority votes are native
+    expressions (unrolled with literal masks — `shiftleft` needs a literal
+    bit count)."""
     grams = F.array_distinct(char_ngrams(text, n=shingle, max_chars=max_chars))
-    gram_hashes = F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
-    # votes per bit (60 usable bits from 15 hex chars)
-    bits = F.sequence(F.lit(0), F.lit(59))
-    return F.aggregate(
-        bits,
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.size(
-                F.filter(gram_hashes, lambda h: h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i.cast("int"))) != 0)
-            )
-            * 2
-            > F.size(gram_hashes),
-            F.shiftleft(F.lit(1).cast("long"), i.cast("int")),
-        ).otherwise(F.lit(0).cast("long")),
+    gram_hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     )
+    n = F.size(gram_hashes)
+
+    def bit_test(mask):
+        # NB: the lambda must take exactly one parameter — pyspark treats a
+        # two-arg lambda in filter() as (element, index)
+        return lambda h: h.bitwiseAND(mask) != F.lit(0)
+
+    acc = F.lit(0).cast("long")
+    for i in range(n_bits):
+        mask = F.lit(1 << i).cast("long")
+        votes = F.size(F.filter(gram_hashes, bit_test(mask)))
+        acc = acc + F.when(votes * 2 > n, mask).otherwise(F.lit(0).cast("long"))
+    return acc
 
 
 def simhash_near_pairs(

@@ -16,12 +16,24 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def read_geojson_lines(
     spark: SparkSession, path: str, geometry_col: str = "geometry"
 ) -> DataFrame:
-    raw = spark.read.json(path)
-    cols = []
-    if "properties" in raw.columns:
-        props = raw.select("properties.*").columns
-        cols = [F.col(f"properties.{c}").alias(c) for c in props]
-    geom = F.expr(f"ST_GeomFromGeoJSON(to_json({geometry_col}))").alias(geometry_col)
+    """Mixed geometry types break Spark's JSON schema inference (conflicting
+    nested-array depths for ``coordinates``), so the geometry is extracted as
+    a raw JSON string with ``get_json_object`` from the text line; properties
+    get their schema from a JSON-inference pass that drops the geometry."""
+    inferred = spark.read.json(path)
+    prop_fields = []
+    if "properties" in inferred.columns:
+        prop_fields = inferred.schema["properties"].dataType.fields
+    raw = spark.read.text(path)
+    cols = [
+        F.get_json_object(F.col("value"), f"$.properties.{f.name}")
+        .cast(f.dataType)
+        .alias(f.name)
+        for f in prop_fields
+    ]
+    geom = F.expr(
+        "ST_GeomFromGeoJSON(get_json_object(value, '$.geometry'))"
+    ).alias(geometry_col)
     return raw.select(*cols, geom)
 
 

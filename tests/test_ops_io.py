@@ -1,0 +1,231 @@
+"""Integration tests: table ops, spatial join, IO round-trips, datapipe,
+streaming helpers (batch mode)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def test_explode_and_total_bounds(spark):
+    from geoarrow_rs_spark.ops import explode_geometries, total_bounds
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, wkt="MULTIPOINT (0 0, 1 1, 2 2)"),
+            Row(id=2, wkt="POINT (5 5)"),
+        ]
+    ).selectExpr("id", "ST_GeomFromWKT(wkt) AS geometry")
+    ex = explode_geometries(df, "geometry")
+    assert ex.count() == 4
+    ex_pos = explode_geometries(df, "geometry", keep_position=True)
+    assert ex_pos.where("part_index = 2").count() == 1
+    assert total_bounds(df, "geometry") == (0.0, 0.0, 5.0, 5.0)
+
+
+def test_downcast_inference(spark):
+    from geoarrow_rs_spark.ops import downcast_geometry_type, infer_geometry_type
+
+    df = spark.createDataFrame(
+        [Row(wkt="POINT (0 0)"), Row(wkt="MULTIPOINT (1 1, 2 2)")]
+    ).selectExpr("ST_GeomFromWKT(wkt) AS geometry")
+    assert infer_geometry_type(df, "geometry") == [1, 4]
+    assert downcast_geometry_type(df, "geometry") == "MultiPoint"
+
+
+def test_spatial_join_broadcast_vs_grid(spark):
+    from geoarrow_rs_spark.join import spatial_join
+
+    pts = spark.createDataFrame(
+        [Row(pid=i, x=float(i), y=float(i)) for i in range(10)]
+    ).selectExpr("pid", "ST_Point(x, y) AS geometry")
+    boxes = spark.createDataFrame(
+        [Row(bid=1, x0=0.0, y0=0.0, x1=4.5, y1=4.5), Row(bid=2, x0=7.5, y0=7.5, x1=20.0, y1=20.0)]
+    ).selectExpr("bid", "ST_MakeEnvelope(x0, y0, x1, y1) AS box_geom")
+    for strategy in ("broadcast", "grid"):
+        out = spatial_join(
+            pts, boxes, "geometry", "box_geom", strategy=strategy, cell_size=3.0
+        )
+        got = sorted((r["bid"], r["pid"]) for r in out.collect())
+        assert got == [(1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (2, 8), (2, 9)], strategy
+
+
+def test_geoparquet_roundtrip(spark, tmp_path):
+    from geoarrow_rs_spark.io import read_geoparquet, write_geoparquet
+    from geoarrow_rs_spark.io.geoparquet import read_geo_metadata
+
+    df = spark.createDataFrame(
+        [Row(id=i, x=float(i * 10), y=float(i * 5)) for i in range(10)]
+    ).selectExpr("id", "ST_Point(x, y) AS geometry")
+    path = os.path.join(str(tmp_path), "gp")
+    doc = write_geoparquet(df, path, "geometry", crs="EPSG:4326")
+    assert doc["columns"]["geometry"]["encoding"] == "WKB"
+    meta = read_geo_metadata(path)
+    assert meta["primary_column"] == "geometry"
+    assert meta["columns"]["geometry"]["crs"] == "EPSG:4326"
+    assert meta["columns"]["geometry"]["bbox"] == [0.0, 0.0, 90.0, 45.0]
+
+    back = read_geoparquet(spark, path)
+    assert back.count() == 10
+    assert "bbox" in back.columns
+    # bbox pushdown filter
+    filt = read_geoparquet(spark, path, bbox=(0, 0, 31, 100))
+    assert filt.count() == 4
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "xmin" in plan  # native predicate, not a UDF
+
+
+def test_csv_wkt_roundtrip(spark, tmp_path):
+    from geoarrow_rs_spark.io import read_csv_wkt, write_csv_wkt
+
+    df = spark.createDataFrame(
+        [Row(id=1, wkt="POINT (1 2)"), Row(id=2, wkt="LINESTRING (0 0, 3 4)")]
+    ).selectExpr("id", "ST_GeomFromWKT(wkt) AS geometry")
+    path = os.path.join(str(tmp_path), "csv")
+    write_csv_wkt(df, path, "geometry")
+    back = read_csv_wkt(spark, path, "geometry")
+    out = {r["id"]: r["l"] for r in back.selectExpr("id", "ST_Length(geometry) AS l").collect()}
+    assert out[2] == 5.0
+
+
+def test_geojson_lines_roundtrip(spark, tmp_path):
+    from geoarrow_rs_spark.io import read_geojson_lines, write_geojson_lines
+
+    df = spark.createDataFrame(
+        [Row(name="a", wkt="POINT (1 2)"), Row(name="b", wkt="POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")]
+    ).selectExpr("name", "ST_GeomFromWKT(wkt) AS geometry")
+    path = os.path.join(str(tmp_path), "gj")
+    write_geojson_lines(df, path, "geometry")
+    back = read_geojson_lines(spark, path, "geometry")
+    out = {r["name"]: r["a"] for r in back.selectExpr("name", "ST_Area(geometry) AS a").collect()}
+    assert out["b"] == 16.0
+    assert out["a"] == 0.0
+
+
+def test_exact_dedup(spark):
+    from geoarrow_rs_spark.datapipe.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aaa"), Row(doc_id=2, text="aaa"), Row(doc_id=3, text="bbb")]
+    )
+    kept = exact_dedup(df, "text", "doc_id", keep="min")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_pairs_finds_near_dups(spark):
+    from geoarrow_rs_spark.datapipe.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " x"),     # near-dup of 1
+        Row(doc_id=3, text="completely different content about spark and parquet files"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", jaccard_threshold=0.5)
+    got = sorted((r["a_id"], r["b_id"]) for r in pairs.collect())
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
+
+
+def test_simhash_near_pairs(spark):
+    from geoarrow_rs_spark.datapipe.dedup import simhash_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base.replace("today", "tonite")),
+            Row(doc_id=3, text="zzzz qqqq completely unrelated words xylophone quartz"),
+        ]
+    )
+    pairs = simhash_near_pairs(df, "doc_id", "text", max_hamming=16)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_embedding_near_pairs_and_ivf(spark):
+    from geoarrow_rs_spark.datapipe.dedup import embedding_near_pairs
+    from geoarrow_rs_spark.datapipe.similarity import ivf_topk
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.2, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = embedding_near_pairs(df, "vec_id", "embedding", threshold=0.99)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+    out = ivf_topk(df.where("vec_id = 1"), df, k=2, n_planes=4)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked[0] == 1 and ranked[1] == 2
+
+
+def test_multimodal_fake_pipeline(spark):
+    from geoarrow_rs_spark.datapipe.multimodal import (
+        blob_stats,
+        extract_features,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=1, blob=bytearray(b"fake-image-bytes")), Row(id=2, blob=bytearray(b"x"))]
+    )
+    stats = blob_stats(df, "blob")
+    r = {x["id"]: x for x in stats.collect()}
+    assert r[1]["blob_bytes"] == 16 and len(r[1]["blob_sha256"]) == 64
+    feats = extract_features(df, "blob", dim=8, fake=True)
+    rows = feats.collect()
+    assert all(len(x["features"]) == 8 for x in rows)
+    # determinism
+    rows2 = extract_features(df, "blob", dim=8, fake=True).collect()
+    assert [list(x["features"]) for x in rows] == [list(x["features"]) for x in rows2]
+    frames = sample_frames(df, "blob", fake=True)
+    assert frames.count() >= 2
+    # real decode path is an explicit stub
+    with pytest.raises(Exception):
+        extract_features(df, "blob", dim=8, fake=False).collect()
+
+
+def test_streaming_helpers_batch_mode(spark, sf_dir):
+    from geoarrow_rs_spark.streaming import sessionize_stream, windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    w = windowed_counts(e, "ts", "1 hour")
+    assert w.count() > 0
+    assert {"window_start", "window_end", "event_type", "n_events", "sum_value"} <= set(
+        w.columns
+    )
+    s = sessionize_stream(e, "ts", "user_id", "30 minutes")
+    assert s.count() > 0
+
+
+def test_streaming_real_stream(spark, sf_dir, tmp_path):
+    from geoarrow_rs_spark.streaming import read_stream_parquet, windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    src = os.path.join(str(tmp_path), "stream_src")
+    batch.limit(2000).write.mode("overwrite").parquet(src)
+    stream = read_stream_parquet(spark, src, schema=batch.schema)
+    assert stream.isStreaming
+    agg = windowed_counts(stream, "ts", "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM win_counts")
+    assert out.count() > 0
