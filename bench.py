@@ -66,7 +66,9 @@ def main():
     spark.range(1000).selectExpr("sum(ST_X(ST_Point(CAST(id AS DOUBLE), 0.0)))").collect()
 
     def force(df):
-        cols = [F.hash(F.col(c)) for c in df.columns]
+        # hash every column so no measured work is pruned; long arithmetic
+        # (ANSI mode would raise on int overflow)
+        cols = [F.hash(F.col(c)).cast("long") for c in df.columns]
         acc = cols[0]
         for c in cols[1:]:
             acc = acc + c

@@ -30,17 +30,45 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str, keep: str = "min") ->
     return df.join(keepers, on=id_col, how="left_semi")
 
 
-def minhash_signature(text, num_perm: int = 16, shingle: int = 8, max_chars: int = 128):
-    """Array<string> of ``num_perm`` min-hashes over char shingles (native).
+# MinHash permutations: perm_i(h) = (A[i] * (h % P) + B[i]) % P over a single
+# md5-derived 60-bit gram hash. One md5 per gram (not one per gram×perm);
+# P is a Mersenne prime < 2^31 so A*(h%P) fits int64 under ANSI mode. A/B are
+# md5-derived constants — deterministic and reproducible in the SQL oracle.
+MINHASH_P = 2_147_483_647
 
-    Permutation i is simulated by md5(i || gram) — deterministic and
-    reproducible in ANSI SQL for oracle checks."""
+
+def _mh_const(tag: str, i: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16)
+    return (h % (MINHASH_P - 2)) + 1
+
+
+MINHASH_A = [_mh_const("a", i) for i in range(64)]
+MINHASH_B = [_mh_const("b", i) for i in range(64)]
+
+
+def gram_hash_expr(g):
+    """60-bit integer hash of a gram: first 15 hex chars of md5 (identical in
+    Spark `conv` and DuckDB's 0x-cast)."""
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(text, num_perm: int = 16, shingle: int = 8, max_chars: int = 128):
+    """Array<long> of ``num_perm`` min-hashes over char shingles (native)."""
     grams = char_ngrams(text, n=shingle, max_chars=max_chars)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(grams, lambda g: F.md5(F.concat(i.cast("string"), F.lit(":"), g)))
-        ),
+    hashes = F.transform(grams, lambda g: gram_hash_expr(g) % F.lit(MINHASH_P))
+
+    def perm(a, b):
+        # single-parameter lambda (pyspark treats multi-arg lambdas as
+        # (element, index))
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, perm(MINHASH_A[i], MINHASH_B[i])))
+            for i in range(num_perm)
+        ]
     )
 
 
@@ -62,13 +90,20 @@ def minhash_lsh_pairs(
     banded = with_sig.withColumn(
         "__band",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat(
-                    b.cast("string"),
-                    F.lit("|"),
-                    F.concat_ws(",", F.slice("__sig", b * rows_per_band + 1, rows_per_band)),
-                ),
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}|"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                    )
+                    for b in range(bands)
+                ]
             )
         ),
     ).select(id_col, text_col, "__band")

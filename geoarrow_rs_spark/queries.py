@@ -470,6 +470,162 @@ def geo_geohash(spark, sf_dir):
     )
 
 
+def geo_line_interpolate(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    x = "CAST(p_size AS DOUBLE)"  # integer-valued; frac 0.25 is a power of two
+    line = f"ST_MakeLine(ST_Point(0.0, 0.0), ST_Point({x}, 0.0))"
+    return p.selectExpr(
+        "p_partkey",
+        f"ST_X(ST_LineInterpolatePoint({line}, 0.25)) AS x_quarter",
+        f"ST_LineLocatePoint({line}, ST_Point({x}, 3.0)) AS loc_end",
+    )
+
+
+ORACLE_GEO_LINE_INTERP = """
+SELECT p_partkey, CAST(p_size AS DOUBLE) * 0.25 AS x_quarter, 1.0 AS loc_end
+FROM part
+"""
+
+
+def geo_center_envelope(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    two = (
+        "ST_Collect(ST_Point(CAST(s_suppkey % 40 AS DOUBLE), 0.0), "
+        "ST_Point(CAST(s_suppkey % 40 + 10 AS DOUBLE), 8.0))"
+    )
+    return s.selectExpr(
+        "s_suppkey",
+        f"ST_X(ST_Center({two})) AS center_x",
+        f"ST_Area(ST_Envelope({two})) AS env_area",
+    )
+
+
+ORACLE_GEO_CENTER = """
+SELECT s_suppkey, CAST(s_suppkey % 40 AS DOUBLE) + 5.0 AS center_x, 80.0 AS env_area
+FROM supplier
+"""
+
+
+def geo_dump_explode(spark, sf_dir):
+    """ST_Dump + explode: one row per part (the reference's table explode,
+    explode.rs:206)."""
+    from .ops import explode_geometries
+
+    o = _t(spark, sf_dir, "orders")
+    x = "CAST(o_orderkey % 100 AS DOUBLE)"
+    geom = (
+        f"ST_Collect(ST_Collect(ST_Point({x}, 1.0), ST_Point({x} + 1.0, 2.0)), "
+        f"ST_Point({x} + 2.0, 3.0))"
+    )
+    df = o.selectExpr("o_orderkey", f"{geom} AS geometry")
+    ex = explode_geometries(df, "geometry")
+    return ex.selectExpr("o_orderkey", "ST_X(geometry) AS px", "ST_Y(geometry) AS py")
+
+
+ORACLE_GEO_DUMP = """
+SELECT o_orderkey, CAST(o_orderkey % 100 AS DOUBLE) + d.k AS px, 1.0 + d.k AS py
+FROM orders, (SELECT UNNEST([0.0, 1.0, 2.0]) AS k) d
+"""
+
+
+def geo_geojson_roundtrip(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    pt = "ST_Point(CAST(c_custkey % 1000 AS DOUBLE), CAST(c_nationkey AS DOUBLE))"
+    return c.selectExpr(
+        "c_custkey",
+        f"ST_X(ST_GeomFromGeoJSON(ST_AsGeoJSON({pt}))) AS gx",
+        f"ST_Y(ST_GeomFromGeoJSON(ST_AsGeoJSON({pt}))) AS gy",
+    )
+
+
+ORACLE_GEO_GEOJSON = """
+SELECT c_custkey, CAST(c_custkey % 1000 AS DOUBLE) AS gx, CAST(c_nationkey AS DOUBLE) AS gy
+FROM customer
+"""
+
+
+def text_ngram_jaccard_vs_ref(spark, sf_dir):
+    from .datapipe.dedup import ngram_jaccard
+
+    ref = "the quick brown fox jumps over the lazy dog"
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(ngram_jaccard(F.col("text"), F.lit(ref), n=4, max_chars=128), 6).alias(
+            "jaccard_ref"
+        ),
+    )
+
+
+_REF_STR = "the quick brown fox jumps over the lazy dog"
+ORACLE_NGRAM_JACCARD = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN length(substr(text, 1, 128)) < 4 THEN [substr(text, 1, 128)]
+              ELSE list_transform(range(1, length(substr(text, 1, 128)) - 2),
+                                  i -> substr(substr(text, 1, 128), CAST(i AS INT), 4)) END) AS ga,
+         list_distinct(list_transform(range(1, length('{_REF_STR}') - 2),
+                                      i -> substr('{_REF_STR}', CAST(i AS INT), 4))) AS gb
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN len(list_distinct(list_concat(ga, gb))) > 0
+             THEN CAST(len(list_intersect(ga, gb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE)
+             ELSE 0.0 END, 6) AS jaccard_ref
+FROM g
+"""
+
+
+def events_sliding_windows(spark, sf_dir):
+    """Sliding windows (1h window, 30m slide) — native window() over
+    microsecond timestamps."""
+    e = _t(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        e.withColumn("__ts", ts)
+        .groupBy(F.window("__ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+ORACLE_EVENTS_SLIDING = """
+SELECT win_start, event_type, COUNT(*) AS n_events
+FROM (
+  SELECT ((epoch_ns(ts) // 1000) // 1800000000) * 1800 - k.k AS win_start, event_type
+  FROM events, (SELECT UNNEST([0, 1800]) AS k) k
+)
+GROUP BY win_start, event_type
+"""
+
+
+def dedup_simhash_signatures(spark, sf_dir):
+    """SimHash signatures (no ANSI-SQL oracle — the 60-bit majority vote is
+    checked exactly against a pure-python reference in pytest; driver records
+    rows-only)."""
+    from .datapipe.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+def sim_srp_buckets(spark, sf_dir):
+    """SRP-LSH bucket histogram (rows-only check; determinism is covered by
+    pytest on the same expressions)."""
+    from .datapipe.similarity import srp_bucket_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(srp_bucket_expr("embedding", n_planes=8).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup / text / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------
@@ -612,7 +768,14 @@ def dedup_minhash_pairs(spark, sf_dir):
     return pairs.select("a_id", "b_id")
 
 
-ORACLE_MINHASH_PAIRS = """
+def _minhash_oracle_sql():
+    from .datapipe.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(16)
+    )
+    return f"""
 WITH grams AS (
   SELECT doc_id,
          CASE WHEN length(substr(text, 1, 128)) < 8 THEN [substr(text, 1, 128)]
@@ -620,11 +783,12 @@ WITH grams AS (
                                   i -> substr(substr(text, 1, 128), CAST(i AS INT), 8))
          END AS g
   FROM documents
-), sigs AS (
+), gram_hashes AS (
   SELECT doc_id,
-         list_transform(range(0, 16),
-                        i -> list_min(list_transform(g, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sig
+         list_transform(g, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % {MINHASH_P}) AS h
   FROM grams
+), sigs AS (
+  SELECT doc_id, [{perms}] AS sig FROM gram_hashes
 ), banded AS (
   SELECT doc_id,
          unnest(list_transform(range(0, 4),
@@ -635,6 +799,9 @@ SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM banded a JOIN banded b USING (band)
 WHERE a.doc_id < b.doc_id
 """
+
+
+ORACLE_MINHASH_PAIRS = _minhash_oracle_sql()
 
 
 def sim_embedding_stats(spark, sf_dir):
@@ -799,6 +966,10 @@ QUERIES = {
     "geo_simplify_scale": (geo_simplify_scale, ORACLE_GEO_SIMPLIFY),
     "geo_clip": (geo_clip, ORACLE_GEO_CLIP),
     "geo_geohash": (geo_geohash, None),  # no ANSI-SQL geohash; rows-only
+    "geo_line_interpolate": (geo_line_interpolate, ORACLE_GEO_LINE_INTERP),
+    "geo_center_envelope": (geo_center_envelope, ORACLE_GEO_CENTER),
+    "geo_dump_explode": (geo_dump_explode, ORACLE_GEO_DUMP),
+    "geo_geojson_roundtrip": (geo_geojson_roundtrip, ORACLE_GEO_GEOJSON),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
@@ -809,9 +980,13 @@ QUERIES = {
     "text_fingerprint": (text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "sim_embedding_stats": (sim_embedding_stats, ORACLE_SIM_STATS),
     "sim_cosine_topk": (sim_cosine_topk, ORACLE_SIM_TOPK),
+    "text_ngram_jaccard_vs_ref": (text_ngram_jaccard_vs_ref, ORACLE_NGRAM_JACCARD),
+    "dedup_simhash_signatures": (dedup_simhash_signatures, None),  # non-SQL; pytest-checked
+    "sim_srp_buckets": (sim_srp_buckets, None),  # non-SQL; pytest-checked
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (events_sessions, ORACLE_EVENTS_SESSIONS),
+    "events_sliding_windows": (events_sliding_windows, ORACLE_EVENTS_SLIDING),
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
 }
