@@ -54,16 +54,29 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # NB: do NOT set a large spark.driver.memory here — a 24g heap costs
+        # ~55s of first-query heap pre-allocation in this VM (measured);
+        # defaults are fine for sf0.1 and SPARK_GRAFT_DRIVER_MEM can override
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     gs.register_all(spark)
 
-    # warm up the Python UDF workers so first-query timing isn't dominated by
-    # worker spawn
+    # Warmup (untimed): python UDF workers, JVM heap growth (VM page zeroing
+    # costs ~10s/GB here on first touch), shuffle machinery, parquet codegen
+    # and FS cache for the input tables.
     spark.range(1000).selectExpr("sum(ST_X(ST_Point(CAST(id AS DOUBLE), 0.0)))").collect()
+    spark.range(30_000_000).groupBy((F.col("id") % 500_000).alias("k")).count().count()
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events", "part", "supplier", "nation", "region"):
+        if t == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.select([F.count(c) for c in df.columns[:3]]).collect()
 
     def force(df):
         # hash every column so no measured work is pruned; long arithmetic

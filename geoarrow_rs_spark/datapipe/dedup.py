@@ -55,21 +55,26 @@ def gram_hash_expr(g):
 
 
 def minhash_signature(text, num_perm: int = 16, shingle: int = 8, max_chars: int = 128):
-    """Array<long> of ``num_perm`` min-hashes over char shingles (native)."""
+    """Array<long> of ``num_perm`` min-hashes over char shingles (native).
+
+    Single `aggregate` pass: the md5-derived gram hash is a lambda-bound
+    variable, so it is computed ONCE per gram and shared by all permutations
+    (16 separate array_min expressions would re-evaluate the md5 per
+    permutation — Catalyst does no CSE across array elements)."""
     grams = char_ngrams(text, n=shingle, max_chars=max_chars)
     hashes = F.transform(grams, lambda g: gram_hash_expr(g) % F.lit(MINHASH_P))
+    init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(num_perm)])
 
-    def perm(a, b):
-        # single-parameter lambda (pyspark treats multi-arg lambdas as
-        # (element, index))
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+    def step(acc, h):
+        perms = F.array(
+            *[
+                (h * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+                for i in range(num_perm)
+            ]
+        )
+        return F.zip_with(acc, perms, lambda a, b: F.least(a, b))
 
-    return F.array(
-        *[
-            F.array_min(F.transform(hashes, perm(MINHASH_A[i], MINHASH_B[i])))
-            for i in range(num_perm)
-        ]
-    )
+    return F.aggregate(hashes, init, step)
 
 
 def minhash_lsh_pairs(

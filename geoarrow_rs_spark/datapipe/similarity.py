@@ -65,16 +65,24 @@ def cosine_topk(
     """Exact brute-force top-k: broadcast queries x corpus, rank by
     (cosine desc, corpus id) for determinism. Output: query_id, neighbor_id,
     cosine, rank."""
+    # precompute per-side norms once (recomputing them per pair would
+    # multiply the decimal-accumulation work by the other side's cardinality)
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.sqrt(norm_decimal_expr(F.col(query_vec)).cast("double")).alias("__qn"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        F.sqrt(norm_decimal_expr(F.col(corpus_vec)).cast("double")).alias("__cn"),
     )
+    den = F.col("__qn") * F.col("__cn")
+    num = dot_decimal_expr(F.col("__qv"), F.col("__cv")).cast("double")
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 8).alias("cosine"),
+        F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 8).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

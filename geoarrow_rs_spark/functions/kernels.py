@@ -606,6 +606,31 @@ k_frechet = _binary_kernel(alg.frechet_distance, out_dtype=np.float64)
 k_hausdorff = _binary_kernel(alg.hausdorff_distance, out_dtype=np.float64)
 
 
+def _binary_geom_kernel(fn):
+    def k(s1, s2):
+        out = []
+        for a, b in zip(geoms_of(s1), geoms_of(s2)):
+            if a is None or b is None:
+                out.append(None)
+            else:
+                out.append(to_wkb(fn(a, b)))
+        return pd.Series(out, dtype=object)
+
+    return k
+
+
+def _overlay(name):
+    from ..wkb import booleanops as bo
+
+    return _binary_geom_kernel(getattr(bo, name))
+
+
+k_intersection = _overlay("geom_intersection")
+k_union2 = _overlay("geom_union")
+k_difference = _overlay("geom_difference")
+k_sym_difference = _overlay("geom_sym_difference")
+
+
 def k_equals_exact(s1, s2, tol):
     n = len(s1)
     t = list(tol) if hasattr(tol, "__len__") else [tol] * n

@@ -130,6 +130,10 @@ _SCALAR_UDFS = {
     "ST_EqualsExact": (K.k_equals_exact, BooleanType()),
     "ST_Covers": (K.k_covers, BooleanType()),
     "ST_CoveredBy": (K.k_covered_by, BooleanType()),
+    "ST_Intersection": (K.k_intersection, BinaryType()),
+    "ST_Union": (K.k_union2, BinaryType()),
+    "ST_Difference": (K.k_difference, BinaryType()),
+    "ST_SymDifference": (K.k_sym_difference, BinaryType()),
     "ST_Distance": (K.k_distance, DoubleType()),
     "ST_DistanceSphere": (K.k_distance_sphere, DoubleType()),
     "ST_FrechetDistance": (K.k_frechet, DoubleType()),

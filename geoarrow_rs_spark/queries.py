@@ -544,6 +544,38 @@ FROM customer
 """
 
 
+def geo_overlay_areas(spark, sf_dir):
+    """Polygon boolean ops with integer-coordinate boxes (exact arithmetic
+    both engines). Box A = (0,0,p_size,p_size), B = (3,3,43,43)."""
+    p = _t(spark, sf_dir, "part")
+    a = "ST_MakeEnvelope(0.0, 0.0, CAST(p_size AS DOUBLE), CAST(p_size AS DOUBLE))"
+    b = "ST_MakeEnvelope(3.0, 3.0, 43.0, 43.0)"
+    return p.selectExpr(
+        "p_partkey",
+        f"ST_Area(ST_Intersection({a}, {b})) AS inter_area",
+        f"ST_Area(ST_Union({a}, {b})) AS union_area",
+        f"ST_Area(ST_Difference({a}, {b})) AS diff_area",
+        f"ST_Area(ST_SymDifference({a}, {b})) AS sym_area",
+    )
+
+
+ORACLE_GEO_OVERLAY = """
+SELECT p_partkey,
+       ia AS inter_area,
+       pa + 1600.0 - ia AS union_area,
+       pa - ia AS diff_area,
+       pa + 1600.0 - 2.0 * ia AS sym_area
+FROM (
+  SELECT p_partkey,
+         CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE) AS pa,
+         CASE WHEN p_size > 3
+              THEN (LEAST(CAST(p_size AS DOUBLE), 43.0) - 3.0) * (LEAST(CAST(p_size AS DOUBLE), 43.0) - 3.0)
+              ELSE 0.0 END AS ia
+  FROM part
+)
+"""
+
+
 def text_ngram_jaccard_vs_ref(spark, sf_dir):
     from .datapipe.dedup import ngram_jaccard
 
@@ -970,6 +1002,7 @@ QUERIES = {
     "geo_center_envelope": (geo_center_envelope, ORACLE_GEO_CENTER),
     "geo_dump_explode": (geo_dump_explode, ORACLE_GEO_DUMP),
     "geo_geojson_roundtrip": (geo_geojson_roundtrip, ORACLE_GEO_GEOJSON),
+    "geo_overlay_areas": (geo_overlay_areas, ORACLE_GEO_OVERLAY),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),

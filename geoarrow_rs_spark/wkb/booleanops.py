@@ -1,0 +1,488 @@
+"""Polygon boolean operations (union / intersection / difference /
+symmetric difference) — the Spark-side implementation of the reference's
+GEOS overlay surface (/root/reference/rust/geoarrow-old/src/algorithm/geos/
+bool_ops.rs:24-80), built from scratch (no GEOS in this runtime).
+
+Algorithm: classic subdivide-and-classify overlay
+1. split every edge of A at its intersections with edges of B (and vice
+   versa);
+2. classify each sub-edge by the location of its midpoint w.r.t. the other
+   polygon (interior / boundary / exterior);
+3. select sub-edges per operation (e.g. intersection = A-edges inside B +
+   B-edges inside A; boundary-collinear edges are kept once, from A, when
+   tangent orientations agree with the op);
+4. stitch selected directed edges into rings (D edges reversed for
+   difference), then assemble shells/holes by signed area + containment.
+
+Supports polygons and multipolygons with holes. Lines/points fall back to
+clipping/membership semantics. Robustness: coordinates are snapped to a
+1e-9 grid at stitch time; collinear overlaps handled via boundary
+classification.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .algorithms import point_in_polygon
+from .core import (
+    MULTIPOLYGON,
+    POLYGON,
+    Geom,
+    empty,
+    iter_parts,
+)
+
+_SNAP = 1e-9
+
+
+def _poly_rings(g):
+    """list of rings (np arrays, closed) across polygon parts, with ring->part map."""
+    rings = []
+    for p in iter_parts(g):
+        if p.kind == POLYGON and p.data:
+            for r in p.data:
+                if len(r) >= 4:
+                    rings.append(np.asarray(r[:, :2], dtype=np.float64))
+    return rings
+
+
+def _polys_of(g):
+    """list of polygon part ring-lists (each a list of rings)."""
+    out = []
+    for p in iter_parts(g):
+        if p.kind == POLYGON and p.data:
+            out.append([np.asarray(r[:, :2], dtype=np.float64) for r in p.data])
+    return out
+
+
+def _locate(x, y, polys):
+    """0 exterior / 1 boundary / 2 interior w.r.t. a multipolygon (list of
+    ring-lists)."""
+    best = 0
+    for rings in polys:
+        loc = point_in_polygon(x, y, rings)
+        if loc == 1:
+            return 1
+        best = max(best, loc)
+    return best
+
+
+def _seg_param_intersections(a1, a2, segs):
+    """Parameters t in (0,1) where segment a1->a2 crosses any seg in segs."""
+    ts = []
+    ax, ay = a1
+    dx, dy = a2[0] - ax, a2[1] - ay
+    for (b1, b2) in segs:
+        ex, ey = b2[0] - b1[0], b2[1] - b1[1]
+        denom = dx * ey - dy * ex
+        rx, ry = b1[0] - ax, b1[1] - ay
+        if abs(denom) > 1e-18:
+            t = (rx * ey - ry * ex) / denom
+            u = (rx * dy - ry * dx) / denom
+            if -1e-12 < t < 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+                if 1e-12 < t < 1 - 1e-12:
+                    ts.append(t)
+        else:
+            # collinear: project b endpoints onto a
+            if abs(rx * dy - ry * dx) < 1e-9 * max(1.0, math.hypot(dx, dy)):
+                L2 = dx * dx + dy * dy
+                if L2 > 0:
+                    for (px, py) in (b1, b2):
+                        t = ((px - ax) * dx + (py - ay) * dy) / L2
+                        if 1e-12 < t < 1 - 1e-12:
+                            ts.append(t)
+    return ts
+
+
+def _split_edges(rings, other_segs):
+    """Yield sub-edges (p, q) of rings split at intersections with other_segs."""
+    out = []
+    for r in rings:
+        n = len(r) - 1
+        for i in range(n):
+            a1, a2 = r[i], r[i + 1]
+            if a1[0] == a2[0] and a1[1] == a2[1]:
+                continue
+            # bbox prefilter
+            cands = [
+                s
+                for s in other_segs
+                if not (
+                    max(s[0][0], s[1][0]) < min(a1[0], a2[0]) - 1e-12
+                    or min(s[0][0], s[1][0]) > max(a1[0], a2[0]) + 1e-12
+                    or max(s[0][1], s[1][1]) < min(a1[1], a2[1]) - 1e-12
+                    or min(s[0][1], s[1][1]) > max(a1[1], a2[1]) + 1e-12
+                )
+            ]
+            ts = sorted(set([0.0, 1.0] + _seg_param_intersections(a1, a2, cands)))
+            pts = [(a1[0] + (a2[0] - a1[0]) * t, a1[1] + (a2[1] - a1[1]) * t) for t in ts]
+            for j in range(len(pts) - 1):
+                p, q = pts[j], pts[j + 1]
+                if abs(p[0] - q[0]) > 1e-15 or abs(p[1] - q[1]) > 1e-15:
+                    out.append((p, q))
+    return out
+
+
+def _segs_of(rings):
+    segs = []
+    for r in rings:
+        for i in range(len(r) - 1):
+            segs.append((tuple(r[i]), tuple(r[i + 1])))
+    return segs
+
+
+def _snap(p):
+    # decimal rounding (round(x, 9)), NOT round(x/1e-9)*1e-9 — the latter
+    # perturbs exactly-representable coordinates because 1e-9 is not
+    # binary-exact, breaking shoelace exactness on integer inputs
+    return (round(p[0], 9), round(p[1], 9))
+
+
+def _stitch(edges):
+    """Assemble directed edges into closed rings."""
+    from collections import defaultdict
+
+    emap = defaultdict(list)
+    for (p, q) in edges:
+        sp, sq = _snap(p), _snap(q)
+        if sp != sq:
+            emap[sp].append(sq)
+    rings = []
+    while emap:
+        start = next(iter(emap))
+        ring = [start]
+        cur = start
+        prev = None
+        for _ in range(len(edges) * 2 + 10):
+            nexts = emap.get(cur)
+            if not nexts:
+                break
+            if len(nexts) == 1 or prev is None:
+                nxt = nexts.pop(0)
+            else:
+                # choose the most counterclockwise turn for consistent rings
+                vin = (cur[0] - prev[0], cur[1] - prev[1])
+                ang_in = math.atan2(vin[1], vin[0])
+
+                def turn(c):
+                    a = math.atan2(c[1] - cur[1], c[0] - cur[0]) - (ang_in + math.pi)
+                    while a <= -math.pi:
+                        a += 2 * math.pi
+                    while a > math.pi:
+                        a -= 2 * math.pi
+                    return a
+
+                nexts.sort(key=turn)
+                nxt = nexts.pop(0)
+            if not emap[cur]:
+                del emap[cur]
+            if nxt == start:
+                rings.append(ring[:])
+                break
+            ring.append(nxt)
+            prev, cur = cur, nxt
+        else:
+            pass
+        # drop any unclosed leftovers naturally (loop guard)
+        if emap.get(start) == []:
+            emap.pop(start, None)
+    return [r for r in rings if len(r) >= 3]
+
+
+def _ring_area(ring):
+    a = 0.0
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        a += x1 * y2 - x2 * y1
+    return a / 2
+
+
+def _assemble(rings):
+    """Group stitched rings into polygons: CCW = shell, CW = hole (assigned
+    to the smallest containing shell)."""
+    if not rings:
+        return empty(POLYGON)
+    shells = []
+    holes = []
+    for r in rings:
+        a = _ring_area(r)
+        if abs(a) < _SNAP:
+            continue
+        closed = np.asarray(r + [r[0]], dtype=np.float64)
+        if a > 0:
+            shells.append((abs(a), closed))
+        else:
+            holes.append(closed[::-1])
+    if not shells:
+        return empty(POLYGON)
+    shells.sort(key=lambda t: t[0])
+    polys = [[s] for _, s in shells]
+    for h in holes:
+        hx, hy = float(h[0, 0]), float(h[0, 1])
+        placed = False
+        for rings_list in polys:  # smallest shell first
+            if point_in_polygon(hx, hy, [rings_list[0]]) == 2:
+                rings_list.append(h[::-1])  # store holes CW? keep reversed
+                placed = True
+                break
+        if not placed:
+            pass  # dangling hole: dropped
+    if len(polys) == 1:
+        return Geom(POLYGON, polys[0])
+    return Geom(MULTIPOLYGON, polys)
+
+
+_OPS = {
+    "intersection": lambda a, b: a and b,
+    "union": lambda a, b: a or b,
+    "difference": lambda a, b: a and not b,
+    "symdifference": lambda a, b: a != b,
+}
+
+
+def overlay(g1, g2, op: str):
+    """op in {'intersection','union','difference','symdifference'}.
+
+    Universal side-probe selection: a sub-edge lies on the result boundary
+    iff result-membership differs between its two sides; the edge is oriented
+    so the result interior is on its left (CCW shells / CW holes fall out of
+    this automatically). Shared/collinear edges from both inputs are
+    de-duplicated by snapped endpoints."""
+    if g1 is None or g2 is None:
+        return None
+    rule = _OPS[op]
+    pa = _polys_of(g1)
+    pb = _polys_of(g2)
+    if not pa and not pb:
+        return empty(POLYGON)
+    if not pa:
+        return g2 if op in ("union", "symdifference") else empty(POLYGON)
+    if not pb:
+        return g1 if op in ("union", "difference", "symdifference") else empty(POLYGON)
+
+    ra = [r for rings in pa for r in rings]
+    rb = [r for rings in pb for r in rings]
+    segs_a = _segs_of(ra)
+    segs_b = _segs_of(rb)
+    sub_edges = _split_edges(ra, segs_b) + _split_edges(rb, segs_a)
+
+    sel = []
+    seen = set()
+    for (p, q) in sub_edges:
+        sp, sq = _snap(p), _snap(q)
+        key = (sp, sq) if sp <= sq else (sq, sp)
+        if key in seen or sp == sq:
+            continue
+        seen.add(key)
+        mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        L = math.hypot(dx, dy)
+        eps = max(L, 1.0) * 1e-7
+        # unit normal pointing left of travel direction
+        nx, ny = -dy / L, dx / L
+        lx, ly = mx + nx * eps, my + ny * eps
+        rx, ry = mx - nx * eps, my - ny * eps
+        left_in = rule(_locate(lx, ly, pa) == 2, _locate(lx, ly, pb) == 2)
+        right_in = rule(_locate(rx, ry, pa) == 2, _locate(rx, ry, pb) == 2)
+        if left_in and not right_in:
+            sel.append((p, q))
+        elif right_in and not left_in:
+            sel.append((q, p))
+
+    return _assemble(_stitch(sel))
+
+
+def _top_dim(g):
+    from .algorithms import _top_dim as td
+
+    return td(g)
+
+
+def _line_arrays(g):
+    from .core import LINESTRING
+
+    return [
+        np.asarray(p.data[:, :2], dtype=np.float64)
+        for p in iter_parts(g)
+        if p.kind == LINESTRING and len(p.data) >= 2
+    ]
+
+
+def _points_arr(g):
+    from .core import POINT
+
+    pts = [
+        (float(p.data[0]), float(p.data[1]))
+        for p in iter_parts(g)
+        if p.kind == POINT and not p.is_empty()
+    ]
+    return pts
+
+
+def _line_poly_parts(lines, polys, keep_inside):
+    """Split lines at polygon boundaries; keep sub-edges by midpoint side."""
+    segs = _segs_of([r for rings in polys for r in rings])
+    pieces = _split_edges(lines, segs)
+    kept = []
+    for (p, q) in pieces:
+        mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
+        loc = _locate(mx, my, polys)
+        inside = loc > 0
+        if inside == keep_inside:
+            kept.append((p, q))
+    return _chain_lines(kept)
+
+
+def _chain_lines(edges):
+    """Merge consecutive collinear-adjacent sub-edges back into linestrings."""
+    from collections import defaultdict
+
+    nxt = defaultdict(list)
+    for (p, q) in edges:
+        nxt[_snap(p)].append((_snap(p), _snap(q)))
+    used = set()
+    lines = []
+    starts = {e[0] for es in nxt.values() for e in es}
+    ends = defaultdict(int)
+    for es in nxt.values():
+        for (_, q) in es:
+            ends[q] += 1
+    for es in list(nxt.values()):
+        for e in es:
+            if e in used:
+                continue
+            # walk forward
+            chain = [e[0], e[1]]
+            used.add(e)
+            cur = e[1]
+            while True:
+                cands = [x for x in nxt.get(cur, []) if x not in used]
+                if len(cands) != 1:
+                    break
+                used.add(cands[0])
+                cur = cands[0][1]
+                chain.append(cur)
+            lines.append(np.asarray(chain, dtype=np.float64))
+    return lines
+
+
+def _as_lines_geom(lines):
+    from .core import LINESTRING, MULTILINESTRING
+
+    lines = [l for l in lines if len(l) >= 2]
+    if not lines:
+        return empty(LINESTRING)
+    if len(lines) == 1:
+        return Geom(LINESTRING, lines[0])
+    return Geom(MULTILINESTRING, lines)
+
+
+def _as_points_geom(pts):
+    from .core import MULTIPOINT, POINT
+    from .core import multipoint, point as mk_point
+
+    if not pts:
+        return empty(POINT)
+    if len(pts) == 1:
+        return mk_point(pts[0][0], pts[0][1])
+    return multipoint(np.asarray(sorted(set(pts)), dtype=np.float64))
+
+
+def geom_intersection(g1, g2):
+    """Type-dispatching ST_Intersection (geos bool_ops.rs:24)."""
+    if g1 is None or g2 is None:
+        return None
+    d1, d2 = _top_dim(g1), _top_dim(g2)
+    if d1 == 2 and d2 == 2:
+        return overlay(g1, g2, "intersection")
+    # order so d1 <= d2
+    if d1 > d2:
+        g1, g2, d1, d2 = g2, g1, d2, d1
+    if d1 == 0:
+        pts = [
+            p
+            for p in _points_arr(g1)
+            if _pt_in_geom(p, g2)
+        ]
+        return _as_points_geom(pts)
+    if d1 == 1 and d2 == 2:
+        return _as_lines_geom(_line_poly_parts(_line_arrays(g1), _polys_of(g2), True))
+    # line/line: proper crossing points
+    pts = []
+    la, lb = _line_arrays(g1), _line_arrays(g2)
+    segs_b = _segs_of(lb)
+    for line in la:
+        for i in range(len(line) - 1):
+            a1, a2 = line[i], line[i + 1]
+            for t in _seg_param_intersections(a1, a2, segs_b):
+                pts.append(
+                    (a1[0] + (a2[0] - a1[0]) * t, a1[1] + (a2[1] - a1[1]) * t)
+                )
+    return _as_points_geom([_snap(p) for p in pts])
+
+
+def _pt_in_geom(p, g):
+    from .algorithms import _locate_point_in_geom
+
+    return _locate_point_in_geom(p[0], p[1], g) > 0
+
+
+def geom_union(g1, g2):
+    from .core import collection
+
+    if g1 is None or g2 is None:
+        return None
+    d1, d2 = _top_dim(g1), _top_dim(g2)
+    if d1 == 2 and d2 == 2:
+        return overlay(g1, g2, "union")
+    if d1 == d2 == 0:
+        return _as_points_geom(sorted(set(_points_arr(g1) + _points_arr(g2))))
+    if d1 == d2 == 1:
+        return _as_lines_geom(_line_arrays(g1) + _line_arrays(g2))
+    return collection([g1, g2])
+
+
+def geom_difference(g1, g2):
+    if g1 is None or g2 is None:
+        return None
+    d1, d2 = _top_dim(g1), _top_dim(g2)
+    if d1 == 2 and d2 == 2:
+        return overlay(g1, g2, "difference")
+    if d1 == 0:
+        pts = [p for p in _points_arr(g1) if not _pt_in_geom(p, g2)]
+        return _as_points_geom(pts)
+    if d1 == 1 and d2 == 2:
+        return _as_lines_geom(_line_poly_parts(_line_arrays(g1), _polys_of(g2), False))
+    return g1  # difference with lower-dim geometry leaves g1 unchanged (area/length preserved)
+
+
+def geom_sym_difference(g1, g2):
+    if g1 is None or g2 is None:
+        return None
+    if _top_dim(g1) == 2 and _top_dim(g2) == 2:
+        return overlay(g1, g2, "symdifference")
+    from .core import collection
+
+    return collection([geom_difference(g1, g2), geom_difference(g2, g1)])
+
+
+# back-compat names
+def intersection(g1, g2):
+    return geom_intersection(g1, g2)
+
+
+def union(g1, g2):
+    return geom_union(g1, g2)
+
+
+def difference(g1, g2):
+    return geom_difference(g1, g2)
+
+
+def sym_difference(g1, g2):
+    return geom_sym_difference(g1, g2)
