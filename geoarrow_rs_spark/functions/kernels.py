@@ -625,6 +625,28 @@ def _overlay(name):
     return _binary_geom_kernel(getattr(bo, name))
 
 
+def k_relate(s1, s2):
+    from ..wkb.relate import relate
+
+    return pd.Series(
+        [relate(a, b) for a, b in zip(geoms_of(s1), geoms_of(s2))], dtype=object
+    )
+
+
+def k_relate_pattern(s1, s2, pat):
+    from ..wkb.relate import relate_pattern
+
+    n = len(s1)
+    pats = list(pat) if hasattr(pat, "__iter__") and not isinstance(pat, str) else [pat] * n
+    return pd.Series(
+        [
+            relate_pattern(a, b, p)
+            for a, b, p in zip(geoms_of(s1), geoms_of(s2), pats)
+        ],
+        dtype=object,
+    )
+
+
 k_intersection = _overlay("geom_intersection")
 k_union2 = _overlay("geom_union")
 k_difference = _overlay("geom_difference")

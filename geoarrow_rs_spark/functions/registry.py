@@ -128,6 +128,8 @@ _SCALAR_UDFS = {
     "ST_Overlaps": (K.k_overlaps, BooleanType()),
     "ST_Equals": (K.k_equals, BooleanType()),
     "ST_EqualsExact": (K.k_equals_exact, BooleanType()),
+    "ST_Relate": (K.k_relate, StringType()),
+    "ST_RelateMatch": (K.k_relate_pattern, BooleanType()),
     "ST_Covers": (K.k_covers, BooleanType()),
     "ST_CoveredBy": (K.k_covered_by, BooleanType()),
     "ST_Intersection": (K.k_intersection, BinaryType()),

@@ -1180,31 +1180,74 @@ def chaikin_smoothing(g, n_iterations=1):
 
 
 def buffer(g, width, quadsegs=8):
-    """Buffer. Full GEOS buffering is out of scope without a boolean-ops
-    engine; supported: points and multipoints (circle polygons), zero/negative
-    width on points -> EMPTY. geos/buffer.rs:7-12."""
+    """Buffer (geos/buffer.rs:7-12). Points -> circle polygons; lines ->
+    union of segment capsules (rectangle + round caps); polygons -> union of
+    the polygon with its boundary's capsule buffer. Negative width supported
+    only as EMPTY for puntal/lineal input."""
     if g is None:
         return None
-    if width <= 0:
-        return empty(POLYGON)
     n = max(4, int(quadsegs) * 4)
     ang = np.linspace(0, 2 * math.pi, n, endpoint=False)
-    circ = np.column_stack((np.cos(ang), np.sin(ang))) * float(width)
-    polys = []
+    circ = np.column_stack((np.cos(ang), np.sin(ang))) * abs(float(width))
+
+    def circle_at(x, y):
+        ring = circ + (x, y)
+        return Geom(POLYGON, [np.vstack([ring, ring[:1]])])
+
+    def capsule(a, b, w):
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        L = math.hypot(dx, dy)
+        if L == 0:
+            return circle_at(a[0], a[1])
+        ux, uy = dx / L, dy / L
+        nx, ny = -uy * w, ux * w
+        # rectangle + semicircle caps approximated by the union engine
+        rect = np.array(
+            [
+                [a[0] + nx, a[1] + ny],
+                [b[0] + nx, b[1] + ny],
+                [b[0] - nx, b[1] - ny],
+                [a[0] - nx, a[1] - ny],
+                [a[0] + nx, a[1] + ny],
+            ]
+        )
+        return Geom(POLYGON, [rect])
+
+    from . import booleanops as bo
+
+    if width <= 0:
+        if _top_dim(g) < 2:
+            return empty(POLYGON)
+        # negative polygon buffer: not supported yet (needs straight skeleton)
+        raise NotImplementedError("negative polygon buffer not supported")
+
+    w = float(width)
+    pieces = []
     for p in iter_parts(g):
-        if p.kind == POINT and not p.is_empty():
-            ring = circ + p.data[:2]
-            ring = np.vstack([ring, ring[:1]])
-            polys.append([ring])
-        elif not p.is_empty():
-            raise NotImplementedError(
-                "buffer of non-point geometries requires boolean ops (planned)"
-            )
-    if not polys:
+        if p.is_empty():
+            continue
+        if p.kind == POINT:
+            pieces.append(circle_at(float(p.data[0]), float(p.data[1])))
+        elif p.kind == LINESTRING:
+            line = p.data[:, :2]
+            for i in range(len(line) - 1):
+                pieces.append(capsule(line[i], line[i + 1], w))
+            for v in line:
+                pieces.append(circle_at(float(v[0]), float(v[1])))
+        else:  # polygon: self + buffered boundary
+            pieces.append(Geom(POLYGON, [r[:, :2] for r in p.data]))
+            for ring in p.data:
+                rr = ring[:, :2]
+                for i in range(len(rr) - 1):
+                    pieces.append(capsule(rr[i], rr[i + 1], w))
+                for v in rr[:-1]:
+                    pieces.append(circle_at(float(v[0]), float(v[1])))
+    if not pieces:
         return empty(POLYGON)
-    if len(polys) == 1:
-        return Geom(POLYGON, polys[0])
-    return Geom(MULTIPOLYGON, polys)
+    acc = pieces[0]
+    for piece in pieces[1:]:
+        acc = bo.geom_union(acc, piece)
+    return acc
 
 
 def interior_point(g):

@@ -325,12 +325,18 @@ def test_densify_chaikin_dedup():
     assert len(rr.data) == 3
 
 
-def test_buffer_point():
+def test_buffer():
     b = alg.buffer(point(0, 0), 10.0, quadsegs=64)
     assert abs(alg.area(b) - math.pi * 100) / (math.pi * 100) < 1e-3
     assert alg.buffer(point(0, 0), -1).is_empty()
-    with pytest.raises(NotImplementedError):
-        alg.buffer(from_wkt("LINESTRING (0 0, 1 1)"), 1.0)
+    # line capsule: 2*r*L + pi*r^2
+    lb = alg.buffer(from_wkt("LINESTRING (0 0, 10 0)"), 2.0, quadsegs=16)
+    assert alg.area(lb) == pytest.approx(40 + math.pi * 4, rel=0.01)
+    # polygon: area + perimeter*r + pi*r^2
+    pb = alg.buffer(from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), 1.0, quadsegs=16)
+    assert alg.area(pb) == pytest.approx(100 + 40 + math.pi, rel=0.01)
+    # buffered result contains the original
+    assert alg.covers(pb, from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
 
 
 def test_interior_point_and_polylabel():
