@@ -1,6 +1,9 @@
+from .arrow_ipc import read_arrow_ipc, write_arrow_ipc
 from .csv import read_csv_wkt, write_csv_wkt
 from .geojson import read_geojson_lines, write_geojson_lines
 from .geoparquet import read_geoparquet, write_geoparquet
+from .postgis import read_postgis
+from .shapefile import read_shapefile, write_shapefile
 
 __all__ = [
     "read_geoparquet",
@@ -9,4 +12,9 @@ __all__ = [
     "write_csv_wkt",
     "read_geojson_lines",
     "write_geojson_lines",
+    "read_shapefile",
+    "write_shapefile",
+    "read_arrow_ipc",
+    "write_arrow_ipc",
+    "read_postgis",
 ]

@@ -1,0 +1,54 @@
+"""PostGIS read via JDBC (SURVEY.md §2.1; mirrors read_postgis(connection_url,
+sql), /root/reference/rust/geoarrow-old/src/io/postgis/reader.rs:171).
+
+Spark's JDBC source does the distributed fetch (partitioned by an optional
+numeric column); geometry arrives as (E)WKB — ``ST_GeomFromWKB`` normalizes
+EWKB (SRID flag) to canonical ISO WKB.
+
+NOTE: untested in this environment (no database server available); the JDBC
+path is Spark-native and the EWKB normalization is covered by codec tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_postgis(
+    spark: SparkSession,
+    connection_url: str,
+    sql: str,
+    geometry_col: str = "geometry",
+    partition_column: str = None,
+    num_partitions: int = None,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+) -> DataFrame:
+    """Run ``sql`` against PostGIS over JDBC. Wrap the geometry in
+    ``ST_AsBinary`` in your SQL (or pass raw — EWKB hex is handled too)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", connection_url)
+        .option("query", sql)
+        .option("driver", "org.postgresql.Driver")
+    )
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions or 8)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    if geometry_col in df.columns:
+        dt = dict(df.dtypes)[geometry_col]
+        col = F.col(geometry_col)
+        if dt == "string":  # EWKB hex text
+            col = F.unhex(F.upper(col))
+        df = df.withColumn(geometry_col, F.expr(f"ST_GeomFromWKB({geometry_col})")) if dt == "binary" else df.withColumn(
+            geometry_col, F.call_udf("ST_GeomFromWKB", col)
+        )
+    return df
