@@ -1,0 +1,335 @@
+"""FlatGeobuf reader (SURVEY.md §2.1; mirrors read_flatgeobuf(path, bbox=,
+columns=), /root/reference/rust/geoarrow-flatgeobuf/src/reader/).
+
+Implemented from the public FlatGeobuf spec (flatgeobuf.org): magic bytes,
+flatbuffers-encoded Header/Feature/Geometry tables, packed Hilbert R-tree
+index. No flatbuffers library exists in this runtime, so a minimal
+flatbuffers table decoder is included (vtable-indirected field access).
+
+Distribution model (the reference's byte-range planning re-expressed for
+Spark): the driver parses the header and the R-tree **leaf level** — which
+stores each feature's byte offset — optionally filters leaves by bbox
+(/root/reference/python/geoarrow-io/src/flatgeobuf/sync.rs:122-123
+``select_bbox`` semantics), then ships (offset, approx-length) ranges to
+executors; each executor decodes its features inside ``mapInPandas``.
+Exact-bbox refinement happens post-decode with the native covering filter.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pandas as pd
+
+from ..wkb import core as wc
+
+MAGIC = b"fgb\x03fgb"  # 8th byte is the patch version (0x00/0x01)
+
+# GeometryType enum (spec)
+GT_UNKNOWN = 0
+GT_POINT = 1
+GT_LINESTRING = 2
+GT_POLYGON = 3
+GT_MULTIPOINT = 4
+GT_MULTILINESTRING = 5
+GT_MULTIPOLYGON = 6
+GT_GEOMETRYCOLLECTION = 7
+
+# ColumnType enum (spec)
+CT_SIZES = {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 4, 6: 4, 7: 8, 8: 8, 9: 4, 10: 8}
+CT_FMT = {0: "<b", 1: "<B", 2: "<?", 3: "<h", 4: "<H", 5: "<i", 6: "<I", 7: "<q", 8: "<Q", 9: "<f", 10: "<d"}
+
+
+class _FB:
+    """Minimal flatbuffers table reader."""
+
+    def __init__(self, buf, pos):
+        self.buf = buf
+        self.pos = pos
+        (soff,) = struct.unpack_from("<i", buf, pos)
+        self.vt = pos - soff
+        (self.vt_size,) = struct.unpack_from("<H", buf, self.vt)
+
+    def _voff(self, field_id):
+        entry = 4 + 2 * field_id
+        if entry + 2 > self.vt_size:
+            return 0
+        (v,) = struct.unpack_from("<H", self.buf, self.vt + entry)
+        return v
+
+    def scalar(self, field_id, fmt, default=0):
+        v = self._voff(field_id)
+        if not v:
+            return default
+        return struct.unpack_from(fmt, self.buf, self.pos + v)[0]
+
+    def _indirect(self, field_id):
+        v = self._voff(field_id)
+        if not v:
+            return None
+        (u,) = struct.unpack_from("<I", self.buf, self.pos + v)
+        return self.pos + v + u
+
+    def string(self, field_id):
+        t = self._indirect(field_id)
+        if t is None:
+            return None
+        (n,) = struct.unpack_from("<I", self.buf, t)
+        return self.buf[t + 4:t + 4 + n].decode("utf-8")
+
+    def vector(self, field_id, dtype):
+        t = self._indirect(field_id)
+        if t is None:
+            return None
+        (n,) = struct.unpack_from("<I", self.buf, t)
+        return np.frombuffer(self.buf, dtype=dtype, count=n, offset=t + 4)
+
+    def vector_bytes(self, field_id):
+        t = self._indirect(field_id)
+        if t is None:
+            return None
+        (n,) = struct.unpack_from("<I", self.buf, t)
+        return self.buf[t + 4:t + 4 + n]
+
+    def table_vector(self, field_id):
+        t = self._indirect(field_id)
+        if t is None:
+            return []
+        (n,) = struct.unpack_from("<I", self.buf, t)
+        out = []
+        for i in range(n):
+            (u,) = struct.unpack_from("<I", self.buf, t + 4 + 4 * i)
+            out.append(_FB(self.buf, t + 4 + 4 * i + u))
+        return out
+
+    def table(self, field_id):
+        t = self._indirect(field_id)
+        return None if t is None else _FB(self.buf, t)
+
+
+def _root(buf, base=0):
+    (u,) = struct.unpack_from("<I", buf, base)
+    return _FB(buf, base + u)
+
+
+def _parse_header(buf):
+    h = _root(buf)
+    cols = []
+    for c in h.table_vector(7):
+        cols.append({"name": c.string(0), "type": c.scalar(1, "<B")})
+    return {
+        "name": h.string(0),
+        "envelope": h.vector(1, "<f8"),
+        "geometry_type": h.scalar(2, "<B"),
+        "has_z": bool(h.scalar(3, "<?", False)),
+        "columns": cols,
+        "features_count": h.scalar(8, "<Q"),
+        "index_node_size": h.scalar(9, "<H", 16),
+    }
+
+
+def _index_level_sizes(n_items, node_size):
+    sizes = []
+    n = n_items
+    while True:
+        sizes.append(n)
+        if n == 1:
+            break
+        n = (n + node_size - 1) // node_size
+    return sizes[::-1]  # root first
+
+
+def _read_leaf_nodes(f, index_pos, features_count, node_size):
+    """(minx,miny,maxx,maxy,offset) for each feature from the R-tree leaves."""
+    sizes = _index_level_sizes(features_count, node_size)
+    non_leaf = sum(sizes[:-1]) if len(sizes) > 1 else 0
+    f.seek(index_pos + non_leaf * 40)
+    raw = f.read(features_count * 40)
+    dt = np.dtype([("minx", "<f8"), ("miny", "<f8"), ("maxx", "<f8"), ("maxy", "<f8"), ("off", "<u8")])
+    return np.frombuffer(raw, dtype=dt)
+
+
+def _index_size(features_count, node_size):
+    return sum(_index_level_sizes(features_count, node_size)) * 40
+
+
+def _geometry_to_geom(g: _FB, gtype_hint, has_z):
+    gt = g.scalar(6, "<B") or gtype_hint
+    if gt in (GT_MULTIPOLYGON, GT_GEOMETRYCOLLECTION):
+        parts = [
+            _geometry_to_geom(p, GT_POLYGON if gt == GT_MULTIPOLYGON else GT_UNKNOWN, has_z)
+            for p in g.table_vector(7)
+        ]
+        if gt == GT_MULTIPOLYGON:
+            return wc.Geom(wc.MULTIPOLYGON, [p.data for p in parts])
+        return wc.collection(parts)
+    xy = g.vector(1, "<f8")
+    if xy is None or len(xy) == 0:
+        return wc.empty({GT_POINT: wc.POINT, GT_LINESTRING: wc.LINESTRING, GT_POLYGON: wc.POLYGON}.get(gt, wc.GEOMETRYCOLLECTION))
+    coords = np.array(xy).reshape(-1, 2)
+    ends = g.vector(0, "<u4")
+    if gt == GT_POINT:
+        return wc.point(coords[0, 0], coords[0, 1])
+    if gt == GT_MULTIPOINT:
+        return wc.multipoint(coords)
+    if gt == GT_LINESTRING:
+        return wc.Geom(wc.LINESTRING, coords)
+    if gt == GT_MULTILINESTRING:
+        return wc.Geom(wc.MULTILINESTRING, _split_by_ends(coords, ends))
+    if gt == GT_POLYGON:
+        return wc.Geom(wc.POLYGON, _split_by_ends(coords, ends))
+    raise ValueError(f"unsupported FGB geometry type {gt}")
+
+
+def _split_by_ends(coords, ends):
+    if ends is None or len(ends) <= 1:
+        return [coords]
+    out = []
+    start = 0
+    for e in ends:
+        out.append(coords[start:int(e)])
+        start = int(e)
+    return out
+
+
+def _decode_properties(props: bytes, columns):
+    out = {}
+    if props is None:
+        return out
+    pos = 0
+    n = len(props)
+    while pos + 2 <= n:
+        (ci,) = struct.unpack_from("<H", props, pos)
+        pos += 2
+        col = columns[ci]
+        t = col["type"]
+        if t in CT_FMT:
+            out[col["name"]] = struct.unpack_from(CT_FMT[t], props, pos)[0]
+            pos += CT_SIZES[t]
+        else:  # String / Json / DateTime / Binary: u32 len + bytes
+            (ln,) = struct.unpack_from("<I", props, pos)
+            pos += 4
+            raw = props[pos:pos + ln]
+            pos += ln
+            out[col["name"]] = raw if t == 14 else raw.decode("utf-8", "replace")
+    return out
+
+
+def read_flatgeobuf(
+    spark,
+    path: str,
+    bbox=None,
+    columns=None,
+    geometry_col: str = "geometry",
+):
+    """Read a FlatGeobuf file into a DataFrame (WKB geometry + properties).
+
+    ``bbox=(xmin,ymin,xmax,ymax)`` prunes features via the file's Hilbert
+    R-tree leaf boxes before any feature bytes are read."""
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    with open(path, "rb") as f:
+        if f.read(8)[:7] != MAGIC:
+            raise ValueError(f"{path} is not a FlatGeobuf file")
+        (hsize,) = struct.unpack("<I", f.read(4))
+        header = _parse_header(f.read(hsize))
+        fc = header["features_count"]
+        node_size = header["index_node_size"]
+        index_pos = 12 + hsize
+        has_index = node_size > 0 and fc > 0
+        isize = _index_size(fc, node_size) if has_index else 0
+        feat_base = index_pos + isize
+        if has_index:
+            leaves = _read_leaf_nodes(f, index_pos, fc, node_size)
+            offsets = [int(o) + feat_base for o in leaves["off"]]
+            if bbox is not None:
+                xmin, ymin, xmax, ymax = bbox
+                keep = ~(
+                    (leaves["maxx"] < xmin)
+                    | (leaves["minx"] > xmax)
+                    | (leaves["maxy"] < ymin)
+                    | (leaves["miny"] > ymax)
+                )
+                offsets = [int(o) + feat_base for o in leaves["off"][keep]]
+        else:
+            # no index: sequential size-prefix scan on the driver
+            offsets = []
+            pos = feat_base
+            f.seek(0, 2)
+            end = f.tell()
+            while pos < end and (fc == 0 or len(offsets) < fc):
+                offsets.append(pos)
+                f.seek(pos)
+                (sz,) = struct.unpack("<I", f.read(4))
+                pos += 4 + sz
+
+    cols_meta = header["columns"]
+    if columns is not None:
+        want = set(columns)
+    else:
+        want = {c["name"] for c in cols_meta}
+
+    def sp_type(t):
+        if t in (0, 1, 2):
+            return BooleanType() if t == 2 else LongType()
+        if t in (3, 4, 5, 6, 7, 8):
+            return LongType()
+        if t in (9, 10):
+            return DoubleType()
+        if t == 14:
+            return BinaryType()
+        return StringType()
+
+    out_fields = [
+        StructField(c["name"], sp_type(c["type"]))
+        for c in cols_meta
+        if c["name"] in want
+    ] + [StructField(geometry_col, BinaryType())]
+    out_schema = StructType(out_fields)
+    gtype_hint = header["geometry_type"]
+    has_z = header["has_z"]
+
+    ranges = spark.createDataFrame([(o,) for o in offsets], schema="off long")
+
+    def decode(batches):
+        fh = open(path, "rb")
+        for pdf in batches:
+            rows = []
+            for off in pdf["off"]:
+                fh.seek(int(off))
+                (sz,) = struct.unpack("<I", fh.read(4))
+                buf = fh.read(sz)
+                feat = _root(buf)
+                geom_t = feat.table(0)
+                geom = _geometry_to_geom(geom_t, gtype_hint, has_z) if geom_t else None
+                props = _decode_properties(feat.vector_bytes(1), cols_meta)
+                row = {name: props.get(name) for name in (f.name for f in out_fields[:-1])}
+                row[geometry_col] = wc.to_wkb(geom) if geom is not None else None
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    df = ranges.repartition(max(1, len(offsets) // 20000 + 1)).mapInPandas(
+        decode, schema=out_schema
+    )
+    if bbox is not None:
+        from pyspark.sql import functions as F
+
+        from ..functions.registry import bbox_intersects_expr
+
+        xmin, ymin, xmax, ymax = bbox
+        df = (
+            df.withColumn("__b", F.expr(f"ST_BBox({geometry_col})"))
+            .filter(bbox_intersects_expr("__b", xmin, ymin, xmax, ymax))
+            .drop("__b")
+        )
+    return df

@@ -45,6 +45,57 @@ def test_shapefile_roundtrip(spark, tmp_path):
     assert rows["line"]["score"] == 2.5
 
 
+FGB_DIR = "/root/reference/fixtures/flatgeobuf"
+
+
+def test_flatgeobuf_countries(spark):
+    from geoarrow_rs_spark.io import read_flatgeobuf
+
+    df = read_flatgeobuf(spark, f"{FGB_DIR}/countries.fgb")
+    assert df.columns == ["id", "name", "geometry"]
+    assert df.count() == 179
+    r = df.selectExpr(
+        "name", "ST_GeometryType(geometry) AS t", "ST_IsValid(geometry) AS v"
+    ).where("name = 'Brazil'").collect()[0]
+    assert r["t"] == "ST_MultiPolygon"
+    # bbox-pruned read: subset of the full read, matches brute-force filter
+    bbox = (0.0, 40.0, 20.0, 60.0)
+    pruned = read_flatgeobuf(spark, f"{FGB_DIR}/countries.fgb", bbox=bbox)
+    names_pruned = {x["name"] for x in pruned.select("name").collect()}
+    from geoarrow_rs_spark.functions.registry import bbox_intersects_expr
+    from pyspark.sql import functions as F
+
+    brute = (
+        df.withColumn("__b", F.expr("ST_BBox(geometry)"))
+        .filter(bbox_intersects_expr("__b", *bbox))
+    )
+    names_brute = {x["name"] for x in brute.select("name").collect()}
+    assert names_pruned == names_brute
+    assert "France" in names_pruned and "Brazil" not in names_pruned
+
+
+def test_flatgeobuf_column_projection(spark):
+    from geoarrow_rs_spark.io import read_flatgeobuf
+
+    df = read_flatgeobuf(spark, f"{FGB_DIR}/countries.fgb", columns=["name"])
+    assert df.columns == ["name", "geometry"]
+
+
+def test_flatgeobuf_lines_and_polys(spark):
+    from geoarrow_rs_spark.io import read_flatgeobuf
+
+    lines = read_flatgeobuf(spark, f"{FGB_DIR}/ns-water_water-line_small.fgb")
+    assert lines.count() > 0
+    t = lines.selectExpr("ST_GeometryType(geometry) AS t").distinct().collect()
+    assert all("LineString" in r["t"] for r in t)
+    total_len = lines.selectExpr("sum(ST_Length(geometry)) AS s").collect()[0]["s"]
+    assert total_len > 0
+    poly = read_flatgeobuf(spark, f"{FGB_DIR}/poly00.fgb")
+    assert poly.count() > 0
+    a = poly.selectExpr("sum(ST_Area(geometry)) AS a").collect()[0]["a"]
+    assert a > 0
+
+
 def test_arrow_ipc_roundtrip(spark, tmp_path):
     from geoarrow_rs_spark.io import read_arrow_ipc, write_arrow_ipc
 
