@@ -1,5 +1,5 @@
 from .arrow_ipc import read_arrow_ipc, write_arrow_ipc
-from .flatgeobuf import read_flatgeobuf
+from .flatgeobuf import read_flatgeobuf, write_flatgeobuf
 from .csv import read_csv_wkt, write_csv_wkt
 from .geojson import read_geojson_lines, write_geojson_lines
 from .geoparquet import read_geoparquet, write_geoparquet
@@ -14,6 +14,7 @@ __all__ = [
     "read_geojson_lines",
     "write_geojson_lines",
     "read_flatgeobuf",
+    "write_flatgeobuf",
     "read_shapefile",
     "write_shapefile",
     "read_arrow_ipc",

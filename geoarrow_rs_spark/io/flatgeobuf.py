@@ -217,6 +217,218 @@ def _decode_properties(props: bytes, columns):
     return out
 
 
+class _FBBuilder:
+    """Minimal flatbuffers builder (reverse-chunk construction; offsets are
+    measured as distances from the buffer END, so relative uoffsets are
+    position-independent: value = E_field - E_target)."""
+
+    def __init__(self):
+        self.chunks = []
+        self.total = 0
+
+    def _push(self, b: bytes):
+        self.chunks.append(b)
+        self.total += len(b)
+        return self.total  # end-distance of this chunk's start
+
+    def _align(self, a: int, extra: int = 0):
+        pad = (-(self.total + extra)) % a
+        if pad:
+            self._push(b"\x00" * pad)
+
+    def vector_f64(self, arr):
+        data = np.ascontiguousarray(arr, dtype="<f8").tobytes()
+        self._align(8, extra=len(data) + 4)
+        return self._push(struct.pack("<I", len(arr)) + data)
+
+    def vector_u32(self, arr):
+        data = np.ascontiguousarray(arr, dtype="<u4").tobytes()
+        self._align(4, extra=len(data) + 4)
+        return self._push(struct.pack("<I", len(arr)) + data)
+
+    def vector_bytes(self, b: bytes):
+        self._align(4, extra=len(b) + 4)
+        return self._push(struct.pack("<I", len(b)) + bytes(b))
+
+    def string(self, s: str):
+        b = s.encode("utf-8") + b"\x00"
+        self._align(4, extra=len(b) + 4)
+        return self._push(struct.pack("<I", len(b) - 1) + b)
+
+    def vector_offsets(self, offs):
+        """Vector of uoffsets to already-built elements (tables/strings)."""
+        self._align(4, extra=4 * len(offs) + 4)
+        # field i sits at end-distance E_vec_start - 4 - 4*i; value = E_field - E_target
+        n = len(offs)
+        total_after = self.total + 4 + 4 * n
+        parts = [struct.pack("<I", n)]
+        for i, et in enumerate(offs):
+            e_field = total_after - 4 - 4 * i
+            parts.append(struct.pack("<I", e_field - et))
+        return self._push(b"".join(parts))
+
+    def table(self, fields):
+        """fields: list of (field_id, kind, value); kind in
+        {'u8','u16','u64','bool','offset'}. Returns end-distance of table."""
+        fields = [f for f in fields if f is not None]
+        fields.sort(key=lambda t: t[0])
+        sizes = {"u8": 1, "bool": 1, "u16": 2, "u32": 4, "u64": 8, "offset": 4}
+        # lay out table body (after the 4-byte soffset), descending size for
+        # natural alignment
+        order = sorted(fields, key=lambda t: -sizes[t[1]])
+        layout = {}
+        pos = 4
+        for (fid, kind, val) in order:
+            sz = sizes[kind]
+            pos = (pos + sz - 1) // sz * sz
+            layout[fid] = (pos, kind, val)
+            pos += sz
+        table_size = pos
+        max_id = max(fid for fid, _k, _v in fields) if fields else -1
+        vt_size = 4 + 2 * (max_id + 1)
+        # build table bytes; offsets resolved against the table's final
+        # end-distance: E_table = total + table_size (we push table first)
+        self._align(8, extra=table_size)  # ensure decent alignment
+        e_table = self.total + table_size
+        body = bytearray(table_size)
+        struct.pack_into("<i", body, 0, vt_size)  # soffset: vtable right before
+        for fid, (p, kind, val) in layout.items():
+            if kind == "offset":
+                e_field = e_table - p
+                struct.pack_into("<I", body, p, e_field - val)
+            else:
+                fmt = {"u8": "<B", "bool": "<?", "u16": "<H", "u32": "<I", "u64": "<Q"}[kind]
+                struct.pack_into(fmt, body, p, val)
+        self._push(bytes(body))
+        vt = bytearray(vt_size)
+        struct.pack_into("<HH", vt, 0, vt_size, table_size)
+        for fid, (p, _k, _v) in layout.items():
+            struct.pack_into("<H", vt, 4 + 2 * fid, p)
+        self._push(bytes(vt))
+        return e_table
+
+    def finish(self, root_table_e):
+        self._align(4, extra=4)
+        e_field = self.total + 4
+        self._push(struct.pack("<I", e_field - root_table_e))
+        return b"".join(reversed(self.chunks))
+
+
+def _encode_geometry_fb(b: _FBBuilder, g, top=True):
+    """Build a Geometry table for Geom g; returns its end-distance."""
+    k = g.kind
+    if k == wc.MULTIPOLYGON:
+        parts = [
+            _encode_geometry_fb(b, wc.Geom(wc.POLYGON, rings), top=False)
+            for rings in g.data
+        ]
+        vec = b.vector_offsets(parts)
+        return b.table([(6, "u8", GT_MULTIPOLYGON), (7, "offset", vec)])
+    if k == wc.GEOMETRYCOLLECTION:
+        parts = [_encode_geometry_fb(b, sub, top=False) for sub in g.data]
+        vec = b.vector_offsets(parts)
+        return b.table([(6, "u8", GT_GEOMETRYCOLLECTION), (7, "offset", vec)])
+    fields = []
+    if k == wc.POINT:
+        xy = np.asarray(g.data[:2]).reshape(1, 2)
+        gt = GT_POINT
+        fields.append((1, "offset", b.vector_f64(xy.ravel())))
+    elif k == wc.MULTIPOINT:
+        gt = GT_MULTIPOINT
+        fields.append((1, "offset", b.vector_f64(np.asarray(g.data[:, :2]).ravel())))
+    elif k == wc.LINESTRING:
+        gt = GT_LINESTRING
+        fields.append((1, "offset", b.vector_f64(np.asarray(g.data[:, :2]).ravel())))
+    elif k in (wc.POLYGON, wc.MULTILINESTRING):
+        gt = GT_POLYGON if k == wc.POLYGON else GT_MULTILINESTRING
+        rings = [np.asarray(r[:, :2]) for r in g.data]
+        coords = np.vstack(rings) if rings else np.zeros((0, 2))
+        ends = np.cumsum([len(r) for r in rings]).astype("u4")
+        if len(rings) > 1:
+            fields.append((0, "offset", b.vector_u32(ends)))
+        fields.append((1, "offset", b.vector_f64(coords.ravel())))
+    else:
+        raise ValueError(f"cannot encode {g.type_name} to FlatGeobuf")
+    fields.append((6, "u8", gt))
+    return b.table(fields)
+
+
+_CT_BY_SPARK = {
+    "long": 7, "integer": 5, "short": 3, "byte": 0, "boolean": 2,
+    "double": 10, "float": 9, "string": 11, "binary": 14,
+}
+
+
+def write_flatgeobuf(df, path: str, geometry_col: str = "geometry", name: str = "layer"):
+    """Driver-side FlatGeobuf writer (no spatial index; index_node_size=0).
+    Property columns are encoded per the FGB packed-properties spec."""
+    schema_fields = [f for f in df.schema.fields if f.name != geometry_col]
+    col_types = []
+    for f in schema_fields:
+        t = _CT_BY_SPARK.get(f.dataType.typeName())
+        if t is None:
+            t = 11  # stringify unknown types
+        col_types.append((f.name, t))
+
+    rows = df.collect()
+    geoms = [wc.from_wkb(r[geometry_col]) if r[geometry_col] is not None else None for r in rows]
+    gts = {g.kind for g in geoms if g is not None and not g.is_empty()}
+    gtype = {
+        frozenset([wc.POINT]): GT_POINT,
+        frozenset([wc.LINESTRING]): GT_LINESTRING,
+        frozenset([wc.POLYGON]): GT_POLYGON,
+        frozenset([wc.MULTIPOINT]): GT_MULTIPOINT,
+        frozenset([wc.MULTILINESTRING]): GT_MULTILINESTRING,
+        frozenset([wc.MULTIPOLYGON]): GT_MULTIPOLYGON,
+    }.get(frozenset(gts), GT_UNKNOWN)
+
+    # header
+    hb = _FBBuilder()
+    col_offs = []
+    for (cname, ctype) in col_types:
+        s = hb.string(cname)
+        col_offs.append(hb.table([(0, "offset", s), (1, "u8", ctype)]))
+    cols_vec = hb.vector_offsets(col_offs) if col_offs else None
+    name_off = hb.string(name)
+    header_fields = [
+        (0, "offset", name_off),
+        (2, "u8", gtype),
+        (8, "u64", len(rows)),
+        (9, "u16", 0),  # no index
+    ]
+    if cols_vec is not None:
+        header_fields.append((7, "offset", cols_vec))
+    header = hb.finish(hb.table(header_fields))
+
+    with open(path, "wb") as f:
+        f.write(MAGIC + b"\x00")
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        for r, g in zip(rows, geoms):
+            fb = _FBBuilder()
+            props = bytearray()
+            for ci, (cname, ctype) in enumerate(col_types):
+                v = r[cname]
+                if v is None:
+                    continue
+                props += struct.pack("<H", ci)
+                if ctype in CT_FMT:
+                    props += struct.pack(CT_FMT[ctype], v)
+                elif ctype == 14:
+                    props += struct.pack("<I", len(v)) + bytes(v)
+                else:
+                    enc = str(v).encode("utf-8")
+                    props += struct.pack("<I", len(enc)) + enc
+            fields = []
+            if g is not None and not g.is_empty():
+                fields.append((0, "offset", _encode_geometry_fb(fb, g)))
+            if props:
+                fields.append((1, "offset", fb.vector_bytes(bytes(props))))
+            buf = fb.finish(fb.table(fields))
+            f.write(struct.pack("<I", len(buf)))
+            f.write(buf)
+
+
 def read_flatgeobuf(
     spark,
     path: str,

@@ -576,6 +576,47 @@ FROM (
 """
 
 
+def geo_relate_matrix(spark, sf_dir):
+    """DE-9IM relate strings between box A=(0,0,s,s) and fixed box
+    B=(3,3,43,43); the matrix depends only on the size class of s."""
+    p = _t(spark, sf_dir, "part")
+    a = "ST_MakeEnvelope(0.0, 0.0, CAST(p_size AS DOUBLE), CAST(p_size AS DOUBLE))"
+    b = "ST_MakeEnvelope(3.0, 3.0, 43.0, 43.0)"
+    return (
+        p.selectExpr("p_partkey", f"ST_Relate({a}, {b}) AS de9im")
+    )
+
+
+ORACLE_GEO_RELATE = """
+SELECT p_partkey,
+       CASE WHEN p_size < 3 THEN 'FF2FF1212'
+            WHEN p_size = 3 THEN 'FF2F01212'
+            WHEN p_size < 43 THEN '212101212'
+            WHEN p_size = 43 THEN '212F11FF2'
+            ELSE '212FF1FF2' END AS de9im
+FROM part
+"""
+
+
+def geo_buffer_line(spark, sf_dir):
+    """Line-capsule buffer area: 2*r*L + (regular-polygon circle area).
+    With quadsegs=8 the caps sum to a full inscribed 32-gon."""
+    s = _t(spark, sf_dir, "supplier")
+    ln = "ST_MakeLine(ST_Point(0.0, 0.0), ST_Point(CAST(s_suppkey % 50 + 10 AS DOUBLE), 0.0))"
+    return s.selectExpr(
+        "s_suppkey",
+        f"round(ST_Area(ST_Buffer({ln}, 2.0, 8)), 3) AS buf_area",
+    )
+
+
+ORACLE_GEO_BUFFER_LINE = """
+SELECT s_suppkey,
+       round(2.0 * 2.0 * CAST(s_suppkey % 50 + 10 AS DOUBLE)
+             + 0.5 * 32.0 * 4.0 * sin(2.0 * pi() / 32.0), 3) AS buf_area
+FROM supplier
+"""
+
+
 def text_ngram_jaccard_vs_ref(spark, sf_dir):
     from .datapipe.dedup import ngram_jaccard
 
@@ -1003,6 +1044,8 @@ QUERIES = {
     "geo_dump_explode": (geo_dump_explode, ORACLE_GEO_DUMP),
     "geo_geojson_roundtrip": (geo_geojson_roundtrip, ORACLE_GEO_GEOJSON),
     "geo_overlay_areas": (geo_overlay_areas, ORACLE_GEO_OVERLAY),
+    "geo_relate_matrix": (geo_relate_matrix, ORACLE_GEO_RELATE),
+    "geo_buffer_line": (geo_buffer_line, ORACLE_GEO_BUFFER_LINE),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),

@@ -96,6 +96,51 @@ def test_flatgeobuf_lines_and_polys(spark):
     assert a > 0
 
 
+def test_flatgeobuf_write_roundtrip(spark, tmp_path):
+    from geoarrow_rs_spark.io import read_flatgeobuf, write_flatgeobuf
+
+    df = spark.createDataFrame(
+        [
+            Row(name="pt", score=1.5, n=7, wkt="POINT (3 4)"),
+            Row(name="line", score=2.5, n=8, wkt="LINESTRING (0 0, 5 0, 5 5)"),
+            Row(name="poly", score=3.5, n=9,
+                wkt="POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"),
+            Row(name="mpoly", score=4.5, n=10,
+                wkt="MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))"),
+        ]
+    ).selectExpr("name", "score", "CAST(n AS LONG) AS n", "ST_GeomFromWKT(wkt) AS geometry")
+    p = os.path.join(str(tmp_path), "rt.fgb")
+    write_flatgeobuf(df, p)
+    back = read_flatgeobuf(spark, p)
+    rows = {r["name"]: r for r in back.selectExpr(
+        "name", "score", "n",
+        "ST_GeometryType(geometry) AS t", "ST_Area(geometry) AS a",
+        "ST_Length(geometry) AS l").collect()}
+    assert len(rows) == 4
+    assert rows["pt"]["t"] == "ST_Point" and rows["pt"]["score"] == 1.5
+    assert rows["line"]["l"] == 10.0 and rows["line"]["n"] == 8
+    assert rows["poly"]["a"] == 96.0
+    assert rows["mpoly"]["a"] == 8.0 and rows["mpoly"]["t"] == "ST_MultiPolygon"
+
+
+def test_flatgeobuf_rewrite_countries(spark, tmp_path):
+    """Read the reference fixture, write with our writer, read back — full
+    fidelity on 179 real multipolygons."""
+    from geoarrow_rs_spark.io import read_flatgeobuf, write_flatgeobuf
+
+    orig = read_flatgeobuf(spark, f"{FGB_DIR}/countries.fgb")
+    p = os.path.join(str(tmp_path), "countries2.fgb")
+    write_flatgeobuf(orig, p)
+    back = read_flatgeobuf(spark, p)
+    assert back.count() == 179
+    a1 = orig.selectExpr("round(sum(ST_Area(geometry)), 6) AS a").collect()[0]["a"]
+    a2 = back.selectExpr("round(sum(ST_Area(geometry)), 6) AS a").collect()[0]["a"]
+    assert a1 == a2
+    n1 = {r["name"] for r in orig.select("name").collect()}
+    n2 = {r["name"] for r in back.select("name").collect()}
+    assert n1 == n2
+
+
 def test_arrow_ipc_roundtrip(spark, tmp_path):
     from geoarrow_rs_spark.io import read_arrow_ipc, write_arrow_ipc
 
