@@ -351,6 +351,103 @@ def k_dump(s):
     return pd.Series(out, dtype=object)
 
 
+def k_geometry_n(s, idx):
+    """1-based part accessor (PostGIS ST_GeometryN semantics)."""
+    n = len(s)
+    ii = list(idx) if hasattr(idx, "__iter__") else [idx] * n
+    out = []
+    for g, i in zip(geoms_of(s), ii):
+        if g is None or i is None:
+            out.append(None)
+            continue
+        parts = list(wc.iter_parts(g))
+        i = int(i)
+        out.append(to_wkb(parts[i - 1]) if 1 <= i <= len(parts) else None)
+    return pd.Series(out, dtype=object)
+
+
+def k_collection_extract(s, kind):
+    """Extract parts of the requested dimension family (1=points, 2=lines,
+    3=polygons) as a Multi* geometry (PostGIS ST_CollectionExtract)."""
+    n = len(s)
+    kk = list(kind) if hasattr(kind, "__iter__") else [kind] * n
+    out = []
+    for g, want in zip(geoms_of(s), kk):
+        if g is None or want is None:
+            out.append(None)
+            continue
+        want = int(want)
+        target = {1: wc.POINT, 2: wc.LINESTRING, 3: wc.POLYGON}[want]
+        parts = [p for p in wc.iter_parts(g) if p.kind == target and not p.is_empty()]
+        if not parts:
+            out.append(to_wkb(wc.empty({1: wc.MULTIPOINT, 2: wc.MULTILINESTRING, 3: wc.MULTIPOLYGON}[want])))
+        elif target == wc.POINT:
+            out.append(to_wkb(wc.multipoint(np.vstack([p.data[:2] for p in parts]))))
+        elif target == wc.LINESTRING:
+            out.append(to_wkb(wc.Geom(wc.MULTILINESTRING, [p.data for p in parts])))
+        else:
+            out.append(to_wkb(wc.Geom(wc.MULTIPOLYGON, [p.data for p in parts])))
+    return pd.Series(out, dtype=object)
+
+
+def k_cast_single(s):
+    """Fallible Multi->single downcast: single-part multis collapse to their
+    part; multi-part inputs pass through (the fallible side of the cast
+    matrix, /root/reference/rust/geoarrow-cast/src/cast.rs:56-82)."""
+    out = []
+    for g in geoms_of(s):
+        if g is None:
+            out.append(None)
+            continue
+        parts = list(wc.iter_parts(g))
+        out.append(to_wkb(parts[0]) if len(parts) == 1 else to_wkb(g))
+    return pd.Series(out, dtype=object)
+
+
+def k_start_point(s):
+    out = []
+    for g in geoms_of(s):
+        if g is None or g.kind != wc.LINESTRING or len(g.data) == 0:
+            out.append(None)
+        else:
+            out.append(to_wkb(wc.point(float(g.data[0, 0]), float(g.data[0, 1]))))
+    return pd.Series(out, dtype=object)
+
+
+def k_end_point(s):
+    out = []
+    for g in geoms_of(s):
+        if g is None or g.kind != wc.LINESTRING or len(g.data) == 0:
+            out.append(None)
+        else:
+            out.append(to_wkb(wc.point(float(g.data[-1, 0]), float(g.data[-1, 1]))))
+    return pd.Series(out, dtype=object)
+
+
+def k_exterior_ring(s):
+    out = []
+    for g in geoms_of(s):
+        if g is None or g.kind != wc.POLYGON or not g.data:
+            out.append(None)
+        else:
+            out.append(to_wkb(wc.Geom(wc.LINESTRING, g.data[0])))
+    return pd.Series(out, dtype=object)
+
+
+def k_boundary(s):
+    """Topological boundary (polygon->rings, line->endpoints)."""
+    from ..wkb.relate import _boundary
+
+    out = []
+    for g in geoms_of(s):
+        if g is None:
+            out.append(None)
+            continue
+        b = _boundary(g).as_geom()
+        out.append(to_wkb(b) if b is not None else to_wkb(wc.empty(wc.GEOMETRYCOLLECTION)))
+    return pd.Series(out, dtype=object)
+
+
 def k_geom_from_wkt(s):
     out = []
     for v in s:

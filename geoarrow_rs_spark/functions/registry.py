@@ -61,6 +61,13 @@ _SCALAR_UDFS = {
     "ST_AsGeoJSON": (K.k_as_geojson, StringType()),
     "ST_GeomFromGeoJSON": (K.k_geom_from_geojson, BinaryType()),
     "ST_Multi": (K.k_multi, BinaryType()),
+    "ST_GeometryN": (K.k_geometry_n, BinaryType()),
+    "ST_CollectionExtract": (K.k_collection_extract, BinaryType()),
+    "ST_CastToSingle": (K.k_cast_single, BinaryType()),
+    "ST_StartPoint": (K.k_start_point, BinaryType()),
+    "ST_EndPoint": (K.k_end_point, BinaryType()),
+    "ST_ExteriorRing": (K.k_exterior_ring, BinaryType()),
+    "ST_Boundary": (K.k_boundary, BinaryType()),
     "ST_Dump": (K.k_dump, ArrayType(BinaryType())),
     "ST_SetSRID": (K.k_set_srid, BinaryType()),
     "ST_SRID": (K.k_srid, IntegerType()),

@@ -37,6 +37,54 @@ def read_geojson_lines(
     return raw.select(*cols, geom)
 
 
+def read_geojson(
+    spark: SparkSession, path: str, geometry_col: str = "geometry"
+) -> DataFrame:
+    """Whole-file GeoJSON FeatureCollection read (mirrors read_geojson,
+    /root/reference/rust/geoarrow-old/src/io/geojson). Files parallelize
+    one-per-task; features flatten inside mapInPandas, then the same
+    GeoJSON-string -> WKB path as the lines reader."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    raw = spark.read.text(path, wholetext=True)
+    mid_schema = StructType(
+        [StructField("__geom_json", StringType()), StructField("__props_json", StringType())]
+    )
+
+    def flatten(batches):
+        for pdf in batches:
+            rows = []
+            for doc in pdf["value"]:
+                obj = json.loads(doc)
+                feats = obj["features"] if obj.get("type") == "FeatureCollection" else [obj]
+                for ft in feats:
+                    rows.append(
+                        {
+                            "__geom_json": json.dumps(ft.get("geometry"), separators=(",", ":")),
+                            "__props_json": json.dumps(ft.get("properties") or {}, separators=(",", ":")),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["__geom_json", "__props_json"])
+
+    flat = raw.mapInPandas(flatten, schema=mid_schema)
+    # infer property schema from a sample
+    sample = flat.select("__props_json").limit(200)
+    props_df = spark.read.json(sample.rdd.map(lambda r: r["__props_json"])) if sample.count() else None
+    cols = []
+    if props_df is not None and props_df.columns and props_df.columns != ["_corrupt_record"]:
+        for f in props_df.schema.fields:
+            cols.append(
+                F.get_json_object(F.col("__props_json"), f"$.{f.name}")
+                .cast(f.dataType)
+                .alias(f.name)
+            )
+    geom = F.expr("ST_GeomFromGeoJSON(__geom_json)").alias(geometry_col)
+    return flat.select(*cols, geom)
+
+
 def write_geojson_lines(
     df: DataFrame,
     path: str,

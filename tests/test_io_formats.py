@@ -141,6 +141,37 @@ def test_flatgeobuf_rewrite_countries(spark, tmp_path):
     assert n1 == n2
 
 
+def test_geojson_wholefile_roads(spark):
+    from geoarrow_rs_spark.io import read_geojson
+
+    df = read_geojson(spark, "/root/reference/fixtures/roads.geojson")
+    n = df.count()
+    assert n > 0
+    t = df.selectExpr("ST_GeometryType(geometry) AS t").distinct().collect()
+    assert {r["t"] for r in t} == {"ST_LineString"}
+    assert df.selectExpr("sum(ST_NPoints(geometry)) AS s").collect()[0]["s"] > n
+
+
+def test_accessor_functions(spark):
+    df = spark.createDataFrame(
+        [Row(wkt="MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 9 5, 9 9, 5 9, 5 5)))")]
+    ).selectExpr("ST_GeomFromWKT(wkt) AS g")
+    r = df.selectExpr(
+        "ST_Area(ST_GeometryN(g, 2)) AS a2",
+        "ST_GeometryType(ST_CollectionExtract(g, 3)) AS ce",
+        "ST_GeometryType(ST_CastToSingle(ST_Multi(ST_Point(1.0, 2.0)))) AS single",
+        "ST_X(ST_StartPoint(ST_GeomFromWKT('LINESTRING (7 0, 8 1)'))) AS sx",
+        "ST_X(ST_EndPoint(ST_GeomFromWKT('LINESTRING (7 0, 8 1)'))) AS ex",
+        "ST_Length(ST_ExteriorRing(ST_GeomFromWKT('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS rl",
+        "ST_Length(ST_Boundary(ST_GeomFromWKT('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS bl",
+    ).collect()[0]
+    assert r["a2"] == 16.0
+    assert r["ce"] == "ST_MultiPolygon"
+    assert r["single"] == "ST_Point"
+    assert r["sx"] == 7.0 and r["ex"] == 8.0
+    assert r["rl"] == 16.0 and r["bl"] == 16.0
+
+
 def test_arrow_ipc_roundtrip(spark, tmp_path):
     from geoarrow_rs_spark.io import read_arrow_ipc, write_arrow_ipc
 
