@@ -1,0 +1,106 @@
+"""Physical-plan shape assertions: pushdown, broadcast, equi-join (not
+cartesian), codegen — the scale properties that make these operators viable
+at 100 TB, checked explicitly."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_is_pure_codegen(spark):
+    from geoarrow_rs_spark.queries import QUERIES
+
+    df = QUERIES["q1_pricing_summary"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+    # filter reaches the parquet scan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "l_shipdate" in optimized
+
+
+def test_q5_broadcasts_dims(spark):
+    from geoarrow_rs_spark.queries import QUERIES
+
+    df = QUERIES["q5_local_supplier_volume"][0](spark, "/root/testdata/sf0.001")
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_parquet_filter_pushdown(spark, tmp_path):
+    from geoarrow_rs_spark.io import read_geoparquet, write_geoparquet
+
+    df = spark.createDataFrame(
+        [Row(id=i, x=float(i), y=float(i)) for i in range(100)]
+    ).selectExpr("id", "ST_Point(x, y) AS geometry")
+    path = os.path.join(str(tmp_path), "pp")
+    write_geoparquet(df, path, "geometry")
+    filt = read_geoparquet(spark, path, bbox=(0, 0, 10, 10))
+    plan = _plan(filt)
+    # bbox predicate compiled to native comparisons pushed into the scan
+    assert "PushedFilters" in plan
+    assert "xmin" in plan.split("PushedFilters")[1][:400]
+    assert "ArrowEvalPython" not in plan
+
+
+def test_grid_spatial_join_is_equi_join(spark):
+    from geoarrow_rs_spark.join import spatial_join
+
+    pts = spark.createDataFrame([Row(pid=i, x=float(i), y=float(i)) for i in range(20)]
+                                ).selectExpr("pid", "ST_Point(x, y) AS geometry")
+    boxes = spark.createDataFrame([Row(bid=1, x0=0.0, y0=0.0, x1=5.0, y1=5.0)]
+                                  ).selectExpr("bid", "ST_MakeEnvelope(x0, y0, x1, y1) AS box_geom")
+    out = spatial_join(pts, boxes, "geometry", "box_geom", strategy="grid", cell_size=2.0)
+    plan = _plan(out)
+    # the join key is the grid cell -> hash-partitioned equi join, never a
+    # cartesian/nested-loop product
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_broadcast_spatial_join_strategy(spark):
+    from geoarrow_rs_spark.join import spatial_join
+
+    pts = spark.createDataFrame([Row(pid=i, x=float(i), y=float(i)) for i in range(20)]
+                                ).selectExpr("pid", "ST_Point(x, y) AS geometry")
+    boxes = spark.createDataFrame([Row(bid=1, x0=0.0, y0=0.0, x1=5.0, y1=5.0)]
+                                  ).selectExpr("bid", "ST_MakeEnvelope(x0, y0, x1, y1) AS box_geom")
+    out = spatial_join(pts, boxes, "geometry", "box_geom", strategy="broadcast")
+    plan = _plan(out)
+    assert "Broadcast" in plan
+
+
+def test_text_ops_stay_native(spark, sf_dir):
+    from geoarrow_rs_spark.datapipe import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select(
+        text.token_count("text").alias("t"),
+        text.quality_score("text").alias("q"),
+        text.lang_id("text").alias("l"),
+        text.fingerprint("text").alias("f"),
+    )
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_minhash_stays_native(spark, sf_dir):
+    from geoarrow_rs_spark.datapipe.dedup import minhash_signature
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select(minhash_signature("text").alias("sig"))
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_column_pruning_through_st_function(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = c.selectExpr("ST_Point(c_acctbal, 1.0) AS p").selectExpr("ST_X(p) AS x")
+    plan = _plan(out)
+    # only the needed column is read from parquet
+    assert "c_acctbal" in plan
+    assert "c_name" not in plan.split("ReadSchema")[-1]
