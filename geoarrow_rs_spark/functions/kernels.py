@@ -448,6 +448,55 @@ def k_boundary(s):
     return pd.Series(out, dtype=object)
 
 
+def _native_coord(v):
+    """Leaf coordinate: struct {'x':..,'y':..[,'z']} (separated) or a plain
+    sequence (interleaved fixed-size-list)."""
+    if isinstance(v, dict):
+        c = [v["x"], v["y"]]
+        if "z" in v and v["z"] is not None:
+            c.append(v["z"])
+        return c
+    return list(v)
+
+
+def _native_ring(seq):
+    return np.asarray([_native_coord(p) for p in seq], dtype=np.float64)
+
+
+def k_from_native(s, enc):
+    """Native GeoArrow nested-layout column -> WKB. ``enc`` is the GeoParquet
+    encoding name (point/linestring/polygon/multipoint/multilinestring/
+    multipolygon), /root/reference/rust/geoparquet/src/reader/parse.rs:30."""
+    n = len(s)
+    encs = list(enc) if hasattr(enc, "__iter__") and not isinstance(enc, str) else [enc] * n
+    out = []
+    for v, e in zip(s, encs):
+        if v is None:
+            out.append(None)
+            continue
+        e = str(e).lower()
+        if e == "point":
+            c = _native_coord(v)
+            g = wc.point(*c[:4])
+        elif e == "multipoint":
+            g = wc.multipoint(_native_ring(v))
+        elif e == "linestring":
+            g = wc.Geom(wc.LINESTRING, _native_ring(v))
+        elif e == "multilinestring":
+            g = wc.Geom(wc.MULTILINESTRING, [_native_ring(l) for l in v])
+        elif e == "polygon":
+            g = wc.Geom(wc.POLYGON, [_native_ring(r) for r in v])
+        elif e == "multipolygon":
+            g = wc.Geom(
+                wc.MULTIPOLYGON, [[_native_ring(r) for r in rings] for rings in v]
+            )
+        else:
+            out.append(None)
+            continue
+        out.append(to_wkb(g))
+    return pd.Series(out, dtype=object)
+
+
 def k_geom_from_wkt(s):
     out = []
     for v in s:

@@ -124,6 +124,42 @@ def read_geo_metadata(path: str):
     return None
 
 
+_ENC_DEPTH = {
+    "point": 0,
+    "multipoint": 1,
+    "linestring": 1,
+    "polygon": 2,
+    "multilinestring": 2,
+    "multipolygon": 3,
+}
+
+
+def _native_coords_to_arrays(df, gcol, enc):
+    """Rewrite struct<x,y[,z]> coordinate leaves to array<double> natively
+    (separated-coord GeoArrow layout; interleaved is already arrays)."""
+    depth = _ENC_DEPTH[str(enc).lower()]
+    # find leaf element type
+    dt = df.schema[gcol].dataType
+    for _ in range(depth):
+        dt = dt.elementType
+    if dt.typeName() != "struct":
+        return F.col(gcol)  # interleaved: already arrays of double
+    fields = [f.name for f in dt.fields]
+
+    def leaf(c):
+        return F.array(*[c[f] for f in fields])
+
+    def wrap(prev):
+        # single-parameter lambda: pyspark treats 2-arg callables (including
+        # ones with defaults) as (element, index)
+        return lambda c: F.transform(c, prev)
+
+    fn = leaf
+    for _ in range(depth):
+        fn = wrap(fn)
+    return fn(F.col(gcol))
+
+
 def read_geoparquet(
     spark: SparkSession,
     path: str,
@@ -145,10 +181,16 @@ def read_geoparquet(
         cov = col_meta.get("covering", {}).get("bbox")
         if cov:
             covering = cov["xmin"][0]
-        if col_meta.get("encoding", "WKB") != "WKB" and parse_to_native:
-            raise NotImplementedError(
-                "native (non-WKB) GeoParquet encodings are not supported yet; "
-                "re-encode with encoding='WKB'"
+        enc = col_meta.get("encoding", "WKB")
+        if enc != "WKB":
+            # native GeoArrow nested layout -> canonical WKB (the reference's
+            # parse_record_batch path, reader/parse.rs:132-160, inverted: our
+            # canonical form is WKB). Struct coords are flattened to plain
+            # double arrays NATIVELY first — deeply nested structs break the
+            # Arrow->pandas conversion inside pandas UDFs.
+            df = df.withColumn(gcol, _native_coords_to_arrays(df, gcol, enc))
+            df = df.withColumn(
+                gcol, F.call_udf("ST_GeomFromNative", F.col(gcol), F.lit(enc))
             )
     gcol = gcol or ("geometry" if "geometry" in df.columns else None)
 

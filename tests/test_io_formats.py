@@ -141,6 +141,44 @@ def test_flatgeobuf_rewrite_countries(spark, tmp_path):
     assert n1 == n2
 
 
+GP_DIR = "/root/reference/fixtures/geoparquet"
+
+
+def test_geoparquet_reference_fixtures_all_encodings(spark):
+    """nybb in WKB / WKB+covering / native-multipolygon encodings must yield
+    identical geometry (round(area) match across encodings)."""
+    from geoarrow_rs_spark.io import read_geoparquet
+
+    sums = {}
+    for f in ("nybb_wkb.parquet", "nybb_wkb_covering.parquet", "nybb_geoarrow.parquet"):
+        df = read_geoparquet(spark, f"{GP_DIR}/{f}")
+        assert df.count() == 5
+        sums[f] = df.selectExpr("round(sum(ST_Area(geometry)), 3) AS a").collect()[0]["a"]
+    assert len(set(sums.values())) == 1, sums
+    names = {
+        r["BoroName"]
+        for r in read_geoparquet(spark, f"{GP_DIR}/nybb_wkb.parquet")
+        .select("BoroName")
+        .collect()
+    }
+    assert "Brooklyn" in names and "Manhattan" in names
+
+
+def test_geoparquet_overture_real_world(spark):
+    from geoarrow_rs_spark.io import read_geoparquet
+
+    df = read_geoparquet(spark, f"{GP_DIR}/overture_buildings.parquet")
+    n = df.count()
+    assert n > 0
+    kinds = {
+        r["t"]
+        for r in df.selectExpr("ST_GeometryType(geometry) AS t").distinct().collect()
+    }
+    assert kinds <= {"ST_Polygon", "ST_MultiPolygon"}
+    valid = df.selectExpr("sum(CAST(ST_IsValid(geometry) AS INT)) AS v").collect()[0]["v"]
+    assert valid >= n * 0.95
+
+
 def test_geojson_wholefile_roads(spark):
     from geoarrow_rs_spark.io import read_geojson
 
