@@ -17,6 +17,20 @@ def token_count(text) -> Column:
     return F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to avoid lookaheads
+# so it behaves identically in Java regex (Spark) and RE2 (DuckDB oracles)):
+# contractions | letter runs (w/ leading space) | digit runs | symbol runs
+BPE_PATTERN = r"'[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(text) -> Column:
+    """BPE-style pre-token count (the unit a GPT-2-like tokenizer would
+    split further into subwords); whitespace runs excluded."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.regexp_extract_all(t, F.lit(BPE_PATTERN), 0)
+    return F.size(F.filter(toks, lambda x: F.trim(x) != F.lit("")))
+
+
 def char_ngrams(text, n: int = 8, max_chars: int = 128) -> Column:
     """Array of character n-grams over the first max_chars chars (native)."""
     t = F.col(text) if isinstance(text, str) else text

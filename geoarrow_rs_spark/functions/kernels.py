@@ -733,6 +733,57 @@ def k_distance(s1, s2):
     )
 
 
+def k_length_spheroid(s):
+    return _f64([
+        alg.vincenty_length(g) if g is not None else np.nan for g in geoms_of(s)
+    ])
+
+
+def k_distance_spheroid(s1, s2):
+    out = []
+    for a, b in zip(geoms_of(s1), geoms_of(s2)):
+        if a is None or b is None or a.is_empty() or b.is_empty():
+            out.append(np.nan)
+        else:
+            ca, cb = alg.centroid(a), alg.centroid(b)
+            out.append(
+                alg.vincenty_distance(
+                    float(ca.data[0]), float(ca.data[1]),
+                    float(cb.data[0]), float(cb.data[1]),
+                )
+            )
+    return _f64(out)
+
+
+k_concave_hull = _param_geom_kernel(lambda g, k: alg.concave_hull(g, int(k)))
+
+
+def k_line_from_arrays(xs, ys):
+    out = []
+    for x, y in zip(xs, ys):
+        if x is None or y is None or len(x) != len(y):
+            out.append(None)
+        else:
+            out.append(
+                to_wkb(wc.linestring(np.column_stack([np.asarray(x), np.asarray(y)])))
+            )
+    return pd.Series(out, dtype=object)
+
+
+def k_make_polygon(s):
+    """Closed linestring -> polygon shell (PostGIS ST_MakePolygon)."""
+    out = []
+    for g in geoms_of(s):
+        if g is None or g.kind != wc.LINESTRING or len(g.data) < 4:
+            out.append(None)
+            continue
+        ring = np.asarray(g.data)
+        if not np.allclose(ring[0, :2], ring[-1, :2]):
+            ring = np.vstack([ring, ring[:1]])
+        out.append(to_wkb(wc.Geom(wc.POLYGON, [ring], g.has_z, g.has_m)))
+    return pd.Series(out, dtype=object)
+
+
 def k_distance_sphere(s1, s2):
     out = []
     for a, b in zip(geoms_of(s1), geoms_of(s2)):

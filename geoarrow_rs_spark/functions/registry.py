@@ -99,6 +99,11 @@ _SCALAR_UDFS = {
     "ST_AreaSpherical": (K.k_area_spherical, DoubleType()),
     "ST_Length": (K.k_length, DoubleType()),
     "ST_LengthSphere": (K.k_length_spherical, DoubleType()),
+    "ST_LengthSpheroid": (K.k_length_spheroid, DoubleType()),
+    "ST_DistanceSpheroid": (K.k_distance_spheroid, DoubleType()),
+    "ST_ConcaveHull": (K.k_concave_hull, BinaryType()),
+    "ST_LineFromArrays": (K.k_line_from_arrays, BinaryType()),
+    "ST_MakePolygon": (K.k_make_polygon, BinaryType()),
     "ST_Perimeter": (K.k_perimeter, DoubleType()),
     # derived geometries
     "ST_Centroid": (K.k_centroid, BinaryType()),

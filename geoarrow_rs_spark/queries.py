@@ -818,6 +818,21 @@ FROM (
 """
 
 
+def text_bpe_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.bpe_token_count("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
+_BPE_SQL = text.BPE_PATTERN.replace("'", "''")
+ORACLE_TEXT_BPE = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_SQL}'), x -> trim(x) <> '')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def text_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text.fingerprint("text", n=8, max_chars=64).alias("fp"))
@@ -1054,6 +1069,7 @@ QUERIES = {
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (text_langid, ORACLE_TEXT_LANGID),
     "text_fingerprint": (text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    "text_bpe_tokens": (text_bpe_tokens, ORACLE_TEXT_BPE),
     "sim_embedding_stats": (sim_embedding_stats, ORACLE_SIM_STATS),
     "sim_cosine_topk": (sim_cosine_topk, ORACLE_SIM_TOPK),
     "text_ngram_jaccard_vs_ref": (text_ngram_jaccard_vs_ref, ORACLE_NGRAM_JACCARD),

@@ -815,6 +815,139 @@ def haversine_distance(x1, y1, x2, y2, radius=EARTH_RADIUS_M):
     return 2 * radius * math.asin(min(1.0, math.sqrt(a)))
 
 
+def vincenty_distance(lon1, lat1, lon2, lat2, a=WGS84_A, f=WGS84_F, tol=1e-12, max_iter=200):
+    """Vincenty inverse on the WGS84 ellipsoid (meters). Public formula
+    (Vincenty 1975); mirrors vincenty_length.rs:16 semantics."""
+    if lon1 == lon2 and lat1 == lat2:
+        return 0.0
+    b = a * (1 - f)
+    L = math.radians(lon2 - lon1)
+    U1 = math.atan((1 - f) * math.tan(math.radians(lat1)))
+    U2 = math.atan((1 - f) * math.tan(math.radians(lat2)))
+    sinU1, cosU1 = math.sin(U1), math.cos(U1)
+    sinU2, cosU2 = math.sin(U2), math.cos(U2)
+    lam = L
+    for _ in range(max_iter):
+        sinLam, cosLam = math.sin(lam), math.cos(lam)
+        sinSigma = math.sqrt(
+            (cosU2 * sinLam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cosLam) ** 2
+        )
+        if sinSigma == 0:
+            return 0.0
+        cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosLam
+        sigma = math.atan2(sinSigma, cosSigma)
+        sinAlpha = cosU1 * cosU2 * sinLam / sinSigma
+        cos2Alpha = 1 - sinAlpha * sinAlpha
+        cos2SigmaM = cosSigma - 2 * sinU1 * sinU2 / cos2Alpha if cos2Alpha else 0.0
+        C = f / 16 * cos2Alpha * (4 + f * (4 - 3 * cos2Alpha))
+        lam_prev = lam
+        lam = L + (1 - C) * f * sinAlpha * (
+            sigma
+            + C * sinSigma * (cos2SigmaM + C * cosSigma * (-1 + 2 * cos2SigmaM**2))
+        )
+        if abs(lam - lam_prev) < tol:
+            break
+    u2 = cos2Alpha * (a * a - b * b) / (b * b)
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    deltaSigma = B * sinSigma * (
+        cos2SigmaM
+        + B / 4 * (
+            cosSigma * (-1 + 2 * cos2SigmaM**2)
+            - B / 6 * cos2SigmaM * (-3 + 4 * sinSigma**2) * (-3 + 4 * cos2SigmaM**2)
+        )
+    )
+    return b * A * (sigma - deltaSigma)
+
+
+def vincenty_length(g):
+    """Ellipsoidal length of linestrings via Vincenty per segment
+    (vincenty_length.rs:16)."""
+    if g is None:
+        return None
+    total = 0.0
+    for p in iter_parts(g):
+        if p.kind == LINESTRING and len(p.data) >= 2:
+            for i in range(len(p.data) - 1):
+                total += vincenty_distance(
+                    p.data[i, 0], p.data[i, 1], p.data[i + 1, 0], p.data[i + 1, 1]
+                )
+    return total
+
+
+def concave_hull(g, k=3):
+    """Concave hull via the Moreira–Santos k-nearest-neighbors gift wrap
+    (concave_hull.rs:20 capability; concavity param maps to k)."""
+    pts = np.unique(all_coords(g)[:, :2], axis=0)
+    if len(pts) < 4:
+        return convex_hull(g)
+    k = max(3, min(int(k), len(pts) - 1))
+    while k < len(pts):
+        hull = _concave_hull_knn(pts, k)
+        if hull is not None:
+            return hull
+        k += 1
+    return convex_hull(g)
+
+
+def _concave_hull_knn(pts, k):
+    used = np.zeros(len(pts), dtype=bool)
+    start = int(np.lexsort((pts[:, 0], pts[:, 1]))[0])  # lowest y
+    hull = [pts[start]]
+    used[start] = True
+    cur = pts[start]
+    prev_ang = 0.0
+    first = True
+    for _ in range(len(pts) * 2):
+        if not first and np.allclose(cur, pts[start]):
+            break
+        cand_idx = np.flatnonzero(~used) if first or True else None
+        # allow closing with the start point after a few steps
+        allowed = np.flatnonzero(~used)
+        if len(hull) > 2:
+            allowed = np.append(allowed, start)
+        if len(allowed) == 0:
+            break
+        d = np.hypot(pts[allowed, 0] - cur[0], pts[allowed, 1] - cur[1])
+        near = allowed[np.argsort(d)[:k]]
+        # sort by right-hand turn angle
+        angs = np.arctan2(pts[near, 1] - cur[1], pts[near, 0] - cur[0])
+        rel = (prev_ang - angs) % (2 * math.pi)
+        order = near[np.argsort(-rel)]
+        chosen = None
+        for cand in order:
+            nxt = pts[cand]
+            # no intersection with existing hull edges
+            ok = True
+            for i in range(len(hull) - 2):
+                if _seg_intersect(np.asarray(cur), nxt, np.asarray(hull[i]), np.asarray(hull[i + 1])) == 1:
+                    ok = False
+                    break
+            if ok:
+                chosen = cand
+                break
+        if chosen is None:
+            return None
+        if chosen == start and len(hull) > 2:
+            hull.append(pts[start])
+            break
+        prev_ang = math.atan2(pts[chosen, 1] - cur[1], pts[chosen, 0] - cur[0])
+        used[chosen] = True
+        hull.append(pts[chosen])
+        cur = pts[chosen]
+        first = False
+    if len(hull) < 4 or not np.allclose(hull[0], hull[-1]):
+        return None
+    ring = np.asarray(hull)
+    # all points must be inside/on the hull
+    for p in pts:
+        if _point_in_ring(p[0], p[1], ring) == 0:
+            return None
+    if _ring_signed_area(ring) < 0:
+        ring = ring[::-1]
+    return Geom(POLYGON, [np.asarray(ring)])
+
+
 def frechet_distance(g1, g2):
     """Discrete Fréchet between two linestrings. frechet_distance.rs:25."""
     if g1 is None or g2 is None:
