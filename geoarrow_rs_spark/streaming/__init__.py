@@ -1,3 +1,13 @@
-from .ops import read_stream_parquet, sessionize_stream, windowed_counts
+from .ops import (
+    read_stream_parquet,
+    sessionize_stream,
+    streaming_dedup,
+    windowed_counts,
+)
 
-__all__ = ["read_stream_parquet", "windowed_counts", "sessionize_stream"]
+__all__ = [
+    "read_stream_parquet",
+    "windowed_counts",
+    "sessionize_stream",
+    "streaming_dedup",
+]

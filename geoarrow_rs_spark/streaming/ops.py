@@ -46,6 +46,58 @@ def windowed_counts(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    watermark_col: str = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: exact dedup across a stream. Rows are
+    grouped by content digest; per-digest state records whether the digest
+    was already emitted, so only the FIRST occurrence ever passes downstream
+    (``applyInPandasWithState`` — the stateful-op vehicle Structured
+    Streaming provides for semantics Spark lacks natively).
+
+    Works on batch DataFrames too (state degenerates to per-group first)."""
+    from pyspark.sql import functions as F
+
+    digest = F.md5(F.col(text_col).cast("binary")).alias("__digest")
+    src = df.withColumn("__digest", digest)
+    if df.isStreaming and watermark_col:
+        src = src.withWatermark(watermark_col, watermark)
+
+    if not df.isStreaming:
+        from ..datapipe.dedup import exact_dedup
+
+        first = src.groupBy("__digest").agg(
+            F.min(F.struct(*[F.col(c) for c in df.columns])).alias("__row")
+        )
+        return first.select("__row.*")
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = df.schema
+
+    def dedup_fn(key, pdfs, state):
+        if state.exists:
+            return iter([])
+        emitted = False
+        for pdf in pdfs:
+            if len(pdf) and not emitted:
+                emitted = True
+                state.update((1,))
+                yield pdf.head(1).drop(columns=["__digest"])
+
+    return src.groupBy("__digest").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stream(
     df: DataFrame,
     ts_col: str = "ts",

@@ -1,0 +1,124 @@
+"""Stateful streaming dedup (applyInPandasWithState) + property-based WKB
+round-trip tests."""
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+
+
+def test_streaming_dedup_batch_mode(spark):
+    from geoarrow_rs_spark.streaming import streaming_dedup
+
+    df = spark.createDataFrame(
+        [Row(id=1, text="aaa"), Row(id=2, text="aaa"), Row(id=3, text="bbb")]
+    )
+    out = streaming_dedup(df, "text")
+    rows = sorted(r["id"] for r in out.collect())
+    assert rows == [1, 3]
+
+
+def test_streaming_dedup_real_stream(spark, tmp_path):
+    from geoarrow_rs_spark.streaming import streaming_dedup
+
+    src = os.path.join(str(tmp_path), "dedup_src")
+    # two files with overlapping texts — the duplicate in file B must be
+    # dropped by state carried across micro-batches
+    spark.createDataFrame(
+        [Row(id=1, text="alpha"), Row(id=2, text="beta")]
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [Row(id=3, text="alpha"), Row(id=4, text="gamma")]
+    ).write.mode("append").parquet(src)
+
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_dedup(stream, "text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    texts = sorted(r["text"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert texts == ["alpha", "beta", "gamma"]
+
+
+# ---------------------------------------------------------------------------
+# property-based WKB/WKT round-trip (hypothesis)
+# ---------------------------------------------------------------------------
+
+coord = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
+)
+
+
+@st.composite
+def geometries(draw):
+    from geoarrow_rs_spark.wkb import core as wc
+
+    kind = draw(st.sampled_from(["point", "linestring", "polygon", "multipoint"]))
+    if kind == "point":
+        return wc.point(draw(coord), draw(coord))
+    if kind == "multipoint":
+        n = draw(st.integers(1, 8))
+        return wc.multipoint([[draw(coord), draw(coord)] for _ in range(n)])
+    if kind == "linestring":
+        n = draw(st.integers(2, 10))
+        return wc.linestring([[draw(coord), draw(coord)] for _ in range(n)])
+    # polygon: closed ring from distinct points around a center
+    n = draw(st.integers(3, 8))
+    cx, cy = draw(coord), draw(coord)
+    import math
+
+    pts = [
+        [cx + math.cos(2 * math.pi * i / n) * (1 + i % 3), cy + math.sin(2 * math.pi * i / n) * (1 + i % 3)]
+        for i in range(n)
+    ]
+    pts.append(pts[0])
+    return wc.polygon([pts])
+
+
+@given(geometries())
+@settings(max_examples=200, deadline=None)
+def test_wkb_roundtrip_property(g):
+    from geoarrow_rs_spark.wkb import from_wkb, from_wkt, to_wkb, to_wkt
+
+    g2 = from_wkb(to_wkb(g))
+    assert to_wkb(g2) == to_wkb(g)
+    g3 = from_wkt(to_wkt(g))
+    assert g3.kind == g.kind
+    c1 = to_wkt(g)
+    c2 = to_wkt(g3)
+    assert c1 == c2
+
+
+@given(geometries(), geometries())
+@settings(max_examples=100, deadline=None)
+def test_predicate_symmetry_property(a, b):
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    assert alg.intersects(a, b) == alg.intersects(b, a)
+    assert alg.disjoint(a, b) != alg.intersects(a, b)
+    d1 = alg.distance(a, b)
+    d2 = alg.distance(b, a)
+    if d1 is not None and d2 is not None:
+        assert abs(d1 - d2) < 1e-6
+        if alg.intersects(a, b):
+            assert d1 == 0.0
+
+
+@given(geometries())
+@settings(max_examples=100, deadline=None)
+def test_envelope_contains_geometry_property(g):
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    env = alg.envelope(g)
+    if not g.is_empty() and not env.is_empty():
+        assert alg.covers(env, g) or alg.equals_exact(env, g, 1e-9)
