@@ -90,8 +90,12 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs (a_id < b_id) via banded MinHash LSH;
     optionally refined by exact shingle-Jaccard >= threshold."""
     rows_per_band = num_perm // bands
+    # carry the text through the join only when a jaccard refine needs it —
+    # otherwise the band join shuffles just (id, band)
+    need_text = jaccard_threshold is not None
     sig = minhash_signature(text_col, num_perm, shingle, max_chars)
-    with_sig = df.select(F.col(id_col), F.col(text_col)).withColumn("__sig", sig)
+    cols = [F.col(id_col)] + ([F.col(text_col)] if need_text else [])
+    with_sig = df.select(*cols, sig.alias("__sig"))
     banded = with_sig.withColumn(
         "__band",
         F.explode(
@@ -111,26 +115,32 @@ def minhash_lsh_pairs(
                 ]
             )
         ),
-    ).select(id_col, text_col, "__band")
+    ).select(id_col, *([text_col] if need_text else []), "__band")
     a = banded.alias("a")
     b = banded.alias("b")
+    sel = [
+        F.col(f"a.{id_col}").alias("a_id"),
+        F.col(f"b.{id_col}").alias("b_id"),
+    ]
+    if need_text:
+        sel += [
+            F.col(f"a.{text_col}").alias("__ta"),
+            F.col(f"b.{text_col}").alias("__tb"),
+        ]
     pairs = (
         a.join(b, on="__band")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            F.col(f"a.{text_col}").alias("__ta"),
-            F.col(f"b.{text_col}").alias("__tb"),
-        )
+        .select(*sel)
         .dropDuplicates(["a_id", "b_id"])
     )
-    if jaccard_threshold is not None:
+    if need_text:
         jac = ngram_jaccard(F.col("__ta"), F.col("__tb"), n=shingle, max_chars=max_chars)
-        pairs = pairs.withColumn("jaccard", jac).where(
-            F.col("jaccard") >= F.lit(jaccard_threshold)
+        pairs = (
+            pairs.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= F.lit(jaccard_threshold))
+            .drop("__ta", "__tb")
         )
-    return pairs.drop("__ta", "__tb")
+    return pairs
 
 
 def ngram_jaccard(t1, t2, n: int = 8, max_chars: int = 128):

@@ -733,6 +733,31 @@ def k_distance(s1, s2):
     )
 
 
+def k_azimuth(s1, s2):
+    """Bearing from point a to point b, radians clockwise from north
+    (PostGIS ST_Azimuth convention); null for coincident points."""
+    f1 = try_unpack_points_xy(list(s1))
+    f2 = try_unpack_points_xy(list(s2))
+    if f1 is not None and f2 is not None:
+        x1, y1, n1 = f1
+        x2, y2, n2 = f2
+        az = np.arctan2(x2 - x1, y2 - y1) % (2 * np.pi)
+        bad = n1 | n2 | ((x1 == x2) & (y1 == y2))
+        return pd.Series(np.where(bad, np.nan, az))
+    out = []
+    for a, b in zip(geoms_of(s1), geoms_of(s2)):
+        if a is None or b is None or a.is_empty() or b.is_empty():
+            out.append(np.nan)
+            continue
+        dx = float(b.data[0]) - float(a.data[0])
+        dy = float(b.data[1]) - float(a.data[1])
+        if dx == 0 and dy == 0:
+            out.append(np.nan)
+        else:
+            out.append(math.atan2(dx, dy) % (2 * math.pi))
+    return _f64(out)
+
+
 def k_length_spheroid(s):
     return _f64([
         alg.vincenty_length(g) if g is not None else np.nan for g in geoms_of(s)

@@ -699,6 +699,163 @@ def sim_srp_buckets(spark, sf_dir):
     )
 
 
+def geo_azimuth(spark, sf_dir):
+    """Bearing between derived points; atan2 is available in both engines
+    (identical libm-correct results, rounded to absorb any last-ulp drift)."""
+    o = _t(spark, sf_dir, "orders")
+    x2 = "CAST(o_orderkey % 100 AS DOUBLE)"
+    y2 = "CAST(o_custkey % 100 AS DOUBLE)"
+    return o.selectExpr(
+        "o_orderkey",
+        f"round(ST_Azimuth(ST_Point(0.0, 0.0), ST_Point({x2}, {y2})), 9) AS az",
+    ).where(f"NOT ({x2} = 0.0 AND {y2} = 0.0)")
+
+
+ORACLE_GEO_AZIMUTH = """
+SELECT o_orderkey,
+       round(CASE WHEN atan2(CAST(o_orderkey % 100 AS DOUBLE), CAST(o_custkey % 100 AS DOUBLE)) >= 0
+                  THEN atan2(CAST(o_orderkey % 100 AS DOUBLE), CAST(o_custkey % 100 AS DOUBLE))
+                  ELSE atan2(CAST(o_orderkey % 100 AS DOUBLE), CAST(o_custkey % 100 AS DOUBLE)) + 2.0 * pi()
+             END, 9) AS az
+FROM orders
+WHERE NOT (CAST(o_orderkey % 100 AS DOUBLE) = 0.0 AND CAST(o_custkey % 100 AS DOUBLE) = 0.0)
+"""
+
+
+def geo_reverse_flip(spark, sf_dir):
+    """ST_Reverse / ST_FlipCoordinates structural checks (exact)."""
+    p = _t(spark, sf_dir, "part")
+    line = "ST_MakeLine(ST_Point(CAST(p_size AS DOUBLE), 1.0), ST_Point(0.0, 2.0))"
+    return p.selectExpr(
+        "p_partkey",
+        f"ST_X(ST_StartPoint(ST_Reverse({line}))) AS rev_start_x",
+        f"ST_Y(ST_StartPoint(ST_FlipCoordinates({line}))) AS flip_start_y",
+    )
+
+
+ORACLE_GEO_REVERSE = """
+SELECT p_partkey, 0.0 AS rev_start_x, CAST(p_size AS DOUBLE) AS flip_start_y
+FROM part
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10-style: revenue from returned items per customer."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q10 = f"""
+SELECT c_custkey, c_name, n_name,
+       {_money_sum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+"""
+
+
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12-style: order-priority counts by quantity band."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 25)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("high_line_count"),
+            F.sum(
+                F.when(
+                    ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity >= 25
+GROUP BY l_linestatus
+"""
+
+
+def sim_near_dup_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs by exact cosine threshold over a
+    bounded candidate set (brute-force; the LSH-blocked variant is the scale
+    path, checked rows-only as sim_srp_buckets)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.selectExpr("vec_id AS a_id", "embedding AS ea")
+    b = e.selectExpr("vec_id AS b_id", "embedding AS eb")
+    from .datapipe.similarity import cosine_expr
+
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine_expr(F.col("ea"), F.col("eb")), 8).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.9)
+    )
+    return pairs
+
+
+ORACLE_SIM_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+terms AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         unnest(a.embedding)::DOUBLE AS av, unnest(b.embedding)::DOUBLE AS bv
+  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT a_id, b_id,
+         SUM(CAST(round(av * bv, 12) AS DECIMAL(38,12))) AS dot,
+         SUM(CAST(round(av * av, 12) AS DECIMAL(38,12))) AS an,
+         SUM(CAST(round(bv * bv, 12) AS DECIMAL(38,12))) AS bn
+  FROM terms GROUP BY a_id, b_id
+)
+SELECT a_id, b_id,
+       round(CASE WHEN sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)) > 0
+                  THEN CAST(dot AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)))
+                  ELSE 0.0 END, 8) AS cosine
+FROM scored
+WHERE round(CASE WHEN sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)) > 0
+                 THEN CAST(dot AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)))
+                 ELSE 0.0 END, 8) >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup / text / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------
@@ -1040,6 +1197,8 @@ QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, ORACLE_Q6),
     "q_top_customers_per_nation": (q_top_customers_per_nation, ORACLE_TOP_CUSTOMERS),
     "q_order_priority": (q_order_priority, ORACLE_ORDER_PRIORITY),
+    "q10_returned_items": (q10_returned_items, ORACLE_Q10),
+    "q12_shipmode_priority": (q12_shipmode_priority, ORACLE_Q12),
     # geometry
     "geo_point_accessors": (geo_point_accessors, ORACLE_GEO_POINT),
     "geo_distance": (geo_distance, ORACLE_GEO_DISTANCE),
@@ -1060,6 +1219,8 @@ QUERIES = {
     "geo_geojson_roundtrip": (geo_geojson_roundtrip, ORACLE_GEO_GEOJSON),
     "geo_overlay_areas": (geo_overlay_areas, ORACLE_GEO_OVERLAY),
     "geo_relate_matrix": (geo_relate_matrix, ORACLE_GEO_RELATE),
+    "geo_azimuth": (geo_azimuth, ORACLE_GEO_AZIMUTH),
+    "geo_reverse_flip": (geo_reverse_flip, ORACLE_GEO_REVERSE),
     "geo_buffer_line": (geo_buffer_line, ORACLE_GEO_BUFFER_LINE),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
@@ -1072,6 +1233,7 @@ QUERIES = {
     "text_bpe_tokens": (text_bpe_tokens, ORACLE_TEXT_BPE),
     "sim_embedding_stats": (sim_embedding_stats, ORACLE_SIM_STATS),
     "sim_cosine_topk": (sim_cosine_topk, ORACLE_SIM_TOPK),
+    "sim_near_dup_pairs": (sim_near_dup_pairs, ORACLE_SIM_NEAR_DUP),
     "text_ngram_jaccard_vs_ref": (text_ngram_jaccard_vs_ref, ORACLE_NGRAM_JACCARD),
     "dedup_simhash_signatures": (dedup_simhash_signatures, None),  # non-SQL; pytest-checked
     "sim_srp_buckets": (sim_srp_buckets, None),  # non-SQL; pytest-checked
