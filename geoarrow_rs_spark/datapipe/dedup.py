@@ -93,9 +93,32 @@ def minhash_lsh_pairs(
     # carry the text through the join only when a jaccard refine needs it —
     # otherwise the band join shuffles just (id, band)
     need_text = jaccard_threshold is not None
-    sig = minhash_signature(text_col, num_perm, shingle, max_chars)
     cols = [F.col(id_col)] + ([F.col(text_col)] if need_text else [])
-    with_sig = df.select(*cols, sig.alias("__sig"))
+    # signature via explode + groupBy-min: higher-order-function expressions
+    # run interpreted, but an exploded min-aggregation is whole-stage
+    # codegen'd with map-side partial aggregation (measurably faster, same
+    # values)
+    grams = char_ngrams(text_col, n=shingle, max_chars=max_chars)
+    gh = df.select(
+        F.col(id_col),
+        F.explode(grams).alias("__g"),
+    ).select(
+        id_col,
+        (gram_hash_expr(F.col("__g")) % F.lit(MINHASH_P)).alias("__h"),
+    )
+    mins = gh.groupBy(id_col).agg(
+        *[
+            F.min((F.col("__h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"__m{i}")
+            for i in range(num_perm)
+        ]
+    )
+    sig_df = mins.select(
+        id_col, F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("__sig")
+    )
+    if need_text:
+        with_sig = df.select(*cols).join(sig_df, on=id_col)
+    else:
+        with_sig = sig_df
     banded = with_sig.withColumn(
         "__band",
         F.explode(
