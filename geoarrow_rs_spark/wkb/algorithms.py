@@ -372,29 +372,50 @@ def point_in_polygon(px, py, poly_data):
 
 
 def _seg_intersect(a1, a2, b1, b2, eps=1e-12):
-    """Segment intersection test. Returns 0 none, 1 proper, 2 touching/collinear."""
+    """Segment intersection test. Returns 0 none, 1 proper, 2 touching/collinear.
+
+    Symmetric in its two segments: every epsilon is scaled by the segment
+    lengths so swapping (a, b) cannot change the classification, and
+    zero-length segments are handled as points before the parallel branch
+    (an absolute denom epsilon would otherwise swallow tiny segments).
+    """
     d1x, d1y = a2[0] - a1[0], a2[1] - a1[1]
     d2x, d2y = b2[0] - b1[0], b2[1] - b1[1]
+    L1 = math.hypot(d1x, d1y)
+    L2 = math.hypot(d2x, d2y)
+    scale = max(L1, L2, 1.0)
+    if L1 <= eps * scale and L2 <= eps * scale:
+        near = abs(a1[0] - b1[0]) <= eps * scale and abs(a1[1] - b1[1]) <= eps * scale
+        return 2 if near else 0
+    if L1 <= eps * scale:
+        return 2 if _on_segment(a1[0], a1[1], b1[0], b1[1], b2[0], b2[1]) else 0
+    if L2 <= eps * scale:
+        return 2 if _on_segment(b1[0], b1[1], a1[0], a1[1], a2[0], a2[1]) else 0
     denom = d1x * d2y - d1y * d2x
     ex, ey = b1[0] - a1[0], b1[1] - a1[1]
-    if abs(denom) > eps:
+    if abs(denom) > eps * L1 * L2:
         t = (ex * d2y - ey * d2x) / denom
         u = (ex * d1y - ey * d1x) / denom
         if -eps <= t <= 1 + eps and -eps <= u <= 1 + eps:
             proper = eps < t < 1 - eps and eps < u < 1 - eps
             return 1 if proper else 2
         return 0
-    # parallel
-    if abs(ex * d1y - ey * d1x) > eps * max(1.0, math.hypot(d1x, d1y)):
+    # parallel: perpendicular offset of one segment's start from the other's
+    # line, tested against BOTH directions so the check is swap-invariant
+    # (under a<->b swap the two cross products exchange up to sign).
+    cross1 = ex * d1y - ey * d1x
+    cross2 = ex * d2y - ey * d2x
+    if max(abs(cross1) / L1, abs(cross2) / L2) > eps * scale:
         return 0  # parallel non-collinear
-    # collinear: check 1-D overlap
-    if abs(d1x) >= abs(d1y):
+    # collinear: 1-D overlap on the dominant axis of the combined direction
+    if abs(d1x) + abs(d2x) >= abs(d1y) + abs(d2y):
         a_lo, a_hi = sorted((a1[0], a2[0]))
         b_lo, b_hi = sorted((b1[0], b2[0]))
     else:
         a_lo, a_hi = sorted((a1[1], a2[1]))
         b_lo, b_hi = sorted((b1[1], b2[1]))
-    if a_hi < b_lo - eps or b_hi < a_lo - eps:
+    tol = eps * scale
+    if a_hi < b_lo - tol or b_hi < a_lo - tol:
         return 0
     return 2
 
@@ -1091,6 +1112,24 @@ def affine_transform(g, a, b, d, e, xoff, yoff):
 
 def translate(g, xoff=0.0, yoff=0.0):
     return affine_transform(g, 1, 0, 0, 1, xoff, yoff)
+
+
+def transform_crs(g, src_epsg, dst_epsg):
+    """Reproject every coordinate src_epsg -> dst_epsg (vectorized per array).
+    Mirrors reproject.rs:105 (geodesy crate) with from-scratch closed forms
+    — see :mod:`geoarrow_rs_spark.wkb.proj`."""
+    from . import proj
+
+    src = proj.parse_crs(src_epsg)
+    dst = proj.parse_crs(dst_epsg)
+    if src == dst:
+        return g
+
+    def fn(xy):
+        x, y = proj.transform_xy(xy[:, 0], xy[:, 1], src, dst)
+        return np.column_stack((x, y))
+
+    return _map_coords(g, fn)
 
 
 def _origin_xy(g, origin):

@@ -114,6 +114,41 @@ def test_predicate_symmetry_property(a, b):
             assert d1 == 0.0
 
 
+def test_seg_intersect_symmetry_regression():
+    """Regression for the round-1 asymmetry: absolute denom epsilon plus a
+    collinearity test that only used segment 1's direction made
+    intersects(a, b) != intersects(b, a) for tiny / degenerate segments."""
+    from geoarrow_rs_spark.wkb import core as wc
+    from geoarrow_rs_spark.wkb import algorithms as alg
+    from geoarrow_rs_spark.wkb.algorithms import _seg_intersect
+
+    # degenerate (point-like) segment off a horizontal segment: the old code
+    # classified (point, seg) as collinear-overlapping but (seg, point) as
+    # parallel-disjoint.
+    pt = np.array([1.0, 1.0])
+    s1, s2 = np.array([0.0, 0.0]), np.array([2.0, 0.0])
+    assert _seg_intersect(pt, pt, s1, s2) == 0
+    assert _seg_intersect(s1, s2, pt, pt) == 0
+    on = np.array([1.0, 0.0])
+    assert _seg_intersect(on, on, s1, s2) == 2
+    assert _seg_intersect(s1, s2, on, on) == 2
+
+    # tiny segment (length < old absolute eps) near a normal one
+    t1 = np.array([5.0, 5.0])
+    t2 = t1 + 1e-14
+    for seg in [(s1, s2), (np.array([5.0, 4.0]), np.array([5.0, 6.0]))]:
+        r_ab = _seg_intersect(t1, t2, *seg)
+        r_ba = _seg_intersect(*seg, t1, t2)
+        assert (r_ab == 0) == (r_ba == 0)
+
+    # geometry-level: zero-extent linestring vs crossing linestring
+    tiny = wc.linestring([[5.0, 5.0], [5.0 + 1e-14, 5.0]])
+    line = wc.linestring([[5.0, 4.0], [5.0, 6.0]])
+    assert alg.intersects(tiny, line) == alg.intersects(line, tiny)
+    far = wc.linestring([[0.0, 0.0], [1.0, 0.0]])
+    assert alg.intersects(tiny, far) == alg.intersects(far, tiny) == False
+
+
 @given(geometries())
 @settings(max_examples=100, deadline=None)
 def test_envelope_contains_geometry_property(g):
