@@ -679,6 +679,38 @@ def k_line_interpolate_point(s, frac):
     return pd.Series(out, dtype=object)
 
 
+def k_transform(s, src, dst):
+    """ST_Transform(geom, src_crs, dst_crs): CRS reprojection
+    (reproject.rs:105 parity; closed-form transforms in wkb/proj.py).
+    Point columns reproject fully vectorized — one numpy call per Arrow batch."""
+    from ..wkb import proj
+
+    n = len(s)
+    src_iter = list(src) if hasattr(src, "__len__") and not isinstance(src, (str, bytes)) else [src] * n
+    dst_iter = list(dst) if hasattr(dst, "__len__") and not isinstance(dst, (str, bytes)) else [dst] * n
+    vals = list(s)
+    # fast path: uniform CRS pair + all-XY-point column
+    u_src = {v for v in src_iter if v is not None}
+    u_dst = {v for v in dst_iter if v is not None}
+    if len(u_src) == 1 and len(u_dst) == 1:
+        se, de = proj.parse_crs(next(iter(u_src))), proj.parse_crs(next(iter(u_dst)))
+        pts = try_unpack_points_xy(vals)
+        if pts is not None:
+            xs, ys, null = pts
+            tx, ty = proj.transform_xy(xs, ys, se, de)
+            blobs = pack_points_xy(tx, ty)
+            return pd.Series(
+                [None if null[i] else blobs[i] for i in range(n)], dtype=object
+            )
+    out = []
+    for v, a, b in zip(vals, src_iter, dst_iter):
+        if v is None or a is None or b is None:
+            out.append(None)
+        else:
+            out.append(to_wkb(alg.transform_crs(from_wkb(v), a, b)))
+    return pd.Series(out, dtype=object)
+
+
 def k_set_srid(s, srid):
     n = len(s)
     sr = list(srid) if hasattr(srid, "__len__") else [srid] * n

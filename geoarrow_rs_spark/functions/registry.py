@@ -131,6 +131,7 @@ _SCALAR_UDFS = {
     "ST_Skew": (K.k_skew, BinaryType()),
     "ST_Affine": (K.k_affine, BinaryType()),
     "ST_ClipByBox2D": (K.k_clip_by_box, BinaryType()),
+    "ST_Transform": (K.k_transform, BinaryType()),
     "ST_LineInterpolatePoint": (K.k_line_interpolate_point, BinaryType()),
     # binary predicates / measures
     "ST_Intersects": (K.k_intersects, BooleanType()),

@@ -1185,6 +1185,34 @@ FROM documents
 """
 
 
+def geo_transform(spark, sf_dir):
+    """CRS reprojection (ST_Transform; reproject.rs:105 parity): 4326->3857
+    verified against the closed-form Web Mercator in plain SQL, plus a UTM
+    round-trip (4326->32631->4326) which the oracle can mirror as identity."""
+    c = _t(spark, sf_dir, "customer")
+    lon = "CAST(c_custkey % 360 AS DOUBLE) - 179.5"
+    lat = "CAST(c_custkey % 170 AS DOUBLE) - 84.5"
+    lon_u = "CAST(c_custkey % 600 AS DOUBLE) / 100.0"
+    lat_u = "CAST(c_custkey % 1600 AS DOUBLE) / 10.0 - 80.0"
+    return c.selectExpr(
+        "c_custkey",
+        f"round(ST_X(ST_Transform(ST_Point({lon}, {lat}), 'EPSG:4326', 'EPSG:3857')), 4) AS merc_x",
+        f"round(ST_Y(ST_Transform(ST_Point({lon}, {lat}), 'EPSG:4326', 'EPSG:3857')), 4) AS merc_y",
+        f"round(ST_X(ST_Transform(ST_Transform(ST_Point({lon_u}, {lat_u}), 'EPSG:4326', 'EPSG:32631'), 'EPSG:32631', 'EPSG:4326')), 6) AS utm_rt_lon",
+        f"round(ST_Y(ST_Transform(ST_Transform(ST_Point({lon_u}, {lat_u}), 'EPSG:4326', 'EPSG:32631'), 'EPSG:32631', 'EPSG:4326')), 6) AS utm_rt_lat",
+    )
+
+
+ORACLE_GEO_TRANSFORM = """
+SELECT c_custkey,
+       round(6378137.0 * radians(CAST(c_custkey % 360 AS DOUBLE) - 179.5), 4) AS merc_x,
+       round(6378137.0 * ln(tan(pi() / 4.0 + radians(CAST(c_custkey % 170 AS DOUBLE) - 84.5) / 2.0)), 4) AS merc_y,
+       round(CAST(c_custkey % 600 AS DOUBLE) / 100.0, 6) AS utm_rt_lon,
+       round(CAST(c_custkey % 1600 AS DOUBLE) / 10.0 - 80.0, 6) AS utm_rt_lat
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1222,6 +1250,7 @@ QUERIES = {
     "geo_azimuth": (geo_azimuth, ORACLE_GEO_AZIMUTH),
     "geo_reverse_flip": (geo_reverse_flip, ORACLE_GEO_REVERSE),
     "geo_buffer_line": (geo_buffer_line, ORACLE_GEO_BUFFER_LINE),
+    "geo_transform": (geo_transform, ORACLE_GEO_TRANSFORM),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),

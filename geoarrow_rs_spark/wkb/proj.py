@@ -1,0 +1,213 @@
+"""CRS reprojection: vectorized numpy transforms between supported EPSG codes.
+
+Spark-side analogue of the reference's geodesy reprojection
+(/root/reference/rust/geoarrow-old/src/algorithm/geodesy/reproject.rs:105 —
+Rust `geodesy` crate applied over coord buffers). The environment has no
+pyproj, so the transforms are implemented from public closed forms:
+
+- EPSG:4326  — WGS84 lon/lat degrees (the pivot CRS)
+- EPSG:3857  — Web Mercator (spherical, R = WGS84 semi-major)
+- EPSG:32601-32660 / 32701-32760 — WGS84 UTM north/south zones, via the
+  exact-to-nanometers Krueger series (Karney 2011, "Transverse Mercator with an
+  accuracy of a few nanometers", public domain formulas, 6th order in the
+  third flattening n)
+
+All functions are elementwise over numpy arrays — a batch of coordinates is
+transformed with no Python-level loop, matching the reference's
+CoordBuffer-at-a-time design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WGS84_A = 6_378_137.0
+WGS84_F = 1 / 298.257223563
+
+_E2 = WGS84_F * (2 - WGS84_F)
+_E = np.sqrt(_E2)
+
+# third flattening and Karney's series coefficients (order 6)
+_N = WGS84_F / (2 - WGS84_F)
+_n = _N
+# rectifying radius A = a/(1+n) (1 + n^2/4 + n^4/64 + n^6/256)
+_A_RECT = WGS84_A / (1 + _n) * (1 + _n**2 / 4 + _n**4 / 64 + _n**6 / 256)
+
+_ALPHA = np.array([
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180
+    - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630
+    - 1983433 * _n**6 / 1935360,
+    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880
+    + 167603 * _n**6 / 181440,
+    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
+    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
+    212378941 * _n**6 / 319334400,
+])
+
+_BETA = np.array([
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360
+    - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105
+    - 1118711 * _n**6 / 3870720,
+    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480
+    + 5569 * _n**6 / 90720,
+    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
+    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
+    20648693 * _n**6 / 638668800,
+])
+
+# conformal -> geographic latitude series
+_DELTA = np.array([
+    2 * _n - 2 * _n**2 / 3 - 2 * _n**3 + 116 * _n**4 / 45 + 26 * _n**5 / 45
+    - 2854 * _n**6 / 675,
+    7 * _n**2 / 3 - 8 * _n**3 / 5 - 227 * _n**4 / 45 + 2704 * _n**5 / 315
+    + 2323 * _n**6 / 945,
+    56 * _n**3 / 15 - 136 * _n**4 / 35 - 1262 * _n**5 / 105
+    + 73814 * _n**6 / 2835,
+    4279 * _n**4 / 630 - 332 * _n**5 / 35 - 399572 * _n**6 / 14175,
+    4174 * _n**5 / 315 - 144838 * _n**6 / 6237,
+    601676 * _n**6 / 22275,
+])
+
+_UTM_K0 = 0.9996
+_UTM_FE = 500_000.0
+_UTM_FN_SOUTH = 10_000_000.0
+
+
+# ---------------------------------------------------------------------------
+# Web Mercator (EPSG:3857)
+# ---------------------------------------------------------------------------
+
+def webmercator_forward(lon_deg, lat_deg):
+    """lon/lat degrees -> EPSG:3857 meters (spherical formulas, R = a)."""
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.clip(np.asarray(lat_deg, dtype=np.float64), -89.9999999, 89.9999999))
+    x = WGS84_A * lon
+    y = WGS84_A * np.log(np.tan(np.pi / 4 + lat / 2))
+    return x, y
+
+
+def webmercator_inverse(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / WGS84_A)
+    lat = np.degrees(2 * np.arctan(np.exp(y / WGS84_A)) - np.pi / 2)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (Karney 2011 Krueger series, order n^6)
+# ---------------------------------------------------------------------------
+
+def tm_forward(lon_deg, lat_deg, lon0_deg, k0=_UTM_K0, fe=_UTM_FE, fn=0.0):
+    """Geographic -> transverse Mercator easting/northing (meters)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0_deg)
+    sphi = np.sin(lat)
+    # conformal latitude tau' = sinh(asinh-like combination)
+    t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j in range(6):
+        w = 2.0 * (j + 1)
+        xi = xi + _ALPHA[j] * np.sin(w * xi_p) * np.cosh(w * eta_p)
+        eta = eta + _ALPHA[j] * np.cos(w * xi_p) * np.sinh(w * eta_p)
+    E = fe + k0 * _A_RECT * eta
+    N = fn + k0 * _A_RECT * xi
+    return E, N
+
+
+def tm_inverse(E, N, lon0_deg, k0=_UTM_K0, fe=_UTM_FE, fn=0.0):
+    """Transverse Mercator easting/northing -> geographic degrees."""
+    xi = (np.asarray(N, dtype=np.float64) - fn) / (k0 * _A_RECT)
+    eta = (np.asarray(E, dtype=np.float64) - fe) / (k0 * _A_RECT)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(6):
+        w = 2.0 * (j + 1)
+        xi_p = xi_p - _BETA[j] * np.sin(w * xi) * np.cosh(w * eta)
+        eta_p = eta_p - _BETA[j] * np.cos(w * xi) * np.sinh(w * eta)
+    tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    chi = np.arctan(tau_p)
+    phi = chi.copy()
+    for j in range(6):
+        w = 2.0 * (j + 1)
+        phi = phi + _DELTA[j] * np.sin(w * chi)
+    return np.degrees(lam) + lon0_deg, np.degrees(phi)
+
+
+def utm_zone_params(epsg):
+    """(lon0_deg, false_northing) for a WGS84 UTM EPSG code."""
+    epsg = int(epsg)
+    if 32601 <= epsg <= 32660:
+        zone, fn = epsg - 32600, 0.0
+    elif 32701 <= epsg <= 32760:
+        zone, fn = epsg - 32700, _UTM_FN_SOUTH
+    else:
+        raise ValueError(f"not a UTM EPSG code: {epsg}")
+    return zone * 6.0 - 183.0, fn
+
+
+def utm_epsg_for(lon_deg, lat_deg):
+    """EPSG code of the natural UTM zone for a lon/lat (no Norway exceptions)."""
+    zone = int(np.floor((float(lon_deg) + 180.0) / 6.0)) % 60 + 1
+    return (32600 if float(lat_deg) >= 0 else 32700) + zone
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def _is_utm(epsg):
+    return 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760
+
+
+def supported_crs(epsg) -> bool:
+    epsg = int(epsg)
+    return epsg in (4326, 3857) or _is_utm(epsg)
+
+
+def to_wgs84(x, y, src_epsg):
+    src_epsg = int(src_epsg)
+    if src_epsg == 4326:
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if src_epsg == 3857:
+        return webmercator_inverse(x, y)
+    if _is_utm(src_epsg):
+        lon0, fn = utm_zone_params(src_epsg)
+        return tm_inverse(x, y, lon0, fn=fn)
+    raise ValueError(f"unsupported source CRS: EPSG:{src_epsg}")
+
+
+def from_wgs84(lon, lat, dst_epsg):
+    dst_epsg = int(dst_epsg)
+    if dst_epsg == 4326:
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    if dst_epsg == 3857:
+        return webmercator_forward(lon, lat)
+    if _is_utm(dst_epsg):
+        lon0, fn = utm_zone_params(dst_epsg)
+        return tm_forward(lon, lat, lon0, fn=fn)
+    raise ValueError(f"unsupported target CRS: EPSG:{dst_epsg}")
+
+
+def transform_xy(x, y, src_epsg, dst_epsg):
+    """Vectorized (x, y) arrays src -> dst. Pivot through EPSG:4326."""
+    if int(src_epsg) == int(dst_epsg):
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    lon, lat = to_wgs84(x, y, src_epsg)
+    return from_wgs84(lon, lat, dst_epsg)
+
+
+def parse_crs(crs) -> int:
+    """Accept 4326 / 'EPSG:4326' / 'epsg:4326' / '4326'."""
+    if isinstance(crs, (int, np.integer)):
+        return int(crs)
+    s = str(crs).strip().lower()
+    if s.startswith("epsg:"):
+        s = s[5:]
+    return int(s)

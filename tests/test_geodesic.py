@@ -60,3 +60,102 @@ def test_concave_hull_small_inputs():
     tri = multipoint([[0.0, 0.0], [4.0, 0.0], [0.0, 3.0]])
     h = alg.concave_hull(tri, k=3)
     assert alg.area(h) == 6.0
+
+
+# ---------------------------------------------------------------------------
+# CRS reprojection (ST_Transform / wkb.proj)
+# ---------------------------------------------------------------------------
+
+def test_proj_webmercator_closed_form():
+    import numpy as np
+    from geoarrow_rs_spark.wkb import proj
+
+    lon, lat = np.array([2.2945]), np.array([48.8584])
+    x, y = proj.webmercator_forward(lon, lat)
+    R = proj.WGS84_A
+    assert x[0] == pytest.approx(R * np.radians(2.2945), rel=1e-15)
+    assert y[0] == pytest.approx(R * np.log(np.tan(np.pi / 4 + np.radians(48.8584) / 2)), rel=1e-15)
+    lon2, lat2 = proj.webmercator_inverse(x, y)
+    assert lon2[0] == pytest.approx(2.2945, abs=1e-12)
+    assert lat2[0] == pytest.approx(48.8584, abs=1e-12)
+
+
+def test_proj_utm_roundtrip_and_meridian():
+    import numpy as np
+    from geoarrow_rs_spark.wkb import proj
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(0.1, 5.9, 500)
+    lat = rng.uniform(-80, 84, 500)
+    E, N = proj.tm_forward(lon, lat, 3.0)
+    lon2, lat2 = proj.tm_inverse(E, N, 3.0)
+    assert np.abs(lon2 - lon).max() < 1e-10
+    assert np.abs(lat2 - lat).max() < 1e-10
+    # central meridian: E = 500000 exactly, N = k0 * meridian arc (numerically
+    # integrated — independent of the Krueger series under test)
+    E0, N0 = proj.tm_forward(np.array([3.0]), np.array([45.0]), 3.0)
+    theta = np.linspace(0.0, np.radians(45.0), 400001)
+    integrand = (1 - proj._E2 * np.sin(theta) ** 2) ** -1.5
+    M = proj.WGS84_A * (1 - proj._E2) * np.trapz(integrand, theta)
+    assert E0[0] == pytest.approx(500000.0, abs=1e-6)
+    assert N0[0] == pytest.approx(0.9996 * M, abs=1e-3)
+
+
+def test_proj_utm_matches_independent_redfearn():
+    """Cross-check the Karney series against an independently coded Redfearn
+    expansion (agreement within Redfearn's own ~mm truncation error)."""
+    import numpy as np
+    from geoarrow_rs_spark.wkb import proj
+
+    def redfearn(lon_deg, lat_deg, lon0):
+        a, f = proj.WGS84_A, 1 / 298.257223563
+        e2 = f * (2 - f)
+        ep2 = e2 / (1 - e2)
+        phi, lam = np.radians(lat_deg), np.radians(lon_deg - lon0)
+        Nn = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        T, C = np.tan(phi) ** 2, ep2 * np.cos(phi) ** 2
+        A = lam * np.cos(phi)
+        M = a * ((1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+                 - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
+                 + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+                 - (35 * e2**3 / 3072) * np.sin(6 * phi))
+        k0 = 0.9996
+        E = k0 * Nn * (A + (1 - T + C) * A**3 / 6
+                       + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120) + 500000
+        N = k0 * (M + Nn * np.tan(phi) * (A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+                  + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720))
+        return E, N
+
+    for lon, lat in [(2.2945, 48.8584), (0.5, -33.9), (5.9, 70.2), (3.0, 0.0)]:
+        E1, N1 = proj.tm_forward(np.array([lon]), np.array([lat]), 3.0)
+        E2, N2 = redfearn(lon, lat, 3.0)
+        assert abs(E1[0] - E2) < 0.005
+        assert abs(N1[0] - N2) < 0.005
+
+
+def test_transform_crs_geometry_and_southern_utm():
+    from geoarrow_rs_spark.wkb import algorithms as alg
+    from geoarrow_rs_spark.wkb import from_wkt, to_wkt
+
+    line = from_wkt("LINESTRING (172.5 -43.5, 172.6 -43.6)")  # NZ, zone 59S
+    utm = alg.transform_crs(line, 4326, 32759)
+    assert utm.data[:, 1].min() > 0  # false northing keeps N positive
+    back = alg.transform_crs(utm, "EPSG:32759", "EPSG:4326")
+    assert back.data[0][0] == pytest.approx(172.5, abs=1e-9)
+    assert back.data[1][1] == pytest.approx(-43.6, abs=1e-9)
+    # polygon through web mercator and back preserves area approximately
+    poly = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    rt = alg.transform_crs(alg.transform_crs(poly, 4326, 3857), 3857, 4326)
+    assert alg.area(rt) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_st_transform_sql(spark):
+    from geoarrow_rs_spark.functions import register_functions
+
+    register_functions(spark)
+    row = spark.sql(
+        "SELECT ST_X(ST_Transform(ST_Point(3.0, 0.0), 'EPSG:4326', 'EPSG:32631')) AS e, "
+        "ST_Y(ST_Transform(ST_Point(3.0, 0.0), 'EPSG:4326', 'EPSG:32631')) AS n"
+    ).first()
+    assert row["e"] == pytest.approx(500000.0, abs=1e-6)
+    assert row["n"] == pytest.approx(0.0, abs=1e-6)
