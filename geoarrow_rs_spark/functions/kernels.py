@@ -112,6 +112,20 @@ def k_perimeter(s):
     return _f64([alg.perimeter(g) if g is not None else np.nan for g in geoms_of(s)])
 
 
+def k_area_spheroid(s):
+    """Ellipsoidal (geodesic) area, geodesic_area.rs:17 parity."""
+    return _f64([
+        alg.ellipsoidal_area(g) if g is not None else np.nan for g in geoms_of(s)
+    ])
+
+
+def k_perimeter_spheroid(s):
+    """Geodesic (Vincenty) perimeter, geodesic_area.rs perimeter parity."""
+    return _f64([
+        alg.ellipsoidal_perimeter(g) if g is not None else np.nan for g in geoms_of(s)
+    ])
+
+
 def _geom_out(geoms):
     return pd.Series([to_wkb(g) if g is not None else None for g in geoms], dtype=object)
 

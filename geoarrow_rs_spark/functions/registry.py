@@ -97,6 +97,8 @@ _SCALAR_UDFS = {
     "ST_Area": (K.k_area, DoubleType()),
     "ST_SignedArea": (K.k_signed_area, DoubleType()),
     "ST_AreaSpherical": (K.k_area_spherical, DoubleType()),
+    "ST_AreaSpheroid": (K.k_area_spheroid, DoubleType()),
+    "ST_PerimeterSpheroid": (K.k_perimeter_spheroid, DoubleType()),
     "ST_Length": (K.k_length, DoubleType()),
     "ST_LengthSphere": (K.k_length_spherical, DoubleType()),
     "ST_LengthSpheroid": (K.k_length_spheroid, DoubleType()),

@@ -1203,6 +1203,50 @@ def geo_transform(spark, sf_dir):
     )
 
 
+def geo_geodesic_area(spark, sf_dir):
+    """Ellipsoidal (geodesic) polygon area, geodesic_area.rs:17 parity.
+    Envelope quads have meridian/parallel edges, for which the engine's
+    Green's-theorem integral is EXACT — the oracle mirrors the closed form
+    A = dlam * (F(lat2) - F(lat1)), F(p) = b^2/2 (sin p/(1-e2 sin^2 p)
+    + atanh(e sin p)/e), in plain SQL."""
+    p = _t(spark, sf_dir, "part")
+    lon1 = "CAST(p_partkey % 30 AS DOUBLE) * 2.0 - 30.0"
+    lon2 = f"({lon1}) + 1.0 + CAST(p_partkey % 3 AS DOUBLE)"
+    lat1 = "CAST(p_size % 60 AS DOUBLE) - 30.0"
+    lat2 = f"({lat1}) + 1.0 + CAST(p_size % 5 AS DOUBLE)"
+    return p.selectExpr(
+        "p_partkey",
+        f"round(ST_AreaSpheroid(ST_MakeEnvelope({lon1}, {lat1}, {lon2}, {lat2})) / 1e6, 3) AS geod_area_km2",
+        f"round(abs(ST_AreaSpherical(ST_MakeEnvelope({lon1}, {lat1}, {lon2}, {lat2}))) / 1e6, 3) AS sphere_area_km2",
+    )
+
+
+# WGS84: a=6378137, f=1/298.257223563, e2=f(2-f), b2=a^2(1-e2)
+ORACLE_GEO_GEODESIC_AREA = """
+WITH params AS (
+  SELECT 6378137.0 AS a, 1.0/298.257223563 AS f
+), consts AS (
+  SELECT a, f, f*(2.0-f) AS e2, sqrt(f*(2.0-f)) AS e, a*a*(1.0-f*(2.0-f)) AS b2
+  FROM params
+), quads AS (
+  SELECT p_partkey,
+         radians((CAST(p_partkey % 30 AS DOUBLE) * 2.0 - 30.0)) AS lam1,
+         radians((CAST(p_partkey % 30 AS DOUBLE) * 2.0 - 30.0) + 1.0 + CAST(p_partkey % 3 AS DOUBLE)) AS lam2,
+         radians(CAST(p_size % 60 AS DOUBLE) - 30.0) AS phi1,
+         radians((CAST(p_size % 60 AS DOUBLE) - 30.0) + 1.0 + CAST(p_size % 5 AS DOUBLE)) AS phi2
+  FROM part
+)
+SELECT p_partkey,
+       round((lam2 - lam1) * (
+           b2/2.0 * (sin(phi2)/(1.0 - e2*sin(phi2)*sin(phi2)) + 0.5*ln((1.0 + e*sin(phi2))/(1.0 - e*sin(phi2)))/e)
+         - b2/2.0 * (sin(phi1)/(1.0 - e2*sin(phi1)*sin(phi1)) + 0.5*ln((1.0 + e*sin(phi1))/(1.0 - e*sin(phi1)))/e)
+       ) / 1e6, 3) AS geod_area_km2,
+       round((lam2 - lam1) * (sin(phi2) - sin(phi1))
+             * 6371008.8 * 6371008.8 / 1e6, 3) AS sphere_area_km2
+FROM quads, consts
+"""
+
+
 ORACLE_GEO_TRANSFORM = """
 SELECT c_custkey,
        round(6378137.0 * radians(CAST(c_custkey % 360 AS DOUBLE) - 179.5), 4) AS merc_x,
@@ -1251,6 +1295,7 @@ QUERIES = {
     "geo_reverse_flip": (geo_reverse_flip, ORACLE_GEO_REVERSE),
     "geo_buffer_line": (geo_buffer_line, ORACLE_GEO_BUFFER_LINE),
     "geo_transform": (geo_transform, ORACLE_GEO_TRANSFORM),
+    "geo_geodesic_area": (geo_geodesic_area, ORACLE_GEO_GEODESIC_AREA),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),

@@ -159,3 +159,71 @@ def test_st_transform_sql(spark):
     ).first()
     assert row["e"] == pytest.approx(500000.0, abs=1e-6)
     assert row["n"] == pytest.approx(0.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ellipsoidal (geodesic) area + perimeter
+# ---------------------------------------------------------------------------
+
+def test_ellipsoidal_area_closed_form_quad():
+    """Meridian/parallel-edged quad: the Green's-theorem engine is exact vs
+    the closed-form ellipsoid zone area."""
+    import math
+
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    b2 = a * a * (1 - e2)
+
+    def F(lat_deg):
+        s = math.sin(math.radians(lat_deg))
+        return b2 / 2 * (s / (1 - e2 * s * s) + math.atanh(e * s) / e)
+
+    quad = from_wkt("POLYGON ((10 40, 12 40, 12 45, 10 45, 10 40))")
+    got = alg.ellipsoidal_area(quad)
+    exp = math.radians(2.0) * (F(45) - F(40))
+    assert got == pytest.approx(exp, rel=1e-14)
+    # orientation-independent, ~0.16% above the spherical value at 40-45N
+    cw = from_wkt("POLYGON ((10 40, 10 45, 12 45, 12 40, 10 40))")
+    assert alg.ellipsoidal_area(cw) == pytest.approx(got, rel=1e-14)
+    assert got / abs(alg.spherical_area(quad)) == pytest.approx(1.0016, abs=5e-4)
+
+
+def test_ellipsoidal_area_holes_and_quadrature():
+    import numpy as np
+    from geoarrow_rs_spark.wkb.core import Geom, POLYGON
+
+    holey = from_wkt(
+        "POLYGON ((10 40, 12 40, 12 45, 10 45, 10 40),"
+        " (10.5 41, 11 41, 11 42, 10.5 42, 10.5 41))"
+    )
+    outer = from_wkt("POLYGON ((10 40, 12 40, 12 45, 10 45, 10 40))")
+    hole = from_wkt("POLYGON ((10.5 41, 11 41, 11 42, 10.5 42, 10.5 41))")
+    assert alg.ellipsoidal_area(holey) == pytest.approx(
+        alg.ellipsoidal_area(outer) - alg.ellipsoidal_area(hole), rel=1e-12
+    )
+    # GL8 quadrature on a long diagonal edge vs 20k-point densification
+    tri = from_wkt("POLYGON ((0 0, 30 0, 15 30, 0 0))")
+    pts = [[0.0, 0.0], [30.0, 0.0], [15.0, 30.0], [0.0, 0.0]]
+    segs = []
+    for i in range(3):
+        t = np.linspace(0, 1, 20000, endpoint=False)[:, None]
+        segs.append(np.array(pts[i])[None, :] * (1 - t) + np.array(pts[i + 1])[None, :] * t)
+    segs.append(np.array([pts[0]]))
+    dense = Geom(POLYGON, [np.vstack(segs)])
+    assert alg.ellipsoidal_area(tri) == pytest.approx(
+        alg.ellipsoidal_area(dense), rel=1e-9
+    )
+
+
+def test_ellipsoidal_perimeter_vincenty():
+    quad = from_wkt("POLYGON ((10 40, 12 40, 12 45, 10 45, 10 40))")
+    exp = (
+        alg.vincenty_distance(10, 40, 12, 40)
+        + alg.vincenty_distance(12, 40, 12, 45)
+        + alg.vincenty_distance(12, 45, 10, 45)
+        + alg.vincenty_distance(10, 45, 10, 40)
+    )
+    assert alg.ellipsoidal_perimeter(quad) == pytest.approx(exp, rel=1e-12)
+    # meridian degree at 40-45N is ~111.1 km; sanity of magnitude
+    assert 1.3e6 < alg.ellipsoidal_perimeter(quad) < 1.6e6
