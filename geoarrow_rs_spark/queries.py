@@ -1257,6 +1257,87 @@ FROM customer
 """
 
 
+def _geohash_oracle_sql():
+    """Geohash base-32 in plain SQL: integer cell indices (floor maps exactly
+    to the bisection's tie-up rule — dyadic boundary values are exactly
+    representable), bit interleave, 5-bit groups into the geohash alphabet."""
+    interleave = " + ".join(
+        [f"(((loni >> {i}) & 1) << {2 * i + 1})" for i in range(15)]
+        + [f"(((lati >> {i}) & 1) << {2 * i})" for i in range(15)]
+    )
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((inter >> {25 - 5 * c}) & 31) AS INT) + 1, 1)"
+        for c in range(6)
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+         CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat
+  FROM customer
+), idx AS (
+  SELECT c_custkey,
+         CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT) AS loni,
+         CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT) AS lati
+  FROM pts
+), interleaved AS (
+  SELECT c_custkey, {interleave} AS inter FROM idx
+)
+SELECT c_custkey, {chars} AS gh FROM interleaved
+"""
+
+
+ORACLE_GEO_GEOHASH = _geohash_oracle_sql()
+
+
+# SimHash mirror: same md5-derived 60-bit gram hashes, per-bit majority vote
+# via a grams x bits cross join (md5 computed once per gram, not per bit).
+ORACLE_SIMHASH_SIGS = """
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN length(substr(text, 1, 128)) < 4 THEN [substr(text, 1, 128)]
+              ELSE list_distinct(list_transform(range(1, length(substr(text, 1, 128)) - 2),
+                                  i -> substr(substr(text, 1, 128), CAST(i AS INT), 4)))
+         END AS g
+  FROM documents
+), hashes AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(g) AS x FROM grams)
+), votes AS (
+  SELECT doc_id, bb.b AS b,
+         SUM((h >> CAST(bb.b AS INT)) & 1) AS ones,
+         COUNT(*) AS n
+  FROM hashes CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+  GROUP BY doc_id, bb.b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def _srp_oracle_sql():
+    """SRP bucket mirror: identical md5-derived plane weights, sequential
+    left-fold float sum (list elements in order, as Spark's F.aggregate)."""
+    bits = []
+    for j in range(8):
+        proj = (
+            "list_sum(list_transform(range(0, len(embedding)), "
+            "i -> CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * "
+            f"(CAST(concat('0x', substr(md5(concat('7:{j}:', CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)"
+            " / 4294967296.0 - 0.5)))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    bucket = " || ".join(bits)
+    return (
+        f"SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM "
+        f"(SELECT {bucket} AS bucket FROM embeddings) GROUP BY bucket"
+    )
+
+
+ORACLE_SRP_BUCKETS = _srp_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1284,7 +1365,7 @@ QUERIES = {
     "geo_wkt_types": (geo_wkt_types, ORACLE_GEO_WKT_TYPES),
     "geo_simplify_scale": (geo_simplify_scale, ORACLE_GEO_SIMPLIFY),
     "geo_clip": (geo_clip, ORACLE_GEO_CLIP),
-    "geo_geohash": (geo_geohash, None),  # no ANSI-SQL geohash; rows-only
+    "geo_geohash": (geo_geohash, ORACLE_GEO_GEOHASH),
     "geo_line_interpolate": (geo_line_interpolate, ORACLE_GEO_LINE_INTERP),
     "geo_center_envelope": (geo_center_envelope, ORACLE_GEO_CENTER),
     "geo_dump_explode": (geo_dump_explode, ORACLE_GEO_DUMP),
@@ -1309,8 +1390,8 @@ QUERIES = {
     "sim_cosine_topk": (sim_cosine_topk, ORACLE_SIM_TOPK),
     "sim_near_dup_pairs": (sim_near_dup_pairs, ORACLE_SIM_NEAR_DUP),
     "text_ngram_jaccard_vs_ref": (text_ngram_jaccard_vs_ref, ORACLE_NGRAM_JACCARD),
-    "dedup_simhash_signatures": (dedup_simhash_signatures, None),  # non-SQL; pytest-checked
-    "sim_srp_buckets": (sim_srp_buckets, None),  # non-SQL; pytest-checked
+    "dedup_simhash_signatures": (dedup_simhash_signatures, ORACLE_SIMHASH_SIGS),
+    "sim_srp_buckets": (sim_srp_buckets, ORACLE_SRP_BUCKETS),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (events_sessions, ORACLE_EVENTS_SESSIONS),
