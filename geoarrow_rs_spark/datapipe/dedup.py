@@ -199,12 +199,49 @@ def simhash64(text, shingle: int = 4, max_chars: int = 128, n_bits: int = 60):
     return acc
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = 4,
+    max_chars: int = 128,
+    n_bits: int = 60,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Per-doc SimHash via explode + codegen'd bitwise vote aggregation.
+
+    Same values as :func:`simhash64`, but the per-bit majority votes become
+    60 map-side-combined SUM aggregates over exploded gram hashes instead of
+    60 interpreted higher-order array scans per row — whole-stage codegen,
+    one shuffle keyed by id (the same rewrite that sped minhash up ~16x).
+    Vote for bit i is sum(2*bit-1) = 2*ones - n, so ">0" == strict majority."""
+    grams = F.array_distinct(char_ngrams(text_col, n=shingle, max_chars=max_chars))
+    gh = df.select(F.col(id_col), F.explode(grams).alias("__g")).select(
+        id_col,
+        F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long").alias("__h"),
+    )
+    votes = gh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            ).alias(f"__v{i}")
+            for i in range(n_bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(n_bits):
+        sig = sig + F.when(
+            F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(id_col, sig.alias(out_col))
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit bands (4 bands -> any pair
     within hamming<=3 shares at least one exact band), refine by popcount."""
-    sh = df.select(id_col, simhash64(text_col).alias("__sh"))
+    sh = simhash_signatures(df, id_col, text_col, out_col="__sh")
     banded = sh.withColumn(
         "__band",
         F.explode(

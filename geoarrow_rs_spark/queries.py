@@ -677,13 +677,12 @@ GROUP BY win_start, event_type
 
 
 def dedup_simhash_signatures(spark, sf_dir):
-    """SimHash signatures (no ANSI-SQL oracle — the 60-bit majority vote is
-    checked exactly against a pure-python reference in pytest; driver records
-    rows-only)."""
-    from .datapipe.dedup import simhash64
+    """SimHash signatures via explode + codegen'd bit-vote aggregation,
+    hash-verified against the md5 bit arithmetic mirrored in DuckDB SQL."""
+    from .datapipe.dedup import simhash_signatures
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64("text").alias("simhash"))
+    return simhash_signatures(d, "doc_id", "text")
 
 
 def sim_srp_buckets(spark, sf_dir):

@@ -104,3 +104,21 @@ def test_column_pruning_through_st_function(spark, sf_dir):
     # only the needed column is read from parquet
     assert "c_acctbal" in plan
     assert "c_name" not in plan.split("ReadSchema")[-1]
+
+
+def test_simhash_signatures_stay_native_and_match_expression(spark, sf_dir):
+    """The explode+bit-vote rewrite must stay UDF-free AND produce the exact
+    same 60-bit signatures as the original per-row expression variant."""
+    from geoarrow_rs_spark.datapipe.dedup import simhash64, simhash_signatures
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = simhash_signatures(d, "doc_id", "text")
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    got = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    exp = {
+        r["doc_id"]: r["sh"]
+        for r in d.select("doc_id", simhash64("text").alias("sh")).collect()
+    }
+    assert got == exp
