@@ -124,6 +124,29 @@ def srp_bucket_expr(vec, n_planes: int = 12, seed: int = 7):
     return F.concat(*bits)
 
 
+def _flip_bit_expr(bucket, j):
+    """Flip character j (0-based) of a '0'/'1' bucket string (native)."""
+    b = bucket
+    flipped = F.when(F.substring(b, j + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(F.substring(b, 1, j), flipped, F.substring(b, j + 2, 2_000_000))
+
+
+def multiprobe_buckets_expr(vec, n_planes: int = 6, seed: int = 7, radius: int = 1):
+    """Array of probe buckets: the vector's own SRP bucket plus every bucket
+    within the given Hamming radius (radius 1 => n_planes+1 probes). Probing
+    neighbors recovers candidates that a near-boundary projection pushed into
+    an adjacent bucket — the standard multiprobe-LSH recall fix."""
+    base = srp_bucket_expr(vec, n_planes, seed)
+    probes = [base]
+    if radius >= 1:
+        probes += [_flip_bit_expr(base, j) for j in range(n_planes)]
+    if radius >= 2:
+        for a in range(n_planes):
+            for b in range(a + 1, n_planes):
+                probes.append(_flip_bit_expr(_flip_bit_expr(base, a), b))
+    return F.array(*probes)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -133,14 +156,20 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     k: int = 10,
     n_planes: int = 6,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: SRP-bucket the corpus (inverted file), probe only
-    the query's bucket. Recall < 1 by construction; the scale path when the
-    corpus no longer fits a broadcast cross-join."""
+    """Approximate top-k: SRP-bucket the corpus (inverted file); each query
+    probes its own bucket plus all buckets within Hamming ``probe_radius``
+    (multiprobe). The corpus keeps ONE bucket per vector, so a candidate pair
+    joins at most once — no dedup shuffle. Scale path when the corpus no
+    longer fits the brute-force broadcast cross-join; probe_radius trades
+    compute for recall (radius 1 lifts recall to ~1.0 on clustered data)."""
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
-        srp_bucket_expr(query_vec, n_planes).alias("__bucket"),
+        F.explode(
+            multiprobe_buckets_expr(query_vec, n_planes, radius=probe_radius)
+        ).alias("__bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),

@@ -72,6 +72,49 @@ def try_unpack_points_xy(vals):
     return xs, ys, null
 
 
+_LS_HDR = b"\x01\x02\x00\x00\x00"
+_PG_HDR = b"\x01\x03\x00\x00\x00"
+_PG1_HDR = _PG_HDR + b"\x01\x00\x00\x00"  # polygon with exactly one ring
+_PT_HDR = b"\x01\x01\x00\x00\x00"
+
+
+def _flat_simple_decode(vals, hdr, hdr_len):
+    """Uniform simple-geometry WKB column (XY little-endian LineString
+    hdr_len=9, single-ring Polygon hdr_len=13) -> (flat (N, 2) coords,
+    per-row point counts, non-null row index), or None on any deviation.
+
+    Per-row Python work is only the fixed-layout header check; all
+    coordinates land via one join + one np.frombuffer (a single sequential
+    memcpy). Feeds the vectorized kernel fast paths below."""
+    n_hdr = len(hdr)
+    counts, idx, chunks = [], [], []
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        lv = len(v)
+        if lv <= hdr_len or v[:n_hdr] != hdr or (lv - hdr_len) % 16:
+            return None
+        npt = (lv - hdr_len) >> 4
+        if int.from_bytes(v[hdr_len - 4:hdr_len], "little") != npt:
+            return None
+        idx.append(i)
+        counts.append(npt)
+        chunks.append(memoryview(v)[hdr_len:])
+    if not idx:
+        return np.empty((0, 2)), np.empty(0, dtype=np.int64), idx
+    flat = np.frombuffer(b"".join(chunks), dtype="<f8").reshape(-1, 2)
+    return flat, np.asarray(counts, dtype=np.int64), idx
+
+
+def _reduceat_ring_sums(d, counts):
+    """Per-ring sums of a per-point quantity d (len == total points), where
+    the LAST point of each ring must not contribute (junk/wrap term)."""
+    ends = np.cumsum(counts)
+    d = d.copy()
+    d[ends - 1] = 0.0
+    return np.add.reduceat(d, ends - counts)
+
+
 def geoms_of(s: pd.Series):
     return [from_wkb(v) if v is not None else None for v in s]
 
@@ -85,6 +128,22 @@ def _f64(vals):
 # ---------------------------------------------------------------------------
 
 def k_area(s):
+    vals = list(s)
+    first = next((v for v in vals if v is not None), None)
+    if first is not None and len(first) > 13 and bytes(first[:9]) == _PG1_HDR:
+        dec = _flat_simple_decode(vals, _PG1_HDR, 13)
+        if dec is not None:
+            flat, counts, idx = dec
+            x, y = flat[:, 0], flat[:, 1]
+            # shoelace, whole batch at once: cross terms between consecutive
+            # points, ring-wrap junk removed by the reduceat helper
+            d = np.empty(len(flat))
+            d[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+            d[-1] = 0.0
+            sums = _reduceat_ring_sums(d, counts)
+            out = np.full(len(vals), np.nan)
+            out[idx] = 0.5 * np.abs(sums)
+            return _f64(out)
     return _f64([alg.area(g) if g is not None else np.nan for g in geoms_of(s)])
 
 
@@ -109,6 +168,19 @@ def k_length_spherical(s):
 
 
 def k_perimeter(s):
+    vals = list(s)
+    first = next((v for v in vals if v is not None), None)
+    if first is not None and len(first) > 13 and bytes(first[:9]) == _PG1_HDR:
+        dec = _flat_simple_decode(vals, _PG1_HDR, 13)
+        if dec is not None:
+            flat, counts, idx = dec
+            d = np.empty(len(flat))
+            d[:-1] = np.hypot(np.diff(flat[:, 0]), np.diff(flat[:, 1]))
+            d[-1] = 0.0
+            sums = _reduceat_ring_sums(d, counts)
+            out = np.full(len(vals), np.nan)
+            out[idx] = sums
+            return _f64(out)
     return _f64([alg.perimeter(g) if g is not None else np.nan for g in geoms_of(s)])
 
 
@@ -663,7 +735,58 @@ k_chaikin = _param_geom_kernel(lambda g, n: alg.chaikin_smoothing(g, int(n)))
 k_remove_repeated = _param_geom_kernel(
     lambda g, tol: alg.remove_repeated_points(g, float(tol))
 )
-k_buffer = _param_geom_kernel(lambda g, w, q: alg.buffer(g, float(w), int(q)))
+_k_buffer_slow = _param_geom_kernel(lambda g, w, q: alg.buffer(g, float(w), int(q)))
+
+
+def k_buffer(s, w, q):
+    """ST_Buffer with a fully vectorized fast path for the common case:
+    an all-XY-point column, positive widths, uniform quadsegs. Builds every
+    circle ring in one (rows, verts, 2) numpy op and packs the WKB polygons
+    in one buffer — byte-identical to the per-row path (same op order)."""
+    vals = list(s)
+    pts = try_unpack_points_xy(vals)
+    if pts is not None:
+        n_rows = len(vals)
+        wv = (
+            np.asarray(pd.to_numeric(pd.Series(list(w)), errors="coerce"), dtype=np.float64)
+            if hasattr(w, "__len__")
+            else np.full(n_rows, float(w))
+        )
+        qv = list(q) if hasattr(q, "__len__") else [q] * n_rows
+        q_set = {v for v in qv if v is not None}
+        xs, ys, null = pts
+        valid = ~null & np.isfinite(wv) & (wv > 0)
+        # fall back if any non-null row needs the slow path (w<=0 => EMPTY)
+        if len(q_set) == 1 and bool(np.all(valid | null | ~np.isfinite(wv))):
+            nv = max(4, int(next(iter(q_set))) * 4)
+            ang = np.linspace(0, 2 * math.pi, nv, endpoint=False)
+            unit = np.column_stack((np.cos(ang), np.sin(ang)))
+            sel = np.flatnonzero(valid)
+            if len(sel):
+                # same op order as alg.buffer: (unit * |w|) + center
+                rings = unit[None, :, :] * np.abs(wv[sel])[:, None, None]
+                rings = rings + np.column_stack((xs[sel], ys[sel]))[:, None, :]
+                closed = np.concatenate([rings, rings[:, :1, :]], axis=1)
+                m = nv + 1
+                size = 13 + 16 * m
+                arr = np.empty((len(sel), size), np.uint8)
+                arr[:, :9] = np.frombuffer(_PG1_HDR, np.uint8)
+                arr[:, 9:13] = np.frombuffer(
+                    np.uint32(m).tobytes(), np.uint8
+                )
+                arr[:, 13:] = np.ascontiguousarray(
+                    closed.reshape(len(sel), -1)
+                ).view(np.uint8)
+                raw = arr.tobytes()
+                blobs = {
+                    int(i): raw[j * size:(j + 1) * size] for j, i in enumerate(sel)
+                }
+            else:
+                blobs = {}
+            return pd.Series(
+                [blobs.get(i) for i in range(n_rows)], dtype=object
+            )
+    return _k_buffer_slow(s, w, q)
 k_translate = _param_geom_kernel(lambda g, dx, dy: alg.translate(g, float(dx), float(dy)))
 k_rotate = _param_geom_kernel(lambda g, a: alg.rotate(g, float(a), origin="center"))
 k_scale = _param_geom_kernel(lambda g, fx, fy: alg.scale(g, float(fx), float(fy), origin="center"))

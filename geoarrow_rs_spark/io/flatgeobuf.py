@@ -359,9 +359,86 @@ _CT_BY_SPARK = {
 }
 
 
-def write_flatgeobuf(df, path: str, geometry_col: str = "geometry", name: str = "layer"):
-    """Driver-side FlatGeobuf writer (no spatial index; index_node_size=0).
-    Property columns are encoded per the FGB packed-properties spec."""
+def _hilbert_codes(cx, cy, extent, order: int = 16):
+    """Hilbert curve codes of points within extent (vectorized xy2d; the
+    standard public-domain iterative rotation algorithm). FGB parity:
+    writer.rs sorts node items by Hilbert value of the bbox center."""
+    xmin, ymin, xmax, ymax = extent
+    n = 1 << order
+    sx = (xmax - xmin) or 1.0
+    sy = (ymax - ymin) or 1.0
+    cx = np.nan_to_num(np.asarray(cx, dtype=np.float64))
+    cy = np.nan_to_num(np.asarray(cy, dtype=np.float64))
+    x = np.clip((cx - xmin) / sx * (n - 1), 0, n - 1).astype(np.int64)
+    y = np.clip((cy - ymin) / sy * (n - 1), 0, n - 1).astype(np.int64)
+    d = np.zeros(len(x), dtype=np.uint64)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += (np.uint64(s) * np.uint64(s)) * ((3 * rx) ^ ry).astype(np.uint64)
+        flip = (ry == 0) & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+def _build_packed_rtree(boxes, feat_offsets, node_size: int = 16):
+    """Packed Hilbert R-tree bytes (FGB spec layout, 40-byte NodeItem):
+    levels root-first, leaves last; leaf ``off`` = feature byte offset in the
+    feature section, internal ``off`` = byte offset of the first child node
+    within the index. Mirrors packed_r_tree.rs semantics; readable by this
+    module's _read_leaf_nodes and by stock FGB readers."""
+    n = len(boxes)
+    sizes = _index_level_sizes(n, node_size)
+    level_starts = np.concatenate(([0], np.cumsum(sizes[:-1]))) * 40
+    dt = np.dtype([("minx", "<f8"), ("miny", "<f8"), ("maxx", "<f8"),
+                   ("maxy", "<f8"), ("off", "<u8")])
+    levels = [None] * len(sizes)
+    leaves = np.empty(n, dtype=dt)
+    leaves["minx"], leaves["miny"] = boxes[:, 0], boxes[:, 1]
+    leaves["maxx"], leaves["maxy"] = boxes[:, 2], boxes[:, 3]
+    leaves["off"] = feat_offsets
+    levels[-1] = leaves
+    for li in range(len(sizes) - 2, -1, -1):
+        child = levels[li + 1]
+        m = sizes[li]
+        parents = np.empty(m, dtype=dt)
+        for j in range(m):
+            grp = child[j * node_size:(j + 1) * node_size]
+            parents["minx"][j] = grp["minx"].min()
+            parents["miny"][j] = grp["miny"].min()
+            parents["maxx"][j] = grp["maxx"].max()
+            parents["maxy"][j] = grp["maxy"].max()
+            parents["off"][j] = level_starts[li + 1] + j * node_size * 40
+        levels[li] = parents
+    return b"".join(lv.tobytes() for lv in levels)
+
+
+def write_flatgeobuf(
+    df,
+    path: str,
+    geometry_col: str = "geometry",
+    name: str = "layer",
+    write_index: bool = True,
+    node_size: int = 16,
+):
+    """Driver-side FlatGeobuf writer with a packed Hilbert R-tree index
+    (rust/geoarrow-flatgeobuf/src/writer.rs write_index parity).
+
+    Single-file formats force a single writer, but the input streams through
+    ``toLocalIterator()`` — bounded driver memory (one partition of rows plus
+    40 bytes of bbox/offset bookkeeping per feature), never a full
+    ``collect()``. Features are staged size-prefixed in a temp file, then
+    re-emitted in Hilbert order behind the index."""
+    import os
+    import tempfile
+
+    from ..wkb import algorithms as alg
+
     schema_fields = [f for f in df.schema.fields if f.name != geometry_col]
     col_types = []
     for f in schema_fields:
@@ -370,63 +447,120 @@ def write_flatgeobuf(df, path: str, geometry_col: str = "geometry", name: str = 
             t = 11  # stringify unknown types
         col_types.append((f.name, t))
 
-    rows = df.collect()
-    geoms = [wc.from_wkb(r[geometry_col]) if r[geometry_col] is not None else None for r in rows]
-    gts = {g.kind for g in geoms if g is not None and not g.is_empty()}
-    gtype = {
-        frozenset([wc.POINT]): GT_POINT,
-        frozenset([wc.LINESTRING]): GT_LINESTRING,
-        frozenset([wc.POLYGON]): GT_POLYGON,
-        frozenset([wc.MULTIPOINT]): GT_MULTIPOINT,
-        frozenset([wc.MULTILINESTRING]): GT_MULTILINESTRING,
-        frozenset([wc.MULTIPOLYGON]): GT_MULTIPOLYGON,
-    }.get(frozenset(gts), GT_UNKNOWN)
-
-    # header
-    hb = _FBBuilder()
-    col_offs = []
-    for (cname, ctype) in col_types:
-        s = hb.string(cname)
-        col_offs.append(hb.table([(0, "offset", s), (1, "u8", ctype)]))
-    cols_vec = hb.vector_offsets(col_offs) if col_offs else None
-    name_off = hb.string(name)
-    header_fields = [
-        (0, "offset", name_off),
-        (2, "u8", gtype),
-        (8, "u64", len(rows)),
-        (9, "u16", 0),  # no index
-    ]
-    if cols_vec is not None:
-        header_fields.append((7, "offset", cols_vec))
-    header = hb.finish(hb.table(header_fields))
-
-    with open(path, "wb") as f:
-        f.write(MAGIC + b"\x00")
-        f.write(struct.pack("<I", len(header)))
-        f.write(header)
-        for r, g in zip(rows, geoms):
-            fb = _FBBuilder()
-            props = bytearray()
-            for ci, (cname, ctype) in enumerate(col_types):
-                v = r[cname]
-                if v is None:
-                    continue
-                props += struct.pack("<H", ci)
-                if ctype in CT_FMT:
-                    props += struct.pack(CT_FMT[ctype], v)
-                elif ctype == 14:
-                    props += struct.pack("<I", len(v)) + bytes(v)
+    # pass 1: stream + encode features into a temp stage, tracking bboxes
+    gts = set()
+    boxes = []
+    sizes = []
+    xmin = ymin = math.inf
+    xmax = ymax = -math.inf
+    tmp_fd, tmp_path = tempfile.mkstemp(
+        prefix=".fgb-stage-", dir=os.path.dirname(os.path.abspath(path)) or "."
+    )
+    try:
+        with os.fdopen(tmp_fd, "wb") as tf:
+            for r in df.toLocalIterator():
+                g = (
+                    wc.from_wkb(r[geometry_col])
+                    if r[geometry_col] is not None
+                    else None
+                )
+                fb = _FBBuilder()
+                props = bytearray()
+                for ci, (cname, ctype) in enumerate(col_types):
+                    v = r[cname]
+                    if v is None:
+                        continue
+                    props += struct.pack("<H", ci)
+                    if ctype in CT_FMT:
+                        props += struct.pack(CT_FMT[ctype], v)
+                    elif ctype == 14:
+                        props += struct.pack("<I", len(v)) + bytes(v)
+                    else:
+                        enc = str(v).encode("utf-8")
+                        props += struct.pack("<I", len(enc)) + enc
+                fields = []
+                b = None
+                if g is not None and not g.is_empty():
+                    gts.add(g.kind)
+                    b = alg.bounds(g)
+                    fields.append((0, "offset", _encode_geometry_fb(fb, g)))
+                if props:
+                    fields.append((1, "offset", fb.vector_bytes(bytes(props))))
+                buf = fb.finish(fb.table(fields))
+                tf.write(struct.pack("<I", len(buf)))
+                tf.write(buf)
+                sizes.append(4 + len(buf))
+                if b is not None:
+                    boxes.append(tuple(b))
+                    xmin, ymin = min(xmin, b[0]), min(ymin, b[1])
+                    xmax, ymax = max(xmax, b[2]), max(ymax, b[3])
                 else:
-                    enc = str(v).encode("utf-8")
-                    props += struct.pack("<I", len(enc)) + enc
-            fields = []
-            if g is not None and not g.is_empty():
-                fields.append((0, "offset", _encode_geometry_fb(fb, g)))
-            if props:
-                fields.append((1, "offset", fb.vector_bytes(bytes(props))))
-            buf = fb.finish(fb.table(fields))
-            f.write(struct.pack("<I", len(buf)))
-            f.write(buf)
+                    boxes.append((0.0, 0.0, 0.0, 0.0))
+
+        n = len(sizes)
+        gtype = {
+            frozenset([wc.POINT]): GT_POINT,
+            frozenset([wc.LINESTRING]): GT_LINESTRING,
+            frozenset([wc.POLYGON]): GT_POLYGON,
+            frozenset([wc.MULTIPOINT]): GT_MULTIPOINT,
+            frozenset([wc.MULTILINESTRING]): GT_MULTILINESTRING,
+            frozenset([wc.MULTIPOLYGON]): GT_MULTIPOLYGON,
+        }.get(frozenset(gts), GT_UNKNOWN)
+
+        has_index = write_index and n > 0
+        box_arr = np.asarray(boxes, dtype=np.float64).reshape(n, 4)
+        size_arr = np.asarray(sizes, dtype=np.int64)
+        if has_index:
+            extent = (xmin, ymin, xmax, ymax) if xmin <= xmax else (0, 0, 0, 0)
+            codes = _hilbert_codes(
+                (box_arr[:, 0] + box_arr[:, 2]) / 2.0,
+                (box_arr[:, 1] + box_arr[:, 3]) / 2.0,
+                extent,
+            )
+            order = np.argsort(codes, kind="stable")
+        else:
+            order = np.arange(n)
+        staged_off = np.concatenate(([0], np.cumsum(size_arr)[:-1])) if n else np.empty(0, np.int64)
+        out_sizes = size_arr[order]
+        out_offsets = np.concatenate(([0], np.cumsum(out_sizes)[:-1])) if n else np.empty(0, np.int64)
+        index_bytes = (
+            _build_packed_rtree(box_arr[order], out_offsets, node_size)
+            if has_index
+            else b""
+        )
+
+        # header (after the stream: feature count and extent are now known)
+        hb = _FBBuilder()
+        col_offs = []
+        for (cname, ctype) in col_types:
+            s = hb.string(cname)
+            col_offs.append(hb.table([(0, "offset", s), (1, "u8", ctype)]))
+        cols_vec = hb.vector_offsets(col_offs) if col_offs else None
+        env_vec = hb.vector_f64([xmin, ymin, xmax, ymax]) if xmin <= xmax else None
+        name_off = hb.string(name)
+        header_fields = [
+            (0, "offset", name_off),
+            (2, "u8", gtype),
+            (8, "u64", n),
+            (9, "u16", node_size if has_index else 0),
+        ]
+        if env_vec is not None:
+            header_fields.append((1, "offset", env_vec))
+        if cols_vec is not None:
+            header_fields.append((7, "offset", cols_vec))
+        header = hb.finish(hb.table(header_fields))
+
+        with open(path, "wb") as f, open(tmp_path, "rb") as tf:
+            f.write(MAGIC + b"\x00")
+            f.write(struct.pack("<I", len(header)))
+            f.write(header)
+            f.write(index_bytes)
+            for i in order:
+                tf.seek(int(staged_off[i]))
+                f.write(tf.read(int(size_arr[i])))
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
 
 
 def read_flatgeobuf(

@@ -69,24 +69,35 @@ def write_geoparquet(
     mode: str = "overwrite",
     compute_bbox: bool = True,
 ):
-    """Write a DataFrame with a WKB geometry column as GeoParquet."""
+    """Write a DataFrame with a WKB geometry column as GeoParquet.
+
+    The file-level bbox is collected DURING the write job via
+    ``DataFrame.observe`` — one scan total (the old re-read-and-aggregate
+    cost a second full pass over everything just written, which at 100 TB
+    doubles the job)."""
     out = df
     if generate_covering and covering_col not in df.columns:
         out = out.withColumn(covering_col, F.expr(f"ST_BBox({geometry_col})"))
+
+    obs = None
+    if compute_bbox and covering_col in out.columns:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.min(f"{covering_col}.xmin").alias("xmin"),
+            F.min(f"{covering_col}.ymin").alias("ymin"),
+            F.max(f"{covering_col}.xmax").alias("xmax"),
+            F.max(f"{covering_col}.ymax").alias("ymax"),
+        )
     out.write.mode(mode).parquet(path)
 
     file_bbox = None
-    if compute_bbox:
-        spark = df.sparkSession
-        written = spark.read.parquet(path)
-        src = covering_col if generate_covering or covering_col in written.columns else None
-        if src is not None:
-            row = written.agg(
-                F.min(f"{covering_col}.xmin"), F.min(f"{covering_col}.ymin"),
-                F.max(f"{covering_col}.xmax"), F.max(f"{covering_col}.ymax"),
-            ).collect()[0]
-            if row[0] is not None:
-                file_bbox = [row[0], row[1], row[2], row[3]]
+    if obs is not None:
+        m = obs.get
+        if m.get("xmin") is not None:
+            file_bbox = [m["xmin"], m["ymin"], m["xmax"], m["ymax"]]
 
     doc = _geo_doc(
         geometry_col, crs, file_bbox, covering_col if generate_covering else None

@@ -256,56 +256,14 @@ def _encode_parts(stype, parts):
 
 
 def write_shapefile(df, shp_path: str, geometry_col="geometry"):
-    """Driver-side shapefile writer (small extracts; see module docstring)."""
-    rows = df.collect()
+    """Driver-side shapefile writer (single-file format => single writer),
+    but STREAMING: rows arrive via ``toLocalIterator()`` one partition at a
+    time and go straight to disk; headers (bbox, lengths, record count) are
+    patched by seek afterward. Driver memory stays bounded (8 bytes of .shx
+    bookkeeping per record), unlike the old full ``collect()``."""
+    from ..wkb import algorithms as alg
+
     other = [c for c in df.columns if c != geometry_col]
-    records = []
-    for r in rows:
-        g = wc.from_wkb(r[geometry_col]) if r[geometry_col] is not None else None
-        records.append((g, [r[c] for c in other]))
-
-    # .shp + .shx
-    contents = []
-    for (g, _props) in records:
-        _stype, body = _encode_geom(g)
-        contents.append(body)
-    total = 100 + sum(8 + len(b) for b in contents)
-    xs = [
-        c for (g, _p) in records if g is not None and not g.is_empty()
-        for c in [None]
-    ]
-    coords = np.vstack(
-        [wc.all_coords(g)[:, :2] for (g, _p) in records if g is not None and not g.is_empty()]
-    ) if any(g is not None and not g.is_empty() for (g, _p) in records) else np.zeros((1, 2))
-    bbox = (coords[:, 0].min(), coords[:, 1].min(), coords[:, 0].max(), coords[:, 1].max())
-    main_type = next(
-        (_encode_geom(g)[0] for (g, _p) in records if g is not None and not g.is_empty()),
-        SHAPE_NULL,
-    )
-
-    def header(file_len_bytes):
-        return (
-            struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, file_len_bytes // 2)
-            + struct.pack("<ii", 1000, main_type)
-            + struct.pack("<4d", *bbox)
-            + struct.pack("<4d", 0, 0, 0, 0)
-        )
-
-    with open(shp_path, "wb") as f:
-        f.write(header(total))
-        off = 100
-        shx_entries = []
-        for i, body in enumerate(contents):
-            f.write(struct.pack(">ii", i + 1, len(body) // 2))
-            f.write(body)
-            shx_entries.append((off // 2, len(body) // 2))
-            off += 8 + len(body)
-    with open(shp_path.replace(".shp", ".shx"), "wb") as f:
-        f.write(header(100 + 8 * len(contents)))
-        for (o, l) in shx_entries:
-            f.write(struct.pack(">ii", o, l))
-
-    # .dbf
     schema_fields = [f for f in df.schema.fields if f.name != geometry_col]
     descs = []
     for fld in schema_fields:
@@ -320,28 +278,76 @@ def write_shapefile(df, shp_path: str, geometry_col="geometry"):
             descs.append((fld.name, "C", 64, 0))
     rsize = 1 + sum(l for (_n, _t, l, _d) in descs)
     hsize = 32 + 32 * len(descs) + 1
-    with open(shp_path.replace(".shp", ".dbf"), "wb") as f:
-        f.write(struct.pack("<4B", 3, 24, 1, 1))
-        f.write(struct.pack("<iHH", len(records), hsize, rsize))
-        f.write(b"\x00" * 20)
+
+    def header(file_len_bytes, main_type, bbox):
+        return (
+            struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, file_len_bytes // 2)
+            + struct.pack("<ii", 1000, main_type)
+            + struct.pack("<4d", *bbox)
+            + struct.pack("<4d", 0, 0, 0, 0)
+        )
+
+    placeholder = header(100, SHAPE_NULL, (0.0, 0.0, 0.0, 0.0))
+    xmin = ymin = float("inf")
+    xmax = ymax = float("-inf")
+    main_type = SHAPE_NULL
+    n_rec = 0
+    shx_entries = []
+
+    shx_path = shp_path.replace(".shp", ".shx")
+    dbf_path = shp_path.replace(".shp", ".dbf")
+    with open(shp_path, "wb") as fshp, open(dbf_path, "wb") as fdbf:
+        fshp.write(placeholder)
+        # .dbf header with a 0 record count, patched at the end
+        fdbf.write(struct.pack("<4B", 3, 24, 1, 1))
+        fdbf.write(struct.pack("<iHH", 0, hsize, rsize))
+        fdbf.write(b"\x00" * 20)
         for (n, t, l, d) in descs:
-            f.write(n.encode("ascii")[:10].ljust(11, b"\x00"))
-            f.write(t.encode("ascii"))
-            f.write(b"\x00" * 4)
-            f.write(struct.pack("<BB", l, d))
-            f.write(b"\x00" * 14)
-        f.write(b"\r")
-        for (_g, props) in records:
-            f.write(b" ")
-            for (v, (n, t, l, d)) in zip(props, descs):
+            fdbf.write(n.encode("ascii")[:10].ljust(11, b"\x00"))
+            fdbf.write(t.encode("ascii"))
+            fdbf.write(b"\x00" * 4)
+            fdbf.write(struct.pack("<BB", l, d))
+            fdbf.write(b"\x00" * 14)
+        fdbf.write(b"\r")
+
+        off = 100
+        for r in df.toLocalIterator():
+            g = wc.from_wkb(r[geometry_col]) if r[geometry_col] is not None else None
+            stype, body = _encode_geom(g)
+            if g is not None and not g.is_empty():
+                if main_type == SHAPE_NULL:
+                    main_type = stype
+                b = alg.bounds(g)
+                if b is not None:
+                    xmin, ymin = min(xmin, b[0]), min(ymin, b[1])
+                    xmax, ymax = max(xmax, b[2]), max(ymax, b[3])
+            n_rec += 1
+            fshp.write(struct.pack(">ii", n_rec, len(body) // 2))
+            fshp.write(body)
+            shx_entries.append((off // 2, len(body) // 2))
+            off += 8 + len(body)
+
+            fdbf.write(b" ")
+            for (v, (n, t, l, d)) in zip((r[c] for c in other), descs):
                 if v is None:
-                    f.write(b" " * l)
+                    fdbf.write(b" " * l)
                 elif t == "N" and d > 0:
-                    f.write(f"{float(v):>{l}.{d}f}".encode("ascii")[:l])
+                    fdbf.write(f"{float(v):>{l}.{d}f}".encode("ascii")[:l])
                 elif t == "N":
-                    f.write(f"{int(v):>{l}d}".encode("ascii")[:l])
+                    fdbf.write(f"{int(v):>{l}d}".encode("ascii")[:l])
                 elif t == "L":
-                    f.write(b"T" if v else b"F")
+                    fdbf.write(b"T" if v else b"F")
                 else:
-                    f.write(str(v).encode("latin-1", "replace")[:l].ljust(l, b" "))
-        f.write(b"\x1a")
+                    fdbf.write(str(v).encode("latin-1", "replace")[:l].ljust(l, b" "))
+        fdbf.write(b"\x1a")
+        fdbf.seek(4)
+        fdbf.write(struct.pack("<i", n_rec))
+
+        bbox = (xmin, ymin, xmax, ymax) if xmin <= xmax else (0.0, 0.0, 0.0, 0.0)
+        fshp.seek(0)
+        fshp.write(header(off, main_type, bbox))
+
+    with open(shx_path, "wb") as fshx:
+        fshx.write(header(100 + 8 * n_rec, main_type, bbox))
+        for (o, l) in shx_entries:
+            fshx.write(struct.pack(">ii", o, l))

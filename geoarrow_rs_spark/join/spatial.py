@@ -62,7 +62,7 @@ def spatial_join(
     how: str = "inner",
     strategy: str = "auto",
     cell_size: float = 1.0,
-    broadcast_threshold: int = 100_000,
+    broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Join rows whose geometries satisfy the predicate.
 
@@ -75,11 +75,18 @@ def spatial_join(
     R = right.withColumn(rb, F.expr(f"ST_BBox({right_geom})"))
 
     if strategy == "auto":
+        # plan-time size estimate from Catalyst statistics (file sizes /
+        # catalog stats) — NO job is launched. The old right.count() ran a
+        # full scan of the big side before the join even planned; at 100 TB
+        # that is an extra job over the entire input.
+        strategy = "grid"
         try:
-            rc = right.count()
-            strategy = "broadcast" if rc <= broadcast_threshold else "grid"
+            if not right.isStreaming:
+                jstats = right._jdf.queryExecution().optimizedPlan().stats()
+                size = int(jstats.sizeInBytes().toString())
+                strategy = "broadcast" if size <= broadcast_bytes else "grid"
         except Exception:
-            strategy = "grid"
+            pass
 
     refine = _refine_expr(predicate, left_geom, right_geom)
 

@@ -1315,26 +1315,88 @@ FROM votes GROUP BY doc_id
 """
 
 
-def _srp_oracle_sql():
+def _srp_bucket_sql(col: str, n_planes: int, seed: int = 7) -> str:
     """SRP bucket mirror: identical md5-derived plane weights, sequential
     left-fold float sum (list elements in order, as Spark's F.aggregate)."""
     bits = []
-    for j in range(8):
+    for j in range(n_planes):
         proj = (
-            "list_sum(list_transform(range(0, len(embedding)), "
-            "i -> CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * "
-            f"(CAST(concat('0x', substr(md5(concat('7:{j}:', CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)"
+            f"list_sum(list_transform(range(0, len({col})), "
+            f"i -> CAST({col}[CAST(i AS INT) + 1] AS DOUBLE) * "
+            f"(CAST(concat('0x', substr(md5(concat('{seed}:{j}:', CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)"
             " / 4294967296.0 - 0.5)))"
         )
         bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
-    bucket = " || ".join(bits)
-    return (
-        f"SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM "
-        f"(SELECT {bucket} AS bucket FROM embeddings) GROUP BY bucket"
+    return " || ".join(bits)
+
+
+ORACLE_SRP_BUCKETS = (
+    f"SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM "
+    f"(SELECT {_srp_bucket_sql('embedding', 8)} AS bucket FROM embeddings) GROUP BY bucket"
+)
+
+
+def sim_ivf_topk(spark, sf_dir):
+    """Approximate nearest neighbors via inverted-file SRP buckets with
+    Hamming-1 multiprobe — the scale path when the corpus outgrows the
+    brute-force broadcast cross-join. Full SQL oracle: the entire pipeline
+    (buckets, probes, decimal cosine, rank) is mirrored in DuckDB."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    corpus = e.where(F.col("vec_id") >= 8)
+    out = similarity.ivf_topk(q, corpus, k=5, n_planes=6, probe_radius=1)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
 
 
-ORACLE_SRP_BUCKETS = _srp_oracle_sql()
+def _ivf_oracle_sql(n_planes: int = 6) -> str:
+    flips = ", ".join(
+        f"substr(b, 1, {j}) || (CASE WHEN substr(b, {j + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(b, {j + 2})"
+        for j in range(n_planes)
+    )
+    return f"""
+WITH withb AS (
+  SELECT vec_id, embedding, {_srp_bucket_sql('embedding', n_planes)} AS b FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, unnest([b, {flips}]) AS probe
+  FROM withb WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, b FROM withb WHERE vec_id >= 8
+),
+pairs AS (
+  SELECT query_id, qe, neighbor_id, ce FROM q JOIN c ON c.b = q.probe
+),
+terms AS (
+  SELECT query_id, neighbor_id,
+         unnest(qe)::DOUBLE AS qv, unnest(ce)::DOUBLE AS cv
+  FROM pairs
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         SUM(CAST(round(qv * cv, 12) AS DECIMAL(38,12))) AS dot,
+         SUM(CAST(round(qv * qv, 12) AS DECIMAL(38,12))) AS qn,
+         SUM(CAST(round(cv * cv, 12) AS DECIMAL(38,12))) AS cn
+  FROM terms GROUP BY query_id, neighbor_id
+),
+cosined AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)) > 0
+                    THEN CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+                    ELSE 0.0 END, 8) AS cosine
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM cosined
+) WHERE rank <= 5
+"""
+
+
+ORACLE_SIM_IVF_TOPK = _ivf_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1391,6 +1453,7 @@ QUERIES = {
     "text_ngram_jaccard_vs_ref": (text_ngram_jaccard_vs_ref, ORACLE_NGRAM_JACCARD),
     "dedup_simhash_signatures": (dedup_simhash_signatures, ORACLE_SIMHASH_SIGS),
     "sim_srp_buckets": (sim_srp_buckets, ORACLE_SRP_BUCKETS),
+    "sim_ivf_topk": (sim_ivf_topk, ORACLE_SIM_IVF_TOPK),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (events_sessions, ORACLE_EVENTS_SESSIONS),

@@ -233,3 +233,49 @@ def test_arrow_ipc_multifile(spark, tmp_path):
     write_arrow_ipc(df.where("id >= 25"), os.path.join(d, "b.arrow"))
     back = read_arrow_ipc(spark, d)
     assert back.count() == 50
+
+
+def test_flatgeobuf_written_index_bbox_seek(spark, tmp_path):
+    """A repo-written FGB file carries a packed Hilbert R-tree that the
+    repo's own reader uses for byte-range pruning: a small bbox touches only
+    a fraction of the leaf nodes, and results equal brute force."""
+    import struct as _struct
+
+    from geoarrow_rs_spark.io import flatgeobuf as fgb
+    from geoarrow_rs_spark.functions import register_functions
+
+    register_functions(spark)
+    path = str(tmp_path / "grid.fgb")
+    # 20x20 grid of points with an id property
+    pts = spark.range(400).selectExpr(
+        "id",
+        "ST_Point(CAST(id % 20 AS DOUBLE), CAST(id div 20 AS DOUBLE)) AS geometry",
+    )
+    fgb.write_flatgeobuf(pts, path, name="grid")
+
+    with open(path, "rb") as f:
+        assert f.read(8)[:7] == fgb.MAGIC
+        (hsize,) = _struct.unpack("<I", f.read(4))
+        header = fgb._parse_header(f.read(hsize))
+        assert header["features_count"] == 400
+        assert header["index_node_size"] == 16
+        env = header["envelope"]
+        assert list(env) == [0.0, 0.0, 19.0, 19.0]
+        leaves = fgb._read_leaf_nodes(f, 12 + hsize, 400, 16)
+    # leaf pruning: a 3x3-cell bbox covers exactly 16 of the 400 leaf boxes
+    keep = ~(
+        (leaves["maxx"] < 2.5) | (leaves["minx"] > 5.5)
+        | (leaves["maxy"] < 2.5) | (leaves["miny"] > 5.5)
+    )
+    assert int(keep.sum()) == 9
+    # read with bbox == brute force filter
+    got = sorted(
+        r["id"]
+        for r in fgb.read_flatgeobuf(spark, path, bbox=(2.5, 2.5, 5.5, 5.5)).collect()
+    )
+    exp = sorted(
+        i for i in range(400) if 2.5 <= i % 20 <= 5.5 and 2.5 <= i // 20 <= 5.5
+    )
+    assert got == exp
+    # full read preserves everything (hilbert reorder is content-preserving)
+    assert fgb.read_flatgeobuf(spark, path).count() == 400

@@ -122,3 +122,23 @@ def test_simhash_signatures_stay_native_and_match_expression(spark, sf_dir):
         for r in d.select("doc_id", simhash64("text").alias("sh")).collect()
     }
     assert got == exp
+
+
+def test_spatial_join_auto_uses_plan_stats(spark, sf_dir):
+    """auto strategy decides from Catalyst sizeInBytes (no count() job):
+    a small parquet right side must choose broadcast."""
+    from geoarrow_rs_spark.join.spatial import spatial_join
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey", "ST_Point(c_acctbal, CAST(c_custkey AS DOUBLE)) AS lgeom"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+        "n_nationkey", "ST_Point(CAST(n_nationkey AS DOUBLE), 0.0) AS rgeom"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    out = spatial_join(c, n, left_geom="lgeom", right_geom="rgeom", strategy="auto")
+    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    assert jobs_after == jobs_before, "auto strategy launched a job at plan time"
+    plan = _plan(out)
+    assert "Broadcast" in plan
