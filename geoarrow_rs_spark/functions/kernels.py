@@ -730,6 +730,9 @@ def _param_geom_kernel(fn):
 
 k_simplify = _param_geom_kernel(lambda g, eps: alg.simplify(g, float(eps)))
 k_simplify_vw = _param_geom_kernel(lambda g, eps: alg.simplify_vw(g, float(eps)))
+k_simplify_vw_preserve = _param_geom_kernel(
+    lambda g, eps: alg.simplify_vw_preserve(g, float(eps))
+)
 k_densify = _param_geom_kernel(lambda g, d: alg.densify(g, float(d)))
 k_chaikin = _param_geom_kernel(lambda g, n: alg.chaikin_smoothing(g, int(n)))
 k_remove_repeated = _param_geom_kernel(

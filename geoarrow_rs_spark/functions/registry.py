@@ -123,6 +123,8 @@ _SCALAR_UDFS = {
     # transforms
     "ST_Simplify": (K.k_simplify, BinaryType()),
     "ST_SimplifyVW": (K.k_simplify_vw, BinaryType()),
+    "ST_SimplifyPreserveTopology": (K.k_simplify_vw_preserve, BinaryType()),
+    "ST_SimplifyVWPreserve": (K.k_simplify_vw_preserve, BinaryType()),
     "ST_Densify": (K.k_densify, BinaryType()),
     "ST_ChaikinSmoothing": (K.k_chaikin, BinaryType()),
     "ST_RemoveRepeatedPoints": (K.k_remove_repeated, BinaryType()),
@@ -251,6 +253,17 @@ def bbox_intersects_expr(bbox_col, xmin, ymin, xmax, ymax):
         & (b["ymin"] <= F.lit(ymax))
         & (b["ymax"] >= F.lit(ymin))
     )
+
+
+def extent_agg_expr(geom_col, alias: str = "extent"):
+    """Native extent aggregation: ST_BBox once (scalar pUDF), then codegen'd
+    min/max with map-side partial aggregation. Use this instead of the
+    ``ST_Extent_Agg`` grouped-agg UDF in hot paths — the UDF shuffles raw WKB
+    to Python per group; this shuffles four doubles with partial combine."""
+    b = F.expr(f"ST_BBox({geom_col})")
+    return F.array(
+        F.min(b["xmin"]), F.min(b["ymin"]), F.max(b["xmax"]), F.max(b["ymax"])
+    ).alias(alias)
 
 
 def bbox_overlap_expr(b1, b2):

@@ -1,7 +1,7 @@
 from .arrow_ipc import read_arrow_ipc, write_arrow_ipc
 from .flatgeobuf import read_flatgeobuf, write_flatgeobuf
 from .csv import read_csv_wkt, write_csv_wkt
-from .geojson import read_geojson, read_geojson_lines, write_geojson_lines
+from .geojson import read_geojson, read_geojson_lines, write_geojson, write_geojson_lines
 from .geoparquet import read_geoparquet, write_geoparquet
 from .postgis import read_postgis
 from .shapefile import read_shapefile, write_shapefile
@@ -13,6 +13,7 @@ __all__ = [
     "write_csv_wkt",
     "read_geojson",
     "read_geojson_lines",
+    "write_geojson",
     "write_geojson_lines",
     "read_flatgeobuf",
     "write_flatgeobuf",

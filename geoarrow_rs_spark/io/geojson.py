@@ -100,3 +100,37 @@ def write_geojson_lines(
         F.lit("}"),
     )
     df.select(feature.alias("value")).write.mode(mode).text(path)
+
+
+def write_geojson(
+    df: DataFrame,
+    path: str,
+    geometry_col: str = "geometry",
+):
+    """Whole-file FeatureCollection writer
+    (rust/geoarrow-geojson/src/writer/mod.rs:51-175 parity): the document
+    most web tools accept, as opposed to the line-delimited variant.
+
+    A single JSON document forces a single writer; features are built
+    DISTRIBUTED (the same native expression as the lines writer — geometry
+    encoding and property serialization run on executors) and stream to the
+    driver via ``toLocalIterator`` with only framing written locally."""
+    props = [c for c in df.columns if c != geometry_col]
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":'),
+        F.coalesce(F.expr(f"ST_AsGeoJSON({geometry_col})"), F.lit("null")),
+        F.lit(',"properties":'),
+        F.to_json(F.struct(*[F.col(c) for c in props])),
+        F.lit("}"),
+    )
+    rows = df.select(feature.alias("value")).toLocalIterator()
+    with open(path, "w") as f:
+        f.write('{"type":"FeatureCollection","features":[')
+        first = True
+        for r in rows:
+            if not first:
+                f.write(",")
+            f.write("\n")
+            f.write(r["value"])
+            first = False
+        f.write("\n]}\n")

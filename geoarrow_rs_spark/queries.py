@@ -1399,6 +1399,239 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ORACLE_SIM_IVF_TOPK = _ivf_oracle_sql()
 
 
+def q4_late_shipments(spark, sf_dir):
+    """TPC-H q4 adapted (no commit/receipt dates in this schema): priority
+    histogram of orders with at least one lineitem shipped >= 60 days after
+    the order date — EXISTS becomes a left-semi join (no row duplication,
+    no distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    late = l.join(
+        o, on=[l.l_orderkey == o.o_orderkey], how="inner"
+    ).where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    late_keys = late.select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    return (
+        o.join(late_keys, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H q7: bilateral shipping volume between two nations by year.
+    Dimension joins (supplier/customer/nation) broadcast; the only big
+    shuffle is lineitem->orders."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+ORACLE_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {_money_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H q8 adapted: NATION_5 suppliers' share of PROMO-part revenue to
+    customers in region REGION_1, by order year. Ratio of two exact
+    integer-cent sums (engine-independent)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .where((F.col("p_type") == "PROMO") & (F.col("r_name") == "REGION_1"))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    nation_cents = F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(F.lit(0).cast("long"))
+    return (
+        j.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(nation_cents).alias("__n"),
+            F.sum(cents).alias("__t"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("__n").cast("double") / F.col("__t").cast("double"), 6).alias("mkt_share"),
+        )
+    )
+
+
+ORACLE_Q8 = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT) AS cents,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE p_type = 'PROMO' AND r_name = 'REGION_1'
+)
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cents) AS DOUBLE), 6) AS mkt_share
+FROM base GROUP BY o_year
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H q14: fraction of revenue from PROMO parts in one shipdate year."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(F.year("l_shipdate") == 1997)
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0).cast("long"))
+    return j.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(cents).cast("double"), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+ORACLE_Q14 = """
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE), 6)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1997
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H q18: orders whose total quantity exceeds a threshold, with the
+    customer. Quantity sums as exact integers; HAVING via post-agg filter."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.col("sum_qty"),
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_name, o_orderkey, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_brand_revenue(spark, sf_dir):
+    """TPC-H q19 adapted (no container column): revenue under an OR of
+    brand/size/quantity conjunctions — the disjunctive-pushdown shape."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).where(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+    )
+    return j.agg(
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_Q19 = f"""
+SELECT {_money_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1413,6 +1646,12 @@ QUERIES = {
     "q_order_priority": (q_order_priority, ORACLE_ORDER_PRIORITY),
     "q10_returned_items": (q10_returned_items, ORACLE_Q10),
     "q12_shipmode_priority": (q12_shipmode_priority, ORACLE_Q12),
+    "q4_late_shipments": (q4_late_shipments, ORACLE_Q4),
+    "q7_volume_shipping": (q7_volume_shipping, ORACLE_Q7),
+    "q8_market_share": (q8_market_share, ORACLE_Q8),
+    "q14_promo_revenue": (q14_promo_revenue, ORACLE_Q14),
+    "q18_large_orders": (q18_large_orders, ORACLE_Q18),
+    "q19_brand_revenue": (q19_brand_revenue, ORACLE_Q19),
     # geometry
     "geo_point_accessors": (geo_point_accessors, ORACLE_GEO_POINT),
     "geo_distance": (geo_distance, ORACLE_GEO_DISTANCE),

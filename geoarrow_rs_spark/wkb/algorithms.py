@@ -1358,6 +1358,98 @@ def simplify_vw(g, epsilon):
     return Geom(k, [simplify_vw(sub, epsilon) for sub in d], g.has_z, g.has_m)
 
 
+def simplify_vw_preserve(g, epsilon):
+    """Topology-preserving Visvalingam–Whyatt (simplify_vw_preserve.rs:19
+    parity): a vertex is only dropped if the replacement segment does not
+    cross any OTHER current segment of the same geometry — the variant users
+    want for shared borders, where plain RDP/VW can create invalid rings."""
+    if g is None:
+        return None
+
+    def collect_lines(gg):
+        out = []
+        for p in iter_parts(gg):
+            if p.kind == LINESTRING:
+                out.append((p.data, False))
+            elif p.kind == POLYGON:
+                out.extend((r, True) for r in p.data)
+        return out
+
+    # active vertex index lists per component; all components' live segments
+    # participate in every crossing check (shared-border safety)
+    comps = [(a, list(range(len(a))), closed) for a, closed in collect_lines(g)]
+
+    def live_segments(skip_comp, skip_range):
+        for ci, (a, pts, _closed) in enumerate(comps):
+            for si in range(len(pts) - 1):
+                if ci == skip_comp and si in skip_range:
+                    continue
+                yield a[pts[si]], a[pts[si + 1]]
+
+    def tri_area(a, i, j, k):
+        return abs(
+            (a[j, 0] - a[i, 0]) * (a[k, 1] - a[i, 1])
+            - (a[k, 0] - a[i, 0]) * (a[j, 1] - a[i, 1])
+        ) / 2
+
+    for ci, (a, pts, closed) in enumerate(comps):
+        min_pts = 4 if closed else 2
+        changed = True
+        while changed and len(pts) > min_pts:
+            changed = False
+            areas = sorted(
+                (tri_area(a, pts[i - 1], pts[i], pts[i + 1]), i)
+                for i in range(1, len(pts) - 1)
+            )
+            for amin, imin in areas:
+                if amin >= epsilon:
+                    break
+                p_prev, p_next = a[pts[imin - 1]], a[pts[imin + 1]]
+                # removal replaces segments (imin-1,imin),(imin,imin+1) with
+                # (imin-1,imin+1); reject if the new segment properly crosses
+                # any other live segment anywhere in the geometry
+                crosses = False
+                for s1, s2 in live_segments(ci, {imin - 1, imin}):
+                    if _seg_intersect(p_prev, p_next, s1, s2) == 1:
+                        crosses = True
+                        break
+                if not crosses:
+                    pts.pop(imin)
+                    changed = True
+                    break
+
+    def rebuild():
+        lines = [(a[pts],) for a, pts, _c in comps]
+        it = iter(lines)
+
+        def take():
+            return next(it)[0]
+
+        k = g.kind
+        if k == LINESTRING:
+            return Geom(k, take(), g.has_z, g.has_m)
+        if k == POLYGON:
+            return Geom(k, [take() for _ in g.data], g.has_z, g.has_m)
+        if k == MULTILINESTRING:
+            return Geom(k, [take() for _ in g.data], g.has_z, g.has_m)
+        if k == MULTIPOLYGON:
+            return Geom(
+                k, [[take() for _ in rings] for rings in g.data], g.has_z, g.has_m
+            )
+        return g
+
+    if g.kind in (POINT, MULTIPOINT):
+        return g
+    if g.kind == GEOMETRYCOLLECTION:
+        return Geom(
+            g.kind,
+            [simplify_vw_preserve(sub, epsilon) for sub in g.data],
+            g.has_z,
+            g.has_m,
+        )
+    return rebuild()
+
+
 def densify(g, max_distance):
     """Insert vertices so no segment exceeds max_distance. densify.rs:18."""
     if g is None:

@@ -163,3 +163,25 @@ def test_bbox_native_exprs(spark):
     ).select(bbox_struct_expr("xmin", "ymin", "xmax", "ymax").alias("bbox"))
     hits = df.filter(bbox_intersects_expr("bbox", 0.5, 0.5, 2.0, 2.0)).count()
     assert hits == 1
+
+
+def test_simplify_vw_preserve_topology():
+    """simplify_vw_preserve.rs:19 parity: a vertex whose removal would make
+    the new segment cross another live segment is kept; plain VW removes it."""
+    from geoarrow_rs_spark.wkb import from_wkt, to_wkt
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    ml = from_wkt("MULTILINESTRING ((0 0, 5 2, 10 0), (7 -1, 7 1))")
+    assert to_wkt(alg.simplify_vw(ml, 10.5)) == "MULTILINESTRING ((0 0, 10 0), (7 -1, 7 1))"
+    assert (
+        to_wkt(alg.simplify_vw_preserve(ml, 10.5))
+        == "MULTILINESTRING ((0 0, 5 2, 10 0), (7 -1, 7 1))"
+    )
+    # polygons stay valid across a sweep of tolerances
+    poly = from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 5.2 10, 4.6 1, 4.4 9.8, 0 9.6, 0 0))"
+    )
+    for eps in (0.5, 3.0, 8.0, 30.0):
+        assert alg.is_valid(alg.simplify_vw_preserve(poly, eps))
+    # tiny epsilon is identity
+    assert to_wkt(alg.simplify_vw_preserve(poly, 1e-12)) == to_wkt(poly)

@@ -279,3 +279,28 @@ def test_flatgeobuf_written_index_bbox_seek(spark, tmp_path):
     assert got == exp
     # full read preserves everything (hilbert reorder is content-preserving)
     assert fgb.read_flatgeobuf(spark, path).count() == 400
+
+
+def test_geojson_featurecollection_write_roundtrip(spark, tmp_path):
+    """write_geojson emits one FeatureCollection document (writer/mod.rs
+    parity) that json.load accepts and read_geojson round-trips."""
+    import json
+
+    from geoarrow_rs_spark.io.geojson import read_geojson, write_geojson
+    from geoarrow_rs_spark.functions import register_functions
+
+    register_functions(spark)
+    df = spark.range(25).selectExpr(
+        "id",
+        "concat('name-', id) AS name",
+        "ST_Point(CAST(id AS DOUBLE), CAST(id % 5 AS DOUBLE)) AS geometry",
+    )
+    path = str(tmp_path / "out.geojson")
+    write_geojson(df, path)
+    doc = json.load(open(path))
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == 25
+    assert doc["features"][0]["type"] == "Feature"
+    back = read_geojson(spark, path)
+    rows = {r["id"]: r for r in back.collect()}
+    assert len(rows) == 25 and rows[3]["name"] == "name-3"

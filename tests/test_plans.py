@@ -142,3 +142,31 @@ def test_spatial_join_auto_uses_plan_stats(spark, sf_dir):
     assert jobs_after == jobs_before, "auto strategy launched a job at plan time"
     plan = _plan(out)
     assert "Broadcast" in plan
+
+
+def test_extent_agg_expr_is_native_aggregation(spark, sf_dir):
+    """extent_agg_expr: only the scalar ST_BBox crosses to Python; the
+    aggregation itself is a codegen'd HashAggregate with partial combine
+    (vs the grouped-agg UDF, which ships raw WKB per group)."""
+    from geoarrow_rs_spark.functions import register_functions
+    from geoarrow_rs_spark.functions.registry import extent_agg_expr
+
+    register_functions(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_nationkey", "ST_Point(c_acctbal, CAST(c_custkey AS DOUBLE)) AS g"
+    )
+    out = c.groupBy("c_nationkey").agg(extent_agg_expr("g"))
+    plan = _plan(out)
+    assert "AggregateInPandas" not in plan
+    assert "HashAggregate" in plan
+    # values match the grouped-agg UDF fallback
+    got = {r["c_nationkey"]: r["extent"] for r in out.collect()}
+    exp = {
+        r["c_nationkey"]: r["extent"]
+        for r in c.groupBy("c_nationkey")
+        .agg(F.expr("ST_Extent_Agg(g)").alias("extent"))
+        .collect()
+    }
+    assert got.keys() == exp.keys()
+    for k in got:
+        assert got[k] == pytest.approx(exp[k])
