@@ -851,6 +851,34 @@ def k_transform(s, src, dst):
     return pd.Series(out, dtype=object)
 
 
+def _project_kernel(fn):
+    def k(s, dist, az):
+        n = len(s)
+        d_it = list(dist) if hasattr(dist, "__len__") else [dist] * n
+        a_it = list(az) if hasattr(az, "__len__") else [az] * n
+        out = []
+        for v, d, a in zip(s, d_it, a_it):
+            if v is None or d is None or a is None:
+                out.append(None)
+                continue
+            g = from_wkb(v)
+            if g is None or g.kind != wc.POINT or g.is_empty():
+                out.append(None)
+                continue
+            lon2, lat2 = fn(float(g.data[0]), float(g.data[1]), float(d), float(a))
+            out.append(to_wkb(wc.point(lon2, lat2)))
+        return pd.Series(out, dtype=object)
+
+    return k
+
+
+# ST_Project(point, distance_m, azimuth_rad): geodesic destination point.
+# Spheroid (Vincenty direct) as the default, sphere variant for closed-form
+# cross-engine checks.
+k_project = _project_kernel(alg.project_spheroid)
+k_project_sphere = _project_kernel(alg.project_sphere)
+
+
 def k_set_srid(s, srid):
     n = len(s)
     sr = list(srid) if hasattr(srid, "__len__") else [srid] * n

@@ -104,6 +104,8 @@ _SCALAR_UDFS = {
     "ST_LengthSpheroid": (K.k_length_spheroid, DoubleType()),
     "ST_DistanceSpheroid": (K.k_distance_spheroid, DoubleType()),
     "ST_Azimuth": (K.k_azimuth, DoubleType()),
+    "ST_Project": (K.k_project, BinaryType()),
+    "ST_ProjectSphere": (K.k_project_sphere, BinaryType()),
     "ST_ConcaveHull": (K.k_concave_hull, BinaryType()),
     "ST_LineFromArrays": (K.k_line_from_arrays, BinaryType()),
     "ST_MakePolygon": (K.k_make_polygon, BinaryType()),

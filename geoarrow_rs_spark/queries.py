@@ -1256,6 +1256,44 @@ FROM customer
 """
 
 
+def geo_project(spark, sf_dir):
+    """Geodesic destination point (ST_Project family). The spherical variant
+    has a closed form mirrored in SQL; the spheroid (Vincenty direct) variant
+    is covered by pytest round-trip checks."""
+    s = _t(spark, sf_dir, "supplier")
+    lon = "CAST(s_suppkey % 360 AS DOUBLE) - 180.0 + 0.25"
+    lat = "CAST(s_suppkey % 160 AS DOUBLE) / 2.0 - 40.0"
+    dist = "CAST(s_suppkey % 100 + 1 AS DOUBLE) * 1000.0"
+    az = "radians(CAST(s_suppkey % 360 AS DOUBLE))"
+    p = f"ST_ProjectSphere(ST_Point({lon}, {lat}), {dist}, {az})"
+    return s.selectExpr(
+        "s_suppkey",
+        f"round(ST_X({p}), 6) AS dest_lon",
+        f"round(ST_Y({p}), 6) AS dest_lat",
+    )
+
+
+ORACLE_GEO_PROJECT = """
+WITH inp AS (
+  SELECT s_suppkey,
+         radians(CAST(s_suppkey % 360 AS DOUBLE) - 180.0 + 0.25) AS lam1,
+         radians(CAST(s_suppkey % 160 AS DOUBLE) / 2.0 - 40.0) AS phi1,
+         (CAST(s_suppkey % 100 + 1 AS DOUBLE) * 1000.0) / 6371008.8 AS delta,
+         radians(CAST(s_suppkey % 360 AS DOUBLE)) AS az
+  FROM supplier
+), d AS (
+  SELECT s_suppkey, lam1, phi1, delta, az,
+         sin(phi1) * cos(delta) + cos(phi1) * sin(delta) * cos(az) AS sphi2
+  FROM inp
+)
+SELECT s_suppkey,
+       round(degrees(lam1 + atan2(sin(az) * sin(delta) * cos(phi1),
+                                  cos(delta) - sin(phi1) * sphi2)), 6) AS dest_lon,
+       round(degrees(asin(GREATEST(-1.0, LEAST(1.0, sphi2)))), 6) AS dest_lat
+FROM d
+"""
+
+
 def _geohash_oracle_sql():
     """Geohash base-32 in plain SQL: integer cell indices (floor maps exactly
     to the bisection's tie-up rule — dyadic boundary values are exactly
@@ -1677,6 +1715,7 @@ QUERIES = {
     "geo_buffer_line": (geo_buffer_line, ORACLE_GEO_BUFFER_LINE),
     "geo_transform": (geo_transform, ORACLE_GEO_TRANSFORM),
     "geo_geodesic_area": (geo_geodesic_area, ORACLE_GEO_GEODESIC_AREA),
+    "geo_project": (geo_project, ORACLE_GEO_PROJECT),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),

@@ -945,6 +945,69 @@ def vincenty_distance(lon1, lat1, lon2, lat2, a=WGS84_A, f=WGS84_F, tol=1e-12, m
     return b * A * (sigma - deltaSigma)
 
 
+def project_sphere(lon, lat, distance, azimuth, radius=EARTH_RADIUS_M):
+    """Great-circle destination point (closed form): start lon/lat degrees,
+    distance meters, azimuth radians clockwise from north. Returns (lon, lat)
+    degrees. The spherical ST_Project."""
+    phi1 = math.radians(lat)
+    lam1 = math.radians(lon)
+    delta = distance / radius
+    sphi2 = math.sin(phi1) * math.cos(delta) + math.cos(phi1) * math.sin(delta) * math.cos(azimuth)
+    phi2 = math.asin(max(-1.0, min(1.0, sphi2)))
+    lam2 = lam1 + math.atan2(
+        math.sin(azimuth) * math.sin(delta) * math.cos(phi1),
+        math.cos(delta) - math.sin(phi1) * sphi2,
+    )
+    return math.degrees(lam2), math.degrees(phi2)
+
+
+def project_spheroid(lon, lat, distance, azimuth, a=WGS84_A, f=WGS84_F):
+    """Vincenty DIRECT problem on WGS84: destination point given start,
+    geodesic distance (m) and initial azimuth (radians). Public Vincenty
+    (1975) formulas; iterates on sigma (converges in a few rounds)."""
+    phi1 = math.radians(lat)
+    b = a * (1 - f)
+    tanU1 = (1 - f) * math.tan(phi1)
+    U1 = math.atan(tanU1)
+    sigma1 = math.atan2(tanU1, math.cos(azimuth))
+    sinAlpha = math.cos(U1) * math.sin(azimuth)
+    cos2Alpha = 1 - sinAlpha * sinAlpha
+    u2 = cos2Alpha * (a * a - b * b) / (b * b)
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    sigma = distance / (b * A)
+    for _ in range(200):
+        cos2Sm = math.cos(2 * sigma1 + sigma)
+        sinS, cosS = math.sin(sigma), math.cos(sigma)
+        dSigma = B * sinS * (
+            cos2Sm
+            + B / 4 * (
+                cosS * (-1 + 2 * cos2Sm * cos2Sm)
+                - B / 6 * cos2Sm * (-3 + 4 * sinS * sinS) * (-3 + 4 * cos2Sm * cos2Sm)
+            )
+        )
+        new_sigma = distance / (b * A) + dSigma
+        if abs(new_sigma - sigma) < 1e-13:
+            sigma = new_sigma
+            break
+        sigma = new_sigma
+    cos2Sm = math.cos(2 * sigma1 + sigma)
+    sinS, cosS = math.sin(sigma), math.cos(sigma)
+    phi2 = math.atan2(
+        math.sin(U1) * cosS + math.cos(U1) * sinS * math.cos(azimuth),
+        (1 - f) * math.hypot(sinAlpha, math.sin(U1) * sinS - math.cos(U1) * cosS * math.cos(azimuth)),
+    )
+    lam = math.atan2(
+        sinS * math.sin(azimuth),
+        math.cos(U1) * cosS - math.sin(U1) * sinS * math.cos(azimuth),
+    )
+    C = f / 16 * cos2Alpha * (4 + f * (4 - 3 * cos2Alpha))
+    L = lam - (1 - C) * f * sinAlpha * (
+        sigma + C * sinS * (cos2Sm + C * cosS * (-1 + 2 * cos2Sm * cos2Sm))
+    )
+    return lon + math.degrees(L), math.degrees(phi2)
+
+
 def vincenty_length(g):
     """Ellipsoidal length of linestrings via Vincenty per segment
     (vincenty_length.rs:16)."""
@@ -1560,22 +1623,51 @@ def buffer(g, width, quadsegs=8):
     if width <= 0:
         if _top_dim(g) < 2:
             return empty(POLYGON)
-        # negative polygon buffer: not supported yet (needs straight skeleton)
-        raise NotImplementedError("negative polygon buffer not supported")
+        if width == 0:
+            return g
+        # negative polygon buffer = morphological erosion: subtract the
+        # |width|-buffer of the boundary from the polygon (same capsule
+        # approximation as the positive line buffer; geos buffer.rs parity
+        # for the negative-distance case)
+        rings = [
+            np.asarray(r[:, :2])
+            for p in iter_parts(g)
+            if p.kind == POLYGON
+            for r in p.data
+            if len(r) >= 2
+        ]
+        if not rings:
+            return empty(POLYGON)
+        ring_buf = buffer(Geom(MULTILINESTRING, rings), abs(float(width)), quadsegs)
+        if ring_buf is None or ring_buf.is_empty():
+            return g
+        return bo.difference(g, ring_buf)
 
     w = float(width)
     pieces = []
+    # duplicate vertex circles (closed rings repeat their first vertex;
+    # shared vertices across parts) must union ONCE — unioning two
+    # identical circles creates degenerate boundary seams that break the
+    # overlay's side probes
+    seen_circles = set()
+
+    def circle_once(x, y):
+        key = (x, y)
+        if key not in seen_circles:
+            seen_circles.add(key)
+            pieces.append(circle_at(x, y))
+
     for p in iter_parts(g):
         if p.is_empty():
             continue
         if p.kind == POINT:
-            pieces.append(circle_at(float(p.data[0]), float(p.data[1])))
+            circle_once(float(p.data[0]), float(p.data[1]))
         elif p.kind == LINESTRING:
             line = p.data[:, :2]
             for i in range(len(line) - 1):
                 pieces.append(capsule(line[i], line[i + 1], w))
             for v in line:
-                pieces.append(circle_at(float(v[0]), float(v[1])))
+                circle_once(float(v[0]), float(v[1]))
         else:  # polygon: self + buffered boundary
             pieces.append(Geom(POLYGON, [r[:, :2] for r in p.data]))
             for ring in p.data:
@@ -1583,7 +1675,7 @@ def buffer(g, width, quadsegs=8):
                 for i in range(len(rr) - 1):
                     pieces.append(capsule(rr[i], rr[i + 1], w))
                 for v in rr[:-1]:
-                    pieces.append(circle_at(float(v[0]), float(v[1])))
+                    circle_once(float(v[0]), float(v[1]))
     if not pieces:
         return empty(POLYGON)
     acc = pieces[0]

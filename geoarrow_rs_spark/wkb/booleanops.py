@@ -282,13 +282,22 @@ def overlay(g1, g2, op: str):
         mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
         dx, dy = q[0] - p[0], q[1] - p[1]
         L = math.hypot(dx, dy)
-        eps = max(L, 1.0) * 1e-7
         # unit normal pointing left of travel direction
         nx, ny = -dy / L, dx / L
-        lx, ly = mx + nx * eps, my + ny * eps
-        rx, ry = mx - nx * eps, my - ny * eps
-        left_in = rule(_locate(lx, ly, pa) == 2, _locate(lx, ly, pb) == 2)
-        right_in = rule(_locate(rx, ry, pa) == 2, _locate(rx, ry, pb) == 2)
+        # a probe can land exactly ON a coincident stretch of the other (or
+        # same) boundary (degenerate seams); a boundary answer is useless for
+        # the in/out rule, so back off with a growing epsilon until both
+        # probes are strictly inside or outside
+        for scale in (1e-7, 1e-6, 1e-5, 1e-4):
+            eps = max(L, 1.0) * scale
+            lx, ly = mx + nx * eps, my + ny * eps
+            rx, ry = mx - nx * eps, my - ny * eps
+            la, lb = _locate(lx, ly, pa), _locate(lx, ly, pb)
+            ra_, rb_ = _locate(rx, ry, pa), _locate(rx, ry, pb)
+            if 1 not in (la, lb, ra_, rb_):
+                break
+        left_in = rule(la == 2, lb == 2)
+        right_in = rule(ra_ == 2, rb_ == 2)
         if left_in and not right_in:
             sel.append((p, q))
         elif right_in and not left_in:

@@ -227,3 +227,62 @@ def test_ellipsoidal_perimeter_vincenty():
     assert alg.ellipsoidal_perimeter(quad) == pytest.approx(exp, rel=1e-12)
     # meridian degree at 40-45N is ~111.1 km; sanity of magnitude
     assert 1.3e6 < alg.ellipsoidal_perimeter(quad) < 1.6e6
+
+
+# ---------------------------------------------------------------------------
+# geodesic destination (ST_Project) + negative buffer
+# ---------------------------------------------------------------------------
+
+def test_project_spheroid_roundtrip():
+    """Vincenty direct then inverse returns the input distance (mm level)."""
+    for (lon, lat, d, az) in [
+        (2.29, 48.85, 50_000, 0.7),
+        (-70.0, -33.0, 120_000, 4.1),
+        (150.0, 60.0, 5_000, 2.0),
+        (0.0, 0.0, 1_000_000, 1.2),
+    ]:
+        lon2, lat2 = alg.project_spheroid(lon, lat, d, az)
+        assert alg.vincenty_distance(lon, lat, lon2, lat2) == pytest.approx(d, abs=1e-3)
+
+
+def test_project_sphere_matches_spheroid_roughly():
+    lon2, lat2 = alg.project_sphere(10, 45, 100_000, 1.0)
+    lon3, lat3 = alg.project_spheroid(10, 45, 100_000, 1.0)
+    assert lon2 == pytest.approx(lon3, abs=0.02)
+    assert lat2 == pytest.approx(lat3, abs=0.02)
+    # due north by quarter meridian from equator ~ north pole (sphere)
+    import math
+
+    _, lat_np = alg.project_sphere(0, 0, math.pi / 2 * 6371008.8, 0.0)
+    assert lat_np == pytest.approx(90.0, abs=1e-6)
+
+
+def test_negative_buffer_erosion():
+    """buffer(poly, -w) == morphological erosion via boundary-capsule
+    subtraction; exact for the axis-aligned square."""
+    sq = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert alg.area(alg.buffer(sq, -1.0, 8)) == pytest.approx(64.0)
+    assert alg.area(alg.buffer(sq, -5.0, 8)) == pytest.approx(0.0, abs=1e-9)
+    holey = from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    a = alg.area(alg.buffer(holey, -0.5, 8))
+    assert 70 < a < 74  # 9x9 shell minus 3x3-with-rounded-corners hole
+    assert alg.buffer(from_wkt("LINESTRING (0 0, 5 5)"), -1.0).is_empty()
+
+
+def test_union_of_disjoint_annuli():
+    """Regression: union of two disjoint polygons-with-holes lost one side
+    (degenerate capsule seams + probes landing on coincident boundaries)."""
+    from geoarrow_rs_spark.wkb import booleanops as bo
+    from geoarrow_rs_spark.wkb.core import Geom, MULTILINESTRING
+    import numpy as np
+
+    holey = from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    rings = [np.asarray(r[:, :2]) for r in holey.data]
+    outer = alg.buffer(Geom(MULTILINESTRING, rings[:1]), 0.5, 8)
+    inner = alg.buffer(Geom(MULTILINESTRING, rings[1:]), 0.5, 8)
+    u = bo.geom_union(outer, inner)
+    assert alg.area(u) == pytest.approx(alg.area(outer) + alg.area(inner), rel=1e-9)
