@@ -157,3 +157,90 @@ def test_envelope_contains_geometry_property(g):
     env = alg.envelope(g)
     if not g.is_empty() and not env.is_empty():
         assert alg.covers(env, g) or alg.equals_exact(env, g, 1e-9)
+
+
+def test_windowed_counts_drops_late_data(spark, tmp_path):
+    """Watermark semantics end-to-end on a real stream: once the watermark
+    passes a window's end (append mode), a late event for that window is
+    discarded — the finalized window keeps its on-time count."""
+    import datetime as dt
+    import time
+
+    from geoarrow_rs_spark.streaming import read_stream_parquet, windowed_counts
+
+    src = os.path.join(str(tmp_path), "late_src")
+
+    def ev(hh, mm, etype="click"):
+        return Row(
+            ts=dt.datetime(2024, 1, 1, hh, mm), event_type=etype, value=1.0
+        )
+
+    # Spark's watermark GUARANTEE is about state eviction: a late row that
+    # arrives in the same batch where the window is being finalized may still
+    # merge (best-effort drop). The guaranteed drop needs the window already
+    # evicted — hence three micro-batches:
+    # batch 1: 01:00 event + 10:00 event (advances watermark to 08:00)
+    spark.createDataFrame([ev(1, 0), ev(10, 0)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    time.sleep(1.1)  # distinct mod-times => deterministic file order
+    # batch 2: runs WITH watermark 08:00 -> evicts + emits the 01:00 window
+    spark.createDataFrame([ev(10, 30)]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # batch 3: a LATE event for the closed 01:00 window + an on-time event;
+    # the evicted window must not re-open or re-emit
+    spark.createDataFrame([ev(1, 30), ev(11, 0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    h1 = [
+        r["n_events"]
+        for r in spark.sql("SELECT * FROM late_out").collect()
+        if r["window_start"].hour == 1
+    ]
+    # exactly one finalized emission for the 01:00 window, with only the
+    # on-time event — the late 01:30 row neither re-opened nor re-emitted it
+    assert h1 == [1], h1
+
+
+def test_streaming_st_functions_compose(spark, tmp_path):
+    """ST_* pandas UDFs are stateless, so they compose with readStream:
+    build points and bbox-filter them inside a streaming query."""
+    from geoarrow_rs_spark.functions import register_functions
+    from geoarrow_rs_spark.functions.registry import bbox_intersects_expr
+
+    register_functions(spark)
+    src = os.path.join(str(tmp_path), "geo_src")
+    spark.range(100).selectExpr(
+        "id", "CAST(id % 10 AS DOUBLE) AS x", "CAST(id div 10 AS DOUBLE) AS y"
+    ).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    pts = stream.selectExpr("id", "ST_BBox(ST_Point(x, y)) AS b")
+    inside = pts.filter(bbox_intersects_expr("b", 2.5, 2.5, 5.5, 5.5)).select("id")
+    q = (
+        inside.writeStream.format("memory")
+        .queryName("geo_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.sql("SELECT * FROM geo_stream_out").collect())
+    exp = sorted(i for i in range(100) if 2.5 <= i % 10 <= 5.5 and 2.5 <= i // 10 <= 5.5)
+    assert got == exp
