@@ -273,6 +273,69 @@ def simhash_near_pairs(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document gets a
+    ``cluster_id`` = the smallest doc id in its component (singletons keep
+    their own id). This is the canonicalization step of a dedup pipeline —
+    keep one representative per cluster, drop the rest.
+
+    Distributed min-label propagation: each round joins edges with current
+    labels and takes the per-node min (shuffle on node id, map-side combined).
+    Rounds needed = component diameter (near-dup clusters are shallow; 25
+    covers anything sane). Each round materializes via localCheckpoint so
+    lineage stays flat, and convergence is checked with a cheap count — the
+    standard driver-side loop of iterative graph algorithms (GraphX/Pregel
+    do the same under the hood)."""
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    ids = df.select(F.col(id_col).cast("long").alias(id_col))
+    return ids.join(labels, ids[id_col] == labels.node, "left").select(
+        id_col, F.coalesce("label", F.col(id_col)).alias("cluster_id")
+    )
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str,

@@ -1012,6 +1012,40 @@ def dedup_minhash_pairs(spark, sf_dir):
     return pairs.select("a_id", "b_id")
 
 
+def _minhash_pairs_cte():
+    """Shared CTE chain producing the banded-minhash candidate pairs —
+    reused by the pairs oracle and the clustering oracle."""
+    from .datapipe.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(16)
+    )
+    return f"""grams AS (
+  SELECT doc_id,
+         CASE WHEN length(substr(text, 1, 128)) < 8 THEN [substr(text, 1, 128)]
+              ELSE list_transform(range(1, length(substr(text, 1, 128)) - 6),
+                                  i -> substr(substr(text, 1, 128), CAST(i AS INT), 8))
+         END AS g
+  FROM documents
+), gram_hashes AS (
+  SELECT doc_id,
+         list_transform(g, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % {MINHASH_P}) AS h
+  FROM grams
+), sigs AS (
+  SELECT doc_id, [{perms}] AS sig FROM gram_hashes
+), banded AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, 4),
+                b -> CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ','))) AS band
+  FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b USING (band)
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
 def _minhash_oracle_sql():
     from .datapipe.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
@@ -1046,6 +1080,36 @@ WHERE a.doc_id < b.doc_id
 
 
 ORACLE_MINHASH_PAIRS = _minhash_oracle_sql()
+
+
+def dedup_clusters_assignment(spark, sf_dir):
+    """Near-duplicate clustering: connected components over banded-minhash
+    candidate pairs (distributed min-label propagation), every document
+    assigned cluster_id = min doc id in its component. The oracle replays
+    the same pairs and closes them with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    )
+    return dedup.dedup_clusters(d, pairs, id_col="doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.node
+),
+best AS (SELECT node, MIN(label) AS cl FROM cc GROUP BY node)
+SELECT d.doc_id, COALESCE(best.cl, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN best ON d.doc_id = best.node
+"""
 
 
 def sim_embedding_stats(spark, sf_dir):
@@ -1720,6 +1784,7 @@ QUERIES = {
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_MINHASH_PAIRS),
+    "dedup_clusters_assignment": (dedup_clusters_assignment, ORACLE_DEDUP_CLUSTERS),
     "text_tokens": (text_tokens, ORACLE_TEXT_TOKENS),
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (text_langid, ORACLE_TEXT_LANGID),

@@ -264,3 +264,21 @@ def test_ivf_multiprobe_recall(spark, sf_dir):
     # scores of returned true pairs are exact
     for pair in set(exact) & set(r1):
         assert r1[pair] == exact[pair]
+
+
+def test_dedup_clusters_components(spark):
+    """Hand-built graph: chain 1-2-3, pair 10-11, singleton 99 — every node
+    gets the min id of its component; iteration converges past diameter 2."""
+    from pyspark.sql import Row
+
+    from geoarrow_rs_spark.datapipe.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 10, 11, 99]])
+    pairs = spark.createDataFrame(
+        [Row(a_id=2, b_id=3), Row(a_id=1, b_id=2), Row(a_id=10, b_id=11)]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs, id_col="doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
