@@ -170,3 +170,31 @@ def test_extent_agg_expr_is_native_aggregation(spark, sf_dir):
     assert got.keys() == exp.keys()
     for k in got:
         assert got[k] == pytest.approx(exp[k])
+
+
+def test_new_tpch_queries_broadcast_dims(spark, sf_dir):
+    """q7/q8/q14 must broadcast every dimension join — the only exchange on
+    the big side should be lineitem->orders (q7/q8) or none (q14)."""
+    from geoarrow_rs_spark.queries import (
+        q7_volume_shipping,
+        q8_market_share,
+        q14_promo_revenue,
+    )
+
+    for fn, min_bcasts in [
+        (q7_volume_shipping, 4),
+        (q8_market_share, 6),
+        (q14_promo_revenue, 1),
+    ]:
+        plan = _plan(fn(spark, sf_dir))
+        n_bcast = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+        assert n_bcast >= min_bcasts, f"{fn.__name__}: {n_bcast} broadcasts\n{plan[:2000]}"
+        assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_shape(spark, sf_dir):
+    from geoarrow_rs_spark.queries import q4_late_shipments
+
+    plan = _plan(q4_late_shipments(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
