@@ -1,0 +1,68 @@
+"""Deterministic sampling / splitting / scrubbing for training-data
+pipelines (all native expressions — no Python in the row path, no RNG:
+reruns and backfills produce byte-identical outputs on any cluster layout).
+
+The sampling key is an md5-derived uniform in [0, 1): hash(salt || key) is
+independent of partitioning, executor count, and row order — the properties
+``df.sample()`` (seeded per-partition RNG) does NOT give you on re-runs with
+different file splits. The same construction is expressible in any engine
+with md5, which is how the oracle checks it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_uniform(key, salt: str = "sample") -> Column:
+    """Deterministic uniform in [0, 1) from a key column: first 8 md5 hex
+    chars as an integer over 16^8."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), k.cast("string"))), 1, 8), 16, 10
+    ).cast("double")
+    return h / F.lit(float(16**8))
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~rate of rows, chosen by key hash — stable across reruns,
+    repartitioning, and engines (unlike df.sample)."""
+    return df.where(hash_uniform(key, salt) < F.lit(float(rate)))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val: float = 0.05,
+    test: float = 0.05,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign a deterministic split label per key: hash < val -> 'val',
+    < val+test -> 'test', else 'train'. A document keeps its split forever
+    (new data never reshuffles old assignments — the property that matters
+    for contamination-free eval sets)."""
+    u = hash_uniform(key, salt)
+    label = (
+        F.when(u < F.lit(float(val)), F.lit("val"))
+        .when(u < F.lit(float(val + test)), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(out_col, label)
+
+
+# conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+URL_RE = "https?://[^ \\t\\n]+"
+
+
+def scrub_text(text, email_token: str = "<EMAIL>", url_token: str = "<URL>") -> Column:
+    """Replace emails and URLs with placeholder tokens (native
+    regexp_replace; patterns restricted to the Java-regex/RE2 common
+    subset so the oracle replays them exactly)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(t, URL_RE, url_token), EMAIL_RE, email_token
+    )

@@ -803,6 +803,9 @@ k_clip_by_box = _param_geom_kernel(
     lambda g, x0, y0, x1, y1: alg.clip_by_rect(g, float(x0), float(y0), float(x1), float(y1))
 )
 k_polylabel = _param_geom_kernel(lambda g, tol: alg.polylabel(g, float(tol)))
+k_line_substring = _param_geom_kernel(
+    lambda g, f1, f2: alg.line_substring(g, float(f1), float(f2))
+)
 
 
 def k_line_interpolate_point(s, frac):
@@ -917,6 +920,17 @@ k_overlaps = _binary_kernel(alg.overlaps)
 k_equals = _binary_kernel(alg.equals)
 k_covers = _binary_kernel(alg.covers)
 k_covered_by = _binary_kernel(alg.covered_by)
+
+
+def k_dwithin(s1, s2, d):
+    """ST_DWithin(g1, g2, dist): distance <= dist (with the same point
+    fast path as ST_Distance)."""
+    dist = k_distance(s1, s2)
+    n = len(s1)
+    d_it = np.asarray(list(d) if hasattr(d, "__len__") else [d] * n, dtype=np.float64)
+    return pd.Series(np.asarray(dist) <= d_it, dtype=object).where(
+        ~np.isnan(np.asarray(dist)), None
+    )
 
 
 def k_distance(s1, s2):

@@ -139,6 +139,7 @@ _SCALAR_UDFS = {
     "ST_ClipByBox2D": (K.k_clip_by_box, BinaryType()),
     "ST_Transform": (K.k_transform, BinaryType()),
     "ST_LineInterpolatePoint": (K.k_line_interpolate_point, BinaryType()),
+    "ST_LineSubstring": (K.k_line_substring, BinaryType()),
     # binary predicates / measures
     "ST_Intersects": (K.k_intersects, BooleanType()),
     "ST_Contains": (K.k_contains, BooleanType()),
@@ -158,6 +159,7 @@ _SCALAR_UDFS = {
     "ST_Difference": (K.k_difference, BinaryType()),
     "ST_SymDifference": (K.k_sym_difference, BinaryType()),
     "ST_Distance": (K.k_distance, DoubleType()),
+    "ST_DWithin": (K.k_dwithin, BooleanType()),
     "ST_DistanceSphere": (K.k_distance_sphere, DoubleType()),
     "ST_FrechetDistance": (K.k_frechet, DoubleType()),
     "ST_HausdorffDistance": (K.k_hausdorff, DoubleType()),

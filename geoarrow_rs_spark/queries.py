@@ -1082,6 +1082,66 @@ WHERE a.doc_id < b.doc_id
 ORACLE_MINHASH_PAIRS = _minhash_oracle_sql()
 
 
+def pipe_sample_split(spark, sf_dir):
+    """Deterministic sampling + train/val/test split: md5-keyed, so the
+    assignment is identical across reruns, partitionings, and engines
+    (df.sample's per-partition RNG is none of those). Output: per-split
+    row counts and token totals over a 50% sample."""
+    from .datapipe import sampling, text
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = sampling.deterministic_sample(d, "doc_id", 0.5)
+    split = sampling.train_val_test_split(sampled, "doc_id", val=0.1, test=0.1)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count("text").cast("long")).alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_PIPE_SAMPLE_SPLIT = """
+WITH sampled AS (
+  SELECT doc_id, text,
+         CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS su
+  FROM documents
+  WHERE CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+), labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN su < 0.1 THEN 'val' WHEN su < 0.2 THEN 'test' ELSE 'train' END AS split
+  FROM sampled
+)
+SELECT split, COUNT(*) AS n_docs,
+       SUM(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS n_tokens
+FROM labeled GROUP BY split
+"""
+
+
+def pipe_scrub_text(spark, sf_dir):
+    """PII-style scrubbing (emails/URLs -> placeholder tokens) with native
+    regexp_replace; patterns live in the Java-regex/RE2 common subset so
+    DuckDB replays them byte-for-byte."""
+    from .datapipe import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(sampling.scrub_text("text")).alias("scrubbed_md5"),
+        F.length(sampling.scrub_text("text")).alias("scrubbed_len"),
+    )
+
+
+ORACLE_PIPE_SCRUB = """
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(text, 'https?://[^ \\t\\n]+', '<URL>', 'g'),
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g')) AS scrubbed_md5,
+       CAST(length(regexp_replace(regexp_replace(text, 'https?://[^ \\t\\n]+', '<URL>', 'g'),
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g')) AS INT) AS scrubbed_len
+FROM documents
+"""
+
+
 def dedup_clusters_assignment(spark, sf_dir):
     """Near-duplicate clustering: connected components over banded-minhash
     candidate pairs (distributed min-label propagation), every document
@@ -1317,6 +1377,33 @@ SELECT c_custkey,
        round(CAST(c_custkey % 600 AS DOUBLE) / 100.0, 6) AS utm_rt_lon,
        round(CAST(c_custkey % 1600 AS DOUBLE) / 10.0 - 80.0, 6) AS utm_rt_lat
 FROM customer
+"""
+
+
+def geo_line_substring(spark, sf_dir):
+    """ST_LineSubstring + ST_DWithin: fractional sub-line of a straight line
+    has closed-form endpoints/length; DWithin on axis-aligned points is an
+    exact integer comparison."""
+    p = _t(spark, sf_dir, "part")
+    L = "CAST(p_size AS DOUBLE)"  # 1..50, integer-valued
+    line = f"ST_MakeLine(ST_Point(0.0, 0.0), ST_Point({L}, 0.0))"
+    sub = f"ST_LineSubstring({line}, 0.25, 0.75)"
+    return p.selectExpr(
+        "p_partkey",
+        f"ST_X(ST_StartPoint({sub})) AS sub_x0",
+        f"ST_X(ST_EndPoint({sub})) AS sub_x1",
+        f"ST_Length({sub}) AS sub_len",
+        f"ST_DWithin(ST_Point({L}, 0.0), ST_Point(0.0, 0.0), 25.0) AS within_25",
+    )
+
+
+ORACLE_GEO_LINE_SUBSTRING = """
+SELECT p_partkey,
+       CAST(p_size AS DOUBLE) * 0.25 AS sub_x0,
+       CAST(p_size AS DOUBLE) * 0.75 AS sub_x1,
+       CAST(p_size AS DOUBLE) * 0.5 AS sub_len,
+       CAST(p_size AS DOUBLE) <= 25.0 AS within_25
+FROM part
 """
 
 
@@ -1780,11 +1867,14 @@ QUERIES = {
     "geo_transform": (geo_transform, ORACLE_GEO_TRANSFORM),
     "geo_geodesic_area": (geo_geodesic_area, ORACLE_GEO_GEODESIC_AREA),
     "geo_project": (geo_project, ORACLE_GEO_PROJECT),
+    "geo_line_substring": (geo_line_substring, ORACLE_GEO_LINE_SUBSTRING),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_MINHASH_PAIRS),
     "dedup_clusters_assignment": (dedup_clusters_assignment, ORACLE_DEDUP_CLUSTERS),
+    "pipe_sample_split": (pipe_sample_split, ORACLE_PIPE_SAMPLE_SPLIT),
+    "pipe_scrub_text": (pipe_scrub_text, ORACLE_PIPE_SCRUB),
     "text_tokens": (text_tokens, ORACLE_TEXT_TOKENS),
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (text_langid, ORACLE_TEXT_LANGID),

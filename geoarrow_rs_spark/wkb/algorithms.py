@@ -1147,6 +1147,55 @@ def hausdorff_distance(g1, g2):
 # line referencing
 # ---------------------------------------------------------------------------
 
+def line_substring(g, start_frac, end_frac):
+    """Sub-linestring between two fractional arc-length positions (PostGIS
+    ST_LineSubstring semantics; interior vertices preserved). start > end
+    returns empty; equal fractions return the interpolated point."""
+    if g is None or start_frac is None or end_frac is None:
+        return None
+    f1 = min(1.0, max(0.0, float(start_frac)))
+    f2 = min(1.0, max(0.0, float(end_frac)))
+    if f1 > f2:
+        return empty(LINESTRING)
+    line = None
+    for p in iter_parts(g):
+        if p.kind == LINESTRING and len(p.data) >= 2:
+            line = p.data
+            break
+    if line is None:
+        return empty(LINESTRING)
+    if f1 == f2:
+        return line_interpolate_point(g, f1)
+    seg = _seg_lengths(line)
+    total = float(np.sum(seg))
+    if total == 0:
+        return empty(LINESTRING)
+    t1, t2 = f1 * total, f2 * total
+
+    def locate(target):
+        acc = 0.0
+        for i, s in enumerate(seg):
+            if acc + s >= target or i == len(seg) - 1:
+                t = 0.0 if s == 0 else min(1.0, max(0.0, (target - acc) / s))
+                a, b = line[i], line[i + 1]
+                return i, (float(a[0] + (b[0] - a[0]) * t), float(a[1] + (b[1] - a[1]) * t))
+            acc += s
+        return len(seg) - 1, (float(line[-1, 0]), float(line[-1, 1]))
+
+    i1, p1 = locate(t1)
+    i2, p2 = locate(t2)
+    pts = [p1]
+    for j in range(i1 + 1, i2 + 1):
+        v = (float(line[j, 0]), float(line[j, 1]))
+        if v != pts[-1]:
+            pts.append(v)
+    if p2 != pts[-1]:
+        pts.append(p2)
+    if len(pts) < 2:
+        pts.append(pts[-1])
+    return Geom(LINESTRING, np.asarray(pts, dtype=np.float64))
+
+
 def line_interpolate_point(g, fraction):
     """Point at fraction of length along a linestring.
     line_interpolate_point.rs:42."""

@@ -185,3 +185,18 @@ def test_simplify_vw_preserve_topology():
         assert alg.is_valid(alg.simplify_vw_preserve(poly, eps))
     # tiny epsilon is identity
     assert to_wkt(alg.simplify_vw_preserve(poly, 1e-12)) == to_wkt(poly)
+
+
+def test_line_substring_vertices_and_edges():
+    """ST_LineSubstring keeps interior vertices and handles edge fractions."""
+    from geoarrow_rs_spark.wkb import from_wkt, to_wkt
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    bent = from_wkt("LINESTRING (0 0, 10 0, 10 10)")  # total length 20
+    sub = alg.line_substring(bent, 0.25, 0.75)
+    assert to_wkt(sub) == "LINESTRING (5 0, 10 0, 10 5)"
+    assert alg.length(sub) == pytest.approx(10.0)
+    # full range is identity, inverted range empty, equal fractions -> point
+    assert to_wkt(alg.line_substring(bent, 0.0, 1.0)) == to_wkt(bent)
+    assert alg.line_substring(bent, 0.8, 0.2).is_empty()
+    assert to_wkt(alg.line_substring(bent, 0.5, 0.5)) == "POINT (10 0)"
