@@ -259,6 +259,28 @@ def bbox_intersects_expr(bbox_col, xmin, ymin, xmax, ymax):
     )
 
 
+def intersects_with_pretest(geom_col, query_wkt: str, bbox_col: str | None = None):
+    """SURVEY §4 predicate rewrite (geo_ext.rs:140-148 parity):
+    ``ST_Intersects(g, Q)`` expands to
+    ``bbox_overlap(bbox, env(Q)) AND ST_Intersects(g, Q)``.
+
+    The native bbox conjunct is pushed by Catalyst into the Parquet scan
+    (row-group stats pruning), so the exact-predicate pandas UDF only runs
+    on the bbox-surviving minority — the reference's two-stage spatial
+    filter, expressed as plain Spark predicates. Requires a covering bbox
+    struct column for the pretest; without one the exact test runs alone
+    (an ST_BBox pretest would itself be a UDF and save nothing)."""
+    from ..wkb import from_wkt, to_wkb
+    from ..wkb import algorithms as alg
+
+    q = from_wkt(query_wkt)
+    exact = F.call_udf("ST_Intersects", F.col(geom_col), F.lit(to_wkb(q)))
+    if bbox_col is None:
+        return exact
+    xmin, ymin, xmax, ymax = alg.bounds(q)
+    return bbox_intersects_expr(bbox_col, xmin, ymin, xmax, ymax) & exact
+
+
 def extent_agg_expr(geom_col, alias: str = "extent"):
     """Native extent aggregation: ST_BBox once (scalar pUDF), then codegen'd
     min/max with map-side partial aggregation. Use this instead of the

@@ -198,3 +198,32 @@ def test_q4_semi_join_shape(spark, sf_dir):
     plan = _plan(q4_late_shipments(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_intersects_pretest_pushes_bbox_to_scan(spark, tmp_path):
+    """intersects_with_pretest: the native bbox conjunct reaches the Parquet
+    scan (PushedFilters) while the exact ST_Intersects pUDF stays post-scan
+    on the pre-filtered rows — the reference's two-stage spatial filter."""
+    from geoarrow_rs_spark.functions import register_functions
+    from geoarrow_rs_spark.functions.registry import intersects_with_pretest
+
+    register_functions(spark)
+    path = str(tmp_path / "pts")
+    spark.range(1000).selectExpr(
+        "id",
+        "ST_Point(CAST(id % 100 AS DOUBLE), CAST(id div 100 AS DOUBLE)) AS geometry",
+        "named_struct('xmin', CAST(id % 100 AS DOUBLE), 'ymin', CAST(id div 100 AS DOUBLE),"
+        " 'xmax', CAST(id % 100 AS DOUBLE), 'ymax', CAST(id div 100 AS DOUBLE)) AS bbox",
+    ).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    tri = "POLYGON ((0 0, 9.5 0, 0 9.5, 0 0))"
+    out = df.filter(intersects_with_pretest("geometry", tri, bbox_col="bbox"))
+    plan = _plan(out)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0] if "PushedFilters: [" in plan else ""
+    assert "xmin" in pushed and "ymax" in pushed, plan[:1500]
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan  # exact refine
+    # correctness: equals brute-force exact predicate
+    brute = df.filter(intersects_with_pretest("geometry", tri, bbox_col=None))
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in brute.collect()
+    )
