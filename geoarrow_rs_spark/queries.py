@@ -1253,6 +1253,48 @@ def events_hourly(spark, sf_dir):
     )
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join: every click matched to the user's most recent purchase at
+    or before it (backward, left-outer). Oracle uses DuckDB's NATIVE ASOF
+    JOIN — this implementation is checked against a reference engine's own
+    operator, not a SQL re-derivation."""
+    from .join.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("pvalue"))
+        .withColumn("pts", F.col("ts"))
+    )
+    j = asof_join(clicks, purch, on="ts", by=["user_id"], value_cols=["pvalue", "pts"])
+    return j.select(
+        "event_id",
+        F.col("pvalue_r").alias("last_purchase_value"),
+        # DuckDB parses TIMESTAMP_NS parquet at microsecond precision, so the
+        # oracle's epoch_ns is us-truncated; mirror that for the compare (the
+        # join itself runs at full ns precision on the Spark side)
+        (F.expr("pts_r div 1000") * 1000).alias("last_purchase_ts"),
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, max_by(value, event_id) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id,
+       p.pvalue AS last_purchase_value,
+       epoch_ns(p.ts) AS last_purchase_ts
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 ORACLE_EVENTS_HOURLY = f"""
 SELECT (epoch_ns(ts) // {_NS_HOUR}) * 3600 AS hour_epoch, event_type,
        COUNT(*) AS n_events,
@@ -1891,6 +1933,7 @@ QUERIES = {
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_sliding_windows": (events_sliding_windows, ORACLE_EVENTS_SLIDING),
+    "events_asof_join": (events_asof_join, ORACLE_EVENTS_ASOF),
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
 }

@@ -282,3 +282,25 @@ def test_dedup_clusters_components(spark):
         for r in dedup_clusters(docs, pairs, id_col="doc_id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """Backward as-of: latest right at-or-before each left ts per key;
+    equal-ts right matches; unmatched stays null. ONE exchange total (the
+    union sorts once per key — no range explosion)."""
+    from pyspark.sql import Row
+
+    from geoarrow_rs_spark.join.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(id=1, k="a", ts=10), Row(id=2, k="a", ts=20), Row(id=3, k="b", ts=5)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", ts=10, v=1.0), Row(k="a", ts=15, v=2.0), Row(k="b", ts=6, v=9.0)]
+    )
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=["v"])
+    got = {r["id"]: r["v_r"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # union sides feed one shuffle each, no more
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
