@@ -2,15 +2,20 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct alongside
 (SURVEY/BASELINE north-star). The Spark-side plumbing — schemas, batching,
-partition sizing, mapInPandas signatures — is real and tested; the actual
-codec calls are STUBBED (the runtime has no image/audio libraries): decode
-raises NotImplementedError unless ``fake=True`` produces deterministic
-synthetic features (so pipelines are testable end-to-end).
+partition sizing, mapInPandas signatures — is real and tested.
+
+Decode status: self-describing uncompressed formats are decoded FOR REAL in
+pure numpy (24-bit BMP images, 16-bit PCM WAV audio — header parse + buffer
+reshape, no external library needed); compressed codec formats (JPEG, MP3,
+H.264…) still raise ``NotImplementedError`` unless ``fake=True``, because
+this runtime ships no codec libraries. Features/resize/meta-sniffing run on
+the real decode path whenever the blob magic matches a supported format.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -26,6 +31,77 @@ from pyspark.sql.types import (
     StructType,
 )
 
+
+# ---------------------------------------------------------------------------
+# real decoders for self-describing formats (no external libs required)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB array.
+    Pure numpy: header parse + strided row reshape (rows are 4-byte padded,
+    stored bottom-up, BGR order)."""
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    comp = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return img[::-1] if flip else img
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Inverse of decode_bmp (used by tests and frame materialization)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_wav(blob: bytes):
+    """Decode a RIFF/WAVE 16-bit PCM blob -> (samples (n, ch) int16 array,
+    sample_rate). Chunk-walk the container; numpy view over the data chunk."""
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV blob")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        sz = struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate = struct.unpack_from("<HHI", blob, pos + 8)
+            bits = struct.unpack_from("<H", blob, pos + 22)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM WAV")
+            fmt = (ch, rate)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt")
+            ch, rate = fmt
+            n = sz // (2 * ch)
+            samples = np.frombuffer(blob, dtype="<i2", count=n * ch, offset=pos + 8)
+            return samples.reshape(n, ch), rate
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("WAV has no data chunk")
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy fancy indexing (no PIL needed)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi][:, xi]
+
 MEDIA_META_SCHEMA = StructType(
     [
         StructField("media_type", StringType()),   # image/jpeg, audio/wav, ...
@@ -37,19 +113,54 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
-def attach_media_meta(df: DataFrame, blob_col: str, media_type: str) -> DataFrame:
-    """Add a typed metadata struct inferred cheaply from the blob header
-    (here: only sizes; real header sniffing plugs in at the marked stub)."""
-    return df.withColumn(
-        "media_meta",
-        F.struct(
-            F.lit(media_type).alias("media_type"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("n_channels"),
-            F.lit(None).cast("int").alias("duration_ms"),
-        ),
-    )
+def sniff_media_meta(blob: bytes):
+    """Real header sniffing for supported formats -> meta dict (or a
+    media_type-only dict for unrecognized/codec formats)."""
+    meta = {"media_type": None, "width": None, "height": None,
+            "n_channels": None, "duration_ms": None}
+    if blob is None or len(blob) < 12:
+        return meta
+    if blob[:2] == b"BM":
+        try:
+            w, h = struct.unpack_from("<ii", blob, 18)
+            meta.update(media_type="image/bmp", width=int(w), height=abs(int(h)),
+                        n_channels=3)
+        except struct.error:
+            pass
+    elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        try:
+            samples, rate = decode_wav(bytes(blob))
+            meta.update(
+                media_type="audio/wav",
+                n_channels=int(samples.shape[1]),
+                duration_ms=int(len(samples) * 1000 / rate),
+            )
+        except (ValueError, NotImplementedError):
+            meta.update(media_type="audio/wav")
+    elif blob[:3] == b"\xff\xd8\xff":
+        meta.update(media_type="image/jpeg")  # recognized, codec not shipped
+    return meta
+
+
+def attach_media_meta(df: DataFrame, blob_col: str, media_type: str = None) -> DataFrame:
+    """Add a typed metadata struct from REAL blob-header sniffing (BMP/WAV
+    parsed fully; codec formats get their media_type only). Runs in
+    mapInPandas over the binary column."""
+    out_schema = StructType(df.schema.fields + [StructField("media_meta", MEDIA_META_SCHEMA)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            metas = []
+            for b in pdf[blob_col]:
+                m = sniff_media_meta(bytes(b) if b is not None else None)
+                if m["media_type"] is None and media_type is not None:
+                    m["media_type"] = media_type
+                metas.append(m)
+            pdf["media_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def _fake_features(blob: bytes, dim: int) -> np.ndarray:
@@ -61,29 +172,88 @@ def _fake_features(blob: bytes, dim: int) -> np.ndarray:
     return rng.rand(dim).astype(np.float32)
 
 
+def _image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic real features from a decoded image: per-channel means,
+    stds, and a coarse grid of luminance means, truncated/padded to dim."""
+    f = [img[:, :, c].mean() / 255.0 for c in range(3)]
+    f += [img[:, :, c].std() / 255.0 for c in range(3)]
+    lum = img.mean(axis=2)
+    g = resize_nearest(lum[:, :, None], 4, 4)[:, :, 0] / 255.0
+    f += list(g.ravel())
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(f))] = np.asarray(f[:dim], dtype=np.float32)
+    return out
+
+
+def _audio_features(samples: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """Deterministic real features from PCM audio: rms, zero-crossing rate,
+    peak, duration, coarse energy envelope."""
+    x = samples.astype(np.float64) / 32768.0
+    mono = x.mean(axis=1)
+    f = [
+        float(np.sqrt(np.mean(mono**2))),
+        float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))),
+        float(np.max(np.abs(mono), initial=0.0)),
+        len(mono) / float(rate),
+    ]
+    n_seg = 8
+    if len(mono) >= n_seg:
+        segs = np.array_split(mono, n_seg)
+        f += [float(np.sqrt(np.mean(s**2))) for s in segs]
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(f))] = np.asarray(f[:dim], dtype=np.float32)
+    return out
+
+
 def extract_features(
     df: DataFrame, blob_col: str, dim: int = 16, fake: bool = False
 ) -> DataFrame:
     """blob -> float feature vector via Arrow-batched mapInPandas.
 
-    STUB: with fake=False this raises NotImplementedError at execution time —
-    the decode step needs an image/audio library not present in this runtime.
-    The distributed plumbing (schema, batch iteration, partition mapping) is
-    the real implementation a codec drops into."""
+    BMP images and PCM WAV audio decode FOR REAL (pure numpy) and yield
+    actual content features. Codec formats (JPEG/MP3/...) raise
+    NotImplementedError unless ``fake=True`` substitutes digest-derived
+    placeholder vectors — the honest boundary of a codec-free runtime."""
     out_schema = StructType(
         df.schema.fields + [StructField("features", ArrayType(FloatType()))]
     )
 
+    def featurize(b):
+        if b is None:
+            return None
+        blob = bytes(b)
+        if blob[:2] == b"BM":
+            return _image_features(decode_bmp(blob), dim)
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            return _audio_features(*decode_wav(blob), dim)
+        if fake:
+            return _fake_features(blob, dim)
+        raise NotImplementedError(
+            "blob is not a library-free format (BMP/WAV); decoding it needs "
+            "a codec library not present in this runtime"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires an image/audio codec library; "
-                    "install one and replace _fake_features"
-                )
             pdf = pdf.copy()
-            pdf["features"] = [
-                None if b is None else _fake_features(bytes(b), dim)
+            pdf["features"] = [featurize(b) for b in pdf[blob_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(df: DataFrame, blob_col: str, out_h: int, out_w: int) -> DataFrame:
+    """Decode BMP blobs, nearest-neighbor resize, re-encode — a real
+    distributed image transform over mapInPandas."""
+    out_schema = StructType(df.schema.fields + [StructField("resized", BinaryType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["resized"] = [
+                None
+                if b is None
+                else encode_bmp(resize_nearest(decode_bmp(bytes(b)), out_h, out_w))
                 for b in pdf[blob_col]
             ]
             yield pdf
