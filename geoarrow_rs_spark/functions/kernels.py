@@ -685,6 +685,18 @@ def k_geom_from_geojson(s):
     return pd.Series(out, dtype=object)
 
 
+def k_geohash_decode(s):
+    """Geohash string -> center point WKB (inverse of ST_GeoHash)."""
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        dec = alg.geohash_decode(str(v))
+        out.append(to_wkb(wc.point(dec[0], dec[1])) if dec else None)
+    return pd.Series(out, dtype=object)
+
+
 def k_geohash(s, prec):
     out = []
     p_iter = prec if hasattr(prec, "__iter__") else [prec] * len(s)

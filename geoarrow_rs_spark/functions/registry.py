@@ -73,6 +73,8 @@ _SCALAR_UDFS = {
     "ST_SetSRID": (K.k_set_srid, BinaryType()),
     "ST_SRID": (K.k_srid, IntegerType()),
     "ST_GeoHash": (K.k_geohash, StringType()),
+    "ST_GeoHashDecode": (K.k_geohash_decode, BinaryType()),
+    "ST_PointFromGeoHash": (K.k_geohash_decode, BinaryType()),
     # accessors / metadata
     "ST_GeometryType": (K.k_geometry_type, StringType()),
     "ST_GeoArrowTypeId": (K.k_type_id, IntegerType()),

@@ -461,12 +461,16 @@ FROM part
 
 
 def geo_geohash(spark, sf_dir):
-    """Geohash cell keys (no plain-SQL oracle — checked rows-only by driver,
-    exactly by pytest)."""
+    """Geohash encode + decode round trip. Cell centers are exact dyadic
+    rationals (360/2^15 = 45/2^12), so both engines produce bit-identical
+    doubles with no rounding."""
     c = _t(spark, sf_dir, "customer")
+    gh = "ST_GeoHash(ST_Point(CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5, CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5), 6)"
     return c.selectExpr(
         "c_custkey",
-        "ST_GeoHash(ST_Point(CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5, CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5), 6) AS gh",
+        f"{gh} AS gh",
+        f"ST_X(ST_GeoHashDecode({gh})) AS cell_lon",
+        f"ST_Y(ST_GeoHashDecode({gh})) AS cell_lat",
     )
 
 
@@ -1513,7 +1517,10 @@ WITH pts AS (
 ), interleaved AS (
   SELECT c_custkey, {interleave} AS inter FROM idx
 )
-SELECT c_custkey, {chars} AS gh FROM interleaved
+SELECT interleaved.c_custkey, {chars} AS gh,
+       -180.0 + (idx.loni + 0.5) * (360.0 / 32768.0) AS cell_lon,
+       -90.0 + (idx.lati + 0.5) * (180.0 / 32768.0) AS cell_lat
+FROM interleaved JOIN idx USING (c_custkey)
 """
 
 
@@ -1831,6 +1838,28 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H q16 adapted (no partsupp table): distinct suppliers who shipped
+    each (brand, size), excluding one brand — the distinct-agg shape (Spark
+    expands to a two-phase partial aggregation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).where(
+        F.col("p_brand") != "Brand#1"
+    )
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_size
+"""
+
+
 def q19_brand_revenue(spark, sf_dir):
     """TPC-H q19 adapted (no container column): revenue under an OR of
     brand/size/quantity conjunctions — the disjunctive-pushdown shape."""
@@ -1883,6 +1912,7 @@ QUERIES = {
     "q14_promo_revenue": (q14_promo_revenue, ORACLE_Q14),
     "q18_large_orders": (q18_large_orders, ORACLE_Q18),
     "q19_brand_revenue": (q19_brand_revenue, ORACLE_Q19),
+    "q16_supplier_variety": (q16_supplier_variety, ORACLE_Q16),
     # geometry
     "geo_point_accessors": (geo_point_accessors, ORACLE_GEO_POINT),
     "geo_distance": (geo_distance, ORACLE_GEO_DISTANCE),

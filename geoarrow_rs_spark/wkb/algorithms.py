@@ -2045,6 +2045,39 @@ def clip_by_rect(g, xmin, ymin, xmax, ymax):
 _GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
+def geohash_decode(gh: str):
+    """Geohash -> (lon, lat) cell center + (lon_err, lat_err) half-widths.
+    Standard base-32 bit de-interleave (inverse of geohash_encode)."""
+    if not gh:
+        return None
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for ch in gh:
+        v = _GH32.index(ch)
+        for shift in (4, 3, 2, 1, 0):
+            bit = (v >> shift) & 1
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if bit:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if bit:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return (
+        (lon_lo + lon_hi) / 2,
+        (lat_lo + lat_hi) / 2,
+        (lon_hi - lon_lo) / 2,
+        (lat_hi - lat_lo) / 2,
+    )
+
+
 def geohash_encode(lon, lat, precision=9):
     """Standard geohash of a lon/lat point."""
     if lon is None or lat is None or math.isnan(lon) or math.isnan(lat):

@@ -200,3 +200,15 @@ def test_line_substring_vertices_and_edges():
     assert to_wkt(alg.line_substring(bent, 0.0, 1.0)) == to_wkt(bent)
     assert alg.line_substring(bent, 0.8, 0.2).is_empty()
     assert to_wkt(alg.line_substring(bent, 0.5, 0.5)) == "POINT (10 0)"
+
+
+def test_geohash_decode_roundtrip():
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    for lon, lat in [(2.3522, 48.8566), (-122.42, 37.77), (151.2, -33.87), (0.0, 0.0)]:
+        gh = alg.geohash_encode(lon, lat, 9)
+        dlon, dlat, elon, elat = alg.geohash_decode(gh)
+        assert abs(dlon - lon) <= elon
+        assert abs(dlat - lat) <= elat
+        # re-encoding the center reproduces the hash
+        assert alg.geohash_encode(dlon, dlat, 9) == gh
