@@ -923,6 +923,12 @@ def _binary_kernel(fn, out_dtype=object):
 
 
 k_intersects = _binary_kernel(alg.intersects)
+k_closest_point = _binary_kernel(
+    lambda a, b: to_wkb(alg.closest_point(a, b)) if a is not None and b is not None else None
+)
+k_shortest_line = _binary_kernel(
+    lambda a, b: to_wkb(alg.shortest_line(a, b)) if a is not None and b is not None else None
+)
 k_contains = _binary_kernel(alg.contains)
 k_within = _binary_kernel(alg.within)
 k_disjoint = _binary_kernel(alg.disjoint)

@@ -162,6 +162,8 @@ _SCALAR_UDFS = {
     "ST_SymDifference": (K.k_sym_difference, BinaryType()),
     "ST_Distance": (K.k_distance, DoubleType()),
     "ST_DWithin": (K.k_dwithin, BooleanType()),
+    "ST_ClosestPoint": (K.k_closest_point, BinaryType()),
+    "ST_ShortestLine": (K.k_shortest_line, BinaryType()),
     "ST_DistanceSphere": (K.k_distance_sphere, DoubleType()),
     "ST_FrechetDistance": (K.k_frechet, DoubleType()),
     "ST_HausdorffDistance": (K.k_hausdorff, DoubleType()),

@@ -1453,6 +1453,38 @@ FROM part
 """
 
 
+def geo_closest_point(spark, sf_dir):
+    """ST_ClosestPoint / ST_ShortestLine: nearest point on a horizontal
+    segment to a derived point is a closed-form clamp."""
+    o = _t(spark, sf_dir, "orders")
+    x = "CAST(o_orderkey % 200 AS DOUBLE) - 50.0"  # -50..149 vs segment [0,100]
+    y = "CAST(o_custkey % 40 AS DOUBLE) + 1.0"
+    seg = "ST_MakeLine(ST_Point(0.0, 0.0), ST_Point(100.0, 0.0))"
+    cp = f"ST_ClosestPoint({seg}, ST_Point({x}, {y}))"
+    sl = f"ST_ShortestLine({seg}, ST_Point({x}, {y}))"
+    return o.selectExpr(
+        "o_orderkey",
+        f"round(ST_X({cp}), 6) AS cp_x",
+        f"ST_Y({cp}) AS cp_y",
+        f"round(ST_Length({sl}), 6) AS sep",
+    )
+
+
+ORACLE_GEO_CLOSEST = """
+SELECT o_orderkey,
+       round(LEAST(GREATEST(CAST(o_orderkey % 200 AS DOUBLE) - 50.0, 0.0), 100.0), 6) AS cp_x,
+       0.0 AS cp_y,
+       round(sqrt(
+         (CAST(o_orderkey % 200 AS DOUBLE) - 50.0
+          - LEAST(GREATEST(CAST(o_orderkey % 200 AS DOUBLE) - 50.0, 0.0), 100.0)) *
+         (CAST(o_orderkey % 200 AS DOUBLE) - 50.0
+          - LEAST(GREATEST(CAST(o_orderkey % 200 AS DOUBLE) - 50.0, 0.0), 100.0)) +
+         (CAST(o_custkey % 40 AS DOUBLE) + 1.0) * (CAST(o_custkey % 40 AS DOUBLE) + 1.0)
+       ), 6) AS sep
+FROM orders
+"""
+
+
 def geo_project(spark, sf_dir):
     """Geodesic destination point (ST_Project family). The spherical variant
     has a closed form mirrored in SQL; the spheroid (Vincenty direct) variant
@@ -1940,6 +1972,7 @@ QUERIES = {
     "geo_geodesic_area": (geo_geodesic_area, ORACLE_GEO_GEODESIC_AREA),
     "geo_project": (geo_project, ORACLE_GEO_PROJECT),
     "geo_line_substring": (geo_line_substring, ORACLE_GEO_LINE_SUBSTRING),
+    "geo_closest_point": (geo_closest_point, ORACLE_GEO_CLOSEST),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),

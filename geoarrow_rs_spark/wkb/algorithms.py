@@ -867,6 +867,92 @@ def _pts_to_lines_min(pts, lines):
     return best
 
 
+def _pt_seg_closest(px, py, ax, ay, bx, by):
+    """Closest point on segment (a, b) to p."""
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0:
+        return ax, ay
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+    return ax + t * dx, ay + t * dy
+
+
+def closest_points(g1, g2):
+    """The pair (point on g1, point on g2) realizing the minimum distance
+    (PostGIS ST_ClosestPoint / ST_ShortestLine semantics). For intersecting
+    inputs both points coincide on a shared location."""
+    if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
+        return None
+    if intersects(g1, g2):
+        from . import booleanops as bo
+
+        inter = bo.geom_intersection(g1, g2)
+        c = all_coords(inter) if inter is not None else None
+        if c is None or len(c) == 0:
+            c = all_coords(g1)
+        p = (float(c[0, 0]), float(c[0, 1]))
+        return p, p
+    best = math.inf
+    bp = None
+    for p1 in iter_parts(g1):
+        for p2 in iter_parts(g2):
+            if p1.is_empty() or p2.is_empty():
+                continue
+            l1 = _lines_of(p1) or [p1.data.reshape(1, -1)]
+            l2 = _lines_of(p2) or [p2.data.reshape(1, -1)]
+            v1 = np.vstack([a[:, :2] for a in l1])
+            v2 = np.vstack([a[:, :2] for a in l2])
+            # vertex-of-one vs segments-of-other, both sweeps (same coverage
+            # argument as distance())
+            for p in v1:
+                for line in l2:
+                    if len(line) == 1:
+                        q = (float(line[0, 0]), float(line[0, 1]))
+                        d = math.hypot(p[0] - q[0], p[1] - q[1])
+                        if d < best:
+                            best, bp = d, ((float(p[0]), float(p[1])), q)
+                    else:
+                        for i in range(len(line) - 1):
+                            q = _pt_seg_closest(
+                                p[0], p[1],
+                                line[i, 0], line[i, 1], line[i + 1, 0], line[i + 1, 1],
+                            )
+                            d = math.hypot(p[0] - q[0], p[1] - q[1])
+                            if d < best:
+                                best, bp = d, ((float(p[0]), float(p[1])), q)
+            for p in v2:
+                for line in l1:
+                    if len(line) == 1:
+                        q = (float(line[0, 0]), float(line[0, 1]))
+                        d = math.hypot(p[0] - q[0], p[1] - q[1])
+                        if d < best:
+                            best, bp = d, (q, (float(p[0]), float(p[1])))
+                    else:
+                        for i in range(len(line) - 1):
+                            q = _pt_seg_closest(
+                                p[0], p[1],
+                                line[i, 0], line[i, 1], line[i + 1, 0], line[i + 1, 1],
+                            )
+                            d = math.hypot(p[0] - q[0], p[1] - q[1])
+                            if d < best:
+                                best, bp = d, (q, (float(p[0]), float(p[1])))
+    return bp
+
+
+def closest_point(g1, g2):
+    """Point on g1 nearest to g2 (ST_ClosestPoint)."""
+    cp = closest_points(g1, g2)
+    return point(cp[0][0], cp[0][1]) if cp else None
+
+
+def shortest_line(g1, g2):
+    """Minimum-distance connector line (ST_ShortestLine)."""
+    cp = closest_points(g1, g2)
+    if cp is None:
+        return None
+    return Geom(LINESTRING, np.array([cp[0], cp[1]], dtype=np.float64))
+
+
 def distance(g1, g2):
     """Min euclidean distance; 0 if intersecting. distance.rs:9."""
     if g1 is None or g2 is None:

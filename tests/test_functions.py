@@ -212,3 +212,26 @@ def test_geohash_decode_roundtrip():
         assert abs(dlat - lat) <= elat
         # re-encoding the center reproduces the hash
         assert alg.geohash_encode(dlon, dlat, 9) == gh
+
+
+def test_closest_point_and_shortest_line():
+    from geoarrow_rs_spark.wkb import from_wkt, to_wkt
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    seg = from_wkt("LINESTRING (0 0, 10 0)")
+    pt = from_wkt("POINT (3 4)")
+    assert to_wkt(alg.closest_point(seg, pt)) == "POINT (3 0)"
+    assert to_wkt(alg.shortest_line(seg, pt)) == "LINESTRING (3 0, 3 4)"
+    assert alg.length(alg.shortest_line(seg, pt)) == pytest.approx(4.0)
+    # beyond the end: clamps to the endpoint
+    far = from_wkt("POINT (15 2)")
+    assert to_wkt(alg.closest_point(seg, far)) == "POINT (10 0)"
+    # polygon to polygon
+    a = from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    b = from_wkt("POLYGON ((5 0, 7 0, 7 2, 5 2, 5 0))")
+    sl = alg.shortest_line(a, b)
+    assert alg.length(sl) == pytest.approx(3.0)
+    assert alg.length(sl) == pytest.approx(alg.distance(a, b))
+    # intersecting -> coincident points, zero length
+    c = from_wkt("POLYGON ((1 1, 6 1, 6 1.5, 1 1.5, 1 1))")
+    assert alg.length(alg.shortest_line(a, c)) == pytest.approx(0.0)
