@@ -1924,6 +1924,226 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity <= 20)
 """
 
 
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H q13 adapted (no o_comment — the excluded-orders predicate is
+    on priority instead): distribution of per-customer order counts via a
+    LEFT OUTER join with a compound ON condition, then a second groupBy.
+    Both aggregations are pure count shuffles with map-side combine."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            on=[c.c_custkey == o.o_custkey, o.o_orderpriority != "1-URGENT"],
+            how="left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H q15: supplier(s) with the maximum quarterly revenue. The view
+    is one groupBy over lineitem; the scalar MAX is a 1-row broadcast join
+    (no second scan of lineitem), and revenue is compared in exact integer
+    cents so the equality is engine-independent."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    rev = l.groupBy("l_suppkey").agg(F.sum(cents).alias("__cents"))
+    top = rev.agg(F.max("__cents").alias("__max_cents"))
+    return (
+        rev.join(F.broadcast(top), rev.__cents == top.__max_cents)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("__cents").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(cents AS DOUBLE) / 100.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE cents = (SELECT MAX(cents) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H q17 adapted (no p_container — brand-only filter): yearly
+    revenue lost to small orders. The correlated AVG subquery becomes a
+    per-part groupBy joined back to lineitem; l_quantity is integer-valued
+    so the average (= exact integer sum / count) is engine-independent."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    part_avg = (
+        l.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__avg_qty"))
+    )
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(part_avg.withColumnRenamed("l_partkey", "__pk"), F.col("p_partkey") == F.col("__pk"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty"))
+    )
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return j.agg(
+        (F.sum(cents).cast("double") / F.lit(700.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+ORACLE_Q17 = """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 700.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < 0.2 * (
+    SELECT AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def q21_sole_fault_supplier(spark, sf_dir):
+    """TPC-H q21 adapted (no commit/receipt dates — the 'fault' signal is
+    l_returnflag = 'R'): suppliers who were the ONLY supplier with a
+    returned item on a multi-supplier finalized order. EXISTS -> left-semi
+    join, NOT EXISTS -> left-anti join; both are equi-joins on l_orderkey
+    (shuffle-partitioned, no row duplication, AQE-skew-safe)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    l1 = l.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    others = l.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    others_r = l.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r2_orderkey"), F.col("l_suppkey").alias("r2_suppkey")
+    )
+    cand = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            others_r,
+            (F.col("l_orderkey") == F.col("r2_orderkey"))
+            & (F.col("l_suppkey") != F.col("r2_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND EXISTS (
+    SELECT 1 FROM orders WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+  )
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H q22 adapted (no phone column — country code is c_nationkey;
+    every customer has orders, so the anti-join excludes customers with any
+    URGENT order): wealthy-but-idle customer summary. The scalar AVG is an
+    explicit exact-cents ratio broadcast to the probe side; NOT EXISTS is a
+    left-anti equi-join."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_nationkey") < 10)
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    thresh = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(cents).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(100.0))
+            ).alias("__avg_bal")
+        )
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("__uk")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("__uk"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _money_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = f"""
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       {_money_sum_sql('c_acctbal', 'totacctbal')}
+FROM customer
+WHERE c_nationkey < 10
+  AND c_acctbal > (
+    SELECT CAST(SUM(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 100.0)
+    FROM customer WHERE c_acctbal > 0.0 AND c_nationkey < 10
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1945,6 +2165,11 @@ QUERIES = {
     "q18_large_orders": (q18_large_orders, ORACLE_Q18),
     "q19_brand_revenue": (q19_brand_revenue, ORACLE_Q19),
     "q16_supplier_variety": (q16_supplier_variety, ORACLE_Q16),
+    "q13_customer_distribution": (q13_customer_distribution, ORACLE_Q13),
+    "q15_top_supplier": (q15_top_supplier, ORACLE_Q15),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, ORACLE_Q17),
+    "q21_sole_fault_supplier": (q21_sole_fault_supplier, ORACLE_Q21),
+    "q22_idle_customers": (q22_idle_customers, ORACLE_Q22),
     # geometry
     "geo_point_accessors": (geo_point_accessors, ORACLE_GEO_POINT),
     "geo_distance": (geo_distance, ORACLE_GEO_DISTANCE),

@@ -200,6 +200,31 @@ def test_q4_semi_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q21_exists_shapes(spark, sf_dir):
+    """q21: EXISTS/NOT-EXISTS compile to LeftSemi + LeftAnti equi-joins on
+    l_orderkey (never a CartesianProduct); supplier/nation dims broadcast."""
+    from geoarrow_rs_spark.queries import q21_sole_fault_supplier
+
+    plan = _plan(q21_sole_fault_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_and_q22_scalar_subquery_broadcast(spark, sf_dir):
+    """q15/q22: the scalar aggregate (max revenue / avg balance) joins back
+    via broadcast — no shuffle of the probe side against a 1-row relation."""
+    from geoarrow_rs_spark.queries import q15_top_supplier, q22_idle_customers
+
+    for fn in (q15_top_supplier, q22_idle_customers):
+        plan = _plan(fn(spark, sf_dir))
+        assert (
+            "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        ), f"{fn.__name__}:\n{plan[:2000]}"
+        assert "CartesianProduct" not in plan
+
+
 def test_intersects_pretest_pushes_bbox_to_scan(spark, tmp_path):
     """intersects_with_pretest: the native bbox conjunct reaches the Parquet
     scan (PushedFilters) while the exact ST_Intersects pUDF stays post-scan
