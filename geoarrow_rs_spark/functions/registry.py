@@ -296,6 +296,62 @@ def extent_agg_expr(geom_col, alias: str = "extent"):
     ).alias(alias)
 
 
+def point_in_polygon_expr(x, y, ring, boundary: str = "exclude"):
+    """Native (codegen) point-in-CONSTANT-polygon predicate — the scalable
+    geofencing primitive: at 100 TB a constant-region filter must compile to
+    whole-stage-codegen arithmetic, not a per-row WKB pandas UDF.
+
+    ``ring`` is a Python list of (x, y) vertex tuples (closed or open; the
+    closing edge is implied). Concave rings are supported (even-odd ray
+    cast). ``boundary``: "exclude" (ST_Within semantics: interior only) or
+    "include" (ST_Intersects/ST_Covers semantics).
+
+    Exactness: crossing parity uses only comparisons and one multiply-compare
+    per edge (same IEEE doubles in any engine); the on-edge test is exact
+    cross-product arithmetic — both reproducible in plain SQL for oracles.
+    Reference semantics: geo's coord_pos_relative_to_ring
+    (/root/reference/rust/geoarrow-expr-geo/src/util/mod.rs equivalent).
+    """
+    px = F.col(x) if isinstance(x, str) else x
+    py = F.col(y) if isinstance(y, str) else y
+    pts = [(float(a), float(b)) for a, b in ring]
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    n = len(pts)
+    crossing_terms = []
+    on_edge_terms = []
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        # Even-odd rule, half-open in y so a vertex hit counts once:
+        # edge crosses the upward ray iff (y1 > py) != (y2 > py) and the
+        # intersection x lies strictly right of px. The division is
+        # rearranged into a multiply so the expression stays exact-compare
+        # friendly (sign handled by the parity of the y test).
+        if y1 != y2:
+            cond = (F.lit(y1) > py) != (F.lit(y2) > py)
+            # x_int > px  <=>  (x1 + (py-y1)*(x2-x1)/(y2-y1)) > px
+            lhs = (F.lit(x1) - px) * F.lit(y2 - y1) + (py - F.lit(y1)) * F.lit(x2 - x1)
+            xgt = F.when(F.lit(y2 - y1) > 0, lhs > 0).otherwise(lhs < 0)
+            crossing_terms.append((cond & xgt).cast("int"))
+        # exact on-segment: collinear (cross == 0) and within the edge bbox
+        cross = (F.lit(x2 - x1)) * (py - F.lit(y1)) - (F.lit(y2 - y1)) * (px - F.lit(x1))
+        on_edge_terms.append(
+            (cross == 0)
+            & (px >= F.lit(min(x1, x2)))
+            & (px <= F.lit(max(x1, x2)))
+            & (py >= F.lit(min(y1, y2)))
+            & (py <= F.lit(max(y1, y2)))
+        )
+    parity_odd = (sum(crossing_terms[1:], crossing_terms[0]) % 2) == 1
+    on_boundary = on_edge_terms[0]
+    for t in on_edge_terms[1:]:
+        on_boundary = on_boundary | t
+    if boundary == "include":
+        return parity_odd | on_boundary
+    return parity_odd & ~on_boundary
+
+
 def bbox_overlap_expr(b1, b2):
     """Native rect-overlap between two covering struct columns (join cond)."""
     a = F.col(b1) if isinstance(b1, str) else b1

@@ -63,16 +63,39 @@ def spatial_join(
     strategy: str = "auto",
     cell_size: float = 1.0,
     broadcast_bytes: int = 64 << 20,
+    refine: str = "exact",
+    left_bbox: str | None = None,
+    right_bbox: str | None = None,
 ) -> DataFrame:
     """Join rows whose geometries satisfy the predicate.
 
     Column name collisions must be resolved by the caller (alias first).
     ``predicate`` in {intersects, contains, within, covers, touches,
     overlaps, crosses, distance_lt:<x>} — refine runs the matching ST_* pUDF.
+
+    ``refine``: "exact" (default) runs the ST_* pandas-UDF predicate on the
+    bbox-surviving candidates. "bbox" skips it — valid ONLY when the bbox
+    test already equals the predicate: ``intersects`` where every geometry
+    on both sides equals its own bounding box (points, envelopes,
+    axis-aligned rect polygons). Then the join is 100% whole-stage-codegen
+    with zero Python — the right plan for point-in-rectangle joins at scale.
+
+    ``left_bbox`` / ``right_bbox``: name of a precomputed covering struct
+    column (xmin/ymin/xmax/ymax) — e.g. a GeoParquet covering column read
+    straight off the scan, or a native struct built at construction time.
+    When given, the join never parses WKB to derive bboxes (the ST_BBox
+    pandas UDF is skipped entirely); combined with refine="bbox" the whole
+    join plan is native.
     """
     lb, rb = "__lbbox", "__rbbox"
-    L = left.withColumn(lb, F.expr(f"ST_BBox({left_geom})"))
-    R = right.withColumn(rb, F.expr(f"ST_BBox({right_geom})"))
+    if left_bbox is not None:
+        L = left.withColumn(lb, F.col(left_bbox))
+    else:
+        L = left.withColumn(lb, F.expr(f"ST_BBox({left_geom})"))
+    if right_bbox is not None:
+        R = right.withColumn(rb, F.col(right_bbox))
+    else:
+        R = right.withColumn(rb, F.expr(f"ST_BBox({right_geom})"))
 
     if strategy == "auto":
         # plan-time size estimate from Catalyst statistics (file sizes /
@@ -88,11 +111,19 @@ def spatial_join(
         except Exception:
             pass
 
-    refine = _refine_expr(predicate, left_geom, right_geom)
+    if refine == "bbox":
+        if predicate != "intersects":
+            raise ValueError("refine='bbox' is only exact for predicate='intersects'")
+        refine_pred = None
+    else:
+        refine_pred = _refine_expr(predicate, left_geom, right_geom)
+
+    def _refined(df):
+        return df if refine_pred is None else df.filter(refine_pred)
 
     if strategy == "broadcast":
         joined = L.join(F.broadcast(R), on=bbox_overlap_expr(lb, rb), how="inner")
-        return joined.filter(refine).drop(lb, rb)
+        return _refined(joined).drop(lb, rb)
 
     # grid strategy: equi-join on exploded cell ids
     Lg = L.withColumn("__cell", F.explode(grid_cells_expr(lb, cell_size)))
@@ -109,7 +140,7 @@ def spatial_join(
         + F.floor(ref_y / cs).cast("long")
     )
     joined = joined.filter(F.col("__cell") == owner)
-    return joined.filter(refine).drop("__cell", lb, rb)
+    return _refined(joined).drop("__cell", lb, rb)
 
 
 def _refine_expr(predicate: str, lg: str, rg: str):

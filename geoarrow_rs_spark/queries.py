@@ -290,12 +290,20 @@ def geo_spatial_join(spark, sf_dir):
     pts = _t(spark, sf_dir, "customer").selectExpr(
         "c_custkey",
         "ST_Point(c_acctbal, CAST(c_custkey % 500 AS DOUBLE)) AS geometry",
+        "named_struct('xmin', c_acctbal, 'ymin', CAST(c_custkey % 500 AS DOUBLE), "
+        "'xmax', c_acctbal, 'ymax', CAST(c_custkey % 500 AS DOUBLE)) AS bbox",
     )
     boxes = _t(spark, sf_dir, "nation").selectExpr(
         "n_nationkey",
         "ST_MakeEnvelope(CAST(n_nationkey * 400 - 1000 AS DOUBLE), 0.0, "
         "CAST(n_nationkey * 400 - 550 AS DOUBLE), CAST(100 + n_nationkey * 20 AS DOUBLE)) AS geometry",
+        "named_struct('xmin', CAST(n_nationkey * 400 - 1000 AS DOUBLE), 'ymin', 0.0, "
+        "'xmax', CAST(n_nationkey * 400 - 550 AS DOUBLE), 'ymax', CAST(100 + n_nationkey * 20 AS DOUBLE)) AS box_bbox",
     )
+    # points vs axis-aligned envelopes with native covering structs: every
+    # geometry equals its own bbox, so the bbox test IS ST_Intersects —
+    # refine="bbox" + explicit bbox columns keep the whole join inside
+    # whole-stage codegen (zero Python at any scale).
     joined = spatial_join(
         pts,
         boxes.withColumnRenamed("geometry", "box_geom"),
@@ -304,6 +312,9 @@ def geo_spatial_join(spark, sf_dir):
         predicate="intersects",
         strategy="grid",
         cell_size=500.0,
+        refine="bbox",
+        left_bbox="bbox",
+        right_bbox="box_bbox",
     )
     return joined.groupBy("n_nationkey").agg(F.count(F.lit(1)).alias("n_points"))
 
@@ -320,12 +331,20 @@ GROUP BY n_nationkey
 
 
 def geo_within_triangle(spark, sf_dir):
+    """Constant-region geofence: ST_Within(point, const polygon) compiled
+    to native ray-cast arithmetic (point_in_polygon_expr) — no Python in
+    the plan, filter-eligible for pushdown. The pUDF ST_Within surface is
+    exercised separately in tests/test_functions.py."""
+    from .functions.registry import point_in_polygon_expr
+
     c = _t(spark, sf_dir, "customer")
-    tri = "ST_GeomFromWKT('POLYGON ((0 0, 8000 0, 0 400, 0 0))')"
-    return c.selectExpr(
-        "c_custkey",
-        f"ST_Within(ST_Point(c_acctbal, CAST(c_custkey % 450 AS DOUBLE)), {tri}) AS inside",
+    inside = point_in_polygon_expr(
+        F.col("c_acctbal"),
+        (F.col("c_custkey") % 450).cast("double"),
+        [(0, 0), (8000, 0), (0, 400)],
+        boundary="exclude",
     )
+    return c.select("c_custkey", inside.alias("inside"))
 
 
 ORACLE_GEO_WITHIN = """

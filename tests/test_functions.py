@@ -235,3 +235,72 @@ def test_closest_point_and_shortest_line():
     # intersecting -> coincident points, zero length
     c = from_wkt("POLYGON ((1 1, 6 1, 6 1.5, 1 1.5, 1 1))")
     assert alg.length(alg.shortest_line(a, c)) == pytest.approx(0.0)
+
+
+def test_point_in_polygon_expr_matches_pudf(spark):
+    """Native constant-polygon ray cast == pUDF ST_Within / ST_Intersects on
+    a concave polygon, over a grid that includes vertices, edges, interior
+    notch, and far-outside points."""
+    from pyspark.sql import functions as F
+
+    from geoarrow_rs_spark.functions.registry import point_in_polygon_expr
+
+    # concave "L" shape, vertices on integers
+    ring = [(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)]
+    wkt = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    pts = [
+        (x * 0.5, y * 0.5) for x in range(-2, 11) for y in range(-2, 11)
+    ]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out = df.select(
+        "x",
+        "y",
+        point_in_polygon_expr("x", "y", ring, boundary="exclude").alias("native_in"),
+        point_in_polygon_expr("x", "y", ring, boundary="include").alias("native_cov"),
+        F.expr(f"ST_Within(ST_Point(x, y), ST_GeomFromWKT('{wkt}'))").alias("pudf_in"),
+        F.expr(f"ST_Intersects(ST_Point(x, y), ST_GeomFromWKT('{wkt}'))").alias("pudf_cov"),
+    ).collect()
+    for r in out:
+        assert r.native_in == r.pudf_in, (r.x, r.y, r.native_in, r.pudf_in)
+        assert r.native_cov == r.pudf_cov, (r.x, r.y, r.native_cov, r.pudf_cov)
+
+
+def test_spatial_join_bbox_refine_matches_exact(spark):
+    """refine='bbox' (pure codegen) returns the same pairs as refine='exact'
+    for points-vs-envelopes, and rejects non-intersects predicates."""
+    import pytest as _pytest
+
+    from geoarrow_rs_spark.join import spatial_join
+
+    pts = spark.range(300).selectExpr(
+        "id AS pid",
+        "ST_Point(CAST(id % 50 AS DOUBLE), CAST(id % 37 AS DOUBLE)) AS geometry",
+        "named_struct('xmin', CAST(id % 50 AS DOUBLE), 'ymin', CAST(id % 37 AS DOUBLE), "
+        "'xmax', CAST(id % 50 AS DOUBLE), 'ymax', CAST(id % 37 AS DOUBLE)) AS bbox",
+    )
+    boxes = spark.range(20).selectExpr(
+        "id AS bid",
+        "ST_MakeEnvelope(CAST(id * 2 AS DOUBLE), CAST(id AS DOUBLE), "
+        "CAST(id * 2 + 10 AS DOUBLE), CAST(id + 8 AS DOUBLE)) AS box_geom",
+        "named_struct('xmin', CAST(id * 2 AS DOUBLE), 'ymin', CAST(id AS DOUBLE), "
+        "'xmax', CAST(id * 2 + 10 AS DOUBLE), 'ymax', CAST(id + 8 AS DOUBLE)) AS box_bbox",
+    )
+    kw = dict(
+        left_geom="geometry", right_geom="box_geom",
+        predicate="intersects", strategy="grid", cell_size=8.0,
+    )
+    exact = {
+        (r.pid, r.bid)
+        for r in spatial_join(pts, boxes, **kw).select("pid", "bid").collect()
+    }
+    fast = spatial_join(
+        pts, boxes, refine="bbox", left_bbox="bbox", right_bbox="box_bbox", **kw
+    ).select("pid", "bid")
+    # once the unused geometry columns are pruned, the whole join is native
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    got = {(r.pid, r.bid) for r in fast.collect()}
+    assert got == exact and len(exact) > 0
+    with _pytest.raises(ValueError):
+        spatial_join(pts, boxes, refine="bbox", left_geom="geometry",
+                     right_geom="box_geom", predicate="within")
