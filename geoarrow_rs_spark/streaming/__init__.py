@@ -1,6 +1,7 @@
 from .ops import (
     read_stream_parquet,
     sessionize_stream,
+    streaming_asof_join,
     streaming_dedup,
     windowed_counts,
 )
@@ -9,5 +10,6 @@ __all__ = [
     "read_stream_parquet",
     "windowed_counts",
     "sessionize_stream",
+    "streaming_asof_join",
     "streaming_dedup",
 ]

@@ -98,6 +98,137 @@ def streaming_dedup(
     )
 
 
+def streaming_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "key",
+    left_cols=None,
+    value_cols=None,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming backward as-of join (custom stateful operator).
+
+    For every left event, attach the latest right event with
+    ``right.on <= left.on`` in the same ``by`` group — the trades-quotes
+    join. Spark has stream-stream equi/interval joins but no as-of join;
+    this implements it with ``applyInPandasWithState``:
+
+    - both streams are tag-unioned (same plan trick as the batch
+      ``asof_join``) and watermarked on ``on``;
+    - per ``by`` key, state buffers pending left rows and the right rows
+      still needed;
+    - a left row is emitted only once the watermark passes its timestamp —
+      at that point no earlier right row can still arrive, so the match is
+      final (correct under arbitrary intra-watermark disorder);
+    - the right buffer is pruned to the single latest row at-or-below the
+      watermark plus everything after it (exactly what future left rows can
+      still match), so state stays O(disorder window), not O(stream).
+
+    Emission therefore trails the watermark: rows newer than the current
+    watermark stay buffered until a later micro-batch advances it.
+    ``on`` must be a timestamp column; ``by`` a single key column;
+    ``left_cols``/``value_cols`` payload columns (numeric/string) from each
+    side. Batch inputs degrade to the exact batch ``asof_join``.
+    """
+    from ..join.asof import asof_join
+
+    if not left.isStreaming and not right.isStreaming:
+        out = asof_join(left, right, on=on, by=[by], value_cols=value_cols)
+        keep = [by, on] + list(
+            left_cols or [c for c in left.columns if c not in (by, on)]
+        ) + [f"{c}_r" for c in (value_cols or [])]
+        return out.select(*[c for c in keep if c in out.columns])
+
+    if left_cols is None:
+        left_cols = [c for c in left.columns if c not in (by, on)]
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (by, on)]
+
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    tagged_l = left.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("__side"),
+        F.to_json(F.struct(*[F.col(c) for c in left_cols])).alias("__lpayload"),
+        F.lit(None).cast("string").alias("__rpayload"),
+    ).withWatermark(on, watermark)
+    tagged_r = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("string").alias("__lpayload"),
+        F.to_json(F.struct(*[F.col(c) for c in value_cols])).alias("__rpayload"),
+    ).withWatermark(on, watermark)
+    unioned = tagged_l.unionByName(tagged_r)
+
+    left_fields = [left.schema[c] for c in left_cols]
+    right_fields = [
+        StructField(f"{c}_r", right.schema[c].dataType, True) for c in value_cols
+    ]
+    out_schema = StructType(
+        [left.schema[by], StructField(on, TimestampType(), True)]
+        + left_fields
+        + right_fields
+    )
+
+    def asof_fn(key, pdfs, state):
+        lefts, rights = ([], [])
+        if state.exists:
+            lefts = json.loads(state.get[0])
+            rights = json.loads(state.get[1])
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                ts_ms = int(pd.Timestamp(row[on]).value // 1_000_000)
+                if row["__side"] == 0:
+                    lefts.append((ts_ms, row["__lpayload"]))
+                else:
+                    rights.append((ts_ms, row["__rpayload"]))
+        wm = state.getCurrentWatermarkMs()
+        lefts.sort(key=lambda t: t[0])
+        rights.sort(key=lambda t: t[0])
+        ready = [t for t in lefts if t[0] <= wm]
+        pending = [t for t in lefts if t[0] > wm]
+        out_rows = []
+        for ts_ms, lp in ready:
+            match = None
+            for rts, rp in rights:
+                if rts <= ts_ms:
+                    match = rp
+                else:
+                    break
+            lvals = json.loads(lp)
+            rvals = json.loads(match) if match is not None else {}
+            rec = {
+                by: key[0],
+                on: pd.Timestamp(ts_ms, unit="ms"),
+            }
+            for f in left_fields:
+                rec[f.name] = lvals.get(f.name)
+            for c in value_cols:
+                rec[f"{c}_r"] = rvals.get(c)
+            out_rows.append(rec)
+        # prune: latest right <= wm is still matchable by future lefts
+        below = [t for t in rights if t[0] <= wm]
+        rights = below[-1:] + [t for t in rights if t[0] > wm]
+        state.update((json.dumps(pending), json.dumps(rights)))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+
+    return unioned.groupBy(by).applyInPandasWithState(
+        asof_fn,
+        outputStructType=out_schema,
+        stateStructType="lefts string, rights string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stream(
     df: DataFrame,
     ts_col: str = "ts",

@@ -244,3 +244,84 @@ def test_streaming_st_functions_compose(spark, tmp_path):
     got = sorted(r["id"] for r in spark.sql("SELECT * FROM geo_stream_out").collect())
     exp = sorted(i for i in range(100) if 2.5 <= i % 10 <= 5.5 and 2.5 <= i // 10 <= 5.5)
     assert got == exp
+
+
+def test_streaming_asof_join_batch_mode(spark):
+    """Batch inputs degrade to the exact batch asof_join."""
+    from datetime import datetime
+
+    from geoarrow_rs_spark.streaming import streaming_asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 10, 0, s)
+    trades = spark.createDataFrame(
+        [Row(key="A", ts=t(3), qty=5.0), Row(key="A", ts=t(7), qty=2.0),
+         Row(key="B", ts=t(4), qty=1.0)]
+    )
+    quotes = spark.createDataFrame(
+        [Row(key="A", ts=t(0), price=1.0), Row(key="A", ts=t(5), price=2.0),
+         Row(key="B", ts=t(6), price=9.0)]
+    )
+    out = streaming_asof_join(trades, quotes, on="ts", by="key",
+                              value_cols=["price"])
+    got = {(r["key"], r["qty"]): r["price_r"] for r in out.collect()}
+    assert got == {("A", 5.0): 1.0, ("A", 2.0): 2.0, ("B", 1.0): None}
+
+
+def test_streaming_asof_join_real_stream(spark, tmp_path):
+    """Three micro-batches: matches must be final (watermark-gated) and
+    state must carry right rows across batches."""
+    import time
+    from datetime import datetime
+
+    from geoarrow_rs_spark.streaming import streaming_asof_join
+
+    t = lambda m, s: datetime(2024, 1, 1, 10, m, s)
+    lsrc = os.path.join(str(tmp_path), "trades")
+    rsrc = os.path.join(str(tmp_path), "quotes")
+
+    # batch 1: quotes at :00 and :05, trades at :03 and :07
+    spark.createDataFrame(
+        [Row(key="A", ts=t(0, 3), qty=5.0), Row(key="A", ts=t(0, 7), qty=2.0)]
+    ).coalesce(1).write.mode("overwrite").parquet(lsrc)
+    spark.createDataFrame(
+        [Row(key="A", ts=t(0, 0), price=1.0), Row(key="A", ts=t(0, 5), price=2.0)]
+    ).coalesce(1).write.mode("overwrite").parquet(rsrc)
+    time.sleep(1.1)
+    # batch 2: advances event time to 10:01:00
+    spark.createDataFrame(
+        [Row(key="A", ts=t(1, 0), qty=9.0)]
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [Row(key="A", ts=t(0, 50), price=3.0)]
+    ).coalesce(1).write.mode("append").parquet(rsrc)
+    time.sleep(1.1)
+    # batch 3: sentinel pushes the watermark past 10:00:07
+    spark.createDataFrame(
+        [Row(key="A", ts=t(5, 0), qty=0.0)]
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [Row(key="A", ts=t(5, 0), price=99.0)]
+    ).coalesce(1).write.mode("append").parquet(rsrc)
+
+    lschema = spark.read.parquet(lsrc).schema
+    rschema = spark.read.parquet(rsrc).schema
+    trades = spark.readStream.schema(lschema).option("maxFilesPerTrigger", 1).parquet(lsrc)
+    quotes = spark.readStream.schema(rschema).option("maxFilesPerTrigger", 1).parquet(rsrc)
+    out = streaming_asof_join(trades, quotes, on="ts", by="key",
+                              value_cols=["price"], watermark="10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM asof_out").collect()
+    got = {r["qty"]: r["price_r"] for r in rows}
+    # trades at :03 (-> quote :00 = 1.0) and :07 (-> quote :05 = 2.0) are
+    # watermark-final; the 10:01:00 and 10:05:00 trades stay pending when
+    # the stream drains (correct append-mode behavior).
+    assert got.get(5.0) == 1.0
+    assert got.get(2.0) == 2.0
+    assert 0.0 not in got
