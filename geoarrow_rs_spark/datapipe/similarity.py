@@ -185,3 +185,143 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def dist2_decimal_expr(v1, v2, scale: int = 12):
+    """Squared L2 distance with the same order-independent decimal
+    accumulation as dot_decimal_expr (deterministic across engines)."""
+    diffs = F.zip_with(v1, v2, lambda a, b: a.cast("double") - b.cast("double"))
+    return dot_decimal_expr(diffs, diffs, scale)
+
+
+def _centroid_df(spark, cents):
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("__cid", LongType(), False),
+            StructField("__cvec", ArrayType(DoubleType()), False),
+        ]
+    )
+    return spark.createDataFrame([(int(c), list(v)) for c, v in cents], schema)
+
+
+def assign_clusters(
+    df: DataFrame,
+    cent_df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    exact decimal distances, ties broken by centroid id. Output:
+    (id_col, vec, cid) — one row per input row."""
+    d2 = dist2_decimal_expr(F.col(vec), F.col("__cvec")).alias("__d2")
+    scored = df.crossJoin(F.broadcast(cent_df)).select(
+        F.col(id_col), F.col(vec), F.col("__cid"), d2
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("__d2"), F.col("__cid"))).alias("__m"),
+        F.first(vec).alias(vec),
+    )
+    return best.select(id_col, vec, F.col("__m.__cid").alias("cid"))
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> list:
+    """Lloyd's k-means, expressed as DataFrame ops so it runs at corpus
+    scale: assignment is a broadcast cross-join + groupBy-min; the centroid
+    update is posexplode + per-(cluster, dim) exact decimal sums. Only the
+    k x d centroid matrix is collected per iteration (a few KB) — the
+    corpus never leaves the executors. Deterministic end-to-end: decimal
+    sums are order-independent, means are exact-sum / count in doubles,
+    init is the k lowest-id vectors — so a fixed-iteration run is
+    reproducible bit-exactly in ANSI SQL (see the kmeans IVF oracle).
+
+    At 100 TB, train on a sample (``corpus.sample(...)``) and reuse the
+    centroids; assignment of the full corpus stays fully distributed."""
+    spark = corpus.sparkSession
+    init_rows = (
+        corpus.orderBy(id_col).limit(k).select(vec).collect()
+    )
+    cents = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init_rows)]
+    for _ in range(iters):
+        cdf = _centroid_df(spark, cents)
+        assigned = assign_clusters(corpus, cdf, vec=vec, id_col=id_col)
+        ex = assigned.select("cid", F.posexplode(F.col(vec)).alias("dim", "val"))
+        sums = ex.groupBy("cid", "dim").agg(
+            F.sum(F.col("val").cast("double").cast("decimal(38,12)")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        rows = (
+            sums.select(
+                "cid",
+                "dim",
+                (F.col("__s").cast("double") / F.col("__n").cast("double")).alias("v"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda s: s["v"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        cents = sorted((int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows)
+    return cents
+
+
+def kmeans_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    k_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF with LEARNED (k-means) centroids: train, partition the corpus by
+    nearest centroid, probe the ``nprobe`` nearest cells per query, exact
+    cosine rerank inside the probed cells. The learned partitioning adapts
+    to the data distribution (vs the data-agnostic SRP planes of ivf_topk),
+    which is what lifts recall on clustered embeddings at the same probe
+    budget. Every stage is a broadcast or equi-join — no all-pairs."""
+    cents = kmeans_train(corpus, vec=corpus_vec, id_col=corpus_id, k=k_clusters, iters=iters)
+    cdf = _centroid_df(queries.sparkSession, cents)
+    assigned = assign_clusters(corpus, cdf, vec=corpus_vec, id_col=corpus_id).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        "cid",
+    )
+    qd = queries.crossJoin(F.broadcast(cdf)).select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.col("__cid"),
+        dist2_decimal_expr(F.col(query_vec), F.col("__cvec")).alias("__d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(), F.col("__cid").asc())
+    probes = (
+        qd.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", F.col("__cid").alias("cid"))
+    )
+    cands = probes.join(assigned, on="cid")
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 8).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1943,6 +1943,128 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity <= 20)
 """
 
 
+def sim_kmeans_ivf_topk(spark, sf_dir):
+    """ANN with LEARNED centroids: 2 Lloyd's iterations (exact decimal
+    arithmetic, deterministic init), corpus partitioned by nearest centroid,
+    nprobe=2, exact cosine rerank. The full training + probe + rerank
+    pipeline is mirrored bit-exactly by the unrolled-CTE oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    corpus = e.where(F.col("vec_id") >= 8)
+    out = similarity.kmeans_ivf_topk(
+        q, corpus, k=5, k_clusters=8, iters=2, nprobe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _kmeans_ivf_oracle_sql(k_clusters=8, iters=2, nprobe=2, k=5):
+    """Unrolled fixed-iteration Lloyd's in plain SQL: every Spark stage
+    (decimal distances, argmin with cid tie-break, exact-sum/count means,
+    probe, rerank) has a textually parallel CTE."""
+    d2 = "SUM(CAST(round((av - cv) * (av - cv), 12) AS DECIMAL(38,12))) AS d2"
+    ctes = [
+        "corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8)",
+        "qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8)",
+        f"""cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, embedding AS cvec
+  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT {k_clusters})
+)""",
+        """vals AS (
+  SELECT vec_id AS vid, unnest(embedding)::DOUBLE AS val,
+         unnest(range(len(embedding))) AS dim
+  FROM corpus
+)""",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"""t{i} AS (
+  SELECT c.vec_id AS vid, kk.cid,
+         unnest(c.embedding)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM corpus c CROSS JOIN cent{i} kk
+)""",
+            f"d{i} AS (SELECT vid, cid, {d2} FROM t{i} GROUP BY vid, cid)",
+            f"""a{i} AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)""",
+            f"""cent{i + 1} AS (
+  SELECT cid, list(cval ORDER BY dim) AS cvec FROM (
+    SELECT a.cid, v.dim,
+           CAST(SUM(CAST(round(v.val, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS cval
+    FROM a{i} a JOIN vals v ON a.vid = v.vid
+    GROUP BY a.cid, v.dim
+  ) GROUP BY cid
+)""",
+        ]
+    fin = iters
+    ctes += [
+        f"""tf AS (
+  SELECT c.vec_id AS vid, kk.cid,
+         unnest(c.embedding)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM corpus c CROSS JOIN cent{fin} kk
+)""",
+        f"df_ AS (SELECT vid, cid, {d2} FROM tf GROUP BY vid, cid)",
+        """af AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+    FROM df_
+  ) WHERE rn = 1
+)""",
+        f"""qt AS (
+  SELECT q.vec_id AS qid, kk.cid,
+         unnest(q.embedding)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM qs q CROSS JOIN cent{fin} kk
+)""",
+        f"qd AS (SELECT qid, cid, {d2} FROM qt GROUP BY qid, cid)",
+        f"""probe AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+    FROM qd
+  ) WHERE rn <= {nprobe}
+)""",
+        "cands AS (SELECT p.qid, a.vid FROM probe p JOIN af a ON p.cid = a.cid)",
+        """rt AS (
+  SELECT c.qid, c.vid,
+         unnest(q.embedding)::DOUBLE AS qv, unnest(e.embedding)::DOUBLE AS ev
+  FROM cands c
+  JOIN qs q ON c.qid = q.vec_id
+  JOIN corpus e ON c.vid = e.vec_id
+)""",
+        """sc AS (
+  SELECT qid, vid,
+         SUM(CAST(round(qv * ev, 12) AS DECIMAL(38,12))) AS dot,
+         SUM(CAST(round(qv * qv, 12) AS DECIMAL(38,12))) AS qn,
+         SUM(CAST(round(ev * ev, 12) AS DECIMAL(38,12))) AS en
+  FROM rt GROUP BY qid, vid
+)""",
+        """ranked AS (
+  SELECT qid AS query_id, vid AS neighbor_id,
+         round(CASE WHEN sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en AS DOUBLE)) > 0
+                    THEN CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en AS DOUBLE)))
+                    ELSE 0.0 END, 8) AS cosine
+  FROM sc
+)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM ranked
+) WHERE rn <= {k}
+"""
+    )
+
+
+ORACLE_SIM_KMEANS_IVF = _kmeans_ivf_oracle_sql()
+
+
 def q13_customer_distribution(spark, sf_dir):
     """TPC-H q13 adapted (no o_comment — the excluded-orders predicate is
     on priority instead): distribution of per-customer order counts via a
@@ -2236,6 +2358,7 @@ QUERIES = {
     "dedup_simhash_signatures": (dedup_simhash_signatures, ORACLE_SIMHASH_SIGS),
     "sim_srp_buckets": (sim_srp_buckets, ORACLE_SRP_BUCKETS),
     "sim_ivf_topk": (sim_ivf_topk, ORACLE_SIM_IVF_TOPK),
+    "sim_kmeans_ivf_topk": (sim_kmeans_ivf_topk, ORACLE_SIM_KMEANS_IVF),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (events_sessions, ORACLE_EVENTS_SESSIONS),
