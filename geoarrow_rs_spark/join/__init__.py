@@ -1,3 +1,15 @@
-from .spatial import grid_cells_expr, spatial_join
+from .asof import asof_join
+from .spatial import (
+    bucketed_spatial_join,
+    grid_cells_expr,
+    spatial_join,
+    write_grid_bucketed,
+)
 
-__all__ = ["spatial_join", "grid_cells_expr"]
+__all__ = [
+    "asof_join",
+    "spatial_join",
+    "grid_cells_expr",
+    "write_grid_bucketed",
+    "bucketed_spatial_join",
+]

@@ -143,6 +143,76 @@ def spatial_join(
     return _refined(joined).drop("__cell", lb, rb)
 
 
+def write_grid_bucketed(
+    df: DataFrame,
+    table: str,
+    geom: str = "geometry",
+    bbox: str | None = None,
+    cell_size: float = 1.0,
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a geometry table pre-exploded onto the PBSM grid and BUCKETED
+    by cell id — the co-location lever for repeated spatial joins.
+
+    Spark only avoids a shuffle when both join inputs are bucketed tables
+    with matching bucket spec on the join key; a grid spatial join's key is
+    the cell id, so bucketing by ``__cell`` makes every later
+    ``bucketed_spatial_join`` between two such tables exchange-free (each
+    task reads matching buckets from both sides — at 100 TB that deletes
+    the dominant cost of re-joining the same corpus many times, e.g. a
+    polygon layer joined against monthly point batches).
+
+    Rows are duplicated per covered cell (standard PBSM); downstream joins
+    apply the reference-point rule to de-dup. ``bbox`` names a precomputed
+    covering struct (skips the WKB parse)."""
+    b = "__bbox"
+    src = df.withColumn(b, F.col(bbox) if bbox else F.expr(f"ST_BBox({geom})"))
+    exploded = src.withColumn("__cell", F.explode(grid_cells_expr(b, cell_size)))
+    w = exploded.write.mode(mode).bucketBy(n_buckets, "__cell").sortBy("__cell")
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_spatial_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    left_geom: str = "geometry",
+    right_geom: str = "geometry",
+    predicate: str = "intersects",
+    cell_size: float = 1.0,
+    refine: str = "exact",
+) -> DataFrame:
+    """Grid spatial join between two tables written by ``write_grid_bucketed``
+    with the SAME cell_size and bucket count: the equi-join on ``__cell``
+    uses the bucket layout directly (SortMergeJoin with zero Exchange on
+    either side — assert it in the plan), then bbox filter, PBSM
+    reference-point de-dup, and the exact refine."""
+    L = spark.table(left_table)
+    R = spark.table(right_table)
+    lb, rb = "__lbbox", "__rbbox"
+    L = L.withColumnRenamed("__bbox", lb)
+    R = R.withColumnRenamed("__bbox", rb)
+    joined = L.join(R, on="__cell", how="inner").filter(bbox_overlap_expr(lb, rb))
+    cs = float(cell_size)
+    ref_x = F.greatest(F.col(f"{lb}.xmin"), F.col(f"{rb}.xmin"))
+    ref_y = F.greatest(F.col(f"{lb}.ymin"), F.col(f"{rb}.ymin"))
+    owner = (
+        F.floor(ref_x / cs).cast("long") * F.lit(1 << 21)
+        + F.floor(ref_y / cs).cast("long")
+    )
+    joined = joined.filter(F.col("__cell") == owner)
+    if refine == "bbox":
+        if predicate != "intersects":
+            raise ValueError("refine='bbox' is only exact for predicate='intersects'")
+    else:
+        joined = joined.filter(_refine_expr(predicate, left_geom, right_geom))
+    return joined.drop("__cell", lb, rb)
+
+
 def _refine_expr(predicate: str, lg: str, rg: str):
     if predicate.startswith("distance_lt:"):
         dist = float(predicate.split(":", 1)[1])

@@ -252,3 +252,63 @@ def test_intersects_pretest_pushes_bbox_to_scan(spark, tmp_path):
     assert sorted(r["id"] for r in out.collect()) == sorted(
         r["id"] for r in brute.collect()
     )
+
+
+def test_bucketed_spatial_join_is_exchange_free(spark, tmp_path):
+    """Both sides written by write_grid_bucketed with the same bucket spec:
+    the grid join must read the bucket layout directly — ZERO Exchange in
+    the plan (vs the plain grid join, which shuffles both sides) — and
+    return exactly the same pairs as the ad-hoc spatial_join."""
+    import os as _os
+
+    from geoarrow_rs_spark.join import (
+        bucketed_spatial_join,
+        spatial_join,
+        write_grid_bucketed,
+    )
+
+    pts = spark.range(400).selectExpr(
+        "id AS pid",
+        "ST_Point(CAST(id % 40 AS DOUBLE), CAST(id % 29 AS DOUBLE)) AS geometry",
+        "named_struct('xmin', CAST(id % 40 AS DOUBLE), 'ymin', CAST(id % 29 AS DOUBLE), "
+        "'xmax', CAST(id % 40 AS DOUBLE), 'ymax', CAST(id % 29 AS DOUBLE)) AS pbbox",
+    )
+    boxes = spark.range(15).selectExpr(
+        "id AS bid",
+        "ST_MakeEnvelope(CAST(id * 3 AS DOUBLE), CAST(id AS DOUBLE), "
+        "CAST(id * 3 + 6 AS DOUBLE), CAST(id + 7 AS DOUBLE)) AS box_geom",
+        "named_struct('xmin', CAST(id * 3 AS DOUBLE), 'ymin', CAST(id AS DOUBLE), "
+        "'xmax', CAST(id * 3 + 6 AS DOUBLE), 'ymax', CAST(id + 7 AS DOUBLE)) AS bbbox",
+    )
+    expected = {
+        (r.pid, r.bid)
+        for r in spatial_join(
+            pts, boxes, left_geom="geometry", right_geom="box_geom",
+            predicate="intersects", strategy="grid", cell_size=8.0,
+            refine="bbox", left_bbox="pbbox", right_bbox="bbbox",
+        ).select("pid", "bid").collect()
+    }
+    write_grid_bucketed(
+        pts.drop("pbbox"), "bkt_pts", geom="geometry", cell_size=8.0,
+        n_buckets=4, path=_os.path.join(str(tmp_path), "bkt_pts"),
+    )
+    write_grid_bucketed(
+        boxes.drop("bbbox"), "bkt_boxes", geom="box_geom", cell_size=8.0,
+        n_buckets=4, path=_os.path.join(str(tmp_path), "bkt_boxes"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = bucketed_spatial_join(
+            spark, "bkt_pts", "bkt_boxes",
+            left_geom="geometry", right_geom="box_geom",
+            predicate="intersects", cell_size=8.0, refine="bbox",
+        ).select("pid", "bid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:3000]
+        got = {(r.pid, r.bid) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_pts")
+        spark.sql("DROP TABLE IF EXISTS bkt_boxes")
+    assert got == expected and len(expected) > 0
