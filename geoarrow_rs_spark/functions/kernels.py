@@ -923,6 +923,24 @@ def _binary_kernel(fn, out_dtype=object):
 
 
 k_intersects = _binary_kernel(alg.intersects)
+k_split = _binary_kernel(
+    lambda a, b: to_wkb(alg.split(a, b)) if a is not None and b is not None else None
+)
+
+
+def k_snap(s1, s2, tol):
+    g1s = geoms_of(s1)
+    g2s = geoms_of(s2)
+    tols = list(tol) if hasattr(tol, "__len__") else [tol] * len(g1s)
+    return pd.Series(
+        [
+            to_wkb(alg.snap(a, b, t)) if a is not None and b is not None else None
+            for a, b, t in zip(g1s, g2s, tols)
+        ],
+        dtype=object,
+    )
+
+
 k_closest_point = _binary_kernel(
     lambda a, b: to_wkb(alg.closest_point(a, b)) if a is not None and b is not None else None
 )

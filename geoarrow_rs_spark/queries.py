@@ -1943,6 +1943,64 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity <= 20)
 """
 
 
+def geo_split_line(spark, sf_dir):
+    """ST_Split + ST_Dump + ST_Length: split LINESTRING(0 0, 2s 0) at the
+    point (s/2, 0); piece lengths are closed-form (s/2 and 1.5s, exact in
+    doubles for integer s)."""
+    p = _t(spark, sf_dir, "part")
+    L = "CAST(p_size * 2 AS DOUBLE)"
+    cut = "CAST(p_size AS DOUBLE) / 2.0"
+    return (
+        p.selectExpr(
+            "p_partkey",
+            f"ST_Split(ST_MakeLine(ST_Point(0.0, 0.0), ST_Point({L}, 0.0)), "
+            f"ST_Point({cut}, 0.0)) AS pieces",
+        )
+        .selectExpr("p_partkey", "posexplode(ST_Dump(pieces)) AS (piece_idx, piece)")
+        .selectExpr(
+            "p_partkey",
+            "CAST(piece_idx AS INT) AS piece_idx",
+            "ST_Length(piece) AS piece_len",
+        )
+    )
+
+
+ORACLE_GEO_SPLIT = """
+SELECT p_partkey, CAST(t.idx AS INT) AS piece_idx,
+       CASE WHEN t.idx = 0 THEN CAST(p_size AS DOUBLE) / 2.0
+            ELSE CAST(p_size * 2 AS DOUBLE) - CAST(p_size AS DOUBLE) / 2.0
+       END AS piece_len
+FROM part CROSS JOIN (SELECT unnest([0, 1]) AS idx) t
+"""
+
+
+def geo_snap_points(spark, sf_dir):
+    """ST_Snap to a per-row reference vertex: the point (acctbal, k) snaps
+    to (round(acctbal), k) iff the distance is within tolerance 0.3 —
+    closed-form mirror with identical HALF_UP rounding in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    y = "CAST(c_custkey % 450 AS DOUBLE)"
+    snapped = (
+        f"ST_Snap(ST_Point(c_acctbal, {y}), "
+        f"ST_Point(CAST(round(c_acctbal, 0) AS DOUBLE), {y}), 0.3)"
+    )
+    return c.selectExpr(
+        "c_custkey",
+        f"ST_X({snapped}) AS sx",
+        f"ST_Y({snapped}) AS sy",
+    )
+
+
+ORACLE_GEO_SNAP = """
+SELECT c_custkey,
+       CASE WHEN abs(c_acctbal - round(c_acctbal, 0)) <= 0.3
+            THEN CAST(round(c_acctbal, 0) AS DOUBLE) ELSE c_acctbal
+       END AS sx,
+       CAST(c_custkey % 450 AS DOUBLE) AS sy
+FROM customer
+"""
+
+
 def sim_kmeans_ivf_topk(spark, sf_dir):
     """ANN with LEARNED centroids: 2 Lloyd's iterations (exact decimal
     arithmetic, deterministic init), corpus partitioned by nearest centroid,
@@ -2339,6 +2397,8 @@ QUERIES = {
     "geo_project": (geo_project, ORACLE_GEO_PROJECT),
     "geo_line_substring": (geo_line_substring, ORACLE_GEO_LINE_SUBSTRING),
     "geo_closest_point": (geo_closest_point, ORACLE_GEO_CLOSEST),
+    "geo_split_line": (geo_split_line, ORACLE_GEO_SPLIT),
+    "geo_snap_points": (geo_snap_points, ORACLE_GEO_SNAP),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),

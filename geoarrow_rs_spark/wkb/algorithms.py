@@ -2197,3 +2197,223 @@ def geohash_encode(lon, lat, precision=9):
             v = (v << 1) | b
         chars.append(_GH32[v])
     return "".join(chars)
+
+
+# ---------------------------------------------------------------------------
+# snap / split (PostGIS ST_Snap / ST_Split semantics, 2-D)
+# ---------------------------------------------------------------------------
+
+def _snap_path(path, refv, tol, insert=True):
+    """Snap one coordinate path to reference vertices (GEOS snap rules):
+    1) each vertex within tol of a reference vertex moves onto the nearest
+       such vertex; 2) reference vertices within tol of an edge (but not of
+       its endpoints) are inserted into the edge in projection order."""
+    path = np.asarray(path, dtype=np.float64)
+    snapped = []
+    for v in path[:, :2]:
+        d = np.hypot(refv[:, 0] - v[0], refv[:, 1] - v[1])
+        j = int(np.argmin(d))
+        if d[j] <= tol:
+            snapped.append((float(refv[j, 0]), float(refv[j, 1])))
+        else:
+            snapped.append((float(v[0]), float(v[1])))
+    if not insert or len(snapped) < 2:
+        return np.asarray(snapped)
+    res = []
+    for i in range(len(snapped)):
+        res.append(snapped[i])
+        if i == len(snapped) - 1:
+            break
+        a, b = snapped[i], snapped[i + 1]
+        ins = []
+        for r in refv:
+            if (
+                math.hypot(r[0] - a[0], r[1] - a[1]) <= tol
+                or math.hypot(r[0] - b[0], r[1] - b[1]) <= tol
+            ):
+                continue
+            if _pt_seg_dist(r[0], r[1], a[0], a[1], b[0], b[1]) <= tol:
+                dx, dy = b[0] - a[0], b[1] - a[1]
+                L2 = dx * dx + dy * dy
+                t = 0.0 if L2 == 0 else ((r[0] - a[0]) * dx + (r[1] - a[1]) * dy) / L2
+                ins.append((t, (float(r[0]), float(r[1]))))
+        for _, p in sorted(ins):
+            if p != res[-1]:
+                res.append(p)
+    out = [res[0]]
+    for p in res[1:]:
+        if p != out[-1]:
+            out.append(p)
+    return np.asarray(out)
+
+
+def snap(g, ref, tolerance):
+    """ST_Snap(g, ref, tol): vertices of g snap to nearby ref vertices; ref
+    vertices near g's edges are inserted. 2-D output; input geometry
+    structure (rings, multiplicity) preserved. No reference equivalent —
+    PostGIS-parity addition built on the same Geom model."""
+    if g is None or ref is None or tolerance is None:
+        return None
+    if g.is_empty() or ref.is_empty():
+        return g
+    refv = all_coords(ref)[:, :2]
+    if len(refv) == 0:
+        return g
+    tol = float(tolerance)
+    k = g.kind
+
+    if k == POINT:
+        p = _snap_path(g.data.reshape(1, -1), refv, tol, insert=False)
+        return point(float(p[0, 0]), float(p[0, 1]))
+    if k == MULTIPOINT:
+        p = _snap_path(g.data, refv, tol, insert=False)
+        return multipoint(p)
+    if k == LINESTRING:
+        q = _snap_path(g.data, refv, tol)
+        if len(q) < 2:
+            return empty(LINESTRING)
+        return Geom(LINESTRING, q)
+    if k == POLYGON:
+        rings = [_snap_path(r, refv, tol) for r in g.data]
+        rings = [r for r in rings if len(r) >= 4]
+        return Geom(POLYGON, rings)
+    if k == MULTILINESTRING:
+        return Geom(MULTILINESTRING, [_snap_path(l, refv, tol) for l in g.data])
+    if k == MULTIPOLYGON:
+        return Geom(
+            MULTIPOLYGON,
+            [
+                [r for r in (_snap_path(rr, refv, tol) for rr in rings) if len(r) >= 4]
+                for rings in g.data
+            ],
+        )
+    return Geom(GEOMETRYCOLLECTION, [snap(sub, ref, tolerance) for sub in g.data])
+
+
+def _seg_seg_points(a1, a2, b1, b2, eps=1e-12):
+    """Intersection point(s) of two segments: [] / [p] / [p, q] (collinear
+    overlap yields the overlap's endpoints)."""
+    d1x, d1y = a2[0] - a1[0], a2[1] - a1[1]
+    d2x, d2y = b2[0] - b1[0], b2[1] - b1[1]
+    L1 = math.hypot(d1x, d1y)
+    L2 = math.hypot(d2x, d2y)
+    if L1 == 0 or L2 == 0:
+        return []
+    denom = d1x * d2y - d1y * d2x
+    ex, ey = b1[0] - a1[0], b1[1] - a1[1]
+    if abs(denom) > eps * L1 * L2:
+        t = (ex * d2y - ey * d2x) / denom
+        u = (ex * d1y - ey * d1x) / denom
+        if -eps <= t <= 1 + eps and -eps <= u <= 1 + eps:
+            return [(a1[0] + t * d1x, a1[1] + t * d1y)]
+        return []
+    scale = max(L1, L2, 1.0)
+    if max(abs(ex * d1y - ey * d1x) / L1, abs(ex * d2y - ey * d2x) / L2) > eps * scale:
+        return []
+    L1sq = L1 * L1
+    t1 = ((b1[0] - a1[0]) * d1x + (b1[1] - a1[1]) * d1y) / L1sq
+    t2 = ((b2[0] - a1[0]) * d1x + (b2[1] - a1[1]) * d1y) / L1sq
+    lo, hi = max(0.0, min(t1, t2)), min(1.0, max(t1, t2))
+    if hi < lo:
+        return []
+    pts = [(a1[0] + lo * d1x, a1[1] + lo * d1y)]
+    if hi > lo:
+        pts.append((a1[0] + hi * d1x, a1[1] + hi * d1y))
+    return pts
+
+
+def _blade_segments(blade):
+    """Segments of a line-ish blade (linestrings + polygon boundaries)."""
+    segs = []
+    for part in iter_parts(blade):
+        if part.kind == LINESTRING and len(part.data) >= 2:
+            arr = np.asarray(part.data, dtype=np.float64)
+            segs += [(arr[i, :2], arr[i + 1, :2]) for i in range(len(arr) - 1)]
+        elif part.kind == POLYGON:
+            for ring in part.data:
+                arr = np.asarray(ring, dtype=np.float64)
+                segs += [(arr[i, :2], arr[i + 1, :2]) for i in range(len(arr) - 1)]
+    return segs
+
+
+def split(g, blade, eps=1e-9):
+    """ST_Split(line, blade): split a (Multi)LineString by a point, multipoint,
+    line, or polygon-boundary blade at their exact intersection locations.
+    Returns a GeometryCollection of the pieces (PostGIS shape); blade points
+    not ON the line (within eps) do not split. No reference equivalent —
+    PostGIS-parity addition."""
+    if g is None or blade is None:
+        return None
+    pieces = []
+    blade_segs = _blade_segments(blade)
+    blade_pts = [
+        (float(p.data[0]), float(p.data[1]))
+        for p in iter_parts(blade)
+        if p.kind == POINT and not p.is_empty()
+    ]
+    for part in iter_parts(g):
+        if part.kind != LINESTRING or len(part.data) < 2:
+            pieces.append(part)
+            continue
+        line = np.asarray(part.data, dtype=np.float64)
+        seg = _seg_lengths(line)
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        total = float(cum[-1])
+        if total == 0:
+            pieces.append(Geom(LINESTRING, line))
+            continue
+
+        cuts = set()
+
+        def locate_and_add(px, py):
+            best = (math.inf, None)
+            for i in range(len(line) - 1):
+                ax, ay = line[i, 0], line[i, 1]
+                bx, by = line[i + 1, 0], line[i + 1, 1]
+                dx, dy = bx - ax, by - ay
+                L2 = dx * dx + dy * dy
+                t = 0.0 if L2 == 0 else max(
+                    0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2)
+                )
+                d = math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+                if d < best[0]:
+                    best = (d, float(cum[i] + t * seg[i]))
+            if best[0] <= eps and eps < best[1] < total - eps:
+                cuts.add(best[1])
+
+        for px, py in blade_pts:
+            locate_and_add(px, py)
+        for i in range(len(line) - 1):
+            for b1, b2 in blade_segs:
+                for px, py in _seg_seg_points(line[i], line[i + 1], b1, b2):
+                    locate_and_add(px, py)
+
+        if not cuts:
+            pieces.append(Geom(LINESTRING, line))
+            continue
+
+        def at(target):
+            for i in range(len(seg)):
+                if cum[i + 1] >= target or i == len(seg) - 1:
+                    s = seg[i]
+                    t = 0.0 if s == 0 else min(1.0, max(0.0, (target - cum[i]) / s))
+                    return i, (
+                        float(line[i, 0] + (line[i + 1, 0] - line[i, 0]) * t),
+                        float(line[i, 1] + (line[i + 1, 1] - line[i, 1]) * t),
+                    )
+            return len(seg) - 1, (float(line[-1, 0]), float(line[-1, 1]))
+
+        positions = [0.0] + sorted(cuts) + [total]
+        for s0, s1 in zip(positions[:-1], positions[1:]):
+            i1, p1 = at(s0)
+            i2, p2 = at(s1)
+            pts = [p1]
+            for j in range(i1 + 1, i2 + 1):
+                v = (float(line[j, 0]), float(line[j, 1]))
+                if v != pts[-1]:
+                    pts.append(v)
+            if p2 != pts[-1]:
+                pts.append(p2)
+            if len(pts) >= 2:
+                pieces.append(Geom(LINESTRING, np.asarray(pts, dtype=np.float64)))
+    return Geom(GEOMETRYCOLLECTION, pieces)

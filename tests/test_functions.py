@@ -304,3 +304,47 @@ def test_spatial_join_bbox_refine_matches_exact(spark):
     with _pytest.raises(ValueError):
         spatial_join(pts, boxes, refine="bbox", left_geom="geometry",
                      right_geom="box_geom", predicate="within")
+
+
+def test_snap_and_split():
+    from geoarrow_rs_spark.wkb import from_wkt, to_wkt
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    line = from_wkt("LINESTRING (0 0, 10 0)")
+    # split by on-line point
+    out = alg.split(line, from_wkt("POINT (4 0)"))
+    assert to_wkt(out) == "GEOMETRYCOLLECTION (LINESTRING (0 0, 4 0), LINESTRING (4 0, 10 0))"
+    # off-line point: no split
+    out = alg.split(line, from_wkt("POINT (4 2)"))
+    assert to_wkt(out) == "GEOMETRYCOLLECTION (LINESTRING (0 0, 10 0))"
+    # crossing blade
+    out = alg.split(line, from_wkt("LINESTRING (5 -1, 5 1)"))
+    assert to_wkt(out) == "GEOMETRYCOLLECTION (LINESTRING (0 0, 5 0), LINESTRING (5 0, 10 0))"
+    # multipoint blade, multiple cuts, order-independent
+    out = alg.split(line, from_wkt("MULTIPOINT (7 0, 2 0)"))
+    assert (
+        to_wkt(out)
+        == "GEOMETRYCOLLECTION (LINESTRING (0 0, 2 0), LINESTRING (2 0, 7 0), LINESTRING (7 0, 10 0))"
+    )
+    # blade at endpoints: no split
+    out = alg.split(line, from_wkt("MULTIPOINT (0 0, 10 0)"))
+    assert to_wkt(out) == "GEOMETRYCOLLECTION (LINESTRING (0 0, 10 0))"
+    # polygon-boundary blade
+    out = alg.split(line, from_wkt("POLYGON ((3 -1, 6 -1, 6 1, 3 1, 3 -1))"))
+    assert (
+        to_wkt(out)
+        == "GEOMETRYCOLLECTION (LINESTRING (0 0, 3 0), LINESTRING (3 0, 6 0), LINESTRING (6 0, 10 0))"
+    )
+
+    # snap: vertex pull + edge insertion
+    g = from_wkt("LINESTRING (0 0.2, 10 0)")
+    ref = from_wkt("MULTIPOINT (0 0, 5 0.3)")
+    out = alg.snap(g, ref, 0.5)
+    assert to_wkt(out) == "LINESTRING (0 0, 5 0.3, 10 0)"
+    # out of tolerance: unchanged
+    out = alg.snap(g, ref, 0.05)
+    assert to_wkt(out) == "LINESTRING (0 0.2, 10 0)"
+    # polygon ring stays closed after snapping
+    poly = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10.4, 0 0))")
+    out = alg.snap(poly, from_wkt("POINT (0 10)"), 0.5)
+    assert to_wkt(out) == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
