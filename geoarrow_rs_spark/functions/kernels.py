@@ -815,6 +815,7 @@ k_clip_by_box = _param_geom_kernel(
     lambda g, x0, y0, x1, y1: alg.clip_by_rect(g, float(x0), float(y0), float(x1), float(y1))
 )
 k_polylabel = _param_geom_kernel(lambda g, tol: alg.polylabel(g, float(tol)))
+k_subdivide = _param_geom_kernel(lambda g, mv: alg.subdivide(g, int(mv)))
 k_line_substring = _param_geom_kernel(
     lambda g, f1, f2: alg.line_substring(g, float(f1), float(f2))
 )

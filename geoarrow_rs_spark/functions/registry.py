@@ -166,6 +166,7 @@ _SCALAR_UDFS = {
     "ST_ShortestLine": (K.k_shortest_line, BinaryType()),
     "ST_Snap": (K.k_snap, BinaryType()),
     "ST_Split": (K.k_split, BinaryType()),
+    "ST_Subdivide": (K.k_subdivide, BinaryType()),
     "ST_DistanceSphere": (K.k_distance_sphere, DoubleType()),
     "ST_FrechetDistance": (K.k_frechet, DoubleType()),
     "ST_HausdorffDistance": (K.k_hausdorff, DoubleType()),

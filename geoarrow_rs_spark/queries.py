@@ -2001,6 +2001,33 @@ FROM customer
 """
 
 
+def geo_subdivide(spark, sf_dir):
+    """ST_Subdivide: a densified 8x2 rectangle (21 ring coords) bisected
+    under a 12-vertex budget yields four 2x2 quarters — piece order, areas,
+    and bounds are closed-form (integer-valued coords keep every clip and
+    shoelace step exact)."""
+    c = _t(spark, sf_dir, "customer")
+    t = "CAST(c_custkey % 100 AS DOUBLE)"
+    geom = f"ST_Densify(ST_MakeEnvelope({t}, 0.0, {t} + 8.0, 2.0), 1.0)"
+    return (
+        c.selectExpr("c_custkey", f"ST_Subdivide({geom}, 12) AS pieces")
+        .selectExpr("c_custkey", "posexplode(ST_Dump(pieces)) AS (piece_idx, piece)")
+        .selectExpr(
+            "c_custkey",
+            "CAST(piece_idx AS INT) AS piece_idx",
+            "ST_Area(piece) AS piece_area",
+            "ST_XMin(piece) AS piece_xmin",
+        )
+    )
+
+
+ORACLE_GEO_SUBDIVIDE = """
+SELECT c_custkey, CAST(t.idx AS INT) AS piece_idx, 4.0 AS piece_area,
+       CAST(c_custkey % 100 AS DOUBLE) + 2.0 * t.idx AS piece_xmin
+FROM customer CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS idx) t
+"""
+
+
 def sim_kmeans_ivf_topk(spark, sf_dir):
     """ANN with LEARNED centroids: 2 Lloyd's iterations (exact decimal
     arithmetic, deterministic init), corpus partitioned by nearest centroid,
@@ -2399,6 +2426,7 @@ QUERIES = {
     "geo_closest_point": (geo_closest_point, ORACLE_GEO_CLOSEST),
     "geo_split_line": (geo_split_line, ORACLE_GEO_SPLIT),
     "geo_snap_points": (geo_snap_points, ORACLE_GEO_SNAP),
+    "geo_subdivide": (geo_subdivide, ORACLE_GEO_SUBDIVIDE),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),

@@ -2417,3 +2417,46 @@ def split(g, blade, eps=1e-9):
             if len(pts) >= 2:
                 pieces.append(Geom(LINESTRING, np.asarray(pts, dtype=np.float64)))
     return Geom(GEOMETRYCOLLECTION, pieces)
+
+
+def subdivide(g, max_vertices=128):
+    """ST_Subdivide: recursively bisect each part along the longer axis of
+    its bbox until every piece has <= max_vertices coordinates; returns a
+    GeometryCollection of the pieces. The scale operator for 100 TB spatial
+    joins: huge polygons (coastlines, admin boundaries) otherwise make
+    single grid cells/tasks arbitrarily expensive — subdividing first
+    bounds per-candidate refine cost and grid-cell fanout. PostGIS-parity
+    addition (no reference equivalent)."""
+    if g is None:
+        return None
+    mv = max(8, int(max_vertices))
+    pieces = []
+
+    def rec(gg, depth):
+        if gg is None or gg.is_empty():
+            return
+        if len(all_coords(gg)) <= mv or depth > 60:
+            pieces.append(gg)
+            return
+        b = bounds(gg)
+        if b is None:
+            return
+        xmin, ymin, xmax, ymax = b
+        if xmax - xmin >= ymax - ymin:
+            mid = (xmin + xmax) / 2.0
+            lo = clip_by_rect(gg, xmin, ymin, mid, ymax)
+            hi = clip_by_rect(gg, mid, ymin, xmax, ymax)
+        else:
+            mid = (ymin + ymax) / 2.0
+            lo = clip_by_rect(gg, xmin, ymin, xmax, mid)
+            hi = clip_by_rect(gg, xmin, mid, xmax, ymax)
+        # a degenerate split (everything lands on one side) must terminate
+        if lo is None or lo.is_empty() or hi is None or hi.is_empty():
+            pieces.append(gg)
+            return
+        rec(lo, depth + 1)
+        rec(hi, depth + 1)
+
+    for part in iter_parts(g):
+        rec(part, 0)
+    return Geom(GEOMETRYCOLLECTION, pieces)

@@ -348,3 +348,33 @@ def test_snap_and_split():
     poly = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10.4, 0 0))")
     out = alg.snap(poly, from_wkt("POINT (0 10)"), 0.5)
     assert to_wkt(out) == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+
+def test_subdivide_invariants():
+    """Pieces partition the input: areas sum exactly (integer coords), every
+    piece respects the vertex budget, bboxes stay inside the parent."""
+    from geoarrow_rs_spark.wkb import from_wkt
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    shapes = [
+        "POLYGON ((0 0, 40 0, 40 6, 22 6, 22 20, 0 20, 0 0))",  # L-shape
+        "POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0), (10 10, 20 10, 20 20, 10 20, 10 10))",  # hole
+        "MULTIPOLYGON (((0 0, 12 0, 12 4, 0 4, 0 0)), ((20 0, 34 0, 34 8, 20 8, 20 0)))",
+    ]
+    for wkt in shapes:
+        g = alg.densify(from_wkt(wkt), 1.0)
+        total = alg.area(g)
+        out = alg.subdivide(g, 16)
+        pieces = list(out.data)
+        assert len(pieces) > 1
+        assert sum(alg.area(p) for p in pieces) == pytest.approx(total, rel=1e-12)
+        b = alg.bounds(g)
+        for p in pieces:
+            assert len(alg.all_coords(p)) <= 16
+            pb = alg.bounds(p)
+            assert pb[0] >= b[0] - 1e-9 and pb[2] <= b[2] + 1e-9
+            assert pb[1] >= b[1] - 1e-9 and pb[3] <= b[3] + 1e-9
+    # small geometry is returned whole
+    simple = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    out = alg.subdivide(simple, 16)
+    assert len(out.data) == 1 and alg.area(out.data[0]) == 16.0
