@@ -134,3 +134,52 @@ def lang_id(text) -> Column:
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(s > best_score, s).otherwise(best_score)
     return best
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "be", "that")
+
+
+def gopher_rules(
+    text,
+    min_words: int = 25,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.9,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 family),
+    as one native struct column: word-count window, mean word length
+    window, alphabetic-word fraction, and stopword presence, plus the
+    conjunction ``keep``. All comparisons are on exact int/double
+    arithmetic so the rule set is reproducible in plain SQL."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(t, r" +"), lambda w: w != F.lit(""))
+    n = F.size(words)
+    nd = n.cast("double")
+    total_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w).cast("long")
+    )
+    mean_len = F.when(n > 0, total_len.cast("double") / nd).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$"))).cast("double") / nd,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS))
+    )
+    wc_ok = (n >= min_words) & (n <= max_words)
+    wl_ok = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    alpha_ok = alpha_frac >= min_alpha_frac
+    stop_ok = stop_hits >= min_stopword_hits
+    return F.struct(
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        wc_ok.alias("wc_ok"),
+        wl_ok.alias("wl_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & wl_ok & alpha_ok & stop_ok).alias("keep"),
+    )

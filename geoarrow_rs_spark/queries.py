@@ -1195,6 +1195,50 @@ FROM documents d LEFT JOIN best ON d.doc_id = best.node
 """
 
 
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality filter: per-rule booleans + keep decision, all
+    whole-stage codegen (rule thresholds on exact int/double arithmetic)."""
+    d = _t(spark, sf_dir, "documents")
+    g = text.gopher_rules("text", min_words=25)
+    return d.select("doc_id", g.alias("__g")).select("doc_id", "__g.*")
+
+
+ORACLE_TEXT_GOPHER = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(text, ' +'), x -> x <> '') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                   / CAST(len(words) AS DOUBLE)
+              ELSE 0.0 END AS mean_raw,
+         CASE WHEN len(words) > 0
+              THEN CAST(len(list_filter(words, x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE)
+                   / CAST(len(words) AS DOUBLE)
+              ELSE 0.0 END AS alpha_raw,
+         len(list_filter(words, x -> lower(x) IN
+             ('the', 'a', 'of', 'to', 'and', 'in', 'be', 'that'))) AS stopword_hits
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_raw, 6) AS mean_word_len,
+       round(alpha_raw, 6) AS alpha_frac,
+       CAST(stopword_hits AS BIGINT) AS stopword_hits,
+       (n_words >= 25 AND n_words <= 100000) AS wc_ok,
+       (mean_raw >= 3.0 AND mean_raw <= 10.0) AS wl_ok,
+       (alpha_raw >= 0.9) AS alpha_ok,
+       (stopword_hits >= 2) AS stop_ok,
+       ((n_words >= 25 AND n_words <= 100000) AND (mean_raw >= 3.0 AND mean_raw <= 10.0)
+        AND alpha_raw >= 0.9 AND stopword_hits >= 2) AS keep
+FROM m
+"""
+
+
 def sim_embedding_stats(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return e.select(
@@ -2439,6 +2483,7 @@ QUERIES = {
     "text_langid": (text_langid, ORACLE_TEXT_LANGID),
     "text_fingerprint": (text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "text_bpe_tokens": (text_bpe_tokens, ORACLE_TEXT_BPE),
+    "text_gopher_rules": (text_gopher_rules, ORACLE_TEXT_GOPHER),
     "sim_embedding_stats": (sim_embedding_stats, ORACLE_SIM_STATS),
     "sim_cosine_topk": (sim_cosine_topk, ORACLE_SIM_TOPK),
     "sim_near_dup_pairs": (sim_near_dup_pairs, ORACLE_SIM_NEAR_DUP),

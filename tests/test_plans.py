@@ -83,6 +83,7 @@ def test_text_ops_stay_native(spark, sf_dir):
         text.quality_score("text").alias("q"),
         text.lang_id("text").alias("l"),
         text.fingerprint("text").alias("f"),
+        text.gopher_rules("text").alias("g"),
     )
     plan = _plan(out)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
