@@ -53,6 +53,22 @@ def cosine_expr(v1, v2):
     return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
 
+def dot_inorder_expr(v1, v2):
+    """Sequential left-fold double dot product. Deterministic because both
+    engines execute the identical IEEE op sequence (Spark's aggregate and
+    DuckDB's list_sum both fold the list left-to-right) — ~2x faster than
+    the decimal accumulation, used on the top-k rerank hot paths."""
+    prods = F.zip_with(v1, v2, lambda a, b: a.cast("double") * b.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_fast_expr(v1, v2):
+    """Cosine on the in-order double fold (see dot_inorder_expr)."""
+    num = dot_inorder_expr(v1, v2)
+    den = F.sqrt(dot_inorder_expr(v1, v1)) * F.sqrt(dot_inorder_expr(v2, v2))
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -70,15 +86,15 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
-        F.sqrt(norm_decimal_expr(F.col(query_vec)).cast("double")).alias("__qn"),
+        F.sqrt(dot_inorder_expr(F.col(query_vec), F.col(query_vec))).alias("__qn"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
-        F.sqrt(norm_decimal_expr(F.col(corpus_vec)).cast("double")).alias("__cn"),
+        F.sqrt(dot_inorder_expr(F.col(corpus_vec), F.col(corpus_vec))).alias("__cn"),
     )
     den = F.col("__qn") * F.col("__cn")
-    num = dot_decimal_expr(F.col("__qv"), F.col("__cv")).cast("double")
+    num = dot_inorder_expr(F.col("__qv"), F.col("__cv"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
@@ -179,7 +195,7 @@ def ivf_topk(
     scored = c.join(F.broadcast(q), on="__bucket").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 8).alias("cosine"),
+        F.round(cosine_fast_expr(F.col("__qv"), F.col("__cv")), 8).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -319,7 +335,7 @@ def kmeans_ivf_topk(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 8).alias("cosine"),
+        F.round(cosine_fast_expr(F.col("__qv"), F.col("__cv")), 8).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

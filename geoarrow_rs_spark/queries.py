@@ -1268,27 +1268,32 @@ def sim_cosine_topk(spark, sf_dir):
     )
 
 
-ORACLE_SIM_TOPK = """
+def _inorder_dot_sql(a: str, b: str) -> str:
+    """Sequential left-fold double dot product over two list columns —
+    the DuckDB mirror of dot_inorder_expr (identical IEEE op order)."""
+    return (
+        f"COALESCE(list_sum(list_transform(range(0, len({a})), "
+        f"i -> CAST({a}[CAST(i AS INT) + 1] AS DOUBLE) * "
+        f"CAST({b}[CAST(i AS INT) + 1] AS DOUBLE))), 0.0)"
+    )
+
+
+def _inorder_cosine_sql(a: str, b: str) -> str:
+    dot = _inorder_dot_sql(a, b)
+    qn = f"sqrt({_inorder_dot_sql(a, a)})"
+    cn = f"sqrt({_inorder_dot_sql(b, b)})"
+    return (
+        f"round(CASE WHEN {qn} * {cn} > 0 THEN ({dot}) / ({qn} * {cn}) "
+        f"ELSE 0.0 END, 8)"
+    )
+
+
+ORACLE_SIM_TOPK = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 8),
-terms AS (
-  SELECT query_id, neighbor_id,
-         unnest(qe)::DOUBLE AS qv, unnest(ce)::DOUBLE AS cv
-  FROM q CROSS JOIN c
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-         SUM(CAST(round(qv * cv, 12) AS DECIMAL(38,12))) AS dot,
-         SUM(CAST(round(qv * qv, 12) AS DECIMAL(38,12))) AS qn,
-         SUM(CAST(round(cv * cv, 12) AS DECIMAL(38,12))) AS cn
-  FROM terms GROUP BY query_id, neighbor_id
-),
 cosined AS (
-  SELECT query_id, neighbor_id,
-         round(CASE WHEN sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)) > 0
-                    THEN CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
-                    ELSE 0.0 END, 8) AS cosine
-  FROM scored
+  SELECT query_id, neighbor_id, {_inorder_cosine_sql('qe', 'ce')} AS cosine
+  FROM q CROSS JOIN c
 )
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT query_id, neighbor_id, cosine,
@@ -1702,24 +1707,9 @@ c AS (
 pairs AS (
   SELECT query_id, qe, neighbor_id, ce FROM q JOIN c ON c.b = q.probe
 ),
-terms AS (
-  SELECT query_id, neighbor_id,
-         unnest(qe)::DOUBLE AS qv, unnest(ce)::DOUBLE AS cv
-  FROM pairs
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-         SUM(CAST(round(qv * cv, 12) AS DECIMAL(38,12))) AS dot,
-         SUM(CAST(round(qv * qv, 12) AS DECIMAL(38,12))) AS qn,
-         SUM(CAST(round(cv * cv, 12) AS DECIMAL(38,12))) AS cn
-  FROM terms GROUP BY query_id, neighbor_id
-),
 cosined AS (
-  SELECT query_id, neighbor_id,
-         round(CASE WHEN sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)) > 0
-                    THEN CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
-                    ELSE 0.0 END, 8) AS cosine
-  FROM scored
+  SELECT query_id, neighbor_id, {_inorder_cosine_sql('qe', 'ce')} AS cosine
+  FROM pairs
 )
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT query_id, neighbor_id, cosine,
@@ -2157,27 +2147,12 @@ def _kmeans_ivf_oracle_sql(k_clusters=8, iters=2, nprobe=2, k=5):
   ) WHERE rn <= {nprobe}
 )""",
         "cands AS (SELECT p.qid, a.vid FROM probe p JOIN af a ON p.cid = a.cid)",
-        """rt AS (
-  SELECT c.qid, c.vid,
-         unnest(q.embedding)::DOUBLE AS qv, unnest(e.embedding)::DOUBLE AS ev
+        f"""ranked AS (
+  SELECT c.qid AS query_id, c.vid AS neighbor_id,
+         {_inorder_cosine_sql('q.embedding', 'e.embedding')} AS cosine
   FROM cands c
   JOIN qs q ON c.qid = q.vec_id
   JOIN corpus e ON c.vid = e.vec_id
-)""",
-        """sc AS (
-  SELECT qid, vid,
-         SUM(CAST(round(qv * ev, 12) AS DECIMAL(38,12))) AS dot,
-         SUM(CAST(round(qv * qv, 12) AS DECIMAL(38,12))) AS qn,
-         SUM(CAST(round(ev * ev, 12) AS DECIMAL(38,12))) AS en
-  FROM rt GROUP BY qid, vid
-)""",
-        """ranked AS (
-  SELECT qid AS query_id, vid AS neighbor_id,
-         round(CASE WHEN sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en AS DOUBLE)) > 0
-                    THEN CAST(dot AS DOUBLE)
-                         / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en AS DOUBLE)))
-                    ELSE 0.0 END, 8) AS cosine
-  FROM sc
 )""",
     ]
     return (
