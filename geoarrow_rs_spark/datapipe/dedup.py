@@ -361,3 +361,45 @@ def embedding_near_pairs(
         )
     )
     return pairs.where(F.col("cosine") >= F.lit(threshold))
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 30,
+    max_chars: int = 256,
+) -> DataFrame:
+    """Exact duplicated-substring signal (the span-level dedup statistic of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    computed over fixed-length char windows instead of a suffix array): for
+    every document, the fraction of its length-``n`` char windows that also
+    occur in at least one OTHER document. Plan shape: explode windows ->
+    hash -> one groupBy on the window hash (map-side combine) -> equi-join
+    back -> per-doc aggregate; no all-pairs anywhere, so it scales to the
+    full corpus."""
+    grams = char_ngrams(text_col, n=n, max_chars=max_chars)
+    g = df.select(F.col(id_col), F.explode(grams).alias("__g")).select(
+        id_col, gram_hash_expr(F.col("__g")).alias("__h")
+    )
+    per_gram = g.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__ndocs")
+    )
+    joined = g.join(per_gram, on="__h")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("__ndocs") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

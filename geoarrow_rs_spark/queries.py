@@ -1105,6 +1105,41 @@ WHERE a.doc_id < b.doc_id
 ORACLE_MINHASH_PAIRS = _minhash_oracle_sql()
 
 
+def dedup_substring_spans(spark, sf_dir):
+    """Span-level exact-duplicate signal: fraction of each document's 30-char
+    windows that occur in at least one other document (explode -> hash ->
+    single groupBy -> join back; no all-pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.substring_dup_stats(d, "doc_id", "text", n=30, max_chars=256)
+
+
+ORACLE_DEDUP_SUBSTRING = """
+WITH g AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(substr(text, 1, 256)) < 30
+                THEN [substr(text, 1, 256)]
+                ELSE list_transform(range(1, length(substr(text, 1, 256)) - 28),
+                                    i -> substr(substr(text, 1, 256), CAST(i AS INT), 30))
+           END AS ws
+    FROM documents
+  ), unnest(ws) AS t(w)
+),
+per_gram AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY h
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN p.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       round(CAST(SUM(CASE WHEN p.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM g JOIN per_gram p ON g.h = p.h
+GROUP BY g.doc_id
+"""
+
+
 def pipe_sample_split(spark, sf_dir):
     """Deterministic sampling + train/val/test split: md5-keyed, so the
     assignment is identical across reruns, partitionings, and engines
@@ -2451,6 +2486,7 @@ QUERIES = {
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_MINHASH_PAIRS),
     "dedup_clusters_assignment": (dedup_clusters_assignment, ORACLE_DEDUP_CLUSTERS),
+    "dedup_substring_spans": (dedup_substring_spans, ORACLE_DEDUP_SUBSTRING),
     "pipe_sample_split": (pipe_sample_split, ORACLE_PIPE_SAMPLE_SPLIT),
     "pipe_scrub_text": (pipe_scrub_text, ORACLE_PIPE_SCRUB),
     "text_tokens": (text_tokens, ORACLE_TEXT_TOKENS),
