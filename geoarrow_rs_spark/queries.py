@@ -1360,6 +1360,28 @@ def events_hourly(spark, sf_dir):
     )
 
 
+def events_user_stats(spark, sf_dir):
+    """Exact distinct users + exact linear-interpolation percentiles per
+    event type (Spark `percentile` == DuckDB `quantile_cont` bit-exactly:
+    same sort, same interpolation arithmetic)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr("percentile(value, 0.5)").alias("p50_value"),
+        F.expr("percentile(value, 0.9)").alias("p90_value"),
+    )
+
+
+ORACLE_EVENTS_USER_STATS = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       quantile_cont(value, 0.5) AS p50_value,
+       quantile_cont(value, 0.9) AS p90_value
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join: every click matched to the user's most recent purchase at
     or before it (backward, left-outer). Oracle uses DuckDB's NATIVE ASOF
@@ -2508,6 +2530,7 @@ QUERIES = {
     "events_sessions": (events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_sliding_windows": (events_sliding_windows, ORACLE_EVENTS_SLIDING),
     "events_asof_join": (events_asof_join, ORACLE_EVENTS_ASOF),
+    "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
 }
