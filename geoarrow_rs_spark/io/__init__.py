@@ -2,13 +2,18 @@ from .arrow_ipc import read_arrow_ipc, write_arrow_ipc
 from .flatgeobuf import read_flatgeobuf, write_flatgeobuf
 from .csv import read_csv_wkt, write_csv_wkt
 from .geojson import read_geojson, read_geojson_lines, write_geojson, write_geojson_lines
-from .geoparquet import read_geoparquet, write_geoparquet
+from .geoparquet import (
+    read_geoparquet,
+    write_geoparquet,
+    write_geoparquet_partitioned,
+)
 from .postgis import read_postgis
 from .shapefile import read_shapefile, write_shapefile
 
 __all__ = [
     "read_geoparquet",
     "write_geoparquet",
+    "write_geoparquet_partitioned",
     "read_csv_wkt",
     "write_csv_wkt",
     "read_geojson",

@@ -107,6 +107,97 @@ def write_geoparquet(
     return doc
 
 
+_CELL_PACK = 1 << 21
+
+
+def write_geoparquet_partitioned(
+    df: DataFrame,
+    path: str,
+    geometry_col: str = "geometry",
+    cell_size: float = 1.0,
+    crs=None,
+    covering_col: str = "bbox",
+    mode: str = "overwrite",
+):
+    """GeoParquet write hive-partitioned by owning grid cell — adds
+    DIRECTORY-level spatial pruning on top of the row-group pruning of the
+    flat writer. Each row is stored once, in the cell containing its bbox
+    center; the sidecar records the cell size and the maximum observed
+    bbox extent, and ``read_geoparquet``'s bbox path expands the query
+    window by that extent (halo), so pruning is exact for any geometry
+    size — no duplication, no missed matches. At 100 TB this turns a
+    small-window query from a full-listing scan into a handful of
+    directories before a single row group is opened."""
+    out = df
+    if covering_col not in df.columns:
+        out = out.withColumn(covering_col, F.expr(f"ST_BBox({geometry_col})"))
+    cs = float(cell_size)
+    cx = (F.col(f"{covering_col}.xmin") + F.col(f"{covering_col}.xmax")) / 2.0
+    cy = (F.col(f"{covering_col}.ymin") + F.col(f"{covering_col}.ymax")) / 2.0
+    gpcell = (
+        F.floor(cx / cs).cast("long") * F.lit(_CELL_PACK)
+        + F.floor(cy / cs).cast("long")
+    )
+    out = out.withColumn("gpcell", gpcell)
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = out.observe(
+        obs,
+        F.min(f"{covering_col}.xmin").alias("xmin"),
+        F.min(f"{covering_col}.ymin").alias("ymin"),
+        F.max(f"{covering_col}.xmax").alias("xmax"),
+        F.max(f"{covering_col}.ymax").alias("ymax"),
+        F.max(F.col(f"{covering_col}.xmax") - F.col(f"{covering_col}.xmin")).alias("ext_x"),
+        F.max(F.col(f"{covering_col}.ymax") - F.col(f"{covering_col}.ymin")).alias("ext_y"),
+    )
+    out.write.mode(mode).partitionBy("gpcell").parquet(path)
+
+    m = obs.get
+    file_bbox = None
+    if m.get("xmin") is not None:
+        file_bbox = [m["xmin"], m["ymin"], m["xmax"], m["ymax"]]
+    doc = _geo_doc(geometry_col, crs, file_bbox, covering_col)
+    doc["partition"] = {
+        "scheme": "grid-center",
+        "column": "gpcell",
+        "cell_size": cs,
+        "pack": _CELL_PACK,
+        "max_extent_x": float(m.get("ext_x") or 0.0),
+        "max_extent_y": float(m.get("ext_y") or 0.0),
+    }
+    with open(os.path.join(path, SIDECAR), "w") as f:
+        json.dump(doc, f)
+    return doc
+
+
+def _partition_cells_for_bbox(part, bbox, max_cells=20_000):
+    """Packed cell ids whose owned geometries could intersect ``bbox``:
+    the query window expanded by half the max extent (center-ownership
+    halo). None if the enumeration would be absurdly large (caller then
+    skips partition pruning and relies on row-group stats)."""
+    import math as _math
+
+    cs = float(part["cell_size"])
+    hx = float(part.get("max_extent_x", 0.0)) / 2.0
+    hy = float(part.get("max_extent_y", 0.0)) / 2.0
+    xmin, ymin, xmax, ymax = bbox
+    px0 = _math.floor((xmin - hx) / cs)
+    px1 = _math.floor((xmax + hx) / cs)
+    py0 = _math.floor((ymin - hy) / cs)
+    py1 = _math.floor((ymax + hy) / cs)
+    n = (px1 - px0 + 1) * (py1 - py0 + 1)
+    if n > max_cells:
+        return None
+    pack = int(part.get("pack", _CELL_PACK))
+    return [
+        px * pack + py
+        for px in range(px0, px1 + 1)
+        for py in range(py0, py1 + 1)
+    ]
+
+
 def read_geo_metadata(path: str):
     """Parse GeoParquet ``geo`` metadata: parquet footer KV first
     (/root/reference/rust/geoparquet/src/metadata.rs:481-519), sidecar next."""
@@ -207,6 +298,14 @@ def read_geoparquet(
 
     if bbox is not None:
         xmin, ymin, xmax, ymax = bbox
+        part = (meta or {}).get("partition")
+        if part and part.get("column") in df.columns:
+            cells = _partition_cells_for_bbox(part, bbox)
+            if cells is not None:
+                # partition-column IN-list -> Catalyst directory pruning
+                # (PartitionFilters): only matching cell directories are
+                # listed/opened, before any row group is touched
+                df = df.filter(F.col(part["column"]).isin(cells))
         if covering and covering in df.columns:
             df = df.filter(bbox_intersects_expr(covering, xmin, ymin, xmax, ymax))
         elif gcol is not None:

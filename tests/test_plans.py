@@ -313,3 +313,46 @@ def test_bucketed_spatial_join_is_exchange_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_pts")
         spark.sql("DROP TABLE IF EXISTS bkt_boxes")
     assert got == expected and len(expected) > 0
+
+
+def test_partitioned_geoparquet_prunes_directories(spark, tmp_path):
+    """Grid-partitioned write + bbox read: the partition IN-list must reach
+    PartitionFilters (directory pruning — only matching cell dirs open),
+    results must equal the unpruned filter exactly, and the scan must
+    touch a strict subset of the files."""
+    from geoarrow_rs_spark.io import read_geoparquet
+    from geoarrow_rs_spark.io.geoparquet import write_geoparquet_partitioned
+
+    path = os.path.join(str(tmp_path), "gpart")
+    pts = spark.range(2000).selectExpr(
+        "id",
+        "ST_Point(CAST(id % 100 AS DOUBLE), CAST(id div 100 AS DOUBLE)) AS geometry",
+    )
+    doc = write_geoparquet_partitioned(pts, path, cell_size=25.0)
+    assert doc["partition"]["cell_size"] == 25.0
+
+    full = spark.read.parquet(path)
+    out = read_geoparquet(spark, path, bbox=(0, 0, 10, 10))
+    got = sorted(r.id for r in out.collect())
+    exp = sorted(
+        r.id for r in pts.collect()
+        if (r.id % 100) <= 10 and (r.id // 100) <= 10
+    )
+    assert got == exp and len(got) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "gpcell" in plan.split("PartitionFilters")[1][:200]
+    # decisive proof of directory pruning: corrupt every parquet file in a
+    # far-away cell directory — the pruned read must never open it
+    import glob as _glob
+
+    far = [d for d in _glob.glob(os.path.join(path, "gpcell=*"))
+           if d.rstrip("/").split("=")[-1] != "0"]
+    assert far, "expected multiple cell directories"
+    for d in far:
+        for fpath in _glob.glob(os.path.join(d, "*.parquet")):
+            with open(fpath, "wb") as fh:
+                fh.write(b"not a parquet file")
+    again = read_geoparquet(spark, path, bbox=(0, 0, 10, 10))
+    assert sorted(r.id for r in again.collect()) == exp
+    with pytest.raises(Exception):
+        spark.read.parquet(path).select("id").collect()
