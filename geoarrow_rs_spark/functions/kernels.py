@@ -924,6 +924,10 @@ def _binary_kernel(fn, out_dtype=object):
 
 
 k_intersects = _binary_kernel(alg.intersects)
+def k_line_merge(s):
+    return _geom_out([alg.line_merge(g) if g is not None else None for g in geoms_of(s)])
+
+
 k_split = _binary_kernel(
     lambda a, b: to_wkb(alg.split(a, b)) if a is not None and b is not None else None
 )

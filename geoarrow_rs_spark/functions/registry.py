@@ -167,6 +167,7 @@ _SCALAR_UDFS = {
     "ST_Snap": (K.k_snap, BinaryType()),
     "ST_Split": (K.k_split, BinaryType()),
     "ST_Subdivide": (K.k_subdivide, BinaryType()),
+    "ST_LineMerge": (K.k_line_merge, BinaryType()),
     "ST_DistanceSphere": (K.k_distance_sphere, DoubleType()),
     "ST_FrechetDistance": (K.k_frechet, DoubleType()),
     "ST_HausdorffDistance": (K.k_hausdorff, DoubleType()),

@@ -2034,6 +2034,38 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity <= 20)
 """
 
 
+def geo_line_merge(spark, sf_dir):
+    """ST_LineMerge: two touching segments sew into one chain, a detached
+    segment stays separate — piece count and exact integer lengths are
+    closed-form per row."""
+    p = _t(spark, sf_dir, "part")
+    a = "CAST(p_size AS DOUBLE)"
+    ml = (
+        f"ST_Collect(ST_Collect(ST_MakeLine(ST_Point(0.0, 0.0), ST_Point({a}, 0.0)), "
+        f"ST_MakeLine(ST_Point({a}, 0.0), ST_Point({a}, 2.0))), "
+        f"ST_MakeLine(ST_Point(100.0, 5.0), ST_Point(100.0, 9.0)))"
+    )
+    merged = f"ST_LineMerge({ml})"
+    return (
+        p.selectExpr("p_partkey", f"{merged} AS m")
+        .selectExpr("p_partkey", "posexplode(ST_Dump(m)) AS (piece_idx, piece)")
+        .selectExpr(
+            "p_partkey",
+            "CAST(piece_idx AS INT) AS piece_idx",
+            "ST_Length(piece) AS piece_len",
+            "ST_NPoints(piece) AS n_points",
+        )
+    )
+
+
+ORACLE_GEO_LINE_MERGE = """
+SELECT p_partkey, CAST(t.idx AS INT) AS piece_idx,
+       CASE WHEN t.idx = 0 THEN CAST(p_size AS DOUBLE) + 2.0 ELSE 4.0 END AS piece_len,
+       CAST(CASE WHEN t.idx = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_points
+FROM part CROSS JOIN (SELECT unnest([0, 1]) AS idx) t
+"""
+
+
 def geo_split_line(spark, sf_dir):
     """ST_Split + ST_Dump + ST_Length: split LINESTRING(0 0, 2s 0) at the
     point (s/2, 0); piece lengths are closed-form (s/2 and 1.5s, exact in
@@ -2501,6 +2533,7 @@ QUERIES = {
     "geo_line_substring": (geo_line_substring, ORACLE_GEO_LINE_SUBSTRING),
     "geo_closest_point": (geo_closest_point, ORACLE_GEO_CLOSEST),
     "geo_split_line": (geo_split_line, ORACLE_GEO_SPLIT),
+    "geo_line_merge": (geo_line_merge, ORACLE_GEO_LINE_MERGE),
     "geo_snap_points": (geo_snap_points, ORACLE_GEO_SNAP),
     "geo_subdivide": (geo_subdivide, ORACLE_GEO_SUBDIVIDE),
     # dedup / text / similarity

@@ -2460,3 +2460,78 @@ def subdivide(g, max_vertices=128):
     for part in iter_parts(g):
         rec(part, 0)
     return Geom(GEOMETRYCOLLECTION, pieces)
+
+
+def line_merge(g):
+    """ST_LineMerge: sew the linestrings of a (Multi)LineString together at
+    endpoints shared by exactly two line-ends (degree-2 nodes), reversing
+    pieces as needed; junctions of degree != 2 stay breaks. Returns a
+    LineString when everything merges into one chain, else a
+    MultiLineString. Non-line inputs pass through unchanged (PostGIS
+    behavior)."""
+    if g is None:
+        return None
+    lines = [
+        np.asarray(p.data, dtype=np.float64)[:, :2]
+        for p in iter_parts(g)
+        if p.kind == LINESTRING and len(p.data) >= 2
+    ]
+    if not lines:
+        return g
+
+    def key(pt):
+        return (float(pt[0]), float(pt[1]))
+
+    # endpoint -> list of (line index, which end)
+    adj = {}
+    for i, ln in enumerate(lines):
+        for end, pt in ((0, ln[0]), (1, ln[-1])):
+            adj.setdefault(key(pt), []).append((i, end))
+
+    used = [False] * len(lines)
+    chains = []
+
+    def other_end(i, end):
+        return key(lines[i][-1] if end == 0 else lines[i][0])
+
+    def extendable(k):
+        return len(adj[k]) == 2
+
+    for i in range(len(lines)):
+        if used[i]:
+            continue
+        # walk backward to the chain start (a node of degree != 2), guarding
+        # against closed loops
+        start_i, start_end = i, 0
+        seen = {i}
+        while extendable(key(lines[start_i][0] if start_end == 0 else lines[start_i][-1])):
+            k = key(lines[start_i][0] if start_end == 0 else lines[start_i][-1])
+            nxt = [(j, e) for j, e in adj[k] if j != start_i]
+            if not nxt or nxt[0][0] in seen or used[nxt[0][0]]:
+                break
+            j, e = nxt[0]
+            seen.add(j)
+            # arriving at line j via its end e; continue from its other end
+            start_i, start_end = j, 1 - e
+        # now walk forward collecting coords
+        coords = []
+        cur_i, cur_end = start_i, start_end
+        while True:
+            ln = lines[cur_i] if cur_end == 0 else lines[cur_i][::-1]
+            used[cur_i] = True
+            if coords:
+                coords.extend(ln[1:])
+            else:
+                coords.extend(ln)
+            k = key(ln[-1])
+            if not extendable(k):
+                break
+            nxt = [(j, e) for j, e in adj[k] if not used[j]]
+            if not nxt:
+                break
+            cur_i, cur_end = nxt[0][0], nxt[0][1]
+        chains.append(np.asarray(coords, dtype=np.float64))
+
+    if len(chains) == 1:
+        return Geom(LINESTRING, chains[0])
+    return Geom(MULTILINESTRING, chains)

@@ -378,3 +378,28 @@ def test_subdivide_invariants():
     simple = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     out = alg.subdivide(simple, 16)
     assert len(out.data) == 1 and alg.area(out.data[0]) == 16.0
+
+
+def test_line_merge():
+    from geoarrow_rs_spark.wkb import from_wkt, to_wkt
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    # chain + stray
+    out = alg.line_merge(from_wkt("MULTILINESTRING ((0 0, 3 0), (3 0, 3 2), (5 5, 5 9))"))
+    assert to_wkt(out) == "MULTILINESTRING ((0 0, 3 0, 3 2), (5 5, 5 9))"
+    # full merge with reversal -> single LineString
+    out = alg.line_merge(from_wkt("MULTILINESTRING ((3 0, 0 0), (3 0, 3 2))"))
+    assert to_wkt(out) in ("LINESTRING (3 2, 3 0, 0 0)", "LINESTRING (0 0, 3 0, 3 2)")
+    # three collinear segments
+    out = alg.line_merge(from_wkt("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (2 0, 3 0))"))
+    assert to_wkt(out) == "LINESTRING (0 0, 1 0, 2 0, 3 0)"
+    # degree-3 junction blocks merging (PostGIS rule)
+    out = alg.line_merge(from_wkt("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))"))
+    assert out.kind == 5 and len(out.data) == 3
+    # closed loop merges into one ring-shaped line
+    out = alg.line_merge(from_wkt("MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), (1 1, 0 0))"))
+    assert out.kind == 2
+    assert alg.length(out) == pytest.approx(2.0 + 2 ** 0.5)
+    # single linestring passes through
+    ls = from_wkt("LINESTRING (0 0, 5 5)")
+    assert to_wkt(alg.line_merge(ls)) == "LINESTRING (0 0, 5 5)"
