@@ -2151,6 +2151,139 @@ FROM customer CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS idx) t
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 shape adapted (no partsupp — supply edges come from
+    lineitem, 'cost' is supplier acctbal): for each size-15 part, the
+    supplier(s) in region REGION_0 with the maximum account balance.
+    The correlated MAX subquery is a per-part aggregate joined back on
+    exact double equality; dims broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "REGION_0")
+    edges = l.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        edges.join(F.broadcast(p), edges.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), edges.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.max("s_acctbal").alias("__max_bal")
+    )
+    return cand.join(
+        best,
+        (cand.p_partkey == best.__pk) & (cand.s_acctbal == best.__max_bal),
+    ).select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+
+
+ORACLE_Q2 = """
+WITH edges AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name
+  FROM edges
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND r_name = 'REGION_0'
+)
+SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name
+FROM cand c
+WHERE s_acctbal = (SELECT MAX(s_acctbal) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H q9 adapted (no ps_supplycost — cost modeled as
+    0.6 * p_retailprice per unit): profit by supplier nation and order
+    year for PROMO parts. The profit expression is floored to integer
+    cents BEFORE summing so the aggregate is exact and order-free."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    cents = F.floor(amount * F.lit(100.0) + F.lit(0.5)).cast("long")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg((F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_profit"))
+    )
+
+
+ORACLE_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)
+                            - 0.6 * p_retailprice * l_quantity) * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q11_important_values(spark, sf_dir):
+    """TPC-H q11 shape adapted (no partsupp — per-part traded value from
+    NATION_4 suppliers' lineitems): parts whose value exceeds 0.1% of the
+    total. HAVING against a scalar subquery = exact-cents agg broadcast
+    back; the threshold comparison is integer arithmetic (cents * 10000 >
+    total cents * 10), so no float boundary exists."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_4")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    base = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", cents.alias("__c"))
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("__c").alias("__pc"))
+    total = per_part.agg(F.sum("__pc").alias("__tc"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("__pc") * F.lit(10000) > F.col("__tc") * F.lit(10))
+        .select(
+            "l_partkey",
+            (F.col("__pc").cast("double") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+ORACLE_Q11 = """
+WITH base AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_4'
+),
+per_part AS (SELECT l_partkey, SUM(c) AS pc FROM base GROUP BY l_partkey)
+SELECT l_partkey, CAST(pc AS DOUBLE) / 100.0 AS part_value
+FROM per_part
+WHERE pc * 10000 > (SELECT SUM(pc) FROM per_part) * 10
+"""
+
+
 def sim_kmeans_ivf_topk(spark, sf_dir):
     """ANN with LEARNED centroids: 2 Lloyd's iterations (exact decimal
     arithmetic, deterministic init), corpus partitioned by nearest centroid,
@@ -2504,6 +2637,9 @@ QUERIES = {
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, ORACLE_Q17),
     "q21_sole_fault_supplier": (q21_sole_fault_supplier, ORACLE_Q21),
     "q22_idle_customers": (q22_idle_customers, ORACLE_Q22),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, ORACLE_Q2),
+    "q9_product_profit": (q9_product_profit, ORACLE_Q9),
+    "q11_important_values": (q11_important_values, ORACLE_Q11),
     # geometry
     "geo_point_accessors": (geo_point_accessors, ORACLE_GEO_POINT),
     "geo_distance": (geo_distance, ORACLE_GEO_DISTANCE),
