@@ -403,3 +403,34 @@ def substring_dup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def minhash_bands_expr(
+    text,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 8,
+    max_chars: int = 128,
+):
+    """Array of LSH band keys for one document, as a single STATELESS
+    column expression (per-row minhash_signature + band slicing) — exactly
+    the banding of minhash_lsh_pairs, but usable where a groupBy signature
+    stage cannot go (inside a Structured Streaming query that already has
+    its one stateful operator downstream)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(text, num_perm=num_perm, shingle=shingle, max_chars=max_chars)
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+            for b in range(bands)
+        ]
+    )

@@ -2,6 +2,7 @@ from .ops import (
     read_stream_parquet,
     sessionize_stream,
     streaming_asof_join,
+    streaming_minhash_pairs,
     streaming_dedup,
     windowed_counts,
 )
@@ -11,5 +12,6 @@ __all__ = [
     "windowed_counts",
     "sessionize_stream",
     "streaming_asof_join",
+    "streaming_minhash_pairs",
     "streaming_dedup",
 ]

@@ -251,3 +251,68 @@ def sessionize_stream(
             "sum_value",
         )
     )
+
+
+def streaming_minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 8,
+    max_chars: int = 128,
+) -> DataFrame:
+    """Streaming near-duplicate candidate detection: MinHash banding is a
+    stateless expression (minhash_bands_expr), so it composes with
+    readStream; the single stateful stage keeps, per band bucket, the ids
+    seen so far and emits a candidate pair the moment a new document lands
+    in a non-empty bucket. Pairs are (a_id < b_id); a pair colliding in
+    multiple bands is emitted once per band (consumers dedupe, exactly as
+    the batch path does with dropDuplicates). Batch inputs delegate to
+    minhash_lsh_pairs (identical banding)."""
+    from ..datapipe.dedup import minhash_bands_expr, minhash_lsh_pairs
+
+    if not df.isStreaming:
+        return minhash_lsh_pairs(
+            df, id_col, text_col, num_perm=num_perm, bands=bands,
+            shingle=shingle, max_chars=max_chars,
+        ).select("a_id", "b_id")
+
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    banded = df.select(
+        F.col(id_col),
+        F.explode(
+            minhash_bands_expr(
+                text_col, num_perm=num_perm, bands=bands,
+                shingle=shingle, max_chars=max_chars,
+            )
+        ).alias("__band"),
+    )
+
+    def pairs_fn(key, pdfs, state):
+        seen = json.loads(state.get[0]) if state.exists else []
+        new_ids = []
+        for pdf in pdfs:
+            new_ids.extend(int(v) for v in pdf[id_col])
+        new_ids.sort()
+        out = []
+        for nid in new_ids:
+            for prev in seen:
+                if prev != nid:
+                    out.append((min(prev, nid), max(prev, nid)))
+            seen.append(nid)
+        state.update((json.dumps(seen),))
+        if out:
+            yield pd.DataFrame(out, columns=["a_id", "b_id"])
+
+    return banded.groupBy("__band").applyInPandasWithState(
+        pairs_fn,
+        outputStructType="a_id long, b_id long",
+        stateStructType="ids string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -325,3 +325,50 @@ def test_streaming_asof_join_real_stream(spark, tmp_path):
     assert got.get(5.0) == 1.0
     assert got.get(2.0) == 2.0
     assert 0.0 not in got
+
+
+def test_streaming_minhash_pairs_matches_batch(spark, tmp_path):
+    """Streamed candidate pairs (two micro-batches, near-dups crossing the
+    batch boundary) == the batch LSH pair set at identical parameters."""
+    from geoarrow_rs_spark.streaming import streaming_minhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = [
+        (1, base + "alpha"),
+        (2, base + "alphb"),          # near-dup of 1
+        (3, "completely different content with nothing shared here at all"),
+        (4, base + "alpha"),          # exact dup of 1, arrives in batch 2
+        (5, "completely different content with nothing shared here at ali"),
+    ]
+    src = os.path.join(str(tmp_path), "mh_src")
+    spark.createDataFrame(docs[:3], ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(docs[3:], ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    expected = {
+        (r.a_id, r.b_id)
+        for r in streaming_minhash_pairs(batch_df).collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_minhash_pairs(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.a_id, r.b_id)
+        for r in spark.sql("SELECT * FROM mh_pairs").collect()
+    }
+    assert got == expected
+    assert (1, 4) in got  # cross-batch exact dup found via state
