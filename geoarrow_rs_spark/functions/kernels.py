@@ -203,6 +203,38 @@ def _geom_out(geoms):
 
 
 def k_centroid(s):
+    vals = list(s)
+    fast = try_unpack_points_xy(vals)
+    if fast is not None:
+        # centroid of a point is the point: pass the input records through
+        return pd.Series(vals, dtype=object)
+    first = next((v for v in vals if v is not None), None)
+    if first is not None and len(first) > 13 and bytes(first[:9]) == _PG1_HDR:
+        dec = _flat_simple_decode(vals, _PG1_HDR, 13)
+        if dec is not None:
+            flat, counts, idx = dec
+            x, y = flat[:, 0], flat[:, 1]
+            x2 = np.empty_like(x)
+            y2 = np.empty_like(y)
+            x2[:-1], x2[-1] = x[1:], x[-1]
+            y2[:-1], y2[-1] = y[1:], y[-1]
+            cross = x * y2 - x2 * y
+            ssum = _reduceat_ring_sums(cross.copy(), counts)
+            sx = _reduceat_ring_sums(((x + x2) * cross).copy(), counts)
+            sy = _reduceat_ring_sums(((y + y2) * cross).copy(), counts)
+            out = [None] * len(vals)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cx = sx / (3 * ssum)
+                cy = sy / (3 * ssum)
+            pts = pack_points_xy(cx, cy)
+            ok = ssum != 0
+            for j, i in enumerate(idx):
+                if ok[j]:
+                    out[i] = pts[j]
+                else:
+                    g = from_wkb(vals[i])
+                    out[i] = to_wkb(alg.centroid(g))
+            return pd.Series(out, dtype=object)
     return _geom_out([alg.centroid(g) if g is not None else None for g in geoms_of(s)])
 
 
@@ -242,6 +274,26 @@ def k_bbox_struct(s):
             "xmax": np.where(null, np.nan, xs),
             "ymax": np.where(null, np.nan, ys),
         })
+    vals = list(s)
+    first = next((v for v in vals if v is not None), None)
+    for hdr, hlen in ((_LS_HDR, 9), (_PG1_HDR, 13)):
+        if first is not None and len(first) > hlen and bytes(first[: len(hdr)]) == hdr:
+            dec = _flat_simple_decode(vals, hdr, hlen)
+            if dec is not None:
+                flat, counts, idx = dec
+                starts = np.cumsum(counts) - counts
+                xmin = np.minimum.reduceat(flat[:, 0], starts)
+                xmax = np.maximum.reduceat(flat[:, 0], starts)
+                ymin = np.minimum.reduceat(flat[:, 1], starts)
+                ymax = np.maximum.reduceat(flat[:, 1], starts)
+                n = len(vals)
+                cols = {k: np.full(n, np.nan) for k in ("xmin", "ymin", "xmax", "ymax")}
+                ia = np.asarray(idx)
+                cols["xmin"][ia] = xmin
+                cols["ymin"][ia] = ymin
+                cols["xmax"][ia] = xmax
+                cols["ymax"][ia] = ymax
+                return pd.DataFrame(cols)
     rows = []
     for g in geoms_of(s):
         b = alg.bounds(g) if g is not None else None

@@ -403,3 +403,52 @@ def test_line_merge():
     # single linestring passes through
     ls = from_wkt("LINESTRING (0 0, 5 5)")
     assert to_wkt(alg.line_merge(ls)) == "LINESTRING (0 0, 5 5)"
+
+
+def test_centroid_and_bbox_batch_fast_paths(spark):
+    """Vectorized centroid/bbox batch paths agree with the per-row kernels
+    on points, linestrings, and single-ring polygons (incl. a degenerate
+    zero-area ring falling back to per-row)."""
+    import pandas as pd
+
+    from geoarrow_rs_spark.functions import kernels as K
+    from geoarrow_rs_spark.wkb import from_wkt, to_wkb, from_wkb
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    polys = [
+        to_wkb(from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")),
+        None,
+        to_wkb(from_wkt("POLYGON ((1 1, 7.5 1.25, 6 9, 1 6.5, 1 1))")),
+        to_wkb(from_wkt("POLYGON ((2 2, 5 2, 5 5, 2 5, 2 2))")),
+    ]
+    out = K.k_centroid(pd.Series(polys, dtype=object))
+    for v, w in zip(polys, out):
+        if v is None:
+            assert w is None
+            continue
+        exp = alg.centroid(from_wkb(v))
+        got = from_wkb(w)
+        assert got.data[0] == pytest.approx(exp.data[0], rel=1e-12)
+        assert got.data[1] == pytest.approx(exp.data[1], rel=1e-12)
+    bb = K.k_bbox_struct(pd.Series(polys, dtype=object))
+    assert bb["xmin"][0] == 0.0 and bb["ymax"][2] == 9.0 and bb["xmax"][3] == 5.0
+
+    lines = [
+        to_wkb(from_wkt("LINESTRING (0 0, 10 2, -3 4)")),
+        to_wkb(from_wkt("LINESTRING (5 5, 6 6)")),
+    ]
+    bb = K.k_bbox_struct(pd.Series(lines, dtype=object))
+    assert (bb["xmin"][0], bb["xmax"][0], bb["ymax"][0]) == (-3.0, 10.0, 4.0)
+    assert bb["ymin"][1] == 5.0
+
+    pts = [to_wkb(from_wkt("POINT (3 7)")), None]
+    out = K.k_centroid(pd.Series(pts, dtype=object))
+    assert from_wkb(out[0]).data[0] == 3.0 and out[1] is None
+    # degenerate ring (zero area): falls back to the per-row path
+    degen = [to_wkb(from_wkt("POLYGON ((0 0, 2 0, 4 0, 0 0)))".replace(")))", "))")))]
+    out = K.k_centroid(pd.Series(degen, dtype=object))
+    exp = alg.centroid(from_wkb(degen[0]))
+    got = from_wkb(out[0])
+    assert got.is_empty() == exp.is_empty()
+    if not exp.is_empty():
+        assert got.data[0] == pytest.approx(exp.data[0])
