@@ -34,9 +34,9 @@ SIDECAR = "_geo_metadata.json"
 GEOPARQUET_VERSION = "1.1.0"
 
 
-def _geo_doc(geometry_col: str, crs, bbox, covering_col):
+def _geo_doc(geometry_col: str, crs, bbox, covering_col, encoding: str = "WKB"):
     col_meta = {
-        "encoding": "WKB",
+        "encoding": encoding,
         "geometry_types": [],
     }
     if crs is not None:
@@ -68,16 +68,33 @@ def write_geoparquet(
     covering_col: str = "bbox",
     mode: str = "overwrite",
     compute_bbox: bool = True,
+    encoding: str = "WKB",
 ):
     """Write a DataFrame with a WKB geometry column as GeoParquet.
 
     The file-level bbox is collected DURING the write job via
     ``DataFrame.observe`` — one scan total (the old re-read-and-aggregate
     cost a second full pass over everything just written, which at 100 TB
-    doubles the job)."""
+    doubles the job).
+
+    ``encoding="point"`` writes the native GeoArrow interleaved layout
+    (array<double> [x, y]) instead of WKB — the reference writer's native
+    encoding path (rust/geoparquet/src/writer/encode.rs); ``read_geoparquet``
+    converts it back via ST_GeomFromNative. Covering structs are generated
+    BEFORE the conversion so bbox pushdown works identically."""
     out = df
     if generate_covering and covering_col not in df.columns:
         out = out.withColumn(covering_col, F.expr(f"ST_BBox({geometry_col})"))
+    enc = str(encoding)
+    if enc.lower() == "point":
+        out = out.withColumn(
+            geometry_col,
+            F.array(
+                F.expr(f"ST_X({geometry_col})"), F.expr(f"ST_Y({geometry_col})")
+            ),
+        )
+    elif enc != "WKB":
+        raise ValueError(f"unsupported write encoding: {encoding}")
 
     obs = None
     if compute_bbox and covering_col in out.columns:
@@ -100,7 +117,8 @@ def write_geoparquet(
             file_bbox = [m["xmin"], m["ymin"], m["xmax"], m["ymax"]]
 
     doc = _geo_doc(
-        geometry_col, crs, file_bbox, covering_col if generate_covering else None
+        geometry_col, crs, file_bbox, covering_col if generate_covering else None,
+        encoding="point" if enc.lower() == "point" else "WKB",
     )
     with open(os.path.join(path, SIDECAR), "w") as f:
         json.dump(doc, f)

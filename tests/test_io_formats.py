@@ -304,3 +304,38 @@ def test_geojson_featurecollection_write_roundtrip(spark, tmp_path):
     back = read_geojson(spark, path)
     rows = {r["id"]: r for r in back.collect()}
     assert len(rows) == 25 and rows[3]["name"] == "name-3"
+
+
+def test_geoparquet_native_point_encoding_roundtrip(spark, tmp_path):
+    """encoding='point' writes interleaved array<double> (reference writer's
+    native layout); reading converts back to WKB and bbox pushdown still
+    works off the covering struct."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from geoarrow_rs_spark.io import read_geoparquet, write_geoparquet
+
+    df = spark.range(200).selectExpr(
+        "id", "ST_Point(CAST(id % 20 AS DOUBLE), CAST(id div 20 AS DOUBLE)) AS geometry"
+    )
+    path = _os.path.join(str(tmp_path), "native_pts")
+    doc = write_geoparquet(df, path, "geometry", encoding="point")
+    assert doc["columns"]["geometry"]["encoding"] == "point"
+    # raw file stores arrays, not binary
+    raw = spark.read.parquet(path)
+    assert raw.schema["geometry"].dataType.typeName() == "array"
+
+    back = read_geoparquet(spark, path)
+    got = {
+        (r.id, r.x, r.y)
+        for r in back.selectExpr("id", "ST_X(geometry) AS x", "ST_Y(geometry) AS y").collect()
+    }
+    exp = {(i, float(i % 20), float(i // 20)) for i in range(200)}
+    assert got == exp
+
+    filt = read_geoparquet(spark, path, bbox=(0, 0, 5, 3))
+    n = filt.count()
+    assert n == len([1 for i in range(200) if i % 20 <= 5 and i // 20 <= 3])
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "xmin" in plan.split("PushedFilters")[1][:400]
