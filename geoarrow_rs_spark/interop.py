@@ -71,3 +71,47 @@ def from_geopandas(spark, gdf, geometry_col: str = "geometry"):
         for g in gdf.geometry
     ]
     return spark.createDataFrame(pdf)
+
+
+GEOARROW_WKB_EXT = "geoarrow.wkb"
+
+
+def to_pyarrow(df: DataFrame, geometry_col: str = "geometry", crs=None):
+    """Spark DataFrame -> pyarrow Table whose geometry field carries
+    GeoArrow extension metadata (ARROW:extension:name = geoarrow.wkb,
+    extension:metadata = {crs}) — the reference's ``to_arrow`` surface
+    (python/geoarrow-core interop). Collects to the driver (pyarrow is an
+    in-memory bridge; for datasets use the GeoParquet writer instead)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    pdf = df.toPandas()
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    i = table.schema.get_field_index(geometry_col)
+    field = table.schema.field(i)
+    meta = {b"ARROW:extension:name": GEOARROW_WKB_EXT.encode()}
+    ext = {}
+    if crs is not None:
+        ext["crs"] = crs
+    meta[b"ARROW:extension:metadata"] = _json.dumps(ext).encode()
+    new_field = pa.field(field.name, field.type, field.nullable, metadata=meta)
+    return table.set_column(i, new_field, table.column(i))
+
+
+def from_pyarrow(spark, table, geometry_col: str = None):
+    """pyarrow Table (optionally GeoArrow-tagged) -> Spark DataFrame with a
+    WKB geometry column (``from_arrow`` parity). The geometry field is
+    found by its ARROW:extension:name when not named explicitly."""
+    if geometry_col is None:
+        for field in table.schema:
+            md = field.metadata or {}
+            if md.get(b"ARROW:extension:name", b"").decode().startswith("geoarrow."):
+                geometry_col = field.name
+                break
+    pdf = table.to_pandas()
+    if geometry_col is not None:
+        pdf[geometry_col] = pdf[geometry_col].map(
+            lambda v: bytes(v) if v is not None else None
+        )
+    return spark.createDataFrame(pdf)

@@ -388,3 +388,24 @@ def test_kmeans_ivf_recall_and_exhaustive_probe(spark, sf_dir):
     assert rec(k2) >= rec(srp), (rec(k2), rec(srp))
     # exhaustive probe == brute force, scores included
     assert k_all == exact
+
+
+def test_pyarrow_interop_roundtrip(spark):
+    """to_pyarrow tags the geometry field with GeoArrow extension metadata;
+    from_pyarrow finds it by tag and restores an identical DataFrame."""
+    from geoarrow_rs_spark.interop import GEOARROW_WKB_EXT, from_pyarrow, to_pyarrow
+
+    df = spark.range(50).selectExpr(
+        "id", "ST_Point(CAST(id AS DOUBLE), CAST(id * 2 AS DOUBLE)) AS geometry"
+    )
+    table = to_pyarrow(df, crs={"id": {"authority": "EPSG", "code": 4326}})
+    field = table.schema.field("geometry")
+    assert field.metadata[b"ARROW:extension:name"].decode() == GEOARROW_WKB_EXT
+    assert b"EPSG" in field.metadata[b"ARROW:extension:metadata"]
+
+    back = from_pyarrow(spark, table)
+    got = {
+        (r.id, r.x, r.y)
+        for r in back.selectExpr("id", "ST_X(geometry) AS x", "ST_Y(geometry) AS y").collect()
+    }
+    assert got == {(i, float(i), float(2 * i)) for i in range(50)}
