@@ -158,6 +158,19 @@ def k_area_spherical(s):
 
 
 def k_length(s):
+    vals = list(s)
+    first = next((v for v in vals if v is not None), None)
+    if first is not None and len(first) > 9 and bytes(first[:5]) == _LS_HDR:
+        dec = _flat_simple_decode(vals, _LS_HDR, 9)
+        if dec is not None:
+            flat, counts, idx = dec
+            d = np.empty(len(flat))
+            d[:-1] = np.hypot(np.diff(flat[:, 0]), np.diff(flat[:, 1]))
+            d[-1] = 0.0
+            sums = _reduceat_ring_sums(d, counts)
+            out = np.full(len(vals), np.nan)
+            out[idx] = sums
+            return _f64(out)
     return _f64([alg.length(g) if g is not None else np.nan for g in geoms_of(s)])
 
 

@@ -452,3 +452,26 @@ def test_centroid_and_bbox_batch_fast_paths(spark):
     assert got.is_empty() == exp.is_empty()
     if not exp.is_empty():
         assert got.data[0] == pytest.approx(exp.data[0])
+
+
+def test_length_batch_fast_path():
+    import pandas as pd
+
+    from geoarrow_rs_spark.functions import kernels as K
+    from geoarrow_rs_spark.wkb import from_wkt, to_wkb
+    from geoarrow_rs_spark.wkb import algorithms as alg
+
+    lines = [
+        to_wkb(from_wkt("LINESTRING (0 0, 3 4)")),
+        None,
+        to_wkb(from_wkt("LINESTRING (0 0, 1 0, 1 7.25, -2 7.25)")),
+        to_wkb(from_wkt("LINESTRING (5 5, 5 5)")),
+    ]
+    from geoarrow_rs_spark.wkb import from_wkb
+
+    out = K.k_length(pd.Series(lines, dtype=object))
+    for v, got in zip(lines, out):
+        if v is None:
+            assert math.isnan(got)
+        else:
+            assert got == pytest.approx(alg.length(from_wkb(v)), rel=1e-12)
