@@ -1382,6 +1382,33 @@ GROUP BY event_type
 """
 
 
+def events_props_json(spark, sf_dir):
+    """Semi-structured payload parsing stays native: get_json_object path
+    extraction compiled by Catalyst (no UDF), exact integer aggregation."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.withColumn("__k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__k").alias("sum_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_PROPS = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join: every click matched to the user's most recent purchase at
     or before it (backward, left-outer). Oracle uses DuckDB's NATIVE ASOF
@@ -2700,6 +2727,7 @@ QUERIES = {
     "events_sliding_windows": (events_sliding_windows, ORACLE_EVENTS_SLIDING),
     "events_asof_join": (events_asof_join, ORACLE_EVENTS_ASOF),
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
+    "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
 }
