@@ -1506,6 +1506,40 @@ FROM documents
 """
 
 
+_BMP_2X2_HEADER_HEX = (
+    "424D460000000000000036000000280000000200000002000000010018000000"
+    "000010000000130B0000130B00000000000000000000"
+)
+
+
+def mm_image_brightness(spark, sf_dir):
+    """REAL image decode under oracle check: a 2x2 24-bit BMP is assembled
+    NATIVELY (constant header + per-row gray pixel bytes), decoded by the
+    actual pure-numpy BMP decoder inside mapInPandas, and the extracted
+    mean/std features have the closed form k/255 and 0."""
+    from .datapipe.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    kk = "lpad(hex(doc_id % 256), 2, '0')"
+    row = f"concat(repeat({kk}, 6), '0000')"
+    blob = f"unhex(concat('{_BMP_2X2_HEADER_HEX}', {row}, {row}))"
+    src = d.selectExpr("doc_id", f"{blob} AS blob")
+    feats = extract_features(src, "blob", dim=8)
+    return feats.select(
+        "doc_id",
+        F.col("features")[0].alias("mean_r"),
+        F.col("features")[3].alias("std_r"),
+    )
+
+
+ORACLE_MM_BRIGHTNESS = """
+SELECT doc_id,
+       CAST((doc_id % 256) / 255.0 AS REAL) AS mean_r,
+       CAST(0.0 AS REAL) AS std_r
+FROM documents
+"""
+
+
 def geo_transform(spark, sf_dir):
     """CRS reprojection (ST_Transform; reproject.rs:105 parity): 4326->3857
     verified against the closed-form Web Mercator in plain SQL, plus a UTM
@@ -2730,6 +2764,7 @@ QUERIES = {
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
+    "mm_image_brightness": (mm_image_brightness, ORACLE_MM_BRIGHTNESS),
 }
 
 
