@@ -1540,6 +1540,43 @@ FROM documents
 """
 
 
+_WAV_8S_HEADER_HEX = (
+    "524946463400000057415645666D7420100000000100010040"
+    "1F0000803E0000020010006461746110000000"
+)
+
+
+def mm_audio_features(spark, sf_dir):
+    """REAL audio decode under oracle check: an 8-sample constant PCM16 WAV
+    is assembled natively (constant header + little-endian sample bytes),
+    decoded by the actual numpy WAV decoder, and rms == peak == v/32768,
+    duration == 1 ms at 8 kHz — all closed-form (v/2^15 is exact)."""
+    from .datapipe.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    # v = (doc_id % 100) * 25 fits int16 and is non-negative
+    vhex = "lpad(hex((doc_id % 100) * 25), 4, '0')"
+    le = f"concat(substr({vhex}, 3, 2), substr({vhex}, 1, 2))"
+    blob = f"unhex(concat('{_WAV_8S_HEADER_HEX}', repeat({le}, 8)))"
+    src = d.selectExpr("doc_id", f"{blob} AS blob")
+    feats = extract_features(src, "blob", dim=8)
+    return feats.select(
+        "doc_id",
+        F.col("features")[0].alias("rms"),
+        F.col("features")[2].alias("peak"),
+        F.col("features")[3].alias("duration_s"),
+    )
+
+
+ORACLE_MM_AUDIO = """
+SELECT doc_id,
+       CAST(((doc_id % 100) * 25) / 32768.0 AS REAL) AS rms,
+       CAST(((doc_id % 100) * 25) / 32768.0 AS REAL) AS peak,
+       CAST(0.001 AS REAL) AS duration_s
+FROM documents
+"""
+
+
 def geo_transform(spark, sf_dir):
     """CRS reprojection (ST_Transform; reproject.rs:105 parity): 4326->3857
     verified against the closed-form Web Mercator in plain SQL, plus a UTM
@@ -2765,6 +2802,7 @@ QUERIES = {
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
     "mm_image_brightness": (mm_image_brightness, ORACLE_MM_BRIGHTNESS),
+    "mm_audio_features": (mm_audio_features, ORACLE_MM_AUDIO),
 }
 
 
