@@ -1577,6 +1577,36 @@ FROM documents
 """
 
 
+_BMP_4X4_HEADER_HEX = (
+    "424D660000000000000036000000280000000400000004000000010018000000"
+    "000030000000130B0000130B00000000000000000000"
+)
+
+
+def mm_image_resize(spark, sf_dir):
+    """REAL decode -> nearest-neighbor resize -> re-encode round-trip under
+    byte-exact oracle check: a constant 2x2 BMP resized to 4x4 must equal
+    the natively constructed constant 4x4 BMP, compared as full hex (DuckDB
+    cannot hash blobs, so the oracle emits the expected hex string)."""
+    from .datapipe.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents")
+    kk = "lpad(hex(doc_id % 256), 2, '0')"
+    row2 = f"concat(repeat({kk}, 6), '0000')"
+    blob = f"unhex(concat('{_BMP_2X2_HEADER_HEX}', {row2}, {row2}))"
+    src = d.selectExpr("doc_id", f"{blob} AS blob")
+    out = resize_images(src, "blob", 4, 4)
+    return out.selectExpr("doc_id", "hex(resized) AS resized_hex")
+
+
+ORACLE_MM_RESIZE = f"""
+SELECT doc_id,
+       upper(concat('{_BMP_4X4_HEADER_HEX}',
+                    repeat(lpad(hex(doc_id % 256), 2, '0'), 48))) AS resized_hex
+FROM documents
+"""
+
+
 def geo_transform(spark, sf_dir):
     """CRS reprojection (ST_Transform; reproject.rs:105 parity): 4326->3857
     verified against the closed-form Web Mercator in plain SQL, plus a UTM
@@ -2803,6 +2833,7 @@ QUERIES = {
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
     "mm_image_brightness": (mm_image_brightness, ORACLE_MM_BRIGHTNESS),
     "mm_audio_features": (mm_audio_features, ORACLE_MM_AUDIO),
+    "mm_image_resize": (mm_image_resize, ORACLE_MM_RESIZE),
 }
 
 
