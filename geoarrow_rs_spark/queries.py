@@ -2739,6 +2739,68 @@ GROUP BY c_nationkey
 """
 
 
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H q20 adapted (no partsupp/availqty — the 'excess stock' signal
+    becomes shipped-share dominance): suppliers in NATION_1x who, for some
+    red part, shipped MORE THAN HALF of that part's 1997 volume. The nested
+    IN subqueries become two aggregations over ONE scan of the filtered
+    lineitem (per-part totals are re-aggregated from the per-pair partials,
+    not a second scan) and a left-semi join; the part filter is broadcast.
+    l_quantity is integer-valued, so 2*pair > total is exact BIGINT math.
+
+    Reference shape: TPC-H q20 (nested IN + correlated half-of-volume
+    threshold)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("red")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__pair_qty"))
+    )
+    totals = pairs.groupBy(F.col("l_partkey").alias("__tp")).agg(
+        F.sum("__pair_qty").alias("__part_qty")
+    )
+    dominant = (
+        pairs.join(totals, pairs.l_partkey == F.col("__tp"))
+        .where(F.lit(2) * F.col("__pair_qty") > F.col("__part_qty"))
+        .select(F.col("l_suppkey").alias("__dk"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name").startswith("NATION_1"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dominant, s.s_suppkey == F.col("__dk"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+ORACLE_Q20 = """
+WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+pairs AS (
+  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM red)
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+),
+tot AS (SELECT l_partkey, SUM(q) AS pq FROM pairs GROUP BY l_partkey)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name LIKE 'NATION_1%'
+  AND s_suppkey IN (
+    SELECT p2.l_suppkey FROM pairs p2 JOIN tot USING (l_partkey)
+    WHERE 2 * p2.q > pq
+  )
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2768,6 +2830,7 @@ QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, ORACLE_Q2),
     "q9_product_profit": (q9_product_profit, ORACLE_Q9),
     "q11_important_values": (q11_important_values, ORACLE_Q11),
+    "q20_dominant_suppliers": (q20_dominant_suppliers, ORACLE_Q20),
     # geometry
     "geo_point_accessors": (geo_point_accessors, ORACLE_GEO_POINT),
     "geo_distance": (geo_distance, ORACLE_GEO_DISTANCE),
