@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text
+from . import corpus, dedup, multimodal, sampling, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["corpus", "dedup", "sampling", "similarity", "text", "multimodal"]

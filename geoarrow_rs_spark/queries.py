@@ -2802,6 +2802,187 @@ WHERE n_name LIKE 'NATION_1%'
 
 
 # ---------------------------------------------------------------------------
+# corpus pipeline: decontamination / packing / BM25 / C4 cleaning
+# ---------------------------------------------------------------------------
+
+_NG3 = (
+    "CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1), "
+    "i -> array_to_string(ws[i:i+2], ' ')) ELSE []::VARCHAR[] END"
+)
+
+
+def pipe_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 23rd doc is the held-out eval set;
+    flag training docs whose distinct word-3-gram overlap with it exceeds
+    5% (exact integer ppm — no float rounding anywhere)."""
+    from .datapipe import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    corp = docs.where(F.col("doc_id") % 23 != 0)
+    return corpus.decontaminate(corp, bench, n=3, threshold_ppm=50000)
+
+
+ORACLE_DECONTAM = f"""
+WITH corp AS (
+  SELECT doc_id, list_distinct({_NG3}) AS gs
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id % 23 <> 0)
+),
+bench AS (
+  SELECT DISTINCT unnest({_NG3}) AS g
+  FROM (SELECT string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id % 23 = 0)
+),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM corp),
+hits AS (
+  SELECT e.doc_id, COUNT(b.g) AS n_hits
+  FROM ex e LEFT JOIN bench b ON e.g = b.g GROUP BY e.doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.gs) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CASE WHEN len(c.gs) > 0
+            THEN CAST(COALESCE(h.n_hits, 0) * 1000000 // len(c.gs) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS overlap_ppm,
+       COALESCE(h.n_hits, 0) * 1000000 > 50000 * len(c.gs) AS contaminated
+FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+def pipe_pack_bins(spark, sf_dir):
+    """Greedy sequence packing into 2048-token training bins, sharded 8
+    ways so the packing window parallelizes; per-bin integer fill stats."""
+    from .datapipe import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = corpus.pack_sequences(docs, target_tokens=2048, n_shards=8)
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+ORACLE_PACK = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(floor(CAST(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS DOUBLE) / 2048.0) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY shard, bin
+"""
+
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1P1 = repr(1.2 + 1.0)  # k1 + 1 computed in doubles, not the literal 2.2
+
+
+def text_bm25_topk(spark, sf_dir):
+    """Top-20 documents by BM25 for a fixed bag-of-words query. Integer
+    tf/df/dl stats, one broadcast corpus-stats row, fixed-order float
+    combination rounded to 4 dp, ties broken by doc_id."""
+    from .datapipe import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.bm25_topk(docs, list(_BM25_TERMS), k=20)
+
+
+def _bm25_oracle_sql() -> str:
+    tf = ",\n         ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = "\n      + ".join(
+        f"ln(1.0 + (CAST(N AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * {_BM25_K1P1})"
+        f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)"
+        f" / (CAST(L AS DOUBLE) / CAST(N AS DOUBLE))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+         {tf}
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS L,
+         {df}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, dl AS doc_len,
+         round(0.0
+      + {terms}, 4) AS bm25
+  FROM base, stats
+)
+SELECT * FROM (
+  SELECT doc_id, doc_len, bm25,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 20
+"""
+
+
+ORACLE_BM25 = _bm25_oracle_sql()
+
+
+def text_c4_clean(spark, sf_dir):
+    """C4-style line cleaning. The word-soup corpus has no newlines, so
+    both engines first apply the SAME deterministic rewrite (' table ' ->
+    '.' + newline) to synthesize sentence-ended lines, then the native
+    higher-order line filter runs (terminal punctuation, >=3 words, no
+    blocklisted phrase)."""
+    from .datapipe import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.expr("replace(text, ' table ', concat('.', chr(10)))")
+    c = corpus.c4_clean_lines(t2, min_words=3, blocklist=("javascript", "cookie policy"))
+    return docs.select("doc_id", c.alias("__c")).select(
+        "doc_id",
+        F.col("__c.n_lines").alias("n_lines"),
+        F.col("__c.n_kept").alias("n_kept"),
+        F.col("__c.cleaned").alias("cleaned"),
+    )
+
+
+ORACLE_C4 = """
+WITH lined AS (
+  SELECT doc_id,
+         string_split(replace(text, ' table ', '.' || chr(10)), chr(10)) AS lines
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         list_filter(lines, l ->
+             (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+             AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')
+             AND NOT contains(lower(l), 'cookie policy')) AS keep
+  FROM lined
+)
+SELECT doc_id, n_lines, CAST(len(keep) AS BIGINT) AS n_kept,
+       COALESCE(array_to_string(keep, chr(10)), '') AS cleaned
+FROM cleaned
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -2871,6 +3052,10 @@ QUERIES = {
     "dedup_substring_spans": (dedup_substring_spans, ORACLE_DEDUP_SUBSTRING),
     "pipe_sample_split": (pipe_sample_split, ORACLE_PIPE_SAMPLE_SPLIT),
     "pipe_scrub_text": (pipe_scrub_text, ORACLE_PIPE_SCRUB),
+    "pipe_decontaminate": (pipe_decontaminate, ORACLE_DECONTAM),
+    "pipe_pack_bins": (pipe_pack_bins, ORACLE_PACK),
+    "text_bm25_topk": (text_bm25_topk, ORACLE_BM25),
+    "text_c4_clean": (text_c4_clean, ORACLE_C4),
     "text_tokens": (text_tokens, ORACLE_TEXT_TOKENS),
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (text_langid, ORACLE_TEXT_LANGID),

@@ -1,0 +1,119 @@
+"""Unit + plan tests for datapipe.corpus: decontamination, sequence
+packing, BM25, C4 line cleaning."""
+
+from pyspark.sql import Row, functions as F
+
+from geoarrow_rs_spark.datapipe import corpus
+
+
+def test_word_ngrams_basic(spark):
+    df = spark.createDataFrame(
+        [Row(t="a b c d"), Row(t="a b"), Row(t="x")]
+    )
+    out = df.select(corpus.word_ngrams(F.col("t"), 3).alias("g")).collect()
+    assert out[0].g == ["a b c", "b c d"]
+    assert out[1].g == []
+    assert out[2].g == []
+
+
+def test_decontaminate_flags_copied_doc(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    corp = spark.createDataFrame(
+        [
+            # verbatim copy of a benchmark span -> every 3-gram hits
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            # disjoint vocabulary -> zero hits
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta"),
+            # partial overlap: one shared 3-gram
+            Row(doc_id=3, text="weasel sees the quick brown weasel again ok"),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.decontaminate(corp, bench, n=3, threshold_ppm=50000).collect()
+    }
+    assert out[1].contaminated and out[1].n_hits == out[1].n_grams
+    assert out[2].n_hits == 0 and not out[2].contaminated
+    assert out[3].n_hits == 1 and out[3].n_grams == 6
+    # 1/6 = 166666 ppm (floored) > 5%
+    assert out[3].overlap_ppm == 166666 and out[3].contaminated
+
+
+def test_decontaminate_plan_is_native_and_broadcasts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    corp = docs.where(F.col("doc_id") % 23 != 0)
+    out = corpus.decontaminate(corp, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # benchmark gram set is broadcast
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = 512
+    packed = corpus.pack_sequences(docs, target_tokens=target, n_shards=4)
+    rows = packed.orderBy("shard", "doc_id").collect()
+    assert len(rows) == docs.count()
+    # reconstruct per-shard cumulative sums and check the bin rule
+    cum = {}
+    for r in rows:
+        c = cum.get(r.shard, 0)
+        assert r.bin == c // target, (r, c)
+        assert r.bin_offset == c - (c // target) * target
+        cum[r.shard] = c + r.n_tokens
+    # every doc with bin_offset 0 starts a bin; bins are dense per shard
+    stats = corpus.pack_bin_stats(packed, target_tokens=target).collect()
+    by_shard = {}
+    for s in stats:
+        by_shard.setdefault(s.shard, []).append(s.bin)
+    for bins in by_shard.values():
+        assert sorted(bins) == list(range(len(bins)))
+
+
+def test_bm25_orders_by_relevance(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark spark runs fast"),
+            Row(doc_id=2, text="spark is here once only today"),
+            Row(doc_id=3, text="nothing relevant at all here now"),
+        ]
+    )
+    out = corpus.bm25_topk(df, ["spark"], k=3)
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+    assert rows[0].bm25 > rows[1].bm25 > rows[2].bm25 == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_c4_clean_lines_rules(spark):
+    doc = "\n".join(
+        [
+            "This is a fine sentence.",          # kept
+            "Too short.",                        # < 3 words
+            "no terminal punctuation here",      # no . ! ? "
+            "Enable javascript to continue.",    # blocklist
+            "Read our cookie policy today ok.",  # blocklist (phrase)
+            'He said "use the data."',           # kept (ends with .)
+            "Is this kept as a question?",       # kept
+        ]
+    )
+    df = spark.createDataFrame([Row(t=doc)])
+    r = df.select(corpus.c4_clean_lines(F.col("t")).alias("c")).collect()[0].c
+    assert r.n_lines == 7
+    assert r.n_kept == 3
+    assert r.cleaned.split("\n") == [
+        "This is a fine sentence.",
+        'He said "use the data."',
+        "Is this kept as a question?",
+    ]
+
+
+def test_c4_clean_empty_and_all_dropped(spark):
+    df = spark.createDataFrame([Row(t="just words no punct"), Row(t="")])
+    rows = df.select(corpus.c4_clean_lines(F.col("t")).alias("c")).collect()
+    assert rows[0].c.cleaned == "" and rows[0].c.n_kept == 0
+    assert rows[1].c.cleaned == "" and rows[1].c.n_kept == 0
