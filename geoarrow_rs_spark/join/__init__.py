@@ -1,4 +1,5 @@
 from .asof import asof_join
+from .skew import salted_join
 from .spatial import (
     bucketed_spatial_join,
     grid_cells_expr,
@@ -8,6 +9,7 @@ from .spatial import (
 
 __all__ = [
     "asof_join",
+    "salted_join",
     "spatial_join",
     "grid_cells_expr",
     "write_grid_bucketed",

@@ -2982,6 +2982,36 @@ FROM cleaned
 """
 
 
+def events_salted_join(spark, sf_dir):
+    """Skewed fact-to-dimension join done with explicit key salting
+    (join.skew.salted_join): events fan out ~67 rows/user at sf0.01 and
+    far worse under real skew; salting spreads each user over 8 shuffle
+    partitions while keeping results identical to the plain join — the
+    oracle IS the plain join."""
+    from .join import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 150)
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    j = salted_join(ev, dim, on="user_id", how="inner", n_salts=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _money_sum(F.col("value"), "sum_value"),
+    )
+
+
+ORACLE_SALTED_JOIN = f"""
+SELECT c_nationkey, COUNT(*) AS n_events,
+       {_money_sum_sql('value', 'sum_value')}
+FROM events JOIN customer ON user_id = c_custkey
+WHERE c_custkey < 150
+GROUP BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3077,6 +3107,7 @@ QUERIES = {
     "events_asof_join": (events_asof_join, ORACLE_EVENTS_ASOF),
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
+    "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
     "mm_image_brightness": (mm_image_brightness, ORACLE_MM_BRIGHTNESS),
