@@ -253,6 +253,86 @@ def bm25_topk(
 
 
 # ---------------------------------------------------------------------------
+# repetition signals (Gopher §A1.1 family)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition signals used by Gopher/RedPajama/Dolma
+    quality filtering, all as exact integer ppm:
+
+    - ``dup_line_ppm``: (n_lines - n_distinct_lines) / n_lines — the
+      fraction of line occurrences that are repeats;
+    - ``dup_line_char_ppm``: characters in ALL occurrences of lines that
+      appear more than once, over total line characters;
+    - ``top_word_ppm``: occurrences of the single most frequent word over
+      total words;
+    - ``top_bigram_ppm``: same for word 2-grams.
+
+    Line stats are per-row native expressions (docs hold few lines — the
+    O(distinct·lines) nested scan is a tiny constant per row and never
+    shuffles). Word/2-gram stats go through explode + groupBy — at 100 TB
+    a per-row frequency map would blow the row budget, while the exploded
+    (id, token) aggregation is a classic map-side-combined count whose
+    skew AQE handles; the three signal groups re-join on the corpus key.
+    """
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
+    dist = F.array_distinct(lines)
+    n_lines = F.size(lines).cast("long")
+    n_dist = F.size(dist).cast("long")
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l).cast("long")
+    )
+    cnt = lambda d: F.size(F.filter(lines, lambda x: x == d)).cast("long")  # noqa: E731
+    dup_chars = F.aggregate(
+        dist,
+        F.lit(0).cast("long"),
+        lambda a, d: a
+        + F.when(cnt(d) > 1, cnt(d) * F.length(d).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+    def ppm(num, den):
+        return F.when(den > 0, F.floor(num * F.lit(1000000) / den).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    line_stats = df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        ppm(n_lines - n_dist, n_lines).alias("dup_line_ppm"),
+        ppm(dup_chars, total_chars).alias("dup_line_char_ppm"),
+    )
+
+    def top_token_ppm(tokens, out_name):
+        tok = df.select(F.col(id_col), F.explode(tokens).alias("__t"))
+        counts = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+        return counts.groupBy(id_col).agg(
+            ppm(F.max("__c"), F.sum("__c")).alias(out_name)
+        )
+
+    words = F.filter(words_of(F.col(text_col)), lambda x: x != F.lit(""))
+    top_w = top_token_ppm(words, "top_word_ppm")
+    top_b = top_token_ppm(word_ngrams(F.col(text_col), 2), "top_bigram_ppm")
+    return (
+        line_stats.join(top_w, on=id_col, how="left")
+        .join(top_b, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_ppm",
+            "dup_line_char_ppm",
+            F.coalesce("top_word_ppm", F.lit(0)).cast("long").alias("top_word_ppm"),
+            F.coalesce("top_bigram_ppm", F.lit(0)).cast("long").alias("top_bigram_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4-style line cleaning
 # ---------------------------------------------------------------------------
 

@@ -2982,6 +2982,79 @@ FROM cleaned
 """
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup-line fraction, dup-line char
+    fraction, top word/2-gram coverage) as exact integer ppm. The word-soup
+    corpus has no newlines, so both engines apply the SAME deterministic
+    rewrite first: split at ' table ' into '.'-terminated lines, then
+    append a copy of the first line so every doc has a guaranteed duplicate
+    line. Word tokens are split on single spaces only (tokens may embed the
+    synthesized newline — identical on both engines)."""
+    from .datapipe import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.expr("replace(text, ' table ', concat('.', chr(10)))")
+    t3 = F.concat(t2, F.lit("\n"), F.substring_index(t2, "\n", 1))
+    return corpus.repetition_stats(docs.select("doc_id", t3.alias("text")))
+
+
+ORACLE_REPETITION = """
+WITH d AS (
+  SELECT doc_id, t2 || chr(10) || split_part(t2, chr(10), 1) AS text
+  FROM (SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS t2
+        FROM documents)
+),
+lined AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS L
+  FROM d
+),
+line_stats AS (
+  SELECT doc_id,
+    CAST(len(L) AS BIGINT) AS n_lines,
+    CAST(len(list_distinct(L)) AS BIGINT) AS n_dist,
+    CAST(COALESCE(list_sum(list_transform(L, l -> length(l))), 0) AS BIGINT)
+      AS total_chars,
+    CAST(COALESCE(list_sum(list_transform(list_distinct(L), dl ->
+        CASE WHEN len(list_filter(L, x -> x = dl)) > 1
+             THEN len(list_filter(L, x -> x = dl)) * length(dl)
+             ELSE 0 END)), 0) AS BIGINT) AS dup_chars
+  FROM lined
+),
+wtok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM d
+),
+wcounts AS (SELECT doc_id, w, COUNT(*) AS c FROM wtok GROUP BY doc_id, w),
+wtop AS (
+  SELECT doc_id, CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_word_ppm
+  FROM wcounts GROUP BY doc_id
+),
+btok AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      THEN list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))
+      ELSE []::VARCHAR[] END) AS b
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d)
+),
+bcounts AS (SELECT doc_id, b, COUNT(*) AS c FROM btok GROUP BY doc_id, b),
+btop AS (
+  SELECT doc_id, CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_bigram_ppm
+  FROM bcounts GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines,
+  CASE WHEN n_lines > 0
+       THEN CAST((n_lines - n_dist) * 1000000 // n_lines AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS dup_line_ppm,
+  CASE WHEN total_chars > 0
+       THEN CAST(dup_chars * 1000000 // total_chars AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS dup_line_char_ppm,
+  COALESCE(w.top_word_ppm, 0) AS top_word_ppm,
+  COALESCE(b.top_bigram_ppm, 0) AS top_bigram_ppm
+FROM line_stats l
+LEFT JOIN wtop w USING (doc_id)
+LEFT JOIN btop b USING (doc_id)
+"""
+
+
 def events_salted_join(spark, sf_dir):
     """Skewed fact-to-dimension join done with explicit key salting
     (join.skew.salted_join): events fan out ~67 rows/user at sf0.01 and
@@ -3086,6 +3159,7 @@ QUERIES = {
     "pipe_pack_bins": (pipe_pack_bins, ORACLE_PACK),
     "text_bm25_topk": (text_bm25_topk, ORACLE_BM25),
     "text_c4_clean": (text_c4_clean, ORACLE_C4),
+    "text_repetition": (text_repetition, ORACLE_REPETITION),
     "text_tokens": (text_tokens, ORACLE_TEXT_TOKENS),
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (text_langid, ORACLE_TEXT_LANGID),

@@ -112,6 +112,24 @@ def test_c4_clean_lines_rules(spark):
     ]
 
 
+def test_repetition_stats_hand_computed(spark):
+    # doc 1: lines [x, y, x]; words: a a a b; bigrams: "a a","a a","a b"
+    doc = "a a\nb c d\na a"
+    df = spark.createDataFrame([Row(doc_id=1, text=doc)])
+    r = corpus.repetition_stats(df).collect()[0]
+    assert r.n_lines == 3
+    # 3 lines, 2 distinct -> 1/3 repeats
+    assert r.dup_line_ppm == 333333
+    # dup chars: "a a" appears twice -> 2*3 chars of 3+5+3=11 total
+    assert r.dup_line_char_ppm == (6 * 1000000) // 11
+    # words = raw space-split (newlines embed): [a, a\nb, c, d\na, a]
+    # -> top 'a' 2/5
+    assert r.top_word_ppm == 400000
+    # bigrams over raw space-split (newlines embed): tokens
+    # [a, a\nb, c, d\na, a] -> 4 bigrams, all distinct -> 1/4
+    assert r.top_bigram_ppm == 250000
+
+
 def test_c4_clean_empty_and_all_dropped(spark):
     df = spark.createDataFrame([Row(t="just words no punct"), Row(t="")])
     rows = df.select(corpus.c4_clean_lines(F.col("t")).alias("c")).collect()
