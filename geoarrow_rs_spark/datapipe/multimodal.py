@@ -4,12 +4,14 @@ Media are opaque ``binary`` columns with a typed metadata struct alongside
 (SURVEY/BASELINE north-star). The Spark-side plumbing — schemas, batching,
 partition sizing, mapInPandas signatures — is real and tested.
 
-Decode status: self-describing uncompressed formats are decoded FOR REAL in
-pure numpy (24-bit BMP images, 16-bit PCM WAV audio — header parse + buffer
-reshape, no external library needed); compressed codec formats (JPEG, MP3,
-H.264…) still raise ``NotImplementedError`` unless ``fake=True``, because
-this runtime ships no codec libraries. Features/resize/meta-sniffing run on
-the real decode path whenever the blob magic matches a supported format.
+Decode status: library-free formats are decoded FOR REAL — 24-bit BMP and
+16-bit PCM WAV in pure numpy (header parse + buffer reshape), and 8-bit
+PNG via stdlib zlib inflate + numpy scanline unfiltering (all five PNG
+filter types, gray/RGB/alpha variants). Patent-era codec formats (JPEG,
+MP3, H.264…) still raise ``NotImplementedError`` unless ``fake=True``,
+because this runtime ships no codec libraries. Features/resize/
+meta-sniffing run on the real decode path whenever the blob magic matches
+a supported format.
 """
 
 from __future__ import annotations
@@ -95,6 +97,125 @@ def decode_wav(blob: bytes):
     raise ValueError("WAV has no data chunk")
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> channels (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / RGB / gray+alpha / RGBA)
+    into an (h, w, c) uint8 array. Real decode with no codec library:
+    chunk walk + stdlib ``zlib`` inflate + scanline unfiltering (all five
+    PNG filter types; Sub is a per-channel modular cumsum, Up a vectorized
+    uint8 add, Average/Paeth the spec's sequential recurrences)."""
+    import zlib
+
+    if len(blob) < 8 or blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG blob")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(blob):
+        (sz,) = struct.unpack_from(">I", blob, pos)
+        cid = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + sz]
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif cid == b"IDAT":
+            idat.append(data)
+        elif cid == b"IEND":
+            break
+        pos += 12 + sz  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"only 8-bit PNG (depth={depth})")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG not supported")
+    c = _PNG_CHANNELS.get(ctype)
+    if c is None:
+        raise NotImplementedError(f"palette PNG not supported (colortype={ctype})")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(ftypes[y]), data[y]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:  # Sub: per-channel modular cumulative sum
+            px = line.reshape(w, c).astype(np.int64)
+            rec = (np.cumsum(px, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            rec = line + prev  # uint8 wraps = mod 256
+        elif f == 3:  # Average
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - c]) if x >= c else 0
+                rec[x] = (int(line[x]) + (left + int(prev[x])) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, c)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an (h, w) or (h, w, c) uint8 array as 8-bit PNG (filter 0,
+    stdlib zlib deflate). Inverse of :func:`decode_png`."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[c]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + cid
+            + data
+            + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = np.concatenate(
+        [np.full((h, 1), 0, dtype=np.uint8), img.reshape(h, w * c)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to (h, w, 3) for the feature extractor:
+    gray -> replicated, alpha -> dropped."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c = img.shape[2]
+    if c == 1:
+        return np.repeat(img, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize via numpy fancy indexing (no PIL needed)."""
     h, w = img.shape[:2]
@@ -137,6 +258,17 @@ def sniff_media_meta(blob: bytes):
             )
         except (ValueError, NotImplementedError):
             meta.update(media_type="audio/wav")
+    elif blob[:8] == _PNG_SIG:
+        try:
+            w, h, depth, ctype = struct.unpack_from(">IIBB", blob, 16)
+            meta.update(
+                media_type="image/png",
+                width=int(w),
+                height=int(h),
+                n_channels=int(_PNG_CHANNELS.get(ctype, 0)) or None,
+            )
+        except struct.error:
+            meta.update(media_type="image/png")
     elif blob[:3] == b"\xff\xd8\xff":
         meta.update(media_type="image/jpeg")  # recognized, codec not shipped
     return meta
@@ -224,6 +356,8 @@ def extract_features(
         blob = bytes(b)
         if blob[:2] == b"BM":
             return _image_features(decode_bmp(blob), dim)
+        if blob[:8] == _PNG_SIG:
+            return _image_features(_to_rgb(decode_png(blob)), dim)
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
             return _audio_features(*decode_wav(blob), dim)
         if fake:
@@ -243,19 +377,22 @@ def extract_features(
 
 
 def resize_images(df: DataFrame, blob_col: str, out_h: int, out_w: int) -> DataFrame:
-    """Decode BMP blobs, nearest-neighbor resize, re-encode — a real
-    distributed image transform over mapInPandas."""
+    """Decode BMP/PNG blobs, nearest-neighbor resize, re-encode in the same
+    format — a real distributed image transform over mapInPandas."""
     out_schema = StructType(df.schema.fields + [StructField("resized", BinaryType())])
+
+    def one(b):
+        if b is None:
+            return None
+        blob = bytes(b)
+        if blob[:8] == _PNG_SIG:
+            return encode_png(resize_nearest(decode_png(blob), out_h, out_w))
+        return encode_bmp(resize_nearest(decode_bmp(blob), out_h, out_w))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["resized"] = [
-                None
-                if b is None
-                else encode_bmp(resize_nearest(decode_bmp(bytes(b)), out_h, out_w))
-                for b in pdf[blob_col]
-            ]
+            pdf["resized"] = [one(b) for b in pdf[blob_col]]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -135,3 +135,42 @@ def test_c4_clean_empty_and_all_dropped(spark):
     rows = df.select(corpus.c4_clean_lines(F.col("t")).alias("c")).collect()
     assert rows[0].c.cleaned == "" and rows[0].c.n_kept == 0
     assert rows[1].c.cleaned == "" and rows[1].c.n_kept == 0
+
+
+def test_corpus_cleaning_composes_with_streaming(spark, tmp_path, sf_dir):
+    """The stateless cleaning stack (C4 line filter + Gopher rules + token
+    count) is pure column expressions, so the same code runs unchanged in
+    Structured Streaming — the standard shape for a continuous ingest
+    pipeline that filters before landing training shards."""
+    import os
+
+    from geoarrow_rs_spark.datapipe import text as dtext
+
+    src = os.path.join(str(tmp_path), "docs_src")
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    def clean(df):
+        t2 = F.expr("replace(text, ' table ', concat('.', chr(10)))")
+        c = corpus.c4_clean_lines(t2)
+        g = dtext.gopher_rules(F.col("text"), min_words=10)
+        return (
+            df.select("doc_id", c.alias("__c"), g.alias("__g"))
+            .where((F.col("__c.n_kept") > 0) & F.col("__g.keep"))
+            .select("doc_id", F.col("__c.cleaned").alias("cleaned"))
+        )
+
+    q = (
+        clean(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_clean_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM corpus_clean_out").collect()
+    want = clean(batch).collect()
+    assert len(got) == len(want) > 0
+    assert {r.doc_id for r in got} == {r.doc_id for r in want}
