@@ -3055,6 +3055,60 @@ LEFT JOIN btop b USING (doc_id)
 """
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Multi-level OLAP rollup: revenue by (nation, order-year), with
+    per-nation subtotals and a grand total in ONE pass — Spark's
+    ``rollup()`` plans a single Expand + hash aggregate (no re-scan per
+    grouping level, unlike a UNION of aggregates). GROUPING() flags
+    disambiguate subtotal rows from real NULL keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            F.col("o_totalprice"),
+        )
+    )
+    return (
+        j.rollup("n_name", "o_year")
+        .agg(
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.grouping("o_year").cast("long").alias("g_year"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias("year"),
+            "g_nation",
+            "g_year",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ORACLE_ROLLUP = f"""
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(CAST(o_year AS VARCHAR), 'ALL') AS year,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+       COUNT(*) AS n_orders,
+       {_money_sum_sql('o_totalprice', 'revenue')}
+FROM (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+GROUP BY ROLLUP(n_name, o_year)
+"""
+
+
 def events_salted_join(spark, sf_dir):
     """Skewed fact-to-dimension join done with explicit key salting
     (join.skew.salted_join): events fan out ~67 rows/user at sf0.01 and
@@ -3115,6 +3169,7 @@ QUERIES = {
     "q9_product_profit": (q9_product_profit, ORACLE_Q9),
     "q11_important_values": (q11_important_values, ORACLE_Q11),
     "q20_dominant_suppliers": (q20_dominant_suppliers, ORACLE_Q20),
+    "q_rollup_revenue": (q_rollup_revenue, ORACLE_ROLLUP),
     # geometry
     "geo_point_accessors": (geo_point_accessors, ORACLE_GEO_POINT),
     "geo_distance": (geo_distance, ORACLE_GEO_DISTANCE),

@@ -137,6 +137,44 @@ def test_c4_clean_empty_and_all_dropped(spark):
     assert rows[1].c.cleaned == "" and rows[1].c.n_kept == 0
 
 
+def test_streaming_decontamination(spark, tmp_path, sf_dir):
+    """Decontamination in continuous ingest: the benchmark n-gram set is a
+    STATIC DataFrame joined against a streaming corpus (stream-static
+    broadcast join — supported by Structured Streaming with no state
+    store), so every arriving micro-batch is flagged with the same exact
+    semantics as the batch operator."""
+    import os
+
+    src = os.path.join(str(tmp_path), "decontam_src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.where(F.col("doc_id") % 23 != 0).write.mode("overwrite").parquet(src)
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+
+    batst = spark.read.parquet(src)
+    stream = spark.readStream.schema(batst.schema).parquet(src)
+    # the per-doc hit count is a streaming aggregation -> complete mode
+    # (docs are disjoint across micro-batches, so the final table equals
+    # the batch result without a watermark)
+    q = (
+        corpus.decontaminate(stream, bench)
+        .writeStream.format("memory")
+        .queryName("decontam_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits, r.overlap_ppm, r.contaminated)
+        for r in spark.sql("SELECT * FROM decontam_out").collect()
+    }
+    want = {
+        r.doc_id: (r.n_grams, r.n_hits, r.overlap_ppm, r.contaminated)
+        for r in corpus.decontaminate(batst, bench).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_corpus_cleaning_composes_with_streaming(spark, tmp_path, sf_dir):
     """The stateless cleaning stack (C4 line filter + Gopher rules + token
     count) is pure column expressions, so the same code runs unchanged in
