@@ -1,6 +1,8 @@
 """Unit + plan tests for datapipe.corpus: decontamination, sequence
 packing, BM25, C4 line cleaning."""
 
+import random
+
 from pyspark.sql import Row, functions as F
 
 from geoarrow_rs_spark.datapipe import corpus
@@ -135,6 +137,49 @@ def test_c4_clean_empty_and_all_dropped(spark):
     rows = df.select(corpus.c4_clean_lines(F.col("t")).alias("c")).collect()
     assert rows[0].c.cleaned == "" and rows[0].c.n_kept == 0
     assert rows[1].c.cleaned == "" and rows[1].c.n_kept == 0
+
+
+def test_c4_clean_is_idempotent_on_random_docs(spark):
+    """Property: cleaning an already-cleaned doc changes nothing (every
+    kept line still satisfies every rule). 300 seeded random multi-line
+    docs over a hostile alphabet, checked in one Spark job."""
+    rng = random.Random(42)
+    pieces = ["word", "a", "JavaScript", "cookie policy", "x" * 30, "", " ",
+              "ok then.", "what?", 'quoted"', "end!", "no punct", "1 2 3."]
+    docs = []
+    for i in range(300):
+        n = rng.randint(0, 8)
+        lines = [" ".join(rng.choices(pieces, k=rng.randint(0, 6))) for _ in range(n)]
+        docs.append(Row(doc_id=i, t="\n".join(lines)))
+    df = spark.createDataFrame(docs)
+    once = df.select(
+        "doc_id", corpus.c4_clean_lines(F.col("t")).alias("c")
+    ).select("doc_id", F.col("c.cleaned").alias("t1"), F.col("c.n_kept").alias("k1"))
+    twice = once.select(
+        "doc_id", "k1", corpus.c4_clean_lines(F.col("t1")).alias("c")
+    ).select(
+        "doc_id", "k1",
+        F.col("c.cleaned").alias("t2"), F.col("c.n_kept").alias("k2"),
+    )
+    joined = twice.join(once.select("doc_id", "t1"), "doc_id")
+    bad = joined.where((F.col("t2") != F.col("t1")) | (F.col("k2") != F.col("k1")))
+    assert bad.count() == 0
+
+
+def test_pack_conserves_tokens_and_caps_offsets(spark, sf_dir):
+    """Properties: packing neither drops nor duplicates tokens (per-shard
+    sums are conserved), and every bin_offset is < target (a doc starts
+    inside its bin's budget window)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = 777  # non-power-of-two to exercise the division
+    packed = corpus.pack_sequences(docs, target_tokens=target, n_shards=4)
+    tot_in = docs.select(
+        F.sum(F.size(corpus.words_of(F.col("text")))).alias("s")
+    ).collect()[0].s
+    tot_out = packed.agg(F.sum("n_tokens").alias("s")).collect()[0].s
+    assert tot_in == tot_out
+    assert packed.where(F.col("bin_offset") >= target).count() == 0
+    assert packed.where(F.col("bin_offset") < 0).count() == 0
 
 
 def test_streaming_decontamination(spark, tmp_path, sf_dir):
