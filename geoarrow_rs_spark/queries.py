@@ -3055,6 +3055,52 @@ LEFT JOIN btop b USING (doc_id)
 """
 
 
+def geo_shape_metrics(spark, sf_dir):
+    """Closed-form oracle coverage for six kernels that previously had only
+    unit tests: Frechet/Hausdorff (parallel equal-length segments -> the
+    vertical offset, exactly), Densify (axis-aligned line: npoints =
+    ceil(L/d)+1, length preserved), MinimumRotatedRectangle of a rectangle
+    (itself: area w*h, perimeter 2(w+h)), and Polylabel of a rectangle
+    (the exact center — halves are exact doubles, so no rounding)."""
+    p = _t(spark, sf_dir, "part")
+    L = "CAST(p_size % 7 + 2 AS DOUBLE)"
+    k = "CAST(p_partkey % 9 + 1 AS DOUBLE)"
+    w = "CAST(p_size % 5 + 1 AS DOUBLE)"
+    h = "CAST(p_partkey % 4 + 1 AS DOUBLE)"
+    la = f"ST_MakeLine(ST_Point(0.0, 0.0), ST_Point({L}, 0.0))"
+    lb = f"ST_MakeLine(ST_Point(0.0, {k}), ST_Point({L}, {k}))"
+    box = f"ST_MakeEnvelope(0.0, 0.0, {w}, {h})"
+    return p.selectExpr(
+        "p_partkey",
+        f"ST_FrechetDistance({la}, {lb}) AS frechet",
+        f"ST_HausdorffDistance({la}, {lb}) AS hausdorff",
+        f"CAST(ST_NPoints(ST_Densify({la}, 2.0)) AS BIGINT) AS dens_npoints",
+        f"ST_Length(ST_Densify({la}, 2.0)) AS dens_length",
+        f"ST_Area(ST_MinimumRotatedRectangle({box})) AS mrr_area",
+        f"ST_Perimeter(ST_MinimumRotatedRectangle({box})) AS mrr_perim",
+        # tol 0.25: still the exact center for rectangles (the first probe
+        # wins); finer tolerances degenerate on the symmetric distance-field
+        # ties of a rectangle (quadtree can't prune) — 100x slower, same
+        # answer
+        f"ST_X(ST_Polylabel({box}, 0.25)) AS pl_x",
+        f"ST_Y(ST_Polylabel({box}, 0.25)) AS pl_y",
+    )
+
+
+ORACLE_GEO_SHAPE_METRICS = """
+SELECT p_partkey,
+       CAST(p_partkey % 9 + 1 AS DOUBLE) AS frechet,
+       CAST(p_partkey % 9 + 1 AS DOUBLE) AS hausdorff,
+       CAST(ceil(CAST(p_size % 7 + 2 AS DOUBLE) / 2.0) + 1 AS BIGINT) AS dens_npoints,
+       CAST(p_size % 7 + 2 AS DOUBLE) AS dens_length,
+       CAST(p_size % 5 + 1 AS DOUBLE) * CAST(p_partkey % 4 + 1 AS DOUBLE) AS mrr_area,
+       2.0 * (CAST(p_size % 5 + 1 AS DOUBLE) + CAST(p_partkey % 4 + 1 AS DOUBLE)) AS mrr_perim,
+       CAST(p_size % 5 + 1 AS DOUBLE) / 2.0 AS pl_x,
+       CAST(p_partkey % 4 + 1 AS DOUBLE) / 2.0 AS pl_y
+FROM part
+"""
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Multi-level OLAP rollup: revenue by (nation, order-year), with
     per-nation subtotals and a grand total in ONE pass — Spark's
@@ -3202,6 +3248,7 @@ QUERIES = {
     "geo_line_merge": (geo_line_merge, ORACLE_GEO_LINE_MERGE),
     "geo_snap_points": (geo_snap_points, ORACLE_GEO_SNAP),
     "geo_subdivide": (geo_subdivide, ORACLE_GEO_SUBDIVIDE),
+    "geo_shape_metrics": (geo_shape_metrics, ORACLE_GEO_SHAPE_METRICS),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
