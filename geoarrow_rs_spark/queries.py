@@ -3101,6 +3101,58 @@ FROM part
 """
 
 
+def geo_affine_parts(spark, sf_dir):
+    """Closed-form oracles for the affine family and multi-part accessors
+    (previously pytest-only): rotate-90-about-center bbox, translate
+    offsets, scale-about-center area/extent, skew-about-center extent
+    (tan via the same libm on both engines), ST_Collect/NumGeometries/
+    GeometryN, boundary length of a box, RemoveRepeatedPoints counts.
+    All params derive from part columns; results are exact halves/quarters
+    except the rotation/skew trig, rounded to 9 dp (error ~1e-16)."""
+    p = _t(spark, sf_dir, "part")
+    w = "CAST(p_size % 5 + 1 AS DOUBLE)"
+    h = "CAST(p_partkey % 4 + 1 AS DOUBLE)"
+    dx = "CAST(p_partkey % 7 AS DOUBLE)"
+    box = f"ST_MakeEnvelope(0.0, 0.0, {w}, {h})"
+    coll = f"ST_Collect(ST_Point({dx}, {h}), ST_Point({w}, 0.0))"
+    dup_line = (
+        f"ST_LineFromArrays(array(0.0, 0.0, {w}, {w}, {w}),"
+        f" array(0.0, 0.0, {h}, {h} + 1.0, {h} + 1.0))"
+    )
+    return p.selectExpr(
+        "p_partkey",
+        f"round(ST_XMin(ST_Rotate({box}, 90.0)), 9) AS rot_xmin",
+        f"round(ST_XMax(ST_Rotate({box}, 90.0)), 9) AS rot_xmax",
+        f"round(ST_YMin(ST_Rotate({box}, 90.0)), 9) AS rot_ymin",
+        f"ST_X(ST_StartPoint(ST_Translate(ST_MakeLine(ST_Point(1.0, 1.0), ST_Point(2.0, 2.0)), {dx}, -1.0))) AS trans_x",
+        f"ST_Area(ST_Scale({box}, 0.5, 0.5)) AS scale_area",
+        f"ST_XMin(ST_Scale({box}, 0.5, 0.5)) AS scale_xmin",
+        f"round(ST_XMax(ST_Skew({box}, 30.0, 0.0)), 9) AS skew_xmax",
+        f"CAST(ST_NumGeometries({coll}) AS BIGINT) AS n_parts",
+        f"ST_X(ST_GeometryN({coll}, 2)) AS part2_x",
+        f"ST_Length(ST_Boundary({box})) AS boundary_len",
+        f"CAST(ST_NPoints(ST_RemoveRepeatedPoints({dup_line}, 0.0)) AS BIGINT) AS rrp_npoints",
+    )
+
+
+ORACLE_GEO_AFFINE_PARTS = """
+SELECT p_partkey,
+       round((CAST(p_size % 5 + 1 AS DOUBLE) - CAST(p_partkey % 4 + 1 AS DOUBLE)) / 2.0, 9) AS rot_xmin,
+       round((CAST(p_size % 5 + 1 AS DOUBLE) + CAST(p_partkey % 4 + 1 AS DOUBLE)) / 2.0, 9) AS rot_xmax,
+       round((CAST(p_partkey % 4 + 1 AS DOUBLE) - CAST(p_size % 5 + 1 AS DOUBLE)) / 2.0, 9) AS rot_ymin,
+       1.0 + CAST(p_partkey % 7 AS DOUBLE) AS trans_x,
+       CAST(p_size % 5 + 1 AS DOUBLE) * CAST(p_partkey % 4 + 1 AS DOUBLE) / 4.0 AS scale_area,
+       CAST(p_size % 5 + 1 AS DOUBLE) / 4.0 AS scale_xmin,
+       round(CAST(p_size % 5 + 1 AS DOUBLE)
+             + tan(radians(30.0)) * CAST(p_partkey % 4 + 1 AS DOUBLE) / 2.0, 9) AS skew_xmax,
+       CAST(2 AS BIGINT) AS n_parts,
+       CAST(p_size % 5 + 1 AS DOUBLE) AS part2_x,
+       2.0 * (CAST(p_size % 5 + 1 AS DOUBLE) + CAST(p_partkey % 4 + 1 AS DOUBLE)) AS boundary_len,
+       CAST(3 AS BIGINT) AS rrp_npoints
+FROM part
+"""
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Multi-level OLAP rollup: revenue by (nation, order-year), with
     per-nation subtotals and a grand total in ONE pass — Spark's
@@ -3249,6 +3301,7 @@ QUERIES = {
     "geo_snap_points": (geo_snap_points, ORACLE_GEO_SNAP),
     "geo_subdivide": (geo_subdivide, ORACLE_GEO_SUBDIVIDE),
     "geo_shape_metrics": (geo_shape_metrics, ORACLE_GEO_SHAPE_METRICS),
+    "geo_affine_parts": (geo_affine_parts, ORACLE_GEO_AFFINE_PARTS),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
