@@ -3153,6 +3153,50 @@ FROM part
 """
 
 
+def geo_spherical(spark, sf_dir):
+    """Spherical-earth oracles (previously pytest-only kernels): the
+    Chamberlain-Duquette signed spherical area of a 2°x2° lon-lat box
+    (|(dλ)(sin φ0 − sin φ1)|·R², the CD edge sum in closed form) and the
+    haversine length/distance of a 2-point line — the oracle states the
+    SAME published formulas in SQL on the same libm, with rounding far
+    above ulp drift (areas to whole m², lengths to mm)."""
+    p = _t(spark, sf_dir, "part")
+    x0 = "CAST(p_partkey % 30 AS DOUBLE)"
+    y0 = "CAST(p_size % 20 + 10 AS DOUBLE)"
+    box = f"ST_MakeEnvelope({x0}, {y0}, {x0} + 2.0, {y0} + 2.0)"
+    line = f"ST_MakeLine(ST_Point({x0}, {y0}), ST_Point({x0} + 2.0, {y0} + 2.0))"
+    return p.selectExpr(
+        "p_partkey",
+        f"round(abs(ST_AreaSpherical({box})), 0) AS cd_area",
+        f"round(ST_LengthSphere({line}), 3) AS hav_len",
+        f"round(ST_DistanceSphere(ST_Point({x0}, {y0}), ST_Point({x0} + 2.0, {y0} + 2.0)), 3) AS hav_dist",
+    )
+
+
+ORACLE_GEO_SPHERICAL = """
+WITH params AS (
+  SELECT p_partkey,
+         radians(CAST(p_partkey % 30 AS DOUBLE)) AS lam0,
+         radians(CAST(p_partkey % 30 AS DOUBLE) + 2.0) AS lam1,
+         radians(CAST(p_size % 20 + 10 AS DOUBLE)) AS phi0,
+         radians(CAST(p_size % 20 + 10 AS DOUBLE) + 2.0) AS phi1
+  FROM part
+)
+SELECT p_partkey,
+       round(abs((lam1 - lam0) * (sin(phi0) - sin(phi1)))
+             * 6371008.8 * 6371008.8, 0) AS cd_area,
+       round(2.0 * 6371008.8 * asin(sqrt(
+           sin((phi1 - phi0) / 2.0) * sin((phi1 - phi0) / 2.0)
+           + cos(phi0) * cos(phi1)
+             * sin((lam1 - lam0) / 2.0) * sin((lam1 - lam0) / 2.0))), 3) AS hav_len,
+       round(2.0 * 6371008.8 * asin(sqrt(
+           sin((phi1 - phi0) / 2.0) * sin((phi1 - phi0) / 2.0)
+           + cos(phi0) * cos(phi1)
+             * sin((lam1 - lam0) / 2.0) * sin((lam1 - lam0) / 2.0))), 3) AS hav_dist
+FROM params
+"""
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Multi-level OLAP rollup: revenue by (nation, order-year), with
     per-nation subtotals and a grand total in ONE pass — Spark's
@@ -3302,6 +3346,7 @@ QUERIES = {
     "geo_subdivide": (geo_subdivide, ORACLE_GEO_SUBDIVIDE),
     "geo_shape_metrics": (geo_shape_metrics, ORACLE_GEO_SHAPE_METRICS),
     "geo_affine_parts": (geo_affine_parts, ORACLE_GEO_AFFINE_PARTS),
+    "geo_spherical": (geo_spherical, ORACLE_GEO_SPHERICAL),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
