@@ -3084,6 +3084,11 @@ def geo_shape_metrics(spark, sf_dir):
         # answer
         f"ST_X(ST_Polylabel({box}, 0.25)) AS pl_x",
         f"ST_Y(ST_Polylabel({box}, 0.25)) AS pl_y",
+        # Chaikin on an open 3-point corner keeps endpoints and replaces
+        # each segment with its 1/4-3/4 points: 2(n-1)+2 = 6 vertices
+        f"CAST(ST_NPoints(ST_ChaikinSmoothing(ST_LineFromArrays(array(0.0, {w}, {w}), array(0.0, 0.0, {h})), 1)) AS BIGINT) AS chaikin_npoints",
+        # locate on a horizontal segment = clamp(x/L, 0, 1), exact division
+        f"ST_LineLocatePoint({la}, ST_Point(CAST(p_partkey % 11 AS DOUBLE), 5.0)) AS line_loc",
     )
 
 
@@ -3096,7 +3101,10 @@ SELECT p_partkey,
        CAST(p_size % 5 + 1 AS DOUBLE) * CAST(p_partkey % 4 + 1 AS DOUBLE) AS mrr_area,
        2.0 * (CAST(p_size % 5 + 1 AS DOUBLE) + CAST(p_partkey % 4 + 1 AS DOUBLE)) AS mrr_perim,
        CAST(p_size % 5 + 1 AS DOUBLE) / 2.0 AS pl_x,
-       CAST(p_partkey % 4 + 1 AS DOUBLE) / 2.0 AS pl_y
+       CAST(p_partkey % 4 + 1 AS DOUBLE) / 2.0 AS pl_y,
+       CAST(6 AS BIGINT) AS chaikin_npoints,
+       LEAST(CAST(p_partkey % 11 AS DOUBLE), CAST(p_size % 7 + 2 AS DOUBLE))
+         / CAST(p_size % 7 + 2 AS DOUBLE) AS line_loc
 FROM part
 """
 
