@@ -53,6 +53,36 @@ def train_val_test_split(
     return df.withColumn(out_col, label)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight,
+    k: int,
+    salt: str = "wsample",
+    score_col: str = "__wscore",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): score = u^(1/w) with a per-key deterministic uniform,
+    keep the k highest scores. Rows with weight w are selected with
+    probability proportional to w, the sample is stable across reruns and
+    cluster layouts, and the selection is a distributed top-k
+    (TakeOrderedAndProject — per-partition heads, k-row merge), never a
+    global sort.
+
+    The score is rounded to 9 dp (ties broken by key) so rank order is
+    engine-independent: Java's Math.pow and C libm may disagree in the
+    last ulp, which rounding absorbs — the classic quality-weighted
+    corpus subsampling pass, exactly reproducible in SQL."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = hash_uniform(key, salt)
+    score = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    scored = df.withColumn(score_col, score)
+    return (
+        scored.orderBy(F.col(score_col).desc(), F.col(key))
+        .limit(k)
+    )
+
+
 # conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB)
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
 URL_RE = "https?://[^ \\t\\n]+"

@@ -1230,6 +1230,76 @@ FROM documents d LEFT JOIN best ON d.doc_id = best.node
 """
 
 
+def dedup_corpus_keepers(spark, sf_dir):
+    """END-TO-END near-dup dedup: LSH candidate pairs -> connected
+    components -> keep ONE canonical doc per cluster (the min id — the
+    standard 'keep first' policy) -> materialize the surviving corpus.
+    This is the actual output a training pipeline ships; the oracle closes
+    the same pairs with a recursive CTE and anti-selects non-canonical
+    members."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    )
+    assign = dedup.dedup_clusters(d, pairs, id_col="doc_id")
+    keepers = assign.where(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    return (
+        d.join(keepers, on="doc_id", how="left_semi")
+        .select("doc_id", "n_chars")
+    )
+
+
+ORACLE_DEDUP_CORPUS = f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.node
+),
+best AS (SELECT node, MIN(label) AS cl FROM cc GROUP BY node)
+SELECT d.doc_id, d.n_chars
+FROM documents d LEFT JOIN best ON d.doc_id = best.node
+WHERE COALESCE(best.cl, d.doc_id) = d.doc_id
+"""
+
+
+def pipe_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus subsampling (Efraimidis-Spirakis
+    u^(1/w) top-k): longer documents (weight = word count) are
+    proportionally more likely to survive; selection is deterministic,
+    engine-independent (score rounded to 9 dp, ties by doc_id), and
+    distributed (TakeOrderedAndProject, no global sort)."""
+    from .datapipe import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("double")
+    out = sampling.weighted_sample(d, "doc_id", w, k=50)
+    return out.select("doc_id", F.col("__wscore").alias("score"))
+
+
+ORACLE_PIPE_WEIGHTED = """
+WITH scored AS (
+  SELECT doc_id,
+         round(pow(
+           CAST(concat('0x', substr(md5(concat('wsample:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0,
+           1.0 / CAST(len(string_split(text, ' ')) AS DOUBLE)
+         ), 9) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT doc_id, score FROM ranked WHERE rn <= 50
+"""
+
+
 def text_gopher_rules(spark, sf_dir):
     """Gopher-style quality filter: per-rule booleans + keep decision, all
     whole-stage codegen (rule thresholds on exact int/double arithmetic)."""
@@ -3360,10 +3430,12 @@ QUERIES = {
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_MINHASH_PAIRS),
     "dedup_clusters_assignment": (dedup_clusters_assignment, ORACLE_DEDUP_CLUSTERS),
+    "dedup_corpus_keepers": (dedup_corpus_keepers, ORACLE_DEDUP_CORPUS),
     "dedup_substring_spans": (dedup_substring_spans, ORACLE_DEDUP_SUBSTRING),
     "pipe_sample_split": (pipe_sample_split, ORACLE_PIPE_SAMPLE_SPLIT),
     "pipe_scrub_text": (pipe_scrub_text, ORACLE_PIPE_SCRUB),
     "pipe_decontaminate": (pipe_decontaminate, ORACLE_DECONTAM),
+    "pipe_weighted_sample": (pipe_weighted_sample, ORACLE_PIPE_WEIGHTED),
     "pipe_pack_bins": (pipe_pack_bins, ORACLE_PACK),
     "text_bm25_topk": (text_bm25_topk, ORACLE_BM25),
     "text_c4_clean": (text_c4_clean, ORACLE_C4),

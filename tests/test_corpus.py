@@ -182,6 +182,29 @@ def test_pack_conserves_tokens_and_caps_offsets(spark, sf_dir):
     assert packed.where(F.col("bin_offset") < 0).count() == 0
 
 
+def test_weighted_sample_properties(spark):
+    """Efraimidis-Spirakis top-k: (a) deterministic across calls, (b) a row
+    with overwhelming weight is always kept, (c) selection frequency is
+    monotone in weight across independent salts."""
+    from geoarrow_rs_spark.datapipe.sampling import weighted_sample
+
+    rows = [Row(k=i, w=1.0) for i in range(50)] + [Row(k=99, w=1e9)]
+    df = spark.createDataFrame(rows)
+    got1 = sorted(r.k for r in weighted_sample(df, "k", "w", k=10).collect())
+    got2 = sorted(r.k for r in weighted_sample(df, "k", "w", k=10).collect())
+    assert got1 == got2 and 99 in got1 and len(got1) == 10
+
+    heavy_hits = light_hits = 0
+    df2 = spark.createDataFrame(
+        [Row(k=i, w=10.0) for i in range(25)] + [Row(k=i, w=1.0) for i in range(25, 50)]
+    )
+    for salt in ("s1", "s2", "s3", "s4"):
+        kept = {r.k for r in weighted_sample(df2, "k", "w", k=10, salt=salt).collect()}
+        heavy_hits += sum(1 for k in kept if k < 25)
+        light_hits += sum(1 for k in kept if k >= 25)
+    assert heavy_hits > light_hits
+
+
 def test_streaming_decontamination(spark, tmp_path, sf_dir):
     """Decontamination in continuous ingest: the benchmark n-gram set is a
     STATIC DataFrame joined against a streaming corpus (stream-static

@@ -6,7 +6,7 @@ import os
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 
 def test_streaming_dedup_batch_mode(spark):
@@ -244,6 +244,50 @@ def test_streaming_st_functions_compose(spark, tmp_path):
     got = sorted(r["id"] for r in spark.sql("SELECT * FROM geo_stream_out").collect())
     exp = sorted(i for i in range(100) if 2.5 <= i % 10 <= 5.5 and 2.5 <= i // 10 <= 5.5)
     assert got == exp
+
+
+def test_streaming_geofence_native(spark, tmp_path):
+    """Continuous geofencing: the constant-polygon ray-cast expression is
+    pure codegen arithmetic, so the classic 'alert when a point enters a
+    concave region' stream needs no UDF and no state — results match the
+    batch pUDF predicate exactly."""
+    from geoarrow_rs_spark.functions import register_functions
+    from geoarrow_rs_spark.functions.registry import point_in_polygon_expr
+
+    register_functions(spark)
+    # concave "L" region
+    ring = [(0, 0), (6, 0), (6, 2), (2, 2), (2, 6), (0, 6)]
+    src = os.path.join(str(tmp_path), "geofence_src")
+    spark.range(200).selectExpr(
+        "id",
+        "CAST(id % 8 AS DOUBLE) - 0.5 AS x",
+        "CAST(id div 8 AS DOUBLE) / 4.0 AS y",
+    ).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    pred = point_in_polygon_expr(F.col("x"), F.col("y"), ring, boundary="include")
+    q = (
+        stream.where(pred).select("id")
+        .writeStream.format("memory")
+        .queryName("geofence_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.sql("SELECT * FROM geofence_out").collect())
+    want = sorted(
+        r.id
+        for r in batch.selectExpr(
+            "id", "ST_Point(x, y) AS p"
+        ).where(
+            F.expr(
+                "ST_Intersects(p, ST_GeomFromWKT("
+                "'POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))'))"
+            )
+        ).collect()
+    )
+    assert got == want and len(got) > 0
 
 
 def test_streaming_asof_join_batch_mode(spark):
