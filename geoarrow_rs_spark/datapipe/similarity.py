@@ -203,6 +203,54 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def knn_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Approximate k-NN SELF-join: every vector finds its top-k neighbors
+    among all others — the all-pairs similarity-search shape (dedup graph
+    building, recommendation candidates), distinct from fixed-query top-k.
+
+    Unlike :func:`ivf_topk`, NEITHER side broadcasts (both are the full
+    corpus): candidates come from a shuffle hash equi-join on the SRP
+    bucket key — the corpus keeps ONE bucket per vector while the probe
+    side explodes to its Hamming-``probe_radius`` neighborhood, so a pair
+    joins at most once and no dedup shuffle is needed. Per-point top-k is
+    a window over the candidate set (partitioned by the point — scales
+    with keys, never a global sort). Self-matches are excluded."""
+    q = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            multiprobe_buckets_expr(vec_col, n_planes, radius=probe_radius)
+        ).alias("__bucket"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        srp_bucket_expr(vec_col, n_planes).alias("__bucket"),
+    )
+    scored = (
+        c.join(q, on="__bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_fast_expr(F.col("__qv"), F.col("__cv")), 8).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def dist2_decimal_expr(v1, v2, scale: int = 12):
     """Squared L2 distance with the same order-independent decimal
     accumulation as dot_decimal_expr (deterministic across engines)."""

@@ -1977,6 +1977,53 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ORACLE_SIM_IVF_TOPK = _ivf_oracle_sql()
 
 
+def sim_knn_join(spark, sf_dir):
+    """Approximate k-NN SELF-join (every vector -> top-3 neighbors among
+    the rest) over a shuffle bucket equi-join — no broadcast of either
+    side, no all-pairs. Subset to vec_id < 120 so the DuckDB mirror (which
+    must replay every candidate pair) stays fast; the Spark plan is
+    identical at any size."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120)
+    out = similarity.knn_join(e, k=3, n_planes=6, probe_radius=1)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _knn_join_oracle_sql(n_planes: int = 6) -> str:
+    flips = ", ".join(
+        f"substr(b, 1, {j}) || (CASE WHEN substr(b, {j + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(b, {j + 2})"
+        for j in range(n_planes)
+    )
+    return f"""
+WITH withb AS (
+  SELECT vec_id, embedding, {_srp_bucket_sql('embedding', n_planes)} AS b
+  FROM embeddings WHERE vec_id < 120
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, unnest([b, {flips}]) AS probe
+  FROM withb
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce, b FROM withb),
+pairs AS (
+  SELECT query_id, qe, neighbor_id, ce FROM q JOIN c ON c.b = q.probe
+  WHERE neighbor_id <> query_id
+),
+cosined AS (
+  SELECT query_id, neighbor_id, {_inorder_cosine_sql('qe', 'ce')} AS cosine
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM cosined
+) WHERE rank <= 3
+"""
+
+
+ORACLE_SIM_KNN_JOIN = _knn_join_oracle_sql()
+
+
 def q4_late_shipments(spark, sf_dir):
     """TPC-H q4 adapted (no commit/receipt dates in this schema): priority
     histogram of orders with at least one lineitem shipped >= 60 days after
@@ -3453,6 +3500,7 @@ QUERIES = {
     "dedup_simhash_signatures": (dedup_simhash_signatures, ORACLE_SIMHASH_SIGS),
     "sim_srp_buckets": (sim_srp_buckets, ORACLE_SRP_BUCKETS),
     "sim_ivf_topk": (sim_ivf_topk, ORACLE_SIM_IVF_TOPK),
+    "sim_knn_join": (sim_knn_join, ORACLE_SIM_KNN_JOIN),
     "sim_kmeans_ivf_topk": (sim_kmeans_ivf_topk, ORACLE_SIM_KMEANS_IVF),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),

@@ -356,3 +356,21 @@ def test_partitioned_geoparquet_prunes_directories(spark, tmp_path):
     assert sorted(r.id for r in again.collect()) == exp
     with pytest.raises(Exception):
         spark.read.parquet(path).select("id").collect()
+
+
+def test_knn_join_broadcasts_neither_side(spark, sf_dir):
+    """The kNN self-join must stay a shuffle equi-join on the bucket key:
+    at scale BOTH sides are the full corpus, so a broadcast would OOM and
+    a nested loop would be all-pairs."""
+    from geoarrow_rs_spark.datapipe.similarity import knn_join
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_join(e, k=3, n_planes=6, probe_radius=1)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
