@@ -1430,6 +1430,46 @@ def events_hourly(spark, sf_dir):
     )
 
 
+def events_windowed_topk(spark, sf_dir):
+    """Per-window heavy hitters: top-2 event types by count in every
+    6-hour window (count ties broken by type name) — the batch analogue
+    of a streaming windowed top-k dashboard. One shuffle for the count,
+    one for the per-window rank window; both keyed, both AQE-coalesced."""
+    e = _t(spark, sf_dir, "events")
+    counts = (
+        e.withColumn("w6_epoch", F.expr(f"(ts div ({_NS_HOUR} * 6)) * 21600"))
+        .groupBy("w6_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(
+        W.partitionBy("w6_epoch").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+    )
+    return (
+        counts.withColumn("rank", rank.cast("long"))
+        .where(F.col("rank") <= 2)
+    )
+
+
+ORACLE_EVENTS_TOPK = """
+WITH counts AS (
+  SELECT (epoch_ns(ts) // (3600000000000 * 6)) * 21600 AS w6_epoch,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT w6_epoch, event_type, n_events, rank FROM (
+  SELECT w6_epoch, event_type, n_events,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY w6_epoch
+             ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 2
+"""
+
+
 def events_user_stats(spark, sf_dir):
     """Exact distinct users + exact linear-interpolation percentiles per
     event type (Spark `percentile` == DuckDB `quantile_cont` bit-exactly:
@@ -3510,6 +3550,7 @@ QUERIES = {
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),
+    "events_windowed_topk": (events_windowed_topk, ORACLE_EVENTS_TOPK),
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
     "mm_image_brightness": (mm_image_brightness, ORACLE_MM_BRIGHTNESS),
