@@ -3297,6 +3297,13 @@ def geo_affine_parts(spark, sf_dir):
         f"ST_X(ST_GeometryN({coll}, 2)) AS part2_x",
         f"ST_Length(ST_Boundary({box})) AS boundary_len",
         f"CAST(ST_NPoints(ST_RemoveRepeatedPoints({dup_line}, 0.0)) AS BIGINT) AS rrp_npoints",
+        # concave hull at max concavity ratio = convex hull: the 4 box
+        # corners hull back to the full box area
+        f"ST_Area(ST_ConcaveHull(ST_Collect(ST_Collect(ST_Point(0.0, 0.0), ST_Point({w}, 0.0)), ST_Collect(ST_Point({w}, {h}), ST_Point(0.0, {h}))), 1.0)) AS chull_area",
+        # interior point of a rectangle is its exact center (scanline
+        # midpoint of the widest row)
+        f"ST_X(ST_InteriorPoint({box})) AS ip_x",
+        f"ST_Y(ST_InteriorPoint({box})) AS ip_y",
     )
 
 
@@ -3313,7 +3320,10 @@ SELECT p_partkey,
        CAST(2 AS BIGINT) AS n_parts,
        CAST(p_size % 5 + 1 AS DOUBLE) AS part2_x,
        2.0 * (CAST(p_size % 5 + 1 AS DOUBLE) + CAST(p_partkey % 4 + 1 AS DOUBLE)) AS boundary_len,
-       CAST(3 AS BIGINT) AS rrp_npoints
+       CAST(3 AS BIGINT) AS rrp_npoints,
+       CAST(p_size % 5 + 1 AS DOUBLE) * CAST(p_partkey % 4 + 1 AS DOUBLE) AS chull_area,
+       CAST(p_size % 5 + 1 AS DOUBLE) / 2.0 AS ip_x,
+       CAST(p_partkey % 4 + 1 AS DOUBLE) / 2.0 AS ip_y
 FROM part
 """
 
