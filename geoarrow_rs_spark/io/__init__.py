@@ -1,6 +1,10 @@
 from .arrow_ipc import read_arrow_ipc, write_arrow_ipc
 from .flatgeobuf import read_flatgeobuf, write_flatgeobuf
 from .csv import read_csv_wkt, write_csv_wkt
+
+# reference-name aliases (geoarrow.rust.io _csv.pyi)
+read_csv = read_csv_wkt
+write_csv = write_csv_wkt
 from .geojson import read_geojson, read_geojson_lines, write_geojson, write_geojson_lines
 from .geoparquet import (
     read_geoparquet,
@@ -27,4 +31,6 @@ __all__ = [
     "read_arrow_ipc",
     "write_arrow_ipc",
     "read_postgis",
+    "read_csv",
+    "write_csv",
 ]
