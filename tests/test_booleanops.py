@@ -102,3 +102,62 @@ def test_intersection_with_touching_corner():
     corner = from_wkt("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
     inter = bo.intersection(A(), corner)
     assert alg.area(inter) == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz: overlay identities on random rectangles/triangles
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _rect(x0, y0, w, h):
+    return from_wkt(
+        f"POLYGON (({x0} {y0}, {x0 + w} {y0}, {x0 + w} {y0 + h}, "
+        f"{x0} {y0 + h}, {x0} {y0}))"
+    )
+
+
+coords = st.integers(min_value=-8, max_value=8)
+dims = st.integers(min_value=1, max_value=9)
+
+
+@given(coords, coords, dims, dims, coords, coords, dims, dims)
+@settings(max_examples=300, deadline=None)
+def test_overlay_identities_rectangles(x0, y0, w0, h0, x1, y1, w1, h1):
+    """Inclusion-exclusion + difference laws, with the intersection
+    checked against the EXACT axis-aligned overlap formula (independent of
+    the overlay engine)."""
+    a, b = _rect(x0, y0, w0, h0), _rect(x1, y1, w1, h1)
+    aa, ab = alg.area(a), alg.area(b)
+    ai = alg.area(bo.intersection(a, b))
+    au = alg.area(bo.union(a, b))
+    ad = alg.area(bo.difference(a, b))
+    asym = alg.area(bo.sym_difference(a, b))
+    # exact closed form for axis-aligned rectangle overlap
+    ov = max(0, min(x0 + w0, x1 + w1) - max(x0, x1)) * max(
+        0, min(y0 + h0, y1 + h1) - max(y0, y1)
+    )
+    assert ai == pytest.approx(ov, abs=1e-9)
+    assert au == pytest.approx(aa + ab - ai, abs=1e-9)
+    assert ad == pytest.approx(aa - ai, abs=1e-9)
+    assert asym == pytest.approx(au - ai, abs=1e-9)
+
+
+@given(coords, coords, dims, dims, coords, coords, dims)
+@settings(max_examples=200, deadline=None)
+def test_overlay_identities_triangle_vs_rect(x0, y0, w0, h0, tx, ty, ts):
+    """Same identities with a diagonal edge in play (right triangle vs
+    rectangle) — exercises non-axis-aligned intersection points."""
+    a = _rect(x0, y0, w0, h0)
+    b = from_wkt(
+        f"POLYGON (({tx} {ty}, {tx + ts} {ty}, {tx} {ty + ts}, {tx} {ty}))"
+    )
+    aa, ab = alg.area(a), alg.area(b)
+    ai = alg.area(bo.intersection(a, b))
+    au = alg.area(bo.union(a, b))
+    ad = alg.area(bo.difference(a, b))
+    assert 0.0 <= ai <= min(aa, ab) + 1e-9
+    assert au == pytest.approx(aa + ab - ai, abs=1e-9)
+    assert ad == pytest.approx(aa - ai, abs=1e-9)
+    assert max(aa, ab) - 1e-9 <= au <= aa + ab + 1e-9
