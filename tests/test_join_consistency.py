@@ -1,0 +1,93 @@
+"""Cross-validation of join strategies against independent references:
+grid vs broadcast spatial join on random data, and asof_join vs
+pandas.merge_asof."""
+
+import random
+
+import pandas as pd
+from pyspark.sql import Row, functions as F
+
+from geoarrow_rs_spark.join import asof_join, spatial_join
+
+
+def test_grid_and_broadcast_spatial_join_agree(spark):
+    """The two physical strategies implement ONE logical operator: on 400
+    random points vs 25 random boxes (seeded), their result pair sets must
+    be identical."""
+    rng = random.Random(1234)
+    pts = spark.createDataFrame(
+        [
+            Row(pid=i, x=rng.uniform(-50, 50), y=rng.uniform(-50, 50))
+            for i in range(400)
+        ]
+    ).selectExpr("pid", "ST_Point(x, y) AS geometry")
+    boxes = spark.createDataFrame(
+        [
+            Row(
+                bid=j,
+                x0=(x0 := rng.uniform(-50, 40)),
+                y0=(y0 := rng.uniform(-50, 40)),
+                x1=x0 + rng.uniform(0.5, 15),
+                y1=y0 + rng.uniform(0.5, 15),
+            )
+            for j in range(25)
+        ]
+    ).selectExpr("bid", "ST_MakeEnvelope(x0, y0, x1, y1) AS box_geom")
+
+    def pairs(strategy):
+        out = spatial_join(
+            pts,
+            boxes,
+            "geometry",
+            "box_geom",
+            predicate="intersects",
+            strategy=strategy,
+            cell_size=7.0,
+        )
+        return sorted((r.pid, r.bid) for r in out.select("pid", "bid").collect())
+
+    got_grid = pairs("grid")
+    got_bcast = pairs("broadcast")
+    assert got_grid == got_bcast
+    assert len(got_grid) > 0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """pandas.merge_asof is an independent implementation of backward
+    as-of semantics — 600 random trades vs 300 random quotes over 3 keys
+    must match row for row."""
+    rng = random.Random(99)
+    keys = ["A", "B", "C"]
+    trades = [
+        Row(k=rng.choice(keys), ts=rng.randint(0, 10_000), tid=i)
+        for i in range(600)
+    ]
+    quotes = [
+        Row(k=rng.choice(keys), ts=rng.randint(0, 10_000), px=float(i))
+        for i in range(300)
+    ]
+    # merge_asof requires unique, sorted ordering; de-dup right on (k, ts)
+    # keeping the last px, mirroring asof_join's last-in-sort-wins note
+    qdf = (
+        pd.DataFrame([r.asDict() for r in quotes])
+        .sort_values(["ts", "px"])
+        .drop_duplicates(["k", "ts"], keep="last")
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    tdf = (
+        pd.DataFrame([r.asDict() for r in trades])
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        tdf, qdf, on="ts", by="k", direction="backward", suffixes=("", "_q")
+    )
+    want_map = {r.tid: (None if pd.isna(r.px) else r.px) for r in want.itertuples()}
+
+    ltab = spark.createDataFrame(tdf)
+    rtab = spark.createDataFrame(qdf)
+    out = asof_join(ltab, rtab, on="ts", by=["k"], value_cols=["px"])
+    got_map = {r.tid: r.px_r for r in out.collect()}
+    assert got_map == want_map
+    assert any(v is not None for v in got_map.values())
