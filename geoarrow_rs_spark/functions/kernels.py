@@ -488,6 +488,98 @@ def k_multi(s):
     return _geom_out([mk(g) for g in geoms_of(s)])
 
 
+def _force_2d(g):
+    if g is None:
+        return None
+    if g.kind == wc.GEOMETRYCOLLECTION:
+        return wc.collection([_force_2d(p) for p in g.data])
+    if not (g.has_z or g.has_m):
+        return g
+    if g.is_empty():
+        return wc.empty(g.kind, False, False)
+    k = g.kind
+    if k == wc.POINT:
+        return Geom(k, np.asarray(g.data, dtype=np.float64)[:2], False, False)
+    if k in (wc.LINESTRING, wc.MULTIPOINT):
+        return Geom(k, np.asarray(g.data)[:, :2], False, False)
+    if k in (wc.POLYGON, wc.MULTILINESTRING):
+        return Geom(k, [np.asarray(r)[:, :2] for r in g.data], False, False)
+    return Geom(
+        k, [[np.asarray(r)[:, :2] for r in rings] for rings in g.data], False, False
+    )
+
+
+def k_force_2d(s):
+    """Drop Z/M ordinates everywhere (the XY dimension cast of the
+    reference's cast matrix, /root/reference/rust/geoarrow-cast/src/cast.rs
+    dimension handling)."""
+    return _geom_out([_force_2d(g) for g in geoms_of(s)])
+
+
+def k_force_3d(s, z):
+    """Add a constant Z to 2D input (existing Z is preserved) — the
+    XY->XYZ dimension cast. M ordinates are dropped (XYZM->XYZ keeps Z)."""
+    zv = list(z) if hasattr(z, "__len__") else [z] * len(s)
+
+    def f3(g, zz):
+        if g is None:
+            return None
+        if g.kind == wc.GEOMETRYCOLLECTION:
+            return wc.collection([f3(p, zz) for p in g.data])
+        if g.is_empty():
+            return wc.empty(g.kind, True, False)
+        base = _force_2d(g)
+        if g.has_z:
+            # keep original z column, drop m
+            def zcol(a):
+                return np.asarray(a, dtype=np.float64)[:, 2:3]
+        else:
+            def zcol(a):
+                return np.full((np.asarray(a).shape[0], 1), float(zz))
+        k = g.kind
+        if k == wc.POINT:
+            zval = float(g.data[2]) if g.has_z else float(zz)
+            return Geom(k, np.append(base.data[:2], zval), True, False)
+        src = g.data
+        if k in (wc.LINESTRING, wc.MULTIPOINT):
+            return Geom(
+                k, np.hstack([base.data, zcol(src)]), True, False
+            )
+        if k in (wc.POLYGON, wc.MULTILINESTRING):
+            return Geom(
+                k,
+                [np.hstack([b, zcol(r)]) for b, r in zip(base.data, src)],
+                True,
+                False,
+            )
+        return Geom(
+            k,
+            [
+                [np.hstack([b, zcol(r)]) for b, r in zip(brings, rings)]
+                for brings, rings in zip(base.data, src)
+            ],
+            True,
+            False,
+        )
+
+    return _geom_out([f3(g, zz) for g, zz in zip(geoms_of(s), zv)])
+
+
+def k_force_collection(s):
+    """Wrap any geometry as a GEOMETRYCOLLECTION of its single parts
+    (PostGIS ST_ForceCollection semantics; collections pass through)."""
+    def fc(g):
+        if g is None:
+            return None
+        if g.kind == wc.GEOMETRYCOLLECTION:
+            return g
+        if g.kind in (wc.POINT, wc.LINESTRING, wc.POLYGON):
+            return wc.collection([g])
+        return wc.collection(list(alg.iter_parts(g)))
+
+    return _geom_out([fc(g) for g in geoms_of(s)])
+
+
 def k_dump(s):
     """Multi/collection -> array of single-part WKBs (ST_Dump; the offsets
     flatten of /root/reference/rust/geoarrow-old/src/algorithm/native/explode.rs:58)."""

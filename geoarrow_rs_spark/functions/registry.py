@@ -65,6 +65,9 @@ _SCALAR_UDFS = {
     "ST_GeometryN": (K.k_geometry_n, BinaryType()),
     "ST_CollectionExtract": (K.k_collection_extract, BinaryType()),
     "ST_CastToSingle": (K.k_cast_single, BinaryType()),
+    "ST_Force2D": (K.k_force_2d, BinaryType()),
+    "ST_Force3D": (K.k_force_3d, BinaryType()),
+    "ST_ForceCollection": (K.k_force_collection, BinaryType()),
     "ST_StartPoint": (K.k_start_point, BinaryType()),
     "ST_EndPoint": (K.k_end_point, BinaryType()),
     "ST_ExteriorRing": (K.k_exterior_ring, BinaryType()),

@@ -3372,6 +3372,41 @@ FROM params
 """
 
 
+def geo_cast_matrix(spark, sf_dir):
+    """Dimension + multiplicity cast surface (cast.rs parity, now the full
+    matrix): Force2D drops Z with XY preserved, Force3D adds a constant Z
+    (and keeps an existing Z), Multi/CastToSingle round-trip multiplicity,
+    ForceCollection wraps parts. Values derive from part columns; the
+    oracle states the independently-known results."""
+    p = _t(spark, sf_dir, "part")
+    w = "CAST(p_size % 5 + 1 AS DOUBLE)"
+    h = "CAST(p_partkey % 4 + 1 AS DOUBLE)"
+    k = "CAST(p_partkey % 9 + 1 AS DOUBLE)"
+    return p.selectExpr(
+        "p_partkey",
+        f"ST_X(ST_Force2D(ST_PointZ({w}, {h}, 9.0))) AS f2_x",
+        f"ST_HasZ(ST_Force2D(ST_PointZ({w}, {h}, 9.0))) AS f2_hasz",
+        f"ST_Z(ST_Force3D(ST_Point({w}, {h}), {k})) AS f3_z",
+        f"ST_Z(ST_Force3D(ST_PointZ({w}, {h}, 9.0), {k})) AS f3_keep_z",
+        f"CAST(ST_NumGeometries(ST_ForceCollection(ST_Multi(ST_Point({w}, {h})))) AS BIGINT) AS fc_n",
+        f"ST_GeometryType(ST_Multi(ST_Point({w}, {h}))) AS multi_t",
+        f"ST_GeometryType(ST_CastToSingle(ST_Multi(ST_Point({w}, {h})))) AS single_t",
+    )
+
+
+ORACLE_GEO_CAST = """
+SELECT p_partkey,
+       CAST(p_size % 5 + 1 AS DOUBLE) AS f2_x,
+       FALSE AS f2_hasz,
+       CAST(p_partkey % 9 + 1 AS DOUBLE) AS f3_z,
+       9.0 AS f3_keep_z,
+       CAST(1 AS BIGINT) AS fc_n,
+       'ST_MultiPoint' AS multi_t,
+       'ST_Point' AS single_t
+FROM part
+"""
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Multi-level OLAP rollup: revenue by (nation, order-year), with
     per-nation subtotals and a grand total in ONE pass — Spark's
@@ -3522,6 +3557,7 @@ QUERIES = {
     "geo_shape_metrics": (geo_shape_metrics, ORACLE_GEO_SHAPE_METRICS),
     "geo_affine_parts": (geo_affine_parts, ORACLE_GEO_AFFINE_PARTS),
     "geo_spherical": (geo_spherical, ORACLE_GEO_SPHERICAL),
+    "geo_cast_matrix": (geo_cast_matrix, ORACLE_GEO_CAST),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),

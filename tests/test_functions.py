@@ -475,3 +475,57 @@ def test_length_batch_fast_path():
             assert math.isnan(got)
         else:
             assert got == pytest.approx(alg.length(from_wkb(v)), rel=1e-12)
+
+
+def test_force_dimension_casts():
+    import pandas as pd
+
+    from geoarrow_rs_spark.functions import kernels as K
+    from geoarrow_rs_spark.wkb import from_wkb, from_wkt, to_wkb
+
+    def run(fn, wkt, *args):
+        s = pd.Series([None if wkt is None else to_wkb(from_wkt(wkt))], dtype=object)
+        out = fn(s, *args) if args else fn(s)
+        return None if out[0] is None else from_wkb(out[0])
+
+    # Force2D: drops Z and M on every kind, keeps XY values
+    g = run(K.k_force_2d, "LINESTRING ZM (1 2 3 4, 5 6 7 8)")
+    assert (not g.has_z) and (not g.has_m)
+    assert g.data.tolist() == [[1.0, 2.0], [5.0, 6.0]]
+    g = run(K.k_force_2d, "POLYGON Z ((0 0 9, 4 0 9, 4 4 9, 0 0 9))")
+    assert not g.has_z and g.data[0].shape == (4, 2)
+    g = run(K.k_force_2d, "MULTIPOLYGON Z (((0 0 1, 2 0 1, 2 2 1, 0 0 1)))")
+    assert not g.has_z and g.data[0][0].shape == (4, 2)
+    g = run(K.k_force_2d, "GEOMETRYCOLLECTION (POINT Z (1 2 3), LINESTRING M (0 0 5, 1 1 6))")
+    assert all((not p.has_z) and (not p.has_m) for p in g.data)
+    assert run(K.k_force_2d, "POINT (1 2)").data.tolist() == [1.0, 2.0]
+    assert run(K.k_force_2d, None) is None
+    assert run(K.k_force_2d, "LINESTRING Z EMPTY").is_empty()
+
+    # Force3D: adds constant Z to 2D, preserves existing Z, drops M
+    g = run(K.k_force_3d, "LINESTRING (0 0, 1 1)", pd.Series([7.0]))
+    assert g.has_z and not g.has_m
+    assert g.data.tolist() == [[0.0, 0.0, 7.0], [1.0, 1.0, 7.0]]
+    g = run(K.k_force_3d, "LINESTRING ZM (1 2 3 4, 5 6 7 8)", pd.Series([0.0]))
+    assert g.has_z and not g.has_m
+    assert g.data.tolist() == [[1.0, 2.0, 3.0], [5.0, 6.0, 7.0]]
+    g = run(K.k_force_3d, "LINESTRING M (1 2 4, 5 6 8)", pd.Series([2.5]))
+    assert g.data.tolist() == [[1.0, 2.0, 2.5], [5.0, 6.0, 2.5]]
+    g = run(K.k_force_3d, "POLYGON ((0 0, 4 0, 4 4, 0 0))", pd.Series([1.5]))
+    assert g.has_z and g.data[0].shape == (4, 3) and g.data[0][0][2] == 1.5
+    g = run(
+        K.k_force_3d,
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 0)))",
+        pd.Series([3.0]),
+    )
+    assert g.has_z and g.data[0][0][0][2] == 3.0
+    g = run(K.k_force_3d, "GEOMETRYCOLLECTION (POINT (1 2))", pd.Series([9.0]))
+    assert g.data[0].has_z and g.data[0].data.tolist() == [1.0, 2.0, 9.0]
+
+    # ForceCollection: wraps parts; collections pass through
+    g = run(K.k_force_collection, "MULTIPOINT (1 1, 2 2)")
+    assert g.type_name == "GeometryCollection" and len(g.data) == 2
+    g = run(K.k_force_collection, "POINT (1 2)")
+    assert g.type_name == "GeometryCollection" and len(g.data) == 1
+    g = run(K.k_force_collection, "GEOMETRYCOLLECTION (POINT (1 2))")
+    assert g.type_name == "GeometryCollection" and len(g.data) == 1
