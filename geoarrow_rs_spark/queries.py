@@ -23,10 +23,22 @@ from .join import spatial_join
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark reads it as int64
-        # nanos with this legacy conf (all events math is then exact int64,
-        # mirrored by duckdb's epoch_ns()).
+        # All events math downstream is exact int64 nanoseconds (mirrored by
+        # duckdb's epoch_ns()). Generators have shipped the ts column both as
+        # TIMESTAMP(NANOS) (reads as int64 ns under the legacy conf) and as
+        # TIMESTAMP(MICROS) (reads as timestamp_ntz) — normalize either to
+        # int64 ns here so every query sees one shape.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("timestamp", "timestamp_ntz"):
+            # naive timestamps are epoch-anchored the same way duckdb anchors
+            # them (treat as UTC); pin the session tz so the cast is exact
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(
+                "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -189,14 +189,23 @@ def test_multimodal_fake_pipeline(spark):
         extract_features(df, "blob", dim=8, fake=False).collect()
 
 
+def _events_with_ts(spark, sf_dir):
+    """events with a true timestamp ts, whether stored as ns-int64 or micros."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kind = e.schema["ts"].dataType.typeName()
+    if kind == "long":
+        e = e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif kind == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
+
+
 def test_streaming_helpers_batch_mode(spark, sf_dir):
     from geoarrow_rs_spark.streaming import sessionize_stream, windowed_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    e = _events_with_ts(spark, sf_dir)
     w = windowed_counts(e, "ts", "1 hour")
     assert w.count() > 0
     assert {"window_start", "window_end", "event_type", "n_events", "sum_value"} <= set(
@@ -209,11 +218,7 @@ def test_streaming_helpers_batch_mode(spark, sf_dir):
 def test_streaming_real_stream(spark, sf_dir, tmp_path):
     from geoarrow_rs_spark.streaming import read_stream_parquet, windowed_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    batch = _events_with_ts(spark, sf_dir)
     src = os.path.join(str(tmp_path), "stream_src")
     batch.limit(2000).write.mode("overwrite").parquet(src)
     stream = read_stream_parquet(spark, src, schema=batch.schema)
