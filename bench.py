@@ -87,6 +87,19 @@ def main():
             acc = acc + c
         return df.select(F.sum(acc)).collect()
 
+    # Compile warmup: run every headline query once at the smallest SF so the
+    # timed sf0.1 runs measure steady-state execution, not whole-stage-codegen
+    # javac compilation of each new plan shape (~1-3 s per distinct query the
+    # first time; the codegen cache is keyed on generated source, which is
+    # identical across scale factors for the same query).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                force(QUERIES[name][0](spark, warm_dir))
+            except Exception:
+                pass
+
     timings = {}
     for name in HEADLINE:
         fn = QUERIES[name][0]
