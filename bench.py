@@ -97,15 +97,25 @@ def main():
         for name in HEADLINE:
             try:
                 force(QUERIES[name][0](spark, warm_dir))
-            except Exception:
-                pass
+            except Exception as exc:  # stdout must stay one JSON line
+                print(f"[bench] warmup failed for {name}: {exc!r}", file=sys.stderr)
 
+    # Median-of-N per query (default 3): single-run numbers cannot distinguish
+    # a real regression from GC/OS noise (round-2 postmortem). Runs interleave
+    # per query (A A A, B B B ...) so each query's runs share cache state.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings = {}
+    spreads = {}
     for name in HEADLINE:
         fn = QUERIES[name][0]
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -117,6 +127,9 @@ def main():
                 "queries": timings,
                 "sf": sf,
                 "cpus": int(cpus),
+                "reps": reps,
+                "timing": "median",
+                "spread_max_minus_min": spreads,
             }
         )
     )
