@@ -1,0 +1,541 @@
+"""Vectorized mixed-type WKB batch decode for the kernel hot path.
+
+Decodes a whole Arrow batch of XY little-endian WKB values — Point,
+LineString, Polygon (any ring count), MultiPoint, MultiLineString,
+MultiPolygon, in any per-row mix — into ONE flat coordinate table plus
+ring/part/row offset arrays.  Kernels then run whole-batch numpy
+(reduceat / bincount over the offset structure) instead of building a
+per-row Geom object tree, which is the slow path's dominant cost.
+
+This mirrors the decode the reference performs once per array when
+materializing WKB into typed offset buffers
+(/root/reference/rust/geoarrow-array/src/array/wkb.rs): coordinates land
+in a single contiguous buffer and structure lands in offset arrays.
+
+The per-row Python work here is only the fixed-size header walk (a few
+``int.from_bytes`` per ring); every coordinate byte is moved by exactly
+one numpy fancy-gather.  Batches containing big-endian values, Z/M
+dimensions, EWKB SRID flags, or GeometryCollections bail (return None)
+and the caller falls back to the per-row Geom path.
+
+A small content-keyed cache lets chained ST_ calls inside one
+ArrowEvalPython node (e.g. ``ST_Area(g), ST_Centroid(g), ST_ConvexHull(g)``
+in a single projection) decode the batch once: the key is the tuple of
+the batch's byte values, so a hit requires full content equality — no
+false sharing is possible.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+
+_WKB_POINT = 1
+_WKB_LINESTRING = 2
+_WKB_POLYGON = 3
+_WKB_MULTIPOINT = 4
+_WKB_MULTILINESTRING = 5
+_WKB_MULTIPOLYGON = 6
+
+_PT_HDR5 = b"\x01\x01\x00\x00\x00"
+_LS_HDR5 = b"\x01\x02\x00\x00\x00"
+_PG_HDR5 = b"\x01\x03\x00\x00\x00"
+
+
+class DecodedBatch:
+    """Flat decode of one WKB batch.
+
+    Rows are decoded in input order; all rings of a row are contiguous,
+    so per-row point spans are contiguous slices of ``coords``.
+
+    Attributes
+    ----------
+    n          : batch length (including nulls)
+    idx        : int64[nd] input row index of each decoded (non-null) row
+    kind       : uint8[nd]  WKB type code (1..6) per decoded row
+    coords     : (P, 2) float64 — every coordinate of every decoded row
+    ring_npt   : int64[R] points per ring (Point parts are 1-point rings)
+    ring_drow  : int64[R] DECODED-row ordinal (0..nd-1) of each ring
+    ring_dim   : uint8[R] 0=point part, 1=line part, 2=polygon ring
+    ring_role  : uint8[R] 0=shell/standalone, 1=interior ring (hole)
+    ring_part  : int64[R] global part ordinal (polygon parts group rings)
+    row_npt    : int64[nd] total points per decoded row
+    row_start  : int64[nd] start offset of each decoded row in coords
+    """
+
+    __slots__ = (
+        "n", "idx", "kind", "coords", "ring_npt", "ring_drow", "ring_dim",
+        "ring_role", "ring_part", "row_npt", "row_start",
+    )
+
+    # ring-level start offsets into coords (derived, used by reduceat)
+    def ring_starts(self):
+        return np.cumsum(self.ring_npt) - self.ring_npt
+
+
+def _parse_structure(vals):
+    """Header walk. Returns (idx, kind, starts, npts, drow, dim, role, part,
+    buf) with byte offsets into the concatenation of non-null values, or
+    None if any value is not plain XY little-endian WKB of types 1..6."""
+    idx, kinds = [], []
+    r_start, r_npt, r_drow, r_dim, r_role, r_part = [], [], [], [], [], []
+    base = 0          # byte offset of current value in the concat buffer
+    drow = -1         # decoded-row ordinal
+    part = -1         # global part ordinal
+    ib = int.from_bytes
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        lv = len(v)
+        if lv < 5 or v[0] != 1:
+            return None
+        t = ib(v[1:5], "little")
+        drow += 1
+        idx.append(i)
+        kinds.append(t)
+        if t == _WKB_POINT:
+            if lv != 21:
+                return None
+            part += 1
+            r_start.append(base + 5)
+            r_npt.append(1)
+            r_drow.append(drow)
+            r_dim.append(0)
+            r_role.append(0)
+            r_part.append(part)
+        elif t == _WKB_LINESTRING:
+            if lv < 9:
+                return None
+            npt = ib(v[5:9], "little")
+            if lv != 9 + 16 * npt:
+                return None
+            part += 1
+            if npt:
+                r_start.append(base + 9)
+                r_npt.append(npt)
+                r_drow.append(drow)
+                r_dim.append(1)
+                r_role.append(0)
+                r_part.append(part)
+        elif t == _WKB_POLYGON:
+            if lv < 9:
+                return None
+            o = 9
+            part += 1
+            nr = ib(v[5:9], "little")
+            for ri in range(nr):
+                if lv < o + 4:
+                    return None
+                npt = ib(v[o:o + 4], "little")
+                o += 4
+                end = o + 16 * npt
+                if lv < end:
+                    return None
+                if npt:
+                    r_start.append(base + o)
+                    r_npt.append(npt)
+                    r_drow.append(drow)
+                    r_dim.append(2)
+                    r_role.append(0 if ri == 0 else 1)
+                    r_part.append(part)
+                o = end
+            if o != lv:
+                return None
+        elif t == _WKB_MULTIPOINT:
+            if lv < 9:
+                return None
+            npt = ib(v[5:9], "little")
+            if lv != 9 + 21 * npt:
+                return None
+            o = 9
+            for _ in range(npt):
+                if v[o:o + 5] != _PT_HDR5:
+                    return None
+                part += 1
+                r_start.append(base + o + 5)
+                r_npt.append(1)
+                r_drow.append(drow)
+                r_dim.append(0)
+                r_role.append(0)
+                r_part.append(part)
+                o += 21
+        elif t == _WKB_MULTILINESTRING:
+            if lv < 9:
+                return None
+            nls = ib(v[5:9], "little")
+            o = 9
+            for _ in range(nls):
+                if v[o:o + 5] != _LS_HDR5 or lv < o + 9:
+                    return None
+                npt = ib(v[o + 5:o + 9], "little")
+                o += 9
+                end = o + 16 * npt
+                if lv < end:
+                    return None
+                part += 1
+                if npt:
+                    r_start.append(base + o)
+                    r_npt.append(npt)
+                    r_drow.append(drow)
+                    r_dim.append(1)
+                    r_role.append(0)
+                    r_part.append(part)
+                o = end
+            if o != lv:
+                return None
+        elif t == _WKB_MULTIPOLYGON:
+            if lv < 9:
+                return None
+            npg = ib(v[5:9], "little")
+            o = 9
+            for _ in range(npg):
+                if v[o:o + 5] != _PG_HDR5 or lv < o + 9:
+                    return None
+                nr = ib(v[o + 5:o + 9], "little")
+                o += 9
+                part += 1
+                for ri in range(nr):
+                    if lv < o + 4:
+                        return None
+                    npt = ib(v[o:o + 4], "little")
+                    o += 4
+                    end = o + 16 * npt
+                    if lv < end:
+                        return None
+                    if npt:
+                        r_start.append(base + o)
+                        r_npt.append(npt)
+                        r_drow.append(drow)
+                        r_dim.append(2)
+                        r_role.append(0 if ri == 0 else 1)
+                        r_part.append(part)
+                    o = end
+            if o != lv:
+                return None
+        else:
+            return None  # GeometryCollection / Z / M / EWKB flags / ISO 1000+
+        base += lv
+    return idx, kinds, r_start, r_npt, r_drow, r_dim, r_role, r_part
+
+
+def decode_batch(vals):
+    """Decode a list of WKB bytes/None into a DecodedBatch, or None."""
+    parsed = _parse_structure(vals)
+    if parsed is None:
+        return None
+    idx, kinds, r_start, r_npt, r_drow, r_dim, r_role, r_part = parsed
+    db = DecodedBatch()
+    db.n = len(vals)
+    db.idx = np.asarray(idx, dtype=np.int64)
+    db.kind = np.asarray(kinds, dtype=np.uint8)
+    nd = len(idx)
+    starts = np.asarray(r_start, dtype=np.int64)
+    npts = np.asarray(r_npt, dtype=np.int64)
+    db.ring_npt = npts
+    db.ring_drow = np.asarray(r_drow, dtype=np.int64)
+    db.ring_dim = np.asarray(r_dim, dtype=np.uint8)
+    db.ring_role = np.asarray(r_role, dtype=np.uint8)
+    db.ring_part = np.asarray(r_part, dtype=np.int64)
+    if len(npts):
+        # one gather moves every coordinate byte: output position k of ring j
+        # maps to buffer byte starts[j] + (k - cum0[j])
+        buf = np.frombuffer(b"".join(v for v in vals if v is not None), dtype=np.uint8)
+        lens = npts << 4
+        cum = np.cumsum(lens)
+        cum0 = cum - lens
+        pos = np.repeat(starts - cum0, lens) + np.arange(cum[-1], dtype=np.int64)
+        db.coords = buf[pos].view("<f8").reshape(-1, 2)
+    else:
+        db.coords = np.empty((0, 2), dtype=np.float64)
+    db.row_npt = np.bincount(db.ring_drow, weights=npts, minlength=nd).astype(np.int64) \
+        if nd else np.empty(0, dtype=np.int64)
+    db.row_start = np.cumsum(db.row_npt) - db.row_npt
+    return db
+
+
+_BAIL = object()
+_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_CACHE_MAX = 4
+
+
+def decode_batch_cached(vals):
+    """decode_batch with a small content-equality cache (see module doc)."""
+    key = tuple(vals)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        _CACHE.move_to_end(key)
+        return None if hit is _BAIL else hit
+    db = decode_batch(vals)
+    _CACHE[key] = _BAIL if db is None else db
+    if len(_CACHE) > _CACHE_MAX:
+        _CACHE.popitem(last=False)
+    return db
+
+
+# ---------------------------------------------------------------------------
+# whole-batch kernels over a DecodedBatch
+# ---------------------------------------------------------------------------
+
+def _ring_cross_sums(db):
+    """Per-ring shoelace sums: (ssum, sx, sy) where ssum = 2*signed area,
+    sx/sy are the centroid moment numerators. Junk terms that straddle ring
+    boundaries are replaced by each ring's wrap term (last->first), so the
+    term set matches algorithms._ring_signed_area's np.roll formulation for
+    closed and unclosed rings alike."""
+    x = db.coords[:, 0]
+    y = db.coords[:, 1]
+    m = len(x)
+    x2 = np.empty_like(x)
+    y2 = np.empty_like(y)
+    if m:
+        x2[:-1], x2[-1] = x[1:], x[-1]
+        y2[:-1], y2[-1] = y[1:], y[-1]
+    cross = x * y2 - x2 * y
+    ends = np.cumsum(db.ring_npt)
+    starts = ends - db.ring_npt
+    if m:
+        last = ends - 1
+        x2[last] = x[starts]
+        y2[last] = y[starts]
+        cross[last] = x[last] * y[starts] - x[starts] * y[last]
+    sxterm = (x + x2) * cross
+    syterm = (y + y2) * cross
+    return (
+        np.add.reduceat(cross, starts) if len(starts) else cross[:0],
+        np.add.reduceat(sxterm, starts) if len(starts) else sxterm[:0],
+        np.add.reduceat(syterm, starts) if len(starts) else syterm[:0],
+    )
+
+
+def _ring_seg_lengths(db):
+    """Per-ring sum of segment lengths (ring-boundary junk zeroed)."""
+    x = db.coords[:, 0]
+    y = db.coords[:, 1]
+    m = len(x)
+    d = np.empty(m)
+    if m:
+        d[:-1] = np.hypot(x[1:] - x[:-1], y[1:] - y[:-1])
+        d[-1] = 0.0
+    ends = np.cumsum(db.ring_npt)
+    if m:
+        d[ends - 1] = 0.0
+    starts = ends - db.ring_npt
+    return np.add.reduceat(d, starts) if len(starts) else d[:0]
+
+
+def batch_area(db):
+    """Planar unsigned area per input row (nan for nulls): |shell| - sum|holes|
+    per polygon part, matching algorithms.area term-for-term (rings with
+    fewer than 3 points contribute exactly 0, as _ring_signed_area does)."""
+    ssum, _, _ = _ring_cross_sums(db)
+    sa = np.where(db.ring_npt >= 3, 0.5 * ssum, 0.0)
+    poly = db.ring_dim == 2
+    w = np.where(db.ring_role == 0, 1.0, -1.0) * np.abs(sa)
+    per_row = np.bincount(db.ring_drow[poly], weights=w[poly], minlength=len(db.idx))
+    out = np.full(db.n, np.nan)
+    out[db.idx] = per_row
+    return out
+
+
+def batch_signed_area(db):
+    """Signed planar area per row: shell orientation respected, hole areas
+    subtracted with the shell's sign (algorithms.signed_area parity)."""
+    ssum, _, _ = _ring_cross_sums(db)
+    poly = db.ring_dim == 2
+    sa = np.where(db.ring_npt >= 3, 0.5 * ssum, 0.0)
+    nparts = int(db.ring_part.max()) + 1 if len(db.ring_part) else 0
+    shell_sa = np.zeros(nparts)
+    hole_abs = np.zeros(nparts)
+    shell_sel = poly & (db.ring_role == 0)
+    hole_sel = poly & (db.ring_role == 1)
+    shell_sa[db.ring_part[shell_sel]] = sa[shell_sel]
+    np.add.at(hole_abs, db.ring_part[hole_sel], np.abs(sa[hole_sel]))
+    part_total = shell_sa - np.copysign(hole_abs, shell_sa)
+    # map each part back to its decoded row via any of its shell rings
+    part_row = np.zeros(nparts, dtype=np.int64)
+    part_row[db.ring_part[shell_sel]] = db.ring_drow[shell_sel]
+    part_is_poly = np.zeros(nparts, dtype=bool)
+    part_is_poly[db.ring_part[shell_sel]] = True
+    per_row = np.bincount(
+        part_row[part_is_poly], weights=part_total[part_is_poly], minlength=len(db.idx)
+    )
+    out = np.full(db.n, np.nan)
+    out[db.idx] = per_row
+    return out
+
+
+def batch_length(db):
+    """Euclidean length of linear parts per row (polygon rings excluded),
+    algorithms.length parity: single-point linestrings contribute 0."""
+    rl = _ring_seg_lengths(db)
+    lin = db.ring_dim == 1
+    per_row = np.bincount(db.ring_drow[lin], weights=rl[lin], minlength=len(db.idx))
+    out = np.full(db.n, np.nan)
+    out[db.idx] = per_row
+    return out
+
+
+def batch_perimeter(db):
+    """Sum of polygon ring lengths per row (algorithms.perimeter parity)."""
+    rl = _ring_seg_lengths(db)
+    poly = db.ring_dim == 2
+    per_row = np.bincount(db.ring_drow[poly], weights=rl[poly], minlength=len(db.idx))
+    out = np.full(db.n, np.nan)
+    out[db.idx] = per_row
+    return out
+
+
+def batch_bounds(db):
+    """(xmin, ymin, xmax, ymax) per input row; nan rows = null or empty.
+    NaN coordinates (the POINT EMPTY encoding) are excluded, matching
+    algorithms.bounds, where all_coords skips empty points; rows whose
+    every coordinate is nan come back nan."""
+    nd = len(db.idx)
+    xmin = np.full(db.n, np.nan)
+    ymin = np.full(db.n, np.nan)
+    xmax = np.full(db.n, np.nan)
+    ymax = np.full(db.n, np.nan)
+    if nd == 0:
+        return xmin, ymin, xmax, ymax
+    nz = db.row_npt > 0
+    if not nz.any():
+        return xmin, ymin, xmax, ymax
+    starts = db.row_start[nz]
+    x = db.coords[:, 0]
+    y = db.coords[:, 1]
+    bad = np.isnan(x) | np.isnan(y)
+    rows = db.idx[nz]
+    if bad.any():
+        real = np.bincount(
+            np.repeat(np.arange(nd), db.row_npt), weights=~bad, minlength=nd
+        )[nz] > 0
+        rows = rows[real]
+        starts = starts[real]
+        xlo = np.where(bad, np.inf, x)
+        ylo = np.where(bad, np.inf, y)
+        xhi = np.where(bad, -np.inf, x)
+        yhi = np.where(bad, -np.inf, y)
+    else:
+        xlo = xhi = x
+        ylo = yhi = y
+    if len(starts):
+        xmin[rows] = np.minimum.reduceat(xlo, starts)
+        ymin[rows] = np.minimum.reduceat(ylo, starts)
+        xmax[rows] = np.maximum.reduceat(xhi, starts)
+        ymax[rows] = np.maximum.reduceat(yhi, starts)
+    return xmin, ymin, xmax, ymax
+
+
+def batch_centroid(db):
+    """Dimension-weighted centroid per decoded row (algorithms.centroid
+    parity: areal parts dominate, then linear, then puntal; zero-length
+    linestrings degrade to their first point).
+
+    Returns (cx, cy, ok) each of length db.n; ok False where the row is
+    null or the centroid is empty."""
+    nd = len(db.idx)
+    ssum, sx, sy = _ring_cross_sums(db)
+    rl = _ring_seg_lengths(db)
+
+    # areal: rings with >=3 points and nonzero shoelace sum
+    poly = (db.ring_dim == 2) & (db.ring_npt >= 3) & (ssum != 0.0)
+    w = np.where(db.ring_role == 0, 1.0, -1.0) * np.abs(0.5 * ssum)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rcx = sx / (3.0 * ssum)
+        rcy = sy / (3.0 * ssum)
+    asum = np.bincount(db.ring_drow[poly], weights=w[poly], minlength=nd)
+    acx = np.bincount(db.ring_drow[poly], weights=(rcx * w)[poly], minlength=nd)
+    acy = np.bincount(db.ring_drow[poly], weights=(rcy * w)[poly], minlength=nd)
+
+    # linear: length-weighted segment midpoints; zero-length lines (npt>=2)
+    # degrade to a point contribution at their first coordinate
+    lin = (db.ring_dim == 1) & (db.ring_npt >= 2)
+    linpos = lin & (rl > 0.0)
+    x = db.coords[:, 0]
+    y = db.coords[:, 1]
+    m = len(x)
+    mx = np.empty(m)
+    my = np.empty(m)
+    if m:
+        mx[:-1] = (x[:-1] + x[1:]) * 0.5
+        my[:-1] = (y[:-1] + y[1:]) * 0.5
+        mx[-1] = my[-1] = 0.0
+        seg = np.empty(m)
+        seg[:-1] = np.hypot(x[1:] - x[:-1], y[1:] - y[:-1])
+        seg[-1] = 0.0
+        ends = np.cumsum(db.ring_npt)
+        # zero the junk entries straddling ring boundaries in BOTH factors:
+        # a NaN midpoint (next ring starts with an empty point) times a
+        # zeroed segment would otherwise poison the reduceat with NaN*0
+        seg[ends - 1] = 0.0
+        mx[ends - 1] = 0.0
+        my[ends - 1] = 0.0
+        starts = ends - db.ring_npt
+        ring_lx = np.add.reduceat(mx * seg, starts) if len(starts) else seg[:0]
+        ring_ly = np.add.reduceat(my * seg, starts) if len(starts) else seg[:0]
+    else:
+        ring_lx = ring_ly = np.empty(0)
+    lsum = np.bincount(db.ring_drow[linpos], weights=rl[linpos], minlength=nd)
+    lcx = np.bincount(db.ring_drow[linpos], weights=ring_lx[linpos], minlength=nd)
+    lcy = np.bincount(db.ring_drow[linpos], weights=ring_ly[linpos], minlength=nd)
+
+    # puntal: point parts with non-nan coords, plus zero-length linestrings
+    if m:
+        ring_x0 = x[np.cumsum(db.ring_npt) - db.ring_npt]
+        ring_y0 = y[np.cumsum(db.ring_npt) - db.ring_npt]
+    else:
+        ring_x0 = ring_y0 = np.empty(0)
+    pt = (db.ring_dim == 0) & ~np.isnan(ring_x0)
+    linzero = lin & (rl == 0.0)
+    ptsel = pt | linzero
+    pn = np.bincount(db.ring_drow[ptsel], minlength=nd).astype(np.float64)
+    pcx = np.bincount(db.ring_drow[ptsel], weights=ring_x0[ptsel], minlength=nd)
+    pcy = np.bincount(db.ring_drow[ptsel], weights=ring_y0[ptsel], minlength=nd)
+
+    cx = np.full(db.n, np.nan)
+    cy = np.full(db.n, np.nan)
+    ok = np.zeros(db.n, dtype=bool)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        use_a = asum != 0.0
+        use_l = ~use_a & (lsum > 0.0)
+        use_p = ~use_a & ~use_l & (pn > 0.0)
+        dcx = np.where(use_a, acx / asum, np.where(use_l, lcx / lsum, pcx / np.where(pn, pn, 1.0)))
+        dcy = np.where(use_a, acy / asum, np.where(use_l, lcy / lsum, pcy / np.where(pn, pn, 1.0)))
+    dok = use_a | use_l | use_p
+    cx[db.idx] = np.where(dok, dcx, np.nan)
+    cy[db.idx] = np.where(dok, dcy, np.nan)
+    ok[db.idx] = dok
+    return cx, cy, ok
+
+
+def hull_of_coords(pts):
+    """Andrew monotone chain over an (n, 2) coord array — same algorithm,
+    degeneracy handling and vertex order as algorithms.convex_hull, minus
+    the Geom wrapper. Returns ('empty'|'point'|'line'|'poly', coords)."""
+    if len(pts) == 0:
+        return "empty", None
+    pts = np.unique(pts, axis=0)
+    if len(pts) == 1:
+        return "point", pts[0]
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) == 2:
+        return "line", np.asarray(hull, dtype=np.float64)
+    ring = np.asarray(hull + [hull[0]], dtype=np.float64)
+    return "poly", ring

@@ -24,6 +24,7 @@ import pandas as pd
 from ..wkb import algorithms as alg
 from ..wkb import core as wc
 from ..wkb.core import Geom, from_wkb, from_wkt, to_wkb, to_wkt
+from . import batchdecode as bd
 
 # ---------------------------------------------------------------------------
 # point fast-path codecs
@@ -119,6 +120,15 @@ def geoms_of(s: pd.Series):
     return [from_wkb(v) if v is not None else None for v in s]
 
 
+def decoded_of(vals):
+    """Whole-batch offset-table decode (cached across chained ST_ calls on
+    the same column in one ArrowEvalPython node); None -> use geoms_of."""
+    try:
+        return bd.decode_batch_cached(vals)
+    except Exception:
+        return None
+
+
 def _f64(vals):
     return pd.Series(np.asarray(vals, dtype=np.float64))
 
@@ -144,10 +154,16 @@ def k_area(s):
             out = np.full(len(vals), np.nan)
             out[idx] = 0.5 * np.abs(sums)
             return _f64(out)
+    db = decoded_of(vals)
+    if db is not None:
+        return _f64(bd.batch_area(db))
     return _f64([alg.area(g) if g is not None else np.nan for g in geoms_of(s)])
 
 
 def k_signed_area(s):
+    db = decoded_of(list(s))
+    if db is not None:
+        return _f64(bd.batch_signed_area(db))
     return _f64([alg.signed_area(g) if g is not None else np.nan for g in geoms_of(s)])
 
 
@@ -171,6 +187,9 @@ def k_length(s):
             out = np.full(len(vals), np.nan)
             out[idx] = sums
             return _f64(out)
+    db = decoded_of(vals)
+    if db is not None:
+        return _f64(bd.batch_length(db))
     return _f64([alg.length(g) if g is not None else np.nan for g in geoms_of(s)])
 
 
@@ -194,6 +213,9 @@ def k_perimeter(s):
             out = np.full(len(vals), np.nan)
             out[idx] = sums
             return _f64(out)
+    db = decoded_of(vals)
+    if db is not None:
+        return _f64(bd.batch_perimeter(db))
     return _f64([alg.perimeter(g) if g is not None else np.nan for g in geoms_of(s)])
 
 
@@ -248,18 +270,80 @@ def k_centroid(s):
                     g = from_wkb(vals[i])
                     out[i] = to_wkb(alg.centroid(g))
             return pd.Series(out, dtype=object)
+    db = decoded_of(vals)
+    if db is not None:
+        cx, cy, ok = bd.batch_centroid(db)
+        pts = pack_points_xy(np.where(ok, cx, 0.0), np.where(ok, cy, 0.0))
+        ep = to_wkb(wc.empty(wc.POINT))
+        out = [None] * len(vals)
+        for i in db.idx:
+            out[i] = pts[i] if ok[i] else ep
+        return pd.Series(out, dtype=object)
     return _geom_out([alg.centroid(g) if g is not None else None for g in geoms_of(s)])
 
 
+def _bounds_geom_out(vals, mk):
+    """Shared decode path for bounds-derived geometry kernels: mk(b) maps a
+    (xmin,ymin,xmax,ymax) tuple or None (empty) to a Geom."""
+    db = decoded_of(vals)
+    if db is None:
+        return None
+    xmin, ymin, xmax, ymax = bd.batch_bounds(db)
+    out = [None] * len(vals)
+    for i in db.idx:
+        b = None if np.isnan(xmin[i]) else (xmin[i], ymin[i], xmax[i], ymax[i])
+        out[i] = to_wkb(mk(b))
+    return pd.Series(out, dtype=object)
+
+
 def k_center(s):
+    vals = list(s)
+    fast = _bounds_geom_out(
+        vals,
+        lambda b: wc.empty(wc.POINT) if b is None
+        else wc.point((b[0] + b[2]) / 2, (b[1] + b[3]) / 2),
+    )
+    if fast is not None:
+        return fast
     return _geom_out([alg.center(g) if g is not None else None for g in geoms_of(s)])
 
 
 def k_envelope(s):
+    def mk(b):
+        if b is None:
+            return wc.empty(wc.POLYGON)
+        xmin, ymin, xmax, ymax = b
+        if xmin == xmax and ymin == ymax:
+            return wc.point(xmin, ymin)
+        return wc.box(xmin, ymin, xmax, ymax)
+
+    vals = list(s)
+    fast = _bounds_geom_out(vals, mk)
+    if fast is not None:
+        return fast
     return _geom_out([alg.envelope(g) if g is not None else None for g in geoms_of(s)])
 
 
 def k_convex_hull(s):
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:
+        out = [None] * len(vals)
+        coords = db.coords
+        for j, i in enumerate(db.idx):
+            pts = coords[db.row_start[j]:db.row_start[j] + db.row_npt[j]]
+            pts = pts[~np.isnan(pts[:, 0])]
+            kind, data = bd.hull_of_coords(pts)
+            if kind == "empty":
+                g = wc.empty(wc.POLYGON)
+            elif kind == "point":
+                g = wc.point(data[0], data[1])
+            elif kind == "line":
+                g = Geom(wc.LINESTRING, data)
+            else:
+                g = Geom(wc.POLYGON, [data])
+            out[i] = to_wkb(g)
+        return pd.Series(out, dtype=object)
     return _geom_out([alg.convex_hull(g) for g in geoms_of(s)])
 
 
@@ -307,6 +391,10 @@ def k_bbox_struct(s):
                 cols["xmax"][ia] = xmax
                 cols["ymax"][ia] = ymax
                 return pd.DataFrame(cols)
+    db = decoded_of(vals)
+    if db is not None:
+        xmin, ymin, xmax, ymax = bd.batch_bounds(db)
+        return pd.DataFrame({"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax})
     rows = []
     for g in geoms_of(s):
         b = alg.bounds(g) if g is not None else None

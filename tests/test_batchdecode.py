@@ -1,0 +1,220 @@
+"""Fast-path parity: batchdecode vectorized kernels vs the per-row Geom
+slow path, over randomized mixed-type WKB batches.
+
+The decode path activates exactly when a batch is all plain XY
+little-endian WKB of types 1..6; these tests build such batches from every
+supported shape (including empties, holes, zero-length lines, unclosed
+rings) and require the vectorized results to match the algorithms.*
+answers to tight tolerance (identical term sets, summation order differs).
+"""
+
+import math
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geoarrow_rs_spark.functions import batchdecode as bd
+from geoarrow_rs_spark.functions import kernels as K
+from geoarrow_rs_spark.wkb import algorithms as alg
+from geoarrow_rs_spark.wkb import core as wc
+from geoarrow_rs_spark.wkb.core import Geom, from_wkb, to_wkb
+
+
+def _ring(cx, cy, r, n, rng, close=True):
+    ang = np.sort(rng.uniform(0, 2 * math.pi, n))
+    pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+    if close:
+        pts = np.vstack([pts, pts[:1]])
+    return pts
+
+
+def _random_geom(rng):
+    k = rng.integers(0, 10)
+    if k == 0:
+        return wc.point(rng.uniform(-50, 50), rng.uniform(-50, 50))
+    if k == 1:  # empty point
+        return wc.empty(wc.POINT)
+    if k == 2:
+        return Geom(wc.LINESTRING, rng.uniform(-50, 50, (int(rng.integers(2, 8)), 2)))
+    if k == 3:  # zero-length line
+        p = rng.uniform(-50, 50, 2)
+        return Geom(wc.LINESTRING, np.stack([p, p]))
+    if k == 4:  # polygon, maybe with a hole
+        shell = _ring(0, 0, 10, int(rng.integers(3, 9)), rng)
+        rings = [shell]
+        if rng.random() < 0.5:
+            rings.append(_ring(0, 0, 2, 4, rng))
+        return Geom(wc.POLYGON, rings)
+    if k == 5:  # unclosed-ring polygon (tolerated invalid input)
+        return Geom(wc.POLYGON, [_ring(5, 5, 3, 5, rng, close=False)])
+    if k == 6:
+        return wc.multipoint(rng.uniform(-50, 50, (int(rng.integers(1, 5)), 2)))
+    if k == 7:
+        return Geom(
+            wc.MULTILINESTRING,
+            [rng.uniform(-50, 50, (int(rng.integers(2, 6)), 2))
+             for _ in range(int(rng.integers(1, 4)))],
+        )
+    if k == 8:
+        polys = []
+        for i in range(int(rng.integers(1, 4))):
+            rings = [_ring(i * 30, 0, 8, int(rng.integers(3, 7)), rng)]
+            if rng.random() < 0.4:
+                rings.append(_ring(i * 30, 0, 1.5, 4, rng))
+            polys.append(rings)
+        return Geom(wc.MULTIPOLYGON, polys)
+    return None  # null row
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(42)
+    geoms = [_random_geom(rng) for _ in range(300)]
+    # make sure every shape family is present
+    geoms += [
+        wc.empty(wc.LINESTRING), wc.empty(wc.POLYGON),
+        wc.empty(wc.MULTIPOINT), wc.empty(wc.MULTILINESTRING),
+        wc.empty(wc.MULTIPOLYGON),
+    ]
+    return geoms, pd.Series([to_wkb(g) for g in geoms], dtype=object)
+
+
+def test_decode_activates_on_mixed_batch(batch):
+    geoms, s = batch
+    db = bd.decode_batch(list(s))
+    assert db is not None
+    assert len(db.idx) == sum(g is not None for g in geoms)
+
+
+def test_decode_bails_on_unsupported():
+    z = to_wkb(wc.point(1.0, 2.0, 3.0))
+    assert bd.decode_batch([z]) is None
+    coll = to_wkb(wc.collection([wc.point(0, 0), wc.point(1, 1)]))
+    assert bd.decode_batch([coll]) is None
+    be = b"\x00" + to_wkb(wc.point(0, 0))[1:]  # big-endian marker
+    assert bd.decode_batch([be]) is None
+    assert bd.decode_batch([b"\x01\x01\x00\x00"]) is None  # truncated
+
+
+def test_decode_cache_content_keyed(batch):
+    _, s = batch
+    a = bd.decode_batch_cached(list(s))
+    b = bd.decode_batch_cached([bytes(v) if v is not None else None for v in s])
+    assert a is b  # equal content, distinct objects -> same decode
+
+
+def test_area_parity(batch):
+    geoms, s = batch
+    got = np.asarray(K.k_area(s))
+    want = np.asarray(
+        [alg.area(g) if g is not None else np.nan for g in geoms], dtype=np.float64
+    )
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-9, equal_nan=True)
+
+
+def test_signed_area_parity(batch):
+    geoms, s = batch
+    got = np.asarray(K.k_signed_area(s))
+    want = np.asarray(
+        [alg.signed_area(g) if g is not None else np.nan for g in geoms],
+        dtype=np.float64,
+    )
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-9, equal_nan=True)
+
+
+def test_length_parity(batch):
+    geoms, s = batch
+    got = np.asarray(K.k_length(s))
+    want = np.asarray(
+        [alg.length(g) if g is not None else np.nan for g in geoms], dtype=np.float64
+    )
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-9, equal_nan=True)
+
+
+def test_perimeter_parity(batch):
+    geoms, s = batch
+    got = np.asarray(K.k_perimeter(s))
+    want = np.asarray(
+        [alg.perimeter(g) if g is not None else np.nan for g in geoms],
+        dtype=np.float64,
+    )
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-9, equal_nan=True)
+
+
+def _pt_xy(b):
+    if b is None:
+        return None
+    g = from_wkb(b)
+    if g.is_empty():
+        return "empty"
+    return (float(g.data[0]), float(g.data[1]))
+
+
+def test_centroid_parity(batch):
+    geoms, s = batch
+    got = [_pt_xy(b) for b in K.k_centroid(s)]
+    want = [_pt_xy(to_wkb(alg.centroid(g)) if g is not None else None) for g in geoms]
+    for gv, wv in zip(got, want):
+        if isinstance(wv, tuple):
+            assert isinstance(gv, tuple)
+            assert math.isclose(gv[0], wv[0], rel_tol=1e-12, abs_tol=1e-9)
+            assert math.isclose(gv[1], wv[1], rel_tol=1e-12, abs_tol=1e-9)
+        else:
+            assert gv == wv
+
+
+def test_bbox_struct_parity(batch):
+    geoms, s = batch
+    got = K.k_bbox_struct(s)
+    for i, g in enumerate(geoms):
+        b = alg.bounds(g) if g is not None else None
+        if b is None:
+            assert np.isnan(got["xmin"][i])
+        else:
+            assert np.allclose(
+                [got["xmin"][i], got["ymin"][i], got["xmax"][i], got["ymax"][i]],
+                b, rtol=1e-15,
+            )
+
+
+def test_convex_hull_parity(batch):
+    geoms, s = batch
+    got = list(K.k_convex_hull(s))
+    want = [to_wkb(alg.convex_hull(g)) for g in geoms]
+    assert got == want  # identical algorithm on identical coords -> same bytes
+
+
+def test_envelope_center_parity(batch):
+    geoms, s = batch
+    assert list(K.k_envelope(s)) == [
+        to_wkb(alg.envelope(g)) if g is not None else None for g in geoms
+    ]
+    assert list(K.k_center(s)) == [
+        to_wkb(alg.center(g)) if g is not None else None for g in geoms
+    ]
+
+
+def test_uniform_multipolygon_batch():
+    """The countries-shaped case: every row a MultiPolygon with holes."""
+    rng = np.random.default_rng(7)
+    geoms = []
+    for _ in range(200):
+        polys = []
+        for i in range(int(rng.integers(1, 5))):
+            rings = [_ring(i * 25, 0, 9, int(rng.integers(4, 40)), rng)]
+            for _ in range(int(rng.integers(0, 3))):
+                rings.append(_ring(i * 25, 0, 1.0 + rng.random(), 5, rng))
+            polys.append(rings)
+        geoms.append(Geom(wc.MULTIPOLYGON, polys))
+    s = pd.Series([to_wkb(g) for g in geoms], dtype=object)
+    got = np.asarray(K.k_area(s))
+    want = np.asarray([alg.area(g) for g in geoms])
+    assert np.allclose(got, want, rtol=1e-12)
+    gotc = [_pt_xy(b) for b in K.k_centroid(s)]
+    wantc = [_pt_xy(to_wkb(alg.centroid(g))) for g in geoms]
+    for gv, wv in zip(gotc, wantc):
+        assert math.isclose(gv[0], wv[0], rel_tol=1e-9)
+        assert math.isclose(gv[1], wv[1], rel_tol=1e-9)
+    assert list(K.k_convex_hull(s)) == [to_wkb(alg.convex_hull(g)) for g in geoms]
