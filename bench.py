@@ -26,6 +26,7 @@ HEADLINE = [
     "geo_box_measures",
     "geo_spatial_join",
     "geo_within_triangle",
+    "geo_multipolygon_stats",
     "dedup_minhash_pairs",
     "text_fingerprint",
     "sim_cosine_topk",
@@ -53,7 +54,10 @@ def main():
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 8k batches: pUDF chains pipeline across their ArrowEvalPython
+        # workers per batch, and per-batch memory stays GC-friendly —
+        # measured 3-4x faster than 65536 on multi-node pUDF chains
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # NB: do NOT set a large spark.driver.memory here — a 24g heap costs
         # ~55s of first-query heap pre-allocation in this VM (measured);
         # defaults are fine for sf0.1 and SPARK_GRAFT_DRIVER_MEM can override

@@ -27,9 +27,14 @@ false sharing is possible.
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 
 import numpy as np
+
+# diagnostic kill switch: set before the SparkSession starts so python
+# workers inherit it; forces every kernel back to the per-row Geom path
+DISABLED = os.environ.get("SPARK_GRAFT_DISABLE_BATCHDECODE", "") == "1"
 
 _WKB_POINT = 1
 _WKB_LINESTRING = 2
@@ -75,12 +80,11 @@ class DecodedBatch:
 
 
 def _parse_structure(vals):
-    """Header walk. Returns (idx, kind, starts, npts, drow, dim, role, part,
-    buf) with byte offsets into the concatenation of non-null values, or
-    None if any value is not plain XY little-endian WKB of types 1..6."""
+    """Header walk. Returns (idx, kind, chunks, npts, drow, dim, role, part)
+    where chunks are per-ring coordinate memoryviews (joined once by the
+    caller), or None if any value is not plain XY LE WKB of types 1..6."""
     idx, kinds = [], []
-    r_start, r_npt, r_drow, r_dim, r_role, r_part = [], [], [], [], [], []
-    base = 0          # byte offset of current value in the concat buffer
+    chunks, r_npt, r_drow, r_dim, r_role, r_part = [], [], [], [], [], []
     drow = -1         # decoded-row ordinal
     part = -1         # global part ordinal
     ib = int.from_bytes
@@ -94,11 +98,12 @@ def _parse_structure(vals):
         drow += 1
         idx.append(i)
         kinds.append(t)
+        mv = memoryview(v)
         if t == _WKB_POINT:
             if lv != 21:
                 return None
             part += 1
-            r_start.append(base + 5)
+            chunks.append(mv[5:])
             r_npt.append(1)
             r_drow.append(drow)
             r_dim.append(0)
@@ -112,7 +117,7 @@ def _parse_structure(vals):
                 return None
             part += 1
             if npt:
-                r_start.append(base + 9)
+                chunks.append(mv[9:])
                 r_npt.append(npt)
                 r_drow.append(drow)
                 r_dim.append(1)
@@ -133,7 +138,7 @@ def _parse_structure(vals):
                 if lv < end:
                     return None
                 if npt:
-                    r_start.append(base + o)
+                    chunks.append(mv[o:end])
                     r_npt.append(npt)
                     r_drow.append(drow)
                     r_dim.append(2)
@@ -153,7 +158,7 @@ def _parse_structure(vals):
                 if v[o:o + 5] != _PT_HDR5:
                     return None
                 part += 1
-                r_start.append(base + o + 5)
+                chunks.append(mv[o + 5:o + 21])
                 r_npt.append(1)
                 r_drow.append(drow)
                 r_dim.append(0)
@@ -175,7 +180,7 @@ def _parse_structure(vals):
                     return None
                 part += 1
                 if npt:
-                    r_start.append(base + o)
+                    chunks.append(mv[o:end])
                     r_npt.append(npt)
                     r_drow.append(drow)
                     r_dim.append(1)
@@ -204,7 +209,7 @@ def _parse_structure(vals):
                     if lv < end:
                         return None
                     if npt:
-                        r_start.append(base + o)
+                        chunks.append(mv[o:end])
                         r_npt.append(npt)
                         r_drow.append(drow)
                         r_dim.append(2)
@@ -215,8 +220,7 @@ def _parse_structure(vals):
                 return None
         else:
             return None  # GeometryCollection / Z / M / EWKB flags / ISO 1000+
-        base += lv
-    return idx, kinds, r_start, r_npt, r_drow, r_dim, r_role, r_part
+    return idx, kinds, chunks, r_npt, r_drow, r_dim, r_role, r_part
 
 
 def decode_batch(vals):
@@ -224,13 +228,12 @@ def decode_batch(vals):
     parsed = _parse_structure(vals)
     if parsed is None:
         return None
-    idx, kinds, r_start, r_npt, r_drow, r_dim, r_role, r_part = parsed
+    idx, kinds, chunks, r_npt, r_drow, r_dim, r_role, r_part = parsed
     db = DecodedBatch()
     db.n = len(vals)
     db.idx = np.asarray(idx, dtype=np.int64)
     db.kind = np.asarray(kinds, dtype=np.uint8)
     nd = len(idx)
-    starts = np.asarray(r_start, dtype=np.int64)
     npts = np.asarray(r_npt, dtype=np.int64)
     db.ring_npt = npts
     db.ring_drow = np.asarray(r_drow, dtype=np.int64)
@@ -238,14 +241,8 @@ def decode_batch(vals):
     db.ring_role = np.asarray(r_role, dtype=np.uint8)
     db.ring_part = np.asarray(r_part, dtype=np.int64)
     if len(npts):
-        # one gather moves every coordinate byte: output position k of ring j
-        # maps to buffer byte starts[j] + (k - cum0[j])
-        buf = np.frombuffer(b"".join(v for v in vals if v is not None), dtype=np.uint8)
-        lens = npts << 4
-        cum = np.cumsum(lens)
-        cum0 = cum - lens
-        pos = np.repeat(starts - cum0, lens) + np.arange(cum[-1], dtype=np.int64)
-        db.coords = buf[pos].view("<f8").reshape(-1, 2)
+        # one join = one sequential memcpy per ring; no index arrays
+        db.coords = np.frombuffer(b"".join(chunks), dtype="<f8").reshape(-1, 2)
     else:
         db.coords = np.empty((0, 2), dtype=np.float64)
     db.row_npt = np.bincount(db.ring_drow, weights=npts, minlength=nd).astype(np.int64) \
@@ -261,6 +258,8 @@ _CACHE_MAX = 4
 
 def decode_batch_cached(vals):
     """decode_batch with a small content-equality cache (see module doc)."""
+    if DISABLED:
+        return None
     key = tuple(vals)
     hit = _CACHE.get(key)
     if hit is not None:
@@ -507,6 +506,73 @@ def batch_centroid(db):
     cy[db.idx] = np.where(dok, dcy, np.nan)
     ok[db.idx] = dok
     return cx, cy, ok
+
+
+def batch_hulls(db):
+    """Convex hull per decoded row: one global lexsort + dedup (the per-row
+    np.unique/np.lexsort calls dominate small-geometry batches), then an
+    Andrew monotone chain per row over plain Python floats — identical
+    point order, tie handling and degeneracy rules to
+    algorithms.convex_hull, so outputs are byte-identical after encoding.
+
+    Returns a list over decoded rows of ('empty'|'point'|'line'|'poly', data)
+    where data is None, (x, y), or a list of (x, y) vertices (poly rings are
+    closed)."""
+    nd = len(db.idx)
+    if nd == 0:
+        return []
+    x = db.coords[:, 0]
+    y = db.coords[:, 1]
+    rowid = np.repeat(np.arange(nd, dtype=np.int64), db.row_npt)
+    good = ~(np.isnan(x) | np.isnan(y))
+    x, y, rowid = x[good], y[good], rowid[good]
+    if len(x) == 0:
+        return [("empty", None)] * nd
+    order = np.lexsort((y, x, rowid))
+    x, y, rowid = x[order], y[order], rowid[order]
+    keep = np.empty(len(x), dtype=bool)
+    keep[0] = True
+    keep[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1]) | (rowid[1:] != rowid[:-1])
+    x, y, rowid = x[keep], y[keep], rowid[keep]
+    counts = np.bincount(rowid, minlength=nd)
+    starts = np.cumsum(counts) - counts
+    xs = x.tolist()
+    ys = y.tolist()
+    out = []
+    for j in range(nd):
+        c = int(counts[j])
+        if c == 0:
+            out.append(("empty", None))
+            continue
+        s0 = int(starts[j])
+        if c == 1:
+            out.append(("point", (xs[s0], ys[s0])))
+            continue
+        pts = list(zip(xs[s0:s0 + c], ys[s0:s0 + c]))
+        lower = []
+        for p in pts:
+            while len(lower) >= 2:
+                o1, a = lower[-2], lower[-1]
+                if (a[0] - o1[0]) * (p[1] - o1[1]) - (a[1] - o1[1]) * (p[0] - o1[0]) <= 0:
+                    lower.pop()
+                else:
+                    break
+            lower.append(p)
+        upper = []
+        for p in reversed(pts):
+            while len(upper) >= 2:
+                o1, a = upper[-2], upper[-1]
+                if (a[0] - o1[0]) * (p[1] - o1[1]) - (a[1] - o1[1]) * (p[0] - o1[0]) <= 0:
+                    upper.pop()
+                else:
+                    break
+            upper.append(p)
+        hull = lower[:-1] + upper[:-1]
+        if len(hull) == 2:
+            out.append(("line", hull))
+        else:
+            out.append(("poly", hull + [hull[0]]))
+    return out
 
 
 def hull_of_coords(pts):

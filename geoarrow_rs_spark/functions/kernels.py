@@ -329,19 +329,15 @@ def k_convex_hull(s):
     db = decoded_of(vals)
     if db is not None:
         out = [None] * len(vals)
-        coords = db.coords
-        for j, i in enumerate(db.idx):
-            pts = coords[db.row_start[j]:db.row_start[j] + db.row_npt[j]]
-            pts = pts[~np.isnan(pts[:, 0])]
-            kind, data = bd.hull_of_coords(pts)
+        for (kind, data), i in zip(bd.batch_hulls(db), db.idx):
             if kind == "empty":
                 g = wc.empty(wc.POLYGON)
             elif kind == "point":
                 g = wc.point(data[0], data[1])
             elif kind == "line":
-                g = Geom(wc.LINESTRING, data)
+                g = Geom(wc.LINESTRING, np.asarray(data, dtype=np.float64))
             else:
-                g = Geom(wc.POLYGON, [data])
+                g = Geom(wc.POLYGON, [np.asarray(data, dtype=np.float64)])
             out[i] = to_wkb(g)
         return pd.Series(out, dtype=object)
     return _geom_out([alg.convex_hull(g) for g in geoms_of(s)])
@@ -697,11 +693,52 @@ def k_geometry_n(s, idx):
     return pd.Series(out, dtype=object)
 
 
+def _collection_of_polygons_to_mp(v):
+    """GEOMETRYCOLLECTION whose parts are all non-empty XY LE Polygons ->
+    MultiPolygon WKB by header swap (part bytes are reused verbatim);
+    None if the value doesn't have that shape."""
+    if v is None or len(v) < 9 or v[:5] != b"\x01\x07\x00\x00\x00":
+        return None
+    ib = int.from_bytes
+    nparts = ib(v[5:9], "little")
+    if nparts == 0:
+        return None
+    lv = len(v)
+    o = 9
+    for _ in range(nparts):
+        if v[o:o + 5] != _PG_HDR or lv < o + 9:
+            return None
+        nr = ib(v[o + 5:o + 9], "little")
+        if nr == 0:
+            return None  # empty polygon part: slow path drops it
+        o += 9
+        for _ in range(nr):
+            if lv < o + 4:
+                return None
+            o += 4 + 16 * ib(v[o:o + 4], "little")
+            if lv < o:
+                return None
+    if o != lv:
+        return None
+    return b"\x01\x06\x00\x00\x00" + v[5:]
+
+
 def k_collection_extract(s, kind):
     """Extract parts of the requested dimension family (1=points, 2=lines,
     3=polygons) as a Multi* geometry (PostGIS ST_CollectionExtract)."""
     n = len(s)
     kk = list(kind) if hasattr(kind, "__iter__") else [kind] * n
+    if not bd.DISABLED and all(k == 3 for k in kk if k is not None):
+        vals = list(s)
+        fast = [
+            None if v is None or k is None else _collection_of_polygons_to_mp(v)
+            for v, k in zip(vals, kk)
+        ]
+        if all(
+            f is not None or v is None or k is None
+            for f, v, k in zip(fast, vals, kk)
+        ):
+            return pd.Series(fast, dtype=object)
     out = []
     for g, want in zip(geoms_of(s), kk):
         if g is None or want is None:
@@ -829,15 +866,22 @@ def k_from_native(s, enc):
 
 
 def k_geom_from_wkt(s):
+    # memoize per distinct string: WKT columns are usually CASE literals or
+    # templated shapes with few distinct values per batch
+    cache = {}
     out = []
     for v in s:
         if v is None:
             out.append(None)
-        else:
+            continue
+        b = cache.get(v)
+        if b is None and v not in cache:
             try:
-                out.append(to_wkb(from_wkt(v)))
+                b = to_wkb(from_wkt(v))
             except ValueError:
-                out.append(None)
+                b = None
+            cache[v] = b
+        out.append(b)
     return pd.Series(out, dtype=object)
 
 
@@ -1407,7 +1451,29 @@ def k_make_line(s1, s2):
     return pd.Series(out, dtype=object)
 
 
+_GC2_HDR = b"\x01\x07\x00\x00\x00\x02\x00\x00\x00"
+
+
+def _plain_xy_wkb(v):
+    """True if v starts like canonical XY little-endian WKB of type 1..6 —
+    for such inputs re-serializing the parsed Geom reproduces the input
+    bytes, so collection/multi wrappers can concatenate without parsing."""
+    return v is not None and len(v) >= 5 and v[0] == 1 and v[2] == 0 \
+        and v[3] == 0 and v[4] == 0 and 1 <= v[1] <= 6
+
+
 def k_collect_two(s1, s2):
+    v1 = list(s1)
+    v2 = list(s2)
+    if not bd.DISABLED and all(v is None or _plain_xy_wkb(v) for v in v1) and all(
+        v is None or _plain_xy_wkb(v) for v in v2
+    ):
+        # GEOMETRYCOLLECTION(a, b) body is exactly the two input WKBs
+        return pd.Series(
+            [None if a is None or b is None else _GC2_HDR + a + b
+             for a, b in zip(v1, v2)],
+            dtype=object,
+        )
     out = []
     for a, b in zip(geoms_of(s1), geoms_of(s2)):
         if a is None or b is None:
@@ -1439,11 +1505,50 @@ def k_point_z(xs, ys, zs):
     return pd.Series(out, dtype=object)
 
 
+_BOX_WKB = np.dtype(
+    {
+        "names": ["e", "t", "nr", "npt",
+                  "x0", "y0", "x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4"],
+        "formats": ["u1", "<u4", "<u4", "<u4"] + ["<f8"] * 10,
+        "offsets": [0, 1, 5, 9] + [13 + 8 * i for i in range(10)],
+        "itemsize": 93,
+    }
+)
+
+
 def k_make_envelope(x0, y0, x1, y1):
-    out = []
-    for a, b, c, d in zip(x0, y0, x1, y1):
-        if pd.isna(a) or pd.isna(b) or pd.isna(c) or pd.isna(d):
-            out.append(None)
-        else:
-            out.append(to_wkb(wc.box(float(a), float(b), float(c), float(d))))
-    return pd.Series(out, dtype=object)
+    """Vectorized: a box polygon is a fixed 93-byte WKB record (header + one
+    5-point CCW ring), so the whole batch packs with one structured-dtype
+    fill — byte-identical to to_wkb(wc.box(...))."""
+    if bd.DISABLED:
+        return pd.Series(
+            [
+                None if pd.isna(a) or pd.isna(b) or pd.isna(c) or pd.isna(d)
+                else to_wkb(wc.box(float(a), float(b), float(c), float(d)))
+                for a, b, c, d in zip(x0, y0, x1, y1)
+            ],
+            dtype=object,
+        )
+    xa = np.asarray(x0, dtype=np.float64)
+    ya = np.asarray(y0, dtype=np.float64)
+    xb = np.asarray(x1, dtype=np.float64)
+    yb = np.asarray(y1, dtype=np.float64)
+    n = len(xa)
+    rec = np.empty(n, dtype=_BOX_WKB)
+    rec["e"] = 1
+    rec["t"] = 3
+    rec["nr"] = 1
+    rec["npt"] = 5
+    rec["x0"] = rec["x3"] = rec["x4"] = xa
+    rec["x1"] = rec["x2"] = xb
+    rec["y0"] = rec["y1"] = rec["y4"] = ya
+    rec["y2"] = rec["y3"] = yb
+    raw = rec.tobytes()
+    mask = (
+        pd.isna(pd.Series(x0)) | pd.isna(pd.Series(y0))
+        | pd.isna(pd.Series(x1)) | pd.isna(pd.Series(y1))
+    )
+    return pd.Series(
+        [None if m else raw[i * 93:(i + 1) * 93] for i, m in enumerate(mask)],
+        dtype=object,
+    )

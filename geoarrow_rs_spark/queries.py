@@ -21,6 +21,23 @@ from .datapipe import dedup, similarity, text
 from .join import spatial_join
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Distribute a small single-split scan before per-row kernel work. The
+    bench fixtures are single-row-group parquet files, so the scan — and
+    every ArrowEvalPython chained onto it — would otherwise run in ONE task
+    regardless of cluster size. Spread to cores/4, not cores: each
+    ArrowEvalPython node holds a python worker per task, so a 3-node chain
+    at 32-way costs 96 concurrent python processes on 32 cores — measured
+    4-6x SLOWER than 8-way from worker churn. Skipped whenever the scan
+    already has enough splits (the 100 TB case: thousands of files arrive
+    pre-partitioned)."""
+    sc = df.sparkSession.sparkContext
+    n = max(2, sc.defaultParallelism // 4)
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # All events math downstream is exact int64 nanoseconds (mirrored by
@@ -39,7 +56,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
             )
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # every documents consumer runs heavy per-row text kernels (shingle
+        # explode, tokenize, fingerprint) straight off the scan — always
+        # worth spreading a single-split file before that work
+        return _spread(df)
+    return df
 
 
 def _money_sum(col, alias):
@@ -412,6 +435,50 @@ ORACLE_GEO_HULL = """
 SELECT o_orderkey,
        CAST(o_orderkey % 100 + 1 AS DOUBLE) * CAST(o_custkey % 50 + 1 AS DOUBLE) / 2.0 AS hull_area
 FROM orders
+"""
+
+
+def geo_multipolygon_stats(spark, sf_dir):
+    """Countries-shaped workload: a per-row MultiPolygon (two disjoint
+    squares) pushed through area/perimeter/centroid/convex-hull — the mixed
+    Multi* batch-decode fast path end to end (the content-keyed decode cache
+    makes the five chained ST_ calls share one decode). Mirrors the
+    reference's MultiPolygon area bench
+    (/root/reference/rust/geoarrow-old/benches/area.rs:1-36)."""
+    o = _spread(_t(spark, sf_dir, "orders"))
+    s = "CAST(o_orderkey % 50 + 1 AS DOUBLE)"
+    t = "CAST(o_orderkey % 50 + 1 + o_custkey % 7 + 1 AS DOUBLE)"
+    mp = (
+        f"ST_CollectionExtract(ST_Collect("
+        f"ST_MakeEnvelope(0.0, 0.0, {s}, {s}), "
+        f"ST_MakeEnvelope({t}, 0.0, {t} + {s}, {s})), 3)"
+    )
+    # two-step select: CollapseProject won't inline a Python UDF referenced
+    # by five downstream columns, so the construction chain runs once
+    return o.selectExpr("o_orderkey", f"{mp} AS g").selectExpr(
+        "o_orderkey",
+        "ST_Area(g) AS mp_area",
+        "ST_Perimeter(g) AS mp_perimeter",
+        "round(ST_X(ST_Centroid(g)), 6) AS cx",
+        "round(ST_Y(ST_Centroid(g)), 6) AS cy",
+        "ST_Area(ST_ConvexHull(g)) AS hull_area",
+    )
+
+
+# two side-by-side axis-aligned squares: every stat has a closed form
+ORACLE_GEO_MULTIPOLYGON = """
+SELECT o_orderkey,
+       2.0 * st * st AS mp_area,
+       8.0 * st AS mp_perimeter,
+       round((st + tt) / 2.0, 6) AS cx,
+       round(st / 2.0, 6) AS cy,
+       (tt + st) * st AS hull_area
+FROM (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 50 + 1 AS DOUBLE) AS st,
+         CAST(o_orderkey % 50 + 1 + o_custkey % 7 + 1 AS DOUBLE) AS tt
+  FROM orders
+)
 """
 
 
@@ -3544,6 +3611,7 @@ QUERIES = {
     "geo_centroid": (geo_centroid, ORACLE_GEO_CENTROID),
     "geo_buffer_area": (geo_buffer_area, ORACLE_GEO_BUFFER),
     "geo_convex_hull": (geo_convex_hull, ORACLE_GEO_HULL),
+    "geo_multipolygon_stats": (geo_multipolygon_stats, ORACLE_GEO_MULTIPOLYGON),
     "geo_wkt_types": (geo_wkt_types, ORACLE_GEO_WKT_TYPES),
     "geo_simplify_scale": (geo_simplify_scale, ORACLE_GEO_SIMPLIFY),
     "geo_clip": (geo_clip, ORACLE_GEO_CLIP),
