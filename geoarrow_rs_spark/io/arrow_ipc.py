@@ -64,8 +64,29 @@ def _open_table(p: str) -> pa.Table:
 
 
 def write_arrow_ipc(df: DataFrame, path: str, batch_size: int = 65536):
-    """Driver-side IPC write (interchange extracts; use parquet for bulk)."""
-    table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
-    with ipc.new_file(path, table.schema) as w:
-        for batch in table.to_batches(max_chunksize=batch_size):
-            w.write_batch(batch)
+    """Driver-side IPC write (single-file interchange format => single
+    writer), streamed through ``toLocalIterator`` like the FGB/shapefile
+    writers: peak driver memory is one prefetched partition plus one
+    ``batch_size`` row buffer, never the whole DataFrame."""
+    import pandas as pd
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    pa_schema = to_arrow_schema(df.schema)
+    cols = df.columns
+    with ipc.new_file(path, pa_schema) as w:
+
+        def flush(rows):
+            pdf = pd.DataFrame.from_records(rows, columns=cols)
+            w.write_batch(
+                pa.RecordBatch.from_pandas(pdf, schema=pa_schema, preserve_index=False)
+            )
+
+        buf = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(tuple(row))
+            if len(buf) >= batch_size:
+                flush(buf)
+                buf = []
+        if buf:
+            flush(buf)

@@ -13,11 +13,12 @@ Spark translation of the reference's ``with_intersecting_row_groups``
 Write: geometry stays WKB (canonical), optional bbox covering struct is
 generated per row (the covering generator,
 /root/reference/rust/geoparquet/src/total_bounds.rs:292), and the ``geo``
-file metadata is written. Spark's distributed writer cannot attach custom
-KV metadata to every part file without a footer rewrite, so the ``geo``
-document is stored as a ``_geo_metadata.json`` sidecar next to the parts
-(and honored by our reader); single-file mode rewrites the footer properly
-via pyarrow.
+file metadata is written two ways: a ``_geo_metadata.json`` sidecar next
+to the parts (fast driver reads, partition scheme lives only here) AND the
+spec-mandated ``geo`` key in every part file's footer (matching
+rust/geoparquet/src/writer/metadata.rs:670), stamped post-write by a
+distributed pyarrow rewrite, so external readers (geopandas, DuckDB
+spatial, the reference) see repo-written datasets as GeoParquet.
 """
 
 from __future__ import annotations
@@ -57,6 +58,53 @@ def _geo_doc(geometry_col: str, crs, bbox, covering_col, encoding: str = "WKB"):
         "primary_column": geometry_col,
         "columns": {geometry_col: col_meta},
     }
+
+
+def _stamp_geo_footers(spark: SparkSession, path: str, doc: dict):
+    """Rewrite every part file under ``path`` so its parquet footer carries
+    the ``geo`` key-value metadata. Runs as a mapInPandas job over the file
+    list, so each executor rewrites its own chunk of parts in parallel
+    against the shared filesystem (one extra read+write pass over the just-
+    written data — the price of spec-compliant footers from a distributed
+    writer; the sidecar alone is not visible to external readers)."""
+    import glob
+
+    parts = sorted(
+        p for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(p).startswith("_")
+    )
+    if not parts:
+        return
+    geo_json = json.dumps(doc)
+
+    def rewrite(batches):
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            n = 0
+            for p in b["path"]:
+                t = pq.read_table(p)
+                md = dict(t.schema.metadata or {})
+                md[GEO_KEY] = geo_json.encode()
+                pq.write_table(t.replace_schema_metadata(md), p)
+                # local-FS Hadoop keeps .part.crc checksums; ours are stale now
+                crc = os.path.join(
+                    os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+                )
+                if os.path.exists(crc):
+                    os.remove(crc)
+                n += 1
+            import pandas as pd
+
+            yield pd.DataFrame({"n": [n]})
+
+    sc = spark.sparkContext
+    (
+        spark.createDataFrame([(p,) for p in parts], "path string")
+        .repartition(min(len(parts), sc.defaultParallelism))
+        .mapInPandas(rewrite, "n long")
+        .collect()
+    )
 
 
 def write_geoparquet(
@@ -122,6 +170,7 @@ def write_geoparquet(
     )
     with open(os.path.join(path, SIDECAR), "w") as f:
         json.dump(doc, f)
+    _stamp_geo_footers(df.sparkSession, path, doc)
     return doc
 
 
@@ -187,6 +236,7 @@ def write_geoparquet_partitioned(
     }
     with open(os.path.join(path, SIDECAR), "w") as f:
         json.dump(doc, f)
+    _stamp_geo_footers(df.sparkSession, path, doc)
     return doc
 
 

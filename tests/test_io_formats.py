@@ -339,3 +339,54 @@ def test_geoparquet_native_point_encoding_roundtrip(spark, tmp_path):
     assert n == len([1 for i in range(200) if i % 20 <= 5 and i // 20 <= 3])
     plan = filt._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "xmin" in plan.split("PushedFilters")[1][:400]
+
+
+def test_geoparquet_footer_geo_metadata_all_parts(spark, tmp_path):
+    """Every part file of a distributed write must carry the spec ``geo``
+    key in its own parquet footer (external readers never see the sidecar;
+    rust/geoparquet/src/writer/metadata.rs:670 behavior)."""
+    import glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from geoarrow_rs_spark.io import read_geoparquet, write_geoparquet
+    from geoarrow_rs_spark.io.geoparquet import write_geoparquet_partitioned
+
+    df = spark.range(400).repartition(4).selectExpr(
+        "id", "ST_Point(CAST(id % 20 AS DOUBLE), CAST(id div 20 AS DOUBLE)) AS geometry"
+    )
+    path = _os.path.join(str(tmp_path), "footered")
+    doc = write_geoparquet(df, path, "geometry")
+    parts = [
+        p for p in glob.glob(_os.path.join(path, "*.parquet"))
+        if not _os.path.basename(p).startswith("_")
+    ]
+    assert len(parts) >= 2  # distributed write produced multiple parts
+    for p in parts:
+        md = pq.read_schema(p).metadata or {}
+        assert b"geo" in md, p
+        got = _json.loads(md[b"geo"])
+        assert got["primary_column"] == "geometry"
+        assert got["columns"]["geometry"]["encoding"] == doc["columns"]["geometry"]["encoding"]
+
+    # rewritten parts stay readable with identical content + bbox pushdown
+    back = read_geoparquet(spark, path)
+    assert back.count() == 400
+    assert read_geoparquet(spark, path, bbox=(0, 0, 5, 3)).count() == len(
+        [1 for i in range(400) if i % 20 <= 5 and i // 20 <= 3]
+    )
+
+    # hive-partitioned writes stamp every nested part too
+    ppath = _os.path.join(str(tmp_path), "footered_cells")
+    write_geoparquet_partitioned(df, ppath, "geometry", cell_size=5.0)
+    nested = [
+        p for p in glob.glob(_os.path.join(ppath, "**", "*.parquet"), recursive=True)
+        if not _os.path.basename(p).startswith("_")
+    ]
+    assert nested
+    for p in nested:
+        md = pq.read_schema(p).metadata or {}
+        assert b"geo" in md, p
+    assert read_geoparquet(spark, ppath).count() == 400
