@@ -1814,6 +1814,78 @@ def geo_transform(spark, sf_dir):
     )
 
 
+def geo_transform_conic(spark, sf_dir):
+    """Conic reprojection (ST_Transform): Albers equal-area (EPSG:5070,
+    CONUS) and Lambert conformal conic 2SP (EPSG:2154, Lambert-93) —
+    forward checked against the full Snyder closed forms restated in plain
+    SQL (projection constants n/C/F/rho0 precomputed once and inlined as
+    literals in both engines), inverse checked as a round trip."""
+    c = _t(spark, sf_dir, "customer")
+    lon_a = "CAST(c_custkey % 45 AS DOUBLE) - 120.0"
+    lat_a = "CAST(c_custkey % 24 AS DOUBLE) + 25.5"
+    lon_l = "CAST(c_custkey % 15 AS DOUBLE) * 0.5 - 4.0"
+    lat_l = "CAST(c_custkey % 19 AS DOUBLE) * 0.5 + 41.5"
+    aea = f"ST_Transform(ST_Point({lon_a}, {lat_a}), 'EPSG:4326', 'EPSG:5070')"
+    lcc = f"ST_Transform(ST_Point({lon_l}, {lat_l}), 'EPSG:4326', 'EPSG:2154')"
+    return c.selectExpr(
+        "c_custkey",
+        f"round(ST_X({aea}), 2) AS aea_x",
+        f"round(ST_Y({aea}), 2) AS aea_y",
+        f"round(ST_X({lcc}), 2) AS lcc_x",
+        f"round(ST_Y({lcc}), 2) AS lcc_y",
+        f"round(ST_X(ST_Transform({aea}, 'EPSG:5070', 'EPSG:4326')), 6) AS aea_rt_lon",
+        f"round(ST_Y(ST_Transform({lcc}, 'EPSG:2154', 'EPSG:4326')), 6) AS lcc_rt_lat",
+    )
+
+
+def _conic_oracle_sql() -> str:
+    from .wkb import proj
+
+    A = proj.CONICS[5070]
+    L = proj.CONICS[2154]
+
+    def d(v):
+        # decimal-point literals parse as DECIMAL in duckdb and overflow in
+        # products; force every projection constant to DOUBLE
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    qa = (
+        f"(1.0 - {d(A['e2'])}) * (sin(radians(lat_a)) / (1.0 - {d(A['e2'])} * "
+        f"sin(radians(lat_a)) * sin(radians(lat_a))) - ln((1.0 - {d(A['e'])} * "
+        f"sin(radians(lat_a))) / (1.0 + {d(A['e'])} * sin(radians(lat_a)))) / "
+        f"(2.0 * {d(A['e'])}))"
+    )
+    rho_a = f"({d(A['a'])} * sqrt({d(A['C'])} - {d(A['n'])} * {qa}) / {d(A['n'])})"
+    th_a = f"({d(A['n'])} * radians(lon_a - ({d(A['lon0'])})))"
+    tl = (
+        f"(tan(pi() / 4.0 - radians(lat_l) / 2.0) / power((1.0 - {d(L['e'])} * "
+        f"sin(radians(lat_l))) / (1.0 + {d(L['e'])} * sin(radians(lat_l))), "
+        f"{d(L['e'])} / 2.0))"
+    )
+    rho_l = f"({d(L['a'])} * {d(L['F'])} * power({tl}, {d(L['n'])}))"
+    th_l = f"({d(L['n'])} * radians(lon_l - ({d(L['lon0'])})))"
+    return f"""
+SELECT c_custkey,
+       round({rho_a} * sin({th_a}), 2) AS aea_x,
+       round({d(A['rho0'])} - {rho_a} * cos({th_a}), 2) AS aea_y,
+       round({d(L['fe'])} + {rho_l} * sin({th_l}), 2) AS lcc_x,
+       round({d(L['fn'])} + {d(L['rho0'])} - {rho_l} * cos({th_l}), 2) AS lcc_y,
+       round(lon_a, 6) AS aea_rt_lon,
+       round(lat_l, 6) AS lcc_rt_lat
+FROM (
+  SELECT c_custkey,
+         CAST(c_custkey % 45 AS DOUBLE) - 120.0 AS lon_a,
+         CAST(c_custkey % 24 AS DOUBLE) + 25.5 AS lat_a,
+         CAST(c_custkey % 15 AS DOUBLE) * 0.5 - 4.0 AS lon_l,
+         CAST(c_custkey % 19 AS DOUBLE) * 0.5 + 41.5 AS lat_l
+  FROM customer
+)
+"""
+
+
+ORACLE_GEO_TRANSFORM_CONIC = _conic_oracle_sql()
+
+
 def geo_geodesic_area(spark, sf_dir):
     """Ellipsoidal (geodesic) polygon area, geodesic_area.rs:17 parity.
     Envelope quads have meridian/parallel edges, for which the engine's
@@ -3626,6 +3698,7 @@ QUERIES = {
     "geo_reverse_flip": (geo_reverse_flip, ORACLE_GEO_REVERSE),
     "geo_buffer_line": (geo_buffer_line, ORACLE_GEO_BUFFER_LINE),
     "geo_transform": (geo_transform, ORACLE_GEO_TRANSFORM),
+    "geo_transform_conic": (geo_transform_conic, ORACLE_GEO_TRANSFORM_CONIC),
     "geo_geodesic_area": (geo_geodesic_area, ORACLE_GEO_GEODESIC_AREA),
     "geo_project": (geo_project, ORACLE_GEO_PROJECT),
     "geo_line_substring": (geo_line_substring, ORACLE_GEO_LINE_SUBSTRING),

@@ -159,6 +159,118 @@ def utm_epsg_for(lon_deg, lat_deg):
 
 
 # ---------------------------------------------------------------------------
+# Conic projections: Albers equal-area + Lambert conformal conic (2SP)
+# (Snyder 1987, "Map Projections: A Working Manual", USGS PP 1395 —
+# ellipsoidal formulas pp. 100-102 (AEA) and pp. 107-109 (LCC))
+# ---------------------------------------------------------------------------
+
+# NAD83 / RGF93 datum ellipsoid (GRS80); differs from WGS84 only in 1/f's
+# 9th decimal — parameterized per CRS anyway
+GRS80_A = 6_378_137.0
+GRS80_F = 1 / 298.257222101
+
+
+def _conic_setup(p):
+    a = p["a"]
+    e2 = p["f"] * (2 - p["f"])
+    e = float(np.sqrt(e2))
+    lat0, lat1, lat2 = map(np.radians, (p["lat0"], p["lat1"], p["lat2"]))
+
+    def m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1 - e2 * s * s)
+
+    if p["kind"] == "aea":
+        def q(phi):
+            s = np.sin(phi)
+            return (1 - e2) * (
+                s / (1 - e2 * s * s) - np.log((1 - e * s) / (1 + e * s)) / (2 * e)
+            )
+
+        m1, m2 = m(lat1), m(lat2)
+        q0, q1, q2 = q(lat0), q(lat1), q(lat2)
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        C = m1 * m1 + n * q1
+        rho0 = a * np.sqrt(C - n * q0) / n
+        p.update(e=e, e2=e2, n=float(n), C=float(C), rho0=float(rho0))
+    else:  # lcc
+        def t(phi):
+            s = np.sin(phi)
+            return np.tan(np.pi / 4 - phi / 2) / (
+                (1 - e * s) / (1 + e * s)
+            ) ** (e / 2)
+
+        m1, m2 = m(lat1), m(lat2)
+        t0, t1, t2 = t(lat0), t(lat1), t(lat2)
+        n = np.log(m1 / m2) / np.log(t1 / t2)
+        Fc = m1 / (n * t1 ** n)
+        rho0 = a * Fc * t0 ** n
+        p.update(e=e, e2=e2, n=float(n), F=float(Fc), rho0=float(rho0))
+    return p
+
+
+CONICS = {
+    # NAD83 / Conus Albers (equal-area; the reference's geodesy crate serves
+    # the same family via proj strings)
+    5070: _conic_setup(dict(
+        kind="aea", a=GRS80_A, f=GRS80_F,
+        lat0=23.0, lon0=-96.0, lat1=29.5, lat2=45.5, fe=0.0, fn=0.0,
+    )),
+    # RGF93 / Lambert-93 (France LCC 2SP)
+    2154: _conic_setup(dict(
+        kind="lcc", a=GRS80_A, f=GRS80_F,
+        lat0=46.5, lon0=3.0, lat1=44.0, lat2=49.0, fe=700_000.0, fn=6_600_000.0,
+    )),
+}
+
+
+def conic_forward(lon_deg, lat_deg, epsg):
+    p = CONICS[int(epsg)]
+    a, e, e2, n = p["a"], p["e"], p["e2"], p["n"]
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    s = np.sin(phi)
+    if p["kind"] == "aea":
+        q = (1 - e2) * (
+            s / (1 - e2 * s * s) - np.log((1 - e * s) / (1 + e * s)) / (2 * e)
+        )
+        rho = a * np.sqrt(p["C"] - n * q) / n
+    else:
+        t = np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        rho = a * p["F"] * t ** n
+    theta = n * lam
+    x = p["fe"] + rho * np.sin(theta)
+    y = p["fn"] + p["rho0"] - rho * np.cos(theta)
+    return x, y
+
+
+def conic_inverse(x, y, epsg, iters=12):
+    p = CONICS[int(epsg)]
+    a, e, e2, n = p["a"], p["e"], p["e2"], p["n"]
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = p["rho0"] - (np.asarray(y, dtype=np.float64) - p["fn"])
+    rho = np.hypot(xp, yp)
+    theta = np.arctan2(xp, yp)  # n > 0 for both registered CRSs
+    lam = theta / n
+    if p["kind"] == "aea":
+        q = (p["C"] - (rho * n / a) ** 2) / n
+        phi = np.arcsin(np.clip(q / 2, -1, 1))
+        for _ in range(iters):
+            s = np.sin(phi)
+            one = 1 - e2 * s * s
+            phi = phi + one * one / (2 * np.cos(phi)) * (
+                q / (1 - e2) - s / one + np.log((1 - e * s) / (1 + e * s)) / (2 * e)
+            )
+    else:
+        t = (rho / (a * p["F"])) ** (1 / n)
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(iters):
+            s = e * np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (e / 2))
+    return np.degrees(lam) + p["lon0"], np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -168,7 +280,7 @@ def _is_utm(epsg):
 
 def supported_crs(epsg) -> bool:
     epsg = int(epsg)
-    return epsg in (4326, 3857) or _is_utm(epsg)
+    return epsg in (4326, 3857) or epsg in CONICS or _is_utm(epsg)
 
 
 def to_wgs84(x, y, src_epsg):
@@ -177,6 +289,8 @@ def to_wgs84(x, y, src_epsg):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if src_epsg == 3857:
         return webmercator_inverse(x, y)
+    if src_epsg in CONICS:
+        return conic_inverse(x, y, src_epsg)
     if _is_utm(src_epsg):
         lon0, fn = utm_zone_params(src_epsg)
         return tm_inverse(x, y, lon0, fn=fn)
@@ -189,6 +303,8 @@ def from_wgs84(lon, lat, dst_epsg):
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
     if dst_epsg == 3857:
         return webmercator_forward(lon, lat)
+    if dst_epsg in CONICS:
+        return conic_forward(lon, lat, dst_epsg)
     if _is_utm(dst_epsg):
         lon0, fn = utm_zone_params(dst_epsg)
         return tm_forward(lon, lat, lon0, fn=fn)

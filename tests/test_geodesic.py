@@ -286,3 +286,54 @@ def test_union_of_disjoint_annuli():
     inner = alg.buffer(Geom(MULTILINESTRING, rings[1:]), 0.5, 8)
     u = bo.geom_union(outer, inner)
     assert alg.area(u) == pytest.approx(alg.area(outer) + alg.area(inner), rel=1e-9)
+
+
+def test_conic_projections_roundtrip_and_anchors():
+    """Albers (EPSG:5070) and Lambert-93 (EPSG:2154): origin anchors are
+    exact, forward/inverse round-trips close to 1e-9 degrees across the
+    valid domain, and the defining property of each holds (scale 1 on LCC
+    standard parallels; unit area scale for AEA)."""
+    import numpy as np
+
+    from geoarrow_rs_spark.wkb import proj
+
+    x, y = proj.conic_forward(np.array([-96.0]), np.array([23.0]), 5070)
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    x, y = proj.conic_forward(np.array([3.0]), np.array([46.5]), 2154)
+    assert abs(x[0] - 700000.0) < 1e-9 and abs(y[0] - 6600000.0) < 1e-9
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-125, -70, 5000)
+    lat = rng.uniform(24, 50, 5000)
+    lo2, la2 = proj.conic_inverse(*proj.conic_forward(lon, lat, 5070), 5070)
+    assert np.abs(lo2 - lon).max() < 1e-9
+    assert np.abs(la2 - lat).max() < 1e-9
+    lon = rng.uniform(-5, 10, 5000)
+    lat = rng.uniform(41, 51, 5000)
+    lo2, la2 = proj.conic_inverse(*proj.conic_forward(lon, lat, 2154), 2154)
+    assert np.abs(lo2 - lon).max() < 1e-9
+    assert np.abs(la2 - lat).max() < 1e-9
+
+    # LCC conformal: scale exactly 1 on the standard parallels
+    a, f = proj.GRS80_A, proj.GRS80_F
+    e2 = f * (2 - f)
+    for latsp in (44.0, 49.0):
+        dl = 1e-6
+        x1, y1 = proj.conic_forward(np.array([3.0]), np.array([latsp]), 2154)
+        x2, y2 = proj.conic_forward(np.array([3.0 + dl]), np.array([latsp]), 2154)
+        s = np.sin(np.radians(latsp))
+        arc = np.radians(dl) * a * np.cos(np.radians(latsp)) / np.sqrt(1 - e2 * s * s)
+        assert abs(float(np.hypot(x2 - x1, y2 - y1)) / arc - 1.0) < 1e-6
+
+    # AEA equal-area: projected/ellipsoidal area ratio 1
+    d = 1e-6
+    for lon0, lat0 in ((-110.0, 40.0), (-80.0, 30.0)):
+        x0, y0 = proj.conic_forward(np.array([lon0]), np.array([lat0]), 5070)
+        xe, ye = proj.conic_forward(np.array([lon0 + d]), np.array([lat0]), 5070)
+        xn, yn = proj.conic_forward(np.array([lon0]), np.array([lat0 + d]), 5070)
+        pa = abs(float((xe - x0) * (yn - y0) - (xn - x0) * (ye - y0)))
+        s = np.sin(np.radians(lat0))
+        M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        N = a / np.sqrt(1 - e2 * s * s)
+        ea = np.radians(d) * M * np.radians(d) * N * np.cos(np.radians(lat0))
+        assert abs(pa / ea - 1.0) < 1e-6
