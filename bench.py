@@ -53,6 +53,9 @@ def main():
         .appName("geoarrow-rs-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        # pinned up front so queries._t's lazy set is a no-op, not a
+        # first-query side effect
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 8k batches: pUDF chains pipeline across their ArrowEvalPython
         # workers per batch, and per-batch memory stays GC-friendly —

@@ -50,7 +50,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = df.schema["ts"].dataType.typeName()
         if ts_type in ("timestamp", "timestamp_ntz"):
             # naive timestamps are epoch-anchored the same way duckdb anchors
-            # them (treat as UTC); pin the session tz so the cast is exact
+            # them (treat as UTC); pin the session tz so the cast is exact.
+            # NB: session-global — bench.py and tests/conftest.py pin UTC at
+            # session setup so this is a no-op there; standalone callers get
+            # it set on first events load and every later query assumes it
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn(
                 "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")

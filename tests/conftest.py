@@ -21,6 +21,10 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # UTC pinned at session setup: queries._t's events normalization
+        # also sets it lazily, but pinning here means no test depends on
+        # which query ran first (all fixture timestamps are ntz/UTC)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "4g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -195,7 +195,9 @@ def _events_with_ts(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     kind = e.schema["ts"].dataType.typeName()
     if kind == "long":
-        e = e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # exact integer division: ns epochs exceed 2^53, double division
+        # could shift a timestamp ~1us across a window boundary
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif kind == "timestamp_ntz":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         e = e.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -512,3 +514,68 @@ def test_pyarrow_interop_roundtrip(spark):
         for r in back.selectExpr("id", "ST_X(geometry) AS x", "ST_Y(geometry) AS y").collect()
     }
     assert got == {(i, float(i), float(2 * i)) for i in range(50)}
+
+
+def test_ann_recall_floor_guard(spark):
+    """Regression floor for ivf_topk recall vs brute force, so bucket/probe
+    changes cannot silently trade recall for speed.
+
+    Two regimes:
+    - sf0.01 embeddings (near-random vectors, top-5 cosine ~0.3): recall is
+      bounded by SRP collision probability, not implementation quality —
+      calibrated floors (measured 0.44 / 0.80 at planes=4 radius=1/2) with
+      headroom for sampling noise.
+    - clustered synthetic (tight clusters, in-cluster cosine ~0.99): the
+      regime the index is FOR — radius-1 recall must be >= 0.9.
+    """
+    import os as _os
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from geoarrow_rs_spark.datapipe.similarity import cosine_topk, ivf_topk
+
+    sf001 = "/root/testdata/sf0.01"
+    if _os.path.isdir(sf001):
+        e = spark.read.parquet(f"{sf001}/embeddings.parquet")
+        q = e.where("vec_id < 50")
+        c = e.where("vec_id >= 50")
+        exact = {
+            (r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, c, k=5).collect()
+        }
+        got1 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(q, c, k=5, n_planes=4, probe_radius=1).collect()
+        }
+        got2 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(q, c, k=5, n_planes=4, probe_radius=2).collect()
+        }
+        r1 = len(exact & got1) / len(exact)
+        r2 = len(exact & got2) / len(exact)
+        assert r1 >= 0.35, f"radius-1 recall floor broken: {r1:.3f}"
+        assert r2 >= 0.70, f"radius-2 recall floor broken: {r2:.3f}"
+
+    # clustered regime: 20 centers x 25 members, noise sigma 0.05
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(20, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(20):
+        for _ in range(25):
+            v = centers[ci] + rng.normal(scale=0.05, size=16)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows)
+    q = df.where("vec_id % 25 = 0")
+    c = df.where("vec_id % 25 != 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, c, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, c, k=5, n_planes=8, probe_radius=1).collect()
+    }
+    rec = len(exact & got) / len(exact)
+    assert rec >= 0.9, f"clustered radius-1 recall {rec:.3f} < 0.9"
