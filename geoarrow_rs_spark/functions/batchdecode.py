@@ -61,6 +61,7 @@ class DecodedBatch:
     kind       : uint8[nd]  WKB type code (1..6) per decoded row
     coords     : (P, 2) float64 — every coordinate of every decoded row
     ring_npt   : int64[R] points per ring (Point parts are 1-point rings)
+    ring_off   : int64[R] byte offset of the ring's coord block in its value
     ring_drow  : int64[R] DECODED-row ordinal (0..nd-1) of each ring
     ring_dim   : uint8[R] 0=point part, 1=line part, 2=polygon ring
     ring_role  : uint8[R] 0=shell/standalone, 1=interior ring (hole)
@@ -71,7 +72,7 @@ class DecodedBatch:
 
     __slots__ = (
         "n", "idx", "kind", "coords", "ring_npt", "ring_drow", "ring_dim",
-        "ring_role", "ring_part", "row_npt", "row_start",
+        "ring_role", "ring_part", "row_npt", "row_start", "ring_off",
     )
 
     # ring-level start offsets into coords (derived, used by reduceat)
@@ -85,6 +86,7 @@ def _parse_structure(vals):
     caller), or None if any value is not plain XY LE WKB of types 1..6."""
     idx, kinds = [], []
     chunks, r_npt, r_drow, r_dim, r_role, r_part = [], [], [], [], [], []
+    r_off = []
     drow = -1         # decoded-row ordinal
     part = -1         # global part ordinal
     ib = int.from_bytes
@@ -104,6 +106,7 @@ def _parse_structure(vals):
                 return None
             part += 1
             chunks.append(mv[5:])
+            r_off.append(5)
             r_npt.append(1)
             r_drow.append(drow)
             r_dim.append(0)
@@ -118,6 +121,7 @@ def _parse_structure(vals):
             part += 1
             if npt:
                 chunks.append(mv[9:])
+                r_off.append(9)
                 r_npt.append(npt)
                 r_drow.append(drow)
                 r_dim.append(1)
@@ -139,6 +143,7 @@ def _parse_structure(vals):
                     return None
                 if npt:
                     chunks.append(mv[o:end])
+                    r_off.append(o)
                     r_npt.append(npt)
                     r_drow.append(drow)
                     r_dim.append(2)
@@ -159,6 +164,7 @@ def _parse_structure(vals):
                     return None
                 part += 1
                 chunks.append(mv[o + 5:o + 21])
+                r_off.append(o + 5)
                 r_npt.append(1)
                 r_drow.append(drow)
                 r_dim.append(0)
@@ -181,6 +187,7 @@ def _parse_structure(vals):
                 part += 1
                 if npt:
                     chunks.append(mv[o:end])
+                    r_off.append(o)
                     r_npt.append(npt)
                     r_drow.append(drow)
                     r_dim.append(1)
@@ -210,6 +217,7 @@ def _parse_structure(vals):
                         return None
                     if npt:
                         chunks.append(mv[o:end])
+                        r_off.append(o)
                         r_npt.append(npt)
                         r_drow.append(drow)
                         r_dim.append(2)
@@ -220,7 +228,7 @@ def _parse_structure(vals):
                 return None
         else:
             return None  # GeometryCollection / Z / M / EWKB flags / ISO 1000+
-    return idx, kinds, chunks, r_npt, r_drow, r_dim, r_role, r_part
+    return idx, kinds, chunks, r_npt, r_off, r_drow, r_dim, r_role, r_part
 
 
 def decode_batch(vals):
@@ -228,7 +236,7 @@ def decode_batch(vals):
     parsed = _parse_structure(vals)
     if parsed is None:
         return None
-    idx, kinds, chunks, r_npt, r_drow, r_dim, r_role, r_part = parsed
+    idx, kinds, chunks, r_npt, r_off, r_drow, r_dim, r_role, r_part = parsed
     db = DecodedBatch()
     db.n = len(vals)
     db.idx = np.asarray(idx, dtype=np.int64)
@@ -236,6 +244,7 @@ def decode_batch(vals):
     nd = len(idx)
     npts = np.asarray(r_npt, dtype=np.int64)
     db.ring_npt = npts
+    db.ring_off = np.asarray(r_off, dtype=np.int64)
     db.ring_drow = np.asarray(r_drow, dtype=np.int64)
     db.ring_dim = np.asarray(r_dim, dtype=np.uint8)
     db.ring_role = np.asarray(r_role, dtype=np.uint8)
@@ -573,6 +582,46 @@ def batch_hulls(db):
         else:
             out.append(("poly", hull + [hull[0]]))
     return out
+
+
+def batch_rebuild(db, vals, new_coords):
+    """Re-emit each decoded row's WKB with its coordinates replaced by the
+    matching rows of ``new_coords`` ((P, 2), same layout as db.coords).
+    Structure bytes are reused verbatim, so output is byte-identical to
+    re-serializing the slow path's Geom for canonical inputs. Returns a
+    list[bytes|None] of length db.n."""
+    out = [None] * db.n
+    raw = memoryview(np.ascontiguousarray(new_coords, dtype="<f8").tobytes())
+    R = len(db.ring_npt)
+    starts = np.cumsum(db.ring_npt) - db.ring_npt
+    j = 0
+    for d, i in enumerate(db.idx):
+        ba = bytearray(vals[i])
+        while j < R and db.ring_drow[j] == d:
+            o = db.ring_off[j]
+            s0 = starts[j] << 4
+            nb = db.ring_npt[j] << 4
+            ba[o:o + nb] = raw[s0:s0 + nb]
+            j += 1
+        out[i] = bytes(ba)
+    return out
+
+
+def batch_affine(db, vals, a, b, d, e, xoff, yoff):
+    """x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff per input row
+    (coefficients are scalars or per-input-row arrays), spliced back into
+    the original WKB structure. algorithms.affine_transform parity."""
+    def pick(v):
+        arr = np.asarray(v, dtype=np.float64)
+        if arr.ndim == 0:
+            arr = np.full(db.n, float(arr))
+        return np.repeat(arr[db.idx], db.row_npt)
+
+    pa, pb, pd_, pe, pxo, pyo = map(pick, (a, b, d, e, xoff, yoff))
+    x = db.coords[:, 0]
+    y = db.coords[:, 1]
+    nc = np.column_stack((pa * x + pb * y + pxo, pd_ * x + pe * y + pyo))
+    return batch_rebuild(db, vals, nc)
 
 
 def hull_of_coords(pts):

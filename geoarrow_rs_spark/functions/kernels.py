@@ -547,6 +547,12 @@ def k_reverse(s):
 
 
 def k_flip_coordinates(s):
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:
+        return pd.Series(
+            bd.batch_rebuild(db, vals, db.coords[:, ::-1]), dtype=object
+        )
     return _geom_out([
         alg._map_coords(g, lambda xy: xy[:, ::-1]) if g is not None else None
         for g in geoms_of(s)
@@ -1091,15 +1097,115 @@ def k_buffer(s, w, q):
                 [blobs.get(i) for i in range(n_rows)], dtype=object
             )
     return _k_buffer_slow(s, w, q)
-k_translate = _param_geom_kernel(lambda g, dx, dy: alg.translate(g, float(dx), float(dy)))
-k_rotate = _param_geom_kernel(lambda g, a: alg.rotate(g, float(a), origin="center"))
-k_scale = _param_geom_kernel(lambda g, fx, fy: alg.scale(g, float(fx), float(fy), origin="center"))
-k_skew = _param_geom_kernel(lambda g, xs, ys: alg.skew(g, float(xs), float(ys), origin="center"))
-k_affine = _param_geom_kernel(
+_k_translate_slow = _param_geom_kernel(lambda g, dx, dy: alg.translate(g, float(dx), float(dy)))
+_k_rotate_slow = _param_geom_kernel(lambda g, a: alg.rotate(g, float(a), origin="center"))
+_k_scale_slow = _param_geom_kernel(lambda g, fx, fy: alg.scale(g, float(fx), float(fy), origin="center"))
+_k_skew_slow = _param_geom_kernel(lambda g, xs, ys: alg.skew(g, float(xs), float(ys), origin="center"))
+_k_affine_slow = _param_geom_kernel(
     lambda g, a, b, d, e, xo, yo: alg.affine_transform(
         g, float(a), float(b), float(d), float(e), float(xo), float(yo)
     )
 )
+
+
+def _param_arr(p, n):
+    """Scalar or per-row parameter -> float64[n], or None if any value is
+    null (the batch affine path then defers to the per-row kernel, which
+    emits None for those rows)."""
+    if hasattr(p, "__len__") and not isinstance(p, (str, bytes)):
+        ser = pd.Series(list(p))
+        if ser.isna().any():
+            return None
+        return ser.astype(float).to_numpy()
+    if p is None or (isinstance(p, float) and np.isnan(p)):
+        return None
+    return np.full(n, float(p))
+
+
+def _bbox_centers(db):
+    """Per-input-row bbox centers; (0, 0) for empty rows — the
+    algorithms._origin_xy 'center' convention."""
+    xmin, ymin, xmax, ymax = bd.batch_bounds(db)
+    ox = np.where(np.isnan(xmin), 0.0, (xmin + xmax) / 2)
+    oy = np.where(np.isnan(ymin), 0.0, (ymin + ymax) / 2)
+    return ox, oy
+
+
+def k_translate(s, dx, dy):
+    vals = list(s)
+    n = len(vals)
+    db = decoded_of(vals)
+    if db is not None:
+        DX, DY = _param_arr(dx, n), _param_arr(dy, n)
+        if DX is not None and DY is not None:
+            return pd.Series(
+                bd.batch_affine(db, vals, 1.0, 0.0, 0.0, 1.0, DX, DY), dtype=object
+            )
+    return _k_translate_slow(s, dx, dy)
+
+
+def k_rotate(s, ang):
+    vals = list(s)
+    n = len(vals)
+    db = decoded_of(vals)
+    if db is not None:
+        A = _param_arr(ang, n)
+        if A is not None:
+            ox, oy = _bbox_centers(db)
+            t = np.radians(A)
+            c, si = np.cos(t), np.sin(t)
+            return pd.Series(
+                bd.batch_affine(
+                    db, vals, c, -si, si, c,
+                    ox - ox * c + oy * si, oy - ox * si - oy * c,
+                ),
+                dtype=object,
+            )
+    return _k_rotate_slow(s, ang)
+
+
+def k_scale(s, fx, fy):
+    vals = list(s)
+    n = len(vals)
+    db = decoded_of(vals)
+    if db is not None:
+        FX, FY = _param_arr(fx, n), _param_arr(fy, n)
+        if FX is not None and FY is not None:
+            ox, oy = _bbox_centers(db)
+            return pd.Series(
+                bd.batch_affine(
+                    db, vals, FX, 0.0, 0.0, FY, ox - FX * ox, oy - FY * oy
+                ),
+                dtype=object,
+            )
+    return _k_scale_slow(s, fx, fy)
+
+
+def k_skew(s, xs_deg, ys_deg):
+    vals = list(s)
+    n = len(vals)
+    db = decoded_of(vals)
+    if db is not None:
+        XS, YS = _param_arr(xs_deg, n), _param_arr(ys_deg, n)
+        if XS is not None and YS is not None:
+            ox, oy = _bbox_centers(db)
+            tx, ty = np.tan(np.radians(XS)), np.tan(np.radians(YS))
+            return pd.Series(
+                bd.batch_affine(db, vals, 1.0, tx, ty, 1.0, -tx * oy, -ty * ox),
+                dtype=object,
+            )
+    return _k_skew_slow(s, xs_deg, ys_deg)
+
+
+def k_affine(s, a, b, d, e, xo, yo):
+    vals = list(s)
+    n = len(vals)
+    db = decoded_of(vals)
+    if db is not None:
+        ps = [_param_arr(p, n) for p in (a, b, d, e, xo, yo)]
+        if all(p is not None for p in ps):
+            return pd.Series(bd.batch_affine(db, vals, *ps), dtype=object)
+    return _k_affine_slow(s, a, b, d, e, xo, yo)
 k_clip_by_box = _param_geom_kernel(
     lambda g, x0, y0, x1, y1: alg.clip_by_rect(g, float(x0), float(y0), float(x1), float(y1))
 )
@@ -1146,6 +1252,15 @@ def k_transform(s, src, dst):
             blobs = pack_points_xy(tx, ty)
             return pd.Series(
                 [None if null[i] else blobs[i] for i in range(n)], dtype=object
+            )
+        # any-geometry batch: reproject the whole flat coord table at once
+        # and splice back into the original WKB structure — the exact Spark
+        # analogue of reproject.rs operating on CoordBuffers
+        db = decoded_of(vals)
+        if db is not None and proj.supported_crs(se) and proj.supported_crs(de):
+            tx, ty = proj.transform_xy(db.coords[:, 0], db.coords[:, 1], se, de)
+            return pd.Series(
+                bd.batch_rebuild(db, vals, np.column_stack((tx, ty))), dtype=object
             )
     out = []
     for v, a, b in zip(vals, src_iter, dst_iter):

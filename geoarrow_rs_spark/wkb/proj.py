@@ -280,7 +280,15 @@ def _is_utm(epsg):
 
 def supported_crs(epsg) -> bool:
     epsg = int(epsg)
-    return epsg in (4326, 3857) or epsg in CONICS or _is_utm(epsg)
+    if epsg in (4326, 3857) or epsg in CONICS or _is_utm(epsg):
+        return True
+    if USE_PYPROJ:
+        try:
+            import pyproj  # noqa: F401
+        except ImportError:
+            return False
+        return True
+    return False
 
 
 def to_wgs84(x, y, src_epsg):
@@ -311,10 +319,46 @@ def from_wgs84(lon, lat, dst_epsg):
     raise ValueError(f"unsupported target CRS: EPSG:{dst_epsg}")
 
 
+# ---------------------------------------------------------------------------
+# pyproj plug-in hook
+# ---------------------------------------------------------------------------
+# This container ships no pyproj, so the closed forms above are the built-in
+# surface. Environments that have pyproj get every CRS pair it knows by
+# flipping this on; it is consulted FIRST so authoritative transforms win
+# over our closed forms when both exist. The flag must be set before the
+# SparkSession starts (python workers import this module independently).
+USE_PYPROJ = __import__("os").environ.get("SPARK_GRAFT_USE_PYPROJ", "") == "1"
+_PYPROJ_CACHE: dict = {}
+
+
+def _pyproj_transform(x, y, src_epsg, dst_epsg):
+    """Vectorized pyproj transform, or None if pyproj is unavailable."""
+    try:
+        from pyproj import Transformer
+    except ImportError:
+        return None
+    key = (int(src_epsg), int(dst_epsg))
+    tr = _PYPROJ_CACHE.get(key)
+    if tr is None:
+        tr = Transformer.from_crs(
+            f"EPSG:{int(src_epsg)}", f"EPSG:{int(dst_epsg)}", always_xy=True
+        )
+        _PYPROJ_CACHE[key] = tr
+    tx, ty = tr.transform(
+        np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    )
+    return np.asarray(tx), np.asarray(ty)
+
+
 def transform_xy(x, y, src_epsg, dst_epsg):
-    """Vectorized (x, y) arrays src -> dst. Pivot through EPSG:4326."""
+    """Vectorized (x, y) arrays src -> dst. Pivot through EPSG:4326, unless
+    the pyproj hook is enabled and pyproj is importable."""
     if int(src_epsg) == int(dst_epsg):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if USE_PYPROJ:
+        got = _pyproj_transform(x, y, src_epsg, dst_epsg)
+        if got is not None:
+            return got
     lon, lat = to_wgs84(x, y, src_epsg)
     return from_wgs84(lon, lat, dst_epsg)
 

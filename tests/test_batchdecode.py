@@ -218,3 +218,52 @@ def test_uniform_multipolygon_batch():
         assert math.isclose(gv[0], wv[0], rel_tol=1e-9)
         assert math.isclose(gv[1], wv[1], rel_tol=1e-9)
     assert list(K.k_convex_hull(s)) == [to_wkb(alg.convex_hull(g)) for g in geoms]
+
+
+def test_affine_family_parity(batch):
+    """Batch coordinate-splice affine vs the per-row _param_geom_kernel
+    slow path — byte-identical output for canonical inputs."""
+    geoms, s = batch
+    cases = [
+        (K.k_translate, K._k_translate_slow, (3.5, -2.25)),
+        (K.k_rotate, K._k_rotate_slow, (37.0,)),
+        (K.k_scale, K._k_scale_slow, (2.0, 0.5)),
+        (K.k_skew, K._k_skew_slow, (15.0, -10.0)),
+        (K.k_affine, K._k_affine_slow, (1.5, 0.25, -0.5, 2.0, 10.0, -20.0)),
+    ]
+    for fast, slow, args in cases:
+        got = list(fast(s, *args))
+        want = list(slow(s, *args))
+        assert got == want, fast
+
+    # per-row parameters
+    n = len(s)
+    dx = pd.Series(np.arange(n, dtype=np.float64))
+    dy = pd.Series(np.arange(n, dtype=np.float64) * -0.5)
+    assert list(K.k_translate(s, dx, dy)) == list(K._k_translate_slow(s, dx, dy))
+
+    # a null parameter forces the slow path's per-row None semantics
+    dxn = dx.copy()
+    dxn[3] = None
+    assert list(K.k_translate(s, dxn, dy)) == list(K._k_translate_slow(s, dxn, dy))
+
+
+def test_flip_and_transform_batch_parity(batch):
+    geoms, s = batch
+    from geoarrow_rs_spark.wkb import algorithms as _alg
+
+    want = [
+        to_wkb(_alg._map_coords(g, lambda xy: xy[:, ::-1])) if g is not None else None
+        for g in geoms
+    ]
+    assert list(K.k_flip_coordinates(s)) == want
+
+    # non-point batch through a real projection: batch splice vs slow path
+    want_t = [
+        to_wkb(_alg.transform_crs(g, 4326, 3857)) if g is not None else None
+        for g in geoms
+    ]
+    # domain guard: batch coords exceed lat 85 for some random geoms, which
+    # mercator clips identically in both paths (same formula)
+    got_t = list(K.k_transform(s, "EPSG:4326", "EPSG:3857"))
+    assert got_t == want_t

@@ -337,3 +337,20 @@ def test_conic_projections_roundtrip_and_anchors():
         N = a / np.sqrt(1 - e2 * s * s)
         ea = np.radians(d) * M * np.radians(d) * N * np.cos(np.radians(lat0))
         assert abs(pa / ea - 1.0) < 1e-6
+
+
+def test_pyproj_hook_falls_back_cleanly(monkeypatch):
+    """With the hook on but pyproj absent (this container), transform_xy
+    keeps using the closed forms and unknown CRSs still raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from geoarrow_rs_spark.wkb import proj
+
+    monkeypatch.setattr(proj, "USE_PYPROJ", True)
+    x, y = proj.transform_xy(np.array([10.0]), np.array([45.0]), 4326, 3857)
+    ex, ey = proj.webmercator_forward(np.array([10.0]), np.array([45.0]))
+    assert x[0] == ex[0] and y[0] == ey[0]
+    assert not proj.supported_crs(27700)  # needs pyproj, not installed
+    with _pytest.raises(ValueError):
+        proj.transform_xy(np.array([0.0]), np.array([0.0]), 4326, 27700)
