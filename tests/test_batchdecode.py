@@ -267,3 +267,38 @@ def test_flip_and_transform_batch_parity(batch):
     # mercator clips identically in both paths (same formula)
     got_t = list(K.k_transform(s, "EPSG:4326", "EPSG:3857"))
     assert got_t == want_t
+
+
+def test_real_world_countries_batch(spark):
+    """179 real country multipolygons (holes, many rings, mixed Polygon/
+    MultiPolygon) through the batch decode path — results must match the
+    per-row Geom path exactly."""
+    from geoarrow_rs_spark.io import read_flatgeobuf
+
+    df = read_flatgeobuf(spark, "/root/reference/fixtures/flatgeobuf/countries.fgb")
+    wkb_vals = [r["geometry"] for r in df.select("geometry").collect()]
+    assert len(wkb_vals) == 179
+    s = pd.Series(wkb_vals, dtype=object)
+    db = bd.decode_batch(wkb_vals)
+    assert db is not None, "countries batch must take the decode path"
+
+    geoms = [from_wkb(v) for v in wkb_vals]
+    got_area = np.asarray(K.k_area(s))
+    want_area = np.asarray([alg.area(g) for g in geoms])
+    assert np.allclose(got_area, want_area, rtol=1e-12)
+
+    gotc = [_pt_xy(b) for b in K.k_centroid(s)]
+    wantc = [_pt_xy(to_wkb(alg.centroid(g))) for g in geoms]
+    for gv, wv in zip(gotc, wantc):
+        assert math.isclose(gv[0], wv[0], rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(gv[1], wv[1], rel_tol=1e-9, abs_tol=1e-12)
+
+    assert list(K.k_convex_hull(s)) == [to_wkb(alg.convex_hull(g)) for g in geoms]
+    assert list(K.k_translate(s, 1.5, -0.5)) == list(K._k_translate_slow(s, 1.5, -0.5))
+
+    got_b = K.k_bbox_struct(s)
+    for i, g in enumerate(geoms):
+        b = alg.bounds(g)
+        assert np.allclose(
+            [got_b["xmin"][i], got_b["ymin"][i], got_b["xmax"][i], got_b["ymax"][i]], b
+        )
