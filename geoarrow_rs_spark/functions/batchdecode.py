@@ -68,11 +68,16 @@ class DecodedBatch:
     ring_part  : int64[R] global part ordinal (polygon parts group rings)
     row_npt    : int64[nd] total points per decoded row
     row_start  : int64[nd] start offset of each decoded row in coords
+    row_nparts : int64[nd] iter_parts count (multis count members, incl.
+                 empty ones; singles count 1)
+    row_topcount: int64[nd] top-level WKB count field (npt / nrings /
+                 nparts; 1 for Point) — drives is_empty semantics
     """
 
     __slots__ = (
         "n", "idx", "kind", "coords", "ring_npt", "ring_drow", "ring_dim",
         "ring_role", "ring_part", "row_npt", "row_start", "ring_off",
+        "row_nparts", "row_topcount",
     )
 
     # ring-level start offsets into coords (derived, used by reduceat)
@@ -87,6 +92,7 @@ def _parse_structure(vals):
     idx, kinds = [], []
     chunks, r_npt, r_drow, r_dim, r_role, r_part = [], [], [], [], [], []
     r_off = []
+    row_parts, row_top = [], []
     drow = -1         # decoded-row ordinal
     part = -1         # global part ordinal
     ib = int.from_bytes
@@ -104,6 +110,8 @@ def _parse_structure(vals):
         if t == _WKB_POINT:
             if lv != 21:
                 return None
+            row_parts.append(1)
+            row_top.append(1)
             part += 1
             chunks.append(mv[5:])
             r_off.append(5)
@@ -118,6 +126,8 @@ def _parse_structure(vals):
             npt = ib(v[5:9], "little")
             if lv != 9 + 16 * npt:
                 return None
+            row_parts.append(1)
+            row_top.append(npt)
             part += 1
             if npt:
                 chunks.append(mv[9:])
@@ -133,6 +143,8 @@ def _parse_structure(vals):
             o = 9
             part += 1
             nr = ib(v[5:9], "little")
+            row_parts.append(1)
+            row_top.append(nr)
             for ri in range(nr):
                 if lv < o + 4:
                     return None
@@ -158,6 +170,8 @@ def _parse_structure(vals):
             npt = ib(v[5:9], "little")
             if lv != 9 + 21 * npt:
                 return None
+            row_parts.append(npt)
+            row_top.append(npt)
             o = 9
             for _ in range(npt):
                 if v[o:o + 5] != _PT_HDR5:
@@ -175,6 +189,8 @@ def _parse_structure(vals):
             if lv < 9:
                 return None
             nls = ib(v[5:9], "little")
+            row_parts.append(nls)
+            row_top.append(nls)
             o = 9
             for _ in range(nls):
                 if v[o:o + 5] != _LS_HDR5 or lv < o + 9:
@@ -200,6 +216,8 @@ def _parse_structure(vals):
             if lv < 9:
                 return None
             npg = ib(v[5:9], "little")
+            row_parts.append(npg)
+            row_top.append(npg)
             o = 9
             for _ in range(npg):
                 if v[o:o + 5] != _PG_HDR5 or lv < o + 9:
@@ -228,7 +246,8 @@ def _parse_structure(vals):
                 return None
         else:
             return None  # GeometryCollection / Z / M / EWKB flags / ISO 1000+
-    return idx, kinds, chunks, r_npt, r_off, r_drow, r_dim, r_role, r_part
+    return (idx, kinds, chunks, r_npt, r_off, r_drow, r_dim, r_role,
+            r_part, row_parts, row_top)
 
 
 def decode_batch(vals):
@@ -236,7 +255,8 @@ def decode_batch(vals):
     parsed = _parse_structure(vals)
     if parsed is None:
         return None
-    idx, kinds, chunks, r_npt, r_off, r_drow, r_dim, r_role, r_part = parsed
+    (idx, kinds, chunks, r_npt, r_off, r_drow, r_dim, r_role, r_part,
+     row_parts, row_top) = parsed
     db = DecodedBatch()
     db.n = len(vals)
     db.idx = np.asarray(idx, dtype=np.int64)
@@ -245,6 +265,8 @@ def decode_batch(vals):
     npts = np.asarray(r_npt, dtype=np.int64)
     db.ring_npt = npts
     db.ring_off = np.asarray(r_off, dtype=np.int64)
+    db.row_nparts = np.asarray(row_parts, dtype=np.int64)
+    db.row_topcount = np.asarray(row_top, dtype=np.int64)
     db.ring_drow = np.asarray(r_drow, dtype=np.int64)
     db.ring_dim = np.asarray(r_dim, dtype=np.uint8)
     db.ring_role = np.asarray(r_role, dtype=np.uint8)

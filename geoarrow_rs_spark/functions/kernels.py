@@ -449,6 +449,13 @@ k_ymax = _bound_accessor(3)
 
 
 def k_geometry_type(s):
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:
+        out = [None] * len(vals)
+        for j, i in enumerate(db.idx):
+            out[i] = "ST_" + wc.KIND_NAMES[int(db.kind[j])]
+        return pd.Series(out, dtype=object)
     out = []
     for g in geoms_of(s):
         out.append(None if g is None else "ST_" + g.type_name)
@@ -458,6 +465,13 @@ def k_geometry_type(s):
 def k_type_id(s):
     """GeoArrow type id (dim_order*10 + kind),
     /root/reference/rust/geoarrow-schema/src/type_id.rs:23."""
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:  # XY-only batches: dim_order 0, id == kind code
+        out = [None] * len(vals)
+        for j, i in enumerate(db.idx):
+            out[i] = int(db.kind[j])
+        return pd.Series(out, dtype="Int32")
     out = []
     for g in geoms_of(s):
         out.append(None if g is None else g.type_id)
@@ -494,14 +508,47 @@ def k_is_ring(s):
 
 
 def k_has_z(s):
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:  # decode accepts plain XY only
+        out = [None] * len(vals)
+        for i in db.idx:
+            out[i] = False
+        return pd.Series(out, dtype=object)
     return pd.Series([None if g is None else g.has_z for g in geoms_of(s)], dtype=object)
 
 
 def k_has_m(s):
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:
+        out = [None] * len(vals)
+        for i in db.idx:
+            out[i] = False
+        return pd.Series(out, dtype=object)
     return pd.Series([None if g is None else g.has_m for g in geoms_of(s)], dtype=object)
 
 
+def _row_point_is_nan(db):
+    """Per decoded row: True when the row is a standalone Point whose
+    coordinate is NaN (the POINT EMPTY encoding)."""
+    flag = np.zeros(len(db.idx), dtype=bool)
+    pts = db.kind == 1
+    if pts.any():
+        flag[pts] = np.isnan(db.coords[db.row_start[pts], 0])
+    return flag
+
+
 def k_num_geometries(s):
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:
+        empty = (db.row_topcount == 0) | _row_point_is_nan(db)
+        n = np.where(empty, 0, db.row_nparts)
+        out = [None] * len(vals)
+        for j, i in enumerate(db.idx):
+            out[i] = int(n[j])
+        return pd.Series(out, dtype="Int32")
     out = []
     for g in geoms_of(s):
         if g is None:
@@ -514,6 +561,16 @@ def k_num_geometries(s):
 
 
 def k_npoints(s):
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:
+        # all_coords drops ONLY standalone NaN points (nested multipoint
+        # members are counted as-is)
+        n = np.where(_row_point_is_nan(db), 0, db.row_npt)
+        out = [None] * len(vals)
+        for j, i in enumerate(db.idx):
+            out[i] = int(n[j])
+        return pd.Series(out, dtype="Int32")
     out = []
     for g in geoms_of(s):
         out.append(None if g is None else int(len(wc.all_coords(g))))
@@ -521,12 +578,33 @@ def k_npoints(s):
 
 
 def k_srid(s):
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:  # plain WKB has no SRID flag
+        out = [None] * len(vals)
+        for i in db.idx:
+            out[i] = 0
+        return pd.Series(out, dtype="Int32")
     return pd.Series(
         [None if g is None else int(g.srid) for g in geoms_of(s)], dtype="Int32"
     )
 
 
 def k_reverse(s):
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:
+        # reverse point order within every ring/line in one gather; 1-point
+        # rings (points, multipoint members) are fixed points of the formula
+        npts = db.ring_npt
+        if len(npts):
+            ends = np.cumsum(npts)
+            starts = ends - npts
+            total = int(ends[-1])
+            gidx = np.repeat(starts + ends - 1, npts) - np.arange(total, dtype=np.int64)
+            return pd.Series(bd.batch_rebuild(db, vals, db.coords[gidx]), dtype=object)
+        return pd.Series(bd.batch_rebuild(db, vals, db.coords), dtype=object)
+
     def rev(g):
         if g is None:
             return None

@@ -302,3 +302,54 @@ def test_real_world_countries_batch(spark):
         assert np.allclose(
             [got_b["xmin"][i], got_b["ymin"][i], got_b["xmax"][i], got_b["ymax"][i]], b
         )
+
+
+def test_structural_accessors_parity(batch):
+    """Type/count/emptiness accessors from the offset structure alone must
+    match the per-row Geom path, including empty-geometry conventions."""
+    geoms, s = batch
+    want_type = [None if g is None else "ST_" + g.type_name for g in geoms]
+    assert list(K.k_geometry_type(s)) == want_type
+    want_tid = [None if g is None else g.type_id for g in geoms]
+    assert [None if pd.isna(v) else int(v) for v in K.k_type_id(s)] == want_tid
+
+    want_np = [None if g is None else int(len(wc.all_coords(g))) for g in geoms]
+    assert [None if pd.isna(v) else int(v) for v in K.k_npoints(s)] == want_np
+
+    def ng(g):
+        if g is None:
+            return None
+        if g.is_empty():
+            return 0
+        return sum(1 for _ in wc.iter_parts(g))
+
+    assert [None if pd.isna(v) else int(v) for v in K.k_num_geometries(s)] == [
+        ng(g) for g in geoms
+    ]
+    assert list(K.k_has_z(s)) == [None if g is None else g.has_z for g in geoms]
+    assert list(K.k_has_m(s)) == [None if g is None else g.has_m for g in geoms]
+    assert [None if pd.isna(v) else int(v) for v in K.k_srid(s)] == [
+        None if g is None else 0 for g in geoms
+    ]
+
+
+def test_reverse_batch_parity(batch):
+    geoms, s = batch
+
+    def rev(g):
+        if g is None:
+            return None
+
+        def r(a):
+            return np.ascontiguousarray(a[::-1])
+
+        k, d = g.kind, g.data
+        if k in (wc.POINT, wc.MULTIPOINT):
+            return g
+        if k == wc.LINESTRING:
+            return Geom(k, r(d), g.has_z, g.has_m)
+        if k in (wc.POLYGON, wc.MULTILINESTRING):
+            return Geom(k, [r(x) for x in d], g.has_z, g.has_m)
+        return Geom(k, [[r(x) for x in rings] for rings in d], g.has_z, g.has_m)
+
+    assert list(K.k_reverse(s)) == [to_wkb(rev(g)) for g in geoms]
