@@ -1470,17 +1470,62 @@ def remove_repeated_points(g, tolerance=0.0):
 
 
 def _rdp(points, eps):
-    if len(points) < 3:
+    """Ramer-Douglas-Peucker, iterative (same keep-set as the textbook
+    recursion: endpoints plus each span's first-argmax point with distance
+    > eps; kept coordinates are the original rows, so output bytes match
+    the recursive form). Short spans use plain-float scalar math, long
+    spans one vectorized distance pass — per-point numpy scalar indexing
+    is what made the recursive form slow."""
+    n = len(points)
+    if n < 3:
         return points
-    ax, ay = points[0, :2]
-    bx, by = points[-1, :2]
-    d = np.array([_pt_seg_dist(p[0], p[1], ax, ay, bx, by) for p in points[1:-1, :2]])
-    imax = int(np.argmax(d)) if len(d) else 0
-    if len(d) and d[imax] > eps:
-        left = _rdp(points[: imax + 2], eps)
-        right = _rdp(points[imax + 1:], eps)
-        return np.vstack([left[:-1], right])
-    return np.vstack([points[0], points[-1]])
+    xs = points[:, 0].tolist()
+    ys = points[:, 1].tolist()
+    keep = [False] * n
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    hyp = math.hypot
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 - i0 < 2:
+            continue
+        ax, ay, bx, by = xs[i0], ys[i0], xs[i1], ys[i1]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        if i1 - i0 > 64:
+            seg = points[i0 + 1:i1, :2]
+            if L2 == 0.0:
+                d = np.hypot(seg[:, 0] - ax, seg[:, 1] - ay)
+            else:
+                t = np.clip(
+                    ((seg[:, 0] - ax) * dx + (seg[:, 1] - ay) * dy) / L2, 0.0, 1.0
+                )
+                d = np.hypot(seg[:, 0] - (ax + t * dx), seg[:, 1] - (ay + t * dy))
+            j = int(np.argmax(d))
+            dmax = float(d[j])
+            im = i0 + 1 + j
+        else:
+            dmax = -1.0
+            im = i0
+            for j in range(i0 + 1, i1):
+                px, py = xs[j], ys[j]
+                if L2 == 0.0:
+                    d = hyp(px - ax, py - ay)
+                else:
+                    t = ((px - ax) * dx + (py - ay) * dy) / L2
+                    if t < 0.0:
+                        t = 0.0
+                    elif t > 1.0:
+                        t = 1.0
+                    d = hyp(px - (ax + t * dx), py - (ay + t * dy))
+                if d > dmax:
+                    dmax = d
+                    im = j
+        if dmax > eps:
+            keep[im] = True
+            stack.append((i0, im))
+            stack.append((im, i1))
+    return points[np.asarray(keep, dtype=bool)]
 
 
 def simplify(g, epsilon):
