@@ -1651,6 +1651,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_geo_extent(spark, sf_dir):
+    """Windowed spatial extent: per-hour bbox + count of event locations —
+    the geo surface composed with time-bucketed aggregation (the batch
+    analogue of a streaming geo dashboard; the extent min/max aggregate is
+    algebraic, so it drops into a watermarked window unchanged)."""
+    e = _t(spark, sf_dir, "events")
+    pt = (
+        "ST_Point(CAST(user_id % 360 AS DOUBLE) - 179.5, "
+        "CAST(event_id % 170 AS DOUBLE) - 84.5)"
+    )
+    return (
+        e.withColumn("hour_epoch", F.expr(f"(ts div {_NS_HOUR}) * 3600"))
+        .withColumn("b", F.expr(f"ST_BBox({pt})"))
+        .groupBy("hour_epoch")
+        .agg(
+            F.min("b.xmin").alias("xmin"),
+            F.min("b.ymin").alias("ymin"),
+            F.max("b.xmax").alias("xmax"),
+            F.max("b.ymax").alias("ymax"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_EVENTS_GEO_EXTENT = f"""
+SELECT (epoch_ns(ts) // {_NS_HOUR}) * 3600 AS hour_epoch,
+       MIN(CAST(user_id % 360 AS DOUBLE) - 179.5) AS xmin,
+       MIN(CAST(event_id % 170 AS DOUBLE) - 84.5) AS ymin,
+       MAX(CAST(user_id % 360 AS DOUBLE) - 179.5) AS xmax,
+       MAX(CAST(event_id % 170 AS DOUBLE) - 84.5) AS ymax,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def events_sessions(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     e.createOrReplaceTempView("__events_sessions_src")
@@ -3746,6 +3781,7 @@ QUERIES = {
     "sim_kmeans_ivf_topk": (sim_kmeans_ivf_topk, ORACLE_SIM_KMEANS_IVF),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
+    "events_geo_extent": (events_geo_extent, ORACLE_EVENTS_GEO_EXTENT),
     "events_sessions": (events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_sliding_windows": (events_sliding_windows, ORACLE_EVENTS_SLIDING),
     "events_asof_join": (events_asof_join, ORACLE_EVENTS_ASOF),
