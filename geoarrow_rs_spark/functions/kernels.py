@@ -116,8 +116,30 @@ def _reduceat_ring_sums(d, counts):
     return np.add.reduceat(d, ends - counts)
 
 
+from collections import OrderedDict
+
+_GEOMS_CACHE: "OrderedDict[tuple, list]" = OrderedDict()
+_GEOMS_CACHE_MAX = 4
+
+
 def geoms_of(s: pd.Series):
-    return [from_wkb(v) if v is not None else None for v in s]
+    """Parse a WKB batch to Geoms, with the same content-keyed cache as
+    decode_batch_cached: chained slow-path kernels on one column inside an
+    ArrowEvalPython node (Simplify + SimplifyVW, a predicate stack on the
+    same pair, ...) parse the batch once. INVARIANT: callers must treat
+    the returned Geoms as immutable — every mutating kernel (k_set_srid)
+    parses privately, and algorithms copy before writing."""
+    vals = list(s)
+    key = tuple(vals)
+    hit = _GEOMS_CACHE.get(key)
+    if hit is not None:
+        _GEOMS_CACHE.move_to_end(key)
+        return hit
+    geoms = [from_wkb(v) if v is not None else None for v in vals]
+    _GEOMS_CACHE[key] = geoms
+    if len(_GEOMS_CACHE) > _GEOMS_CACHE_MAX:
+        _GEOMS_CACHE.popitem(last=False)
+    return geoms
 
 
 def decoded_of(vals):
@@ -1385,6 +1407,8 @@ def k_set_srid(s, srid):
         if v is None:
             out.append(None)
         else:
+            # private parse: this kernel mutates the Geom, so it must not
+            # touch the shared geoms_of cache
             g = from_wkb(v)
             g.srid = int(sid) if sid is not None else 0
             out.append(to_wkb(g))
