@@ -644,35 +644,3 @@ def batch_affine(db, vals, a, b, d, e, xoff, yoff):
     y = db.coords[:, 1]
     nc = np.column_stack((pa * x + pb * y + pxo, pd_ * x + pe * y + pyo))
     return batch_rebuild(db, vals, nc)
-
-
-def hull_of_coords(pts):
-    """Andrew monotone chain over an (n, 2) coord array — same algorithm,
-    degeneracy handling and vertex order as algorithms.convex_hull, minus
-    the Geom wrapper. Returns ('empty'|'point'|'line'|'poly', coords)."""
-    if len(pts) == 0:
-        return "empty", None
-    pts = np.unique(pts, axis=0)
-    if len(pts) == 1:
-        return "point", pts[0]
-    order = np.lexsort((pts[:, 1], pts[:, 0]))
-    pts = pts[order]
-
-    def cross(o, a, b):
-        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
-
-    lower = []
-    for p in pts:
-        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
-            lower.pop()
-        lower.append(p)
-    upper = []
-    for p in pts[::-1]:
-        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
-            upper.pop()
-        upper.append(p)
-    hull = lower[:-1] + upper[:-1]
-    if len(hull) == 2:
-        return "line", np.asarray(hull, dtype=np.float64)
-    ring = np.asarray(hull + [hull[0]], dtype=np.float64)
-    return "poly", ring
