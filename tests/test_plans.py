@@ -390,3 +390,35 @@ def test_multipolygon_stats_plan_shape(spark, sf_dir):
     assert "RoundRobinPartitioning" in plan, plan[:2000]
     # whole chain still fits in a handful of ArrowEvalPython nodes
     assert plan.count("ArrowEvalPython") <= 3, plan[:2000]
+
+
+def test_catalog_wide_no_unintended_cartesian(spark, sf_dir):
+    """Safety net across the WHOLE catalog: no query may plan a cartesian
+    product unless it is one of the known deliberate broadcast scalar/
+    centroid/query-set cross joins (documented allowlist). Catches any
+    future query or kernel change that silently degrades a join."""
+    from geoarrow_rs_spark.queries import QUERIES
+
+    # deliberate broadcast cross joins: tiny side is a scalar aggregate,
+    # centroid set, or broadcast query set — reviewed and bounded
+    allowed = {
+        "q11_important_values",      # scalar threshold row
+        "q22_idle_customers",        # scalar avg balance row
+        "sim_cosine_topk",           # broadcast query set (deliberate baseline)
+        "sim_near_dup_pairs",        # broadcast query set, exact refine
+        "sim_kmeans_ivf_topk",       # broadcast centroid set
+        "text_bm25_topk",            # single-row corpus stats
+    }
+    bad = {}
+    for name, (fn, _sql) in QUERIES.items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # plan build must never fail either
+            bad[name] = f"plan build failed: {exc}"
+            continue
+        if "CartesianProduct" in plan and name not in allowed:
+            bad[name] = "unexpected CartesianProduct"
+        if name in allowed and "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan:
+            # allowlist entry no longer crosses — tighten the list
+            bad[name] = "allowlisted but no cross join found (remove from allowlist)"
+    assert not bad, bad
