@@ -366,6 +366,25 @@ def k_convex_hull(s):
 
 
 def k_min_rotated_rect(s):
+    vals = list(s)
+    db = decoded_of(vals)
+    if db is not None:
+        # calipers run on the batch-computed hull; convex_hull is
+        # deterministic in the point SET (unique+lexsort), so re-hulling
+        # the hull inside minimum_rotated_rect reproduces the same ring
+        # and the same tie-breaking as the slow path
+        out = [None] * len(vals)
+        for (kind, data), i in zip(bd.batch_hulls(db), db.idx):
+            if kind == "empty":
+                g = wc.empty(wc.POLYGON)
+            elif kind == "point":
+                g = wc.point(data[0], data[1])
+            elif kind == "line":
+                g = Geom(wc.LINESTRING, np.asarray(data, dtype=np.float64))
+            else:
+                g = Geom(wc.POLYGON, [np.asarray(data, dtype=np.float64)])
+            out[i] = to_wkb(alg.minimum_rotated_rect(g))
+        return pd.Series(out, dtype=object)
     return _geom_out([
         alg.minimum_rotated_rect(g) if g is not None else None for g in geoms_of(s)
     ])

@@ -353,3 +353,12 @@ def test_reverse_batch_parity(batch):
         return Geom(k, [[r(x) for x in rings] for rings in d], g.has_z, g.has_m)
 
     assert list(K.k_reverse(s)) == [to_wkb(rev(g)) for g in geoms]
+
+
+def test_min_rotated_rect_batch_parity(batch):
+    geoms, s = batch
+    got = list(K.k_min_rotated_rect(s))
+    want = [
+        to_wkb(alg.minimum_rotated_rect(g)) if g is not None else None for g in geoms
+    ]
+    assert got == want
