@@ -27,10 +27,12 @@ HEADLINE = [
     "geo_spatial_join",
     "geo_within_triangle",
     "geo_multipolygon_stats",
+    "geo_transform_conic",
     "dedup_minhash_pairs",
     "text_fingerprint",
     "sim_cosine_topk",
     "events_hourly",
+    "events_geo_extent",
     "events_sessions",
 ]
 

@@ -5,11 +5,13 @@ from .ops import (
     streaming_minhash_pairs,
     streaming_dedup,
     windowed_counts,
+    windowed_extent,
 )
 
 __all__ = [
     "read_stream_parquet",
     "windowed_counts",
+    "windowed_extent",
     "sessionize_stream",
     "streaming_asof_join",
     "streaming_minhash_pairs",

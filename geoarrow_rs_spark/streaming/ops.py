@@ -46,6 +46,41 @@ def windowed_counts(
     )
 
 
+def windowed_extent(
+    df: DataFrame,
+    geom_col: str = "geometry",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window spatial extent (bbox of everything seen per window)
+    with late-data watermark — the streaming face of ``ST_Extent_Agg``.
+    The min/max aggregate is algebraic, so Spark keeps one partial bbox
+    per open window as state; batch DataFrames get the identical plan
+    minus the watermark (events_geo_extent is the oracle-checked batch
+    analogue)."""
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    b = F.expr(f"ST_BBox({geom_col})")
+    return (
+        src.withColumn("__b", b)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.min("__b.xmin").alias("xmin"),
+            F.min("__b.ymin").alias("ymin"),
+            F.max("__b.xmax").alias("xmax"),
+            F.max("__b.ymax").alias("ymax"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "xmin", "ymin", "xmax", "ymax", "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -416,3 +416,45 @@ def test_streaming_minhash_pairs_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert (1, 4) in got  # cross-batch exact dup found via state
+
+
+def test_streaming_windowed_extent(spark, tmp_path):
+    """Windowed spatial extent runs as a real stream: per-window bbox over
+    point events matches the batch plan on the same data."""
+    from geoarrow_rs_spark.functions import register_functions
+    from geoarrow_rs_spark.streaming import windowed_extent
+
+    register_functions(spark)
+    src = os.path.join(str(tmp_path), "ext_src")
+    spark.range(120).selectExpr(
+        "id",
+        "timestamp_micros(CAST(1700000000000000 + id * 60000000 AS BIGINT)) AS ts",
+        "CAST(id % 12 AS DOUBLE) AS x",
+        "CAST(id div 12 AS DOUBLE) AS y",
+    ).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    def with_geom(df):
+        return df.selectExpr("ts", "ST_Point(x, y) AS geometry")
+
+    want = {
+        (r["window_start"], r["xmin"], r["ymin"], r["xmax"], r["ymax"], r["n_events"])
+        for r in windowed_extent(with_geom(batch), "geometry", "ts", "1 hour").collect()
+    }
+    assert want  # windows exist
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        windowed_extent(with_geom(stream), "geometry", "ts", "1 hour")
+        .writeStream.format("memory")
+        .queryName("ext_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["xmin"], r["ymin"], r["xmax"], r["ymax"], r["n_events"])
+        for r in spark.sql("SELECT * FROM ext_out").collect()
+    }
+    assert got == want
