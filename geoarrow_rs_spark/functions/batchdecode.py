@@ -606,6 +606,105 @@ def batch_hulls(db):
     return out
 
 
+def batch_point_distance(px, py, db):
+    """Min euclidean distance from per-row points (px, py over INPUT rows)
+    to the decoded geometries, vectorized over one flat segment table.
+
+    Returns (dist, needs_fallback): dist is nan for rows the decode didn't
+    cover; needs_fallback marks rows whose result is within the slow
+    path's epsilon-tolerant boundary band (algorithms.intersects snaps
+    near-boundary points to 0 with scaled epsilons) — the caller must
+    recompute those per row to stay bit-compatible. Interior-of-polygon
+    rows are exactly 0 (ray-cast parity over the polygon rings, the
+    even-odd equivalent of point_in_polygon for valid nesting)."""
+    nd = len(db.idx)
+    dist = np.full(db.n, np.nan)
+    fb = np.zeros(db.n, dtype=bool)
+    if nd == 0:
+        return dist, fb
+    # segment table: consecutive pairs inside each ring; 1-point rings
+    # contribute a degenerate segment (vertex distance)
+    npts = db.ring_npt
+    nseg = np.maximum(npts - 1, 1)
+    ends = np.cumsum(npts)
+    starts = ends - npts
+    sstart = np.repeat(starts, nseg) + _ranges(nseg)
+    send = np.minimum(sstart + 1, np.repeat(ends - 1, nseg))
+    ax = db.coords[sstart, 0]
+    ay = db.coords[sstart, 1]
+    bx = db.coords[send, 0]
+    by = db.coords[send, 1]
+    seg_drow = np.repeat(db.ring_drow, nseg)
+    seg_dim = np.repeat(db.ring_dim, nseg)
+    segcnt = np.bincount(seg_drow, minlength=nd)
+    qx = np.repeat(np.asarray(px, dtype=np.float64)[db.idx], segcnt)
+    qy = np.repeat(np.asarray(py, dtype=np.float64)[db.idx], segcnt)
+    dx = bx - ax
+    dy = by - ay
+    L2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(((qx - ax) * dx + (qy - ay) * dy) / np.where(L2, L2, 1.0), 0.0, 1.0)
+    d = np.hypot(qx - (ax + t * dx), qy - (ay + t * dy))
+    # per-row min (segments are row-contiguous)
+    has = segcnt > 0
+    rs = np.cumsum(segcnt) - segcnt
+    dmin = np.full(nd, np.inf)
+    if has.any():
+        dmin[has] = np.minimum.reduceat(d, rs[has])
+    # interior test, exact point_in_polygon semantics: per-RING ray-cast
+    # parity, then per polygon part inside = shell odd AND no hole odd
+    # (global even-odd would diverge on invalid nesting)
+    poly = seg_dim == 2
+    if poly.any():
+        R = len(db.ring_npt)
+        seg_ring = np.repeat(np.arange(R, dtype=np.int64), nseg)
+        crossed = ((ay > qy) != (by > qy))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = ax + (qy - ay) / np.where(by - ay, by - ay, 1.0) * dx
+        hit = poly & crossed & (xi > qx)
+        ring_par = (np.bincount(seg_ring[hit], minlength=R) & 1).astype(bool)
+        # alg._point_in_ring needs >= 3 distinct segments to call inside
+        ring_par &= db.ring_npt >= 4  # closed ring: 4 rows = 3 edges
+        nparts = int(db.ring_part.max()) + 1 if R else 0
+        shell_odd = np.zeros(nparts, dtype=bool)
+        hole_odd = np.zeros(nparts, dtype=bool)
+        shell_sel = (db.ring_dim == 2) & (db.ring_role == 0)
+        hole_sel = (db.ring_dim == 2) & (db.ring_role == 1)
+        shell_odd[db.ring_part[shell_sel]] = ring_par[shell_sel]
+        np.logical_or.at(hole_odd, db.ring_part[hole_sel], ring_par[hole_sel])
+        part_in = shell_odd & ~hole_odd
+        row_in = np.zeros(nd, dtype=bool)
+        np.logical_or.at(row_in, db.ring_drow[shell_sel], part_in[db.ring_part[shell_sel]])
+        dmin = np.where(row_in, 0.0, dmin)
+    # epsilon band: the slow path snaps near-boundary points to 0 with
+    # coordinate-scaled tolerances — recompute anything suspiciously close
+    scale = np.maximum.reduceat(
+        np.abs(db.coords).max(axis=1), db.row_start[db.row_npt > 0]
+    ) if (db.row_npt > 0).any() else np.empty(0)
+    eps_row = np.full(nd, 1e-9)
+    eps_row[db.row_npt > 0] += 1e-9 * scale
+    needs = (dmin > 0.0) & (dmin < eps_row)
+    empty_row = ~has
+    # NaN mins (empty-point members inside a non-empty geometry) defer to
+    # the slow path's exact empty-part handling
+    needs |= np.isnan(dmin) & has
+    out = np.where(empty_row, np.nan, dmin)
+    dist[db.idx] = out
+    fb[db.idx] = needs | empty_row
+    return dist, fb
+
+
+def _ranges(counts):
+    """[0..c0-1, 0..c1-1, ...] for int counts (vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
 def batch_rebuild(db, vals, new_coords):
     """Re-emit each decoded row's WKB with its coordinates replaced by the
     matching rows of ``new_coords`` ((P, 2), same layout as db.coords).

@@ -1507,6 +1507,26 @@ def k_distance(s1, s2):
         x2, y2, n2 = f2
         d = np.hypot(x1 - x2, y1 - y2)
         return pd.Series(np.where(n1 | n2, np.nan, d))
+    if f1 is not None or f2 is not None:
+        # point column x any-geometry column: one flat segment sweep +
+        # interior parity; rows inside the slow path's epsilon boundary
+        # band are recomputed per row for bit-compatibility
+        pts, pt_s, other = (f1, s1, s2) if f1 is not None else (f2, s2, s1)
+        vals = list(other)
+        db = decoded_of(vals)
+        if db is not None:
+            xs, ys, nullp = pts
+            dist, fb = bd.batch_point_distance(xs, ys, db)
+            dist = np.where(nullp, np.nan, dist)
+            fb = fb & ~nullp
+            if fb.any():
+                go = geoms_of(other)
+                pv = list(pt_s)
+                for i in np.flatnonzero(fb):
+                    a = from_wkb(pv[i]) if pv[i] is not None else None
+                    v = alg.distance(a, go[i]) if a is not None else None
+                    dist[i] = np.nan if v is None else v
+            return pd.Series(dist)
     return pd.Series(
         [alg.distance(a, b) for a, b in zip(geoms_of(s1), geoms_of(s2))],
         dtype=np.float64,

@@ -362,3 +362,36 @@ def test_min_rotated_rect_batch_parity(batch):
         to_wkb(alg.minimum_rotated_rect(g)) if g is not None else None for g in geoms
     ]
     assert got == want
+
+
+def test_point_to_geometry_distance_parity(batch):
+    """Vectorized point-to-geometry distance vs alg.distance, including
+    interior-of-polygon zeros and the epsilon fallback band."""
+    geoms, s = batch
+    rng = np.random.default_rng(5)
+    n = len(geoms)
+    px = rng.uniform(-60, 60, n)
+    py = rng.uniform(-60, 60, n)
+    # make some query points exact interior/boundary/vertex cases
+    for i, g in enumerate(geoms):
+        if g is not None and g.kind == wc.POLYGON and g.data and i % 3 == 0:
+            px[i], py[i] = 0.0, 0.0  # shell centers are at (0,0) or (5,5)
+        if g is not None and g.kind == wc.LINESTRING and len(g.data) and i % 4 == 0:
+            px[i], py[i] = g.data[0, 0], g.data[0, 1]  # exact vertex
+    pt_s = pd.Series(
+        [to_wkb(wc.point(px[i], py[i])) for i in range(n)], dtype=object
+    )
+    got = np.asarray(K.k_distance(pt_s, s))
+    want = np.asarray(
+        [
+            np.nan if (g is None or (v := alg.distance(from_wkb(b), g)) is None) else v
+            for b, g in zip(pt_s, geoms)
+        ]
+    )
+    # identical candidate set; np.hypot vs math.hypot may differ by 1 ulp
+    assert np.allclose(got, want, rtol=1e-12, atol=0, equal_nan=True), (
+        np.nanmax(np.abs(got - want))
+    )
+    # symmetric argument order
+    got_sym = np.asarray(K.k_distance(s, pt_s))
+    assert np.allclose(got_sym, want, rtol=1e-12, atol=0, equal_nan=True)
