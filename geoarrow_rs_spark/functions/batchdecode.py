@@ -694,6 +694,125 @@ def batch_point_distance(px, py, db):
     return dist, fb
 
 
+def batch_point_closest(px, py, db):
+    """Closest point ON the decoded geometries to per-row query points.
+
+    Returns (cx, cy, ok, fb) over INPUT rows: ok marks rows with a valid
+    result; fb marks rows the caller must recompute per row (epsilon
+    boundary band, exact-distance ties between DISTINCT candidate
+    locations — the slow path breaks those by its own sweep order — and
+    empty/NaN cases). Interior/touching rows return the query point
+    itself, matching closest_points' intersection branch for point
+    arguments."""
+    nd = len(db.idx)
+    cx = np.full(db.n, np.nan)
+    cy = np.full(db.n, np.nan)
+    ok = np.zeros(db.n, dtype=bool)
+    fb = np.zeros(db.n, dtype=bool)
+    if nd == 0:
+        return cx, cy, ok, fb
+    npts = db.ring_npt
+    nseg = np.maximum(npts - 1, 1)
+    ends = np.cumsum(npts)
+    starts = ends - npts
+    sstart = np.repeat(starts, nseg) + _ranges(nseg)
+    send = np.minimum(sstart + 1, np.repeat(ends - 1, nseg))
+    ax = db.coords[sstart, 0]
+    ay = db.coords[sstart, 1]
+    bx = db.coords[send, 0]
+    by = db.coords[send, 1]
+    seg_drow = np.repeat(db.ring_drow, nseg)
+    seg_dim = np.repeat(db.ring_dim, nseg)
+    segcnt = np.bincount(seg_drow, minlength=nd)
+    qxf = np.asarray(px, dtype=np.float64)[db.idx]
+    qyf = np.asarray(py, dtype=np.float64)[db.idx]
+    qx = np.repeat(qxf, segcnt)
+    qy = np.repeat(qyf, segcnt)
+    dx = bx - ax
+    dy = by - ay
+    L2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(((qx - ax) * dx + (qy - ay) * dy) / np.where(L2, L2, 1.0), 0.0, 1.0)
+    candx = ax + t * dx
+    candy = ay + t * dy
+    d = np.hypot(qx - candx, qy - candy)
+    has = segcnt > 0
+    rs = np.cumsum(segcnt) - segcnt
+    dmin = np.full(nd, np.inf)
+    if has.any():
+        dmin[has] = np.minimum.reduceat(d, rs[has])
+    # interior parity (same per-part semantics as batch_point_distance)
+    row_in = np.zeros(nd, dtype=bool)
+    poly = seg_dim == 2
+    if poly.any():
+        R = len(db.ring_npt)
+        seg_ring = np.repeat(np.arange(R, dtype=np.int64), nseg)
+        crossed = ((ay > qy) != (by > qy))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = ax + (qy - ay) / np.where(by - ay, by - ay, 1.0) * dx
+        hit = poly & crossed & (xi > qx)
+        ring_par = (np.bincount(seg_ring[hit], minlength=R) & 1).astype(bool)
+        ring_par &= db.ring_npt >= 4
+        nparts = int(db.ring_part.max()) + 1 if R else 0
+        shell_odd = np.zeros(nparts, dtype=bool)
+        hole_odd = np.zeros(nparts, dtype=bool)
+        shell_sel = (db.ring_dim == 2) & (db.ring_role == 0)
+        hole_sel = (db.ring_dim == 2) & (db.ring_role == 1)
+        shell_odd[db.ring_part[shell_sel]] = ring_par[shell_sel]
+        np.logical_or.at(hole_odd, db.ring_part[hole_sel], ring_par[hole_sel])
+        part_in = shell_odd & ~hole_odd
+        np.logical_or.at(
+            row_in, db.ring_drow[shell_sel], part_in[db.ring_part[shell_sel]]
+        )
+    # first segment attaining the min, and tie spread over candidates
+    dmin_rep = np.repeat(dmin, segcnt)
+    tied = d == dmin_rep
+    pos = np.arange(len(d), dtype=np.int64)
+    big = len(d)
+    first = np.full(nd, -1, dtype=np.int64)
+    if has.any():
+        first[has] = np.minimum.reduceat(np.where(tied, pos, big), rs[has])
+    tiecnt = np.bincount(seg_drow[tied], minlength=nd)
+    spreadx = np.zeros(nd)
+    spready = np.zeros(nd)
+    multi = tiecnt > 1
+    if multi.any():
+        hi = np.where(tied, candx, -np.inf)
+        lo = np.where(tied, candx, np.inf)
+        spreadx[has] = np.maximum.reduceat(hi, rs[has]) - np.minimum.reduceat(lo, rs[has])
+        hi = np.where(tied, candy, -np.inf)
+        lo = np.where(tied, candy, np.inf)
+        spready[has] = np.maximum.reduceat(hi, rs[has]) - np.minimum.reduceat(lo, rs[has])
+    # per-decoded-row results; rows with no attained min (NaN distances,
+    # empty geometries) keep first out of range and are fallback rows
+    if big:
+        good_first = (first >= 0) & (first < big)
+        safe = np.clip(first, 0, big - 1)
+        rx = np.where(
+            row_in | (dmin == 0.0), qxf, np.where(good_first, candx[safe], np.nan)
+        )
+        ry = np.where(
+            row_in | (dmin == 0.0), qyf, np.where(good_first, candy[safe], np.nan)
+        )
+    else:  # no segments at all: every row is empty -> fallback/None
+        rx = np.full(nd, np.nan)
+        ry = np.full(nd, np.nan)
+    scale = np.maximum.reduceat(
+        np.abs(db.coords).max(axis=1), db.row_start[db.row_npt > 0]
+    ) if (db.row_npt > 0).any() else np.empty(0)
+    eps_row = np.full(nd, 1e-9)
+    eps_row[db.row_npt > 0] += 1e-9 * scale
+    needs = (dmin > 0.0) & (dmin < eps_row)
+    needs |= multi & ((spreadx != 0.0) | (spready != 0.0)) & ~row_in & (dmin > 0.0)
+    needs |= np.isnan(dmin) & has
+    needs |= ~has
+    cx[db.idx] = rx
+    cy[db.idx] = ry
+    ok[db.idx] = ~needs
+    fb[db.idx] = needs
+    return cx, cy, ok, fb
+
+
 def _ranges(counts):
     """[0..c0-1, 0..c1-1, ...] for int counts (vectorized)."""
     total = int(counts.sum())

@@ -1471,12 +1471,123 @@ def k_snap(s1, s2, tol):
     )
 
 
-k_closest_point = _binary_kernel(
-    lambda a, b: to_wkb(alg.closest_point(a, b)) if a is not None and b is not None else None
+_LS2_WKB = np.dtype(
+    {"names": ["e", "t", "npt", "x1", "y1", "x2", "y2"],
+     "formats": ["u1", "<u4", "<u4"] + ["<f8"] * 4,
+     "offsets": [0, 1, 5, 9, 17, 25, 33], "itemsize": 41}
 )
-k_shortest_line = _binary_kernel(
-    lambda a, b: to_wkb(alg.shortest_line(a, b)) if a is not None and b is not None else None
-)
+
+
+def pack_lines2(x1, y1, x2, y2):
+    """Vectorized two-point LINESTRING WKB records."""
+    n = len(x1)
+    rec = np.empty(n, dtype=_LS2_WKB)
+    rec["e"] = 1
+    rec["t"] = 2
+    rec["npt"] = 2
+    rec["x1"] = x1
+    rec["y1"] = y1
+    rec["x2"] = x2
+    rec["y2"] = y2
+    raw = rec.tobytes()
+    return [raw[i * 41:(i + 1) * 41] for i in range(n)]
+
+
+def _closest_candidates(s_geom, s_pt_unpacked):
+    """Shared fast-path plumbing for ClosestPoint/ShortestLine: returns
+    (vals_geom, db, cx, cy, ok, fb, qx, qy, nullp) or None."""
+    vals = list(s_geom)
+    db = decoded_of(vals)
+    if db is None:
+        return None
+    xs, ys, nullp = s_pt_unpacked
+    cx, cy, ok, fb = bd.batch_point_closest(xs, ys, db)
+    ok = ok & ~nullp
+    fb = fb & ~nullp
+    return vals, db, cx, cy, ok, fb, xs, ys, nullp
+
+
+def k_closest_point(s1, s2):
+    """ST_ClosestPoint(g1, g2): nearest point ON g1 to g2."""
+    f2 = try_unpack_points_xy(list(s2))
+    if f2 is not None:
+        got = _closest_candidates(s1, f2)
+        if got is not None:
+            vals, db, cx, cy, ok, fb, _, _, _ = got
+            blobs = pack_points_xy(np.where(ok, cx, 0.0), np.where(ok, cy, 0.0))
+            out = [blobs[i] if ok[i] else None for i in range(len(vals))]
+            if fb.any():
+                g1 = geoms_of(s1)
+                pv = list(s2)
+                for i in np.flatnonzero(fb):
+                    b = from_wkb(pv[i]) if pv[i] is not None else None
+                    r = alg.closest_point(g1[i], b) if g1[i] is not None and b is not None else None
+                    out[i] = to_wkb(r) if r is not None else None
+            return pd.Series(out, dtype=object)
+    f1 = try_unpack_points_xy(list(s1))
+    if f1 is not None:
+        vals2 = list(s2)
+        db = decoded_of(vals2)
+        if db is not None:
+            xs, ys, nullp = f1
+            # the closest point ON a point is the point itself (also the
+            # intersection branch: point-on-anything intersections return
+            # the point); None when either side is null/empty
+            nonempty = np.zeros(len(vals2), dtype=bool)
+            ne_d = (db.row_topcount > 0) & ~_row_point_is_nan(db)
+            nonempty[db.idx] = ne_d
+            okp = nonempty & ~nullp & ~np.isnan(xs)
+            blobs = pack_points_xy(np.where(okp, xs, 0.0), np.where(okp, ys, 0.0))
+            return pd.Series(
+                [blobs[i] if okp[i] else None for i in range(len(vals2))],
+                dtype=object,
+            )
+    return _binary_kernel(
+        lambda a, b: to_wkb(alg.closest_point(a, b)) if a is not None and b is not None else None
+    )(s1, s2)
+
+
+def k_shortest_line(s1, s2):
+    """ST_ShortestLine(g1, g2): 2-point connector [on-g1, on-g2]."""
+    f2 = try_unpack_points_xy(list(s2))
+    if f2 is not None:
+        got = _closest_candidates(s1, f2)
+        if got is not None:
+            vals, db, cx, cy, ok, fb, qx, qy, _ = got
+            blobs = pack_lines2(
+                np.where(ok, cx, 0.0), np.where(ok, cy, 0.0),
+                np.where(ok, qx, 0.0), np.where(ok, qy, 0.0),
+            )
+            out = [blobs[i] if ok[i] else None for i in range(len(vals))]
+            if fb.any():
+                g1 = geoms_of(s1)
+                pv = list(s2)
+                for i in np.flatnonzero(fb):
+                    b = from_wkb(pv[i]) if pv[i] is not None else None
+                    r = alg.shortest_line(g1[i], b) if g1[i] is not None and b is not None else None
+                    out[i] = to_wkb(r) if r is not None else None
+            return pd.Series(out, dtype=object)
+    f1 = try_unpack_points_xy(list(s1))
+    if f1 is not None:
+        got = _closest_candidates(s2, f1)
+        if got is not None:
+            vals, db, cx, cy, ok, fb, qx, qy, _ = got
+            blobs = pack_lines2(
+                np.where(ok, qx, 0.0), np.where(ok, qy, 0.0),
+                np.where(ok, cx, 0.0), np.where(ok, cy, 0.0),
+            )
+            out = [blobs[i] if ok[i] else None for i in range(len(vals))]
+            if fb.any():
+                g2 = geoms_of(s2)
+                pv = list(s1)
+                for i in np.flatnonzero(fb):
+                    a = from_wkb(pv[i]) if pv[i] is not None else None
+                    r = alg.shortest_line(a, g2[i]) if a is not None and g2[i] is not None else None
+                    out[i] = to_wkb(r) if r is not None else None
+            return pd.Series(out, dtype=object)
+    return _binary_kernel(
+        lambda a, b: to_wkb(alg.shortest_line(a, b)) if a is not None and b is not None else None
+    )(s1, s2)
 k_contains = _binary_kernel(alg.contains)
 k_within = _binary_kernel(alg.within)
 k_disjoint = _binary_kernel(alg.disjoint)

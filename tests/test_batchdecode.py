@@ -395,3 +395,65 @@ def test_point_to_geometry_distance_parity(batch):
     # symmetric argument order
     got_sym = np.asarray(K.k_distance(s, pt_s))
     assert np.allclose(got_sym, want, rtol=1e-12, atol=0, equal_nan=True)
+
+
+def test_closest_point_shortest_line_parity(batch):
+    geoms, s = batch
+    rng = np.random.default_rng(9)
+    n = len(geoms)
+    px = rng.uniform(-60, 60, n)
+    py = rng.uniform(-60, 60, n)
+    for i, g in enumerate(geoms):
+        if g is not None and g.kind == wc.POLYGON and g.data and i % 3 == 0:
+            px[i], py[i] = 0.0, 0.0
+        if g is not None and g.kind == wc.LINESTRING and len(g.data) and i % 4 == 0:
+            px[i], py[i] = g.data[0, 0], g.data[0, 1]
+    pt_s = pd.Series([to_wkb(wc.point(px[i], py[i])) for i in range(n)], dtype=object)
+
+    def want_pt(gfun):
+        out = []
+        for b, g in zip(pt_s, geoms):
+            if g is None:
+                out.append(None)
+                continue
+            r = gfun(g, from_wkb(b))
+            out.append(to_wkb(r) if r is not None else None)
+        return out
+
+    def close_geom(a, b, tol=1e-9):
+        if a is None or b is None:
+            return a == b
+        ga, gb = from_wkb(a), from_wkb(b)
+        ca, cb = wc.all_coords(ga), wc.all_coords(gb)
+        return ca.shape == cb.shape and np.allclose(ca, cb, rtol=0, atol=tol)
+
+    got = list(K.k_closest_point(s, pt_s))
+    want = want_pt(alg.closest_point)
+    for i, (gv, wv) in enumerate(zip(got, want)):
+        assert close_geom(gv, wv), (i, geoms[i].kind if geoms[i] else None)
+
+    got = list(K.k_shortest_line(s, pt_s))
+    want = want_pt(alg.shortest_line)
+    for i, (gv, wv) in enumerate(zip(got, want)):
+        assert close_geom(gv, wv), (i, geoms[i].kind if geoms[i] else None)
+
+    # flipped argument order: closest point ON the point side
+    got = list(K.k_closest_point(pt_s, s))
+    want = [
+        None if g is None else (
+            to_wkb(r) if (r := alg.closest_point(from_wkb(b), g)) is not None else None
+        )
+        for b, g in zip(pt_s, geoms)
+    ]
+    for i, (gv, wv) in enumerate(zip(got, want)):
+        assert close_geom(gv, wv), i
+
+    got = list(K.k_shortest_line(pt_s, s))
+    want = [
+        None if g is None else (
+            to_wkb(r) if (r := alg.shortest_line(from_wkb(b), g)) is not None else None
+        )
+        for b, g in zip(pt_s, geoms)
+    ]
+    for i, (gv, wv) in enumerate(zip(got, want)):
+        assert close_geom(gv, wv), i
