@@ -813,6 +813,71 @@ def batch_point_closest(px, py, db):
     return cx, cy, ok, fb
 
 
+def batch_line_locate(px, py, db):
+    """ST_LineLocatePoint: fraction of length at the nearest point on each
+    row's FIRST >=2-point linestring part (line_locate_point semantics).
+    Returns (frac, ok) over input rows; ok False where the row has no such
+    part (caller emits null) or the query point is NaN."""
+    nd = len(db.idx)
+    frac = np.full(db.n, np.nan)
+    ok = np.zeros(db.n, dtype=bool)
+    if nd == 0:
+        return frac, ok
+    R = len(db.ring_npt)
+    mask = (db.ring_dim == 1) & (db.ring_npt >= 2)
+    ring_cnt = np.bincount(db.ring_drow, minlength=nd)
+    ring_rs = np.cumsum(ring_cnt) - ring_cnt
+    cand = np.where(mask, np.arange(R, dtype=np.int64), R)
+    first_ring = np.full(nd, R, dtype=np.int64)
+    hasr = ring_cnt > 0
+    if hasr.any():
+        first_ring[hasr] = np.minimum.reduceat(cand, ring_rs[hasr])
+    sel = first_ring[first_ring < R]
+    rows = np.flatnonzero(first_ring < R)          # decoded-row ordinals
+    if len(sel) == 0:
+        return frac, ok
+    ends = np.cumsum(db.ring_npt)
+    starts = ends - db.ring_npt
+    npt = db.ring_npt[sel]
+    nseg = npt - 1
+    sstart = np.repeat(starts[sel], nseg) + _ranges(nseg)
+    ax = db.coords[sstart, 0]
+    ay = db.coords[sstart, 1]
+    bx = db.coords[sstart + 1, 0]
+    by = db.coords[sstart + 1, 1]
+    qx = np.repeat(np.asarray(px, dtype=np.float64)[db.idx][rows], nseg)
+    qy = np.repeat(np.asarray(py, dtype=np.float64)[db.idx][rows], nseg)
+    dx = bx - ax
+    dy = by - ay
+    L2 = dx * dx + dy * dy
+    seglen = np.hypot(dx, dy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(
+            L2 == 0.0, 0.0,
+            np.clip(((qx - ax) * dx + (qy - ay) * dy) / np.where(L2, L2, 1.0), 0.0, 1.0),
+        )
+    d = np.hypot(qx - (ax + t * dx), qy - (ay + t * dy))
+    srs = np.cumsum(nseg) - nseg
+    dmin = np.minimum.reduceat(d, srs)
+    pos = np.arange(len(d), dtype=np.int64)
+    big = len(d)
+    first = np.minimum.reduceat(np.where(d == np.repeat(dmin, nseg), pos, big), srs)
+    # cumulative length before the winning segment, within its ring:
+    # cum[k-1] - cum[ring_start-1] via the cum[x] - seglen[x] identity
+    cum = np.cumsum(seglen)
+    total = np.add.reduceat(seglen, srs)
+    good = (first >= 0) & (first < big) & ~np.isnan(dmin)
+    safe = np.clip(first, 0, max(big - 1, 0))
+    before = (cum[safe] - seglen[safe]) - (cum[srs] - seglen[srs])
+    val = before + t[safe] * seglen[safe]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        res = np.where(total == 0.0, 0.0, val / np.where(total, total, 1.0))
+    out_rows = db.idx[rows]
+    frac[out_rows] = np.where(good, res, np.nan)
+    ok[out_rows] = good
+    return frac, ok
+
+
 def _ranges(counts):
     """[0..c0-1, 0..c1-1, ...] for int counts (vectorized)."""
     total = int(counts.sum())

@@ -1799,6 +1799,17 @@ def k_equals_exact(s1, s2, tol):
 
 
 def k_line_locate_point(s1, s2):
+    f2 = try_unpack_points_xy(list(s2))
+    if f2 is not None:
+        vals = list(s1)
+        db = decoded_of(vals)
+        if db is not None:
+            xs, ys, nullp = f2
+            frac, ok = bd.batch_line_locate(xs, ys, db)
+            ok = ok & ~nullp
+            # not-ok rows (no >=2-point line part, NaN/null point, null
+            # geometry) are exactly the slow path's None -> NaN rows
+            return pd.Series(np.where(ok, frac, np.nan))
     return pd.Series(
         [alg.line_locate_point(a, b) for a, b in zip(geoms_of(s1), geoms_of(s2))],
         dtype=np.float64,
@@ -1806,6 +1817,19 @@ def k_line_locate_point(s1, s2):
 
 
 def k_make_line(s1, s2):
+    f1 = try_unpack_points_xy(list(s1))
+    f2 = try_unpack_points_xy(list(s2))
+    if f1 is not None and f2 is not None:
+        x1, y1, n1 = f1
+        x2, y2, n2 = f2
+        bad = n1 | n2 | np.isnan(x1) | np.isnan(x2)
+        blobs = pack_lines2(
+            np.where(bad, 0.0, x1), np.where(bad, 0.0, y1),
+            np.where(bad, 0.0, x2), np.where(bad, 0.0, y2),
+        )
+        return pd.Series(
+            [None if bad[i] else blobs[i] for i in range(len(blobs))], dtype=object
+        )
     out = []
     for a, b in zip(geoms_of(s1), geoms_of(s2)):
         if a is None or b is None or a.is_empty() or b.is_empty():

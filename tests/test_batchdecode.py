@@ -457,3 +457,31 @@ def test_closest_point_shortest_line_parity(batch):
     ]
     for i, (gv, wv) in enumerate(zip(got, want)):
         assert close_geom(gv, wv), i
+
+
+def test_line_locate_and_make_line_parity(batch):
+    geoms, s = batch
+    rng = np.random.default_rng(13)
+    n = len(geoms)
+    px = rng.uniform(-60, 60, n)
+    py = rng.uniform(-60, 60, n)
+    pt_s = pd.Series([to_wkb(wc.point(px[i], py[i])) for i in range(n)], dtype=object)
+    got = np.asarray(K.k_line_locate_point(s, pt_s))
+    want = np.asarray(
+        [
+            np.nan if (g is None or (v := alg.line_locate_point(g, from_wkb(b))) is None)
+            else v
+            for b, g in zip(pt_s, geoms)
+        ]
+    )
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-15, equal_nan=True)
+
+    a = pd.Series([to_wkb(wc.point(float(i), 0.0)) for i in range(50)]
+                  + [to_wkb(wc.empty(wc.POINT)), None], dtype=object)
+    b = pd.Series([to_wkb(wc.point(0.0, float(i))) for i in range(50)]
+                  + [to_wkb(wc.point(1.0, 1.0)), to_wkb(wc.point(2.0, 2.0))], dtype=object)
+    got_ml = list(K.k_make_line(a, b))
+    want_ml = [
+        to_wkb(wc.linestring([[float(i), 0.0], [0.0, float(i)]])) for i in range(50)
+    ] + [None, None]
+    assert got_ml == want_ml
