@@ -70,6 +70,62 @@ def _locate(x, y, polys):
     return best
 
 
+def _ring_locate_many(px, py, ring):
+    """Vectorized _point_in_ring over point arrays: 0/1/2 per point,
+    replicating algorithms._point_in_ring's epsilon and crossing rules
+    term for term."""
+    n = len(ring) - 1
+    m = len(px)
+    out = np.zeros(m, dtype=np.int8)
+    if n < 3:
+        return out
+    ax = ring[:-1, 0][None, :]
+    ay = ring[:-1, 1][None, :]
+    bx = ring[1:, 0][None, :]
+    by = ring[1:, 1][None, :]
+    qx = np.asarray(px, dtype=np.float64)[:, None]
+    qy = np.asarray(py, dtype=np.float64)[:, None]
+    cross = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+    L = np.hypot(bx - ax, by - ay)
+    near = np.abs(cross) <= 1e-9 * np.maximum(L, 1.0)
+    dot = (qx - ax) * (bx - ax) + (qy - ay) * (by - ay)
+    onb = (near & (dot >= -1e-9) & (dot <= L * L + 1e-9)).any(axis=1)
+    crossed = (ay > qy) != (by > qy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qy - ay) / np.where(by != ay, by - ay, 1.0)
+        xi = ax + t * (bx - ax)
+    inside = ((crossed & (xi > qx)).sum(axis=1) & 1).astype(bool)
+    out[inside] = 2
+    out[onb] = 1
+    return out
+
+
+def _pip_many(px, py, rings):
+    """Vectorized point_in_polygon (shell + ordered holes, first hit wins)."""
+    res = _ring_locate_many(px, py, rings[0])
+    active = res == 2
+    for hole in rings[1:]:
+        if not active.any():
+            break
+        h = _ring_locate_many(px, py, hole)
+        res = np.where(active & (h == 2), 0, res)
+        res = np.where(active & (h == 1), 1, res)
+        active &= ~((h == 2) | (h == 1))
+    return res
+
+
+def _locate_many(px, py, polys):
+    """Vectorized _locate: boundary of ANY part wins, else interior of any."""
+    m = len(px)
+    any1 = np.zeros(m, dtype=bool)
+    any2 = np.zeros(m, dtype=bool)
+    for rings in polys:
+        r = _pip_many(px, py, rings)
+        any1 |= r == 1
+        any2 |= r == 2
+    return np.where(any1, 1, np.where(any2, 2, 0)).astype(np.int8)
+
+
 def _seg_param_intersections(a1, a2, segs):
     """Parameters t in (0,1) where segment a1->a2 crosses any seg in segs."""
     ts = []
@@ -271,7 +327,7 @@ def overlay(g1, g2, op: str):
     segs_b = _segs_of(rb)
     sub_edges = _split_edges(ra, segs_b) + _split_edges(rb, segs_a)
 
-    sel = []
+    uniq = []
     seen = set()
     for (p, q) in sub_edges:
         sp, sq = _snap(p), _snap(q)
@@ -279,25 +335,50 @@ def overlay(g1, g2, op: str):
         if key in seen or sp == sq:
             continue
         seen.add(key)
-        mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
-        dx, dy = q[0] - p[0], q[1] - p[1]
-        L = math.hypot(dx, dy)
-        # unit normal pointing left of travel direction
-        nx, ny = -dy / L, dx / L
-        # a probe can land exactly ON a coincident stretch of the other (or
-        # same) boundary (degenerate seams); a boundary answer is useless for
-        # the in/out rule, so back off with a growing epsilon until both
-        # probes are strictly inside or outside
-        for scale in (1e-7, 1e-6, 1e-5, 1e-4):
-            eps = max(L, 1.0) * scale
-            lx, ly = mx + nx * eps, my + ny * eps
-            rx, ry = mx - nx * eps, my - ny * eps
-            la, lb = _locate(lx, ly, pa), _locate(lx, ly, pb)
-            ra_, rb_ = _locate(rx, ry, pa), _locate(rx, ry, pb)
-            if 1 not in (la, lb, ra_, rb_):
-                break
-        left_in = rule(la == 2, lb == 2)
-        right_in = rule(ra_ == 2, rb_ == 2)
+        uniq.append((p, q))
+    if not uniq:
+        return _assemble(_stitch([]))
+
+    # classify every sub-edge's two side probes in one vectorized ray cast
+    # per back-off round (the per-edge scalar loop was the overlay's hot
+    # spot: ~45 _point_in_ring calls per input row). A probe can land
+    # exactly ON a coincident stretch of the other (or same) boundary
+    # (degenerate seams); a boundary answer is useless for the in/out rule,
+    # so edges whose any probe reports boundary retry at a larger epsilon
+    ed = np.asarray([[p[0], p[1], q[0], q[1]] for (p, q) in uniq])
+    mx = (ed[:, 0] + ed[:, 2]) / 2
+    my = (ed[:, 1] + ed[:, 3]) / 2
+    dx = ed[:, 2] - ed[:, 0]
+    dy = ed[:, 3] - ed[:, 1]
+    L = np.hypot(dx, dy)
+    nx = -dy / L
+    ny = dx / L
+    m = len(uniq)
+    la = np.zeros(m, dtype=np.int8)
+    lb = np.zeros(m, dtype=np.int8)
+    ra_ = np.zeros(m, dtype=np.int8)
+    rb_ = np.zeros(m, dtype=np.int8)
+    pending = np.ones(m, dtype=bool)
+    for scale in (1e-7, 1e-6, 1e-5, 1e-4):
+        if not pending.any():
+            break
+        idx = np.flatnonzero(pending)
+        eps = np.maximum(L[idx], 1.0) * scale
+        lx = mx[idx] + nx[idx] * eps
+        ly = my[idx] + ny[idx] * eps
+        rx = mx[idx] - nx[idx] * eps
+        ry = my[idx] - ny[idx] * eps
+        la_p = _locate_many(lx, ly, pa)
+        lb_p = _locate_many(lx, ly, pb)
+        ra_p = _locate_many(rx, ry, pa)
+        rb_p = _locate_many(rx, ry, pb)
+        la[idx], lb[idx], ra_[idx], rb_[idx] = la_p, lb_p, ra_p, rb_p
+        pending[idx] = (la_p == 1) | (lb_p == 1) | (ra_p == 1) | (rb_p == 1)
+
+    sel = []
+    for i, (p, q) in enumerate(uniq):
+        left_in = rule(la[i] == 2, lb[i] == 2)
+        right_in = rule(ra_[i] == 2, rb_[i] == 2)
         if left_in and not right_in:
             sel.append((p, q))
         elif right_in and not left_in:
