@@ -156,23 +156,40 @@ def _seg_param_intersections(a1, a2, segs):
 def _split_edges(rings, other_segs):
     """Yield sub-edges (p, q) of rings split at intersections with other_segs."""
     out = []
+    if other_segs:
+        # vectorized bbox prefilter: per ring, one (edges x other_segs)
+        # comparison matrix replaces the all-pairs scalar min/max loop
+        sarr = np.asarray(
+            [[s[0][0], s[0][1], s[1][0], s[1][1]] for s in other_segs]
+        )
+        sxmin = np.minimum(sarr[:, 0], sarr[:, 2])
+        sxmax = np.maximum(sarr[:, 0], sarr[:, 2])
+        symin = np.minimum(sarr[:, 1], sarr[:, 3])
+        symax = np.maximum(sarr[:, 1], sarr[:, 3])
     for r in rings:
         n = len(r) - 1
+        if n <= 0:
+            continue
+        if other_segs:
+            ex0 = np.minimum(r[:-1, 0], r[1:, 0])
+            ex1 = np.maximum(r[:-1, 0], r[1:, 0])
+            ey0 = np.minimum(r[:-1, 1], r[1:, 1])
+            ey1 = np.maximum(r[:-1, 1], r[1:, 1])
+            overlap = ~(
+                (sxmax[None, :] < ex0[:, None] - 1e-12)
+                | (sxmin[None, :] > ex1[:, None] + 1e-12)
+                | (symax[None, :] < ey0[:, None] - 1e-12)
+                | (symin[None, :] > ey1[:, None] + 1e-12)
+            )
         for i in range(n):
             a1, a2 = r[i], r[i + 1]
             if a1[0] == a2[0] and a1[1] == a2[1]:
                 continue
-            # bbox prefilter
-            cands = [
-                s
-                for s in other_segs
-                if not (
-                    max(s[0][0], s[1][0]) < min(a1[0], a2[0]) - 1e-12
-                    or min(s[0][0], s[1][0]) > max(a1[0], a2[0]) + 1e-12
-                    or max(s[0][1], s[1][1]) < min(a1[1], a2[1]) - 1e-12
-                    or min(s[0][1], s[1][1]) > max(a1[1], a2[1]) + 1e-12
-                )
-            ]
+            cands = (
+                [other_segs[j] for j in np.flatnonzero(overlap[i])]
+                if other_segs
+                else []
+            )
             ts = sorted(set([0.0, 1.0] + _seg_param_intersections(a1, a2, cands)))
             pts = [(a1[0] + (a2[0] - a1[0]) * t, a1[1] + (a2[1] - a1[1]) * t) for t in ts]
             for j in range(len(pts) - 1):
