@@ -381,14 +381,13 @@ def overlay(g1, g2, op: str):
             break
         idx = np.flatnonzero(pending)
         eps = np.maximum(L[idx], 1.0) * scale
-        lx = mx[idx] + nx[idx] * eps
-        ly = my[idx] + ny[idx] * eps
-        rx = mx[idx] - nx[idx] * eps
-        ry = my[idx] - ny[idx] * eps
-        la_p = _locate_many(lx, ly, pa)
-        lb_p = _locate_many(lx, ly, pb)
-        ra_p = _locate_many(rx, ry, pa)
-        rb_p = _locate_many(rx, ry, pb)
+        k = len(idx)
+        px = np.concatenate([mx[idx] + nx[idx] * eps, mx[idx] - nx[idx] * eps])
+        py = np.concatenate([my[idx] + ny[idx] * eps, my[idx] - ny[idx] * eps])
+        resa = _locate_many(px, py, pa)
+        resb = _locate_many(px, py, pb)
+        la_p, ra_p = resa[:k], resa[k:]
+        lb_p, rb_p = resb[:k], resb[k:]
         la[idx], lb[idx], ra_[idx], rb_[idx] = la_p, lb_p, ra_p, rb_p
         pending[idx] = (la_p == 1) | (lb_p == 1) | (ra_p == 1) | (rb_p == 1)
 
