@@ -1924,6 +1924,85 @@ FROM (
 ORACLE_GEO_TRANSFORM_CONIC = _conic_oracle_sql()
 
 
+def geo_transform_laea(spark, sf_dir):
+    """Azimuthal reprojection (ST_Transform): Lambert azimuthal equal-area
+    (EPSG:3035, LAEA Europe) and polar stereographic variant B (EPSG:3413,
+    NSIDC Arctic) — forward checked against the Snyder closed forms
+    restated in plain SQL (projection constants qp/beta0/Rq/D resp. tc/mc
+    precomputed once and inlined as literals in both engines), inverse
+    checked as a round trip. Completes the reference's geodesy surface
+    (reproject.rs:105) for the equal-area-grid and polar-science CRSs."""
+    c = _t(spark, sf_dir, "customer")
+    lon_e = "CAST(c_custkey % 45 AS DOUBLE) - 10.0"
+    lat_e = "CAST(c_custkey % 35 AS DOUBLE) + 35.0"
+    lon_p = "CAST(c_custkey % 360 AS DOUBLE) - 179.5"
+    lat_p = "CAST(c_custkey % 29 AS DOUBLE) + 60.5"
+    laea = f"ST_Transform(ST_Point({lon_e}, {lat_e}), 'EPSG:4326', 'EPSG:3035')"
+    ps = f"ST_Transform(ST_Point({lon_p}, {lat_p}), 'EPSG:4326', 'EPSG:3413')"
+    return c.selectExpr(
+        "c_custkey",
+        f"round(ST_X({laea}), 2) AS laea_x",
+        f"round(ST_Y({laea}), 2) AS laea_y",
+        f"round(ST_X({ps}), 2) AS ps_x",
+        f"round(ST_Y({ps}), 2) AS ps_y",
+        f"round(ST_X(ST_Transform({laea}, 'EPSG:3035', 'EPSG:4326')), 6) AS laea_rt_lon",
+        f"round(ST_Y(ST_Transform({ps}, 'EPSG:3413', 'EPSG:4326')), 6) AS ps_rt_lat",
+    )
+
+
+def _laea_oracle_sql() -> str:
+    import numpy as np
+
+    from .wkb import proj
+
+    E = proj.LAEA[3035]
+    P = proj.POLAR[3413]
+
+    def d(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    qe = (
+        f"((1.0 - {d(E['e2'])}) * (sin(radians(lat_e)) / (1.0 - {d(E['e2'])} * "
+        f"sin(radians(lat_e)) * sin(radians(lat_e))) - ln((1.0 - {d(E['e'])} * "
+        f"sin(radians(lat_e))) / (1.0 + {d(E['e'])} * sin(radians(lat_e)))) / "
+        f"(2.0 * {d(E['e'])})))"
+    )
+    beta = f"asin({qe} / {d(E['qp'])})"
+    lam_e = f"radians(lon_e - {d(E['lon0'])})"
+    bb = (
+        f"({d(E['Rq'])} * sqrt(2.0 / (1.0 + {d(np.sin(E['beta0']))} * sin({beta})"
+        f" + {d(np.cos(E['beta0']))} * cos({beta}) * cos({lam_e}))))"
+    )
+    tp = (
+        f"(tan(pi() / 4.0 - radians(lat_p) / 2.0) / power((1.0 - {d(P['e'])} * "
+        f"sin(radians(lat_p))) / (1.0 + {d(P['e'])} * sin(radians(lat_p))), "
+        f"{d(P['e'])} / 2.0))"
+    )
+    rho_p = f"({d(P['a'])} * {d(P['mc'])} * {tp} / {d(P['tc'])})"
+    lam_p = f"radians(lon_p - ({d(P['lon0'])}))"
+    return f"""
+SELECT c_custkey,
+       round({d(E['fe'])} + {bb} * {d(E['D'])} * cos({beta}) * sin({lam_e}), 2) AS laea_x,
+       round({d(E['fn'])} + ({bb} / {d(E['D'])}) * ({d(np.cos(E['beta0']))} * sin({beta})
+             - {d(np.sin(E['beta0']))} * cos({beta}) * cos({lam_e})), 2) AS laea_y,
+       round({rho_p} * sin({lam_p}), 2) AS ps_x,
+       round(-{rho_p} * cos({lam_p}), 2) AS ps_y,
+       round(lon_e, 6) AS laea_rt_lon,
+       round(lat_p, 6) AS ps_rt_lat
+FROM (
+  SELECT c_custkey,
+         CAST(c_custkey % 45 AS DOUBLE) - 10.0 AS lon_e,
+         CAST(c_custkey % 35 AS DOUBLE) + 35.0 AS lat_e,
+         CAST(c_custkey % 360 AS DOUBLE) - 179.5 AS lon_p,
+         CAST(c_custkey % 29 AS DOUBLE) + 60.5 AS lat_p
+  FROM customer
+)
+"""
+
+
+ORACLE_GEO_TRANSFORM_LAEA = _laea_oracle_sql()
+
+
 def geo_geodesic_area(spark, sf_dir):
     """Ellipsoidal (geodesic) polygon area, geodesic_area.rs:17 parity.
     Envelope quads have meridian/parallel edges, for which the engine's
@@ -3737,6 +3816,7 @@ QUERIES = {
     "geo_buffer_line": (geo_buffer_line, ORACLE_GEO_BUFFER_LINE),
     "geo_transform": (geo_transform, ORACLE_GEO_TRANSFORM),
     "geo_transform_conic": (geo_transform_conic, ORACLE_GEO_TRANSFORM_CONIC),
+    "geo_transform_laea": (geo_transform_laea, ORACLE_GEO_TRANSFORM_LAEA),
     "geo_geodesic_area": (geo_geodesic_area, ORACLE_GEO_GEODESIC_AREA),
     "geo_project": (geo_project, ORACLE_GEO_PROJECT),
     "geo_line_substring": (geo_line_substring, ORACLE_GEO_LINE_SUBSTRING),

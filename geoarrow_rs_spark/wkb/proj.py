@@ -11,6 +11,9 @@ pyproj, so the transforms are implemented from public closed forms:
   exact-to-nanometers Krueger series (Karney 2011, "Transverse Mercator with an
   accuracy of a few nanometers", public domain formulas, 6th order in the
   third flattening n)
+- EPSG:5070 / 2154 — Albers equal-area + Lambert conformal conic (Snyder)
+- EPSG:3035 — Lambert azimuthal equal-area Europe (Snyder pp. 187-190)
+- EPSG:3413 / 3031 — polar stereographic variant B (Snyder pp. 160-162)
 
 All functions are elementwise over numpy arrays — a batch of coordinates is
 transformed with no Python-level loop, matching the reference's
@@ -271,6 +274,142 @@ def conic_inverse(x, y, epsg, iters=12):
 
 
 # ---------------------------------------------------------------------------
+# Lambert azimuthal equal-area (oblique aspect, ellipsoidal)
+# (Snyder 1987, USGS PP 1395, pp. 187-190) — EPSG:3035 LAEA Europe
+# ---------------------------------------------------------------------------
+
+def _laea_q(phi, e, e2):
+    s = np.sin(phi)
+    return (1 - e2) * (
+        s / (1 - e2 * s * s) - np.log((1 - e * s) / (1 + e * s)) / (2 * e)
+    )
+
+
+def _laea_setup(p):
+    a = p["a"]
+    e2 = p["f"] * (2 - p["f"])
+    e = float(np.sqrt(e2))
+    lat0 = np.radians(p["lat0"])
+    qp = float(_laea_q(np.pi / 2, e, e2))
+    q0 = float(_laea_q(lat0, e, e2))
+    beta0 = float(np.arcsin(q0 / qp))
+    Rq = a * np.sqrt(qp / 2)
+    m0 = np.cos(lat0) / np.sqrt(1 - e2 * np.sin(lat0) ** 2)
+    D = a * m0 / (Rq * np.cos(beta0))
+    p.update(e=e, e2=e2, qp=qp, beta0=beta0, Rq=float(Rq), D=float(D))
+    return p
+
+
+LAEA = {
+    # ETRS89-extended / LAEA Europe (the pan-EU statistical grid CRS)
+    3035: _laea_setup(dict(
+        a=GRS80_A, f=GRS80_F, lat0=52.0, lon0=10.0,
+        fe=4_321_000.0, fn=3_210_000.0,
+    )),
+}
+
+
+def laea_forward(lon_deg, lat_deg, epsg):
+    p = LAEA[int(epsg)]
+    e, e2, qp, b0, Rq, D = p["e"], p["e2"], p["qp"], p["beta0"], p["Rq"], p["D"]
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    beta = np.arcsin(np.clip(_laea_q(phi, e, e2) / qp, -1.0, 1.0))
+    sb, cb = np.sin(beta), np.cos(beta)
+    sb0, cb0 = np.sin(b0), np.cos(b0)
+    B = Rq * np.sqrt(2.0 / (1.0 + sb0 * sb + cb0 * cb * np.cos(lam)))
+    x = p["fe"] + B * D * cb * np.sin(lam)
+    y = p["fn"] + (B / D) * (cb0 * sb - sb0 * cb * np.cos(lam))
+    return x, y
+
+
+def laea_inverse(x, y, epsg, iters=12):
+    p = LAEA[int(epsg)]
+    e, e2, qp, b0, Rq, D = p["e"], p["e2"], p["qp"], p["beta0"], p["Rq"], p["D"]
+    sb0, cb0 = np.sin(b0), np.cos(b0)
+    xp = (np.asarray(x, dtype=np.float64) - p["fe"])
+    yp = (np.asarray(y, dtype=np.float64) - p["fn"])
+    rho = np.hypot(xp / D, D * yp)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+    sc, cc = np.sin(ce), np.cos(ce)
+    # rho -> 0 means the projection center itself; guard the division
+    safe = np.where(rho == 0.0, 1.0, rho)
+    q = qp * (cc * sb0 + D * yp * sc * cb0 / safe)
+    q = np.where(rho == 0.0, qp * sb0, q)
+    lam = np.arctan2(xp * sc, D * rho * cb0 * cc - D * D * yp * sb0 * sc)
+    lam = np.where(rho == 0.0, 0.0, lam)
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        one = 1 - e2 * s * s
+        phi = phi + one * one / (2 * np.cos(phi)) * (
+            q / (1 - e2) - s / one + np.log((1 - e * s) / (1 + e * s)) / (2 * e)
+        )
+    return np.degrees(lam) + p["lon0"], np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Polar stereographic, variant B (ellipsoidal; Snyder pp. 160-162)
+# EPSG:3413 (NSIDC Arctic) / EPSG:3031 (Antarctic)
+# ---------------------------------------------------------------------------
+
+def _polar_t(phi, e):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+
+def _polar_setup(p):
+    a = p["a"]
+    e2 = p["f"] * (2 - p["f"])
+    e = float(np.sqrt(e2))
+    ts = np.radians(abs(p["lat_ts"]))
+    tc = float(_polar_t(ts, e))
+    mc = float(np.cos(ts) / np.sqrt(1 - e2 * np.sin(ts) ** 2))
+    p.update(e=e, e2=e2, tc=tc, mc=mc, south=p["lat_ts"] < 0)
+    return p
+
+
+POLAR = {
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North
+    3413: _polar_setup(dict(a=WGS84_A, f=WGS84_F, lat_ts=70.0, lon0=-45.0,
+                            fe=0.0, fn=0.0)),
+    # WGS84 / Antarctic Polar Stereographic
+    3031: _polar_setup(dict(a=WGS84_A, f=WGS84_F, lat_ts=-71.0, lon0=0.0,
+                            fe=0.0, fn=0.0)),
+}
+
+
+def polar_forward(lon_deg, lat_deg, epsg):
+    p = POLAR[int(epsg)]
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    if p["south"]:
+        phi = -phi
+    t = _polar_t(phi, p["e"])
+    rho = p["a"] * p["mc"] * t / p["tc"]
+    x = p["fe"] + rho * np.sin(lam)
+    y = p["fn"] + (rho if p["south"] else -rho) * np.cos(lam)
+    return x, y
+
+
+def polar_inverse(x, y, epsg, iters=12):
+    p = POLAR[int(epsg)]
+    e = p["e"]
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = np.asarray(y, dtype=np.float64) - p["fn"]
+    rho = np.hypot(xp, yp)
+    t = rho * p["tc"] / (p["a"] * p["mc"])
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(iters):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (e / 2))
+    lam = np.arctan2(xp, yp if p["south"] else -yp)
+    if p["south"]:
+        phi = -phi
+    return np.degrees(lam) + p["lon0"], np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -280,7 +419,8 @@ def _is_utm(epsg):
 
 def supported_crs(epsg) -> bool:
     epsg = int(epsg)
-    if epsg in (4326, 3857) or epsg in CONICS or _is_utm(epsg):
+    if epsg in (4326, 3857) or epsg in CONICS or epsg in LAEA \
+            or epsg in POLAR or _is_utm(epsg):
         return True
     if USE_PYPROJ:
         try:
@@ -299,6 +439,10 @@ def to_wgs84(x, y, src_epsg):
         return webmercator_inverse(x, y)
     if src_epsg in CONICS:
         return conic_inverse(x, y, src_epsg)
+    if src_epsg in LAEA:
+        return laea_inverse(x, y, src_epsg)
+    if src_epsg in POLAR:
+        return polar_inverse(x, y, src_epsg)
     if _is_utm(src_epsg):
         lon0, fn = utm_zone_params(src_epsg)
         return tm_inverse(x, y, lon0, fn=fn)
@@ -313,6 +457,10 @@ def from_wgs84(lon, lat, dst_epsg):
         return webmercator_forward(lon, lat)
     if dst_epsg in CONICS:
         return conic_forward(lon, lat, dst_epsg)
+    if dst_epsg in LAEA:
+        return laea_forward(lon, lat, dst_epsg)
+    if dst_epsg in POLAR:
+        return polar_forward(lon, lat, dst_epsg)
     if _is_utm(dst_epsg):
         lon0, fn = utm_zone_params(dst_epsg)
         return tm_forward(lon, lat, lon0, fn=fn)

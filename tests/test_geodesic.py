@@ -288,6 +288,65 @@ def test_union_of_disjoint_annuli():
     assert alg.area(u) == pytest.approx(alg.area(outer) + alg.area(inner), rel=1e-9)
 
 
+def test_laea_and_polar_projections_roundtrip_and_properties():
+    """LAEA Europe (EPSG:3035) and polar stereographic (EPSG:3413/3031):
+    origin anchors exact, round-trips below 1e-9 degrees, the defining
+    property of each holds (LAEA: unit area scale; polar stereographic:
+    scale exactly 1 on the standard parallel)."""
+    import numpy as np
+
+    from geoarrow_rs_spark.wkb import proj
+
+    x, y = proj.laea_forward(np.array([10.0]), np.array([52.0]), 3035)
+    assert abs(x[0] - 4_321_000.0) < 1e-9 and abs(y[0] - 3_210_000.0) < 1e-9
+    x, y = proj.polar_forward(np.array([0.0]), np.array([90.0]), 3413)
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    x, y = proj.polar_forward(np.array([0.0]), np.array([-90.0]), 3031)
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+
+    rng = np.random.default_rng(13)
+    lon = rng.uniform(-25, 45, 5000)
+    lat = rng.uniform(28, 72, 5000)
+    lo2, la2 = proj.laea_inverse(*proj.laea_forward(lon, lat, 3035), 3035)
+    assert np.abs(lo2 - lon).max() < 1e-9
+    assert np.abs(la2 - lat).max() < 1e-9
+    lon = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(55, 89.99, 5000)
+    lo2, la2 = proj.polar_inverse(*proj.polar_forward(lon, lat, 3413), 3413)
+    dl = (lo2 - lon + 180.0) % 360.0 - 180.0
+    assert np.abs(dl).max() < 1e-9
+    assert np.abs(la2 - lat).max() < 1e-9
+    lat = -lat
+    lo2, la2 = proj.polar_inverse(*proj.polar_forward(lon, lat, 3031), 3031)
+    dl = (lo2 - lon + 180.0) % 360.0 - 180.0
+    assert np.abs(dl).max() < 1e-9
+    assert np.abs(la2 - lat).max() < 1e-9
+
+    a, f = proj.GRS80_A, proj.GRS80_F
+    e2 = f * (2 - f)
+    d = 1e-6
+    for lon0, lat0 in ((10.0, 52.0), (25.0, 40.0), (-5.0, 65.0)):
+        x0, y0 = proj.laea_forward(np.array([lon0]), np.array([lat0]), 3035)
+        xe, ye = proj.laea_forward(np.array([lon0 + d]), np.array([lat0]), 3035)
+        xn, yn = proj.laea_forward(np.array([lon0]), np.array([lat0 + d]), 3035)
+        pa = abs(float((xe - x0) * (yn - y0) - (xn - x0) * (ye - y0)))
+        s = np.sin(np.radians(lat0))
+        M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        N = a / np.sqrt(1 - e2 * s * s)
+        ea = np.radians(d) * M * np.radians(d) * N * np.cos(np.radians(lat0))
+        assert abs(pa / float(ea) - 1.0) < 1e-6
+
+    # polar stereographic: scale exactly 1 on the standard parallel (70N)
+    aw, fw = proj.WGS84_A, proj.WGS84_F
+    e2w = fw * (2 - fw)
+    dl = 1e-6
+    x1, y1 = proj.polar_forward(np.array([20.0]), np.array([70.0]), 3413)
+    x2, y2 = proj.polar_forward(np.array([20.0 + dl]), np.array([70.0]), 3413)
+    s = np.sin(np.radians(70.0))
+    arc = np.radians(dl) * aw * np.cos(np.radians(70.0)) / np.sqrt(1 - e2w * s * s)
+    assert abs(float(np.hypot(x2 - x1, y2 - y1)) / float(arc) - 1.0) < 1e-6
+
+
 def test_conic_projections_roundtrip_and_anchors():
     """Albers (EPSG:5070) and Lambert-93 (EPSG:2154): origin anchors are
     exact, forward/inverse round-trips close to 1e-9 degrees across the
