@@ -1,0 +1,173 @@
+"""Space-filling-curve keys as NATIVE Spark expressions, and a clustering
+GeoParquet writer built on them.
+
+Why this exists: GeoParquet bbox pushdown (io/geoparquet.py) prunes row
+groups by the min/max statistics of the covering struct. Statistics are
+only tight if spatially-near rows are stored near each other — on an
+unordered 100 TB write every row group spans the whole extent and nothing
+prunes. Sorting the write by a space-filling-curve key fixes that: it is
+the same design as the reference's FlatGeobuf writer, which Hilbert-sorts
+features before building its packed R-tree (io/flatgeobuf.py parity;
+upstream flatgeobuf crate), and as Delta/Iceberg Z-ordering.
+
+Both curves are pure integer arithmetic, expressed as Catalyst expressions
+(shiftleft / bitwiseAND / CASE) — zero Python in the plan, so the key
+computation rides whole-stage codegen and adds no measurable cost to a
+write. Morton (Z-order) is a closed-form bit interleave; Hilbert needs the
+per-level rotate/flip loop, which we unroll into a withColumn chain
+(`with_hilbert_key`) so each level is a plain projection.
+
+Public closed forms: Morton spread-bits trick (Hacker's Delight §7-2);
+Hilbert xy<->d loop (Warren / Wikipedia "Hilbert curve" C routine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# default key domain: WGS84 lon/lat world
+WORLD_BOUNDS = (-180.0, -90.0, 180.0, 90.0)
+
+_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def scaled_cell_expr(x, y, level: int, bounds=WORLD_BOUNDS):
+    """(x, y) doubles -> integer grid coords in [0, 2**level), clamped.
+
+    Native: two fused multiply-divides + floor + clamp per coordinate."""
+    n = 1 << level
+    xmin, ymin, xmax, ymax = bounds
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+
+    def cell(v, lo, hi):
+        c = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n)))
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), c)).cast("long")
+
+    return cell(x, xmin, xmax), cell(y, ymin, ymax)
+
+
+def _spread_bits(c: Column) -> Column:
+    """Interleave-ready bit spread: abcd -> 0a0b0c0d (32 -> 64 bits)."""
+    for shift, mask in _SPREAD_STEPS:
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def morton_key_expr(x, y, level: int = 16, bounds=WORLD_BOUNDS) -> Column:
+    """Z-order (Morton) key of a point, fully native (level <= 31)."""
+    if not 1 <= level <= 31:
+        raise ValueError("morton level must be in [1, 31]")
+    ix, iy = scaled_cell_expr(x, y, level, bounds)
+    return _spread_bits(ix).bitwiseOR(F.shiftleft(_spread_bits(iy), 1))
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x,
+    y,
+    out: str = "hilbert_key",
+    level: int = 16,
+    bounds=WORLD_BOUNDS,
+) -> DataFrame:
+    """Add a Hilbert-curve key column, fully native.
+
+    The classic xy->d loop runs once per level; each iteration is emitted
+    as one projection over temp columns (no expression-tree blow-up), and
+    Catalyst collapses the chain into a single whole-stage-codegen stage.
+    Temp columns are dropped before returning."""
+    if not 1 <= level <= 31:
+        raise ValueError("hilbert level must be in [1, 31]")
+    tx, ty, td = f"__h_x_{out}", f"__h_y_{out}", f"__h_d_{out}"
+    ix, iy = scaled_cell_expr(x, y, level, bounds)
+    df = df.withColumn(tx, ix).withColumn(ty, iy).withColumn(td, F.lit(0).cast("long"))
+    for i in range(level - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col(tx).bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col(ty).bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        df = df.withColumn(
+            td,
+            F.col(td)
+            + F.lit(s * s).cast("long") * ((rx * 3).bitwiseXOR(ry)).cast("long"),
+        )
+        # rotate quadrant: flip when (ry==0 and rx==1), then swap when ry==0
+        fx = F.when((ry == 0) & (rx == 1), F.lit(s - 1) - F.col(tx)).otherwise(F.col(tx))
+        fy = F.when((ry == 0) & (rx == 1), F.lit(s - 1) - F.col(ty)).otherwise(F.col(ty))
+        df = (
+            df.withColumn("__h_fx", fx)
+            .withColumn("__h_fy", fy)
+            .withColumn(tx, F.when(ry == 0, F.col("__h_fy")).otherwise(F.col("__h_fx")))
+            .withColumn(ty, F.when(ry == 0, F.col("__h_fx")).otherwise(F.col("__h_fy")))
+            .drop("__h_fx", "__h_fy")
+        )
+    return df.withColumnRenamed(td, out).drop(tx, ty)
+
+
+def hilbert_xy2d(ix: int, iy: int, level: int) -> int:
+    """Driver-side scalar reference of the same loop (tests / planning)."""
+    d = 0
+    for i in range(level - 1, -1, -1):
+        s = 1 << i
+        rx = 1 if (ix & s) > 0 else 0
+        ry = 1 if (iy & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                ix, iy = s - 1 - ix, s - 1 - iy
+            ix, iy = iy, ix
+    return d
+
+
+def cluster_geoparquet(
+    df: DataFrame,
+    path: str,
+    geometry_col: str = "geometry",
+    curve: str = "hilbert",
+    level: int = 16,
+    bounds=WORLD_BOUNDS,
+    num_partitions: int | None = None,
+    **write_kwargs,
+):
+    """Spatially-clustered GeoParquet write: range-partition + sort by a
+    space-filling-curve key of the geometry's bbox center, then write via
+    ``write_geoparquet`` (covering struct + geo footer metadata as usual).
+
+    ``repartitionByRange`` samples the key distribution, so output files
+    adapt to data density (cities get many files, oceans few) — no manual
+    grid tuning, no hot partitions. Within each file rows are key-sorted,
+    so every row group's covering min/max statistics span a tiny rectangle
+    and bbox scans prune at BOTH the file level (range metadata) and the
+    row-group level (Parquet stats). At 100 TB this is the difference
+    between scanning ~everything and touching only the files that overlap
+    the query window.
+
+    ``bounds`` defaults to the lon/lat world; pass the dataset's extent
+    (e.g. from a previous ``total_bounds``) for finer key resolution on
+    regional data."""
+    from ..io.geoparquet import write_geoparquet
+
+    covering = write_kwargs.get("covering_col", "bbox")
+    out = df
+    if covering not in df.columns:
+        out = out.withColumn(covering, F.expr(f"ST_BBox({geometry_col})"))
+    cx = (F.col(f"{covering}.xmin") + F.col(f"{covering}.xmax")) / 2
+    cy = (F.col(f"{covering}.ymin") + F.col(f"{covering}.ymax")) / 2
+    key = "__sfc_key"
+    if curve == "morton":
+        out = out.withColumn(key, morton_key_expr(cx, cy, level, bounds))
+    elif curve == "hilbert":
+        out = with_hilbert_key(out, cx, cy, out=key, level=level, bounds=bounds)
+    else:
+        raise ValueError(f"unknown curve: {curve!r} (use 'hilbert' or 'morton')")
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, key)
+    else:
+        out = out.repartitionByRange(key)
+    out = out.sortWithinPartitions(key).drop(key)
+    return write_geoparquet(out, path, geometry_col=geometry_col, **write_kwargs)

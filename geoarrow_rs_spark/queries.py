@@ -2003,6 +2003,75 @@ FROM (
 ORACLE_GEO_TRANSFORM_LAEA = _laea_oracle_sql()
 
 
+def geo_zorder(spark, sf_dir):
+    """Space-filling-curve keys (functions/curves.py): level-16 Morton
+    (Z-order) and Hilbert keys of customer points, computed entirely as
+    native Catalyst expressions (bit interleave resp. the unrolled
+    rotate/flip loop — no Python anywhere in the plan). These are the
+    write-clustering keys behind cluster_geoparquet; the oracle restates
+    the same integer algorithms in DuckDB SQL (Hilbert as one chained
+    subquery per level)."""
+    from .functions import curves
+
+    c = _t(spark, sf_dir, "customer")
+    df = c.select(
+        "c_custkey",
+        (F.col("c_custkey").cast("double") % 3600 / 10.0 - 180.0).alias("lon"),
+        (F.col("c_custkey").cast("double") % 1700 / 10.0 - 85.0).alias("lat"),
+    )
+    df = df.withColumn("morton", curves.morton_key_expr("lon", "lat", 16))
+    df = curves.with_hilbert_key(df, "lon", "lat", "hilbert", 16)
+    return df.select("c_custkey", "morton", "hilbert")
+
+
+def _zorder_oracle_sql() -> str:
+    from .functions import curves
+
+    n = 1 << 16
+    base = (
+        "SELECT c_custkey,\n"
+        f"  CAST(greatest(0, least({n - 1}, floor(((lon - (-180.0)) / 360.0) * {float(n)!r}))) AS BIGINT) AS ix,\n"
+        f"  CAST(greatest(0, least({n - 1}, floor(((lat - (-90.0)) / 180.0) * {float(n)!r}))) AS BIGINT) AS iy\n"
+        "FROM (SELECT c_custkey,\n"
+        "        CAST(c_custkey AS DOUBLE) % 3600 / 10.0 - 180.0 AS lon,\n"
+        "        CAST(c_custkey AS DOUBLE) % 1700 / 10.0 - 85.0 AS lat\n"
+        "      FROM customer)"
+    )
+
+    def spread(col):
+        s = col
+        for shift, mask in curves._SPREAD_STEPS:
+            s = f"(({s} | ({s} << {shift})) & {mask})"
+        return s
+
+    morton = f"({spread('ix')} | ({spread('iy')} << 1))"
+    ctes = [
+        f"h0 AS (SELECT c_custkey, ix AS x, iy AS y, CAST(0 AS BIGINT) AS d,\n"
+        f"        {morton} AS morton FROM cells)"
+    ]
+    prev = "h0"
+    for step, i in enumerate(range(15, -1, -1)):
+        s = 1 << i
+        cur = f"h{step + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT c_custkey, morton,\n"
+            f"  d + CAST({s * s} AS BIGINT) * CAST(xor(3 * rx, ry) AS BIGINT) AS d,\n"
+            f"  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END) ELSE x END AS x,\n"
+            f"  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END) ELSE y END AS y\n"
+            f"  FROM (SELECT *, CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,\n"
+            f"               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry FROM {prev}))"
+        )
+        prev = cur
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH cells AS ({base}),\n{joined}\n"
+        f"SELECT c_custkey, morton, d AS hilbert FROM {prev}"
+    )
+
+
+ORACLE_GEO_ZORDER = _zorder_oracle_sql()
+
+
 def geo_geodesic_area(spark, sf_dir):
     """Ellipsoidal (geodesic) polygon area, geodesic_area.rs:17 parity.
     Envelope quads have meridian/parallel edges, for which the engine's
@@ -3817,6 +3886,7 @@ QUERIES = {
     "geo_transform": (geo_transform, ORACLE_GEO_TRANSFORM),
     "geo_transform_conic": (geo_transform_conic, ORACLE_GEO_TRANSFORM_CONIC),
     "geo_transform_laea": (geo_transform_laea, ORACLE_GEO_TRANSFORM_LAEA),
+    "geo_zorder": (geo_zorder, ORACLE_GEO_ZORDER),
     "geo_geodesic_area": (geo_geodesic_area, ORACLE_GEO_GEODESIC_AREA),
     "geo_project": (geo_project, ORACLE_GEO_PROJECT),
     "geo_line_substring": (geo_line_substring, ORACLE_GEO_LINE_SUBSTRING),
