@@ -351,3 +351,33 @@ def streaming_minhash_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_spatial_join(
+    stream: DataFrame,
+    static: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Stream-static spatial join: enrich/geofence a live geometry stream
+    against a static layer (polygons, admin boundaries, geofences).
+
+    Entirely stateless, so it needs no watermark and emits in append mode:
+    the PBSM cell cover is a projection, the candidate step is a
+    stream-static equi-join on cell id (static side shuffled/broadcast
+    once, stream side per micro-batch), and refine is a row filter. Each
+    micro-batch therefore produces exactly what the batch operator would
+    on the same rows (tested), and the 100 TB properties of
+    ``join.spatial_join`` carry over unchanged — use
+    ``strategy="broadcast"`` when the static layer fits an executor,
+    ``strategy="grid"`` (+ precomputed bbox columns, ``refine="bbox"``
+    where exact) for continent-scale layers.
+
+    Streaming is only supported on the LEFT (stream) side; Structured
+    Streaming cannot re-scan a streaming right side per batch."""
+    from ..join.spatial import spatial_join
+
+    if not stream.isStreaming:
+        raise ValueError("streaming_spatial_join: left side must be a stream")
+    if static.isStreaming:
+        raise ValueError("streaming_spatial_join: static side must not stream")
+    return spatial_join(stream, static, **kwargs)

@@ -458,3 +458,75 @@ def test_streaming_windowed_extent(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ext_out").collect()
     }
     assert got == want
+
+
+def test_streaming_spatial_join_matches_batch(spark, tmp_path):
+    """Stream-static spatial join (streaming/ops.streaming_spatial_join):
+    points arriving over three micro-batches joined against a static
+    rectangle layer must produce exactly the batch spatial_join result,
+    for both the grid (refine='bbox', fully native) and broadcast
+    strategies."""
+    from geoarrow_rs_spark.functions import register_functions
+    from geoarrow_rs_spark.join.spatial import spatial_join
+    from geoarrow_rs_spark.streaming.ops import streaming_spatial_join
+
+    register_functions(spark)
+    src = os.path.join(str(tmp_path), "sj_pts")
+    for b in range(3):
+        spark.range(b * 40, (b + 1) * 40).selectExpr(
+            "id AS pt_id",
+            "CAST(id % 20 AS DOUBLE) / 2.0 AS x",
+            "CAST(id div 20 AS DOUBLE) / 2.0 AS y",
+        ).selectExpr(
+            "pt_id",
+            "named_struct('xmin', x, 'ymin', y, 'xmax', x, 'ymax', y) AS pbox",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    static = spark.createDataFrame(
+        [(1, 0.0, 0.0, 3.0, 2.0), (2, 2.5, 1.0, 6.0, 4.0), (3, 8.0, 0.0, 9.5, 3.0)],
+        "zone_id long, xmin double, ymin double, xmax double, ymax double",
+    ).selectExpr(
+        "zone_id",
+        "named_struct('xmin', xmin, 'ymin', ymin, 'xmax', xmax, 'ymax', ymax) AS zbox",
+    )
+
+    batch = spark.read.parquet(src)
+    expected = sorted(
+        (r["pt_id"], r["zone_id"])
+        for r in spatial_join(
+            batch, static, strategy="grid", cell_size=2.0, refine="bbox",
+            left_bbox="pbox", right_bbox="zbox",
+        ).collect()
+    )
+    assert expected  # sanity: the fixture produces matches
+
+    for name, kwargs in [
+        ("grid", dict(strategy="grid", cell_size=2.0, refine="bbox")),
+        ("bcast", dict(strategy="broadcast", refine="bbox")),
+    ]:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_spatial_join(
+            stream, static, left_bbox="pbox", right_bbox="zbox", **kwargs
+        ).select("pt_id", "zone_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"sj_out_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            (r["pt_id"], r["zone_id"])
+            for r in spark.sql(f"SELECT * FROM sj_out_{name}").collect()
+        )
+        assert got == expected, name
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming_spatial_join(batch, static)
