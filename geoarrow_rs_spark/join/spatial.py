@@ -229,3 +229,120 @@ def _refine_expr(predicate: str, lg: str, rg: str):
         "equals": "ST_Equals",
     }[predicate]
     return F.expr(f"{fn}({lg}, {rg})")
+
+
+def knn_spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str = "id",
+    right_id: str = "id",
+    left_xy=("x", "y"),
+    right_xy=("x", "y"),
+    cell_size: float = 1.0,
+    max_radius_cells: int = 8,
+) -> DataFrame:
+    """Exact k-nearest-neighbor spatial join over point sets, distributed.
+
+    The relational operator the reference leaves to its R-tree building
+    blocks (rust/geoarrow-old/src/indexed/array.rs) — here as a two-phase
+    DataFrame plan that stays exact:
+
+    1. **Grid rounds.** Each right point hashes to its home cell once
+       (native floor arithmetic). Each unresolved left point probes the
+       (2R+1)^2 cells around it via a native sequence-explode, candidates
+       equi-join on cell id, and a per-left window keeps the k nearest.
+       A left is RESOLVED only when it has >= k candidates whose k-th
+       distance <= R*cell_size — the geometric guarantee that nothing
+       closer can live outside the probed square. Unresolved lefts
+       (sparse-area stragglers) carry to the next round with R doubled;
+       round count is logarithmic and each round's input shrinks.
+    2. **Broadcast fallback.** Lefts still unresolved at max_radius_cells
+       (isolated points whose neighbors are arbitrarily far) are
+       broadcast against the full right side in one linear scan — exact,
+       and costed to the pathological minority only.
+
+    Everything is native Catalyst (no UDFs); ties break on right id so
+    results are deterministic. At 100 TB: the right side shuffles once by
+    cell, each round's probe is an equi-join sized by the unresolved set,
+    and the fallback broadcast is bounded by the straggler count.
+
+    Returns columns: ``l_id, r_id, rn`` (1-based rank) ``, dist``.
+    """
+    lx, ly = left_xy
+    rx, ry = right_xy
+    cs = float(cell_size)
+    L = left.select(
+        F.col(left_id).alias("l_id"),
+        F.col(lx).cast("double").alias("lx"),
+        F.col(ly).cast("double").alias("ly"),
+    )
+    R = right.select(
+        F.col(right_id).alias("r_id"),
+        F.col(rx).cast("double").alias("rx"),
+        F.col(ry).cast("double").alias("ry"),
+    ).withColumn(
+        "__cell",
+        F.floor(F.col("rx") / cs).cast("long") * F.lit(1 << 21)
+        + F.floor(F.col("ry") / cs).cast("long"),
+    )
+    R = R.localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_id").orderBy("dist", "r_id")
+    wa = Window.partitionBy("l_id")
+    dx = F.col("lx") - F.col("rx")
+    dy = F.col("ly") - F.col("ry")
+    dist = F.sqrt(dx * dx + dy * dy)  # explicit products: IEEE-identical
+    # to the same expression in any other engine (pow() would not be)
+
+    def topk(cand):
+        ranked = cand.withColumn("dist", dist).withColumn(
+            "rn", F.row_number().over(w)
+        )
+        return ranked.withColumn("cnt", F.count(F.lit(1)).over(wa)).withColumn(
+            "kdist", F.max(F.when(F.col("rn") <= k, F.col("dist"))).over(wa)
+        )
+
+    out = []
+    remaining = L.localCheckpoint(eager=True)
+    radius = 1
+    while radius <= max_radius_cells and remaining.limit(1).count() > 0:
+        cx = F.floor(F.col("lx") / cs).cast("long")
+        cy = F.floor(F.col("ly") / cs).cast("long")
+        cells = F.flatten(
+            F.transform(
+                F.sequence(cx - radius, cx + radius),
+                lambda ix: F.transform(
+                    F.sequence(cy - radius, cy + radius),
+                    lambda iy: ix * F.lit(1 << 21) + iy,
+                ),
+            )
+        )
+        probe = remaining.withColumn("__cell", F.explode(cells))
+        ranked = topk(probe.join(R, on="__cell"))
+        resolved = ranked.filter(
+            (F.col("cnt") >= k) & (F.col("kdist") <= F.lit(radius * cs))
+        )
+        out.append(
+            resolved.filter(F.col("rn") <= k)
+            .select("l_id", "r_id", "rn", "dist")
+            .localCheckpoint(eager=True)
+        )
+        remaining = (
+            remaining.join(
+                resolved.select("l_id").distinct(), on="l_id", how="left_anti"
+            ).localCheckpoint(eager=True)
+        )
+        radius *= 2
+
+    if remaining.limit(1).count() > 0:
+        # exact fallback: linear scan for the isolated stragglers
+        ranked = topk(F.broadcast(remaining).crossJoin(R.drop("__cell")))
+        out.append(ranked.filter(F.col("rn") <= k).select("l_id", "r_id", "rn", "dist"))
+
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -2072,6 +2072,125 @@ def _zorder_oracle_sql() -> str:
 ORACLE_GEO_ZORDER = _zorder_oracle_sql()
 
 
+_KNN_PX = (
+    "CAST(conv(substring(md5(concat('knx:', CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    " % 5000 / 100.0 AS px"
+)
+_KNN_PY = (
+    "CAST(conv(substring(md5(concat('kny:', CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    " % 5000 / 100.0 AS py"
+)
+
+_KNN_PTS_DUCK = (
+    "SELECT c_custkey,"
+    " CAST(concat('0x', substr(md5(concat('knx:', CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT)"
+    " % 5000 / 100.0 AS px,"
+    " CAST(concat('0x', substr(md5(concat('kny:', CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT)"
+    " % 5000 / 100.0 AS py"
+)
+
+
+def geo_knn_join(spark, sf_dir):
+    """Exact spatial kNN join (join.knn_spatial_join): every 4th customer
+    point finds its 3 nearest neighbors among all customer points
+    (md5-uniform coordinates in a 50x50 plane) via grid rounds with the
+    geometric resolution guarantee + broadcast fallback — fully native
+    plan. Oracle is the brute-force cross join ranked by (distance, id)."""
+    from .join.spatial import knn_spatial_join
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.selectExpr("c_custkey", _KNN_PX, _KNN_PY)
+    left = pts.filter(F.col("c_custkey") % 4 == 0)
+    out = knn_spatial_join(
+        left,
+        pts,
+        k=3,
+        left_id="c_custkey",
+        right_id="c_custkey",
+        left_xy=("px", "py"),
+        right_xy=("px", "py"),
+        cell_size=4.0,
+    )
+    return out.select(
+        "l_id",
+        "r_id",
+        F.col("rn").cast("long").alias("rn"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+ORACLE_GEO_KNN = f"""
+WITH pts AS ({_KNN_PTS_DUCK} FROM customer)
+SELECT a.c_custkey AS l_id, b.c_custkey AS r_id,
+       CAST(row_number() OVER (PARTITION BY a.c_custkey
+            ORDER BY sqrt((a.px - b.px) * (a.px - b.px)
+                        + (a.py - b.py) * (a.py - b.py)), b.c_custkey) AS BIGINT) AS rn,
+       round(sqrt((a.px - b.px) * (a.px - b.px)
+                + (a.py - b.py) * (a.py - b.py)), 6) AS dist
+FROM pts a CROSS JOIN pts b
+WHERE a.c_custkey % 4 = 0
+QUALIFY rn <= 3
+"""
+
+
+def geo_dbscan(spark, sf_dir):
+    """Distributed DBSCAN (ops.dbscan; ST_ClusterDBSCAN parity): customer
+    points on the same md5-uniform 50x50 plane, eps=1.5, min_pts=5.
+    Neighbor pairs come from the PBSM grid (never all-pairs), cluster ids
+    from the reused min-label connected-components loop; border points
+    take the smallest neighboring core cluster. The oracle recomputes all
+    of it brute-force with a recursive-CTE closure."""
+    from .ops.dbscan import dbscan
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.selectExpr("c_custkey", _KNN_PX, _KNN_PY)
+    out = dbscan(pts, "c_custkey", "px", "py", eps=1.5, min_pts=5)
+    return out.select("c_custkey", "cluster_id", "role")
+
+
+ORACLE_GEO_DBSCAN = f"""
+WITH RECURSIVE pts AS ({_KNN_PTS_DUCK} FROM customer),
+pairs AS (
+  SELECT a.c_custkey AS a, b.c_custkey AS b
+  FROM pts a JOIN pts b
+    ON a.c_custkey <> b.c_custkey
+   AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 1.5 * 1.5
+),
+cnt AS (SELECT a, COUNT(*) + 1 AS n_nb FROM pairs GROUP BY a),
+core AS (
+  SELECT p.c_custkey AS pid FROM pts p
+  JOIN cnt ON cnt.a = p.c_custkey WHERE cnt.n_nb >= 5
+),
+core_edges AS (
+  SELECT pr.a AS src, pr.b AS dst FROM pairs pr
+  JOIN core ca ON ca.pid = pr.a JOIN core cb ON cb.pid = pr.b
+),
+cc(node, label) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT e.src, cc.label FROM core_edges e JOIN cc ON e.dst = cc.node
+),
+assign AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
+border AS (
+  SELECT pr.a AS pid, MIN(asg.cluster_id) AS b_cluster
+  FROM pairs pr
+  JOIN core cb ON cb.pid = pr.b
+  JOIN assign asg ON asg.node = pr.b
+  WHERE pr.a NOT IN (SELECT pid FROM core)
+  GROUP BY pr.a
+)
+SELECT p.c_custkey,
+       CASE WHEN co.pid IS NOT NULL THEN asg.cluster_id ELSE bo.b_cluster END AS cluster_id,
+       CASE WHEN co.pid IS NOT NULL THEN 'core'
+            WHEN bo.b_cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM pts p
+LEFT JOIN core co ON co.pid = p.c_custkey
+LEFT JOIN assign asg ON asg.node = p.c_custkey
+LEFT JOIN border bo ON bo.pid = p.c_custkey
+"""
+
+
 def geo_geodesic_area(spark, sf_dir):
     """Ellipsoidal (geodesic) polygon area, geodesic_area.rs:17 parity.
     Envelope quads have meridian/parallel edges, for which the engine's
@@ -3887,6 +4006,8 @@ QUERIES = {
     "geo_transform_conic": (geo_transform_conic, ORACLE_GEO_TRANSFORM_CONIC),
     "geo_transform_laea": (geo_transform_laea, ORACLE_GEO_TRANSFORM_LAEA),
     "geo_zorder": (geo_zorder, ORACLE_GEO_ZORDER),
+    "geo_knn_join": (geo_knn_join, ORACLE_GEO_KNN),
+    "geo_dbscan": (geo_dbscan, ORACLE_GEO_DBSCAN),
     "geo_geodesic_area": (geo_geodesic_area, ORACLE_GEO_GEODESIC_AREA),
     "geo_project": (geo_project, ORACLE_GEO_PROJECT),
     "geo_line_substring": (geo_line_substring, ORACLE_GEO_LINE_SUBSTRING),
