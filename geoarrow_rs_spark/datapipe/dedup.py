@@ -434,3 +434,99 @@ def minhash_bands_expr(
             for b in range(bands)
         ]
     )
+
+
+def editdist_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """All unordered pairs of rows whose ``key_col`` strings are within
+    edit (Levenshtein) distance ``max_dist`` — record linkage / fuzzy
+    self-join, exactly.
+
+    PassJoin-style segment blocking (Li, Deng, Feng: "PASS-JOIN: a
+    partition-based method for similarity joins", PVLDB 2011 — public
+    algorithm): each INDEX row partitions its key into d+1 contiguous
+    segments; by pigeonhole, any string within edit distance d must
+    contain one segment verbatim, at a start position within +-d of the
+    segment's home position. Each PROBE row therefore emits only the
+    substrings matching some (length, segment, position-window) triple —
+    a constant ~(2d+1)^2*(d+1) keys per row — and candidates come from a
+    plain equi-join on (length, segment index, substring). Never
+    all-pairs, so the plan scales like any other banded dedup join:
+    explode (narrow) -> shuffle on short segment keys (AQE splits hot
+    segments) -> native levenshtein refine.
+
+    Returns ``(a_id, b_id, dist)`` with a_id < b_id, exact and
+    deterministic — no length exclusions. Keys shorter than d+1 get empty
+    segments, whose candidates are confined to other such degenerate short
+    keys (the (L, i) join key carries the index length), so the blow-up
+    stays bounded by the count of sub-threshold-length rows."""
+    d = int(max_dist)
+    q = d + 1
+    base = df.select(
+        F.col(id_col).cast("long").alias("bid"), F.col(key_col).alias("bkey")
+    )
+
+    def seg_cols(prefix):
+        # segment geometry for (L, i): first q-rem segments have length
+        # L div q, the last rem have one extra char
+        b = F.expr(f"{prefix}L div {q}")
+        rem = F.expr(f"{prefix}L % {q}")
+        i = F.col(f"{prefix}i")
+        wl = b + F.when(i >= F.lit(q) - rem, 1).otherwise(0)
+        pl = i * b + F.greatest(F.lit(0), i - (F.lit(q) - rem)) + 1
+        return wl, pl
+
+    # index side: the d+1 segments of every key
+    R = (
+        base.withColumn("rL", F.length("bkey"))
+        .withColumn("ri", F.explode(F.sequence(F.lit(0), F.lit(d))))
+    )
+    wl, pl = seg_cols("r")
+    R = R.withColumn("rwl", wl).withColumn("rpl", pl).select(
+        "bid", "bkey",
+        F.col("rL").alias("gL"), F.col("ri").alias("gi"),
+        F.expr("substring(bkey, rpl, rwl)").alias("gs"),
+    )
+
+    # probe side: candidate substrings for every compatible (L, i, p)
+    P = (
+        df.select(F.col(id_col).cast("long").alias("aid"), F.col(key_col).alias("akey"))
+        .withColumn("aLs", F.length("akey"))
+        .withColumn(
+            "pL",
+            F.explode(
+                F.sequence(F.greatest(F.lit(0), F.col("aLs") - d), F.col("aLs") + d)
+            ),
+        )
+        .withColumn("pi", F.explode(F.sequence(F.lit(0), F.lit(d))))
+    )
+    wl, pl = seg_cols("p")
+    P = P.withColumn("pwl", wl).withColumn("ppl", pl)
+    lo = F.greatest(F.lit(1), F.col("ppl") - d)
+    hi = F.least(F.col("ppl") + d, F.col("aLs") - F.col("pwl") + 1)
+    P = (
+        P.withColumn("plo", lo)
+        .withColumn("phi", hi)
+        .filter(F.col("phi") >= F.col("plo"))
+        .withColumn("pp", F.explode(F.sequence(F.col("plo"), F.col("phi"))))
+        .select(
+            "aid", "akey",
+            F.col("pL").alias("gL"), F.col("pi").alias("gi"),
+            F.expr("substring(akey, pp, pwl)").alias("gs"),
+        )
+    )
+
+    cand = P.join(R, on=["gL", "gi", "gs"]).filter(F.col("aid") != F.col("bid"))
+    norm = cand.select(
+        F.least("aid", "bid").alias("a_id"),
+        F.greatest("aid", "bid").alias("b_id"),
+        F.when(F.col("aid") < F.col("bid"), F.col("akey")).otherwise(F.col("bkey")).alias("ka"),
+        F.when(F.col("aid") < F.col("bid"), F.col("bkey")).otherwise(F.col("akey")).alias("kb"),
+    ).distinct()
+    return norm.filter(F.levenshtein("ka", "kb") <= d).select(
+        "a_id", "b_id", F.levenshtein("ka", "kb").cast("long").alias("dist")
+    )

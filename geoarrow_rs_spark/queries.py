@@ -1094,6 +1094,25 @@ FROM documents
 """
 
 
+def text_fuzzy_pairs(spark, sf_dir):
+    """Exact edit-distance fuzzy self-join (dedup.editdist_pairs,
+    PassJoin segment blocking — never all-pairs): all document pairs
+    whose 12-char text prefix is within Levenshtein distance 2. The
+    oracle is the brute-force cross join — an independent algorithm, so
+    agreement checks both the blocking completeness and the refine."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.expr("substring(text, 1, 12)").alias("k"))
+    return dedup.editdist_pairs(keyed, "doc_id", "k", max_dist=2)
+
+
+ORACLE_TEXT_FUZZY = """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(substr(a.text, 1, 12), substr(b.text, 1, 12)) AS BIGINT) AS dist
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 12), substr(b.text, 1, 12)) <= 2
+"""
+
+
 def text_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text.fingerprint("text", n=8, max_chars=64).alias("fp"))
@@ -4039,6 +4058,7 @@ QUERIES = {
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (text_langid, ORACLE_TEXT_LANGID),
     "text_fingerprint": (text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    "text_fuzzy_pairs": (text_fuzzy_pairs, ORACLE_TEXT_FUZZY),
     "text_bpe_tokens": (text_bpe_tokens, ORACLE_TEXT_BPE),
     "text_gopher_rules": (text_gopher_rules, ORACLE_TEXT_GOPHER),
     "sim_embedding_stats": (sim_embedding_stats, ORACLE_SIM_STATS),
