@@ -291,6 +291,67 @@ def test_dedup_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_dedup_clusters_long_chain_and_random_graphs(spark):
+    """Star-contraction must close a 500-node path in far fewer rounds
+    than its diameter (min-label propagation would silently truncate at
+    the 25-round cap), and must match a union-find reference on random
+    graphs with shuffled ids."""
+    import random
+
+    from pyspark.sql import Row
+
+    from geoarrow_rs_spark.datapipe.dedup import dedup_clusters
+
+    n = 500
+    perm = list(range(n))
+    random.seed(17)
+    random.shuffle(perm)  # chain order decoupled from id order
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    pairs = spark.createDataFrame(
+        [Row(a_id=perm[i], b_id=perm[i + 1]) for i in range(n - 1)]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs, id_col="doc_id").collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+    # random sparse graphs vs union-find
+    for seed in (1, 2):
+        rng = random.Random(seed)
+        m = 400
+        edges = [(rng.randrange(m), rng.randrange(m)) for _ in range(180)]
+        parent = list(range(m))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {i: find(i) for i in range(m)}
+        # canonicalize to component-min
+        comp_min = {}
+        for i in range(m):
+            r = expect[i]
+            comp_min[r] = min(comp_min.get(r, i), i)
+        expect = {i: comp_min[expect[i]] for i in range(m)}
+
+        docs = spark.createDataFrame([Row(doc_id=i) for i in range(m)])
+        pdf = spark.createDataFrame(
+            [Row(a_id=a, b_id=b) for a, b in edges if a != b]
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(docs, pdf, id_col="doc_id").collect()
+        }
+        assert got == expect, seed
+
+
 def test_asof_join_semantics_and_plan(spark):
     """Backward as-of: latest right at-or-before each left ts per key;
     equal-ts right matches; unmatched stays null. ONE exchange total (the
