@@ -28,6 +28,8 @@ HEADLINE = [
     "geo_within_triangle",
     "geo_multipolygon_stats",
     "geo_transform_conic",
+    "geo_zorder",
+    "geo_knn_join",
     "dedup_minhash_pairs",
     "text_fingerprint",
     "sim_cosine_topk",

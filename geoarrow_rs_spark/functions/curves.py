@@ -68,6 +68,47 @@ def morton_key_expr(x, y, level: int = 16, bounds=WORLD_BOUNDS) -> Column:
     return _spread_bits(ix).bitwiseOR(F.shiftleft(_spread_bits(iy), 1))
 
 
+def hilbert_key_sql(x_sql: str, y_sql: str, level: int = 16, bounds=WORLD_BOUNDS) -> str:
+    """Hilbert key as ONE native SQL expression: the classic per-level
+    rotate/flip loop as an `aggregate()` fold over `sequence(level-1, 0)`.
+
+    A single runtime loop (JVM higher-order function over a 16-element
+    array) replaces the earlier unrolled 16-projection chain — that chain
+    was O(level^2) in eager DataFrame analysis time (each select()
+    re-analyzes the whole plan) and compiled kilobytes of code, all to
+    save an interpreted loop of ~12 integer ops per level. Branch-free
+    arithmetic selects keep the per-iteration work tiny."""
+    if not 1 <= level <= 31:
+        raise ValueError("hilbert level must be in [1, 31]")
+    n = 1 << level
+    xmin, ymin, xmax, ymax = bounds
+
+    def cell(v, lo, hi):
+        return (
+            f"CAST(greatest(0, least({n - 1}, "
+            f"floor((({v}) - CAST({lo!r} AS DOUBLE)) / CAST({hi - lo!r} AS DOUBLE)"
+            f" * CAST({float(n)!r} AS DOUBLE)))) AS BIGINT)"
+        )
+
+    rx = "(CAST(shiftright(acc.x, i) AS INT) & 1)"
+    ry = "(CAST(shiftright(acc.y, i) AS INT) & 1)"
+    sL = "CAST(shiftleft(1, i) AS BIGINT)"
+    flip = f"CAST((1 - {ry}) * {rx} AS BIGINT)"
+    swap = f"CAST(1 - {ry} AS BIGINT)"
+    fx = f"(acc.x + {flip} * ({sL} - 1 - 2 * acc.x))"
+    fy = f"(acc.y + {flip} * ({sL} - 1 - 2 * acc.y))"
+    return f"""aggregate(
+      sequence({level - 1}, 0, -1),
+      named_struct('x', {cell(x_sql, xmin, xmax)},
+                   'y', {cell(y_sql, ymin, ymax)},
+                   'd', CAST(0 AS BIGINT)),
+      (acc, i) -> named_struct(
+        'x', {fx} + {swap} * ({fy} - {fx}),
+        'y', {fy} + {swap} * ({fx} - {fy}),
+        'd', acc.d + {sL} * {sL} * CAST(({rx} * 3) ^ {ry} AS BIGINT)),
+      acc -> acc.d)"""
+
+
 def with_hilbert_key(
     df: DataFrame,
     x,
@@ -76,37 +117,18 @@ def with_hilbert_key(
     level: int = 16,
     bounds=WORLD_BOUNDS,
 ) -> DataFrame:
-    """Add a Hilbert-curve key column, fully native.
+    """Add a Hilbert-curve key column, fully native (see hilbert_key_sql).
 
-    The classic xy->d loop runs once per level; each iteration is emitted
-    as one projection over temp columns (no expression-tree blow-up), and
-    Catalyst collapses the chain into a single whole-stage-codegen stage.
-    Temp columns are dropped before returning."""
-    if not 1 <= level <= 31:
-        raise ValueError("hilbert level must be in [1, 31]")
-    tx, ty, td = f"__h_x_{out}", f"__h_y_{out}", f"__h_d_{out}"
-    ix, iy = scaled_cell_expr(x, y, level, bounds)
-    df = df.withColumn(tx, ix).withColumn(ty, iy).withColumn(td, F.lit(0).cast("long"))
-    for i in range(level - 1, -1, -1):
-        s = 1 << i
-        rx = F.when(F.col(tx).bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
-        ry = F.when(F.col(ty).bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
-        df = df.withColumn(
-            td,
-            F.col(td)
-            + F.lit(s * s).cast("long") * ((rx * 3).bitwiseXOR(ry)).cast("long"),
-        )
-        # rotate quadrant: flip when (ry==0 and rx==1), then swap when ry==0
-        fx = F.when((ry == 0) & (rx == 1), F.lit(s - 1) - F.col(tx)).otherwise(F.col(tx))
-        fy = F.when((ry == 0) & (rx == 1), F.lit(s - 1) - F.col(ty)).otherwise(F.col(ty))
-        df = (
-            df.withColumn("__h_fx", fx)
-            .withColumn("__h_fy", fy)
-            .withColumn(tx, F.when(ry == 0, F.col("__h_fy")).otherwise(F.col("__h_fx")))
-            .withColumn(ty, F.when(ry == 0, F.col("__h_fx")).otherwise(F.col("__h_fy")))
-            .drop("__h_fx", "__h_fy")
-        )
-    return df.withColumnRenamed(td, out).drop(tx, ty)
+    Accepts column names or arbitrary Column expressions for x/y (the
+    latter are projected to temp columns first so the SQL fold can
+    reference them by name)."""
+    tmpx, tmpy = f"__h_in_x_{out}", f"__h_in_y_{out}"
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    keep = [c for c in df.columns if c != out]
+    staged = df.select(*[F.col(c) for c in keep], xc.alias(tmpx), yc.alias(tmpy))
+    key = F.expr(hilbert_key_sql(tmpx, tmpy, level, bounds))
+    return staged.select(*[F.col(c) for c in keep], key.alias(out))
 
 
 def hilbert_xy2d(ix: int, iy: int, level: int) -> int:

@@ -2033,7 +2033,7 @@ def geo_zorder(spark, sf_dir):
     from .functions import curves
 
     c = _t(spark, sf_dir, "customer")
-    df = c.select(
+    df = _spread(c).select(
         "c_custkey",
         (F.col("c_custkey").cast("double") % 3600 / 10.0 - 180.0).alias("lon"),
         (F.col("c_custkey").cast("double") % 1700 / 10.0 - 85.0).alias("lat"),
@@ -2118,7 +2118,7 @@ def geo_knn_join(spark, sf_dir):
     from .join.spatial import knn_spatial_join
 
     c = _t(spark, sf_dir, "customer")
-    pts = c.selectExpr("c_custkey", _KNN_PX, _KNN_PY)
+    pts = _spread(c).selectExpr("c_custkey", _KNN_PX, _KNN_PY)
     left = pts.filter(F.col("c_custkey") % 4 == 0)
     out = knn_spatial_join(
         left,
@@ -2128,7 +2128,7 @@ def geo_knn_join(spark, sf_dir):
         right_id="c_custkey",
         left_xy=("px", "py"),
         right_xy=("px", "py"),
-        cell_size=4.0,
+        cell_size=2.0,
     )
     return out.select(
         "l_id",
@@ -2162,7 +2162,7 @@ def geo_dbscan(spark, sf_dir):
     from .ops.dbscan import dbscan
 
     c = _t(spark, sf_dir, "customer")
-    pts = c.selectExpr("c_custkey", _KNN_PX, _KNN_PY)
+    pts = _spread(c).selectExpr("c_custkey", _KNN_PX, _KNN_PY)
     out = dbscan(pts, "c_custkey", "px", "py", eps=1.5, min_pts=5)
     return out.select("c_custkey", "cluster_id", "role")
 
