@@ -307,8 +307,9 @@ def knn_spatial_join(
 
     out = []
     remaining = L.localCheckpoint(eager=True)
+    n_rem = remaining.count()
     radius = 1
-    while radius <= max_radius_cells and remaining.limit(1).count() > 0:
+    while radius <= max_radius_cells and n_rem > 0:
         cx = F.floor(F.col("lx") / cs).cast("long")
         cy = F.floor(F.col("ly") / cs).cast("long")
         cells = F.flatten(
@@ -322,22 +323,24 @@ def knn_spatial_join(
         )
         probe = remaining.withColumn("__cell", F.explode(cells))
         ranked = topk(probe.join(R, on="__cell"))
+        # checkpoint the resolved top-k ONCE; both the emitted rows and
+        # the anti-join read it, so the candidate join + window never
+        # recompute (they are the round's dominant cost)
         resolved = ranked.filter(
-            (F.col("cnt") >= k) & (F.col("kdist") <= F.lit(radius * cs))
-        )
-        out.append(
-            resolved.filter(F.col("rn") <= k)
-            .select("l_id", "r_id", "rn", "dist")
-            .localCheckpoint(eager=True)
-        )
+            (F.col("cnt") >= k)
+            & (F.col("kdist") <= F.lit(radius * cs))
+            & (F.col("rn") <= k)
+        ).select("l_id", "r_id", "rn", "dist").localCheckpoint(eager=True)
+        out.append(resolved)
         remaining = (
             remaining.join(
                 resolved.select("l_id").distinct(), on="l_id", how="left_anti"
             ).localCheckpoint(eager=True)
         )
+        n_rem = remaining.count()  # cheap: counts the checkpointed blocks
         radius *= 2
 
-    if remaining.limit(1).count() > 0:
+    if n_rem > 0:
         # exact fallback: linear scan for the isolated stragglers
         ranked = topk(F.broadcast(remaining).crossJoin(R.drop("__cell")))
         out.append(ranked.filter(F.col("rn") <= k).select("l_id", "r_id", "rn", "dist"))
