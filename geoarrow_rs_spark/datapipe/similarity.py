@@ -389,3 +389,221 @@ def kmeans_ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ, no-residual variant)
+# ---------------------------------------------------------------------------
+
+def _subspace_rows(df: DataFrame, vec: str, id_col: str, m: int, w: int):
+    """(id, s, subvec) long format: one row per vector per subspace."""
+    return df.selectExpr(
+        f"{id_col} AS vid",
+        f"posexplode(transform(sequence(0, {m - 1}),"
+        f" s -> slice({vec}, s * {w} + 1, {w}))) AS (s, subvec)",
+    )
+
+
+def _pq_centroid_df(spark, cents):
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("s", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+            StructField("__cvec", ArrayType(DoubleType()), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(s), int(c), list(v)) for s, c, v in cents], schema
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    dim: int | None = None,
+) -> list:
+    """Per-subspace k-means codebooks (product quantization — Jegou,
+    Douze, Schmid, "Product quantization for nearest neighbor search",
+    TPAMI 2011). All m subspaces train in the SAME jobs: vectors explode
+    to (id, subspace, subvec) rows once, assignment is one broadcast join
+    keyed by subspace, the update one grouped exact-decimal mean — so the
+    training cost is independent of m. Deterministic like kmeans_train
+    (init = the k_codes lowest-id vectors' slices), hence SQL-mirrorable.
+
+    Returns [(s, code, centroid_subvec)] with m * k_codes entries."""
+    spark = corpus.sparkSession
+    if dim is None:
+        dim = len(corpus.select(vec).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    sub = _subspace_rows(corpus, vec, id_col, m, w).localCheckpoint(eager=True)
+
+    init = (
+        corpus.orderBy(id_col).limit(k_codes).selectExpr(
+            f"{id_col} AS vid", f"{vec} AS v"
+        ).collect()
+    )
+    cents = [
+        (s, c, [float(x) for x in r["v"][s * w : (s + 1) * w]])
+        for c, r in enumerate(init)
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        cdf = _pq_centroid_df(spark, cents)
+        d2 = dist2_decimal_expr(F.col("subvec"), F.col("__cvec")).alias("__d2")
+        scored = sub.join(F.broadcast(cdf), on="s").select(
+            "vid", "s", "subvec", "code", d2
+        )
+        best = scored.groupBy("vid", "s").agg(
+            F.min(F.struct(F.col("__d2"), F.col("code"))).alias("__m"),
+            F.first("subvec").alias("subvec"),
+        )
+        ex = best.select(
+            "s", F.col("__m.code").alias("code"),
+            F.posexplode(F.col("subvec")).alias("dim", "val"),
+        )
+        rows = (
+            ex.groupBy("s", "code", "dim")
+            .agg(
+                F.sum(F.col("val").cast("double").cast("decimal(38,12)")).alias("__sum"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "s", "code", "dim",
+                (F.col("__sum").cast("double") / F.col("__n").cast("double")).alias("v"),
+            )
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda t: t["v"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["s"]), int(r["code"]), [float(x) for x in r["cvec"]]) for r in rows
+        )
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cents: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Assign every vector its per-subspace code: (vid, s, code) long
+    format — the m-byte compressed representation that replaces the full
+    vector in candidate scoring (and in shuffles)."""
+    w = dim // m
+    spark = corpus.sparkSession
+    cdf = _pq_centroid_df(spark, cents)
+    sub = _subspace_rows(corpus, vec, id_col, m, w)
+    d2 = dist2_decimal_expr(F.col("subvec"), F.col("__cvec")).alias("__d2")
+    scored = sub.join(F.broadcast(cdf), on="s").select("vid", "s", "code", d2)
+    return scored.groupBy("vid", "s").agg(
+        F.min(F.struct(F.col("__d2"), F.col("code"))).alias("__m")
+    ).select("vid", "s", F.col("__m.code").alias("code"))
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    k_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    pq_iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors: coarse k-means cells prune
+    the search (probe ``nprobe`` cells), product-quantization codes score
+    the surviving candidates by asymmetric distance (ADC) — the query
+    keeps full precision, each candidate is represented by its m codebook
+    entries, and the squared-L2 estimate is the sum of m table lookups.
+
+    The 100 TB shape: full vectors are touched exactly twice (coarse
+    assignment + encoding, both embarrassingly parallel); candidate
+    scoring joins the (qid, s, code) distance table (tiny, broadcast)
+    against the m-row code representation — the shuffle carries m ints
+    per candidate instead of the d-float vector, which is the entire
+    point of PQ at scale. No-residual variant (codes quantize raw
+    vectors, not cell residuals) so every stage stays a plain
+    deterministic join, bit-exactly mirrored by the SQL oracle.
+
+    Returns (query_id, neighbor_id, adc_d2, rank) — rank by estimated
+    distance, ascending, ties on neighbor id."""
+    spark = queries.sparkSession
+    if dim is None:
+        dim = len(corpus.select(corpus_vec).first()[0])
+    w = dim // m
+
+    # coarse quantizer: learned cells + corpus assignment (existing IVF)
+    ccents = kmeans_train(corpus, vec=corpus_vec, id_col=corpus_id,
+                          k=k_clusters, iters=iters)
+    cdf = _centroid_df(spark, ccents)
+    assigned = assign_clusters(corpus, cdf, vec=corpus_vec, id_col=corpus_id).select(
+        F.col(corpus_id).alias("neighbor_id"), "cid"
+    )
+
+    # product codebooks + corpus codes
+    pcents = pq_train(corpus, vec=corpus_vec, id_col=corpus_id, m=m,
+                      k_codes=k_codes, iters=pq_iters, dim=dim)
+    codes = pq_encode(corpus, pcents, vec=corpus_vec, id_col=corpus_id,
+                      m=m, dim=dim).withColumnRenamed("vid", "neighbor_id")
+
+    # query-side: probed cells + per-subspace distance tables
+    qd = queries.crossJoin(F.broadcast(cdf)).select(
+        F.col(query_id).alias("query_id"),
+        F.col("__cid"),
+        dist2_decimal_expr(F.col(query_vec), F.col("__cvec")).alias("__d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(), F.col("__cid").asc())
+    probes = (
+        qd.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", F.col("__cid").alias("cid"))
+    )
+    qsub = _subspace_rows(queries, query_vec, query_id, m, w).withColumnRenamed(
+        "vid", "query_id"
+    )
+    pdf = _pq_centroid_df(spark, pcents)
+    dtab = qsub.join(F.broadcast(pdf), on="s").select(
+        "query_id", "s", "code",
+        dist2_decimal_expr(F.col("subvec"), F.col("__cvec")).alias("__sd2"),
+    )
+
+    # ADC scoring of probed candidates over codes (no full vectors here)
+    cands = probes.join(assigned, on="cid").select("query_id", "neighbor_id")
+    scored = (
+        cands.join(codes, on="neighbor_id")
+        .join(dtab, on=["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__sd2").alias("__adc"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("__adc").cast("double"), 8).alias("adc_d2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= k)

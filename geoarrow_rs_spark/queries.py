@@ -3151,6 +3151,188 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
 ORACLE_SIM_KMEANS_IVF = _kmeans_ivf_oracle_sql()
 
 
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (similarity.ivfpq_topk): learned coarse cells prune to
+    nprobe=2, product-quantization codes (m=4 subspaces x 8 codes, 2
+    Lloyd's iterations each, exact decimal arithmetic) score candidates
+    by asymmetric distance — candidates are shuffled as 4 ints, never as
+    64 floats. Training, encoding, distance tables, and ADC ranking are
+    all mirrored bit-exactly by the unrolled-CTE oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    corpus = e.where(F.col("vec_id") >= 8)
+    out = similarity.ivfpq_topk(
+        q, corpus, k=5, k_clusters=8, iters=2, nprobe=2,
+        m=4, k_codes=8, pq_iters=2, dim=64,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adc_d2", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _ivfpq_oracle_sql(k_clusters=8, iters=2, nprobe=2, m=4, k_codes=8,
+                      pq_iters=2, dim=64, k=5):
+    """The _kmeans_ivf_oracle_sql coarse chain + a textually parallel CTE
+    per PQ stage (subspace slices, per-subspace Lloyd's, encoding,
+    distance tables, ADC sum)."""
+    w = dim // m
+    d2 = "SUM(CAST(round((av - cv) * (av - cv), 12) AS DECIMAL(38,12))) AS d2"
+    sgen = f"(SELECT unnest(range({m})) AS s)"
+    ctes = [
+        "corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8)",
+        "qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8)",
+        f"""cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, embedding AS cvec
+  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT {k_clusters})
+)""",
+        """vals AS (
+  SELECT vec_id AS vid, unnest(embedding)::DOUBLE AS val,
+         unnest(range(len(embedding))) AS dim
+  FROM corpus
+)""",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"""t{i} AS (
+  SELECT c.vec_id AS vid, kk.cid,
+         unnest(c.embedding)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM corpus c CROSS JOIN cent{i} kk
+)""",
+            f"d{i} AS (SELECT vid, cid, {d2} FROM t{i} GROUP BY vid, cid)",
+            f"""a{i} AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)""",
+            f"""cent{i + 1} AS (
+  SELECT cid, list(cval ORDER BY dim) AS cvec FROM (
+    SELECT a.cid, v.dim,
+           CAST(SUM(CAST(round(v.val, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS cval
+    FROM a{i} a JOIN vals v ON a.vid = v.vid
+    GROUP BY a.cid, v.dim
+  ) GROUP BY cid
+)""",
+        ]
+    fin = iters
+    ctes += [
+        f"""tf AS (
+  SELECT c.vec_id AS vid, kk.cid,
+         unnest(c.embedding)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM corpus c CROSS JOIN cent{fin} kk
+)""",
+        f"df_ AS (SELECT vid, cid, {d2} FROM tf GROUP BY vid, cid)",
+        """af AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+    FROM df_
+  ) WHERE rn = 1
+)""",
+        f"""qt AS (
+  SELECT q.vec_id AS qid, kk.cid,
+         unnest(q.embedding)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM qs q CROSS JOIN cent{fin} kk
+)""",
+        f"qd AS (SELECT qid, cid, {d2} FROM qt GROUP BY qid, cid)",
+        f"""probe AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+    FROM qd
+  ) WHERE rn <= {nprobe}
+)""",
+        "cands AS (SELECT p.qid, a.vid FROM probe p JOIN af a ON p.cid = a.cid)",
+        # ---- product quantization ----
+        f"""subs AS (
+  SELECT c.vec_id AS vid, s.s AS s,
+         c.embedding[s.s * {w} + 1 : s.s * {w} + {w}] AS sv
+  FROM corpus c CROSS JOIN {sgen} s
+)""",
+        f"""pc0 AS (
+  SELECT s.s AS s,
+         CAST(row_number() OVER (PARTITION BY s.s ORDER BY b.vec_id) - 1 AS INT) AS code,
+         b.embedding[s.s * {w} + 1 : s.s * {w} + {w}] AS cvec
+  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT {k_codes}) b
+  CROSS JOIN {sgen} s
+)""",
+        """psvals AS (
+  SELECT vid, s, unnest(sv)::DOUBLE AS val, unnest(range(len(sv))) AS dim
+  FROM subs
+)""",
+    ]
+    for i in range(pq_iters):
+        ctes += [
+            f"""pt{i} AS (
+  SELECT sub.vid, sub.s, kk.code,
+         unnest(sub.sv)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM subs sub JOIN pc{i} kk ON sub.s = kk.s
+)""",
+            f"pd{i} AS (SELECT vid, s, code, {d2} FROM pt{i} GROUP BY vid, s, code)",
+            f"""pa{i} AS (
+  SELECT vid, s, code FROM (
+    SELECT vid, s, code,
+           row_number() OVER (PARTITION BY vid, s ORDER BY d2, code) AS rn
+    FROM pd{i}
+  ) WHERE rn = 1
+)""",
+            f"""pc{i + 1} AS (
+  SELECT s, code, list(cval ORDER BY dim) AS cvec FROM (
+    SELECT a.s, a.code, v.dim,
+           CAST(SUM(CAST(round(v.val, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS cval
+    FROM pa{i} a JOIN psvals v ON a.vid = v.vid AND a.s = v.s
+    GROUP BY a.s, a.code, v.dim
+  ) GROUP BY s, code
+)""",
+        ]
+    pf = pq_iters
+    ctes += [
+        f"""ptf AS (
+  SELECT sub.vid, sub.s, kk.code,
+         unnest(sub.sv)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM subs sub JOIN pc{pf} kk ON sub.s = kk.s
+)""",
+        f"pdf_ AS (SELECT vid, s, code, {d2} FROM ptf GROUP BY vid, s, code)",
+        """paf AS (
+  SELECT vid, s, code FROM (
+    SELECT vid, s, code,
+           row_number() OVER (PARTITION BY vid, s ORDER BY d2, code) AS rn
+    FROM pdf_
+  ) WHERE rn = 1
+)""",
+        f"""qsubs AS (
+  SELECT q.vec_id AS qid, s.s AS s,
+         q.embedding[s.s * {w} + 1 : s.s * {w} + {w}] AS sv
+  FROM qs q CROSS JOIN {sgen} s
+)""",
+        f"""dtt AS (
+  SELECT qq.qid, qq.s, kk.code,
+         unnest(qq.sv)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM qsubs qq JOIN pc{pf} kk ON qq.s = kk.s
+)""",
+        f"dt AS (SELECT qid, s, code, {d2} FROM dtt GROUP BY qid, s, code)",
+        """sc AS (
+  SELECT c.qid, c.vid, round(CAST(SUM(dt.d2) AS DOUBLE), 8) AS adc_d2
+  FROM cands c
+  JOIN paf p ON p.vid = c.vid
+  JOIN dt ON dt.qid = c.qid AND dt.s = p.s AND dt.code = p.code
+  GROUP BY c.qid, c.vid
+)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT qid AS query_id, vid AS neighbor_id, adc_d2, CAST(rn AS INT) AS rank FROM (
+  SELECT qid, vid, adc_d2,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, vid) AS rn
+  FROM sc
+) WHERE rn <= {k}
+"""
+    )
+
+
+ORACLE_SIM_IVFPQ = _ivfpq_oracle_sql()
+
+
 def q13_customer_distribution(spark, sf_dir):
     """TPC-H q13 adapted (no o_comment — the excluded-orders predicate is
     on priority instead): distribution of per-customer order counts via a
@@ -4070,6 +4252,7 @@ QUERIES = {
     "sim_ivf_topk": (sim_ivf_topk, ORACLE_SIM_IVF_TOPK),
     "sim_knn_join": (sim_knn_join, ORACLE_SIM_KNN_JOIN),
     "sim_kmeans_ivf_topk": (sim_kmeans_ivf_topk, ORACLE_SIM_KMEANS_IVF),
+    "sim_ivfpq_topk": (sim_ivfpq_topk, ORACLE_SIM_IVFPQ),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
     "events_geo_extent": (events_geo_extent, ORACLE_EVENTS_GEO_EXTENT),

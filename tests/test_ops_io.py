@@ -640,3 +640,57 @@ def test_ann_recall_floor_guard(spark):
     }
     rec = len(exact & got) / len(exact)
     assert rec >= 0.9, f"clustered radius-1 recall {rec:.3f} < 0.9"
+
+
+def test_ivfpq_codes_and_adc_consistency(spark, sf_dir):
+    """IVF-PQ self-consistency: every corpus vector gets exactly m codes
+    in range; the ADC distance returned for each (query, neighbor) equals
+    the sum of per-subspace distances to the neighbor's assigned codebook
+    entries, recomputed independently in numpy from the collected
+    codebooks; ranks are ascending in adc_d2."""
+    import numpy as np
+
+    from geoarrow_rs_spark.datapipe import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where("vec_id < 4")
+    corpus = e.where("vec_id >= 4")
+    m, k_codes, dim = 4, 8, 64
+    w = dim // m
+
+    cents = similarity.pq_train(corpus, m=m, k_codes=k_codes, iters=2, dim=dim)
+    assert len(cents) == m * k_codes
+    codes = similarity.pq_encode(corpus, cents, m=m, dim=dim).collect()
+    n_corpus = corpus.count()
+    assert len(codes) == n_corpus * m
+    assert all(0 <= r["code"] < k_codes for r in codes)
+
+    out = similarity.ivfpq_topk(
+        q, corpus, k=5, k_clusters=4, iters=1, nprobe=4,  # probe ALL cells
+        m=m, k_codes=k_codes, pq_iters=2, dim=dim,
+    ).collect()
+
+    cb = {(s, c): np.array(v) for s, c, v in cents}
+    code_map = {}
+    for r in codes:
+        code_map.setdefault(r["vid"], {})[r["s"]] = r["code"]
+    qvecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+             for r in q.collect()}
+
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_query.items():
+        rows.sort(key=lambda r: r["rank"])
+        dists = [r["adc_d2"] for r in rows]
+        assert dists == sorted(dists)
+        for r in rows:
+            qv = qvecs[qid]
+            expect = 0.0
+            for s in range(m):
+                sub = qv[s * w:(s + 1) * w]
+                cent = cb[(s, code_map[r["neighbor_id"]][s])]
+                d = sub - cent
+                # mirror the engine's per-term decimal rounding
+                expect += float(np.sum(np.round(d * d, 12)))
+            assert abs(r["adc_d2"] - round(expect, 8)) < 1e-6, (qid, r)
