@@ -13,9 +13,9 @@ upstream flatgeobuf crate), and as Delta/Iceberg Z-ordering.
 Both curves are pure integer arithmetic, expressed as Catalyst expressions
 (shiftleft / bitwiseAND / CASE) — zero Python in the plan, so the key
 computation rides whole-stage codegen and adds no measurable cost to a
-write. Morton (Z-order) is a closed-form bit interleave; Hilbert needs the
-per-level rotate/flip loop, which we unroll into a withColumn chain
-(`with_hilbert_key`) so each level is a plain projection.
+write. Morton (Z-order) is a closed-form bit interleave; Hilbert runs its
+per-level rotate/flip loop as a single `aggregate()` fold at runtime
+(`hilbert_key_sql`) so the plan stays constant-size at any level.
 
 Public closed forms: Morton spread-bits trick (Hacker's Delight §7-2);
 Hilbert xy<->d loop (Warren / Wikipedia "Hilbert curve" C routine).
@@ -193,3 +193,44 @@ def cluster_geoparquet(
         out = out.repartitionByRange(key)
     out = out.sortWithinPartitions(key).drop(key)
     return write_geoparquet(out, path, geometry_col=geometry_col, **write_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal binning (flat-top axial grid; PostGIS ST_HexagonGrid-style)
+# ---------------------------------------------------------------------------
+
+def hex_cell_expr(x, y, size: float):
+    """(q, r) axial coordinates of the flat-top hexagon containing a point
+    (circumradius ``size``), as native integer Columns.
+
+    Closed-form fractional axial coords + cube rounding (Red Blob Games'
+    public hex-grid formulation): pure arithmetic and comparisons, so hex
+    heatmap rollups over points are a groupBy on a codegen'd key — the
+    standard aggregation primitive for density maps at scale. Restated
+    verbatim in SQL by the geo_hexbin oracle."""
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    R = float(size)
+    fq = (xc * (2.0 / 3.0)) / F.lit(R)
+    fr = (xc * (-1.0 / 3.0) + yc * (3.0 ** 0.5 / 3.0)) / F.lit(R)
+    fs = -fq - fr
+    rq = F.round(fq, 0)
+    rr = F.round(fr, 0)
+    rs = F.round(fs, 0)
+    dq = F.abs(rq - fq)
+    dr = F.abs(rr - fr)
+    ds = F.abs(rs - fs)
+    q = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    r = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs).otherwise(rr)
+    return q.cast("long"), r.cast("long")
+
+
+def hex_center_expr(q, r, size: float):
+    """Center point (x, y) of a flat-top axial hex cell — the inverse of
+    hex_cell_expr for rendering/joining rollups back to geometry."""
+    qc = F.col(q) if isinstance(q, str) else q
+    rc = F.col(r) if isinstance(r, str) else r
+    R = float(size)
+    x = F.lit(R) * (qc * 1.5)
+    y = F.lit(R) * (3.0 ** 0.5) * (rc.cast("double") + qc.cast("double") / 2.0)
+    return x, y

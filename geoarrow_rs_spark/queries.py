@@ -2152,6 +2152,159 @@ QUALIFY rn <= 3
 """
 
 
+def geo_hexbin(spark, sf_dir):
+    """Hexagonal density rollup (curves.hex_cell_expr; PostGIS
+    ST_HexagonGrid-style): customer points binned to flat-top axial hex
+    cells (circumradius 2.5), counts + mean coordinates per cell, hex
+    centers for rendering — one codegen'd groupBy, the standard heatmap
+    aggregation at scale. Oracle restates the fractional-axial + cube
+    rounding closed form in SQL."""
+    from .functions import curves
+
+    c = _t(spark, sf_dir, "customer")
+    pts = _spread(c).selectExpr("c_custkey", _KNN_PX, _KNN_PY)
+    pts = pts.select(
+        "c_custkey",
+        F.col("px").cast("double").alias("px"),
+        F.col("py").cast("double").alias("py"),
+    )
+    q, r = curves.hex_cell_expr("px", "py", 2.5)
+    binned = pts.select("c_custkey", "px", "py", q.alias("hq"), r.alias("hr"))
+    # px/py carry exactly 2 decimals -> mean as an exact integer-cents sum
+    # + one double division (order-independent, engine-exact)
+    agg = binned.groupBy("hq", "hr").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.round(
+            F.sum(F.round(F.col("px") * 100).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * 100.0), 6,
+        ).alias("mean_x"),
+        F.round(
+            F.sum(F.round(F.col("py") * 100).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * 100.0), 6,
+        ).alias("mean_y"),
+    )
+    cx, cy = curves.hex_center_expr("hq", "hr", 2.5)
+    return agg.select(
+        "hq", "hr", "n_pts", "mean_x", "mean_y",
+        F.round(cx, 6).alias("hex_cx"), F.round(cy, 6).alias("hex_cy"),
+    )
+
+
+def _hexbin_oracle_sql(size=2.5) -> str:
+    R = float(size)
+    fq = f"((px * (2.0 / 3.0)) / {R!r})"
+    fr = f"((px * (-1.0 / 3.0) + py * (sqrt(3.0) / 3.0)) / {R!r})"
+    return f"""
+WITH pts AS ({_KNN_PTS_DUCK} FROM customer),
+frac AS (
+  SELECT c_custkey, px, py, {fq} AS fq, {fr} AS fr, (-{fq} - {fr}) AS fs
+  FROM pts
+),
+rounded AS (
+  SELECT *, round(fq) AS rq, round(fr) AS rr, round(fs) AS rs,
+         abs(round(fq) - fq) AS dq, abs(round(fr) - fr) AS dr,
+         abs(round(fs) - fs) AS ds
+  FROM frac
+),
+cells AS (
+  SELECT c_custkey, px, py,
+         CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS BIGINT) AS hq,
+         CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -rq - rs ELSE rr END AS BIGINT) AS hr
+  FROM rounded
+)
+SELECT hq, hr, COUNT(*) AS n_pts,
+       round(CAST(SUM(CAST(round(px * 100) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 100.0), 6) AS mean_x,
+       round(CAST(SUM(CAST(round(py * 100) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 100.0), 6) AS mean_y,
+       round({R!r} * (hq * 1.5), 6) AS hex_cx,
+       round({R!r} * sqrt(3.0) * (CAST(hr AS DOUBLE) + CAST(hq AS DOUBLE) / 2.0), 6) AS hex_cy
+FROM cells
+GROUP BY hq, hr
+"""
+
+
+ORACLE_GEO_HEXBIN = _hexbin_oracle_sql()
+
+
+def geo_cluster_kmeans(spark, sf_dir):
+    """ST_ClusterKMeans parity: k-means over 2-D points, reusing the
+    embeddings k-means machinery (similarity.kmeans_train /
+    assign_clusters — broadcast centroid assignment, exact decimal
+    distances, deterministic lowest-id init). Output: every point's
+    cluster id after 2 Lloyd's iterations, k=6, mirrored bit-exactly by
+    the unrolled-CTE oracle."""
+    from .datapipe.similarity import assign_clusters, kmeans_train, _centroid_df
+
+    c = _t(spark, sf_dir, "customer")
+    pts = _spread(c).selectExpr("c_custkey", _KNN_PX, _KNN_PY).select(
+        "c_custkey", F.array(F.col("px"), F.col("py")).alias("v")
+    )
+    cents = kmeans_train(pts, vec="v", id_col="c_custkey", k=6, iters=2)
+    cdf = _centroid_df(spark, cents)
+    out = assign_clusters(pts, cdf, vec="v", id_col="c_custkey")
+    return out.select("c_custkey", F.col("cid").cast("long").alias("cluster"))
+
+
+def _cluster_kmeans_oracle_sql(k=6, iters=2) -> str:
+    d2 = "SUM(CAST(round((av - cv) * (av - cv), 12) AS DECIMAL(38,12))) AS d2"
+    ctes = [
+        f"pts AS (SELECT c_custkey, [px, py] AS v FROM ({_KNN_PTS_DUCK} FROM customer))",
+        f"""cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS cid, v AS cvec
+  FROM (SELECT * FROM pts ORDER BY c_custkey LIMIT {k})
+)""",
+        """vals AS (
+  SELECT c_custkey AS vid, unnest(v)::DOUBLE AS val, unnest(range(len(v))) AS dim
+  FROM pts
+)""",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"""t{i} AS (
+  SELECT p.c_custkey AS vid, kk.cid,
+         unnest(p.v)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM pts p CROSS JOIN cent{i} kk
+)""",
+            f"d{i} AS (SELECT vid, cid, {d2} FROM t{i} GROUP BY vid, cid)",
+            f"""a{i} AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)""",
+            f"""cent{i + 1} AS (
+  SELECT cid, list(cval ORDER BY dim) AS cvec FROM (
+    SELECT a.cid, v.dim,
+           CAST(SUM(CAST(round(v.val, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS cval
+    FROM a{i} a JOIN vals v ON a.vid = v.vid
+    GROUP BY a.cid, v.dim
+  ) GROUP BY cid
+)""",
+        ]
+    fin = iters
+    ctes += [
+        f"""tf AS (
+  SELECT p.c_custkey AS vid, kk.cid,
+         unnest(p.v)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
+  FROM pts p CROSS JOIN cent{fin} kk
+)""",
+        f"df_ AS (SELECT vid, cid, {d2} FROM tf GROUP BY vid, cid)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT vid AS c_custkey, cid AS cluster FROM (
+  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+  FROM df_
+) WHERE rn = 1
+"""
+    )
+
+
+ORACLE_GEO_CLUSTER_KMEANS = _cluster_kmeans_oracle_sql()
+
+
 def geo_dbscan(spark, sf_dir):
     """Distributed DBSCAN (ops.dbscan; ST_ClusterDBSCAN parity): customer
     points on the same md5-uniform 50x50 plane, eps=1.5, min_pts=5.
@@ -4209,6 +4362,8 @@ QUERIES = {
     "geo_zorder": (geo_zorder, ORACLE_GEO_ZORDER),
     "geo_knn_join": (geo_knn_join, ORACLE_GEO_KNN),
     "geo_dbscan": (geo_dbscan, ORACLE_GEO_DBSCAN),
+    "geo_hexbin": (geo_hexbin, ORACLE_GEO_HEXBIN),
+    "geo_cluster_kmeans": (geo_cluster_kmeans, ORACLE_GEO_CLUSTER_KMEANS),
     "geo_geodesic_area": (geo_geodesic_area, ORACLE_GEO_GEODESIC_AREA),
     "geo_project": (geo_project, ORACLE_GEO_PROJECT),
     "geo_line_substring": (geo_line_substring, ORACLE_GEO_LINE_SUBSTRING),
