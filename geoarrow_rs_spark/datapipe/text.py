@@ -183,3 +183,97 @@ def gopher_rules(
         stop_ok.alias("stop_ok"),
         (wc_ok & wl_ok & alpha_ok & stop_ok).alias("keep"),
     )
+
+
+def bpe_train_merges(
+    df,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_doc_chars: int = 120,
+    max_word_chars: int = 16,
+):
+    """Train byte-pair-encoding merges on a corpus (Sennrich, Haddow,
+    Birch: "Neural Machine Translation of Rare Words with Subword Units",
+    ACL 2016 — the standard BPE trainer), as pure DataFrame ops.
+
+    Each round: count adjacent token pairs over the distinct-word table
+    weighted by word frequency (groupBy — map-side combinable), pick the
+    most frequent pair (count desc, then lexicographic — deterministic),
+    and apply the merge greedily left-to-right to every word. The token
+    sequence is carried as a DOUBLE-SPACE-delimited string (' a  b  c '
+    with doubled boundaries) so one plain non-regex `replace(s,
+    ' a  b ', ' ab ')` IS the greedy merge — both the overlap rule
+    ('aaa' merges once) and adjacent-pair chains come out right because
+    string replace scans the source left-to-right without rescanning its
+    own output. The identical encoding is restatable in ANSI SQL, which
+    is how the oracle checks training bit-exactly.
+
+    Only the n_merges x 3 merge table ever reaches the driver; the word
+    table stays distributed (at 100 TB: words is the distinct-token
+    aggregate, millions of rows, shuffled once per round on the pair
+    key). Returns a DataFrame (step, merge_left, merge_right, n)."""
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.substring(F.col(text_col), 1, max_doc_chars), " +")
+            ).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .select(F.substring("w", 1, max_word_chars).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = words.select(
+        "cnt",
+        F.expr(
+            "concat('  ', array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), '  '), '  ')"
+        ).alias("s2"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for step in range(n_merges):
+        # sequence(1, 0) DESCENDS in Spark, so single-token words must be
+        # excluded before the pair explode rather than relying on an
+        # empty sequence
+        pairs = words.where("size(split(trim(s2), '  ')) >= 2").select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(s2), '  ')) - 1),"
+                    " i -> struct(element_at(split(trim(s2), '  '), i) AS a,"
+                    "             element_at(split(trim(s2), '  '), i + 1) AS b))"
+                )
+            ).alias("p"),
+        ).select("cnt", "p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((step, a, b, n))
+        pat = F.lit(f" {a}  {b} ")
+        rep = F.lit(f" {a}{b} ")
+        words = words.select(
+            "cnt", F.replace(F.col("s2"), pat, rep).alias("s2")
+        ).localCheckpoint(eager=True)
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("step", IntegerType(), False),
+            StructField("merge_left", StringType(), False),
+            StructField("merge_right", StringType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)

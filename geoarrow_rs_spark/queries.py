@@ -1113,6 +1113,63 @@ WHERE levenshtein(substr(a.text, 1, 12), substr(b.text, 1, 12)) <= 2
 """
 
 
+def text_bpe_train(spark, sf_dir):
+    """LEARNED byte-pair-encoding merges (text.bpe_train_merges, Sennrich
+    et al. 2016) over the documents corpus: 8 rounds of most-frequent
+    adjacent-pair selection (count desc, lexicographic tie-break) and
+    greedy merge application, all as DataFrame ops on the distinct-word
+    table. The oracle replays training in SQL — one CTE per round, the
+    merge applied via the same double-space string-replace encoding —
+    so the learned merge table must match bit-exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bpe_train_merges(d, "text", n_merges=8)
+
+
+def _bpe_train_oracle_sql(n_merges=8, max_doc=120, max_word=16) -> str:
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT substr(w, 1, {max_word}) AS w FROM (
+      SELECT unnest(string_split_regex(substr(text, 1, {max_doc}), ' +')) AS w
+      FROM documents
+    ) WHERE length(w) > 0
+  ) GROUP BY w
+)""",
+        """s0 AS MATERIALIZED (
+  SELECT cnt,
+         '  ' || array_to_string(list_transform(range(1, length(w) + 1),
+                                 i -> substr(w, CAST(i AS INT), 1)), '  ') || '  ' AS s2
+  FROM w0
+)""",
+    ]
+    for i in range(n_merges):
+        ctes += [
+            f"""p{i} AS MATERIALIZED (
+  SELECT p.a AS a, p.b AS b, SUM(cnt) AS n FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(t)),
+                  j -> {{'a': t[CAST(j AS INT)], 'b': t[CAST(j AS INT) + 1]}})) AS p
+    FROM (SELECT cnt, string_split(trim(s2), '  ') AS t FROM s{i})
+  ) GROUP BY p.a, p.b
+)""",
+            f"b{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)",
+            f"""s{i + 1} AS MATERIALIZED (
+  SELECT cnt, replace(s2,
+      ' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ',
+      ' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' ') AS s2
+  FROM s{i}
+)""",
+        ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS step, a AS merge_left, b AS merge_right, n FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+ORACLE_TEXT_BPE_TRAIN = _bpe_train_oracle_sql()
+
+
 def text_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text.fingerprint("text", n=8, max_chars=64).alias("fp"))
@@ -4396,6 +4453,7 @@ QUERIES = {
     "text_langid": (text_langid, ORACLE_TEXT_LANGID),
     "text_fingerprint": (text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "text_fuzzy_pairs": (text_fuzzy_pairs, ORACLE_TEXT_FUZZY),
+    "text_bpe_train": (text_bpe_train, ORACLE_TEXT_BPE_TRAIN),
     "text_bpe_tokens": (text_bpe_tokens, ORACLE_TEXT_BPE),
     "text_gopher_rules": (text_gopher_rules, ORACLE_TEXT_GOPHER),
     "sim_embedding_stats": (sim_embedding_stats, ORACLE_SIM_STATS),

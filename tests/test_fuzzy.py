@@ -70,3 +70,46 @@ def test_editdist_pairs_plan_has_no_python_and_no_cartesian(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """BPE trainer vs a from-scratch pure-Python Sennrich trainer on a
+    corpus with chained merges, overlap cases ('a b a' / repeated pairs)
+    and count ties — the learned merge table must match exactly."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from geoarrow_rs_spark.datapipe.text import bpe_train_merges
+
+    rows = [Row(text="low lower lowest low low new newer newest wide wider widest low newer")] * 3 \
+        + [Row(text="low slow slower news new lownew a b a aa aaa")]
+    df = spark.createDataFrame(rows)
+    got = [(r.step, r.merge_left, r.merge_right, r.n)
+           for r in bpe_train_merges(df, n_merges=6).collect()]
+
+    words = Counter()
+    for r in rows:
+        for w in r.text[:120].split(" "):
+            if w:
+                words[w[:16]] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for step in range(6):
+        pc = Counter()
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += words[w]
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((step, a, b, n))
+        for w, toks in vocab.items():
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            vocab[w] = out
+    assert got == merges
