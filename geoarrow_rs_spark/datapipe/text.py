@@ -277,3 +277,56 @@ def bpe_train_merges(
         ]
     )
     return spark.createDataFrame(merges, schema)
+
+
+def bpe_tokenize_counts(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    max_doc_chars: int = 120,
+    max_word_chars: int = 16,
+):
+    """Train BPE merges on the corpus, then tokenize it with them: per-doc
+    learned-subword token counts.
+
+    The scale-correct shape: the merge chain is applied ONCE to the
+    distinct-word table (8 chained literal string-replaces in a single
+    projection — the merges are already collected, so no iteration), and
+    documents join their words to that tokenized vocabulary — the
+    standard vocab-join tokenization; document text is never rewritten.
+    Returns (id_col, n_bpe) rows."""
+    merges = bpe_train_merges(
+        df, text_col, n_merges=n_merges,
+        max_doc_chars=max_doc_chars, max_word_chars=max_word_chars,
+    ).collect()
+
+    doc_words = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.substring(F.col(text_col), 1, max_doc_chars), " +")
+            ).alias("w"),
+        )
+        .where(F.length("w") > 0)
+        .select(id_col, F.substring("w", 1, max_word_chars).alias("w"))
+    )
+    vocab = doc_words.select("w").distinct().select(
+        "w",
+        F.expr(
+            "concat('  ', array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), '  '), '  ')"
+        ).alias("s2"),
+    )
+    s2 = F.col("s2")
+    for r in merges:
+        a, b = r["merge_left"], r["merge_right"]
+        s2 = F.replace(s2, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    vocab = vocab.select(
+        "w", F.size(F.split(F.trim(s2), "  ")).alias("n_toks")
+    )
+    return (
+        doc_words.join(vocab, on="w")
+        .groupBy(id_col)
+        .agg(F.sum("n_toks").alias("n_bpe"))
+    )

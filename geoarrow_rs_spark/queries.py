@@ -1125,7 +1125,9 @@ def text_bpe_train(spark, sf_dir):
     return text.bpe_train_merges(d, "text", n_merges=8)
 
 
-def _bpe_train_oracle_sql(n_merges=8, max_doc=120, max_word=16) -> str:
+def _bpe_ctes(n_merges=8, max_doc=120, max_word=16) -> list:
+    """Shared training-replay CTE chain (the word column `w` rides along
+    so the tokenize oracle can join back to documents)."""
     ctes = [
         f"""w0 AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -1136,7 +1138,7 @@ def _bpe_train_oracle_sql(n_merges=8, max_doc=120, max_word=16) -> str:
   ) GROUP BY w
 )""",
         """s0 AS MATERIALIZED (
-  SELECT cnt,
+  SELECT w, cnt,
          '  ' || array_to_string(list_transform(range(1, length(w) + 1),
                                  i -> substr(w, CAST(i AS INT), 1)), '  ') || '  ' AS s2
   FROM w0
@@ -1154,20 +1156,57 @@ def _bpe_train_oracle_sql(n_merges=8, max_doc=120, max_word=16) -> str:
 )""",
             f"b{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)",
             f"""s{i + 1} AS MATERIALIZED (
-  SELECT cnt, replace(s2,
+  SELECT w, cnt, replace(s2,
       ' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ',
       ' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' ') AS s2
   FROM s{i}
 )""",
         ]
+    return ctes
+
+
+def _bpe_train_oracle_sql(n_merges=8) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS step, a AS merge_left, b AS merge_right, n FROM b{i}"
         for i in range(n_merges)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges)) + "\n" + unions
 
 
 ORACLE_TEXT_BPE_TRAIN = _bpe_train_oracle_sql()
+
+
+def text_bpe_tokenize(spark, sf_dir):
+    """Train-then-apply: per-document token counts under the LEARNED BPE
+    vocabulary (text.bpe_tokenize_counts). The merge chain applies once
+    to the distinct-word table (8 literal replaces in one projection);
+    documents join their words to the tokenized vocab — text is never
+    rewritten. Oracle = the training-replay CTEs + the same vocab join."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bpe_tokenize_counts(d, "text", "doc_id", n_merges=8)
+
+
+def _bpe_tokenize_oracle_sql(n_merges=8, max_doc=120, max_word=16) -> str:
+    ctes = _bpe_ctes(n_merges) + [
+        f"""vocab AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(trim(s2), '  ')) AS BIGINT) AS n_toks
+  FROM s{n_merges}
+)""",
+        f"""dw AS (
+  SELECT doc_id, substr(w, 1, {max_word}) AS w FROM (
+    SELECT doc_id, unnest(string_split_regex(substr(text, 1, {max_doc}), ' +')) AS w
+    FROM documents
+  ) WHERE length(w) > 0
+)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT doc_id, CAST(SUM(n_toks) AS BIGINT) AS n_bpe"
+          " FROM dw JOIN vocab USING (w) GROUP BY doc_id"
+    )
+
+
+ORACLE_TEXT_BPE_TOKENIZE = _bpe_tokenize_oracle_sql()
 
 
 def text_fingerprint(spark, sf_dir):
@@ -4454,6 +4493,7 @@ QUERIES = {
     "text_fingerprint": (text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "text_fuzzy_pairs": (text_fuzzy_pairs, ORACLE_TEXT_FUZZY),
     "text_bpe_train": (text_bpe_train, ORACLE_TEXT_BPE_TRAIN),
+    "text_bpe_tokenize": (text_bpe_tokenize, ORACLE_TEXT_BPE_TOKENIZE),
     "text_bpe_tokens": (text_bpe_tokens, ORACLE_TEXT_BPE),
     "text_gopher_rules": (text_gopher_rules, ORACLE_TEXT_GOPHER),
     "sim_embedding_stats": (sim_embedding_stats, ORACLE_SIM_STATS),
