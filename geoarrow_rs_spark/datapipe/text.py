@@ -330,3 +330,66 @@ def bpe_tokenize_counts(
         .groupBy(id_col)
         .agg(F.sum("n_toks").alias("n_bpe"))
     )
+
+
+def bigram_lm_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    max_doc_chars: int = 200,
+):
+    """Language-model quality scores (the CCNet/Wenzek-et-al perplexity
+    filter shape): train an add-alpha-smoothed bigram word LM on the
+    corpus itself and score every document by mean log-probability of its
+    adjacent word pairs.
+
+    All counts are corpus-level groupBys (map-side combinable); scoring
+    joins each document's pairs to the bigram and context-count tables on
+    their word keys — equi-joins sized by the n-gram vocabulary, never by
+    the cross of documents. The per-doc mean accumulates round(ln(p), 12)
+    as decimals, so partition/summation order cannot change the rounded
+    result. Returns (id_col, n_pairs, avg_logprob)."""
+    words = df.select(
+        F.col(id_col),
+        F.split(F.substring(F.col(text_col), 1, max_doc_chars), " +").alias("ws"),
+    ).select(
+        id_col,
+        F.expr("filter(ws, w -> length(w) > 0)").alias("ws"),
+    )
+    pairs = words.where(F.size("ws") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+
+    uni = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_size = uni.count()
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+    lp = F.log(
+        (F.col("c2").cast("double") + F.lit(float(alpha)))
+        / (F.col("c1").cast("double") + F.lit(float(alpha) * vocab_size))
+    )
+    scored = (
+        pairs.join(bi, on=["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), on="w1")
+        .select(
+            id_col,
+            F.round(lp, 12).cast("decimal(38,12)").alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            (F.sum("lp").cast("double") / F.count(F.lit(1))), 6
+        ).alias("avg_logprob"),
+    )

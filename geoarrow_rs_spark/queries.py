@@ -1209,6 +1209,51 @@ def _bpe_tokenize_oracle_sql(n_merges=8, max_doc=120, max_word=16) -> str:
 ORACLE_TEXT_BPE_TOKENIZE = _bpe_tokenize_oracle_sql()
 
 
+def text_lm_score(spark, sf_dir):
+    """LM quality filter (text.bigram_lm_scores; CCNet-style perplexity
+    scoring): add-0.5-smoothed bigram word LM trained on the corpus
+    itself, every document scored by mean log-probability of its word
+    pairs. Counts are corpus groupBys; scoring is equi-joins on word
+    keys; the mean accumulates round(ln p, 12) decimals so summation
+    order is irrelevant. Oracle restates the counts and the smoothing
+    formula directly."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(d, "text", "doc_id", alpha=0.5, max_doc_chars=200)
+
+
+ORACLE_TEXT_LM_SCORE = """
+WITH ws AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(substr(text, 1, 200), ' +'),
+                             w -> length(w) > 0) AS ws
+  FROM documents
+),
+pairs AS MATERIALIZED (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)),
+                  i -> {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT) + 1]})) AS p
+    FROM ws WHERE len(ws) >= 2
+  )
+),
+uni AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w
+),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM uni),
+bi AS MATERIALIZED (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM pairs GROUP BY w1, w2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(CAST(round(ln((CAST(c2 AS DOUBLE) + 0.5)
+                 / (CAST(c1 AS DOUBLE) + 0.5 * (SELECT vs FROM v))), 12)
+             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM pairs
+JOIN bi USING (w1, w2)
+JOIN uni ON uni.w = pairs.w1
+GROUP BY doc_id
+"""
+
+
 def text_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text.fingerprint("text", n=8, max_chars=64).alias("fp"))
@@ -4494,6 +4539,7 @@ QUERIES = {
     "text_fuzzy_pairs": (text_fuzzy_pairs, ORACLE_TEXT_FUZZY),
     "text_bpe_train": (text_bpe_train, ORACLE_TEXT_BPE_TRAIN),
     "text_bpe_tokenize": (text_bpe_tokenize, ORACLE_TEXT_BPE_TOKENIZE),
+    "text_lm_score": (text_lm_score, ORACLE_TEXT_LM_SCORE),
     "text_bpe_tokens": (text_bpe_tokens, ORACLE_TEXT_BPE),
     "text_gopher_rules": (text_gopher_rules, ORACLE_TEXT_GOPHER),
     "sim_embedding_stats": (sim_embedding_stats, ORACLE_SIM_STATS),
