@@ -326,11 +326,13 @@ def dedup_clusters(
         mins = D.groupBy("hi").agg(F.min("lo").alias("mv")).select(
             F.col("hi").alias("u"), F.least("mv", F.col("hi")).alias("m")
         )
+        # no distinct here: duplicates ((v, m) emitted by several u) are
+        # absorbed by small-star's groupBy + final distinct — dropping the
+        # exchange saves one full shuffle per round
         ls = (
             D.join(mins, D.hi == mins.u)
             .filter(F.col("lo") > F.col("hi"))
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
-            .distinct()
         )
         # small-star: neighbors <= u (all of them, ls is hi>lo oriented)
         # rewire to the minimum, and u links there too
