@@ -154,3 +154,66 @@ def test_cluster_geoparquet_morton_roundtrip(spark, tmp_path):
     assert read_geoparquet(spark, path).count() == 1_000
     with pytest.raises(ValueError):
         curves.cluster_geoparquet(pts, path, curve="peano")
+
+
+def test_curve_keys_clamp_out_of_bounds(spark):
+    """Points outside the key domain clamp to the edge cells instead of
+    wrapping or erroring — a 100 TB write with a few bad rows must not
+    fail or scatter them across the keyspace."""
+    df = spark.createDataFrame(
+        [(1, -999.0, 50.0), (2, 999.0, 50.0), (3, 0.0, -999.0), (4, 0.0, 999.0),
+         (5, -180.0, -90.0), (6, 180.0, 90.0)],
+        "id long, lon double, lat double",
+    )
+    pdf = (
+        df.withColumn("m", curves.morton_key_expr("lon", "lat", 8))
+        .transform(lambda d: curves.with_hilbert_key(d, "lon", "lat", "h", 8))
+        .toPandas().set_index("id")
+    )
+    n = 1 << 8
+    # clamped coords: ix in {0, n-1}, so keys must equal the edge-cell keys
+    def mkey(ix, iy):
+        def spread(v):
+            for shift, mask in curves._SPREAD_STEPS:
+                v = (v | (v << shift)) & mask
+            return v
+        return spread(ix) | (spread(iy) << 1)
+
+    iy50 = min(n - 1, int((50.0 + 90) / 180 * n))
+    assert pdf.loc[1, "m"] == mkey(0, iy50)
+    assert pdf.loc[2, "m"] == mkey(n - 1, iy50)
+    assert pdf.loc[5, "m"] == mkey(0, 0)
+    assert pdf.loc[6, "m"] == mkey(n - 1, n - 1)
+    assert pdf.loc[5, "h"] == curves.hilbert_xy2d(0, 0, 8)
+    assert pdf.loc[6, "h"] == curves.hilbert_xy2d(n - 1, n - 1, 8)
+
+
+def test_hex_cells_partition_plane_and_centers_invert(spark):
+    """Every point maps to exactly one hex cell whose center is within
+    the circumradius (cells partition the plane), across negative and
+    positive coordinates; hex_center_expr inverts hex_cell_expr for
+    on-center points."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    pts = [(i, float(x), float(y))
+           for i, (x, y) in enumerate(rng.uniform(-40, 40, (3000, 2)))]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    R = 2.0
+    q, r = curves.hex_cell_expr("x", "y", R)
+    cx, cy = curves.hex_center_expr("hq", "hr", R)
+    pdf = (
+        df.select("id", "x", "y", q.alias("hq"), r.alias("hr"))
+        .select("*", cx.alias("cx"), cy.alias("cy"))
+        .toPandas()
+    )
+    d = np.hypot(pdf["x"] - pdf["cx"], pdf["y"] - pdf["cy"])
+    assert (d <= R + 1e-9).all()       # inside circumradius of claimed cell
+
+    # centers map back to their own cell
+    centers = pdf[["hq", "hr", "cx", "cy"]].drop_duplicates()
+    cdf = spark.createDataFrame(centers)
+    q2, r2 = curves.hex_cell_expr("cx", "cy", R)
+    back = cdf.select("hq", "hr", q2.alias("q2"), r2.alias("r2")).toPandas()
+    assert (back["hq"] == back["q2"]).all()
+    assert (back["hr"] == back["r2"]).all()

@@ -694,3 +694,49 @@ def test_ivfpq_codes_and_adc_consistency(spark, sf_dir):
                 # mirror the engine's per-term decimal rounding
                 expect += float(np.sum(np.round(d * d, 12)))
             assert abs(r["adc_d2"] - round(expect, 8)) < 1e-6, (qid, r)
+
+
+def test_ivfpq_retrieves_separable_clusters(spark):
+    """Retrieval quality on data PQ should handle well: vectors are four
+    well-separated prototypes plus small deterministic noise. ADC cannot
+    rank WITHIN a quantization cell (same-cluster members share codes, so
+    their estimated distances tie), but it must never confuse clusters:
+    every returned neighbor comes from the query's own prototype, with a
+    full k of them, and their ADC distances are far below any
+    cross-cluster candidate's exact distance."""
+    import numpy as np
+
+    from geoarrow_rs_spark.datapipe import similarity
+
+    rng = np.random.default_rng(21)
+    protos = rng.uniform(-1, 1, (4, 64)) * 10.0
+    rows = []
+    for i in range(80):
+        p = i % 4
+        v = protos[p] + rng.uniform(-0.05, 0.05, 64)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 4")          # one query per prototype
+    corpus = df.where("vec_id >= 4")
+
+    got = similarity.ivfpq_topk(
+        q, corpus, k=3, k_clusters=4, iters=2, nprobe=4,
+        m=4, k_codes=8, pq_iters=2, dim=64,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    vecs = dict(rows)
+    for qid in range(4):
+        assert len(by_q[qid]) == 3, qid
+        assert all(c % 4 == qid for c in by_q[qid]), (qid, by_q[qid])
+        qv = np.array(vecs[qid])
+        worst_same = max(
+            float(np.sum((np.array(vecs[c]) - qv) ** 2)) for c in by_q[qid]
+        )
+        best_other = min(
+            float(np.sum((np.array(vecs[c]) - qv) ** 2))
+            for c in range(4, 80) if c % 4 != qid
+        )
+        assert worst_same * 10 < best_other, qid
