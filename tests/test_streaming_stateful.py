@@ -530,3 +530,52 @@ def test_streaming_spatial_join_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming_spatial_join(batch, static)
+
+
+def test_streaming_hex_heatmap(spark, tmp_path):
+    """Hex cells are stateless native expressions, so a live density
+    heatmap is just hex_cell_expr + a streaming groupBy — counts after
+    three micro-batches equal the batch hex rollup exactly."""
+    from pyspark.sql import functions as F
+
+    from geoarrow_rs_spark.functions import curves
+
+    src = os.path.join(str(tmp_path), "hex_pts")
+    for b in range(3):
+        spark.range(b * 100, (b + 1) * 100).selectExpr(
+            "id",
+            "CAST(id % 17 AS DOUBLE) - 8.0 AS x",
+            "CAST(id % 23 AS DOUBLE) - 11.0 AS y",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    batch = spark.read.parquet(src)
+    q, r = curves.hex_cell_expr("x", "y", 2.0)
+    expected = sorted(
+        (row["hq"], row["hr"], row["n"])
+        for row in batch.select(q.alias("hq"), r.alias("hr"))
+        .groupBy("hq", "hr").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    heat = (
+        stream.select(q.alias("hq"), r.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qq = (
+        heat.writeStream.format("memory")
+        .queryName("hex_heat")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qq.awaitTermination(180)
+    got = sorted(
+        (row["hq"], row["hr"], row["n"])
+        for row in spark.sql("SELECT * FROM hex_heat").collect()
+    )
+    assert got == expected
