@@ -5,9 +5,11 @@ Media are opaque ``binary`` columns with a typed metadata struct alongside
 partition sizing, mapInPandas signatures — is real and tested.
 
 Decode status: library-free formats are decoded FOR REAL — 24-bit BMP and
-16-bit PCM WAV in pure numpy (header parse + buffer reshape), and 8-bit
-PNG via stdlib zlib inflate + numpy scanline unfiltering (all five PNG
-filter types, gray/RGB/alpha variants). Patent-era codec formats (JPEG,
+16-bit PCM WAV in pure numpy (header parse + buffer reshape), 8-bit PNG
+via stdlib zlib inflate + numpy scanline unfiltering (all five PNG filter
+types, gray/RGB/alpha variants), and GIF87a/89a via a from-scratch LZW
+codec (variable code width, KwKwK case, 4096-entry freeze — decoder AND
+encoder reproduce the published spec example byte-identically). Patent-era codec formats (JPEG,
 MP3, H.264…) still raise ``NotImplementedError`` unless ``fake=True``,
 because this runtime ships no codec libraries. Features/resize/
 meta-sniffing run on the real decode path whenever the blob magic matches
@@ -203,6 +205,195 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF-variant LZW decode (variable code width, LSB-first bit packing,
+    clear/EOI codes, deferred width growth at table size 2^width, 12-bit
+    cap) — the published GIF87a/89a algorithm, no codec library."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    nbits = len(data) * 8
+    pos = 0
+
+    def read_code(w):
+        nonlocal pos
+        if pos + w > nbits:
+            return None
+        v = 0
+        for i in range(w):
+            v |= ((data[pos >> 3] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    out = []
+    table = []
+    width = min_code_size + 1
+    prev = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [(i,) for i in range(clear)] + [None, None]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = read_code(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            reset()
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode — exact inverse of :func:`_gif_lzw_decode`.
+
+    The decoder builds each table entry one code LATER than the encoder
+    (that lag is why the KwKwK special case exists), so the emit width is
+    adjusted from ``next_code - 1`` — the size the decoder's table has at
+    the moment it reads this code. Both sides freeze the dictionary at
+    4096 entries (no clear-code resets), keeping them in lockstep."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = []
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+
+    def emit(code):
+        nonlocal width
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    # clear code goes out before any entry exists — emit at base width
+    for i in range(width):
+        bits.append((clear >> i) & 1)
+    buf = ()
+    for s in indices:
+        cand = buf + (int(s),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        buf = (int(s),)
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            b |= bit << j
+        by.append(b)
+    return bytes(by)
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a to an (h, w, 3) uint8 RGB
+    array — real LZW decompression in pure Python/numpy (no codec lib).
+    Interlaced images raise NotImplementedError."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", blob, 6)
+    packed, _bg, _aspect = struct.unpack_from("<BBB", blob, 10)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(blob, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _l, _t, iw, ih = struct.unpack_from("<HHHH", blob, pos + 1)
+        ipacked = blob[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            pal = np.frombuffer(blob, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+            pos += n * 3
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = blob[pos]
+        pos += 1
+        data = bytearray()
+        while blob[pos] != 0:
+            ln = blob[pos]
+            data += blob[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(data), min_code)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF pixel data truncated")
+        arr = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        return pal[arr].astype(np.uint8)
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (<= 256 distinct colors) as a
+    single-frame GIF89a with real LZW compression. Inverse of
+    :func:`decode_gif`."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("more than 256 distinct colors")
+    size_field = 0
+    while (2 << size_field) < max(2, len(colors)):
+        size_field += 1
+    n_pal = 2 << size_field
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, size_field + 1)
+    lzw = _gif_lzw_encode(inv.tolist(), min_code)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        part = lzw[i:i + 255]
+        out.append(len(part))
+        out += part
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 def _to_rgb(img: np.ndarray) -> np.ndarray:
     """Normalize a decoded image to (h, w, 3) for the feature extractor:
     gray -> replicated, alpha -> dropped."""
@@ -258,6 +449,13 @@ def sniff_media_meta(blob: bytes):
             )
         except (ValueError, NotImplementedError):
             meta.update(media_type="audio/wav")
+    elif blob[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            w, h = struct.unpack_from("<HH", blob, 6)
+            meta.update(media_type="image/gif", width=int(w), height=int(h),
+                        n_channels=3)
+        except struct.error:
+            meta.update(media_type="image/gif")
     elif blob[:8] == _PNG_SIG:
         try:
             w, h, depth, ctype = struct.unpack_from(">IIBB", blob, 16)
@@ -360,6 +558,8 @@ def extract_features(
             return _image_features(_to_rgb(decode_png(blob)), dim)
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
             return _audio_features(*decode_wav(blob), dim)
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            return _image_features(decode_gif(blob), dim)
         if fake:
             return _fake_features(blob, dim)
         raise NotImplementedError(
@@ -377,8 +577,8 @@ def extract_features(
 
 
 def resize_images(df: DataFrame, blob_col: str, out_h: int, out_w: int) -> DataFrame:
-    """Decode BMP/PNG blobs, nearest-neighbor resize, re-encode in the same
-    format — a real distributed image transform over mapInPandas."""
+    """Decode BMP/PNG/GIF blobs, nearest-neighbor resize, re-encode in the
+    same format — a real distributed image transform over mapInPandas."""
     out_schema = StructType(df.schema.fields + [StructField("resized", BinaryType())])
 
     def one(b):
@@ -387,6 +587,8 @@ def resize_images(df: DataFrame, blob_col: str, out_h: int, out_w: int) -> DataF
         blob = bytes(b)
         if blob[:8] == _PNG_SIG:
             return encode_png(resize_nearest(decode_png(blob), out_h, out_w))
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            return encode_gif(resize_nearest(decode_gif(blob), out_h, out_w))
         return encode_bmp(resize_nearest(decode_bmp(blob), out_h, out_w))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1994,6 +1994,61 @@ FROM documents
 """
 
 
+def _gif_hex_parts():
+    """Constant pieces of a per-doc 2x2 two-color GIF: everything except
+    the 3 palette bytes of color 0 (gray level = doc_id % 256). The LZW
+    payload for the fixed [0,1,1,0] pixel pattern comes from the engine's
+    own encoder — which is validated byte-identically against the
+    published GIF spec example, so this is not self-referential."""
+    from .datapipe.multimodal import _gif_lzw_encode
+
+    lzw = _gif_lzw_encode([0, 1, 1, 0], 2)
+    pre = "474946383961" + "02000200" + "80" + "0000"
+    post = (
+        "FF0000"                      # color 1 = red
+        + "2C000000000200020000"      # image descriptor
+        + "02"                        # LZW min code size
+        + f"{len(lzw):02x}" + lzw.hex() + "00" + "3b"
+    )
+    return pre, post
+
+
+def mm_gif_decode(spark, sf_dir):
+    """REAL GIF decode under oracle check: per-doc 2x2 two-color GIF
+    (gray level doc_id%256 + red) built from hex in BOTH engines, decoded
+    through the from-scratch LZW codec (datapipe/multimodal.py), then
+    header meta + per-channel means compared against the closed forms."""
+    from .datapipe.multimodal import attach_media_meta, extract_features
+
+    pre, post = _gif_hex_parts()
+    d = _t(spark, sf_dir, "documents")
+    kk = "lpad(hex(doc_id % 256), 2, '0')"
+    blob = f"unhex(concat('{pre}', repeat({kk}, 3), '{post}'))"
+    src = d.selectExpr("doc_id", f"{blob} AS blob")
+    meta = attach_media_meta(src, "blob")
+    feats = extract_features(meta, "blob", dim=3)
+    return feats.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("features")[0].alias("mean_r"),
+        F.col("features")[1].alias("mean_g"),
+        F.col("features")[2].alias("mean_b"),
+    )
+
+
+ORACLE_MM_GIF = """
+SELECT doc_id,
+       'image/gif' AS media_type,
+       CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+       CAST(((2.0 * (doc_id % 256) + 510.0) / 4.0) / 255.0 AS REAL) AS mean_r,
+       CAST(((doc_id % 256) / 2.0) / 255.0 AS REAL) AS mean_g,
+       CAST(((doc_id % 256) / 2.0) / 255.0 AS REAL) AS mean_b
+FROM documents
+"""
+
+
 def geo_transform(spark, sf_dir):
     """CRS reprojection (ST_Transform; reproject.rs:105 parity): 4326->3857
     verified against the closed-form Web Mercator in plain SQL, plus a UTM
@@ -4567,6 +4622,7 @@ QUERIES = {
     "mm_image_brightness": (mm_image_brightness, ORACLE_MM_BRIGHTNESS),
     "mm_audio_features": (mm_audio_features, ORACLE_MM_AUDIO),
     "mm_image_resize": (mm_image_resize, ORACLE_MM_RESIZE),
+    "mm_gif_decode": (mm_gif_decode, ORACLE_MM_GIF),
 }
 
 

@@ -740,3 +740,61 @@ def test_ivfpq_retrieves_separable_clusters(spark):
             for c in range(4, 80) if c % 4 != qid
         )
         assert worst_same * 10 < best_other, qid
+
+
+def test_gif_lzw_matches_published_spec_example():
+    """The LZW decoder reproduces the published GIF spec walkthrough
+    example (the 10x10 three-color image whose compressed bytes appear in
+    the classic 'What's In A GIF' guide) and the encoder regenerates the
+    published stream byte-identically — external validation, not just
+    self-round-trip."""
+    from geoarrow_rs_spark.datapipe.multimodal import (
+        _gif_lzw_decode, _gif_lzw_encode,
+    )
+
+    data = bytes.fromhex("8C2D99872A1CDC33A00275EC95FAA8DE608C04914C01")
+    rows = ["1111122222", "1111122222", "1111122222", "1110000222",
+            "1110000222", "2220000111", "2220000111", "2222211111",
+            "2222211111", "2222211111"]
+    expect = [int(c) for r in rows for c in r]
+    assert _gif_lzw_decode(data, 2) == expect
+    assert _gif_lzw_encode(expect, 2) == data
+
+
+def test_gif_roundtrip_and_pipeline(spark):
+    """GIF encode->decode round trips across width growth, KwKwK
+    sequences and a 64x64 image; the mapInPandas feature/resize/meta
+    paths treat GIF as a real decodable format."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from geoarrow_rs_spark.datapipe.multimodal import (
+        _gif_lzw_decode, _gif_lzw_encode, attach_media_meta, decode_gif,
+        encode_gif, extract_features, resize_images,
+    )
+
+    rng = np.random.default_rng(2)
+    for n, ncol, mc in [(40, 2, 2), (3000, 8, 3), (6000, 2, 2)]:
+        seq = rng.integers(0, ncol, n).tolist()
+        assert _gif_lzw_decode(_gif_lzw_encode(seq, mc), mc) == seq
+    seq = [0, 1] * 50  # KwKwK pattern
+    assert _gif_lzw_decode(_gif_lzw_encode(seq, 2), 2) == seq
+
+    img = (rng.integers(0, 255, (13, 9, 3)) // 64 * 64).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    big = rng.integers(0, 6, (64, 64)).astype(np.uint8)
+    big3 = np.stack([big * 40, big * 20, 255 - big * 30], axis=2).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(big3)), big3)
+
+    df = spark.createDataFrame(
+        [Row(id=1, blob=bytearray(encode_gif(img)))]
+    )
+    meta = attach_media_meta(df, "blob").collect()[0]["media_meta"]
+    assert meta["media_type"] == "image/gif"
+    assert (meta["width"], meta["height"]) == (9, 13)
+    feats = extract_features(df, "blob", dim=8).collect()[0]["features"]
+    assert len(feats) == 8
+    rz = resize_images(df, "blob", 4, 4).collect()[0]["resized"]
+    out = decode_gif(bytes(rz))
+    assert out.shape == (4, 4, 3)
