@@ -607,3 +607,32 @@ def ivfpq_topk(
         F.col("adc_d2").asc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# model persistence: train once, reuse across jobs
+# ---------------------------------------------------------------------------
+
+def save_centroids(spark, cents, path: str):
+    """Persist k-means centroids (kmeans_train output) as parquet so the
+    expensive training pass runs once and every downstream job (corpus
+    assignment, IVF probing, streaming scorers) reloads the same
+    deterministic model."""
+    _centroid_df(spark, cents).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list:
+    rows = spark.read.parquet(path).collect()
+    return sorted((int(r["__cid"]), [float(x) for x in r["__cvec"]]) for r in rows)
+
+
+def save_pq_codebooks(spark, cents, path: str):
+    """Persist product-quantization codebooks (pq_train output)."""
+    _pq_centroid_df(spark, cents).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str) -> list:
+    rows = spark.read.parquet(path).collect()
+    return sorted(
+        (int(r["s"]), int(r["code"]), [float(x) for x in r["__cvec"]]) for r in rows
+    )

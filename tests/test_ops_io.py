@@ -798,3 +798,26 @@ def test_gif_roundtrip_and_pipeline(spark):
     rz = resize_images(df, "blob", 4, 4).collect()[0]["resized"]
     out = decode_gif(bytes(rz))
     assert out.shape == (4, 4, 3)
+
+
+def test_model_persistence_roundtrip(spark, tmp_path, sf_dir):
+    """Trained models (k-means centroids, PQ codebooks, BPE merges)
+    round-trip through parquet exactly, so training runs once and
+    assignment/encoding jobs reload identical models."""
+    from geoarrow_rs_spark.datapipe import similarity
+    from geoarrow_rs_spark.datapipe.text import bpe_train_merges
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id >= 4")
+    cents = similarity.kmeans_train(e, k=4, iters=1)
+    similarity.save_centroids(spark, cents, str(tmp_path / "cents"))
+    assert similarity.load_centroids(spark, str(tmp_path / "cents")) == sorted(cents)
+
+    pq = similarity.pq_train(e, m=4, k_codes=4, iters=1, dim=64)
+    similarity.save_pq_codebooks(spark, pq, str(tmp_path / "pq"))
+    assert similarity.load_pq_codebooks(spark, str(tmp_path / "pq")) == sorted(pq)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train_merges(d, n_merges=4)
+    merges.write.mode("overwrite").parquet(str(tmp_path / "bpe"))
+    back = spark.read.parquet(str(tmp_path / "bpe"))
+    assert sorted(map(tuple, merges.collect())) == sorted(map(tuple, back.collect()))
