@@ -1510,6 +1510,76 @@ WHERE COALESCE(best.cl, d.doc_id) = d.doc_id
 """
 
 
+def pipe_full_pipeline(spark, sf_dir):
+    """The WHOLE training-data pipeline as one oracle-checked query:
+    quality gate (token count >= 10) -> exact dedup (keep min id per md5)
+    -> MinHash-LSH near-dedup over the survivors -> connected components
+    -> keep one canonical doc per cluster -> deterministic md5-keyed
+    train/val/test split -> per-split doc and token totals. Every stage
+    reuses an operator whose oracle already passes standalone; this query
+    proves they COMPOSE (each stage consumes the previous stage's actual
+    survivors, not the raw table)."""
+    from .datapipe import sampling, text as tx
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.where(tx.token_count("text") >= 10)
+    kept1 = dedup.exact_dedup(q, "text", "doc_id", keep="min")
+    pairs = dedup.minhash_lsh_pairs(
+        kept1, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    )
+    assign = dedup.dedup_clusters(kept1, pairs, id_col="doc_id")
+    keepers = assign.where(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    final = kept1.join(keepers, on="doc_id", how="left_semi")
+    split = sampling.train_val_test_split(final, "doc_id", val=0.1, test=0.1)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count("text").cast("long")).alias("n_tokens"),
+    )
+
+
+def _full_pipeline_oracle_sql() -> str:
+    mh = _minhash_pairs_cte().replace("FROM documents", "FROM exd")
+    return f"""
+WITH RECURSIVE qf AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) >= 10
+),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM qf GROUP BY md5(text)),
+exd AS (SELECT q.doc_id, q.text FROM qf q JOIN ex ON ex.doc_id = q.doc_id),
+{mh},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.node
+),
+best AS (SELECT node, MIN(label) AS cl FROM cc GROUP BY node),
+final AS (
+  SELECT d.doc_id, d.text FROM exd d LEFT JOIN best ON d.doc_id = best.node
+  WHERE COALESCE(best.cl, d.doc_id) = d.doc_id
+),
+labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN su < 0.1 THEN 'val' WHEN su < 0.2 THEN 'test'
+              ELSE 'train' END AS split
+  FROM (
+    SELECT *, CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS su
+    FROM final
+  )
+)
+SELECT split, COUNT(*) AS n_docs,
+       SUM(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS n_tokens
+FROM labeled GROUP BY split
+"""
+
+
+ORACLE_PIPE_FULL = _full_pipeline_oracle_sql()
+
+
 def pipe_weighted_sample(spark, sf_dir):
     """Quality-weighted corpus subsampling (Efraimidis-Spirakis
     u^(1/w) top-k): longer documents (weight = word count) are
@@ -4580,6 +4650,7 @@ QUERIES = {
     "dedup_corpus_keepers": (dedup_corpus_keepers, ORACLE_DEDUP_CORPUS),
     "dedup_substring_spans": (dedup_substring_spans, ORACLE_DEDUP_SUBSTRING),
     "pipe_sample_split": (pipe_sample_split, ORACLE_PIPE_SAMPLE_SPLIT),
+    "pipe_full_pipeline": (pipe_full_pipeline, ORACLE_PIPE_FULL),
     "pipe_scrub_text": (pipe_scrub_text, ORACLE_PIPE_SCRUB),
     "pipe_decontaminate": (pipe_decontaminate, ORACLE_DECONTAM),
     "pipe_weighted_sample": (pipe_weighted_sample, ORACLE_PIPE_WEIGHTED),
