@@ -2418,6 +2418,51 @@ QUALIFY rn <= 3
 """
 
 
+def geo_lof_outliers(spark, sf_dir):
+    """Local Outlier Factor (ops.outliers.lof_scores; Breunig et al.
+    SIGMOD 2000): density-based outlier scores for customer points,
+    composed from the exact spatial kNN join (k=5, deterministic ties) —
+    reachability/LOF means accumulate rounded decimals so the brute-force
+    oracle matches bit-exactly."""
+    from .ops.outliers import lof_scores
+
+    c = _t(spark, sf_dir, "customer")
+    pts = _spread(c).selectExpr("c_custkey", _KNN_PX, _KNN_PY)
+    return lof_scores(pts, "c_custkey", "px", "py", k=5, cell_size=2.0)
+
+
+ORACLE_GEO_LOF = f"""
+WITH pts AS ({_KNN_PTS_DUCK} FROM customer),
+d AS (
+  SELECT a.c_custkey AS l_id, b.c_custkey AS r_id,
+         sqrt((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)) AS dist
+  FROM pts a JOIN pts b ON a.c_custkey <> b.c_custkey
+),
+nn AS (
+  SELECT l_id, r_id, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY dist, r_id) AS rk FROM d
+  ) WHERE rk <= 5
+),
+kd AS (SELECT l_id, MAX(dist) AS kdist FROM nn GROUP BY l_id),
+rch AS (
+  SELECT nn.l_id, nn.r_id, greatest(kd.kdist, nn.dist) AS reach
+  FROM nn JOIN kd ON kd.l_id = nn.r_id
+),
+lrd AS (
+  SELECT l_id,
+         5.0 / CAST(SUM(CAST(round(reach, 12) AS DECIMAL(38,12))) AS DOUBLE) AS lrd
+  FROM rch GROUP BY l_id
+)
+SELECT nn.l_id AS c_custkey,
+       round(CAST(SUM(CAST(round(lo.lrd, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / 5.0 / lp.lrd, 8) AS lof
+FROM nn
+JOIN lrd lo ON lo.l_id = nn.r_id
+JOIN lrd lp ON lp.l_id = nn.l_id
+GROUP BY nn.l_id, lp.lrd
+"""
+
+
 def geo_hexbin(spark, sf_dir):
     """Hexagonal density rollup (curves.hex_cell_expr; PostGIS
     ST_HexagonGrid-style): customer points binned to flat-top axial hex
@@ -4629,6 +4674,7 @@ QUERIES = {
     "geo_knn_join": (geo_knn_join, ORACLE_GEO_KNN),
     "geo_dbscan": (geo_dbscan, ORACLE_GEO_DBSCAN),
     "geo_hexbin": (geo_hexbin, ORACLE_GEO_HEXBIN),
+    "geo_lof_outliers": (geo_lof_outliers, ORACLE_GEO_LOF),
     "geo_cluster_kmeans": (geo_cluster_kmeans, ORACLE_GEO_CLUSTER_KMEANS),
     "geo_geodesic_area": (geo_geodesic_area, ORACLE_GEO_GEODESIC_AREA),
     "geo_project": (geo_project, ORACLE_GEO_PROJECT),

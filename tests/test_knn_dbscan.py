@@ -120,3 +120,26 @@ def test_dbscan_negative_coordinates(spark):
     assert got[1] == (1, "core") and got[2] == (1, "core") and got[3] == (1, "core")
     assert got[0] == (1, "border") and got[4] == (1, "border")
     assert got[99] == (None, "noise")
+
+
+def test_lof_flags_the_planted_outlier(spark):
+    """Uniform blob + one far point: the planted outlier's LOF must be
+    the maximum and well above 1; blob interior stays near 1."""
+    rng = np.random.default_rng(8)
+    pts = [(i, float(x), float(y))
+           for i, (x, y) in enumerate(rng.uniform(0, 10, (300, 2)))]
+    pts.append((999, 30.0, 30.0))
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+
+    from geoarrow_rs_spark.ops.outliers import lof_scores
+
+    got = {r["id"]: r["lof"] for r in lof_scores(df, "id", "x", "y", k=5).collect()}
+    assert len(got) == 301
+    outlier = got.pop(999)
+    assert outlier == max([outlier] + list(got.values()))
+    assert outlier > 3.0
+    # bulk of the uniform blob is near 1
+    import numpy as np_
+
+    vals = np_.array(list(got.values()))
+    assert np_.median(vals) < 1.3
