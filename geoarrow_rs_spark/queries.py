@@ -1742,6 +1742,82 @@ def events_hourly(spark, sf_dir):
     )
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered-sequence funnel analysis (view -> click -> purchase, the
+    MATCH_RECOGNIZE / funnel-chart workload): per user, the earliest view,
+    the earliest click strictly after it, the earliest purchase strictly
+    after that; stage user-counts plus exact int64-ns total latency for
+    users converting within 24h. All native: three filtered min-aggregates
+    chained by equi-joins on user_id — each stage's input is one row per
+    user, so the joins broadcast/AQE-shrink at any scale."""
+    e = _t(spark, sf_dir, "events")
+    v = e.where("event_type = 'view'").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        e.where("event_type = 'click'")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where("event_type = 'purchase'")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t3"))
+    )
+    day_ns = 24 * 3600 * 1_000_000_000
+    conv = p.where(F.col("t3") - F.col("t1") <= day_ns)
+    stages = [
+        v.agg(F.lit("1_view").alias("stage"), F.count(F.lit(1)).alias("n_users"),
+              F.lit(0).cast("long").alias("total_latency_ns")),
+        c.agg(F.lit("2_click").alias("stage"), F.count(F.lit(1)).alias("n_users"),
+              F.lit(0).cast("long").alias("total_latency_ns")),
+        p.agg(F.lit("3_purchase").alias("stage"), F.count(F.lit(1)).alias("n_users"),
+              F.lit(0).cast("long").alias("total_latency_ns")),
+        conv.agg(
+            F.lit("4_converted_24h").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.coalesce(F.sum(F.col("t3") - F.col("t1")), F.lit(0)).cast("long")
+            .alias("total_latency_ns"),
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.t1, MIN(epoch_ns(e.ts)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t1
+  GROUP BY e.user_id, v.t1
+),
+p AS (
+  SELECT e.user_id, c.t1, MIN(epoch_ns(e.ts)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t2
+  GROUP BY e.user_id, c.t1
+),
+conv AS (SELECT * FROM p WHERE t3 - t1 <= 86400000000000)
+SELECT '1_view' AS stage, COUNT(*) AS n_users, CAST(0 AS BIGINT) AS total_latency_ns FROM v
+UNION ALL
+SELECT '2_click', COUNT(*), CAST(0 AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase', COUNT(*), CAST(0 AS BIGINT) FROM p
+UNION ALL
+SELECT '4_converted_24h', COUNT(*), CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) FROM conv
+"""
+
+
 def events_windowed_topk(spark, sf_dir):
     """Per-window heavy hitters: top-2 event types by count in every
     6-hour window (count ties broken by type name) — the batch analogue
@@ -4726,6 +4802,7 @@ QUERIES = {
     "sim_ivfpq_topk": (sim_ivfpq_topk, ORACLE_SIM_IVFPQ),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
+    "events_funnel": (events_funnel, ORACLE_EVENTS_FUNNEL),
     "events_geo_extent": (events_geo_extent, ORACLE_EVENTS_GEO_EXTENT),
     "events_sessions": (events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_sliding_windows": (events_sliding_windows, ORACLE_EVENTS_SLIDING),
