@@ -268,20 +268,25 @@ def knn_spatial_join(
     and the fallback broadcast is bounded by the straggler count.
 
     Returns columns: ``l_id, r_id, rn`` (1-based rank) ``, dist``.
+    Ids must be unique per side (ranking windows key on them); rows with
+    NULL coordinates are excluded.
     """
     lx, ly = left_xy
     rx, ry = right_xy
     cs = float(cell_size)
+    # rows with NULL coordinates have no well-defined neighbors; drop them
+    # up front (otherwise they bypass the grid and reach the fallback with
+    # NULL distances)
     L = left.select(
         F.col(left_id).alias("l_id"),
         F.col(lx).cast("double").alias("lx"),
         F.col(ly).cast("double").alias("ly"),
-    )
+    ).filter(F.col("lx").isNotNull() & F.col("ly").isNotNull())
     R = right.select(
         F.col(right_id).alias("r_id"),
         F.col(rx).cast("double").alias("rx"),
         F.col(ry).cast("double").alias("ry"),
-    ).withColumn(
+    ).filter(F.col("rx").isNotNull() & F.col("ry").isNotNull()).withColumn(
         "__cell",
         F.floor(F.col("rx") / cs).cast("long") * F.lit(1 << 21)
         + F.floor(F.col("ry") / cs).cast("long"),

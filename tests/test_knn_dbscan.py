@@ -143,3 +143,24 @@ def test_lof_flags_the_planted_outlier(spark):
 
     vals = np_.array(list(got.values()))
     assert np_.median(vals) < 1.3
+
+
+def test_null_coordinates_are_excluded_not_fatal(spark):
+    """Rows with NULL coordinates drop out of kNN/DBSCAN/LOF candidate
+    generation (null cells join nothing) instead of crashing the job —
+    the 100 TB few-bad-rows case."""
+    pts = [(1, 0.0, 0.0), (2, 1.0, 0.0), (3, 0.0, 1.0), (4, 1.0, 1.0),
+           (5, None, 2.0), (6, 2.0, None)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in knn_spatial_join(df, df, k=2, cell_size=1.0).collect()
+    }
+    assert all(l in (1, 2, 3, 4) and r in (1, 2, 3, 4) for l, r in got)
+    assert {l for l, _ in got} == {1, 2, 3, 4}
+
+    roles = {
+        r["id"]: r["role"]
+        for r in dbscan(df, "id", "x", "y", eps=1.5, min_pts=3).collect()
+    }
+    assert roles[1] == "core" and roles[5] == "noise" and roles[6] == "noise"
