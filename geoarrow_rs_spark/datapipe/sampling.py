@@ -86,6 +86,9 @@ def weighted_sample(
 # conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB)
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
 URL_RE = "https?://[^ \\t\\n]+"
+PHONE_RE = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+CC16_RE = "[0-9]{16}"
 
 
 def scrub_text(text, email_token: str = "<EMAIL>", url_token: str = "<URL>") -> Column:
@@ -96,3 +99,44 @@ def scrub_text(text, email_token: str = "<EMAIL>", url_token: str = "<URL>") -> 
     return F.regexp_replace(
         F.regexp_replace(t, URL_RE, url_token), EMAIL_RE, email_token
     )
+
+
+def luhn_valid(num) -> Column:
+    """Luhn checksum validity for a fixed-width 16-digit string — the
+    mod-10 sum unrolled to 16 substring terms so it stays inside
+    whole-stage codegen (no UDF). Doubling applies to every second digit
+    counting from the check digit: for 16 digits, the 1st/3rd/…/15th from
+    the left."""
+    n = F.col(num) if isinstance(num, str) else num
+    total = F.lit(0)
+    for pos in range(16):
+        # try_cast: short or non-digit input nulls the sum instead of
+        # throwing under ANSI mode; the coalesce below maps that to false
+        d = F.substring(n, pos + 1, 1).try_cast("int")
+        if pos % 2 == 0:
+            dd = d * F.lit(2)
+            term = F.when(dd > 9, dd - 9).otherwise(dd)
+        else:
+            term = d
+        total = total + term
+    return (F.length(n) == 16) & F.coalesce(total % 10 == 0, F.lit(False))
+
+
+def scrub_pii(
+    text,
+    phone_token: str = "<PHONE>",
+    ip_token: str = "<IP>",
+    cc_token: str = "<CC>",
+) -> Column:
+    """PII scrubbing pass: phone numbers and IPv4 literals by pattern,
+    16-digit card numbers ONLY when the Luhn checksum validates (the
+    standard false-positive guard — a random 16-digit id is left alone).
+    The card step extracts the first candidate per row and conditionally
+    replaces it; corpora with many cards per row should explode lines
+    first (C4-style) so one candidate per row holds."""
+    t = F.col(text) if isinstance(text, str) else text
+    s = F.regexp_replace(F.regexp_replace(t, PHONE_RE, phone_token), IPV4_RE, ip_token)
+    cand = F.regexp_extract(s, CC16_RE, 0)
+    return F.when(
+        (cand != "") & luhn_valid(cand), F.replace(s, cand, F.lit(cc_token))
+    ).otherwise(s)

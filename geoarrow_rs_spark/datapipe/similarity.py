@@ -610,6 +610,61 @@ def ivfpq_topk(
 
 
 # ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    k_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+    clusters the embedding space, then cosine pairs are examined ONLY
+    within each cluster — a row is dropped when its cosine to any
+    lower-id member of the same cluster reaches ``threshold`` (the
+    deterministic keep-first policy; greedy, not transitive, so the
+    decision is a pure pairwise predicate restatable in SQL).
+
+    Scale shape: training touches only the k x d centroid matrix on the
+    driver; assignment is a broadcast join; candidate generation is a
+    self-equi-join on cluster id — pair count is sum over clusters of
+    |cluster|^2 / 2 rather than |corpus|^2 / 2, and k_clusters is the
+    knob that bounds it (at 100 TB pick k so the largest cell fits a
+    shuffle partition, exactly like the IVF cell sizing).
+
+    Output: (id_col, cid, kept) — one row per input row, kept=false for
+    dropped near-duplicates.
+    """
+    cents = kmeans_train(corpus, vec=vec, id_col=id_col, k=k_clusters, iters=iters)
+    cdf = _centroid_df(corpus.sparkSession, cents)
+    assigned = assign_clusters(corpus, cdf, vec=vec, id_col=id_col)
+    a = assigned.select(
+        F.col(id_col).alias("__aid"), F.col(vec).alias("__av"), "cid"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__bid"), F.col(vec).alias("__bv"), "cid"
+    )
+    sim = F.round(cosine_fast_expr(F.col("__av"), F.col("__bv")), 8)
+    dup_ids = (
+        a.join(b, on="cid")
+        .where(F.col("__aid") < F.col("__bid"))
+        .where(sim >= F.lit(float(threshold)))
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dup_ids.withColumn("__dup", F.lit(True)), on=id_col, how="left"
+    ).select(
+        id_col,
+        "cid",
+        F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # model persistence: train once, reuse across jobs
 # ---------------------------------------------------------------------------
 

@@ -1442,6 +1442,70 @@ FROM documents
 """
 
 
+def pipe_scrub_pii(spark, sf_dir):
+    """Luhn-validated PII scrubbing: phones and IPv4s by pattern, 16-digit
+    card numbers only when the Luhn mod-10 checksum passes (pure codegen —
+    the checksum is unrolled to 16 substring terms, no UDF). The synthetic
+    documents are digit-free, so the query plants one deterministic
+    phone/ip/card span per row from doc_id (identically in both engines);
+    card validity varies by id, so both the scrub and the skip paths are
+    exercised."""
+    from .datapipe import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    last4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" phone 555-123-"), last4,
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 card 411111111111"), last4,
+    )
+    scrubbed = sampling.scrub_pii(aug)
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        scrubbed.contains("<CC>").alias("cc_scrubbed"),
+    )
+
+
+def _luhn_sql(expr: str) -> str:
+    """DuckDB mirror of sampling.luhn_valid: the same 16-term unrolled
+    mod-10 sum (doubling at even 0-indexed positions for 16-digit input)."""
+    terms = []
+    for pos in range(16):
+        d = f"TRY_CAST(substr({expr}, {pos + 1}, 1) AS INT)"
+        if pos % 2 == 0:
+            terms.append(f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END)")
+        else:
+            terms.append(d)
+    total = " + ".join(terms)
+    return f"(length({expr}) = 16 AND COALESCE(({total}) % 10 = 0, FALSE))"
+
+
+ORACLE_PIPE_SCRUB_PII = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' phone 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 card 411111111111'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(t, '\\+?[0-9]{{3}}[- ][0-9]{{3}}[- ][0-9]{{4}}', '<PHONE>', 'g'),
+                        '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IP>', 'g') AS s
+  FROM aug
+), s2 AS (
+  SELECT doc_id, s, regexp_extract(s, '[0-9]{{16}}', 0) AS cand FROM s1
+), s3 AS (
+  SELECT doc_id,
+         CASE WHEN cand <> '' AND {_luhn_sql('cand')}
+              THEN replace(s, cand, '<CC>') ELSE s END AS sc
+  FROM s2
+)
+SELECT doc_id, md5(sc) AS scrubbed_md5, contains(sc, '<CC>') AS cc_scrubbed FROM s3
+"""
+
+
 def dedup_clusters_assignment(spark, sf_dir):
     """Near-duplicate clustering: connected components over banded-minhash
     candidate pairs (distributed min-label propagation), every document
@@ -3600,14 +3664,13 @@ def sim_kmeans_ivf_topk(spark, sf_dir):
     )
 
 
-def _kmeans_ivf_oracle_sql(k_clusters=8, iters=2, nprobe=2, k=5):
-    """Unrolled fixed-iteration Lloyd's in plain SQL: every Spark stage
-    (decimal distances, argmin with cid tie-break, exact-sum/count means,
-    probe, rerank) has a textually parallel CTE."""
+def _lloyds_ctes(k_clusters: int, iters: int) -> list:
+    """Shared CTE block replaying ``similarity.kmeans_train`` +
+    ``assign_clusters`` bit-exactly in SQL. Assumes a CTE named ``corpus``
+    (vec_id, embedding) is already defined; ends with ``af`` =
+    (vid, cid) final assignments on the trained centroids ``cent{iters}``."""
     d2 = "SUM(CAST(round((av - cv) * (av - cv), 12) AS DECIMAL(38,12))) AS d2"
     ctes = [
-        "corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8)",
-        "qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8)",
         f"""cent0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, embedding AS cvec
   FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT {k_clusters})
@@ -3656,6 +3719,22 @@ def _kmeans_ivf_oracle_sql(k_clusters=8, iters=2, nprobe=2, k=5):
     FROM df_
   ) WHERE rn = 1
 )""",
+    ]
+    return ctes
+
+
+def _kmeans_ivf_oracle_sql(k_clusters=8, iters=2, nprobe=2, k=5):
+    """Unrolled fixed-iteration Lloyd's in plain SQL: every Spark stage
+    (decimal distances, argmin with cid tie-break, exact-sum/count means,
+    probe, rerank) has a textually parallel CTE."""
+    d2 = "SUM(CAST(round((av - cv) * (av - cv), 12) AS DECIMAL(38,12))) AS d2"
+    fin = iters
+    ctes = [
+        "corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8)",
+        "qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8)",
+    ]
+    ctes += _lloyds_ctes(k_clusters, iters)
+    ctes += [
         f"""qt AS (
   SELECT q.vec_id AS qid, kk.cid,
          unnest(q.embedding)::DOUBLE AS av, unnest(kk.cvec)::DOUBLE AS cv
@@ -3689,6 +3768,43 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
 
 
 ORACLE_SIM_KMEANS_IVF = _kmeans_ivf_oracle_sql()
+
+
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    partitions the space (2 exact Lloyd's iterations), cosine pairs are
+    generated ONLY within clusters, and a row is dropped when cosine to a
+    lower-id cluster-mate >= 0.35 (keep-first). The oracle replays
+    training, assignment, and the pairwise threshold in unrolled CTEs."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(
+        e, k_clusters=8, iters=2, threshold=0.35
+    )
+    return out.select("vec_id", F.col("cid").cast("bigint").alias("cid"), "kept")
+
+
+def _semantic_dedup_oracle_sql(k_clusters=8, iters=2, threshold=0.35):
+    ctes = ["corpus AS (SELECT vec_id, embedding FROM embeddings)"]
+    ctes += _lloyds_ctes(k_clusters, iters)
+    ctes += [
+        f"""pairs AS (
+  SELECT a.vid AS aid, b.vid AS bid
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vid < b.vid
+  JOIN corpus ca ON a.vid = ca.vec_id
+  JOIN corpus cb ON b.vid = cb.vec_id
+  WHERE {_inorder_cosine_sql('ca.embedding', 'cb.embedding')} >= {threshold}
+)""",
+        "dups AS (SELECT DISTINCT bid FROM pairs)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT af.vid AS vec_id, af.cid, (dups.bid IS NULL) AS kept
+FROM af LEFT JOIN dups ON af.vid = dups.bid
+"""
+    )
+
+
+ORACLE_SIM_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
 
 
 def sim_ivfpq_topk(spark, sf_dir):
@@ -4774,6 +4890,7 @@ QUERIES = {
     "pipe_sample_split": (pipe_sample_split, ORACLE_PIPE_SAMPLE_SPLIT),
     "pipe_full_pipeline": (pipe_full_pipeline, ORACLE_PIPE_FULL),
     "pipe_scrub_text": (pipe_scrub_text, ORACLE_PIPE_SCRUB),
+    "pipe_scrub_pii": (pipe_scrub_pii, ORACLE_PIPE_SCRUB_PII),
     "pipe_decontaminate": (pipe_decontaminate, ORACLE_DECONTAM),
     "pipe_weighted_sample": (pipe_weighted_sample, ORACLE_PIPE_WEIGHTED),
     "pipe_pack_bins": (pipe_pack_bins, ORACLE_PACK),
@@ -4799,6 +4916,7 @@ QUERIES = {
     "sim_ivf_topk": (sim_ivf_topk, ORACLE_SIM_IVF_TOPK),
     "sim_knn_join": (sim_knn_join, ORACLE_SIM_KNN_JOIN),
     "sim_kmeans_ivf_topk": (sim_kmeans_ivf_topk, ORACLE_SIM_KMEANS_IVF),
+    "sim_semantic_dedup": (sim_semantic_dedup, ORACLE_SIM_SEMANTIC_DEDUP),
     "sim_ivfpq_topk": (sim_ivfpq_topk, ORACLE_SIM_IVFPQ),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),

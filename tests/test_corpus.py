@@ -205,6 +205,34 @@ def test_weighted_sample_properties(spark):
     assert heavy_hits > light_hits
 
 
+def test_luhn_and_pii_scrub(spark):
+    """Luhn validity on known cards (4111111111111111 and 5500005555555559
+    are textbook-valid; off-by-one check digits are not), and the scrubber
+    replaces phones/IPs always but cards only when Luhn passes."""
+    from geoarrow_rs_spark.datapipe.sampling import luhn_valid, scrub_pii
+
+    rows = [
+        Row(i=0, n="4111111111111111", want=True),
+        Row(i=1, n="4111111111111112", want=False),
+        Row(i=2, n="5500005555555559", want=True),
+        Row(i=3, n="5500005555555558", want=False),
+        Row(i=4, n="12345", want=False),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.i: r.v for r in df.select("i", luhn_valid("n").alias("v")).collect()}
+    assert got == {r.i: r.want for r in rows}
+
+    docs = spark.createDataFrame(
+        [
+            Row(i=0, t="call 555-123-4567 from 192.168.0.1 pay 4111111111111111 ok"),
+            Row(i=1, t="fake card 4111111111111112 stays"),
+        ]
+    )
+    out = {r.i: r.s for r in docs.select("i", scrub_pii("t").alias("s")).collect()}
+    assert out[0] == "call <PHONE> from <IP> pay <CC> ok"
+    assert out[1] == "fake card 4111111111111112 stays"
+
+
 def test_streaming_decontamination(spark, tmp_path, sf_dir):
     """Decontamination in continuous ingest: the benchmark n-gram set is a
     STATIC DataFrame joined against a streaming corpus (stream-static
