@@ -49,6 +49,47 @@ def word_ngrams(text, n: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# RAG-style chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks (the
+    retrieval/embedding prep step: chunk_tokens-sized windows every
+    ``stride`` tokens, overlap = chunk_tokens - stride). Fully native:
+    tokens via split, window starts via sequence, the explode is Spark's
+    UDTF — per-row work only, embarrassingly parallel, no shuffle at all.
+
+    Output: one row per chunk — (id_col, chunk_id, n_chunk_tokens,
+    chunk_text). A document shorter than one stride still yields chunk 0,
+    so every input row survives chunking (count conservation is testable).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda x: x != ""
+    )
+    d = df.withColumn("__tk", toks)
+    n = F.size(F.col("__tk"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = d.select(
+        F.col(id_col),
+        F.col("__tk"),
+        F.explode(starts).alias("__s"),
+    )
+    chunk = F.slice(F.col("__tk"), F.col("__s") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("__s") / F.lit(stride)).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 
@@ -250,6 +291,88 @@ def bm25_topk(
         top.withColumn("rank", F.row_number().over(w))
         .select(id_col, "doc_len", "bm25", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf sparse cosine retrieval
+# ---------------------------------------------------------------------------
+
+def tfidf_topk(
+    corpus: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents by tf-idf cosine to a bag-of-words query —
+    the classic sparse-vector retrieval complement to BM25. Weights:
+    w(doc, t) = tf * idf, w(query, t) = idf, idf = ln((N+1)/(df+1))
+    rounded to 12 dp (absorbing last-ulp libm differences so the score is
+    engine-exact); query terms absent from the corpus vocabulary carry no
+    weight (they cannot match any document).
+
+    Scale shape: (doc, word) counts are one explode + groupBy; idf is a
+    vocabulary-sized table equi-joined back on word (AQE handles skewed
+    words); the query vector and its norm are tiny broadcasts; every
+    accumulation is an order-independent decimal sum, and the final
+    selection is a distributed TakeOrderedAndProject, never a global sort.
+    """
+    spark = corpus.sparkSession
+    w = corpus.select(
+        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("word")
+    )
+    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    nn = corpus.agg(F.count(F.lit(1)).alias("__N"))
+    idf = dfreq.crossJoin(F.broadcast(nn)).select(
+        "word",
+        F.round(
+            F.log(
+                (F.col("__N").cast("double") + F.lit(1.0))
+                / (F.col("df").cast("double") + F.lit(1.0))
+            ),
+            12,
+        ).alias("idf"),
+    )
+    qdf = spark.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "word string"
+    )
+    qw = qdf.join(idf, on="word")
+    dec = "decimal(38,12)"
+    qnorm = qw.agg(
+        F.sqrt(
+            F.sum(F.round(F.col("idf") * F.col("idf"), 12).cast(dec)).cast("double")
+        ).alias("__qn")
+    )
+    wd = F.col("tf").cast("double") * F.col("idf")
+    dnorm = (
+        tf.join(idf, on="word")
+        .groupBy(id_col)
+        .agg(F.sqrt(F.sum(F.round(wd * wd, 12).cast(dec)).cast("double")).alias("__dn"))
+    )
+    num = (
+        tf.join(F.broadcast(qw.select("word", F.col("idf").alias("__qidf"))), on="word")
+        .join(idf, on="word")
+        .groupBy(id_col)
+        .agg(F.sum(F.round(wd * F.col("__qidf"), 12).cast(dec)).cast("double").alias("__num"))
+    )
+    den = F.col("__dn") * F.col("__qn")
+    scored = (
+        dnorm.join(num, on=id_col, how="left")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            id_col,
+            F.round(
+                F.when(den > 0, F.coalesce(F.col("__num"), F.lit(0.0)) / den)
+                .otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("cosine_tfidf"),
+        )
+    )
+    top = scored.orderBy(F.col("cosine_tfidf").desc(), F.col(id_col)).limit(k)
+    rw = Window.orderBy(F.col("cosine_tfidf").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(rw).cast("int"))
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ with md5, which is how the oracle checks it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def hash_uniform(key, salt: str = "sample") -> Column:
@@ -98,6 +98,31 @@ def scrub_text(text, email_token: str = "<EMAIL>", url_token: str = "<URL>") -> 
     t = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(
         F.regexp_replace(t, URL_RE, url_token), EMAIL_RE, email_token
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    n_per_stratum: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by the
+    deterministic hash rank — the balanced-mixture construction (equal
+    docs per language/source/quality bucket) that df.sampleBy's
+    per-partition RNG can't reproduce across engines or reruns.
+
+    One shuffle keyed by stratum. With few huge strata, pre-filter with
+    ``hash_uniform(key) < (n * safety) / |stratum|`` first so the window
+    ranks a small superset instead of the full stratum, then apply this
+    exact selection to the survivors."""
+    u = hash_uniform(key, salt)
+    w = Window.partitionBy(stratum).orderBy(u.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__srn", F.row_number().over(w))
+        .where(F.col("__srn") <= n_per_stratum)
+        .drop("__srn")
     )
 
 

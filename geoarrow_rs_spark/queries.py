@@ -1506,6 +1506,141 @@ SELECT doc_id, md5(sc) AS scrubbed_md5, contains(sc, '<CC>') AS cc_scrubbed FROM
 """
 
 
+def text_chunks(spark, sf_dir):
+    """RAG chunking: 32-token windows every 24 tokens (8-token overlap),
+    one output row per chunk with its exact token count and content hash.
+    Pure per-row codegen (split + sequence + explode + slice) — no
+    shuffle; the chunk table is the input to embedding/indexing stages."""
+    d = _t(spark, sf_dir, "documents")
+    from .datapipe import corpus
+
+    out = corpus.chunk_documents(d, chunk_tokens=32, stride=24)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+ORACLE_TEXT_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), ex AS (
+  SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 1, 0) + 1, 24)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s // 24 AS INT) AS chunk_id,
+       CAST(len(tk[(s + 1):(s + 32)]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(tk[(s + 1):(s + 32)], ' ')) AS chunk_md5
+FROM ex
+"""
+
+
+def pipe_stratified_sample(spark, sf_dir):
+    """Stratified sampling: exactly 30 docs per language, ranked by the
+    deterministic md5 hash-uniform (stable across reruns, partitionings,
+    and engines). The balanced-corpus construction step for mixture
+    training."""
+    from .datapipe import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, "doc_id", "lang", 30).select("doc_id", "lang")
+
+
+ORACLE_PIPE_STRATIFIED = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY
+            CAST(concat('0x', substr(md5(concat('strat:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0,
+            doc_id) AS rn
+  FROM documents
+) WHERE rn <= 30
+"""
+
+
+def events_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-active day, distinct
+    users counted per (cohort day, day offset) — the classic engagement
+    matrix. Day arithmetic is exact int64-ns integer division; the
+    cohort join keys on user_id, the same key as the groupBy that
+    produced it, so the cohort table arrives pre-shuffled (no extra
+    exchange at scale)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000")
+    ud = e.select("user_id", day.alias("day")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(cohort, on="user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+),
+coh AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day, u.day - c.cohort_day AS day_offset,
+       COUNT(DISTINCT u.user_id) AS n_users
+FROM ud u JOIN coh c ON u.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+TFIDF_QUERY_TERMS = ["join", "spark", "window"]
+
+
+def text_tfidf_topk(spark, sf_dir):
+    """tf-idf sparse cosine retrieval (corpus.tfidf_topk): top-20 docs for
+    a 3-term query. idf rounded to 12 dp, decimal-accumulated numerator
+    and norms, distributed top-k — the oracle rebuilds the same sparse
+    weighting in SQL."""
+    from .datapipe import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.tfidf_topk(d, TFIDF_QUERY_TERMS, k=20)
+
+
+ORACLE_TEXT_TFIDF = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+idf AS (
+  SELECT word, round(ln((n + 1.0) / (df + 1.0)), 12) AS idf
+  FROM dfreq CROSS JOIN nn
+),
+qt AS (SELECT unnest({TFIDF_QUERY_TERMS!r}) AS word),
+qw AS (SELECT q.word, i.idf FROM qt q JOIN idf i ON q.word = i.word),
+qnorm AS (
+  SELECT sqrt(CAST(SUM(CAST(round(idf * idf, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS qn
+  FROM qw
+),
+dnorm AS (
+  SELECT t.doc_id,
+         sqrt(CAST(SUM(CAST(round((t.tf * i.idf) * (t.tf * i.idf), 12) AS DECIMAL(38,12))) AS DOUBLE)) AS dn
+  FROM tf t JOIN idf i ON t.word = i.word GROUP BY t.doc_id
+),
+num AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(round((t.tf * i.idf) * q.idf, 12) AS DECIMAL(38,12))) AS DOUBLE) AS num
+  FROM tf t JOIN qw q ON t.word = q.word JOIN idf i ON t.word = i.word
+  GROUP BY t.doc_id
+)
+SELECT doc_id, cosine_tfidf, CAST(row_number() OVER (ORDER BY cosine_tfidf DESC, doc_id) AS INT) AS rank
+FROM (
+  SELECT d.doc_id,
+         round(CASE WHEN d.dn * q.qn > 0 THEN COALESCE(n.num, 0.0) / (d.dn * q.qn) ELSE 0.0 END, 6) AS cosine_tfidf
+  FROM dnorm d LEFT JOIN num n ON d.doc_id = n.doc_id CROSS JOIN qnorm q
+  ORDER BY cosine_tfidf DESC, d.doc_id LIMIT 20
+)
+"""
+
+
 def dedup_clusters_assignment(spark, sf_dir):
     """Near-duplicate clustering: connected components over banded-minhash
     candidate pairs (distributed min-label propagation), every document
@@ -3770,6 +3905,71 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
 ORACLE_SIM_KMEANS_IVF = _kmeans_ivf_oracle_sql()
 
 
+def sim_quantized_topk(spark, sf_dir):
+    """int8 scalar-quantized brute-force top-k: per-dim max-abs scales
+    from the corpus, symmetric round-to-127 encode, EXACT int64 dot
+    products (no float accumulation anywhere in the score), quantized
+    cosine rank. Oracle replays scale/encode/score in list SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    corpus = e.where(F.col("vec_id") >= 8)
+    out = similarity.quantized_topk(q, corpus, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "qcosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _qdot_sql(a: str, b: str) -> str:
+    return (
+        f"COALESCE(list_sum(list_transform(range(0, len({a})), "
+        f"i -> CAST({a}[CAST(i AS INT) + 1] AS BIGINT) * "
+        f"CAST({b}[CAST(i AS INT) + 1] AS BIGINT))), 0)"
+    )
+
+
+_QENC = (
+    "list_transform(range(0, len({v})), i -> CASE "
+    "WHEN ma[CAST(i AS INT) + 1] > 0 THEN "
+    "CAST(round(CAST({v}[CAST(i AS INT) + 1] AS DOUBLE) / ma[CAST(i AS INT) + 1] * 127.0, 0) AS INT) "
+    "ELSE 0 END)"
+)
+
+ORACLE_SIM_QUANTIZED = f"""
+WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+ex AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         abs(unnest(embedding)::DOUBLE) AS val
+  FROM c
+),
+am AS (SELECT dim, MAX(val) AS m FROM ex GROUP BY dim),
+amax AS (SELECT list(m ORDER BY dim) AS ma FROM am),
+qq AS (
+  SELECT vec_id AS query_id, {_QENC.format(v='embedding')} AS qv
+  FROM q CROSS JOIN amax
+),
+cq AS (
+  SELECT vec_id AS neighbor_id, {_QENC.format(v='embedding')} AS cv
+  FROM c CROSS JOIN amax
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(CAST({_qdot_sql('qv', 'qv')} AS DOUBLE))
+                         * sqrt(CAST({_qdot_sql('cv', 'cv')} AS DOUBLE)) > 0
+                    THEN CAST({_qdot_sql('qv', 'cv')} AS DOUBLE)
+                         / (sqrt(CAST({_qdot_sql('qv', 'qv')} AS DOUBLE))
+                            * sqrt(CAST({_qdot_sql('cv', 'cv')} AS DOUBLE)))
+                    ELSE 0.0 END, 8) AS qcosine
+  FROM qq CROSS JOIN cq
+)
+SELECT query_id, neighbor_id, qcosine, CAST(rn AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id, qcosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
 def sim_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
     partitions the space (2 exact Lloyd's iterations), cosine pairs are
@@ -4891,10 +5091,13 @@ QUERIES = {
     "pipe_full_pipeline": (pipe_full_pipeline, ORACLE_PIPE_FULL),
     "pipe_scrub_text": (pipe_scrub_text, ORACLE_PIPE_SCRUB),
     "pipe_scrub_pii": (pipe_scrub_pii, ORACLE_PIPE_SCRUB_PII),
+    "pipe_stratified_sample": (pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
     "pipe_decontaminate": (pipe_decontaminate, ORACLE_DECONTAM),
     "pipe_weighted_sample": (pipe_weighted_sample, ORACLE_PIPE_WEIGHTED),
     "pipe_pack_bins": (pipe_pack_bins, ORACLE_PACK),
     "text_bm25_topk": (text_bm25_topk, ORACLE_BM25),
+    "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
+    "text_tfidf_topk": (text_tfidf_topk, ORACLE_TEXT_TFIDF),
     "text_c4_clean": (text_c4_clean, ORACLE_C4),
     "text_repetition": (text_repetition, ORACLE_REPETITION),
     "text_tokens": (text_tokens, ORACLE_TEXT_TOKENS),
@@ -4917,6 +5120,7 @@ QUERIES = {
     "sim_knn_join": (sim_knn_join, ORACLE_SIM_KNN_JOIN),
     "sim_kmeans_ivf_topk": (sim_kmeans_ivf_topk, ORACLE_SIM_KMEANS_IVF),
     "sim_semantic_dedup": (sim_semantic_dedup, ORACLE_SIM_SEMANTIC_DEDUP),
+    "sim_quantized_topk": (sim_quantized_topk, ORACLE_SIM_QUANTIZED),
     "sim_ivfpq_topk": (sim_ivfpq_topk, ORACLE_SIM_IVFPQ),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
@@ -4929,6 +5133,7 @@ QUERIES = {
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),
     "events_windowed_topk": (events_windowed_topk, ORACLE_EVENTS_TOPK),
+    "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
     "mm_image_brightness": (mm_image_brightness, ORACLE_MM_BRIGHTNESS),
