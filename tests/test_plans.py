@@ -422,3 +422,55 @@ def test_catalog_wide_no_unintended_cartesian(spark, sf_dir):
             # allowlist entry no longer crosses — tighten the list
             bad[name] = "allowlisted but no cross join found (remove from allowlist)"
     assert not bad, bad
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """RAG chunking is per-row work only: the whole plan (split, sequence,
+    explode, slice) must contain no Exchange and no Python eval."""
+    from geoarrow_rs_spark.datapipe.corpus import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(chunk_documents(d))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_pairs_are_equi_join(spark, sf_dir):
+    """SemDeDup candidate pairs come from a cluster-id equi-join — never a
+    cartesian over the corpus. Centroid assignment is the one deliberate
+    broadcast NLJ (tiny k x d table); everything else is equi."""
+    from geoarrow_rs_spark.datapipe.similarity import semantic_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(semantic_dedup(e, k_clusters=4, iters=1))
+    assert "CartesianProduct" not in plan
+    # cid self-join planned as a real equi-join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_and_quantized_native_no_cartesian(spark, sf_dir):
+    """tf-idf and int8-quantized scoring stay fully native (no Python
+    eval) and plan no CartesianProduct — their cross joins are all
+    broadcast single-row/tiny tables (BroadcastNestedLoopJoin)."""
+    from geoarrow_rs_spark.datapipe.corpus import tfidf_topk
+    from geoarrow_rs_spark.datapipe.similarity import quantized_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 4)
+    c = e.where(F.col("vec_id") >= 4)
+    for df in (tfidf_topk(d, ["spark", "join"], k=5), quantized_topk(q, c, k=3)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_single_exchange(spark, sf_dir):
+    """Per-stratum sampling shuffles once on the stratum key (the window)
+    and nothing else."""
+    from geoarrow_rs_spark.datapipe.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(stratified_sample(d, "doc_id", "lang", 5))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
