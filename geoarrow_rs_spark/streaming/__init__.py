@@ -4,6 +4,7 @@ from .ops import (
     streaming_asof_join,
     streaming_minhash_pairs,
     streaming_dedup,
+    streaming_running_counts,
     windowed_counts,
     windowed_extent,
 )
@@ -16,4 +17,5 @@ __all__ = [
     "streaming_asof_join",
     "streaming_minhash_pairs",
     "streaming_dedup",
+    "streaming_running_counts",
 ]

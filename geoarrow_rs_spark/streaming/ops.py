@@ -381,3 +381,41 @@ def streaming_spatial_join(
     if static.isStreaming:
         raise ValueError("streaming_spatial_join: static side must not stream")
     return spatial_join(stream, static, **kwargs)
+
+
+def streaming_running_counts(
+    df: DataFrame,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Stateful running counters per key across micro-batches — the
+    streaming heavy-hitters / rate-monitor building block. Per-key state
+    holds one cumulative count; every micro-batch in which a key appears
+    emits (key, running_count) reflecting ALL rows seen so far, so the
+    latest emission per key IS the current total (downstream keeps the
+    max or the last by trigger time). State size is O(distinct keys) —
+    the same scaling law as any keyed aggregation.
+
+    Batch inputs degenerate to a plain groupBy count (identical totals,
+    single emission)."""
+    if not df.isStreaming:
+        return df.groupBy(key_col).agg(F.count(F.lit(1)).alias("running_count"))
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def counts_fn(key, pdfs, state):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        prev = int(state.get[0]) if state.exists else 0
+        total = prev + n
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "running_count": [total]})
+
+    return df.select(key_col).groupBy(key_col).applyInPandasWithState(
+        counts_fn,
+        outputStructType=f"{key_col} string, running_count long",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

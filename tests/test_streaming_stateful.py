@@ -579,3 +579,53 @@ def test_streaming_hex_heatmap(spark, tmp_path):
         for row in spark.sql("SELECT * FROM hex_heat").collect()
     )
     assert got == expected
+
+
+def test_streaming_running_counts_state_carry(spark, tmp_path):
+    """Running per-key counters must accumulate ACROSS micro-batches: with
+    one file per trigger, the last emission per key equals the batch-mode
+    total, and keys recurring in several batches emit increasing counts."""
+    from geoarrow_rs_spark.streaming import streaming_running_counts
+
+    src = os.path.join(str(tmp_path), "hh_src")
+    spark.createDataFrame(
+        [Row(event_type="view"), Row(event_type="view"), Row(event_type="click")]
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [Row(event_type="view"), Row(event_type="buy")]
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [Row(event_type="view"), Row(event_type="click")]
+    ).write.mode("append").parquet(src)
+
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_running_counts(stream, "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+    final = {}
+    seen_increasing = True
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["event_type"], []).append(r["running_count"])
+    for k, v in per_key.items():
+        if v != sorted(v) or len(set(v)) != len(v):
+            seen_increasing = False
+        final[k] = max(v)
+    assert seen_increasing, per_key
+    expected = {
+        r["event_type"]: r["running_count"]
+        for r in streaming_running_counts(batch, "event_type").collect()
+    }
+    assert final == expected, (final, expected)
+    # the recurring key emitted once per batch it appeared in
+    assert len(per_key.get("view", [])) >= 2
