@@ -33,6 +33,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "text_fingerprint",
     "sim_cosine_topk",
+    "text_tfidf_topk",
+    "sim_quantized_topk",
+    "text_chunks",
     "events_hourly",
     "events_geo_extent",
     "events_sessions",

@@ -318,57 +318,101 @@ def tfidf_topk(
     accumulation is an order-independent decimal sum, and the final
     selection is a distributed TakeOrderedAndProject, never a global sort.
     """
-    spark = corpus.sparkSession
-    w = corpus.select(
-        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("word")
+    terms = sorted(set(query_terms))
+    base = corpus.select(F.col(id_col), words_of(F.col(text_col)).alias("__w"))
+
+    # ONE corpus pass (array scans, no explode) yields everything the query
+    # side needs: N plus the per-term document frequencies. Collapses to a
+    # single broadcast row — the query vector, its idfs and its norm all
+    # derive from it without touching the corpus again.
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N"),
+        *[
+            F.sum(
+                (F.size(F.filter(F.col("__w"), lambda x: x == F.lit(t))) > 0).cast("long")
+            ).alias(f"__df{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    nn = corpus.agg(F.count(F.lit(1)).alias("__N"))
-    idf = dfreq.crossJoin(F.broadcast(nn)).select(
-        "word",
-        F.round(
+
+    def _idf(df_col):
+        return F.round(
             F.log(
                 (F.col("__N").cast("double") + F.lit(1.0))
-                / (F.col("df").cast("double") + F.lit(1.0))
+                / (df_col.cast("double") + F.lit(1.0))
             ),
             12,
-        ).alias("idf"),
+        )
+
+    # query terms absent from the corpus vocabulary carry no weight
+    # (df = 0 -> dropped, mirroring the oracle's inner join against idf)
+    dec_small = "decimal(20,12)"  # scale-preserving additions (no 38+38 -> scale 11)
+    qn_sum = None
+    for i in range(len(terms)):
+        term = F.when(
+            F.col(f"__df{i}") > 0,
+            F.round(_idf(F.col(f"__df{i}")) * _idf(F.col(f"__df{i}")), 12).cast(dec_small),
+        ).otherwise(F.lit(0).cast(dec_small))
+        qn_sum = term if qn_sum is None else (qn_sum + term).cast(dec_small)
+    qrow = stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("word"),
+                        F.when(F.col(f"__df{i}") > 0, _idf(F.col(f"__df{i}"))).alias("__qidf"),
+                    )
+                    for i, t in enumerate(terms)
+                ]
+            )
+        ).alias("__q"),
+        F.sqrt(qn_sum.cast("double")).alias("__qn"),
+    ).select(F.col("__q.word").alias("word"), F.col("__q.__qidf").alias("__qidf"), "__qn")
+    qw = qrow.where(F.col("__qidf").isNotNull())
+
+    # corpus side: ONE explode; document frequency via a word-partitioned
+    # window over tf (no vocabulary self-join), N via the broadcast stats row
+    tf = (
+        base.select(F.col(id_col), F.explode(F.col("__w")).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    qdf = spark.createDataFrame(
-        [(t,) for t in sorted(set(query_terms))], "word string"
+    dfw = tf.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+    ).crossJoin(F.broadcast(stats.select("__N")))
+    idf = F.round(
+        F.log(
+            (F.col("__N").cast("double") + F.lit(1.0))
+            / (F.col("__df").cast("double") + F.lit(1.0))
+        ),
+        12,
     )
-    qw = qdf.join(idf, on="word")
+    wd = F.col("tf").cast("double") * F.col("__idf")
     dec = "decimal(38,12)"
-    qnorm = qw.agg(
-        F.sqrt(
-            F.sum(F.round(F.col("idf") * F.col("idf"), 12).cast(dec)).cast("double")
-        ).alias("__qn")
+    zero = F.lit(0).cast(dec)
+    joined = dfw.withColumn("__idf", idf).join(
+        F.broadcast(qw), on="word", how="left"
     )
-    wd = F.col("tf").cast("double") * F.col("idf")
-    dnorm = (
-        tf.join(idf, on="word")
-        .groupBy(id_col)
-        .agg(F.sqrt(F.sum(F.round(wd * wd, 12).cast(dec)).cast("double")).alias("__dn"))
-    )
-    num = (
-        tf.join(F.broadcast(qw.select("word", F.col("idf").alias("__qidf"))), on="word")
-        .join(idf, on="word")
-        .groupBy(id_col)
-        .agg(F.sum(F.round(wd * F.col("__qidf"), 12).cast(dec)).cast("double").alias("__num"))
+    per_doc = joined.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.round(wd * wd, 12).cast(dec)).cast("double")).alias("__dn"),
+        F.sum(
+            F.when(
+                F.col("__qidf").isNotNull(),
+                F.round(wd * F.col("__qidf"), 12).cast(dec),
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("__num"),
+        F.first("__qn", ignorenulls=True).alias("__qn"),
     )
     den = F.col("__dn") * F.col("__qn")
-    scored = (
-        dnorm.join(num, on=id_col, how="left")
-        .crossJoin(F.broadcast(qnorm))
-        .select(
-            id_col,
-            F.round(
-                F.when(den > 0, F.coalesce(F.col("__num"), F.lit(0.0)) / den)
-                .otherwise(F.lit(0.0)),
-                round_to,
-            ).alias("cosine_tfidf"),
-        )
+    scored = per_doc.select(
+        id_col,
+        F.round(
+            F.when(den > 0, F.coalesce(F.col("__num"), F.lit(0.0)) / den)
+            .otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("cosine_tfidf"),
     )
     top = scored.orderBy(F.col("cosine_tfidf").desc(), F.col(id_col)).limit(k)
     rw = Window.orderBy(F.col("cosine_tfidf").desc(), F.col(id_col))
