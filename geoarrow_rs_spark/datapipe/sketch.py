@@ -1,0 +1,51 @@
+"""Deterministic cardinality sketching: K-Minimum-Values (KMV).
+
+Unlike HLL (whose register layouts differ per engine, so results can never
+be oracle-checked), the KMV estimator is a pure function of the data:
+hash every key to a uniform in [0,1), keep the k smallest DISTINCT hash
+values per group, estimate distinct = (k-1) / h_k where h_k is the k-th
+minimum (Bar-Yossef et al. 2002). With the md5-derived hash this is
+bit-reproducible in any engine — the estimator itself is the oracle.
+
+Scale shape: the heavy step is the distinct of (group, hash). When a
+lower bound n_min on per-group cardinality is known, pass
+``prefilter = c * k / n_min`` (c ~ 4-10 safety): hashes above the
+threshold cannot be among the k minima when n >= n_min, so the distinct
+and the rank window see only ~c*k rows per group instead of n — the
+sketch's bandwidth win without a custom UDAF. With no bound, this is an
+exact-distinct-cost estimator whose value is the *mergeability* of the
+per-group minima (union of KMV sets = KMV of the union).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .sampling import hash_uniform
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key: str,
+    group_cols: list,
+    k: int = 16,
+    salt: str = "kmv",
+    prefilter: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate. Output: group_cols +
+    (n_seen, est_distinct). Groups with fewer than k distinct hashes are
+    exact (est = n_seen)."""
+    per = df.select(*group_cols, hash_uniform(key, salt).alias("__h"))
+    if prefilter is not None:
+        per = per.where(F.col("__h") < F.lit(float(prefilter)))
+    per = per.distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__h").asc())
+    ranked = per.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("__h").alias("__hk")
+    )
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) / F.col("__hk"), round_to))
+    return agg.select(*group_cols, "n_seen", est.alias("est_distinct"))

@@ -1591,6 +1591,83 @@ GROUP BY 1, 2
 """
 
 
+def events_interval_join(spark, sf_dir):
+    """Banded interval join (join.interval.interval_join): every event
+    within the 5 minutes following an error event, across ALL users — a
+    pure interval-overlap join with no equi key. Left intervals explode
+    to the time bins they cover, right points key to their single bin, so
+    the join is a plain bin equi-join + codegen refine (each pair meets
+    in exactly one bin — no dedup). Output: per error event, the count of
+    trailing events and the min lag. Oracle is the brute-force
+    inequality join — an independent algorithm."""
+    from .join.interval import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    ns5m = 300 * 1_000_000_000
+    errs = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.lit(ns5m)).alias("err_end"),
+    )
+    pts = e.select(F.col("event_id").alias("evt_id"), F.col("ts").alias("evt_ts"))
+    joined = interval_join(
+        errs, pts, "err_ts", "err_end", "evt_ts", bin_width=ns5m, closed="right"
+    )
+    return joined.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_trailing"),
+        F.min(F.col("evt_ts") - F.col("err_ts")).alias("min_lag_ns"),
+    )
+
+
+ORACLE_EVENTS_INTERVAL = """
+SELECT a.event_id AS err_id, COUNT(*) AS n_trailing,
+       MIN(epoch_ns(b.ts) - epoch_ns(a.ts)) AS min_lag_ns
+FROM events a JOIN events b
+  ON epoch_ns(b.ts) > epoch_ns(a.ts)
+ AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 300000000000
+WHERE a.event_type = 'error'
+GROUP BY a.event_id
+"""
+
+
+def events_kmv_distinct(spark, sf_dir):
+    """KMV distinct-user sketch per event type (datapipe.sketch): k=16
+    minimum md5-hash values, estimate (k-1)/h_k — deterministic, so the
+    ESTIMATOR itself is oracle-checked (impossible with HLL), alongside
+    the exact distinct for accuracy reading."""
+    from .datapipe import sketch
+
+    e = _t(spark, sf_dir, "events")
+    est = sketch.kmv_distinct(e, "user_id", ["event_type"], k=16)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, on="event_type")
+
+
+ORACLE_EVENTS_KMV = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(concat('kmv:', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS hh
+  FROM events
+), r AS (
+  SELECT event_type, hh,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+  FROM h
+), t AS (
+  SELECT event_type, COUNT(*) AS n_seen, MAX(hh) AS hk
+  FROM r WHERE rn <= 16 GROUP BY event_type
+), x AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY event_type
+)
+SELECT t.event_type, t.n_seen,
+       CASE WHEN t.n_seen < 16 THEN CAST(t.n_seen AS DOUBLE)
+            ELSE round(15.0 / t.hk, 6) END AS est_distinct,
+       x.exact_distinct
+FROM t JOIN x ON t.event_type = x.event_type
+"""
+
+
 TFIDF_QUERY_TERMS = ["join", "spark", "window"]
 
 
@@ -5134,6 +5211,8 @@ QUERIES = {
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),
     "events_windowed_topk": (events_windowed_topk, ORACLE_EVENTS_TOPK),
     "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
+    "events_interval_join": (events_interval_join, ORACLE_EVENTS_INTERVAL),
+    "events_kmv_distinct": (events_kmv_distinct, ORACLE_EVENTS_KMV),
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
     "mm_image_brightness": (mm_image_brightness, ORACLE_MM_BRIGHTNESS),

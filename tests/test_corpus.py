@@ -308,3 +308,58 @@ def test_corpus_cleaning_composes_with_streaming(spark, tmp_path, sf_dir):
     want = clean(batch).collect()
     assert len(got) == len(want) > 0
     assert {r.doc_id for r in got} == {r.doc_id for r in want}
+
+
+def test_interval_join_matches_naive(spark):
+    """Banded interval join == brute-force inequality join on a small
+    crafted set, for all three inclusivity modes, including intervals
+    spanning many bins and bin-boundary timestamps."""
+    from geoarrow_rs_spark.join.interval import interval_join
+
+    lefts = spark.createDataFrame(
+        [Row(lid=i, lo=s, hi=e) for i, (s, e) in enumerate(
+            [(0, 10), (5, 25), (30, 30), (17, 18), (0, 100)]
+        )]
+    )
+    rights = spark.createDataFrame(
+        [Row(rid=j, ts=t) for j, t in enumerate([0, 5, 10, 11, 20, 30, 99, 100, 101])]
+    )
+    for closed in ("right", "left", "both"):
+        got = {
+            (r.lid, r.rid)
+            for r in interval_join(lefts, rights, "lo", "hi", "ts", 7, closed=closed).collect()
+        }
+        rows_l = lefts.collect()
+        rows_r = rights.collect()
+        want = set()
+        for l in rows_l:
+            for r in rows_r:
+                ok = (
+                    l.lo < r.ts <= l.hi if closed == "right"
+                    else l.lo <= r.ts < l.hi if closed == "left"
+                    else l.lo <= r.ts <= l.hi
+                )
+                if ok:
+                    want.add((l.lid, r.rid))
+        assert got == want, (closed, got ^ want)
+
+
+def test_kmv_prefilter_equivalence(spark, sf_dir):
+    """With a prefilter threshold above every k-th minimum, the KMV
+    estimate is unchanged — the bandwidth cut is lossless."""
+    from geoarrow_rs_spark.datapipe.sketch import kmv_distinct
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "user_id")
+    full = {
+        (r.event_type): (r.n_seen, r.est_distinct)
+        for r in kmv_distinct(e, "user_id", ["event_type"], k=8).collect()
+    }
+    cut = {
+        (r.event_type): (r.n_seen, r.est_distinct)
+        for r in kmv_distinct(e, "user_id", ["event_type"], k=8, prefilter=0.5).collect()
+    }
+    assert full == cut
+    # estimator sanity: within a loose factor of the exact count
+    exact = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    for t, (_, est) in full.items():
+        assert 0.3 * exact[t] <= est <= 3 * exact[t], (t, est, exact[t])

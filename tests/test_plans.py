@@ -474,3 +474,14 @@ def test_stratified_sample_single_exchange(spark, sf_dir):
     plan = _plan(stratified_sample(d, "doc_id", "lang", 5))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_interval_join_is_bin_equi_join(spark, sf_dir):
+    """The banded interval join must plan a real equi-join on the bin key
+    — never a BroadcastNestedLoopJoin over the raw inequality (the naive
+    plan Catalyst produces for range predicates)."""
+    from geoarrow_rs_spark.queries import events_interval_join
+
+    plan = _plan(events_interval_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
