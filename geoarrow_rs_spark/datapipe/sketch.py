@@ -49,3 +49,55 @@ def kmv_distinct(
         F.col("n_seen") < k, F.col("n_seen").cast("double")
     ).otherwise(F.round(F.lit(float(k - 1)) / F.col("__hk"), round_to))
     return agg.select(*group_cols, "n_seen", est.alias("est_distinct"))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: str,
+    group_cols: list,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    round_to: int = 6,
+) -> DataFrame:
+    """Fixed-range histogram quantile estimates per group: values bin into
+    ``n_bins`` equal-width buckets over [lo, hi] (clamped), the quantile
+    is linearly interpolated inside the first bucket whose cumulative
+    count reaches q * total. Per-group state is n_bins counters —
+    constant, mergeable, one shuffle — the deterministic cousin of
+    t-digest/percentile_approx whose result an oracle can replay exactly
+    (their merge orders are engine-private). Error is bounded by the bin
+    width; pick the range from domain knowledge or a prior min/max pass.
+
+    Output: group_cols + (q, est).
+    """
+    width = (float(hi) - float(lo)) / int(n_bins)
+    v = F.col(value).cast("double")
+    b = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
+    bin_col = F.least(F.lit(int(n_bins) - 1), F.greatest(F.lit(0), b))
+    hist = df.groupBy(*group_cols, bin_col.alias("__bin")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__bin")
+    cum = hist.withColumn("__cum", F.sum("__cnt").over(w))
+    tot = hist.groupBy(*group_cols).agg(F.sum("__cnt").alias("__total"))
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    thresh = F.col("q") * F.col("__total").cast("double")
+    first = (
+        cum.join(tot, on=group_cols)
+        .select(*group_cols, "__bin", "__cnt", "__cum", "__total", qcol)
+        .where(F.col("__cum").cast("double") >= thresh)
+        .groupBy(*group_cols, "q")
+        .agg(F.min(F.struct("__bin", "__cum", "__cnt", "__total")).alias("__f"))
+    )
+    qt = F.col("q") * F.col("__f.__total").cast("double")
+    cum_before = (F.col("__f.__cum") - F.col("__f.__cnt")).cast("double")
+    frac = (qt - cum_before) / F.col("__f.__cnt").cast("double")
+    est = F.round(
+        F.lit(float(lo))
+        + (F.col("__f.__bin").cast("double") + F.greatest(F.lit(0.0), frac))
+        * F.lit(width),
+        round_to,
+    )
+    return first.select(*group_cols, "q", est.alias("est"))

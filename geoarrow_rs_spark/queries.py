@@ -1668,6 +1668,49 @@ FROM t JOIN x ON t.event_type = x.event_type
 """
 
 
+def events_value_quantiles(spark, sf_dir):
+    """Histogram quantile sketch (datapipe.sketch.histogram_quantiles):
+    p50/p90/p99 of the value column per event type from 64 fixed-width
+    buckets over [0, 600] — constant per-group state, one shuffle,
+    linear interpolation inside the crossing bucket. Deterministic, so
+    the whole estimator is oracle-replayed (percentile_approx/t-digest
+    merges are engine-private and never could be)."""
+    from .datapipe import sketch
+
+    e = _t(spark, sf_dir, "events")
+    return sketch.histogram_quantiles(
+        e, "value", ["event_type"], lo=0.0, hi=600.0, n_bins=64,
+        quantiles=(0.5, 0.9, 0.99),
+    )
+
+
+ORACLE_EVENTS_HIST_QUANTILES = """
+WITH h AS (
+  SELECT event_type,
+         least(63, greatest(0, CAST(floor((CAST(value AS DOUBLE) - 0.0) / 9.375) AS INT))) AS bin
+  FROM events
+), hist AS (SELECT event_type, bin, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM hist
+),
+tot AS (SELECT event_type, SUM(cnt) AS total FROM hist GROUP BY 1),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+cand AS (
+  SELECT c.event_type, q.q, c.bin, c.cnt, c.cum, t.total,
+         row_number() OVER (PARTITION BY c.event_type, q.q ORDER BY c.bin) AS rn
+  FROM cum c JOIN tot t ON c.event_type = t.event_type CROSS JOIN qs q
+  WHERE CAST(c.cum AS DOUBLE) >= q.q * CAST(t.total AS DOUBLE)
+)
+SELECT event_type, q,
+       round(0.0 + (CAST(bin AS DOUBLE)
+                    + greatest(0.0, (q * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                               / CAST(cnt AS DOUBLE))) * 9.375, 6) AS est
+FROM cand WHERE rn = 1
+"""
+
+
 TFIDF_QUERY_TERMS = ["join", "spark", "window"]
 
 
@@ -1746,6 +1789,59 @@ best AS (SELECT node, MIN(label) AS cl FROM cc GROUP BY node)
 SELECT d.doc_id, COALESCE(best.cl, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN best ON d.doc_id = best.node
 """
+
+
+def dedup_graph_pagerank(spark, sf_dir):
+    """PageRank over the near-duplicate candidate graph (datapipe.graph):
+    3 power iterations, damping 0.85, decimal-accumulated contributions —
+    the duplication-centrality quality signal, bit-reproducible because
+    every float op sequence is fixed. Oracle unrolls the rounds in CTEs
+    over the same banded-minhash pair graph."""
+    from .datapipe import graph
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    )
+    return graph.pagerank(d, pairs, id_col="doc_id", iters=3, damping=0.85)
+
+
+def _pagerank_oracle_sql(iters=3, damping=0.85):
+    d = repr(float(damping))
+    one_minus_d = repr(1.0 - float(damping))  # Python's 1.0-0.85 bit pattern
+    ctes = [
+        _minhash_pairs_cte(),
+        """e0 AS (
+  SELECT DISTINCT CAST(a_id AS BIGINT) AS src, CAST(b_id AS BIGINT) AS dst
+  FROM pairs WHERE a_id <> b_id
+)""",
+        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)",
+        "deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src)",
+        "allnodes AS (SELECT CAST(doc_id AS BIGINT) AS node, (SELECT COUNT(*) FROM documents) AS N FROM documents)",
+        "pr0 AS (SELECT node, round(1.0 / CAST(N AS DOUBLE), 12) AS pr FROM allnodes)",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"""c{i} AS (
+  SELECT e.dst AS node,
+         CAST(round(p.pr / CAST(d.dg AS DOUBLE), 12) AS DECIMAL(38,12)) AS c
+  FROM e JOIN deg d ON e.src = d.src JOIN pr{i} p ON e.src = p.node
+)""",
+            f"s{i} AS (SELECT node, SUM(c) AS s FROM c{i} GROUP BY node)",
+            f"""pr{i + 1} AS (
+  SELECT b.node,
+         round({one_minus_d} / CAST(b.N AS DOUBLE)
+               + {d} * COALESCE(CAST(s.s AS DOUBLE), 0.0), 12) AS pr
+  FROM allnodes b LEFT JOIN s{i} s ON b.node = s.node
+)""",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, pr FROM pr{iters}\n"
+    )
+
+
+ORACLE_DEDUP_PAGERANK = _pagerank_oracle_sql()
 
 
 def dedup_corpus_keepers(spark, sf_dir):
@@ -5163,6 +5259,7 @@ QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_MINHASH_PAIRS),
     "dedup_clusters_assignment": (dedup_clusters_assignment, ORACLE_DEDUP_CLUSTERS),
     "dedup_corpus_keepers": (dedup_corpus_keepers, ORACLE_DEDUP_CORPUS),
+    "dedup_graph_pagerank": (dedup_graph_pagerank, ORACLE_DEDUP_PAGERANK),
     "dedup_substring_spans": (dedup_substring_spans, ORACLE_DEDUP_SUBSTRING),
     "pipe_sample_split": (pipe_sample_split, ORACLE_PIPE_SAMPLE_SPLIT),
     "pipe_full_pipeline": (pipe_full_pipeline, ORACLE_PIPE_FULL),
@@ -5213,6 +5310,7 @@ QUERIES = {
     "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
     "events_interval_join": (events_interval_join, ORACLE_EVENTS_INTERVAL),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_EVENTS_KMV),
+    "events_value_quantiles": (events_value_quantiles, ORACLE_EVENTS_HIST_QUANTILES),
     # multimodal plumbing
     "mm_blob_stats": (mm_blob_stats, ORACLE_MM_BLOB),
     "mm_image_brightness": (mm_image_brightness, ORACLE_MM_BRIGHTNESS),

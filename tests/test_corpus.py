@@ -363,3 +363,40 @@ def test_kmv_prefilter_equivalence(spark, sf_dir):
     exact = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
     for t, (_, est) in full.items():
         assert 0.3 * exact[t] <= est <= 3 * exact[t], (t, est, exact[t])
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """datapipe.graph.pagerank vs a from-scratch Python power iteration on
+    a small asymmetric graph (star + tail + isolated node), including the
+    teleport-only mass of edgeless nodes."""
+    from geoarrow_rs_spark.datapipe.graph import pagerank
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    pair_list = [(0, 1), (0, 2), (0, 3), (3, 4)]  # 5 isolated
+    pairs = spark.createDataFrame([Row(a_id=a, b_id=b) for a, b in pair_list])
+    got = {r.doc_id: r.pr for r in pagerank(nodes, pairs, iters=3).collect()}
+
+    # reference: undirected -> both directions, 3 rounds, same rounding
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in pair_list:
+        adj[a].add(b)
+        adj[b].add(a)
+    n = 6
+    pr = {i: round(1.0 / n, 12) for i in range(6)}
+    for _ in range(3):
+        incoming = collections.defaultdict(float)
+        for u in adj:
+            share = round(pr[u] / len(adj[u]), 12)
+            for v in adj[u]:
+                incoming[v] += share  # few terms; float assoc error << 1e-12
+        pr = {
+            i: round((1.0 - 0.85) / n + 0.85 * incoming.get(i, 0.0), 12)
+            for i in range(6)
+        }
+    assert set(got) == set(pr)
+    for i in range(6):
+        assert abs(got[i] - pr[i]) < 1e-9, (i, got[i], pr[i])
+    # mass ordering: hub 0 highest, isolated 5 = teleport floor
+    assert got[0] == max(got.values())
+    assert got[5] == min(got.values()) and abs(got[5] - 0.15 / 6) < 1e-12
