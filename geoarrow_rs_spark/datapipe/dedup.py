@@ -16,7 +16,7 @@ so every stage is oracle-checkable cross-engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import char_ngrams
 
@@ -461,6 +461,51 @@ def minhash_bands_expr(
             for b in range(bands)
         ]
     )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 8,
+    max_chars: int = 128,
+) -> DataFrame:
+    """Incremental ingestion dedup: admit only the incoming rows that are
+    (a) not byte-identical to anything in the existing corpus or to an
+    earlier row of the same batch (keep-first by id), and (b) not an LSH
+    band-bucket collision with ANY existing document (the standard
+    candidates-are-dups near-dup policy). The existing corpus is touched
+    as two digest/band projections — its text is never re-shuffled, which
+    is what makes nightly ingestion runs O(batch) instead of O(corpus).
+    Batch-internal NEAR-dup collapse is deliberately out of scope here —
+    run the full pair->CC->keepers pipeline (dedup_corpus_keepers) over
+    the admitted batch when that is wanted.
+
+    Returns the surviving incoming rows with their original columns."""
+    digest = F.md5(F.col(text_col))
+    inc = incoming.withColumn("__dig", digest)
+    w = Window.partitionBy("__dig").orderBy(F.col(id_col))
+    inc_first = (
+        inc.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ex_dig = existing.select(digest.alias("__dig")).distinct()
+    inc_new = inc_first.join(ex_dig, on="__dig", how="left_anti").drop("__dig")
+    be = minhash_bands_expr(
+        text_col, num_perm=num_perm, bands=bands, shingle=shingle, max_chars=max_chars
+    )
+    ex_bands = existing.select(F.explode(be).alias("__band")).distinct()
+    inc_bands = inc_new.select(F.col(id_col), F.explode(be).alias("__band"))
+    near_hit = (
+        inc_bands.join(ex_bands, on="__band", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return inc_new.join(near_hit, on=id_col, how="left_anti")
 
 
 def editdist_pairs(

@@ -1311,6 +1311,82 @@ def _minhash_pairs_cte():
 )"""
 
 
+def _banded_block(src: str, prefix: str) -> str:
+    """Parametrized banded-minhash CTE chain over a named CTE/table
+    ``src`` (must expose doc_id, text): emits {prefix}grams / {prefix}gh /
+    {prefix}sigs / {prefix}banded. Same construction as
+    _minhash_pairs_cte, reused for multi-corpus oracles."""
+    from .datapipe.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(16)
+    )
+    p = prefix
+    return f"""{p}grams AS (
+  SELECT doc_id,
+         CASE WHEN length(substr(text, 1, 128)) < 8 THEN [substr(text, 1, 128)]
+              ELSE list_transform(range(1, length(substr(text, 1, 128)) - 6),
+                                  i -> substr(substr(text, 1, 128), CAST(i AS INT), 8))
+         END AS g
+  FROM {src}
+), {p}gh AS (
+  SELECT doc_id,
+         list_transform(g, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % {MINHASH_P}) AS h
+  FROM {p}grams
+), {p}sigs AS (
+  SELECT doc_id, [{perms}] AS sig FROM {p}gh
+), {p}banded AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, 4),
+                b -> CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ','))) AS band
+  FROM {p}sigs
+)"""
+
+
+def dedup_incremental_keepers(spark, sf_dir):
+    """Incremental ingestion dedup (dedup.incremental_dedup): the batch
+    doc_id >= 250 is admitted against the existing corpus doc_id < 250 —
+    exact digests (existing + earlier-in-batch) and LSH band collisions
+    with the existing corpus both reject; existing text is only read as
+    digest/band projections (O(batch), not O(corpus), per run)."""
+    d = _t(spark, sf_dir, "documents")
+    existing = d.where(F.col("doc_id") < 250)
+    incoming = d.where(F.col("doc_id") >= 250)
+    out = dedup.incremental_dedup(
+        existing, incoming, num_perm=16, bands=4, shingle=8, max_chars=128
+    )
+    return out.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+incoming AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+inc_first AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM incoming
+  ) WHERE rn = 1
+),
+ex_dig AS (SELECT DISTINCT md5(text) AS dig FROM existing),
+inc_new AS (
+  SELECT i.doc_id, i.text FROM inc_first i
+  LEFT JOIN ex_dig e ON md5(i.text) = e.dig
+  WHERE e.dig IS NULL
+),
+{_banded_block('existing', 'ex')},
+{_banded_block('inc_new', 'in')},
+exb AS (SELECT DISTINCT band FROM exbanded),
+hits AS (
+  SELECT DISTINCT i.doc_id FROM inbanded i JOIN exb ON i.band = exb.band
+)
+SELECT n.doc_id, md5(n.text) AS text_md5
+FROM inc_new n LEFT JOIN hits h ON n.doc_id = h.doc_id
+WHERE h.doc_id IS NULL
+"""
+
+
 def _minhash_oracle_sql():
     from .datapipe.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
@@ -5260,6 +5336,7 @@ QUERIES = {
     "dedup_clusters_assignment": (dedup_clusters_assignment, ORACLE_DEDUP_CLUSTERS),
     "dedup_corpus_keepers": (dedup_corpus_keepers, ORACLE_DEDUP_CORPUS),
     "dedup_graph_pagerank": (dedup_graph_pagerank, ORACLE_DEDUP_PAGERANK),
+    "dedup_incremental_keepers": (dedup_incremental_keepers, ORACLE_DEDUP_INCREMENTAL),
     "dedup_substring_spans": (dedup_substring_spans, ORACLE_DEDUP_SUBSTRING),
     "pipe_sample_split": (pipe_sample_split, ORACLE_PIPE_SAMPLE_SPLIT),
     "pipe_full_pipeline": (pipe_full_pipeline, ORACLE_PIPE_FULL),

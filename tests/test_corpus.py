@@ -400,3 +400,48 @@ def test_pagerank_matches_reference_power_iteration(spark):
     # mass ordering: hub 0 highest, isolated 5 = teleport floor
     assert got[0] == max(got.values())
     assert got[5] == min(got.values()) and abs(got[5] - 0.15 / 6) < 1e-12
+
+
+def test_histogram_quantile_error_bound(spark):
+    """Property: the histogram estimate is within one bin width of the
+    exact quantile, for a seeded skewed sample."""
+    from geoarrow_rs_spark.datapipe.sketch import histogram_quantiles
+
+    rng = random.Random(7)
+    vals = [rng.random() ** 3 * 100 for _ in range(2000)]
+    df = spark.createDataFrame([Row(g="a", v=v) for v in vals])
+    n_bins, lo, hi = 50, 0.0, 100.0
+    width = (hi - lo) / n_bins
+    got = {
+        r.q: r.est
+        for r in histogram_quantiles(
+            df, "v", ["g"], lo=lo, hi=hi, n_bins=n_bins, quantiles=(0.5, 0.9, 0.99)
+        ).collect()
+    }
+    svals = sorted(vals)
+    for q, est in got.items():
+        exact = svals[min(len(svals) - 1, int(q * len(svals)))]
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+
+
+def test_incremental_dedup_rejects_planted_dups(spark):
+    """Exact copies of existing docs, batch-internal exact copies, and a
+    near-copy (one char changed in a long doc -> shares an LSH band) are
+    all rejected; a genuinely novel doc survives."""
+    from geoarrow_rs_spark.datapipe.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and keeps going " * 3
+    existing = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="completely different corpus entry two")]
+    )
+    near = base[:-1] + "!"  # long shared prefix -> identical first bands
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base),                   # exact dup of existing
+            Row(doc_id=11, text="a new novel document about nothing else"),
+            Row(doc_id=12, text="a new novel document about nothing else"),  # batch dup
+            Row(doc_id=13, text=near),                   # near dup of existing
+        ]
+    )
+    out = sorted(r.doc_id for r in incremental_dedup(existing, incoming).collect())
+    assert out == [11]
