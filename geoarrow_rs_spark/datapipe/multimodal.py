@@ -394,6 +394,55 @@ def encode_gif(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Decode binary netpbm: P6 (RGB) -> (h, w, 3), P5 (grayscale) ->
+    (h, w), 8-bit maxval only. Header is the published format: magic,
+    whitespace/comment-separated width height maxval, one whitespace,
+    raw raster."""
+    if blob[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm blob")
+    # tokenize header: skip whitespace runs and '#' comments
+    vals, i, n = [], 2, len(blob)
+    while len(vals) < 3:
+        while i < n and blob[i : i + 1].isspace():
+            i += 1
+        if i < n and blob[i : i + 1] == b"#":
+            while i < n and blob[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < n and not blob[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        vals.append(int(blob[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    c = 3 if blob[:2] == b"P6" else 1
+    raster = np.frombuffer(blob, dtype=np.uint8, count=h * w * c, offset=i)
+    if raster.size != h * w * c:
+        raise ValueError("netpbm raster size mismatch")
+    img = raster.reshape(h, w, c)
+    return img if c == 3 else img[:, :, 0]
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode uint8 (h, w, 3) as P6 / (h, w) as P5. Inverse of
+    :func:`decode_ppm`."""
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    if img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+    elif img.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"encode_ppm: bad shape {img.shape}")
+    h, w = img.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
 def _to_rgb(img: np.ndarray) -> np.ndarray:
     """Normalize a decoded image to (h, w, 3) for the feature extractor:
     gray -> replicated, alpha -> dropped."""
@@ -467,6 +516,18 @@ def sniff_media_meta(blob: bytes):
             )
         except struct.error:
             meta.update(media_type="image/png")
+    elif blob[:2] in (b"P5", b"P6") and blob[2:3].isspace():
+        try:
+            img = decode_ppm(bytes(blob))
+            meta.update(
+                media_type="image/x-portable-pixmap" if blob[:2] == b"P6"
+                else "image/x-portable-graymap",
+                width=int(img.shape[1]),
+                height=int(img.shape[0]),
+                n_channels=3 if img.ndim == 3 else 1,
+            )
+        except (ValueError, NotImplementedError):
+            meta.update(media_type="image/x-portable-anymap")
     elif blob[:3] == b"\xff\xd8\xff":
         meta.update(media_type="image/jpeg")  # recognized, codec not shipped
     return meta
@@ -560,6 +621,8 @@ def extract_features(
             return _audio_features(*decode_wav(blob), dim)
         if blob[:6] in (b"GIF87a", b"GIF89a"):
             return _image_features(decode_gif(blob), dim)
+        if blob[:2] in (b"P5", b"P6") and blob[2:3].isspace():
+            return _image_features(_to_rgb(decode_ppm(blob)), dim)
         if fake:
             return _fake_features(blob, dim)
         raise NotImplementedError(
@@ -589,6 +652,8 @@ def resize_images(df: DataFrame, blob_col: str, out_h: int, out_w: int) -> DataF
             return encode_png(resize_nearest(decode_png(blob), out_h, out_w))
         if blob[:6] in (b"GIF87a", b"GIF89a"):
             return encode_gif(resize_nearest(decode_gif(blob), out_h, out_w))
+        if blob[:2] in (b"P5", b"P6") and blob[2:3].isspace():
+            return encode_ppm(resize_nearest(decode_ppm(blob), out_h, out_w))
         return encode_bmp(resize_nearest(decode_bmp(blob), out_h, out_w))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

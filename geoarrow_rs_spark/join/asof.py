@@ -23,15 +23,23 @@ def asof_join(
     by=(),
     value_cols=None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the latest right row with
-    ``right.on <= left.on`` within the same ``by`` keys (backward as-of,
-    left-outer: unmatched left rows keep nulls).
+    ``right.on <= left.on`` (``direction='backward'``, the default) or the
+    EARLIEST right row with ``right.on >= left.on``
+    (``direction='forward'`` — the next-scheduled-event/next-quote shape)
+    within the same ``by`` keys. Left-outer: unmatched left rows keep
+    nulls. Forward is the same one-shuffle tag-union pattern with the
+    scan order reversed — identical cost.
 
     Ties: right rows sort before left rows at equal ``on`` (a right row at
-    exactly left.ts matches). Duplicate right rows on the same (by, on) are
-    the caller's to resolve (pre-aggregate) — last-in-sort wins otherwise.
+    exactly left.ts matches, in both directions). Duplicate right rows on
+    the same (by, on) are the caller's to resolve (pre-aggregate) —
+    last-in-sort wins otherwise.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: bad direction={direction!r}")
     by = list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in set(by) | {on}]
@@ -53,9 +61,12 @@ def asof_join(
         F.lit(1).alias("__side"),
     )
     unioned = tagged_l.unionByName(tagged_r)
+    order = (
+        F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").desc())
+        .orderBy(order, F.col("__side").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -2397,6 +2397,48 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+def events_asof_forward(spark, sf_dir):
+    """FORWARD as-of join: every click matched to the user's NEXT purchase
+    at or after it (the time-to-conversion shape). Same one-shuffle
+    tag-union pattern as backward with the scan order reversed; oracle is
+    DuckDB's native ASOF with the inequality flipped."""
+    from .join.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("pvalue"))
+        .withColumn("pts", F.col("ts"))
+    )
+    j = asof_join(
+        clicks, purch, on="ts", by=["user_id"],
+        value_cols=["pvalue", "pts"], direction="forward",
+    )
+    return j.select(
+        "event_id",
+        F.col("pvalue_r").alias("next_purchase_value"),
+        (F.expr("pts_r div 1000") * 1000).alias("next_purchase_ts"),
+    )
+
+
+ORACLE_EVENTS_ASOF_FORWARD = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, max_by(value, event_id) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id,
+       p.pvalue AS next_purchase_value,
+       epoch_ns(p.ts) AS next_purchase_ts
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 ORACLE_EVENTS_HOURLY = f"""
 SELECT (epoch_ns(ts) // {_NS_HOUR}) * 3600 AS hour_epoch, event_type,
        COUNT(*) AS n_events,
@@ -5380,6 +5422,7 @@ QUERIES = {
     "events_sessions": (events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_sliding_windows": (events_sliding_windows, ORACLE_EVENTS_SLIDING),
     "events_asof_join": (events_asof_join, ORACLE_EVENTS_ASOF),
+    "events_asof_forward": (events_asof_forward, ORACLE_EVENTS_ASOF_FORWARD),
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),

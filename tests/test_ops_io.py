@@ -821,3 +821,34 @@ def test_model_persistence_roundtrip(spark, tmp_path, sf_dir):
     merges.write.mode("overwrite").parquet(str(tmp_path / "bpe"))
     back = spark.read.parquet(str(tmp_path / "bpe"))
     assert sorted(map(tuple, merges.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_ppm_roundtrip_and_pipeline(spark):
+    """netpbm P6/P5 encode->decode round trips (including comment-bearing
+    headers), and the mapInPandas meta/feature/resize paths treat netpbm
+    as a real decodable format."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from geoarrow_rs_spark.datapipe.multimodal import (
+        attach_media_meta, decode_ppm, encode_ppm, extract_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (11, 7, 3)).astype(np.uint8)
+    gray = rng.integers(0, 256, (6, 9)).astype(np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+    commented = b"P6\n# made by hand\n2 2\n255\n" + bytes(range(12))
+    assert decode_ppm(commented).shape == (2, 2, 3)
+
+    df = spark.createDataFrame([Row(id=1, blob=bytearray(encode_ppm(rgb)))])
+    meta = attach_media_meta(df, "blob").collect()[0]["media_meta"]
+    assert meta["media_type"] == "image/x-portable-pixmap"
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (7, 11, 3)
+    feats = extract_features(df, "blob", dim=8).collect()[0]["features"]
+    assert len(feats) == 8
+    rz = resize_images(df, "blob", 5, 3).collect()[0]["resized"]
+    assert decode_ppm(bytes(rz)).shape == (5, 3, 3)
