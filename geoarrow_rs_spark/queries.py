@@ -15,7 +15,7 @@ across engines):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .datapipe import dedup, similarity, text
 from .join import spatial_join
@@ -1387,6 +1387,102 @@ WHERE h.doc_id IS NULL
 """
 
 
+def dedup_lsh_eval(spark, sf_dir):
+    """LSH quality evaluation on a bounded sample (doc_id < 100): exact
+    8-gram Jaccard for ALL sample pairs (deliberate bounded cartesian —
+    evaluation only, never the production path) vs banded-minhash
+    candidacy. One row: pair counts, confusion counts at Jaccard >= 0.5,
+    and the mean Jaccard of candidates vs non-candidates — the
+    measurement you run before trusting an LSH parameterization at
+    corpus scale."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("__ta"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("__tb"))
+    jacc = F.round(
+        dedup.ngram_jaccard(F.col("__ta"), F.col("__tb"), n=8, max_chars=128), 6
+    )
+    allp = (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", jacc.alias("__j"))
+    )
+    cands = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    ).select("a_id", "b_id").withColumn("__cand", F.lit(True))
+    lab = allp.join(cands, on=["a_id", "b_id"], how="left").select(
+        "__j", F.coalesce(F.col("__cand"), F.lit(False)).alias("__c")
+    )
+    dec = "decimal(38,12)"
+    pos = F.col("__j") >= 0.5
+    c = F.col("__c")
+    mean_of = lambda cond: F.round(
+        (
+            F.sum(F.when(cond, F.col("__j").cast(dec)).otherwise(F.lit(0).cast(dec))).cast("double")
+        )
+        / F.greatest(F.sum(cond.cast("long")).cast("double"), F.lit(1.0)),
+        6,
+    )
+    return lab.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(c.cast("long")).alias("n_cand"),
+        F.sum((pos & c).cast("long")).alias("tp"),
+        F.sum(((~pos) & c).cast("long")).alias("fp"),
+        F.sum((pos & (~c)).cast("long")).alias("fn"),
+        mean_of(c).alias("mean_jacc_cand"),
+        mean_of(~c).alias("mean_jacc_noncand"),
+    )
+
+
+def _lsh_eval_oracle_sql():
+    gram8 = (
+        "CASE WHEN length(substr({t}, 1, 128)) < 8 THEN [substr({t}, 1, 128)] "
+        "ELSE list_transform(range(1, length(substr({t}, 1, 128)) - 6), "
+        "i -> substr(substr({t}, 1, 128), CAST(i AS INT), 8)) END"
+    )
+    mean_of = (
+        "round(CAST(SUM(CASE WHEN {cond} THEN CAST(j AS DECIMAL(38,12)) "
+        "ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) "
+        "/ greatest(CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE), 1.0), 6)"
+    )
+    return f"""
+WITH sample AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+{_banded_block('sample', 'sm')},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM smbanded a JOIN smbanded b ON a.band = b.band
+  WHERE a.doc_id < b.doc_id
+),
+gsets AS (
+  SELECT doc_id, list_distinct({gram8.format(t='text')}) AS gs FROM sample
+),
+allp AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         round(CASE WHEN len(list_distinct(list_concat(a.gs, b.gs))) > 0
+               THEN CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE)
+               ELSE 0.0 END, 6) AS j
+  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id
+),
+lab AS (
+  SELECT p.j, (c.a_id IS NOT NULL) AS cand
+  FROM allp p LEFT JOIN cand c ON p.a_id = c.a_id AND p.b_id = c.b_id
+)
+SELECT COUNT(*) AS n_pairs,
+       SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS n_cand,
+       SUM(CASE WHEN j >= 0.5 AND cand THEN 1 ELSE 0 END) AS tp,
+       SUM(CASE WHEN j < 0.5 AND cand THEN 1 ELSE 0 END) AS fp,
+       SUM(CASE WHEN j >= 0.5 AND NOT cand THEN 1 ELSE 0 END) AS fn,
+       {mean_of.format(cond='cand')} AS mean_jacc_cand,
+       {mean_of.format(cond='NOT cand')} AS mean_jacc_noncand
+FROM lab
+"""
+
+
+ORACLE_DEDUP_LSH_EVAL = _lsh_eval_oracle_sql()
+
+
 def _minhash_oracle_sql():
     from .datapipe.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
@@ -2436,6 +2532,88 @@ SELECT c.event_id,
        epoch_ns(p.ts) AS next_purchase_ts
 FROM clicks c ASOF LEFT JOIN purch p
   ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+def events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per user: each event's value weighted
+    by the nanoseconds until the user's next event (lead window, ties
+    broken by event_id), the classic sensor/price TWA. Numerator is an
+    exact decimal sum of cent x ns products (too big for int64), so the
+    result is engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    dt = (F.lead("ts").over(w) - F.col("ts")).alias("__dt")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = e.select("user_id", cents.alias("__c"), dt).where(F.col("__dt").isNotNull())
+    num = F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__dt"))
+    den = F.sum("__dt")
+    return d.groupBy("user_id").agg(
+        F.round(
+            num.cast("double") / F.lit(100.0) / den.cast("double"), 6
+        ).alias("twa"),
+        den.alias("total_ns"),
+    )
+
+
+ORACLE_EVENTS_TWA = """
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t, value FROM events),
+d AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+  FROM e
+)
+SELECT user_id,
+       round(CAST(SUM(CAST(c AS DECIMAL(38,0)) * dt) AS DOUBLE) / 100.0
+             / CAST(SUM(dt) AS DOUBLE), 6) AS twa,
+       SUM(dt) AS total_ns
+FROM d WHERE dt IS NOT NULL GROUP BY user_id
+"""
+
+
+def events_rolling_anomaly(spark, sf_dir):
+    """Rolling-baseline anomaly detection: per user (ordered by ts,
+    event_id), the mean of the previous 10 values (exact decimal cents
+    over a ROWS frame — frame sums are order-defined, decimal makes them
+    engine-exact); flag events whose value exceeds 2x the baseline with
+    at least 5 priors. Returns flagged events only."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-10, -1)
+    )
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = e.select(
+        "user_id", "event_id", "ts", "value", cents.alias("__c")
+    ).select(
+        "user_id", "event_id", "value",
+        F.sum(F.col("__c").cast("decimal(38,0)")).over(w).alias("__s"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double") / F.lit(100.0)
+    return (
+        d.where(F.col("__n") >= 5)
+        .where(F.col("value") > F.lit(2.0) * mean)
+        .select("user_id", "event_id", "value", F.round(mean, 6).alias("baseline"))
+    )
+
+
+ORACLE_EVENTS_ROLLING = """
+WITH d AS (
+  SELECT user_id, event_id, value,
+         SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0)))
+           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS s,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS n
+  FROM events
+)
+SELECT user_id, event_id, value,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS baseline
+FROM d
+WHERE n >= 5 AND value > 2.0 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
 """
 
 
@@ -5379,6 +5557,7 @@ QUERIES = {
     "dedup_corpus_keepers": (dedup_corpus_keepers, ORACLE_DEDUP_CORPUS),
     "dedup_graph_pagerank": (dedup_graph_pagerank, ORACLE_DEDUP_PAGERANK),
     "dedup_incremental_keepers": (dedup_incremental_keepers, ORACLE_DEDUP_INCREMENTAL),
+    "dedup_lsh_eval": (dedup_lsh_eval, ORACLE_DEDUP_LSH_EVAL),
     "dedup_substring_spans": (dedup_substring_spans, ORACLE_DEDUP_SUBSTRING),
     "pipe_sample_split": (pipe_sample_split, ORACLE_PIPE_SAMPLE_SPLIT),
     "pipe_full_pipeline": (pipe_full_pipeline, ORACLE_PIPE_FULL),
@@ -5423,6 +5602,8 @@ QUERIES = {
     "events_sliding_windows": (events_sliding_windows, ORACLE_EVENTS_SLIDING),
     "events_asof_join": (events_asof_join, ORACLE_EVENTS_ASOF),
     "events_asof_forward": (events_asof_forward, ORACLE_EVENTS_ASOF_FORWARD),
+    "events_time_weighted_avg": (events_time_weighted_avg, ORACLE_EVENTS_TWA),
+    "events_rolling_anomaly": (events_rolling_anomaly, ORACLE_EVENTS_ROLLING),
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),

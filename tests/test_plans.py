@@ -408,6 +408,7 @@ def test_catalog_wide_no_unintended_cartesian(spark, sf_dir):
         "sim_near_dup_pairs",        # broadcast query set, exact refine
         "sim_kmeans_ivf_topk",       # broadcast centroid set
         "text_bm25_topk",            # single-row corpus stats
+        "dedup_lsh_eval",            # deliberate bounded all-pairs EVAL sample
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():
