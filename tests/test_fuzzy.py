@@ -184,3 +184,30 @@ def test_editdist_pairs_property(spark, keys, d):
         for r in editdist_pairs(df, "id", "k", d).collect()
     }
     assert got == _brute(rows, d)
+
+
+def test_interval_join_random_vs_brute(spark):
+    """Seeded random intervals/points across several bin widths (including
+    widths far smaller and larger than the interval lengths) must match
+    the brute-force inequality join exactly."""
+    from pyspark.sql import Row
+
+    from geoarrow_rs_spark.join.interval import interval_join
+
+    rng = random.Random(11)
+    lefts = []
+    for i in range(120):
+        s = rng.randint(0, 10_000)
+        lefts.append((i, s, s + rng.randint(0, 800)))
+    rights = [(j, rng.randint(-100, 10_900)) for j in range(300)]
+    ldf = spark.createDataFrame([Row(lid=i, lo=s, hi=e) for i, s, e in lefts])
+    rdf = spark.createDataFrame([Row(rid=j, ts=t) for j, t in rights])
+    want = {
+        (i, j) for i, s, e in lefts for j, t in rights if s < t <= e
+    }
+    for width in (7, 100, 1024, 5000):
+        got = {
+            (r.lid, r.rid)
+            for r in interval_join(ldf, rdf, "lo", "hi", "ts", width).collect()
+        }
+        assert got == want, f"width={width}: {len(got ^ want)} mismatches"

@@ -629,3 +629,49 @@ def test_streaming_running_counts_state_carry(spark, tmp_path):
     assert final == expected, (final, expected)
     # the recurring key emitted once per batch it appeared in
     assert len(per_key.get("view", [])) >= 2
+
+
+def test_streaming_binned_histogram_matches_batch(spark, tmp_path):
+    """The histogram sketch's binned counts are algebraic, so they stream:
+    a windowed (time-window x value-bin) count over micro-batches equals
+    the batch aggregation of the same rows — the distributed-quantile
+    prep running live."""
+    import datetime as dt
+
+    src = os.path.join(str(tmp_path), "hist_src")
+    base = dt.datetime(2024, 1, 1)
+    rows1 = [Row(ts=base + dt.timedelta(minutes=7 * i), v=float(i * 13 % 97)) for i in range(40)]
+    rows2 = [Row(ts=base + dt.timedelta(minutes=11 * i), v=float(i * 29 % 83)) for i in range(40)]
+    spark.createDataFrame(rows1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2).write.mode("append").parquet(src)
+
+    width = 10.0
+    bin_col = F.least(F.lit(9), F.greatest(F.lit(0), F.floor(F.col("v") / F.lit(width)).cast("int")))
+
+    batch = spark.read.parquet(src)
+    want = {
+        (r.w.start, r.bin, r.cnt)
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), bin_col.alias("bin")
+        ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), bin_col.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hist_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w.start, r.bin, r.cnt)
+        for r in spark.sql("SELECT * FROM hist_out").collect()
+    }
+    assert got == want
