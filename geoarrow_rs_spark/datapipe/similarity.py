@@ -725,13 +725,21 @@ def semantic_dedup(
     cents = kmeans_train(corpus, vec=vec, id_col=id_col, k=k_clusters, iters=iters)
     cdf = _centroid_df(corpus.sparkSession, cents)
     assigned = assign_clusters(corpus, cdf, vec=vec, id_col=id_col)
+    # precompute each row's norm ONCE before the pair join — recomputing it
+    # per pair would triple the dot-product work (the per-pair op sequence
+    # is unchanged, so the rounded cosine stays bit-identical)
+    norm = F.sqrt(dot_inorder_expr(F.col(vec), F.col(vec)))
     a = assigned.select(
-        F.col(id_col).alias("__aid"), F.col(vec).alias("__av"), "cid"
+        F.col(id_col).alias("__aid"), F.col(vec).alias("__av"),
+        norm.alias("__an"), "cid",
     )
     b = assigned.select(
-        F.col(id_col).alias("__bid"), F.col(vec).alias("__bv"), "cid"
+        F.col(id_col).alias("__bid"), F.col(vec).alias("__bv"),
+        norm.alias("__bn"), "cid",
     )
-    sim = F.round(cosine_fast_expr(F.col("__av"), F.col("__bv")), 8)
+    den = F.col("__an") * F.col("__bn")
+    num = dot_inorder_expr(F.col("__av"), F.col("__bv"))
+    sim = F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 8)
     dup_ids = (
         a.join(b, on="cid")
         .where(F.col("__aid") < F.col("__bid"))

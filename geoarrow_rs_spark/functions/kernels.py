@@ -362,7 +362,17 @@ def k_convex_hull(s):
                 g = Geom(wc.POLYGON, [np.asarray(data, dtype=np.float64)])
             out[i] = to_wkb(g)
         return pd.Series(out, dtype=object)
-    return _geom_out([alg.convex_hull(g) for g in geoms_of(s)])
+    cache = {}
+    out = []
+    for raw, g in zip(vals, geoms_of(s)):
+        key = _pair_key(raw, None)
+        v = cache.get(key, _KMISS)
+        if v is _KMISS:
+            h = alg.convex_hull(g)
+            v = to_wkb(h) if h is not None else None
+            cache[key] = v
+        out.append(v)
+    return pd.Series(out, dtype=object)
 
 
 def k_min_rotated_rect(s):
@@ -1142,13 +1152,27 @@ def _param_geom_kernel(fn):
                 cols.append(list(a))
             else:
                 cols.append([a] * n)
+        raws = list(s)
+        cache = {}
         out = []
         for i, g in enumerate(geoms_of(s)):
             vals = [c[i] for c in cols]
             if g is None or any(v is None for v in vals):
                 out.append(None)
-            else:
+                continue
+            # memoize on (input bytes, params): batches with a small input
+            # domain (envelope/line families, constant params) collapse to
+            # one evaluation per distinct pair — unhashable params skip
+            try:
+                key = (_pair_key(raws[i], None)[0], tuple(vals))
+            except TypeError:
                 out.append(to_wkb(fn(g, *vals)))
+                continue
+            v = cache.get(key, _KMISS)
+            if v is _KMISS:
+                v = to_wkb(fn(g, *vals))
+                cache[key] = v
+            out.append(v)
         return pd.Series(out, dtype=object)
 
     return k
@@ -1439,11 +1463,36 @@ def k_set_srid(s, srid):
 # lit() WKB arrives as a constant series (relate.rs:15-18 zip semantics)
 # ---------------------------------------------------------------------------
 
+_KMISS = object()
+
+
+def _pair_key(ab, bb):
+    # non-bytes values (None, pandas NaN) all decode to a null geometry in
+    # geoms_of, so one shared key slot is correct for them
+    ka = bytes(ab) if isinstance(ab, (bytes, bytearray, memoryview)) else None
+    kb = bytes(bb) if isinstance(bb, (bytes, bytearray, memoryview)) else None
+    return (ka, kb)
+
+
 def _binary_kernel(fn, out_dtype=object):
+    """Binary kernel with per-batch memoization on the raw WKB byte pair:
+    real workloads repeat geometry pairs constantly (constant geofence
+    lit(), envelope families, dimension-table geometries), and any Python
+    geometry op dwarfs the bytes-hash cost. Pure-function requirement
+    holds: output depends only on the two inputs."""
     def k(s1, s2):
         g1s = geoms_of(s1)
         g2s = geoms_of(s2)
-        return pd.Series([fn(a, b) for a, b in zip(g1s, g2s)], dtype=out_dtype)
+        cache = {}
+        out = []
+        for ab, bb, a, b in zip(s1, s2, g1s, g2s):
+            key = _pair_key(ab, bb)
+            v = cache.get(key, _KMISS)
+            if v is _KMISS:
+                v = fn(a, b)
+                cache[key] = v
+            out.append(v)
+        return pd.Series(out, dtype=out_dtype)
 
     return k
 
@@ -1740,13 +1789,26 @@ k_hausdorff = _binary_kernel(alg.hausdorff_distance, out_dtype=np.float64)
 
 
 def _binary_geom_kernel(fn):
+    """Geometry-output binary kernel, memoized per batch on the input byte
+    pair (see _binary_kernel) — overlays are the most expensive per-row
+    ops in the engine, and batches with repeated operand pairs (envelope
+    families, broadcast scalars) collapse to one evaluation per distinct
+    pair."""
     def k(s1, s2):
+        g1s = geoms_of(s1)
+        g2s = geoms_of(s2)
+        cache = {}
         out = []
-        for a, b in zip(geoms_of(s1), geoms_of(s2)):
+        for ab, bb, a, b in zip(s1, s2, g1s, g2s):
             if a is None or b is None:
                 out.append(None)
-            else:
-                out.append(to_wkb(fn(a, b)))
+                continue
+            key = _pair_key(ab, bb)
+            v = cache.get(key, _KMISS)
+            if v is _KMISS:
+                v = to_wkb(fn(a, b))
+                cache[key] = v
+            out.append(v)
         return pd.Series(out, dtype=object)
 
     return k
@@ -1761,9 +1823,18 @@ def _overlay(name):
 def k_relate(s1, s2):
     from ..wkb.relate import relate
 
-    return pd.Series(
-        [relate(a, b) for a, b in zip(geoms_of(s1), geoms_of(s2))], dtype=object
-    )
+    g1s = geoms_of(s1)
+    g2s = geoms_of(s2)
+    cache = {}
+    out = []
+    for ab, bb, a, b in zip(s1, s2, g1s, g2s):
+        key = _pair_key(ab, bb)
+        v = cache.get(key, _KMISS)
+        if v is _KMISS:
+            v = relate(a, b)
+            cache[key] = v
+        out.append(v)
+    return pd.Series(out, dtype=object)
 
 
 def k_relate_pattern(s1, s2, pat):
@@ -1865,12 +1936,18 @@ def k_collect_two(s1, s2):
              for a, b in zip(v1, v2)],
             dtype=object,
         )
+    cache = {}
     out = []
-    for a, b in zip(geoms_of(s1), geoms_of(s2)):
+    for ab, bb, a, b in zip(v1, v2, geoms_of(s1), geoms_of(s2)):
         if a is None or b is None:
             out.append(None)
-        else:
-            out.append(to_wkb(wc.collection([a, b])))
+            continue
+        key = _pair_key(ab, bb)
+        v = cache.get(key, _KMISS)
+        if v is _KMISS:
+            v = to_wkb(wc.collection([a, b]))
+            cache[key] = v
+        out.append(v)
     return pd.Series(out, dtype=object)
 
 
