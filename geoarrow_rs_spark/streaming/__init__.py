@@ -5,6 +5,7 @@ from .ops import (
     streaming_minhash_pairs,
     streaming_dedup,
     streaming_running_counts,
+    streaming_binned_counts,
     windowed_counts,
     windowed_extent,
 )
@@ -18,4 +19,5 @@ __all__ = [
     "streaming_minhash_pairs",
     "streaming_dedup",
     "streaming_running_counts",
+    "streaming_binned_counts",
 ]

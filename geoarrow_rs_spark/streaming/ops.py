@@ -419,3 +419,45 @@ def streaming_running_counts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_binned_counts(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols=(),
+) -> DataFrame:
+    """Streaming histogram prep: fixed-range value bins counted per event-
+    time window (+ optional extra keys). The bin counts are ALGEBRAIC
+    (mergeable partials), so this is a plain watermarked windowed
+    aggregation — constant state per (window, group), late data handled
+    by the watermark. Finalize quantiles downstream exactly as
+    ``datapipe.sketch.histogram_quantiles`` does from its ``hist`` stage
+    (cumulative sum + interpolation over at most n_bins rows per group —
+    driver-trivial). Batch inputs produce the identical aggregation."""
+    width = (float(hi) - float(lo)) / int(n_bins)
+    v = F.col(value_col).cast("double")
+    b = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
+    bin_col = F.least(F.lit(int(n_bins) - 1), F.greatest(F.lit(0), b))
+    src = df
+    if df.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window).alias("window"),
+            *[F.col(c) for c in group_cols],
+            bin_col.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *[F.col(c) for c in group_cols],
+            "bin",
+            "cnt",
+        )
+    )

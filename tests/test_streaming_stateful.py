@@ -648,20 +648,20 @@ def test_streaming_binned_histogram_matches_batch(spark, tmp_path):
     width = 10.0
     bin_col = F.least(F.lit(9), F.greatest(F.lit(0), F.floor(F.col("v") / F.lit(width)).cast("int")))
 
+    from geoarrow_rs_spark.streaming import streaming_binned_counts
+
     batch = spark.read.parquet(src)
     want = {
-        (r.w.start, r.bin, r.cnt)
-        for r in batch.groupBy(
-            F.window("ts", "1 hour").alias("w"), bin_col.alias("bin")
-        ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        (r.window_start, r.bin, r.cnt)
+        for r in streaming_binned_counts(
+            batch, "ts", "v", lo=0.0, hi=100.0, n_bins=10
+        ).collect()
     }
 
     stream = spark.readStream.schema(batch.schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(src)
-    agg = stream.groupBy(
-        F.window("ts", "1 hour").alias("w"), bin_col.alias("bin")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    agg = streaming_binned_counts(stream, "ts", "v", lo=0.0, hi=100.0, n_bins=10)
     q = (
         agg.writeStream.format("memory")
         .queryName("hist_out")
@@ -671,7 +671,7 @@ def test_streaming_binned_histogram_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {
-        (r.w.start, r.bin, r.cnt)
+        (r.window_start, r.bin, r.cnt)
         for r in spark.sql("SELECT * FROM hist_out").collect()
     }
     assert got == want
