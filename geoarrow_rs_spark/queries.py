@@ -4439,6 +4439,72 @@ SELECT query_id, neighbor_id, qcosine, CAST(rn AS INT) AS rank FROM (
 """
 
 
+def sim_hard_negatives(spark, sf_dir):
+    """Contrastive-pair mining: for each query vector, the nearest
+    SAME-label corpus vector (positive) and the nearest DIFFERENT-label
+    vector (hard negative) by cosine — the batch construction step for
+    contrastive/embedding training. One broadcast scan, two label-
+    filtered argmax windows; in-order fold keeps scores engine-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("__ql"),
+        F.col("embedding").alias("__qv"),
+        F.sqrt(similarity.dot_inorder_expr(F.col("embedding"), F.col("embedding"))).alias("__qn"),
+    )
+    c = e.where(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("__cl"),
+        F.col("embedding").alias("__cv"),
+        F.sqrt(similarity.dot_inorder_expr(F.col("embedding"), F.col("embedding"))).alias("__cn"),
+    )
+    den = F.col("__qn") * F.col("__cn")
+    num = similarity.dot_inorder_expr(F.col("__qv"), F.col("__cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (F.col("__cl") == F.col("__ql")).alias("__same"),
+        F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 8).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id", "__same").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    best = scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    return best.select(
+        "query_id",
+        F.when(F.col("__same"), F.lit("positive")).otherwise(F.lit("hard_negative")).alias("pair_type"),
+        "neighbor_id",
+        "cosine",
+    )
+
+
+ORACLE_SIM_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS ql, embedding AS qe
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS cl, embedding AS ce
+  FROM embeddings WHERE vec_id >= 8
+),
+scored AS (
+  SELECT query_id, neighbor_id, (cl = ql) AS same,
+         {_inorder_cosine_sql('qe', 'ce')} AS cosine
+  FROM c CROSS JOIN q
+),
+best AS (
+  SELECT query_id, same, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id, same
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id,
+       CASE WHEN same THEN 'positive' ELSE 'hard_negative' END AS pair_type,
+       neighbor_id, cosine
+FROM best WHERE rn = 1
+"""
+
+
 def sim_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
     partitions the space (2 exact Lloyd's iterations), cosine pairs are
@@ -5593,6 +5659,7 @@ QUERIES = {
     "sim_kmeans_ivf_topk": (sim_kmeans_ivf_topk, ORACLE_SIM_KMEANS_IVF),
     "sim_semantic_dedup": (sim_semantic_dedup, ORACLE_SIM_SEMANTIC_DEDUP),
     "sim_quantized_topk": (sim_quantized_topk, ORACLE_SIM_QUANTIZED),
+    "sim_hard_negatives": (sim_hard_negatives, ORACLE_SIM_HARD_NEGATIVES),
     "sim_ivfpq_topk": (sim_ivfpq_topk, ORACLE_SIM_IVFPQ),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
