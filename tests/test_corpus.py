@@ -445,3 +445,30 @@ def test_incremental_dedup_rejects_planted_dups(spark):
     )
     out = sorted(r.doc_id for r in incremental_dedup(existing, incoming).collect())
     assert out == [11]
+
+
+def test_new_operators_tolerate_empty_input(spark):
+    """Robustness: every operator added this session runs (and returns 0
+    rows) on empty inputs — the shape every real pipeline hits on an
+    empty partition, date gap, or first run."""
+    from geoarrow_rs_spark.datapipe.corpus import chunk_documents, tfidf_topk
+    from geoarrow_rs_spark.datapipe.dedup import incremental_dedup
+    from geoarrow_rs_spark.datapipe.graph import pagerank
+    from geoarrow_rs_spark.datapipe.sampling import scrub_pii, stratified_sample
+    from geoarrow_rs_spark.datapipe.sketch import histogram_quantiles, kmv_distinct
+    from geoarrow_rs_spark.join.interval import interval_join
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    ivl = spark.createDataFrame([], "lid long, lo long, hi long")
+    pts = spark.createDataFrame([], "rid long, ts long")
+
+    assert chunk_documents(docs).count() == 0
+    assert tfidf_topk(docs, ["spark"], k=5).count() == 0
+    assert stratified_sample(docs, "doc_id", "lang", 3).count() == 0
+    assert docs.select(scrub_pii("text")).count() == 0
+    assert kmv_distinct(docs, "doc_id", ["lang"], k=4).count() == 0
+    assert histogram_quantiles(docs, "doc_id", ["lang"], 0.0, 10.0).count() == 0
+    assert interval_join(ivl, pts, "lo", "hi", "ts", 100).count() == 0
+    assert pagerank(docs, pairs, id_col="doc_id", iters=2).count() == 0
+    assert incremental_dedup(docs, docs).count() == 0
