@@ -217,3 +217,42 @@ def test_hex_cells_partition_plane_and_centers_invert(spark):
     back = cdf.select("hq", "hr", q2.alias("q2"), r2.alias("r2")).toPandas()
     assert (back["hq"] == back["q2"]).all()
     assert (back["hr"] == back["r2"]).all()
+
+
+def test_zorder_parquet_prunes_both_columns(spark, tmp_path, sf_dir):
+    """Z-order clustered write: file-level min/max stats must prune a
+    selective range predicate on EITHER clustered column, where the
+    natural (single-key) order prunes only its own key. Measured with
+    real parquet footer statistics."""
+    from geoarrow_rs_spark.io.layout import file_stats_overlap, write_zorder_parquet
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zorder")
+    # natural order: as generated (orderkey-sorted), round-robin split
+    li.repartition(8).write.parquet(plain)
+    write_zorder_parquet(li, zord, "l_orderkey", "l_partkey", num_partitions=8)
+
+    # same rows either way
+    assert spark.read.parquet(zord).count() == li.count()
+
+    import duckdb
+    pk_lo, pk_hi = duckdb.sql(
+        f"SELECT min(l_partkey), min(l_partkey) + (max(l_partkey)-min(l_partkey))//20 "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()
+    z_pk, z_n = file_stats_overlap(zord, "l_partkey", pk_lo, pk_hi)
+    p_pk, p_n = file_stats_overlap(plain, "l_partkey", pk_lo, pk_hi)
+    # round-robin files all span the full partkey domain -> nothing prunes;
+    # the z-ordered layout must actually skip files on the secondary column
+    assert p_pk == p_n
+    assert z_pk < z_n, (z_pk, z_n)
+
+    ok_lo, ok_hi = duckdb.sql(
+        f"SELECT min(l_orderkey), min(l_orderkey) + (max(l_orderkey)-min(l_orderkey))//20 "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()
+    z_ok, _ = file_stats_overlap(zord, "l_orderkey", ok_lo, ok_hi)
+    assert z_ok < z_n, (z_ok, z_n)
