@@ -12,8 +12,11 @@ __version__ = "0.1.0"
 
 
 def register_all(spark):
-    """Register every ST_* / pipeline function for SQL + Column use."""
+    """Register every ST_* / pipeline function for SQL + Column use, plus
+    the Python data sources (format('flatgeobuf'))."""
     from .functions.registry import register_functions
+    from .io.datasource import register_datasources
 
     register_functions(spark)
+    register_datasources(spark)
     return spark

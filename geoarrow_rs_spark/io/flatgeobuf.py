@@ -563,27 +563,12 @@ def write_flatgeobuf(
             os.unlink(tmp_path)
 
 
-def read_flatgeobuf(
-    spark,
-    path: str,
-    bbox=None,
-    columns=None,
-    geometry_col: str = "geometry",
-):
-    """Read a FlatGeobuf file into a DataFrame (WKB geometry + properties).
-
-    ``bbox=(xmin,ymin,xmax,ymax)`` prunes features via the file's Hilbert
-    R-tree leaf boxes before any feature bytes are read."""
-    from pyspark.sql.types import (
-        BinaryType,
-        BooleanType,
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
+def _plan_fgb(path: str, bbox=None):
+    """Driver-side scan planning shared by read_flatgeobuf and the
+    'flatgeobuf' Python DataSource: parse the header and compute the
+    feature byte offsets — bbox-pruned through the packed Hilbert R-tree
+    leaf boxes when the file carries an index, sequential size-prefix
+    scan otherwise. Returns (header, offsets)."""
     with open(path, "rb") as f:
         if f.read(8)[:7] != MAGIC:
             raise ValueError(f"{path} is not a FlatGeobuf file")
@@ -618,26 +603,55 @@ def read_flatgeobuf(
                 f.seek(pos)
                 (sz,) = struct.unpack("<I", f.read(4))
                 pos += 4 + sz
+    return header, offsets
 
+
+def _fgb_spark_type(t):
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, DoubleType, LongType, StringType,
+    )
+
+    if t in (0, 1, 2):
+        return BooleanType() if t == 2 else LongType()
+    if t in (3, 4, 5, 6, 7, 8):
+        return LongType()
+    if t in (9, 10):
+        return DoubleType()
+    if t == 14:
+        return BinaryType()
+    return StringType()
+
+
+def read_flatgeobuf(
+    spark,
+    path: str,
+    bbox=None,
+    columns=None,
+    geometry_col: str = "geometry",
+):
+    """Read a FlatGeobuf file into a DataFrame (WKB geometry + properties).
+
+    ``bbox=(xmin,ymin,xmax,ymax)`` prunes features via the file's Hilbert
+    R-tree leaf boxes before any feature bytes are read."""
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    header, offsets = _plan_fgb(path, bbox)
     cols_meta = header["columns"]
     if columns is not None:
         want = set(columns)
     else:
         want = {c["name"] for c in cols_meta}
 
-    def sp_type(t):
-        if t in (0, 1, 2):
-            return BooleanType() if t == 2 else LongType()
-        if t in (3, 4, 5, 6, 7, 8):
-            return LongType()
-        if t in (9, 10):
-            return DoubleType()
-        if t == 14:
-            return BinaryType()
-        return StringType()
-
     out_fields = [
-        StructField(c["name"], sp_type(c["type"]))
+        StructField(c["name"], _fgb_spark_type(c["type"]))
         for c in cols_meta
         if c["name"] in want
     ] + [StructField(geometry_col, BinaryType())]

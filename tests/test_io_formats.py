@@ -390,3 +390,32 @@ def test_geoparquet_footer_geo_metadata_all_parts(spark, tmp_path):
         md = pq.read_schema(p).metadata or {}
         assert b"geo" in md, p
     assert read_geoparquet(spark, ppath).count() == 400
+
+
+def test_flatgeobuf_python_datasource(spark):
+    """spark.read.format('flatgeobuf') — the Python Data Source wrapper
+    must return exactly what the function API returns: full scan, Hilbert
+    bbox pruning, and column projection, row-for-row."""
+    import geoarrow_rs_spark as gs
+    from geoarrow_rs_spark.io.flatgeobuf import read_flatgeobuf
+
+    gs.register_all(spark)
+    p = f"{FGB_DIR}/countries.fgb"
+
+    full = spark.read.format("flatgeobuf").load(p)
+    ref = read_flatgeobuf(spark, p)
+    assert full.count() == ref.count() == 179
+    assert set(full.columns) == set(ref.columns)
+
+    bbox = (-20.0, 30.0, 40.0, 70.0)
+    ds = spark.read.format("flatgeobuf").option(
+        "bbox", ",".join(str(v) for v in bbox)
+    ).load(p)
+    fn = read_flatgeobuf(spark, p, bbox=bbox)
+    got = sorted((r["id"], bytes(r["geometry"])) for r in ds.collect())
+    want = sorted((r["id"], bytes(r["geometry"])) for r in fn.collect())
+    assert got == want and len(got) > 0
+
+    proj = spark.read.format("flatgeobuf").option("columns", "name").load(p)
+    assert proj.columns == ["name", "geometry"]
+    assert proj.count() == 179
