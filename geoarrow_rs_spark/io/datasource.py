@@ -124,9 +124,108 @@ class _FgbReader(DataSourceReader):
                 )
 
 
+class _ShpPartition(InputPartition):
+    def __init__(self, records):
+        self.records = records  # [(rid, off, length)]
+
+
+class ShapefileDataSource(DataSource):
+    """``format("shapefile")``: .shx record index drives the partitions,
+    .dbf supplies property columns (``read_shapefile`` parity). Pass the
+    .shp path to ``.load``; the .shx/.dbf siblings are found next to it."""
+
+    @classmethod
+    def name(cls):
+        return "shapefile"
+
+    def _paths(self):
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("shapefile: .load(path.shp) required")
+        import os
+
+        dbf = self.options.get("dbf", p.replace(".shp", ".dbf"))
+        return p, (dbf if os.path.exists(dbf) else None)
+
+    def schema(self):
+        from pyspark.sql.types import (
+            BooleanType, DoubleType, LongType, StringType,
+        )
+
+        from .shapefile import _read_dbf_header
+
+        _, dbf = self._paths()
+        fields = []
+        if dbf:
+            _, _, _, fields = _read_dbf_header(dbf)
+
+        def sp(ftype, fdec):
+            if ftype in ("N", "F"):
+                return DoubleType() if fdec > 0 else LongType()
+            if ftype == "L":
+                return BooleanType()
+            return StringType()
+
+        geometry_col = self.options.get("geometry_col", "geometry")
+        return StructType(
+            [StructField(n, sp(t, d)) for (n, t, _l, d) in fields]
+            + [StructField(geometry_col, BinaryType())]
+        )
+
+    def reader(self, schema):
+        return _ShpReader(*self._paths(), schema)
+
+
+class _ShpReader(DataSourceReader):
+    def __init__(self, shp_path, dbf_path, schema):
+        from .shapefile import _read_dbf_header, _read_shx
+
+        self.shp_path = shp_path
+        self.dbf_path = dbf_path
+        self.schema = schema
+        self._index = _read_shx(shp_path.replace(".shp", ".shx"))
+        self._dbf_meta = None
+        self._fields = []
+        if dbf_path:
+            _, hsize, rsize, fields = _read_dbf_header(dbf_path)
+            self._dbf_meta = (hsize, rsize)
+            self._fields = fields
+
+    def partitions(self):
+        recs = [
+            (i, off, length) for i, (off, length) in enumerate(self._index)
+        ]
+        chunks = [recs[i : i + 10000] for i in range(0, len(recs), 10000)] or [[]]
+        return [_ShpPartition(c) for c in chunks]
+
+    def read(self, partition):
+        from ..wkb import core as wc
+        from .shapefile import _decode_record, _parse_dbf_value
+
+        dbf = open(self.dbf_path, "rb") if self.dbf_path else None
+        with open(self.shp_path, "rb") as shp:
+            for rid, off, length in partition.records:
+                shp.seek(off + 8)
+                geom = _decode_record(shp.read(length))
+                vals = []
+                if dbf is not None:
+                    hsize, rsize = self._dbf_meta
+                    dbf.seek(hsize + rid * rsize + 1)
+                    raw = dbf.read(rsize - 1)
+                    pos = 0
+                    for (n, t, l, d) in self._fields:
+                        vals.append(_parse_dbf_value(raw[pos : pos + l], t, d))
+                        pos += l
+                vals.append(wc.to_wkb(geom) if geom is not None else None)
+                yield tuple(vals)
+        if dbf is not None:
+            dbf.close()
+
+
 def register_datasources(spark):
     """Register the Python data sources on this session (idempotent)."""
-    try:
-        spark.dataSource.register(FlatGeobufDataSource)
-    except Exception:
-        pass  # already registered or API unavailable
+    for src in (FlatGeobufDataSource, ShapefileDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass  # already registered or API unavailable

@@ -419,3 +419,27 @@ def test_flatgeobuf_python_datasource(spark):
     proj = spark.read.format("flatgeobuf").option("columns", "name").load(p)
     assert proj.columns == ["name", "geometry"]
     assert proj.count() == 179
+
+
+def test_shapefile_python_datasource(spark, tmp_path):
+    """spark.read.format('shapefile') returns exactly what read_shapefile
+    returns on a repo-written shapefile (geometry + dbf columns)."""
+    import geoarrow_rs_spark as gs
+    from geoarrow_rs_spark.io import read_shapefile, write_shapefile
+
+    gs.register_all(spark)
+    df = spark.createDataFrame(
+        [
+            Row(name="a", value=1, wkt="POINT (3 4)"),
+            Row(name="b", value=2, wkt="LINESTRING (0 0, 5 0)"),
+            Row(name="c", value=3, wkt="POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ]
+    ).selectExpr("name", "value", "ST_GeomFromWKT(wkt) AS geometry")
+    shp = os.path.join(str(tmp_path), "ds.shp")
+    write_shapefile(df, shp)
+
+    ds = spark.read.format("shapefile").load(shp)
+    fn = read_shapefile(spark, shp, shp.replace(".shp", ".dbf"))
+    got = sorted((r["name"], r["value"], bytes(r["geometry"])) for r in ds.collect())
+    want = sorted((r["name"], r["value"], bytes(r["geometry"])) for r in fn.collect())
+    assert got == want and len(got) == 3
