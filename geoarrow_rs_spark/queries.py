@@ -1483,6 +1483,53 @@ FROM lab
 ORACLE_DEDUP_LSH_EVAL = _lsh_eval_oracle_sql()
 
 
+def text_containment_pairs(spark, sf_dir):
+    """One-sided containment near-dup detection: for banded-minhash
+    candidate pairs, the containment of each side's 8-gram SET in the
+    other (|A∩B|/|A|) — catches sub-document duplication (quotes,
+    boilerplate wrappers) that symmetric Jaccard under-scores. Candidates
+    from the same LSH band join as the pair family; refine is native
+    array arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    ).select("a_id", "b_id")
+    g = F.array_distinct(text.char_ngrams(F.col("text"), n=8, max_chars=128))
+    docs = d.select(F.col("doc_id"), g.alias("__g"))
+    j = (
+        pairs.join(docs.select(F.col("doc_id").alias("a_id"), F.col("__g").alias("__ga")), on="a_id")
+        .join(docs.select(F.col("doc_id").alias("b_id"), F.col("__g").alias("__gb")), on="b_id")
+    )
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb"))).cast("double")
+    ca = F.when(F.size("__ga") > 0, inter / F.size("__ga").cast("double")).otherwise(F.lit(0.0))
+    cb = F.when(F.size("__gb") > 0, inter / F.size("__gb").cast("double")).otherwise(F.lit(0.0))
+    return j.select(
+        "a_id", "b_id",
+        F.round(ca, 6).alias("contain_a_in_b"),
+        F.round(cb, 6).alias("contain_b_in_a"),
+    )
+
+
+_GRAM8_SQL = (
+    "list_distinct(CASE WHEN length(substr({t}, 1, 128)) < 8 THEN [substr({t}, 1, 128)] "
+    "ELSE list_transform(range(1, length(substr({t}, 1, 128)) - 6), "
+    "i -> substr(substr({t}, 1, 128), CAST(i AS INT), 8)) END)"
+)
+
+ORACLE_TEXT_CONTAINMENT = f"""
+WITH {_minhash_pairs_cte()},
+gs AS (SELECT doc_id, {_GRAM8_SQL.format(t='text')} AS g FROM documents)
+SELECT p.a_id, p.b_id,
+       round(CASE WHEN len(a.g) > 0
+             THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(a.g) AS DOUBLE)
+             ELSE 0.0 END, 6) AS contain_a_in_b,
+       round(CASE WHEN len(b.g) > 0
+             THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(b.g) AS DOUBLE)
+             ELSE 0.0 END, 6) AS contain_b_in_a
+FROM pairs p JOIN gs a ON p.a_id = a.doc_id JOIN gs b ON p.b_id = b.doc_id
+"""
+
+
 def _minhash_oracle_sql():
     from .datapipe.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
@@ -5624,6 +5671,7 @@ QUERIES = {
     "dedup_graph_pagerank": (dedup_graph_pagerank, ORACLE_DEDUP_PAGERANK),
     "dedup_incremental_keepers": (dedup_incremental_keepers, ORACLE_DEDUP_INCREMENTAL),
     "dedup_lsh_eval": (dedup_lsh_eval, ORACLE_DEDUP_LSH_EVAL),
+    "text_containment_pairs": (text_containment_pairs, ORACLE_TEXT_CONTAINMENT),
     "dedup_substring_spans": (dedup_substring_spans, ORACLE_DEDUP_SUBSTRING),
     "pipe_sample_split": (pipe_sample_split, ORACLE_PIPE_SAMPLE_SPLIT),
     "pipe_full_pipeline": (pipe_full_pipeline, ORACLE_PIPE_FULL),

@@ -211,3 +211,41 @@ def test_interval_join_random_vs_brute(spark):
             for r in interval_join(ldf, rdf, "lo", "hi", "ts", width).collect()
         }
         assert got == want, f"width={width}: {len(got ^ want)} mismatches"
+
+
+def _luhn_ref(digits: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+@given(st.lists(st.integers(0, 9), min_size=16, max_size=16))
+@settings(max_examples=60, deadline=None)
+def test_luhn_property_cases(case_digits):
+    """Collect hypothesis-generated 16-digit cases; checked in one Spark
+    job afterwards (see test_luhn_bulk below via module accumulation)."""
+    _LUHN_CASES.append("".join(str(d) for d in case_digits))
+
+
+_LUHN_CASES = []
+
+
+def test_luhn_bulk_matches_reference(spark):
+    """sampling.luhn_valid over the hypothesis-collected 16-digit strings
+    (plus canonical valid cards) must match the textbook right-to-left
+    doubling implementation exactly."""
+    from pyspark.sql import Row
+
+    from geoarrow_rs_spark.datapipe.sampling import luhn_valid
+
+    cases = list(dict.fromkeys(_LUHN_CASES + ["4111111111111111", "5500005555555559"]))
+    df = spark.createDataFrame([Row(i=i, n=c) for i, c in enumerate(cases)])
+    got = {r.i: r.v for r in df.select("i", luhn_valid("n").alias("v")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == _luhn_ref(c), (c, got[i])
