@@ -1930,6 +1930,61 @@ FROM cand WHERE rn = 1
 """
 
 
+def pipe_dataset_card(spark, sf_dir):
+    """One-row dataset card: corpus size, token total, language spread,
+    exact-duplicate rate (integer ppm), mean document length, dominant
+    language + its share — the summary block every dataset release
+    ships, composed from the catalog's own building blocks in one pass
+    plus a tiny top-1 aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text").cast("long")).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("__uniq"),
+        F.sum("n_chars").alias("__chars"),
+    )
+    top = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__ln"))
+        .orderBy(F.col("__ln").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("__ln").alias("__topn"))
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        F.expr("(n_docs - __uniq) * 1000000 div n_docs").alias("dup_ppm"),
+        F.round(F.col("__chars").cast("double") / F.col("n_docs").cast("double"), 6).alias("mean_chars"),
+        "top_lang",
+        F.expr("__topn * 1000000 div n_docs").alias("top_lang_ppm"),
+    )
+
+
+ORACLE_PIPE_DATASET_CARD = """
+WITH stats AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS n_tokens,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT md5(text)) AS uniq,
+         SUM(n_chars) AS chars
+  FROM documents
+),
+top AS (
+  SELECT lang AS top_lang, COUNT(*) AS topn
+  FROM documents GROUP BY lang
+  ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+)
+SELECT s.n_docs, s.n_tokens, s.n_langs,
+       (s.n_docs - s.uniq) * 1000000 // s.n_docs AS dup_ppm,
+       round(CAST(s.chars AS DOUBLE) / CAST(s.n_docs AS DOUBLE), 6) AS mean_chars,
+       t.top_lang,
+       t.topn * 1000000 // s.n_docs AS top_lang_ppm
+FROM stats s CROSS JOIN top t
+"""
+
+
 TFIDF_QUERY_TERMS = ["join", "spark", "window"]
 
 
@@ -2661,6 +2716,53 @@ SELECT user_id, event_id, value,
        round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS baseline
 FROM d
 WHERE n >= 5 AND value > 2.0 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+"""
+
+
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding non-purchase event (backward as-of), revenue then
+    rolls up by attributed channel — the standard marketing-attribution
+    shape, built from the same one-shuffle as-of machinery. Unattributed
+    purchases (no prior touch) fall into the 'none' bucket."""
+    from .join.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = (
+        e.where(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
+    j = asof_join(purchases, touches, on="ts", by=["user_id"], value_cols=["channel"])
+    return (
+        j.select(F.coalesce(F.col("channel_r"), F.lit("none")).alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _money_sum(F.col("value"), "revenue"),
+        )
+    )
+
+
+ORACLE_EVENTS_ATTRIBUTION = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts, MAX(event_type) AS channel
+  FROM events WHERE event_type <> 'purchase' GROUP BY user_id, ts
+),
+attributed AS (
+  SELECT COALESCE(t.channel, 'none') AS channel, p.value
+  FROM purchases p ASOF LEFT JOIN touches t
+    ON p.user_id = t.user_id AND p.ts >= t.ts
+)
+SELECT channel, COUNT(*) AS n_purchases,
+       {_money_sum_sql('value', 'revenue')}
+FROM attributed GROUP BY channel
 """
 
 
@@ -5678,6 +5780,7 @@ QUERIES = {
     "pipe_scrub_text": (pipe_scrub_text, ORACLE_PIPE_SCRUB),
     "pipe_scrub_pii": (pipe_scrub_pii, ORACLE_PIPE_SCRUB_PII),
     "pipe_stratified_sample": (pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
+    "pipe_dataset_card": (pipe_dataset_card, ORACLE_PIPE_DATASET_CARD),
     "pipe_decontaminate": (pipe_decontaminate, ORACLE_DECONTAM),
     "pipe_weighted_sample": (pipe_weighted_sample, ORACLE_PIPE_WEIGHTED),
     "pipe_pack_bins": (pipe_pack_bins, ORACLE_PACK),
@@ -5719,6 +5822,7 @@ QUERIES = {
     "events_asof_forward": (events_asof_forward, ORACLE_EVENTS_ASOF_FORWARD),
     "events_time_weighted_avg": (events_time_weighted_avg, ORACLE_EVENTS_TWA),
     "events_rolling_anomaly": (events_rolling_anomaly, ORACLE_EVENTS_ROLLING),
+    "events_attribution": (events_attribution, ORACLE_EVENTS_ATTRIBUTION),
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),
