@@ -39,6 +39,9 @@ HEADLINE = [
     "events_hourly",
     "events_geo_extent",
     "events_sessions",
+    "events_interval_join",
+    "events_retention",
+    "events_attribution",
 ]
 
 
