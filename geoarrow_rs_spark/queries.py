@@ -2766,6 +2766,46 @@ FROM attributed GROUP BY channel
 """
 
 
+def events_expectations(spark, sf_dir):
+    """Data-quality gate (ops.profile.check_expectations): five declared
+    row expectations checked in ONE scan (conditional counts inside one
+    aggregate — no per-rule jobs), violations as exact integer ppm. The
+    pre-ingest validation block of any production feed."""
+    from .ops.profile import check_expectations
+
+    e = _t(spark, sf_dir, "events")
+    rules = {
+        "value_non_negative": "value >= 0.0",
+        "event_type_known": "event_type IN ('view','click','purchase','error','signup')",
+        "user_id_in_range": "user_id >= 0 AND user_id < 1000000",
+        "ts_in_2024": "ts >= 1704067200000000000 AND ts < 1735689600000000000",
+        "props_present": "props IS NOT NULL AND length(props) > 0",
+    }
+    return check_expectations(e, rules)
+
+
+ORACLE_EVENTS_EXPECTATIONS = """
+WITH one AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN COALESCE(value >= 0.0, FALSE) THEN 0 ELSE 1 END) AS v_value,
+         SUM(CASE WHEN COALESCE(event_type IN ('view','click','purchase','error','signup'), FALSE) THEN 0 ELSE 1 END) AS v_type,
+         SUM(CASE WHEN COALESCE(user_id >= 0 AND user_id < 1000000, FALSE) THEN 0 ELSE 1 END) AS v_uid,
+         SUM(CASE WHEN COALESCE(epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1735689600000000000, FALSE) THEN 0 ELSE 1 END) AS v_ts,
+         SUM(CASE WHEN COALESCE(props IS NOT NULL AND length(props) > 0, FALSE) THEN 0 ELSE 1 END) AS v_props
+  FROM events
+)
+SELECT r.rule, one.n_rows, r.v AS n_violations,
+       r.v * 1000000 // one.n_rows AS violation_ppm
+FROM one, (
+  SELECT 'event_type_known' AS rule, v_type AS v FROM one
+  UNION ALL SELECT 'props_present', v_props FROM one
+  UNION ALL SELECT 'ts_in_2024', v_ts FROM one
+  UNION ALL SELECT 'user_id_in_range', v_uid FROM one
+  UNION ALL SELECT 'value_non_negative', v_value FROM one
+) r
+"""
+
+
 ORACLE_EVENTS_HOURLY = f"""
 SELECT (epoch_ns(ts) // {_NS_HOUR}) * 3600 AS hour_epoch, event_type,
        COUNT(*) AS n_events,
@@ -5823,6 +5863,7 @@ QUERIES = {
     "events_time_weighted_avg": (events_time_weighted_avg, ORACLE_EVENTS_TWA),
     "events_rolling_anomaly": (events_rolling_anomaly, ORACLE_EVENTS_ROLLING),
     "events_attribution": (events_attribution, ORACLE_EVENTS_ATTRIBUTION),
+    "events_expectations": (events_expectations, ORACLE_EVENTS_EXPECTATIONS),
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),

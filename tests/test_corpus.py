@@ -472,3 +472,33 @@ def test_new_operators_tolerate_empty_input(spark):
     assert interval_join(ivl, pts, "lo", "hi", "ts", 100).count() == 0
     assert pagerank(docs, pairs, id_col="doc_id", iters=2).count() == 0
     assert incremental_dedup(docs, docs).count() == 0
+
+
+def test_expectations_and_profile(spark):
+    """check_expectations counts real violations (nulls fail closed) and
+    profile_numeric reports exact per-column stats, both in one scan."""
+    from geoarrow_rs_spark.ops.profile import check_expectations, profile_numeric
+
+    df = spark.createDataFrame(
+        [
+            Row(a=1, b=10.0),
+            Row(a=-2, b=None),
+            Row(a=3, b=30.0),
+            Row(a=None, b=40.0),
+        ],
+        "a int, b double",
+    )
+    out = {
+        r.rule: (r.n_violations, r.violation_ppm)
+        for r in check_expectations(
+            df, {"a_positive": "a > 0", "b_present": "b IS NOT NULL"}
+        ).collect()
+    }
+    # a > 0 fails for -2 and for the NULL (fails closed)
+    assert out["a_positive"] == (2, 500000)
+    assert out["b_present"] == (1, 250000)
+
+    prof = {r.column: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert prof["a"].n_null == 1 and prof["a"].n_distinct == 3
+    assert prof["a"].min_value == -2.0 and prof["a"].max_value == 3.0
+    assert prof["b"].n_null == 1 and prof["b"].max_value == 40.0

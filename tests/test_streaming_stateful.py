@@ -675,3 +675,43 @@ def test_streaming_binned_histogram_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM hist_out").collect()
     }
     assert got == want
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-static interval join: a static interval table joined against
+    a streaming point source (the banded plan is a plain equi-join +
+    filter, so it streams in append mode) — micro-batch output equals the
+    batch operator on the same rows."""
+    from geoarrow_rs_spark.join.interval import interval_join
+
+    ivl = spark.createDataFrame(
+        [Row(lid=0, lo=0, hi=100), Row(lid=1, lo=50, hi=150), Row(lid=2, lo=400, hi=500)]
+    )
+    src = os.path.join(str(tmp_path), "pts_src")
+    spark.createDataFrame(
+        [Row(rid=0, ts=10), Row(rid=1, ts=60), Row(rid=2, ts=120)]
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [Row(rid=3, ts=450), Row(rid=4, ts=300), Row(rid=5, ts=100)]
+    ).write.mode("append").parquet(src)
+
+    batch_pts = spark.read.parquet(src)
+    want = {
+        (r.lid, r.rid)
+        for r in interval_join(ivl, batch_pts, "lo", "hi", "ts", 64).collect()
+    }
+
+    stream_pts = spark.readStream.schema(batch_pts.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = interval_join(ivl, stream_pts, "lo", "hi", "ts", 64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.lid, r.rid) for r in spark.sql("SELECT * FROM ivl_out").collect()}
+    assert got == want and len(got) > 0
