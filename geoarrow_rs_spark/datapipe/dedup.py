@@ -508,6 +508,68 @@ def incremental_dedup(
     return inc_new.join(near_hit, on=id_col, how="left_anti")
 
 
+def save_dedup_index(
+    existing: DataFrame,
+    path: str,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 8,
+    max_chars: int = 128,
+):
+    """Persist the corpus-side projections incremental_dedup needs —
+    distinct content digests and distinct LSH bands — as parquet. The
+    nightly-ingestion contract: build once per corpus version (one scan
+    of the text), then every batch admission reads ONLY this index
+    (O(|digests| + |bands|), typically ~1% of the text bytes), never the
+    corpus. Append new batches' digests/bands to roll the index forward."""
+    digests = existing.select(F.md5(F.col(text_col)).alias("__dig")).distinct()
+    be = minhash_bands_expr(
+        text_col, num_perm=num_perm, bands=bands, shingle=shingle, max_chars=max_chars
+    )
+    bands_df = existing.select(F.explode(be).alias("__band")).distinct()
+    digests.write.mode("overwrite").parquet(f"{path}/digests")
+    bands_df.write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def incremental_dedup_from_index(
+    spark,
+    index_path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 8,
+    max_chars: int = 128,
+) -> DataFrame:
+    """incremental_dedup against a persisted index (save_dedup_index)
+    instead of the live corpus — identical admissions, corpus text never
+    read. Banding parameters must match the ones the index was built
+    with."""
+    digest = F.md5(F.col(text_col))
+    inc = incoming.withColumn("__dig", digest)
+    w = Window.partitionBy("__dig").orderBy(F.col(id_col))
+    inc_first = (
+        inc.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ex_dig = spark.read.parquet(f"{index_path}/digests")
+    inc_new = inc_first.join(ex_dig, on="__dig", how="left_anti").drop("__dig")
+    be = minhash_bands_expr(
+        text_col, num_perm=num_perm, bands=bands, shingle=shingle, max_chars=max_chars
+    )
+    ex_bands = spark.read.parquet(f"{index_path}/bands")
+    inc_bands = inc_new.select(F.col(id_col), F.explode(be).alias("__band"))
+    near_hit = (
+        inc_bands.join(ex_bands, on="__band", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return inc_new.join(near_hit, on=id_col, how="left_anti")
+
+
 def editdist_pairs(
     df: DataFrame,
     id_col: str,

@@ -502,3 +502,24 @@ def test_expectations_and_profile(spark):
     assert prof["a"].n_null == 1 and prof["a"].n_distinct == 3
     assert prof["a"].min_value == -2.0 and prof["a"].max_value == 3.0
     assert prof["b"].n_null == 1 and prof["b"].max_value == 40.0
+
+
+def test_incremental_dedup_index_roundtrip(spark, tmp_path, sf_dir):
+    """save_dedup_index + incremental_dedup_from_index admit EXACTLY the
+    same batch as the live-corpus operator — the persisted projections
+    are a faithful substitute for the corpus."""
+    from geoarrow_rs_spark.datapipe.dedup import (
+        incremental_dedup, incremental_dedup_from_index, save_dedup_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    existing = d.where(F.col("doc_id") < 250)
+    incoming = d.where(F.col("doc_id") >= 250)
+    live = sorted(r.doc_id for r in incremental_dedup(existing, incoming).collect())
+    idx = str(tmp_path / "dedup_index")
+    save_dedup_index(existing, idx)
+    via_idx = sorted(
+        r.doc_id
+        for r in incremental_dedup_from_index(spark, idx, incoming).collect()
+    )
+    assert live == via_idx and len(live) > 0
