@@ -46,6 +46,47 @@ def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
     )
 
 
+def windowed_expectations(
+    df: DataFrame,
+    ts_col: str,
+    rules: dict,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """check_expectations per event-time window — violation counts are
+    conditional sums, i.e. algebraic, so the same rules run as a
+    watermarked streaming quality monitor with constant per-window state.
+    Output: (window_start, rule, n_rows, n_violations) per window."""
+    names = sorted(rules)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, name in enumerate(names):
+        cond = rules[name]
+        c = F.expr(cond) if isinstance(cond, str) else cond
+        aggs.append(
+            F.sum(F.when(F.coalesce(c, F.lit(False)), 0).otherwise(1)).alias(f"__v{i}")
+        )
+    src = df
+    if df.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    one = src.groupBy(F.window(F.col(ts_col), window).alias("__w")).agg(*aggs)
+    per_rule = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"), F.col(f"__v{i}").alias("n_violations")
+                )
+                for i, name in enumerate(names)
+            ]
+        )
+    ).alias("r")
+    return one.select(F.col("__w.start").alias("window_start"), "n_rows", per_rule).select(
+        "window_start",
+        F.col("r.rule").alias("rule"),
+        "n_rows",
+        F.col("r.n_violations").alias("n_violations"),
+    )
+
+
 def profile_numeric(df: DataFrame, cols: list) -> DataFrame:
     """Long-format numeric profile in one scan: per column — row count,
     null count, distinct count, min, max (doubles)."""

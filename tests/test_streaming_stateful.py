@@ -715,3 +715,44 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.lid, r.rid) for r in spark.sql("SELECT * FROM ivl_out").collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_expectations_matches_batch(spark, tmp_path):
+    """The data-quality gate streams: per-window violation counts over
+    micro-batches equal the batch aggregation (conditional counts are
+    algebraic) — a live feed-health monitor from the same rule set."""
+    import datetime as dt
+
+    from geoarrow_rs_spark.ops.profile import windowed_expectations
+
+    src = os.path.join(str(tmp_path), "exp_src")
+    base = dt.datetime(2024, 3, 1)
+    rows1 = [Row(ts=base + dt.timedelta(minutes=9 * i), v=float(i - 2)) for i in range(20)]
+    rows2 = [Row(ts=base + dt.timedelta(minutes=13 * i), v=(None if i % 5 == 0 else float(i))) for i in range(20)]
+    spark.createDataFrame(rows1, "ts timestamp, v double").write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, "ts timestamp, v double").write.mode("append").parquet(src)
+
+    rules = {"v_nonneg": "v >= 0", "v_present": "v IS NOT NULL"}
+    batch = spark.read.parquet(src)
+    want = {
+        (r.window_start, r.rule): (r.n_rows, r.n_violations)
+        for r in windowed_expectations(batch, "ts", rules).collect()
+    }
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        windowed_expectations(stream, "ts", rules)
+        .writeStream.format("memory")
+        .queryName("exp_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.rule): (r.n_rows, r.n_violations)
+        for r in spark.sql("SELECT * FROM exp_out").collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())  # violations actually occur
