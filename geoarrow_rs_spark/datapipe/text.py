@@ -393,3 +393,54 @@ def bigram_lm_scores(
             (F.sum("lp").cast("double") / F.count(F.lit(1))), 6
         ).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+def hash_embed(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 32,
+    salt: str = "he",
+):
+    """Feature-hashed document vectors (Weinberger et al. 2009, the
+    hashing trick): each token maps to bucket md5(salt||w) % dim with a
+    deterministic +-1 sign from the next hash nibble; the vector is the
+    per-bucket signed count — INTEGER arithmetic end to end, so the
+    embedding (and any dot product over it) is bit-exact in any engine.
+    The model-free text->vector bridge into the ANN/quantization stack:
+    no training, no floats, fixed dim.
+
+    Shape: one explode + one (id, bucket) groupBy + one id groupBy to
+    assemble the array. Output: (id_col, hvec array<long>).
+    """
+    from pyspark.sql import functions as F
+
+    w = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+        ).alias("__w"),
+    )
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("__w")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim).alias("__b")
+    # sign from the 9th hex nibble: >= 8 -> -1 (an unbiased bit)
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") >= 8, F.lit(-1)
+    ).otherwise(F.lit(1))
+    sums = (
+        w.select(F.col(id_col), bucket, sign.alias("__s"))
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__s").alias("__v"))
+    )
+    assembled = sums.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__v"))).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("long")),
+    )
+    return assembled.select(F.col(id_col), vec.alias("hvec"))

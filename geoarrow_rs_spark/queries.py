@@ -4694,6 +4694,82 @@ FROM best WHERE rn = 1
 """
 
 
+def sim_text_hash_retrieval(spark, sf_dir):
+    """Model-free text retrieval end to end: documents feature-hash to
+    dim-32 INTEGER vectors (text.hash_embed — the hashing trick, exact
+    arithmetic), then cosine top-5 with exact int64 dot products. The
+    text->vector->ANN bridge with no floats anywhere until the final
+    cosine division."""
+    d = _t(spark, sf_dir, "documents")
+    vecs = text.hash_embed(d, dim=32)
+    q = vecs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("hvec").alias("__qv")
+    )
+    c = vecs.where(F.col("doc_id") >= 3).select(
+        F.col("doc_id").alias("neighbor_id"), F.col("hvec").alias("__cv")
+    )
+    idot = similarity._int_dot_expr
+    den = F.sqrt(idot(F.col("__qv"), F.col("__qv")).cast("double")) * F.sqrt(
+        idot(F.col("__cv"), F.col("__cv")).cast("double")
+    )
+    num = idot(F.col("__qv"), F.col("__cv")).cast("double")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 8).alias("hcosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+_HE_B = "CAST(concat('0x', substr(md5(concat('he:', w)), 1, 8)) AS BIGINT) % 32"
+_HE_S = (
+    "CASE WHEN CAST(concat('0x', substr(md5(concat('he:', w)), 9, 1)) AS INT) >= 8 "
+    "THEN -1 ELSE 1 END"
+)
+
+ORACLE_SIM_TEXT_HASH = f"""
+WITH wt AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+hb AS (SELECT doc_id, {_HE_B} AS b, {_HE_S} AS s FROM wt),
+sums AS (SELECT doc_id, b, SUM(s) AS v FROM hb GROUP BY doc_id, b),
+grid AS (
+  SELECT d.doc_id, unnest(range(0, 32)) AS i
+  FROM (SELECT DISTINCT doc_id FROM sums) d
+),
+vecs AS (
+  SELECT g.doc_id, list(COALESCE(s.v, 0) ORDER BY g.i) AS hv
+  FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.i = s.b
+  GROUP BY g.doc_id
+),
+q AS (SELECT doc_id AS query_id, hv AS qv FROM vecs WHERE doc_id < 3),
+c AS (SELECT doc_id AS neighbor_id, hv AS cv FROM vecs WHERE doc_id >= 3),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(CAST({_qdot_sql('qv', 'qv')} AS DOUBLE))
+                         * sqrt(CAST({_qdot_sql('cv', 'cv')} AS DOUBLE)) > 0
+                    THEN CAST({_qdot_sql('qv', 'cv')} AS DOUBLE)
+                         / (sqrt(CAST({_qdot_sql('qv', 'qv')} AS DOUBLE))
+                            * sqrt(CAST({_qdot_sql('cv', 'cv')} AS DOUBLE)))
+                    ELSE 0.0 END, 8) AS hcosine
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, hcosine, CAST(rn AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id, hcosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY hcosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
 def sim_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
     partitions the space (2 exact Lloyd's iterations), cosine pairs are
@@ -5851,6 +5927,7 @@ QUERIES = {
     "sim_semantic_dedup": (sim_semantic_dedup, ORACLE_SIM_SEMANTIC_DEDUP),
     "sim_quantized_topk": (sim_quantized_topk, ORACLE_SIM_QUANTIZED),
     "sim_hard_negatives": (sim_hard_negatives, ORACLE_SIM_HARD_NEGATIVES),
+    "sim_text_hash_retrieval": (sim_text_hash_retrieval, ORACLE_SIM_TEXT_HASH),
     "sim_ivfpq_topk": (sim_ivfpq_topk, ORACLE_SIM_IVFPQ),
     # events
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY),
