@@ -2838,6 +2838,82 @@ def events_geo_extent(spark, sf_dir):
     )
 
 
+def geo_trajectory_stats(spark, sf_dir):
+    """Trajectory analytics: per user ordered by time, step distances
+    between consecutive synthesized positions (ST_Distance over a lag
+    window — geo kernels composed with window functions), total path
+    length (decimal sum of 6-dp-rounded steps — absorbs hypot-vs-sqrt
+    last-ulp), max step, and net displacement start->end (lexicographic
+    struct min/max pins the endpoints)."""
+    e = _t(spark, sf_dir, "events")
+    d = e.selectExpr(
+        "user_id", "ts", "event_id",
+        "CAST(event_id % 360 AS DOUBLE) - 179.5 AS x",
+        "CAST(event_id % 170 AS DOUBLE) - 84.5 AS y",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    d = d.withColumn("px", F.lag("x").over(w)).withColumn("py", F.lag("y").over(w))
+    step = F.expr("ST_Distance(ST_Point(x, y), ST_Point(px, py))")
+    d = d.withColumn("__step", F.when(F.col("px").isNotNull(), step))
+    dec = "decimal(38,12)"
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.sum(
+                F.coalesce(F.round(F.col("__step"), 6).cast(dec), F.lit(0).cast(dec))
+            ).cast("double"),
+            6,
+        ).alias("path_len"),
+        F.round(F.max("__step"), 6).alias("max_step"),
+        F.min(F.struct("ts", "event_id", "x", "y")).alias("__f"),
+        F.max(F.struct("ts", "event_id", "x", "y")).alias("__l"),
+    )
+    disp = F.sqrt(
+        (F.col("__l.x") - F.col("__f.x")) * (F.col("__l.x") - F.col("__f.x"))
+        + (F.col("__l.y") - F.col("__f.y")) * (F.col("__l.y") - F.col("__f.y"))
+    )
+    return agg.select(
+        "user_id", "n_points", "path_len", "max_step",
+        F.round(disp, 6).alias("displacement"),
+    )
+
+
+ORACLE_GEO_TRAJECTORY = """
+WITH d AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id,
+         CAST(event_id % 360 AS DOUBLE) - 179.5 AS x,
+         CAST(event_id % 170 AS DOUBLE) - 84.5 AS y
+  FROM events
+),
+lagged AS (
+  SELECT user_id, t, event_id, x, y,
+         lag(x) OVER (PARTITION BY user_id ORDER BY t, event_id) AS px,
+         lag(y) OVER (PARTITION BY user_id ORDER BY t, event_id) AS py
+  FROM d
+),
+stepped AS (
+  SELECT user_id, t, event_id, x, y,
+         CASE WHEN px IS NOT NULL
+              THEN sqrt((x - px) * (x - px) + (y - py) * (y - py)) END AS step
+  FROM lagged
+),
+ends AS (
+  SELECT user_id,
+         COUNT(*) AS n_points,
+         round(CAST(SUM(COALESCE(CAST(round(step, 6) AS DECIMAL(38,12)),
+                                 CAST(0 AS DECIMAL(38,12)))) AS DOUBLE), 6) AS path_len,
+         round(MAX(step), 6) AS max_step,
+         MIN(struct_pack(t := t, e := event_id, x := x, y := y)) AS f,
+         MAX(struct_pack(t := t, e := event_id, x := x, y := y)) AS l
+  FROM stepped
+  GROUP BY user_id
+)
+SELECT user_id, n_points, path_len, max_step,
+       round(sqrt((l.x - f.x) * (l.x - f.x) + (l.y - f.y) * (l.y - f.y)), 6) AS displacement
+FROM ends
+"""
+
+
 ORACLE_EVENTS_GEO_EXTENT = f"""
 SELECT (epoch_ns(ts) // {_NS_HOUR}) * 3600 AS hour_epoch,
        MIN(CAST(user_id % 360 AS DOUBLE) - 179.5) AS xmin,
@@ -5880,6 +5956,7 @@ QUERIES = {
     "geo_affine_parts": (geo_affine_parts, ORACLE_GEO_AFFINE_PARTS),
     "geo_spherical": (geo_spherical, ORACLE_GEO_SPHERICAL),
     "geo_cast_matrix": (geo_cast_matrix, ORACLE_GEO_CAST),
+    "geo_trajectory_stats": (geo_trajectory_stats, ORACLE_GEO_TRAJECTORY),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
