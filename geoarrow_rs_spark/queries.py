@@ -2065,6 +2065,101 @@ FROM documents d LEFT JOIN best ON d.doc_id = best.node
 """
 
 
+def dedup_minhash_refined(spark, sf_dir):
+    """LSH candidates refined by EXACT shingle-Jaccard >= 0.5 (the
+    two-stage near-dup shape: cheap banded recall, exact precision
+    filter — text joins into the band match only because the refine
+    needs it). Output includes the exact Jaccard per surviving pair."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128,
+        jaccard_threshold=0.5,
+    )
+    return pairs.select("a_id", "b_id", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+ORACLE_DEDUP_MINHASH_REFINED = f"""
+WITH {_minhash_pairs_cte()},
+gs AS (SELECT doc_id, {_GRAM8_SQL.format(t='text')} AS g FROM documents),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+              THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+              ELSE 0.0 END AS j
+  FROM pairs p JOIN gs a ON p.a_id = a.doc_id JOIN gs b ON p.b_id = b.doc_id
+)
+SELECT a_id, b_id, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5
+"""
+
+
+def pipe_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting: per language, the sampling weight that
+    moves the corpus to a UNIFORM language mixture (target share /
+    actual share) — the knob every multi-domain training recipe sets.
+    Shares in exact integer ppm; weights rounded 6."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("__total"), F.count(F.lit(1)).alias("__k")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("n_docs * 1000000 div __total").alias("share_ppm"),
+        F.round(
+            F.col("__total").cast("double")
+            / (F.col("__k").cast("double") * F.col("n_docs").cast("double")),
+            6,
+        ).alias("weight"),
+    )
+
+
+ORACLE_PIPE_MIXTURE = """
+WITH per AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS k FROM per)
+SELECT p.lang, p.n_docs,
+       p.n_docs * 1000000 // t.total AS share_ppm,
+       round(CAST(t.total AS DOUBLE) / (CAST(t.k AS DOUBLE) * CAST(p.n_docs AS DOUBLE)), 6) AS weight
+FROM per p CROSS JOIN tot t
+"""
+
+
+def text_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary profile in one row: token total, distinct types,
+    hapax legomena (frequency-1 types — the Zipf tail that drives
+    tokenizer and LM vocabulary decisions), and the type/token ratio."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
+        ).alias("word")
+    )
+    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+ORACLE_TEXT_VOCAB = """
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+counts AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word)
+SELECT SUM(c) AS n_tokens,
+       COUNT(*) AS n_types,
+       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio
+FROM counts
+"""
+
+
 def dedup_graph_pagerank(spark, sf_dir):
     """PageRank over the near-duplicate candidate graph (datapipe.graph):
     3 power iterations, damping 0.85, decimal-accumulated contributions —
@@ -5961,6 +6056,7 @@ QUERIES = {
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_MINHASH_PAIRS),
+    "dedup_minhash_refined": (dedup_minhash_refined, ORACLE_DEDUP_MINHASH_REFINED),
     "dedup_clusters_assignment": (dedup_clusters_assignment, ORACLE_DEDUP_CLUSTERS),
     "dedup_corpus_keepers": (dedup_corpus_keepers, ORACLE_DEDUP_CORPUS),
     "dedup_graph_pagerank": (dedup_graph_pagerank, ORACLE_DEDUP_PAGERANK),
@@ -5974,12 +6070,14 @@ QUERIES = {
     "pipe_scrub_pii": (pipe_scrub_pii, ORACLE_PIPE_SCRUB_PII),
     "pipe_stratified_sample": (pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
     "pipe_dataset_card": (pipe_dataset_card, ORACLE_PIPE_DATASET_CARD),
+    "pipe_mixture_weights": (pipe_mixture_weights, ORACLE_PIPE_MIXTURE),
     "pipe_decontaminate": (pipe_decontaminate, ORACLE_DECONTAM),
     "pipe_weighted_sample": (pipe_weighted_sample, ORACLE_PIPE_WEIGHTED),
     "pipe_pack_bins": (pipe_pack_bins, ORACLE_PACK),
     "text_bm25_topk": (text_bm25_topk, ORACLE_BM25),
     "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
     "text_tfidf_topk": (text_tfidf_topk, ORACLE_TEXT_TFIDF),
+    "text_vocab_stats": (text_vocab_stats, ORACLE_TEXT_VOCAB),
     "text_c4_clean": (text_c4_clean, ORACLE_C4),
     "text_repetition": (text_repetition, ORACLE_REPETITION),
     "text_tokens": (text_tokens, ORACLE_TEXT_TOKENS),
