@@ -463,6 +463,58 @@ def minhash_bands_expr(
     )
 
 
+def banded_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 8,
+    max_chars: int = 128,
+) -> DataFrame:
+    """(id, __band) rows via the codegen'd explode + groupBy-min signature
+    path — identical banding to minhash_lsh_pairs (and to the per-row
+    minhash_bands_expr), several times faster than the interpreted HOF
+    expression on batch inputs. Use THIS for batch band tables; keep
+    minhash_bands_expr for streaming queries that can't host the groupBy."""
+    rows_per_band = num_perm // bands
+    grams = char_ngrams(text_col, n=shingle, max_chars=max_chars)
+    gh = df.select(F.col(id_col), F.explode(grams).alias("__g")).select(
+        id_col, (gram_hash_expr(F.col("__g")) % F.lit(MINHASH_P)).alias("__h")
+    )
+    mins = gh.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.col("__h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+            ).alias(f"__m{i}")
+            for i in range(num_perm)
+        ]
+    )
+    sig_df = mins.select(
+        id_col, F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("__sig")
+    )
+    return sig_df.withColumn(
+        "__band",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}|"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ),
+    ).select(id_col, "__band")
+
+
 def incremental_dedup(
     existing: DataFrame,
     incoming: DataFrame,
@@ -495,11 +547,9 @@ def incremental_dedup(
     )
     ex_dig = existing.select(digest.alias("__dig")).distinct()
     inc_new = inc_first.join(ex_dig, on="__dig", how="left_anti").drop("__dig")
-    be = minhash_bands_expr(
-        text_col, num_perm=num_perm, bands=bands, shingle=shingle, max_chars=max_chars
-    )
-    ex_bands = existing.select(F.explode(be).alias("__band")).distinct()
-    inc_bands = inc_new.select(F.col(id_col), F.explode(be).alias("__band"))
+    kw = dict(num_perm=num_perm, bands=bands, shingle=shingle, max_chars=max_chars)
+    ex_bands = banded_ids(existing, id_col, text_col, **kw).select("__band").distinct()
+    inc_bands = banded_ids(inc_new, id_col, text_col, **kw)
     near_hit = (
         inc_bands.join(ex_bands, on="__band", how="left_semi")
         .select(id_col)
@@ -524,10 +574,11 @@ def save_dedup_index(
     (O(|digests| + |bands|), typically ~1% of the text bytes), never the
     corpus. Append new batches' digests/bands to roll the index forward."""
     digests = existing.select(F.md5(F.col(text_col)).alias("__dig")).distinct()
-    be = minhash_bands_expr(
-        text_col, num_perm=num_perm, bands=bands, shingle=shingle, max_chars=max_chars
-    )
-    bands_df = existing.select(F.explode(be).alias("__band")).distinct()
+    bands_df = banded_ids(
+        existing, "doc_id" if "doc_id" in existing.columns else existing.columns[0],
+        text_col, num_perm=num_perm, bands=bands,
+        shingle=shingle, max_chars=max_chars,
+    ).select("__band").distinct()
     digests.write.mode("overwrite").parquet(f"{path}/digests")
     bands_df.write.mode("overwrite").parquet(f"{path}/bands")
 
@@ -557,11 +608,11 @@ def incremental_dedup_from_index(
     )
     ex_dig = spark.read.parquet(f"{index_path}/digests")
     inc_new = inc_first.join(ex_dig, on="__dig", how="left_anti").drop("__dig")
-    be = minhash_bands_expr(
-        text_col, num_perm=num_perm, bands=bands, shingle=shingle, max_chars=max_chars
-    )
     ex_bands = spark.read.parquet(f"{index_path}/bands")
-    inc_bands = inc_new.select(F.col(id_col), F.explode(be).alias("__band"))
+    inc_bands = banded_ids(
+        inc_new, id_col, text_col, num_perm=num_perm, bands=bands,
+        shingle=shingle, max_chars=max_chars,
+    )
     near_hit = (
         inc_bands.join(ex_bands, on="__band", how="left_semi")
         .select(id_col)
