@@ -486,3 +486,21 @@ def test_interval_join_is_bin_equi_join(spark, sf_dir):
     plan = _plan(events_interval_join(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_window_analytics_single_exchange(spark, sf_dir):
+    """TWA and rolling-anomaly reuse the user_id window partitioning for
+    their final aggregation — exactly ONE hash exchange each; retention
+    needs three (distinct, cohort window, final rollup)."""
+    from geoarrow_rs_spark.queries import (
+        events_retention, events_rolling_anomaly, events_time_weighted_avg,
+    )
+
+    for fn, max_ex in (
+        (events_time_weighted_avg, 1),
+        (events_rolling_anomaly, 1),
+        (events_retention, 3),
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= max_ex, (fn.__name__, n, max_ex)
