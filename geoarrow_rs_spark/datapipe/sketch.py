@@ -79,14 +79,17 @@ def histogram_quantiles(
     hist = df.groupBy(*group_cols, bin_col.alias("__bin")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
+    # cumulative AND total from the same window partitioning — one
+    # exchange feeds both (a separate groupBy+join would add two)
     w = Window.partitionBy(*group_cols).orderBy("__bin")
-    cum = hist.withColumn("__cum", F.sum("__cnt").over(w))
-    tot = hist.groupBy(*group_cols).agg(F.sum("__cnt").alias("__total"))
+    wt = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("__cum", F.sum("__cnt").over(w)).withColumn(
+        "__total", F.sum("__cnt").over(wt)
+    )
     qcol = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
     thresh = F.col("q") * F.col("__total").cast("double")
     first = (
-        cum.join(tot, on=group_cols)
-        .select(*group_cols, "__bin", "__cnt", "__cum", "__total", qcol)
+        cum.select(*group_cols, "__bin", "__cnt", "__cum", "__total", qcol)
         .where(F.col("__cum").cast("double") >= thresh)
         .groupBy(*group_cols, "q")
         .agg(F.min(F.struct("__bin", "__cum", "__cnt", "__total")).alias("__f"))
