@@ -2902,6 +2902,50 @@ FROM one, (
 """
 
 
+def events_dau_wau(spark, sf_dir):
+    """Daily/weekly active users + stickiness (DAU/WAU): rolling distinct
+    users need a range join, not a window (distinct doesn't slide) — the
+    tiny day dimension broadcasts against the distinct (user, day) table
+    with a 7-day band condition. Exact int64-ns day arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000")
+    ud = e.select("user_id", day.alias("day")).distinct()
+    days = ud.select("day").distinct().select(F.col("day").alias("d"))
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        ud.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("d")) & (F.col("day") >= F.col("d") - 6),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["d"])
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias("stickiness"),
+        )
+    )
+
+
+ORACLE_EVENTS_DAU_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+),
+days AS (SELECT DISTINCT day AS d FROM ud),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT dd.d, COUNT(DISTINCT u.user_id) AS wau
+  FROM days dd JOIN ud u ON u.day <= dd.d AND u.day >= dd.d - 6
+  GROUP BY dd.d
+)
+SELECT a.day, a.dau, w.wau,
+       round(CAST(a.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau a JOIN wau w ON a.day = w.d
+"""
+
+
 ORACLE_EVENTS_HOURLY = f"""
 SELECT (epoch_ns(ts) // {_NS_HOUR}) * 3600 AS hour_epoch, event_type,
        COUNT(*) AS n_events,
@@ -6117,6 +6161,7 @@ QUERIES = {
     "events_rolling_anomaly": (events_rolling_anomaly, ORACLE_EVENTS_ROLLING),
     "events_attribution": (events_attribution, ORACLE_EVENTS_ATTRIBUTION),
     "events_expectations": (events_expectations, ORACLE_EVENTS_EXPECTATIONS),
+    "events_dau_wau": (events_dau_wau, ORACLE_EVENTS_DAU_WAU),
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),
