@@ -88,6 +88,8 @@ def _money_sum_sql(expr, alias):
 # ---------------------------------------------------------------------------
 
 def q1_pricing_summary(spark, sf_dir):
+    """TPC-H q1: pricing summary report — flag/status grouped sums and
+    means over recent lineitems, exact integer-cents money sums."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -117,6 +119,8 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark, sf_dir):
+    """TPC-H q3: unshipped-order revenue by order, BUILDING segment —
+    dimension filters broadcast, revenue summed in exact cents."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15"))
@@ -146,6 +150,8 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 
 
 def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H q5: local supplier volume per ASIA nation — five-way join
+    with every dimension broadcast (plan-asserted)."""
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -185,6 +191,8 @@ GROUP BY n_name
 
 
 def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H q6: forecast revenue change — pure scan + filter + one
+    aggregate; the filters reach the parquet scan."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(
@@ -213,6 +221,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 
 def q_top_customers_per_nation(spark, sf_dir):
+    """Top-3 customers by balance per nation — dense ranking window over
+    a broadcast-joined dimension."""
     from pyspark.sql import Window
 
     c = _t(spark, sf_dir, "customer")
@@ -236,6 +246,7 @@ SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
 
 
 def q_order_priority(spark, sf_dir):
+    """Order-priority histogram with exact money totals per class."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -254,6 +265,7 @@ FROM orders GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 def geo_point_accessors(spark, sf_dir):
+    """Point constructors + X/Y accessors over customer-derived coordinates."""
     c = _t(spark, sf_dir, "customer")
     return c.selectExpr(
         "c_custkey",
@@ -268,6 +280,7 @@ SELECT c_custkey, c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y FROM customer
 
 
 def geo_distance(spark, sf_dir):
+    """Planar ST_Distance between constructed point pairs (vectorized point fast path)."""
     o = _t(spark, sf_dir, "orders")
     return o.selectExpr(
         "o_orderkey",
@@ -288,6 +301,7 @@ FROM orders
 
 
 def geo_box_measures(spark, sf_dir):
+    """Envelope area/perimeter measures from ST_MakeEnvelope boxes."""
     p = _t(spark, sf_dir, "part")
     return p.selectExpr(
         "p_partkey",
@@ -305,6 +319,7 @@ FROM part
 
 
 def geo_total_bounds(spark, sf_dir):
+    """Corpus-wide extent: native min/max aggregation over bbox structs."""
     s = _t(spark, sf_dir, "supplier").selectExpr(
         "ST_BBox(ST_Point(s_acctbal, CAST(s_suppkey AS DOUBLE))) AS b"
     )
@@ -394,6 +409,7 @@ FROM customer
 
 
 def geo_centroid(spark, sf_dir):
+    """ST_Centroid of constructed polygons with closed-form coordinates."""
     p = _t(spark, sf_dir, "part")
     env = "ST_MakeEnvelope(0.0, 0.0, CAST(p_size * 2 AS DOUBLE), 10.0)"
     return p.selectExpr(
@@ -409,6 +425,7 @@ SELECT p_partkey, CAST(p_size AS DOUBLE) AS cx, 5.0 AS cy FROM part
 
 
 def geo_buffer_area(spark, sf_dir):
+    """ST_Buffer around points; area vs the exact pi*r^2-series oracle."""
     o = _t(spark, sf_dir, "orders")
     return o.selectExpr(
         "o_orderkey",
@@ -425,6 +442,7 @@ FROM orders
 
 
 def geo_convex_hull(spark, sf_dir):
+    """ST_ConvexHull of a 3-point collection; area = triangle closed form."""
     o = _t(spark, sf_dir, "orders")
     x = "CAST(o_orderkey % 100 + 1 AS DOUBLE)"
     y = "CAST(o_custkey % 50 + 1 AS DOUBLE)"
@@ -486,6 +504,7 @@ FROM (
 
 
 def geo_wkt_types(spark, sf_dir):
+    """WKT parse + ST_GeometryType / GeoArrow type-id across all 7 types."""
     o = _t(spark, sf_dir, "orders")
     wkt = (
         "CASE CAST(o_orderkey % 4 AS INT) "
@@ -524,6 +543,7 @@ SELECT gtype, type_id, npoints, ngeoms, COUNT(*) AS n FROM (
 
 
 def geo_simplify_scale(spark, sf_dir):
+    """ST_Simplify after an affine scale: RDP collapses the collinear midpoint."""
     li = _t(spark, sf_dir, "lineitem")
     sx = "CAST(l_partkey % 20 + 1 AS DOUBLE)"
     g = f"ST_Affine(ST_GeomFromWKT('LINESTRING (0 0, 5 0.1, 10 0)'), {sx}, 0.0, 0.0, 1.0, 0.0, 0.0)"
@@ -544,6 +564,7 @@ FROM lineitem
 
 
 def geo_clip(spark, sf_dir):
+    """ST_ClipByBox2D of envelope families; area by interval intersection."""
     p = _t(spark, sf_dir, "part")
     box = "ST_MakeEnvelope(0.0, 0.0, CAST(p_size AS DOUBLE), CAST(p_size AS DOUBLE))"
     return p.selectExpr(
@@ -576,6 +597,7 @@ def geo_geohash(spark, sf_dir):
 
 
 def geo_line_interpolate(spark, sf_dir):
+    """ST_LineInterpolatePoint at per-row fractions along axis lines."""
     p = _t(spark, sf_dir, "part")
     x = "CAST(p_size AS DOUBLE)"  # integer-valued; frac 0.25 is a power of two
     line = f"ST_MakeLine(ST_Point(0.0, 0.0), ST_Point({x}, 0.0))"
@@ -593,6 +615,7 @@ FROM part
 
 
 def geo_center_envelope(spark, sf_dir):
+    """ST_Center / ST_Envelope of boxes (bbox midpoint closed form)."""
     s = _t(spark, sf_dir, "supplier")
     two = (
         "ST_Collect(ST_Point(CAST(s_suppkey % 40 AS DOUBLE), 0.0), "
@@ -634,6 +657,7 @@ FROM orders, (SELECT UNNEST([0.0, 1.0, 2.0]) AS k) d
 
 
 def geo_geojson_roundtrip(spark, sf_dir):
+    """ST_AsGeoJSON -> ST_GeomFromGeoJSON round trip preserves geometry."""
     c = _t(spark, sf_dir, "customer")
     pt = "ST_Point(CAST(c_custkey % 1000 AS DOUBLE), CAST(c_nationkey AS DOUBLE))"
     return c.selectExpr(
@@ -723,6 +747,7 @@ FROM supplier
 
 
 def text_ngram_jaccard_vs_ref(spark, sf_dir):
+    """Exact char-4-gram Jaccard of every document vs a reference string."""
     from .datapipe.dedup import ngram_jaccard
 
     ref = "the quick brown fox jumps over the lazy dog"
@@ -965,6 +990,7 @@ WHERE round(CASE WHEN sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)) > 0
 # ---------------------------------------------------------------------------
 
 def dedup_exact_stats(spark, sf_dir):
+    """Exact duplicate-group statistics by content digest (one digest-keyed shuffle)."""
     d = _t(spark, sf_dir, "documents")
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -978,6 +1004,7 @@ SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents
 
 
 def dedup_exact_keepers(spark, sf_dir):
+    """Exact dedup keep-first materialization: one survivor per digest."""
     d = _t(spark, sf_dir, "documents")
     kept = dedup.exact_dedup(d, "text", "doc_id", keep="min")
     return kept.agg(
@@ -992,6 +1019,7 @@ FROM (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
 
 
 def text_tokens(spark, sf_dir):
+    """Whitespace token counts per document (pure codegen)."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1009,6 +1037,7 @@ FROM documents
 
 
 def text_quality(spark, sf_dir):
+    """Alpha/digit/word-length ratios + composite quality score, rounded 6 dp."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1048,6 +1077,7 @@ FROM documents
 
 
 def text_langid(spark, sf_dir):
+    """Marker-based language identification over the five corpus languages."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text.lang_id("text").alias("lang_pred"))
 
@@ -1080,6 +1110,7 @@ FROM (
 
 
 def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword count approximation (regex segmentation)."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", text.bpe_token_count("text").cast("long").alias("n_bpe_tokens")
@@ -1255,6 +1286,7 @@ GROUP BY doc_id
 
 
 def text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint from distinct shingles."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text.fingerprint("text", n=8, max_chars=64).alias("fp"))
 
@@ -1270,6 +1302,7 @@ FROM documents
 
 
 def dedup_minhash_pairs(spark, sf_dir):
+    """Banded-minhash LSH candidate pairs (band equi-join, no all-pairs); full SQL oracle replays grams -> signatures -> bands."""
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
         d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
@@ -2399,6 +2432,7 @@ FROM m
 
 
 def sim_embedding_stats(spark, sf_dir):
+    """Per-label embedding statistics: counts and decimal-exact norms."""
     e = _t(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
@@ -2418,6 +2452,7 @@ FROM embeddings
 
 
 def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k baseline: broadcast queries, in-order fold dots, window rank."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 8)
     corpus = e.where(F.col("vec_id") >= 8)
@@ -2471,6 +2506,7 @@ _NS_GAP = 1_800_000_000_000  # 30 min
 
 
 def events_hourly(spark, sf_dir):
+    """Hourly event rollup with exact integer-cents value sums."""
     # ts column is int64 nanoseconds (see _t); hour bucket via exact
     # integer division — the batch analogue of window(ts, '1 hour')
     e = _t(spark, sf_dir, "events")
@@ -3066,6 +3102,7 @@ FROM events GROUP BY 1
 
 
 def events_sessions(spark, sf_dir):
+    """30-minute-gap sessionization via lag + cumulative session ids."""
     e = _t(spark, sf_dir, "events")
     e.createOrReplaceTempView("__events_sessions_src")
     return spark.sql(
@@ -3095,6 +3132,7 @@ FROM (
 
 
 def mm_blob_stats(spark, sf_dir):
+    """Opaque media blob statistics (size/digest family) over the synthesized binary column."""
     from .datapipe.multimodal import blob_stats
 
     d = _t(spark, sf_dir, "documents").select(
