@@ -583,6 +583,31 @@ def save_dedup_index(
     bands_df.write.mode("overwrite").parquet(f"{path}/bands")
 
 
+def append_dedup_index(
+    admitted: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 8,
+    max_chars: int = 128,
+):
+    """Roll the persisted dedup index forward: append the ADMITTED batch's
+    digests and bands (parquet append — no rewrite of the existing
+    index). After this, the next batch is deduped against corpus +
+    admitted exactly as if the index had been rebuilt from scratch
+    (dedup semantics only consult set membership, so duplicate index rows
+    from overlapping appends are harmless)."""
+    admitted.select(F.md5(F.col(text_col)).alias("__dig")).distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/digests")
+    banded_ids(
+        admitted, id_col, text_col, num_perm=num_perm, bands=bands,
+        shingle=shingle, max_chars=max_chars,
+    ).select("__band").distinct().write.mode("append").parquet(f"{path}/bands")
+
+
 def incremental_dedup_from_index(
     spark,
     index_path: str,

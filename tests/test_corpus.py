@@ -523,3 +523,31 @@ def test_incremental_dedup_index_roundtrip(spark, tmp_path, sf_dir):
         for r in incremental_dedup_from_index(spark, idx, incoming).collect()
     )
     assert live == via_idx and len(live) > 0
+
+
+def test_dedup_index_roll_forward(spark, tmp_path, sf_dir):
+    """Two-batch ingestion: admit batch1 against the corpus index, append
+    the admissions, admit batch2 — results must equal deduping batch2
+    against (corpus + admitted batch1) from scratch."""
+    from geoarrow_rs_spark.datapipe.dedup import (
+        append_dedup_index, incremental_dedup, incremental_dedup_from_index,
+        save_dedup_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus0 = d.where(F.col("doc_id") < 200)
+    batch1 = d.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 350))
+    batch2 = d.where(F.col("doc_id") >= 350)
+
+    idx = str(tmp_path / "roll_idx")
+    save_dedup_index(corpus0, idx)
+    adm1 = incremental_dedup_from_index(spark, idx, batch1)
+    append_dedup_index(adm1, idx)
+    adm2_idx = sorted(
+        r.doc_id for r in incremental_dedup_from_index(spark, idx, batch2).collect()
+    )
+    grown = corpus0.unionByName(adm1.select(*corpus0.columns))
+    adm2_live = sorted(
+        r.doc_id for r in incremental_dedup(grown, batch2).collect()
+    )
+    assert adm2_idx == adm2_live and len(adm2_idx) > 0
