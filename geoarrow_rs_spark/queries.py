@@ -2965,6 +2965,52 @@ def events_dau_wau(spark, sf_dir):
     )
 
 
+def events_top_paths(spark, sf_dir):
+    """Behavioral sequence mining: the 10 most common consecutive 3-event
+    paths across users (lead windows over the per-user timeline, global
+    count, distributed top-k with deterministic ties) — the n-gram
+    treatment applied to event streams."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    tri = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__e2", F.lead("event_type", 1).over(w))
+        .withColumn("__e3", F.lead("event_type", 2).over(w))
+        .where(F.col("__e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "__e2", "__e3").alias("path")
+        )
+    )
+    top = (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )
+    rw = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return top.withColumn("rank", F.row_number().over(rw).cast("int"))
+
+
+ORACLE_EVENTS_TOP_PATHS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS e3
+  FROM events
+),
+tri AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path
+  FROM seq WHERE e3 IS NOT NULL
+),
+top AS (
+  SELECT path, COUNT(*) AS n FROM tri GROUP BY path
+  ORDER BY n DESC, path ASC LIMIT 10
+)
+SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS INT) AS rank
+FROM top
+"""
+
+
 ORACLE_EVENTS_DAU_WAU = """
 WITH ud AS (
   SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
@@ -6200,6 +6246,7 @@ QUERIES = {
     "events_attribution": (events_attribution, ORACLE_EVENTS_ATTRIBUTION),
     "events_expectations": (events_expectations, ORACLE_EVENTS_EXPECTATIONS),
     "events_dau_wau": (events_dau_wau, ORACLE_EVENTS_DAU_WAU),
+    "events_top_paths": (events_top_paths, ORACLE_EVENTS_TOP_PATHS),
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),
