@@ -2180,6 +2180,63 @@ def text_vocab_stats(spark, sf_dir):
     )
 
 
+def text_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by tf-idf (12-dp idf,
+    6-dp scores, ties on the term) — the summarization/tagging primitive,
+    sharing the tfidf machinery's single-explode + word-window shape."""
+    d = _t(spark, sf_dir, "documents")
+    from .datapipe.corpus import words_of
+
+    tf = (
+        d.select("doc_id", F.explode(words_of(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("__N"))
+    dfw = tf.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+    ).crossJoin(F.broadcast(nn))
+    idf = F.round(
+        F.log(
+            (F.col("__N").cast("double") + F.lit(1.0))
+            / (F.col("__df").cast("double") + F.lit(1.0))
+        ),
+        12,
+    )
+    scored = dfw.select(
+        "doc_id", "word",
+        F.round(F.col("tf").cast("double") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+ORACLE_TEXT_KEYWORDS = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+dfw AS (
+  SELECT doc_id, word, tf,
+         COUNT(*) OVER (PARTITION BY word) AS df
+  FROM tf
+),
+scored AS (
+  SELECT doc_id, word,
+         round(CAST(tf AS DOUBLE)
+               * round(ln((nn.n + 1.0) / (df + 1.0)), 12), 6) AS score
+  FROM dfw CROSS JOIN nn
+)
+SELECT doc_id, word, score, CAST(rn AS INT) AS rank FROM (
+  SELECT doc_id, word, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
 ORACLE_TEXT_VOCAB = """
 WITH w AS (
   SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
@@ -3058,6 +3115,62 @@ def events_geo_extent(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def geo_areal_interpolation(spark, sf_dir):
+    """Areal interpolation: part 'footprints' (envelope family) apportion
+    their retail price to two fixed zones by exact overlap-area fraction
+    (ST_Intersection area / footprint area) — the classic GIS transfer of
+    an attribute between incompatible zone systems, composed from the
+    overlay engine + an exact-cents aggregation. The memoized kernels
+    collapse the 50-distinct-box family to one overlay per distinct
+    input pair."""
+    p = _t(spark, sf_dir, "part")
+    foot = "ST_MakeEnvelope(0.0, 0.0, CAST(p_size AS DOUBLE), CAST(p_size AS DOUBLE))"
+    zones = [("west", "ST_MakeEnvelope(0.0, 0.0, 25.0, 50.0)"),
+             ("east", "ST_MakeEnvelope(25.0, 0.0, 50.0, 50.0)")]
+    parts = []
+    for zname, zbox in zones:
+        parts.append(
+            p.selectExpr(
+                f"'{zname}' AS zone",
+                "p_retailprice",
+                f"ST_Area(ST_Intersection({foot}, {zbox})) AS __ia",
+                f"ST_Area({foot}) AS __fa",
+            )
+        )
+    u = parts[0].unionByName(parts[1])
+    # apportioned cents = round half-up of price*fraction in cents (exact
+    # integer-total arithmetic, deterministic in both engines)
+    frac = F.when(F.col("__fa") > 0, F.col("__ia") / F.col("__fa")).otherwise(F.lit(0.0))
+    cents = F.floor(F.col("p_retailprice") * frac * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        u.groupBy("zone")
+        .agg((F.sum(cents).cast("double") / F.lit(100.0)).alias("apportioned_value"))
+    )
+
+
+ORACLE_GEO_AREAL = """
+WITH f AS (
+  SELECT p_retailprice,
+         CAST(p_size AS DOUBLE) AS s,
+         CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE) AS fa
+  FROM part
+),
+z AS (
+  SELECT 'west' AS zone, 0.0 AS zx0, 25.0 AS zx1 FROM (SELECT 1)
+  UNION ALL SELECT 'east', 25.0, 50.0 FROM (SELECT 1)
+),
+joined AS (
+  SELECT z.zone, f.p_retailprice, f.fa,
+         greatest(0.0, least(f.s, z.zx1) - greatest(0.0, z.zx0))
+           * least(f.s, 50.0) AS ia
+  FROM f CROSS JOIN z
+)
+SELECT zone,
+       CAST(SUM(CAST(floor(p_retailprice * (CASE WHEN fa > 0 THEN ia / fa ELSE 0.0 END) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS apportioned_value
+FROM joined GROUP BY zone
+"""
 
 
 def geo_trajectory_stats(spark, sf_dir):
@@ -6181,6 +6294,7 @@ QUERIES = {
     "geo_spherical": (geo_spherical, ORACLE_GEO_SPHERICAL),
     "geo_cast_matrix": (geo_cast_matrix, ORACLE_GEO_CAST),
     "geo_trajectory_stats": (geo_trajectory_stats, ORACLE_GEO_TRAJECTORY),
+    "geo_areal_interpolation": (geo_areal_interpolation, ORACLE_GEO_AREAL),
     # dedup / text / similarity
     "dedup_exact_stats": (dedup_exact_stats, ORACLE_DEDUP_EXACT),
     "dedup_exact_keepers": (dedup_exact_keepers, ORACLE_DEDUP_KEEPERS),
@@ -6207,6 +6321,7 @@ QUERIES = {
     "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
     "text_tfidf_topk": (text_tfidf_topk, ORACLE_TEXT_TFIDF),
     "text_vocab_stats": (text_vocab_stats, ORACLE_TEXT_VOCAB),
+    "text_keywords": (text_keywords, ORACLE_TEXT_KEYWORDS),
     "text_c4_clean": (text_c4_clean, ORACLE_C4),
     "text_repetition": (text_repetition, ORACLE_REPETITION),
     "text_tokens": (text_tokens, ORACLE_TEXT_TOKENS),
