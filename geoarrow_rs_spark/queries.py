@@ -3048,6 +3048,43 @@ def events_top_paths(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(rw).cast("int"))
 
 
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    P(next | current) from consecutive pairs (lead window), exact counts
+    and 6-dp probabilities — the behavioral-model estimation step that
+    feeds simulation and anomaly scoring."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__next", F.lead("event_type").over(w))
+        .where(F.col("__next").isNotNull())
+        .select(F.col("event_type").alias("from_type"), F.col("__next").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double") / tot.cast("double"), 6).alias("p"),
+    )
+
+
+ORACLE_EVENTS_MARKOV = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM counts
+"""
+
+
 ORACLE_EVENTS_TOP_PATHS = """
 WITH seq AS (
   SELECT user_id, event_type,
@@ -6362,6 +6399,7 @@ QUERIES = {
     "events_expectations": (events_expectations, ORACLE_EVENTS_EXPECTATIONS),
     "events_dau_wau": (events_dau_wau, ORACLE_EVENTS_DAU_WAU),
     "events_top_paths": (events_top_paths, ORACLE_EVENTS_TOP_PATHS),
+    "events_markov_transitions": (events_markov_transitions, ORACLE_EVENTS_MARKOV),
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),
