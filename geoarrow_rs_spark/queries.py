@@ -3069,6 +3069,49 @@ def events_markov_transitions(spark, sf_dir):
     )
 
 
+def events_geo_hotspots(spark, sf_dir):
+    """Emerging spatial hotspots: event locations grid-binned (5x5 cells),
+    counts split at the month midpoint, cells whose second-half density
+    at least doubles (with a minimum support) — the geo x time
+    composition behind ops dashboards. Exact integer counts and integer
+    midpoint arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    x = "CAST(user_id % 360 AS DOUBLE) - 179.5"
+    y = "CAST(event_id % 170 AS DOUBLE) - 84.5"
+    mid = 1705881600000000000  # 2024-01-22T00:00:00Z in ns (month midpoint)
+    d = e.selectExpr(
+        f"CAST(floor(({x}) / 5.0) AS INT) AS cx",
+        f"CAST(floor(({y}) / 5.0) AS INT) AS cy",
+        f"CASE WHEN ts < {mid} THEN 0 ELSE 1 END AS half",
+    )
+    counts = d.groupBy("cx", "cy").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_first"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_second"),
+    )
+    return counts.where(
+        (F.col("n_second") >= 2 * F.col("n_first")) & (F.col("n_second") >= 5)
+    )
+
+
+ORACLE_EVENTS_GEO_HOTSPOTS = """
+WITH d AS (
+  SELECT CAST(floor((CAST(user_id % 360 AS DOUBLE) - 179.5) / 5.0) AS INT) AS cx,
+         CAST(floor((CAST(event_id % 170 AS DOUBLE) - 84.5) / 5.0) AS INT) AS cy,
+         CASE WHEN epoch_ns(ts) < 1705881600000000000 THEN 0 ELSE 1 END AS half
+  FROM events
+),
+counts AS (
+  SELECT cx, cy,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_first,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_second
+  FROM d GROUP BY cx, cy
+)
+SELECT cx, cy, n_first, n_second
+FROM counts
+WHERE n_second >= 2 * n_first AND n_second >= 5
+"""
+
+
 ORACLE_EVENTS_MARKOV = """
 WITH pairs AS (
   SELECT event_type AS from_type,
@@ -6400,6 +6443,7 @@ QUERIES = {
     "events_dau_wau": (events_dau_wau, ORACLE_EVENTS_DAU_WAU),
     "events_top_paths": (events_top_paths, ORACLE_EVENTS_TOP_PATHS),
     "events_markov_transitions": (events_markov_transitions, ORACLE_EVENTS_MARKOV),
+    "events_geo_hotspots": (events_geo_hotspots, ORACLE_EVENTS_GEO_HOTSPOTS),
     "events_user_stats": (events_user_stats, ORACLE_EVENTS_USER_STATS),
     "events_props_json": (events_props_json, ORACLE_EVENTS_PROPS),
     "events_salted_join": (events_salted_join, ORACLE_SALTED_JOIN),
