@@ -264,6 +264,35 @@ FROM orders GROUP BY o_orderpriority
 # geometry queries (real WKB kernel pipeline; arithmetic oracles)
 # ---------------------------------------------------------------------------
 
+def q_customer_value_deciles(spark, sf_dir):
+    """Customer lifetime-value deciles: exact integer-cents order totals
+    per customer, ntile(10) over a strict total order (value desc, key),
+    per-decile counts and exact value sums — the segmentation rollup."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    per = o.groupBy("o_custkey").agg(F.sum(cents).alias("__c"))
+    w = Window.orderBy(F.col("__c").desc(), F.col("o_custkey").asc())
+    d = per.withColumn("decile", F.ntile(10).over(w))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("__c").cast("double") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+ORACLE_Q_DECILES = """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT c, ntile(10) OVER (ORDER BY c DESC, o_custkey ASC) AS decile FROM per
+)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(c) AS DOUBLE) / 100.0 AS total_value
+FROM d GROUP BY decile
+"""
+
+
 def geo_point_accessors(spark, sf_dir):
     """Point constructors + X/Y accessors over customer-derived coordinates."""
     c = _t(spark, sf_dir, "customer")
@@ -6328,6 +6357,7 @@ QUERIES = {
     "q11_important_values": (q11_important_values, ORACLE_Q11),
     "q20_dominant_suppliers": (q20_dominant_suppliers, ORACLE_Q20),
     "q_rollup_revenue": (q_rollup_revenue, ORACLE_ROLLUP),
+    "q_customer_value_deciles": (q_customer_value_deciles, ORACLE_Q_DECILES),
     # geometry
     "geo_point_accessors": (geo_point_accessors, ORACLE_GEO_POINT),
     "geo_distance": (geo_distance, ORACLE_GEO_DISTANCE),
