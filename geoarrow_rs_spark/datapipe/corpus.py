@@ -319,6 +319,10 @@ def tfidf_topk(
     selection is a distributed TakeOrderedAndProject, never a global sort.
     """
     terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError(
+            "tfidf_topk: query_terms is empty — nothing to score against"
+        )
     base = corpus.select(F.col(id_col), words_of(F.col(text_col)).alias("__w"))
 
     # ONE corpus pass (array scans, no explode) yields everything the query

@@ -34,8 +34,18 @@ def kmv_distinct(
     round_to: int = 6,
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate. Output: group_cols +
-    (n_seen, est_distinct). Groups with fewer than k distinct hashes are
-    exact (est = n_seen)."""
+    (n_seen, est_distinct). Without prefilter, groups with fewer than k
+    distinct hashes are exact (est = n_seen).
+
+    With ``prefilter`` set, a group whose surviving hash count falls
+    below k can NOT be treated as exact — the prefilter may have dropped
+    real minima for that group. That branch instead scales up by the
+    survival probability (hashes are uniform in [0,1), so distinct ~
+    n_seen / prefilter — the classic distinct-sampling estimator) and the
+    output gains an ``est_is_exact`` boolean column (false for every
+    scaled-up group) so callers can't mistake the unreliable branch for
+    an exact count.
+    """
     per = df.select(*group_cols, hash_uniform(key, salt).alias("__h"))
     if prefilter is not None:
         per = per.where(F.col("__h") < F.lit(float(prefilter)))
@@ -45,10 +55,22 @@ def kmv_distinct(
     agg = ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_seen"), F.max("__h").alias("__hk")
     )
-    est = F.when(
-        F.col("n_seen") < k, F.col("n_seen").cast("double")
-    ).otherwise(F.round(F.lit(float(k - 1)) / F.col("__hk"), round_to))
-    return agg.select(*group_cols, "n_seen", est.alias("est_distinct"))
+    kmv_est = F.round(F.lit(float(k - 1)) / F.col("__hk"), round_to)
+    if prefilter is None:
+        est = F.when(
+            F.col("n_seen") < k, F.col("n_seen").cast("double")
+        ).otherwise(kmv_est)
+        return agg.select(*group_cols, "n_seen", est.alias("est_distinct"))
+    scaled = F.round(
+        F.col("n_seen").cast("double") / F.lit(float(prefilter)), round_to
+    )
+    est = F.when(F.col("n_seen") < k, scaled).otherwise(kmv_est)
+    return agg.select(
+        *group_cols,
+        "n_seen",
+        est.alias("est_distinct"),
+        F.lit(False).alias("est_is_exact"),
+    )
 
 
 def histogram_quantiles(

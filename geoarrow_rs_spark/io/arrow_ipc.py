@@ -67,7 +67,12 @@ def write_arrow_ipc(df: DataFrame, path: str, batch_size: int = 65536):
     """Driver-side IPC write (single-file interchange format => single
     writer), streamed through ``toLocalIterator`` like the FGB/shapefile
     writers: peak driver memory is one prefetched partition plus one
-    ``batch_size`` row buffer, never the whole DataFrame."""
+    ``batch_size`` row buffer, never the whole DataFrame.
+
+    Throughput ceiling: one driver-side writer => single-disk bandwidth
+    (~100s of MB/s), regardless of cluster size. For exports beyond a few
+    GB use the distributed sink (``write_geoparquet`` — one file per
+    task) and convert per-file downstream if IPC is truly required."""
     import pandas as pd
 
     from pyspark.sql.pandas.types import to_arrow_schema

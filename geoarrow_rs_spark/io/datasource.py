@@ -144,7 +144,9 @@ class ShapefileDataSource(DataSource):
             raise ValueError("shapefile: .load(path.shp) required")
         import os
 
-        dbf = self.options.get("dbf", p.replace(".shp", ".dbf"))
+        # splitext, not str.replace: a '.shp' elsewhere in the path (e.g.
+        # a directory named data.shp.d) must not be rewritten.
+        dbf = self.options.get("dbf", os.path.splitext(p)[0] + ".dbf")
         return p, (dbf if os.path.exists(dbf) else None)
 
     def schema(self):
@@ -183,7 +185,9 @@ class _ShpReader(DataSourceReader):
         self.shp_path = shp_path
         self.dbf_path = dbf_path
         self.schema = schema
-        self._index = _read_shx(shp_path.replace(".shp", ".shx"))
+        import os
+
+        self._index = _read_shx(os.path.splitext(shp_path)[0] + ".shx")
         self._dbf_meta = None
         self._fields = []
         if dbf_path:
@@ -223,9 +227,21 @@ class _ShpReader(DataSourceReader):
 
 
 def register_datasources(spark):
-    """Register the Python data sources on this session (idempotent)."""
+    """Register the Python data sources on this session (idempotent).
+
+    Only the two expected benign cases are swallowed — the API not
+    existing (Spark < 4) and re-registration of the same source. Any
+    other failure is a real registration problem and is re-raised so
+    ``format("flatgeobuf")`` doesn't silently go missing.
+    """
+    registry = getattr(spark, "dataSource", None)
+    if registry is None:
+        return  # Spark < 4: Python DataSource API unavailable
     for src in (FlatGeobufDataSource, ShapefileDataSource):
         try:
-            spark.dataSource.register(src)
-        except Exception:
-            pass  # already registered or API unavailable
+            registry.register(src)
+        except Exception as exc:
+            msg = str(exc).lower()
+            if "already" in msg and "register" in msg:
+                continue
+            raise

@@ -433,7 +433,13 @@ def write_flatgeobuf(
     ``toLocalIterator()`` — bounded driver memory (one partition of rows plus
     40 bytes of bbox/offset bookkeeping per feature), never a full
     ``collect()``. Features are staged size-prefixed in a temp file, then
-    re-emitted in Hilbert order behind the index."""
+    re-emitted in Hilbert order behind the index.
+
+    Throughput ceiling: the single driver writer (plus the Hilbert sort
+    pass) bounds this to single-disk bandwidth — fine for map-layer-sized
+    exports (up to a few GB), not a 100 TB path. At scale, write
+    GeoParquet (distributed, one file per task) and produce FGB only for
+    the final serving artifact."""
     import os
     import tempfile
 

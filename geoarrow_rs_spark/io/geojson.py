@@ -114,7 +114,11 @@ def write_geojson(
     A single JSON document forces a single writer; features are built
     DISTRIBUTED (the same native expression as the lines writer — geometry
     encoding and property serialization run on executors) and stream to the
-    driver via ``toLocalIterator`` with only framing written locally."""
+    driver via ``toLocalIterator`` with only framing written locally.
+
+    Throughput ceiling: single driver writer => single-disk bandwidth;
+    suitable for web-map-sized documents. For large exports use
+    ``write_geojson_lines`` (fully distributed, one part per task)."""
     props = [c for c in df.columns if c != geometry_col]
     feature = F.concat(
         F.lit('{"type":"Feature","geometry":'),

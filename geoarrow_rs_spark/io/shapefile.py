@@ -260,7 +260,11 @@ def write_shapefile(df, shp_path: str, geometry_col="geometry"):
     but STREAMING: rows arrive via ``toLocalIterator()`` one partition at a
     time and go straight to disk; headers (bbox, lengths, record count) are
     patched by seek afterward. Driver memory stays bounded (8 bytes of .shx
-    bookkeeping per record), unlike the old full ``collect()``."""
+    bookkeeping per record), unlike the old full ``collect()``.
+
+    Throughput ceiling: single driver writer => single-disk bandwidth, and
+    the format itself caps at 2 GB per .shp — interchange-sized exports
+    only. At scale write GeoParquet (distributed) instead."""
     from ..wkb import algorithms as alg
 
     other = [c for c in df.columns if c != geometry_col]

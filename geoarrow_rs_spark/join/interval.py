@@ -52,12 +52,14 @@ def interval_join(
     lo = F.col(left_start)
     hi = F.col(left_end)
     # `div` = exact integer division (ns-scale epochs overflow the 53-bit
-    # double mantissa, so / would corrupt bin ids)
-    bins = F.sequence(
-        F.expr(f"`{left_start}` div {w}"),
-        F.expr(f"`{left_end}` div {w}"),
-        F.lit(1).cast("long"),
-    )
+    # double mantissa, so / would corrupt bin ids). The stop is clamped
+    # with greatest(): a malformed row with end < start would otherwise
+    # make sequence() raise an illegal-boundaries error and kill the whole
+    # job — clamping yields a single bin and the refine predicate (which
+    # can never hold when end < start) drops the row, i.e. zero matches.
+    start_bin = F.expr(f"`{left_start}` div {w}")
+    stop_bin = F.greatest(start_bin, F.expr(f"`{left_end}` div {w}"))
+    bins = F.sequence(start_bin, stop_bin, F.lit(1).cast("long"))
     l_binned = left.withColumn("__bin", F.explode(bins))
     r_binned = right.withColumn("__bin", F.expr(f"`{right_ts}` div {w}"))
     ts = F.col(right_ts)

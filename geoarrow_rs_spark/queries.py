@@ -48,15 +48,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType.typeName()
-        if ts_type in ("timestamp", "timestamp_ntz"):
-            # naive timestamps are epoch-anchored the same way duckdb anchors
-            # them (treat as UTC); pin the session tz so the cast is exact.
-            # NB: session-global — bench.py and tests/conftest.py pin UTC at
-            # session setup so this is a no-op there; standalone callers get
-            # it set on first events load and every later query assumes it
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        if ts_type == "timestamp_ntz":
+            # naive timestamps are epoch-anchored the same way duckdb
+            # anchors them (treat the wall clock as UTC). timestampdiff
+            # against an NTZ epoch literal is pure wall-clock arithmetic —
+            # exact and independent of the session timezone, so no
+            # session-global conf mutation is needed here.
             df = df.withColumn(
-                "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+                "ts",
+                (
+                    F.expr(
+                        "timestampdiff(MICROSECOND,"
+                        " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                    )
+                    * F.lit(1000)
+                ).cast("long"),
+            )
+        elif ts_type == "timestamp":
+            # ltz timestamps are instants; unix_micros extracts the epoch
+            # directly (timezone-independent by construction)
+            df = df.withColumn(
+                "ts", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
             )
         return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -845,8 +857,9 @@ def dedup_simhash_signatures(spark, sf_dir):
 
 
 def sim_srp_buckets(spark, sf_dir):
-    """SRP-LSH bucket histogram (rows-only check; determinism is covered by
-    pytest on the same expressions)."""
+    """SRP-LSH bucket histogram. STRICT oracle: the md5-derived random
+    hyperplanes and sign arithmetic are mirrored bit-for-bit in DuckDB SQL
+    (ORACLE_SIM_SRP), so rows+schema+hash are all value-checked."""
     from .datapipe.similarity import srp_bucket_expr
 
     e = _t(spark, sf_dir, "embeddings")
@@ -970,7 +983,7 @@ GROUP BY l_linestatus
 def sim_near_dup_pairs(spark, sf_dir):
     """Embedding near-duplicate pairs by exact cosine threshold over a
     bounded candidate set (brute-force; the LSH-blocked variant is the scale
-    path, checked rows-only as sim_srp_buckets)."""
+    path, strictly oracle-checked as sim_srp_buckets)."""
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     a = e.selectExpr("vec_id AS a_id", "embedding AS ea")
     b = e.selectExpr("vec_id AS b_id", "embedding AS eb")
