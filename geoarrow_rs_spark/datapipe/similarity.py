@@ -292,6 +292,165 @@ def assign_clusters(
     return best.select(id_col, vec, F.col("__m.__cid").alias("cid"))
 
 
+# ---------------------------------------------------------------------------
+# Driver-local exact trainer (small-corpus fast path)
+#
+# faiss-style practice: k-means / PQ codebooks train on a sample that fits
+# in one machine; only corpus ASSIGNMENT and search need the cluster. When
+# Catalyst's plan-time size estimate says the training input is small, we
+# collect it and run the SAME algorithm locally — bit-identical to the
+# distributed pipeline (and therefore to the SQL oracles) because every
+# decimal operation is replicated exactly:
+#   - CAST(double AS DECIMAL(38,12)) == Decimal(repr(x)) HALF_UP at 12 dp
+#     (JVM BigDecimal.valueOf uses the shortest round-trip repr, as repr())
+#   - dist2_decimal_expr's fold widens each (38,12)+(38,12) step to (38,11)
+#     == per-step HALF_UP quantize at 11 dp (verified against Spark)
+#   - SUM over DECIMAL(38,12) is an exact integer sum at scale 1e12
+#   - CAST(decimal AS DOUBLE) == float(Decimal) (nearest double)
+# Assignment argmins run vectorized in float64 with a 1e-6 near-tie escape
+# to the exact decimal fold (float error here is < 1e-9), so the hot loop
+# is numpy while every tie resolves exactly as Spark would.
+# ---------------------------------------------------------------------------
+
+import os as _os
+from decimal import ROUND_HALF_UP as _HALF_UP, Decimal as _Dec
+
+import numpy as _np
+
+_E12 = _Dec("1e-12")
+_E11 = _Dec("1e-11")
+
+LOCAL_TRAIN_DISABLED = _os.environ.get("SPARK_GRAFT_DISABLE_LOCAL_TRAIN", "") == "1"
+_LOCAL_TRAIN_MAX_BYTES = 256 << 20
+
+
+def _dec12(x) -> _Dec:
+    """Replica of Spark ``CAST(double AS DECIMAL(38,12))``."""
+    return _Dec(repr(float(x))).quantize(_E12, rounding=_HALF_UP)
+
+
+def _fold_d2(a, b) -> _Dec:
+    """Replica of ``dist2_decimal_expr``: 12 dp term cast, 11 dp per-step
+    accumulate (Spark widens (38,12)+(38,12) -> (38,11))."""
+    acc = _Dec(0)
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc = (acc + _dec12(d * d)).quantize(_E11, rounding=_HALF_UP)
+    return acc
+
+
+def _plan_size_bytes(df: DataFrame):
+    """Catalyst plan-time size estimate — no job (same trick as the auto
+    spatial-join strategy)."""
+    try:
+        if df.isStreaming:
+            return None
+        jstats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = jstats.sizeInBytes()
+        # Py4J maps scala BigInt to a Python int directly; older bridges
+        # hand back the Java object
+        return size if isinstance(size, int) else int(size.toString())
+    except Exception:
+        return None
+
+
+def _collect_if_small(corpus: DataFrame, id_col: str, vec: str):
+    """[(id, [float, ...])] sorted by id if the training input is estimated
+    small enough to collect, else None (caller uses the distributed path)."""
+    if LOCAL_TRAIN_DISABLED:
+        return None
+    size = _plan_size_bytes(corpus)
+    if size is None or size > _LOCAL_TRAIN_MAX_BYTES:
+        return None
+    rows = corpus.select(id_col, vec).collect()
+    rows = [(r[0], [float(x) for x in r[1]]) for r in rows]
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
+def _dec12_int_matrix(X: _np.ndarray) -> _np.ndarray:
+    """(n, d) int64 of CAST(v AS DECIMAL(38,12)) scaled by 1e12 — the exact
+    summands of the distributed centroid update, summable in numpy."""
+    flat = [int(_dec12(x).scaleb(12)) for x in X.ravel().tolist()]
+    return _np.asarray(flat, dtype=_np.int64).reshape(X.shape)
+
+
+def _assign_local(X: _np.ndarray, cents: list) -> _np.ndarray:
+    """Per-row index into ``cents`` of the nearest centroid under the exact
+    decimal metric, ties by centroid id (``min(struct(d2, cid))`` replica).
+    ``cents`` must be sorted ascending by id."""
+    C = _np.asarray([c[-1] for c in cents], dtype=_np.float64)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    best = _np.argmin(d2, axis=1)  # first minimum = lowest cid
+    mind = d2[_np.arange(len(X)), best]
+    near = d2 <= (mind[:, None] + 1e-6)
+    for i in _np.flatnonzero(near.sum(axis=1) > 1):
+        cand = _np.flatnonzero(near[i])
+        exact = [(_fold_d2(X[i], C[j]), j) for j in cand]
+        best[i] = min(exact)[1]
+    return best
+
+
+def _exact_means(V12: _np.ndarray, assign: _np.ndarray, n_cents: int):
+    """[(cent_index, [mean, ...])] for non-empty centroids: exact int sums
+    at 1e12 scale, CAST(sum AS DOUBLE) / CAST(n AS DOUBLE) replica."""
+    n, d = V12.shape
+    sums = _np.zeros((n_cents, d), dtype=_np.int64)
+    _np.add.at(sums, assign, V12)
+    counts = _np.bincount(assign, minlength=n_cents)
+    out = []
+    for j in range(n_cents):
+        if counts[j]:
+            cnt = float(counts[j])
+            out.append(
+                (j, [float(_Dec(int(s)).scaleb(-12)) / cnt for s in sums[j]])
+            )
+    return out
+
+
+def _int64_sum_safe(X: _np.ndarray) -> bool:
+    """int64 headroom guard for the 1e12-scaled sums."""
+    if X.size == 0:
+        return True
+    return float(_np.abs(X).max()) * 1e12 * X.shape[0] < 4e18
+
+
+def _kmeans_train_local(rows: list, k: int, iters: int) -> list:
+    X = _np.asarray([v for _, v in rows], dtype=_np.float64)
+    if X.ndim != 2 or not _int64_sum_safe(X):
+        return None
+    cents = [(i, list(X[i])) for i in range(min(k, len(rows)))]
+    V12 = _dec12_int_matrix(X)
+    for _ in range(iters):
+        assign = _assign_local(X, cents)
+        by_idx = _exact_means(V12, assign, len(cents))
+        cents = sorted((cents[j][0], mean) for j, mean in by_idx)
+    return cents
+
+
+def _pq_train_local(rows: list, m: int, k_codes: int, iters: int, w: int) -> list:
+    X = _np.asarray([v for _, v in rows], dtype=_np.float64)
+    if X.ndim != 2 or not _int64_sum_safe(X):
+        return None
+    n_init = min(k_codes, len(rows))
+    cents = sorted(
+        (s, c, list(X[c][s * w : (s + 1) * w]))
+        for c in range(n_init)
+        for s in range(m)
+    )
+    V12 = _dec12_int_matrix(X)
+    for _ in range(iters):
+        new_cents = []
+        for s in range(m):
+            sub_cents = [(c, v) for (cs, c, v) in cents if cs == s]
+            Xs = X[:, s * w : (s + 1) * w]
+            assign = _assign_local(Xs, sub_cents)
+            by_idx = _exact_means(V12[:, s * w : (s + 1) * w], assign, len(sub_cents))
+            new_cents.extend((s, sub_cents[j][0], mean) for j, mean in by_idx)
+        cents = sorted(new_cents)
+    return cents
+
+
 def kmeans_train(
     corpus: DataFrame,
     vec: str = "embedding",
@@ -309,7 +468,17 @@ def kmeans_train(
     reproducible bit-exactly in ANSI SQL (see the kmeans IVF oracle).
 
     At 100 TB, train on a sample (``corpus.sample(...)``) and reuse the
-    centroids; assignment of the full corpus stays fully distributed."""
+    centroids; assignment of the full corpus stays fully distributed.
+
+    When the training input is plan-estimated small (< 256 MB), the whole
+    algorithm runs driver-local instead — one collect job replaces
+    ``2 * iters`` driver-synchronous Spark jobs, with bit-identical output
+    (see the exact-decimal replica notes above)."""
+    local_rows = _collect_if_small(corpus, id_col, vec)
+    if local_rows is not None:
+        cents = _kmeans_train_local(local_rows, k, iters)
+        if cents is not None:
+            return cents
     spark = corpus.sparkSession
     init_rows = (
         corpus.orderBy(id_col).limit(k).select(vec).collect()
@@ -438,13 +607,21 @@ def pq_train(
     training cost is independent of m. Deterministic like kmeans_train
     (init = the k_codes lowest-id vectors' slices), hence SQL-mirrorable.
 
-    Returns [(s, code, centroid_subvec)] with m * k_codes entries."""
+    Returns [(s, code, centroid_subvec)] with m * k_codes entries.
+
+    Small training inputs dispatch to the exact driver-local replica, like
+    :func:`kmeans_train`."""
     spark = corpus.sparkSession
     if dim is None:
         dim = len(corpus.select(vec).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     w = dim // m
+    local_rows = _collect_if_small(corpus, id_col, vec)
+    if local_rows is not None:
+        cents = _pq_train_local(local_rows, m, k_codes, iters, w)
+        if cents is not None:
+            return cents
     sub = _subspace_rows(corpus, vec, id_col, m, w).localCheckpoint(eager=True)
 
     init = (
@@ -556,17 +733,25 @@ def ivfpq_topk(
         dim = len(corpus.select(corpus_vec).first()[0])
     w = dim // m
 
-    # coarse quantizer: learned cells + corpus assignment (existing IVF)
-    ccents = kmeans_train(corpus, vec=corpus_vec, id_col=corpus_id,
-                          k=k_clusters, iters=iters)
+    # coarse quantizer: learned cells + corpus assignment (existing IVF).
+    # One shared collect feeds both local trainers when the corpus is
+    # plan-estimated small; otherwise each falls back to its distributed
+    # training pipeline independently.
+    local_rows = _collect_if_small(corpus, corpus_id, corpus_vec)
+    ccents = pcents = None
+    if local_rows is not None:
+        ccents = _kmeans_train_local(local_rows, k_clusters, iters)
+        pcents = _pq_train_local(local_rows, m, k_codes, pq_iters, dim // m)
+    if ccents is None:
+        ccents = kmeans_train(corpus, vec=corpus_vec, id_col=corpus_id,
+                              k=k_clusters, iters=iters)
+    if pcents is None:
+        pcents = pq_train(corpus, vec=corpus_vec, id_col=corpus_id, m=m,
+                          k_codes=k_codes, iters=pq_iters, dim=dim)
     cdf = _centroid_df(spark, ccents)
     assigned = assign_clusters(corpus, cdf, vec=corpus_vec, id_col=corpus_id).select(
         F.col(corpus_id).alias("neighbor_id"), "cid"
     )
-
-    # product codebooks + corpus codes
-    pcents = pq_train(corpus, vec=corpus_vec, id_col=corpus_id, m=m,
-                      k_codes=k_codes, iters=pq_iters, dim=dim)
     codes = pq_encode(corpus, pcents, vec=corpus_vec, id_col=corpus_id,
                       m=m, dim=dim).withColumnRenamed("vid", "neighbor_id")
 

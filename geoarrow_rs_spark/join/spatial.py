@@ -106,7 +106,10 @@ def spatial_join(
         try:
             if not right.isStreaming:
                 jstats = right._jdf.queryExecution().optimizedPlan().stats()
-                size = int(jstats.sizeInBytes().toString())
+                size = jstats.sizeInBytes()
+                # Py4J maps scala BigInt to a Python int directly; older
+                # bridges hand back the Java object
+                size = size if isinstance(size, int) else int(size.toString())
                 strategy = "broadcast" if size <= broadcast_bytes else "grid"
         except Exception:
             pass

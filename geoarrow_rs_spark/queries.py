@@ -483,8 +483,10 @@ FROM orders
 
 
 def geo_convex_hull(spark, sf_dir):
-    """ST_ConvexHull of a 3-point collection; area = triangle closed form."""
-    o = _t(spark, sf_dir, "orders")
+    """ST_ConvexHull of a 3-point collection; area = triangle closed form.
+    _spread: the construction chain is pure python-kernel work straight off
+    a single-file scan — parallelize it before the UDF chain runs."""
+    o = _spread(_t(spark, sf_dir, "orders"))
     x = "CAST(o_orderkey % 100 + 1 AS DOUBLE)"
     y = "CAST(o_custkey % 50 + 1 AS DOUBLE)"
     return o.selectExpr(
@@ -6122,36 +6124,52 @@ def geo_affine_parts(spark, sf_dir):
     GeometryN, boundary length of a box, RemoveRepeatedPoints counts.
     All params derive from part columns; results are exact halves/quarters
     except the rotation/skew trig, rounded to 9 dp (error ~1e-16)."""
-    p = _t(spark, sf_dir, "part")
+    p = _spread(_t(spark, sf_dir, "part"))
     w = "CAST(p_size % 5 + 1 AS DOUBLE)"
     h = "CAST(p_partkey % 4 + 1 AS DOUBLE)"
     dx = "CAST(p_partkey % 7 AS DOUBLE)"
+    # construct-once two-step select (same trick as geo_multipolygon_stats):
+    # every shared sub-geometry — the box, its rotated/scaled variants, the
+    # collections — is built in the first projection, so downstream accessor
+    # columns reference one pUDF result instead of re-running the whole
+    # construction chain per output column (CollapseProject won't inline a
+    # Python UDF referenced by several downstream columns).
     box = f"ST_MakeEnvelope(0.0, 0.0, {w}, {h})"
     coll = f"ST_Collect(ST_Point({dx}, {h}), ST_Point({w}, 0.0))"
     dup_line = (
         f"ST_LineFromArrays(array(0.0, 0.0, {w}, {w}, {w}),"
         f" array(0.0, 0.0, {h}, {h} + 1.0, {h} + 1.0))"
     )
-    return p.selectExpr(
+    staged = p.selectExpr(
         "p_partkey",
-        f"round(ST_XMin(ST_Rotate({box}, 90.0)), 9) AS rot_xmin",
-        f"round(ST_XMax(ST_Rotate({box}, 90.0)), 9) AS rot_xmax",
-        f"round(ST_YMin(ST_Rotate({box}, 90.0)), 9) AS rot_ymin",
-        f"ST_X(ST_StartPoint(ST_Translate(ST_MakeLine(ST_Point(1.0, 1.0), ST_Point(2.0, 2.0)), {dx}, -1.0))) AS trans_x",
-        f"ST_Area(ST_Scale({box}, 0.5, 0.5)) AS scale_area",
-        f"ST_XMin(ST_Scale({box}, 0.5, 0.5)) AS scale_xmin",
-        f"round(ST_XMax(ST_Skew({box}, 30.0, 0.0)), 9) AS skew_xmax",
-        f"CAST(ST_NumGeometries({coll}) AS BIGINT) AS n_parts",
-        f"ST_X(ST_GeometryN({coll}, 2)) AS part2_x",
-        f"ST_Length(ST_Boundary({box})) AS boundary_len",
-        f"CAST(ST_NPoints(ST_RemoveRepeatedPoints({dup_line}, 0.0)) AS BIGINT) AS rrp_npoints",
+        f"{dx} AS dxv",
+        f"{box} AS box",
+        f"ST_Rotate({box}, 90.0) AS rot",
+        f"ST_Scale({box}, 0.5, 0.5) AS scl",
+        f"{coll} AS coll",
+        f"{dup_line} AS dup_line",
+        f"ST_Collect(ST_Collect(ST_Point(0.0, 0.0), ST_Point({w}, 0.0)), ST_Collect(ST_Point({w}, {h}), ST_Point(0.0, {h}))) AS corners",
+    )
+    return staged.selectExpr(
+        "p_partkey",
+        "round(ST_XMin(rot), 9) AS rot_xmin",
+        "round(ST_XMax(rot), 9) AS rot_xmax",
+        "round(ST_YMin(rot), 9) AS rot_ymin",
+        "ST_X(ST_StartPoint(ST_Translate(ST_MakeLine(ST_Point(1.0, 1.0), ST_Point(2.0, 2.0)), dxv, -1.0))) AS trans_x",
+        "ST_Area(scl) AS scale_area",
+        "ST_XMin(scl) AS scale_xmin",
+        "round(ST_XMax(ST_Skew(box, 30.0, 0.0)), 9) AS skew_xmax",
+        "CAST(ST_NumGeometries(coll) AS BIGINT) AS n_parts",
+        "ST_X(ST_GeometryN(coll, 2)) AS part2_x",
+        "ST_Length(ST_Boundary(box)) AS boundary_len",
+        "CAST(ST_NPoints(ST_RemoveRepeatedPoints(dup_line, 0.0)) AS BIGINT) AS rrp_npoints",
         # concave hull at max concavity ratio = convex hull: the 4 box
         # corners hull back to the full box area
-        f"ST_Area(ST_ConcaveHull(ST_Collect(ST_Collect(ST_Point(0.0, 0.0), ST_Point({w}, 0.0)), ST_Collect(ST_Point({w}, {h}), ST_Point(0.0, {h}))), 1.0)) AS chull_area",
+        "ST_Area(ST_ConcaveHull(corners, 1.0)) AS chull_area",
         # interior point of a rectangle is its exact center (scanline
         # midpoint of the widest row)
-        f"ST_X(ST_InteriorPoint({box})) AS ip_x",
-        f"ST_Y(ST_InteriorPoint({box})) AS ip_y",
+        "ST_X(ST_InteriorPoint(box)) AS ip_x",
+        "ST_Y(ST_InteriorPoint(box)) AS ip_y",
     )
 
 
