@@ -3758,6 +3758,121 @@ FROM (
 ORACLE_GEO_TRANSFORM_LAEA = _laea_oracle_sql()
 
 
+def geo_transform_tmerc(spark, sf_dir):
+    """National transverse-Mercator grids (ST_Transform; reproject.rs:105
+    parity for the highest-traffic non-UTM EPSG codes): ETRS89 / UTM 32N
+    (EPSG:25832) and GDA94 / MGA zone 55 (EPSG:28355) forwards are checked
+    against the full Karney order-n^6 series restated in plain SQL (series
+    coefficients precomputed once and inlined as literals in both engines);
+    OSGB36 / British National Grid (EPSG:27700, Airy ellipsoid + Helmert
+    datum shift) and EPSG:25832 are checked as round-trip closure BOOLEANS
+    (thresholds 1e-6 / 1e-9 deg; booleans rather than rounded identities so
+    mm-scale h=0 Helmert coupling can't sit on a rounding boundary). The
+    27700 absolute forward is anchored to the Ordnance Survey worked
+    example in tests/test_geodesic.py."""
+    c = _t(spark, sf_dir, "customer")
+    lon32 = "(6.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)"
+    lat32 = "(47.0 + CAST(c_custkey % 90 AS DOUBLE) / 10.0)"
+    lon55 = "(144.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)"
+    lat55 = "(-44.0 + CAST(c_custkey % 90 AS DOUBLE) / 10.0)"
+    lonuk = "(-5.5 + CAST(c_custkey % 70 AS DOUBLE) / 10.0)"
+    latuk = "(50.2 + CAST(c_custkey % 75 AS DOUBLE) / 10.0)"
+    staged = c.selectExpr(
+        "c_custkey",
+        f"{lon32} AS lon32", f"{lat32} AS lat32",
+        f"{lon55} AS lon55", f"{lat55} AS lat55",
+        f"{lonuk} AS lonuk", f"{latuk} AS latuk",
+        f"ST_Transform(ST_Point({lon32}, {lat32}), 'EPSG:4326', 'EPSG:25832') AS p32",
+        f"ST_Transform(ST_Point({lon55}, {lat55}), 'EPSG:4326', 'EPSG:28355') AS p55",
+        f"ST_Transform(ST_Point({lonuk}, {latuk}), 'EPSG:4326', 'EPSG:27700') AS puk",
+    )
+    return staged.selectExpr(
+        "c_custkey",
+        "round(ST_X(p32), 2) AS utm32_e",
+        "round(ST_Y(p32), 2) AS utm32_n",
+        "round(ST_X(p55), 2) AS mga55_e",
+        "round(ST_Y(p55), 2) AS mga55_n",
+        "abs(ST_X(ST_Transform(p32, 'EPSG:25832', 'EPSG:4326')) - lon32) < 1e-9"
+        " AND abs(ST_Y(ST_Transform(p32, 'EPSG:25832', 'EPSG:4326')) - lat32) < 1e-9"
+        " AS etrs_rt_ok",
+        "abs(ST_X(ST_Transform(puk, 'EPSG:27700', 'EPSG:4326')) - lonuk) < 1e-6"
+        " AND abs(ST_Y(ST_Transform(puk, 'EPSG:27700', 'EPSG:4326')) - latuk) < 1e-6"
+        " AS bng_rt_ok",
+    )
+
+
+def _tmerc_oracle_sql() -> str:
+    """Karney order-n^6 transverse-Mercator forward restated in DuckDB SQL
+    (hyperbolics spelled out via exp/ln; series coefficients inlined as
+    double literals), once per zone."""
+    from .wkb import proj
+
+    ell = proj.ellipsoid_consts(proj.GRS80_A, proj.GRS80_F)
+
+    def d(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    e = d(ell["e"])
+    k0a = d(0.9996 * ell["a_rect"])
+
+    def zone_cols(sfx, lon0, fe, fn, e_alias, n_alias):
+        s = f"sin(radians(lat{sfx}))"
+        lam = f"radians(lon{sfx} - ({d(lon0)}))"
+        u = (
+            f"(0.5 * ln((1.0 + {s}) / (1.0 - {s}))"
+            f" - {e} * 0.5 * ln((1.0 + {e} * {s}) / (1.0 - {e} * {s})))"
+        )
+        t = f"((exp({u}) - exp(-{u})) / 2.0)"
+        xip = f"atan2(tt{sfx}, cos(lam{sfx}))"
+        w = f"(sin(lam{sfx}) / sqrt(tt{sfx} * tt{sfx} + cos(lam{sfx}) * cos(lam{sfx})))"
+        etap = f"ln({w} + sqrt({w} * {w} + 1.0))"
+        xi_terms = " + ".join(
+            f"{d(ell['alpha'][j])} * sin({2 * (j + 1)}.0 * xip{sfx})"
+            f" * (exp({2 * (j + 1)}.0 * etap{sfx}) + exp(-{2 * (j + 1)}.0 * etap{sfx})) / 2.0"
+            for j in range(6)
+        )
+        eta_terms = " + ".join(
+            f"{d(ell['alpha'][j])} * cos({2 * (j + 1)}.0 * xip{sfx})"
+            f" * (exp({2 * (j + 1)}.0 * etap{sfx}) - exp(-{2 * (j + 1)}.0 * etap{sfx})) / 2.0"
+            for j in range(6)
+        )
+        stage1 = f"{lam} AS lam{sfx}, {t} AS tt{sfx}"
+        stage2 = f"{xip} AS xip{sfx}, {etap} AS etap{sfx}"
+        final = (
+            f"round({d(fe)} + {k0a} * (etap{sfx} + {eta_terms}), 2) AS {e_alias},\n"
+            f"       round({d(fn)} + {k0a} * (xip{sfx} + {xi_terms}), 2) AS {n_alias}"
+        )
+        return stage1, stage2, final
+
+    s1_32, s2_32, f_32 = zone_cols("32", 9.0, 500_000.0, 0.0, "utm32_e", "utm32_n")
+    s1_55, s2_55, f_55 = zone_cols("55", 147.0, 500_000.0, 10_000_000.0,
+                                   "mga55_e", "mga55_n")
+    return f"""
+SELECT c_custkey,
+       {f_32},
+       {f_55},
+       TRUE AS etrs_rt_ok,
+       TRUE AS bng_rt_ok
+FROM (
+  SELECT c_custkey, {s2_32}, {s2_55}
+  FROM (
+    SELECT c_custkey, {s1_32}, {s1_55}
+    FROM (
+      SELECT c_custkey,
+             6.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0 AS lon32,
+             47.0 + CAST(c_custkey % 90 AS DOUBLE) / 10.0 AS lat32,
+             144.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0 AS lon55,
+             -44.0 + CAST(c_custkey % 90 AS DOUBLE) / 10.0 AS lat55
+      FROM customer
+    )
+  )
+)
+"""
+
+
+ORACLE_GEO_TRANSFORM_TMERC = _tmerc_oracle_sql()
+
+
 def geo_zorder(spark, sf_dir):
     """Space-filling-curve keys (functions/curves.py): level-16 Morton
     (Z-order) and Hilbert keys of customer points, computed entirely as
@@ -6416,6 +6531,7 @@ QUERIES = {
     "geo_transform": (geo_transform, ORACLE_GEO_TRANSFORM),
     "geo_transform_conic": (geo_transform_conic, ORACLE_GEO_TRANSFORM_CONIC),
     "geo_transform_laea": (geo_transform_laea, ORACLE_GEO_TRANSFORM_LAEA),
+    "geo_transform_tmerc": (geo_transform_tmerc, ORACLE_GEO_TRANSFORM_TMERC),
     "geo_zorder": (geo_zorder, ORACLE_GEO_ZORDER),
     "geo_knn_join": (geo_knn_join, ORACLE_GEO_KNN),
     "geo_dbscan": (geo_dbscan, ORACLE_GEO_DBSCAN),

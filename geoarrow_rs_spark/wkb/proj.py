@@ -79,6 +79,70 @@ _UTM_FN_SOUTH = 10_000_000.0
 
 
 # ---------------------------------------------------------------------------
+# Parameterized ellipsoid support: the same Karney order-n^6 series with
+# coefficients computed per ellipsoid (WGS84 precomputed above stays the
+# fast default; national grids use Airy 1830 / GRS80)
+# ---------------------------------------------------------------------------
+
+def _tm_series_coeffs(n):
+    """(alpha, beta, delta) Krueger series coefficient arrays for third
+    flattening n (Karney 2011, same order-6 formulas as the WGS84 constants
+    above)."""
+    alpha = np.array([
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440 + 281 * n**5 / 630
+        - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+        - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+        - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+        + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    ])
+    delta = np.array([
+        2 * n - 2 * n**2 / 3 - 2 * n**3 + 116 * n**4 / 45 + 26 * n**5 / 45
+        - 2854 * n**6 / 675,
+        7 * n**2 / 3 - 8 * n**3 / 5 - 227 * n**4 / 45 + 2704 * n**5 / 315
+        + 2323 * n**6 / 945,
+        56 * n**3 / 15 - 136 * n**4 / 35 - 1262 * n**5 / 105
+        + 73814 * n**6 / 2835,
+        4279 * n**4 / 630 - 332 * n**5 / 35 - 399572 * n**6 / 14175,
+        4174 * n**5 / 315 - 144838 * n**6 / 6237,
+        601676 * n**6 / 22275,
+    ])
+    return alpha, beta, delta
+
+
+_ELL_CACHE: dict = {}
+
+
+def ellipsoid_consts(a, f):
+    """Cached per-ellipsoid constants: e, e2, rectifying radius, series."""
+    key = (float(a), float(f))
+    got = _ELL_CACHE.get(key)
+    if got is None:
+        e2 = f * (2 - f)
+        n = f / (2 - f)
+        a_rect = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        alpha, beta, delta = _tm_series_coeffs(n)
+        got = dict(a=float(a), f=float(f), e=float(np.sqrt(e2)), e2=float(e2),
+                   a_rect=float(a_rect), alpha=alpha, beta=beta, delta=delta)
+        _ELL_CACHE[key] = got
+    return got
+
+
+# ---------------------------------------------------------------------------
 # Web Mercator (EPSG:3857)
 # ---------------------------------------------------------------------------
 
@@ -103,43 +167,70 @@ def webmercator_inverse(x, y):
 # Transverse Mercator (Karney 2011 Krueger series, order n^6)
 # ---------------------------------------------------------------------------
 
-def tm_forward(lon_deg, lat_deg, lon0_deg, k0=_UTM_K0, fe=_UTM_FE, fn=0.0):
-    """Geographic -> transverse Mercator easting/northing (meters)."""
+def _tm_xi0(lat0_deg, ell):
+    """Rectified latitude xi of the projection origin (lam = 0): the
+    meridian-arc offset M0 / A_rect for grids with a non-equatorial
+    latitude of origin (e.g. British National Grid's 49N)."""
+    if not lat0_deg:
+        return 0.0
+    phi0 = float(np.radians(lat0_deg))
+    s0 = np.sin(phi0)
+    e = ell["e"]
+    tau0 = np.sinh(np.arctanh(s0) - e * np.arctanh(e * s0))
+    xi_p0 = float(np.arctan(tau0))
+    xi0 = xi_p0
+    for j in range(6):
+        w = 2.0 * (j + 1)
+        xi0 += float(ell["alpha"][j]) * np.sin(w * xi_p0)
+    return float(xi0)
+
+
+def tm_forward(lon_deg, lat_deg, lon0_deg, k0=_UTM_K0, fe=_UTM_FE, fn=0.0,
+               a=WGS84_A, f=WGS84_F, lat0_deg=0.0):
+    """Geographic -> transverse Mercator easting/northing (meters) on an
+    arbitrary ellipsoid (defaults: WGS84, equatorial origin — the UTM
+    case, identical to the original fixed-WGS84 implementation)."""
+    ell = ellipsoid_consts(a, f)
+    e, a_rect, alpha = ell["e"], ell["a_rect"], ell["alpha"]
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0_deg)
     sphi = np.sin(lat)
     # conformal latitude tau' = sinh(asinh-like combination)
-    t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
+    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
     xi_p = np.arctan2(t, np.cos(lam))
     eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
     xi = xi_p.copy()
     eta = eta_p.copy()
     for j in range(6):
         w = 2.0 * (j + 1)
-        xi = xi + _ALPHA[j] * np.sin(w * xi_p) * np.cosh(w * eta_p)
-        eta = eta + _ALPHA[j] * np.cos(w * xi_p) * np.sinh(w * eta_p)
-    E = fe + k0 * _A_RECT * eta
-    N = fn + k0 * _A_RECT * xi
+        xi = xi + alpha[j] * np.sin(w * xi_p) * np.cosh(w * eta_p)
+        eta = eta + alpha[j] * np.cos(w * xi_p) * np.sinh(w * eta_p)
+    E = fe + k0 * a_rect * eta
+    N = fn + k0 * a_rect * (xi - _tm_xi0(lat0_deg, ell))
     return E, N
 
 
-def tm_inverse(E, N, lon0_deg, k0=_UTM_K0, fe=_UTM_FE, fn=0.0):
+def tm_inverse(E, N, lon0_deg, k0=_UTM_K0, fe=_UTM_FE, fn=0.0,
+               a=WGS84_A, f=WGS84_F, lat0_deg=0.0):
     """Transverse Mercator easting/northing -> geographic degrees."""
-    xi = (np.asarray(N, dtype=np.float64) - fn) / (k0 * _A_RECT)
-    eta = (np.asarray(E, dtype=np.float64) - fe) / (k0 * _A_RECT)
+    ell = ellipsoid_consts(a, f)
+    a_rect, beta, delta = ell["a_rect"], ell["beta"], ell["delta"]
+    xi = (np.asarray(N, dtype=np.float64) - fn) / (k0 * a_rect) \
+        + _tm_xi0(lat0_deg, ell)
+    eta = (np.asarray(E, dtype=np.float64) - fe) / (k0 * a_rect)
     xi_p = xi.copy()
     eta_p = eta.copy()
     for j in range(6):
         w = 2.0 * (j + 1)
-        xi_p = xi_p - _BETA[j] * np.sin(w * xi) * np.cosh(w * eta)
-        eta_p = eta_p - _BETA[j] * np.cos(w * xi) * np.sinh(w * eta)
+        xi_p = xi_p - beta[j] * np.sin(w * xi) * np.cosh(w * eta)
+        eta_p = eta_p - beta[j] * np.cos(w * xi) * np.sinh(w * eta)
     tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
     chi = np.arctan(tau_p)
     phi = chi.copy()
     for j in range(6):
         w = 2.0 * (j + 1)
-        phi = phi + _DELTA[j] * np.sin(w * chi)
+        phi = phi + delta[j] * np.sin(w * chi)
     return np.degrees(lam) + lon0_deg, np.degrees(phi)
 
 
@@ -162,16 +253,128 @@ def utm_epsg_for(lon_deg, lat_deg):
 
 
 # ---------------------------------------------------------------------------
+# Geodetic datum shifts: geographic <-> geocentric (ECEF) + 7-parameter
+# Helmert position-vector transformation (EPSG method 9606). Used for
+# national grids whose datum is not WGS84-equivalent (OSGB36). The Helmert
+# inverse uses the exact 3x3 matrix inverse (not the negated-parameters
+# approximation) so our own round trips close to float precision.
+# ---------------------------------------------------------------------------
+
+def geodetic_to_ecef(lon_deg, lat_deg, a, f):
+    """lon/lat degrees (h = 0) -> geocentric XYZ meters on (a, f)."""
+    e2 = f * (2 - f)
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    s, c = np.sin(lat), np.cos(lat)
+    nu = a / np.sqrt(1 - e2 * s * s)
+    return nu * c * np.cos(lon), nu * c * np.sin(lon), nu * (1 - e2) * s
+
+
+def ecef_to_geodetic(X, Y, Z, a, f, iters=20):
+    """Geocentric XYZ -> lon/lat degrees on (a, f) (height discarded —
+    the 2D map-projection convention). Fixed-point iteration on phi
+    converges well below 1e-12 rad for earth-surface points."""
+    e2 = f * (2 - f)
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    lon = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1 - e2))
+    for _ in range(iters):
+        s = np.sin(phi)
+        nu = a / np.sqrt(1 - e2 * s * s)
+        h = p / np.cos(phi) - nu
+        phi = np.arctan2(Z, p * (1 - e2 * nu / (nu + h)))
+    return np.degrees(lon), np.degrees(phi)
+
+
+def _helmert_matrices(p):
+    """(M, t, Minv) for position-vector params
+    (tx, ty, tz meters, rx, ry, rz arcseconds, s ppm)."""
+    tx, ty, tz, rx, ry, rz, s_ppm = p
+    asr = np.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx * asr, ry * asr, rz * asr
+    scale = 1.0 + s_ppm * 1e-6
+    M = scale * np.array([
+        [1.0, -rz, ry],
+        [rz, 1.0, -rx],
+        [-ry, rx, 1.0],
+    ])
+    return M, np.array([tx, ty, tz]), np.linalg.inv(M)
+
+
+_HELMERT_CACHE: dict = {}
+
+
+def _helmert_for(params):
+    got = _HELMERT_CACHE.get(params)
+    if got is None:
+        got = _helmert_matrices(params)
+        _HELMERT_CACHE[params] = got
+    return got
+
+
+def datum_to_wgs84(lon_deg, lat_deg, a, f, helmert_params):
+    """Geographic on a local datum -> WGS84 geographic, via ECEF + the
+    datum's (datum -> WGS84) Helmert parameters."""
+    X, Y, Z = geodetic_to_ecef(lon_deg, lat_deg, a, f)
+    M, t, _ = _helmert_for(helmert_params)
+    V = M @ np.vstack([np.atleast_1d(X), np.atleast_1d(Y), np.atleast_1d(Z)])
+    return ecef_to_geodetic(V[0] + t[0], V[1] + t[1], V[2] + t[2],
+                            WGS84_A, WGS84_F)
+
+
+def wgs84_to_datum(lon_deg, lat_deg, a, f, helmert_params):
+    X, Y, Z = geodetic_to_ecef(lon_deg, lat_deg, WGS84_A, WGS84_F)
+    M, t, Minv = _helmert_for(helmert_params)
+    V = np.vstack([np.atleast_1d(X) - t[0], np.atleast_1d(Y) - t[1],
+                   np.atleast_1d(Z) - t[2]])
+    W = Minv @ V
+    return ecef_to_geodetic(W[0], W[1], W[2], a, f)
+
+
+# ---------------------------------------------------------------------------
+# National transverse-Mercator grids (reproject.rs:105 parity for the
+# high-traffic EPSG codes a reference user would hit first)
+# ---------------------------------------------------------------------------
+
+AIRY_A = 6_377_563.396
+AIRY_F = 1 / 299.3249646
+
+# NAD83 / RGF93 / ETRS89 / GDA94 datum ellipsoid (GRS80); differs from
+# WGS84 only in 1/f's 9th decimal — parameterized per CRS anyway
+GRS80_A = 6_378_137.0
+GRS80_F = 1 / 298.257222101
+
+# OSGB36 -> WGS84 Helmert (EPSG transformation 1314; ~2 m accuracy vs the
+# authoritative OSTN15 grid shift, which needs the 15 MB NTv2 grid file)
+OSGB36_TO_WGS84 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+
+TMERC = {
+    # OSGB36 / British National Grid
+    27700: dict(a=AIRY_A, f=AIRY_F, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                fe=400_000.0, fn=-100_000.0, helmert=OSGB36_TO_WGS84),
+    # ETRS89 / UTM zones 32N, 33N (ETRS89 == WGS84 to well under the formal
+    # accuracy of any Helmert shift; GRS80 ellipsoid)
+    25832: dict(a=GRS80_A, f=GRS80_F, lat0=0.0, lon0=9.0, k0=0.9996,
+                fe=500_000.0, fn=0.0),
+    25833: dict(a=GRS80_A, f=GRS80_F, lat0=0.0, lon0=15.0, k0=0.9996,
+                fe=500_000.0, fn=0.0),
+    # GDA94 / MGA zones 55, 56 (GRS80; GDA94 treated as WGS84-equivalent,
+    # the standard datum-shift-free approximation)
+    28355: dict(a=GRS80_A, f=GRS80_F, lat0=0.0, lon0=147.0, k0=0.9996,
+                fe=500_000.0, fn=10_000_000.0),
+    28356: dict(a=GRS80_A, f=GRS80_F, lat0=0.0, lon0=153.0, k0=0.9996,
+                fe=500_000.0, fn=10_000_000.0),
+}
+
+
+# ---------------------------------------------------------------------------
 # Conic projections: Albers equal-area + Lambert conformal conic (2SP)
 # (Snyder 1987, "Map Projections: A Working Manual", USGS PP 1395 —
 # ellipsoidal formulas pp. 100-102 (AEA) and pp. 107-109 (LCC))
 # ---------------------------------------------------------------------------
-
-# NAD83 / RGF93 datum ellipsoid (GRS80); differs from WGS84 only in 1/f's
-# 9th decimal — parameterized per CRS anyway
-GRS80_A = 6_378_137.0
-GRS80_F = 1 / 298.257222101
-
 
 def _conic_setup(p):
     a = p["a"]
@@ -420,7 +623,7 @@ def _is_utm(epsg):
 def supported_crs(epsg) -> bool:
     epsg = int(epsg)
     if epsg in (4326, 3857) or epsg in CONICS or epsg in LAEA \
-            or epsg in POLAR or _is_utm(epsg):
+            or epsg in POLAR or epsg in TMERC or _is_utm(epsg):
         return True
     if USE_PYPROJ:
         try:
@@ -443,6 +646,14 @@ def to_wgs84(x, y, src_epsg):
         return laea_inverse(x, y, src_epsg)
     if src_epsg in POLAR:
         return polar_inverse(x, y, src_epsg)
+    if src_epsg in TMERC:
+        p = TMERC[src_epsg]
+        lon, lat = tm_inverse(x, y, p["lon0"], k0=p["k0"], fe=p["fe"],
+                              fn=p["fn"], a=p["a"], f=p["f"],
+                              lat0_deg=p["lat0"])
+        if "helmert" in p:
+            lon, lat = datum_to_wgs84(lon, lat, p["a"], p["f"], p["helmert"])
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
     if _is_utm(src_epsg):
         lon0, fn = utm_zone_params(src_epsg)
         return tm_inverse(x, y, lon0, fn=fn)
@@ -461,6 +672,12 @@ def from_wgs84(lon, lat, dst_epsg):
         return laea_forward(lon, lat, dst_epsg)
     if dst_epsg in POLAR:
         return polar_forward(lon, lat, dst_epsg)
+    if dst_epsg in TMERC:
+        p = TMERC[dst_epsg]
+        if "helmert" in p:
+            lon, lat = wgs84_to_datum(lon, lat, p["a"], p["f"], p["helmert"])
+        return tm_forward(lon, lat, p["lon0"], k0=p["k0"], fe=p["fe"],
+                          fn=p["fn"], a=p["a"], f=p["f"], lat0_deg=p["lat0"])
     if _is_utm(dst_epsg):
         lon0, fn = utm_zone_params(dst_epsg)
         return tm_forward(lon, lat, lon0, fn=fn)

@@ -413,3 +413,76 @@ def test_pyproj_hook_falls_back_cleanly(monkeypatch):
     assert not proj.supported_crs(27700)  # needs pyproj, not installed
     with _pytest.raises(ValueError):
         proj.transform_xy(np.array([0.0]), np.array([0.0]), 4326, 27700)
+
+
+def test_tmerc_bng_matches_os_worked_example():
+    """The parameterized-ellipsoid TM core reproduces the Ordnance Survey's
+    published worked example ('A guide to coordinate systems in Great
+    Britain': OSGB36 52deg39'27.2531\"N 1deg43'4.5177\"E ->
+    E 651409.903 N 313177.270) to the millimeter — validating the Airy
+    ellipsoid series, the 49N latitude-of-origin arc offset, and k0/fe/fn
+    handling at once."""
+    import numpy as np
+
+    from geoarrow_rs_spark.wkb import proj as P
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    E, N = P.tm_forward(
+        np.array([lon]), np.array([lat]), -2.0, k0=0.9996012717,
+        fe=400_000.0, fn=-100_000.0, a=P.AIRY_A, f=P.AIRY_F, lat0_deg=49.0,
+    )
+    assert abs(E[0] - 651409.903) < 1.5e-3
+    assert abs(N[0] - 313177.270) < 1.5e-3
+
+
+def test_tmerc_national_grids_roundtrip():
+    """transform_xy round trips through every registered national grid.
+    Datum-shift-free grids (ETRS89 UTM, GDA94 MGA) close to < 1e-9 deg;
+    the OSGB36 grid closes to < 1e-7 deg — the residual is the h=0
+    convention coupling through the Helmert rotation/scale (identical in
+    any 2D Helmert pipeline, pyproj included), not series error."""
+    import numpy as np
+
+    from geoarrow_rs_spark.wkb import proj as P
+
+    rng = np.random.default_rng(42)
+    cases = {
+        25832: ((6.0, 12.0), (47.0, 56.0), 1e-9),
+        25833: ((12.0, 18.0), (47.0, 56.0), 1e-9),
+        28355: ((144.0, 150.0), (-44.0, -35.0), 1e-9),
+        28356: ((150.0, 156.0), (-38.0, -24.0), 1e-9),
+        27700: ((-6.0, 1.8), (50.0, 58.0), 1e-7),
+    }
+    for epsg, ((lo0, lo1), (la0, la1), tol) in cases.items():
+        lons = rng.uniform(lo0, lo1, 200)
+        lats = rng.uniform(la0, la1, 200)
+        x, y = P.transform_xy(lons, lats, 4326, epsg)
+        lon2, lat2 = P.transform_xy(x, y, epsg, 4326)
+        assert np.abs(lon2 - lons).max() < tol, epsg
+        assert np.abs(lat2 - lats).max() < tol, epsg
+
+
+def test_tmerc_helmert_shift_magnitude_and_exact_inverse():
+    """The OSGB36 datum shift moves UK points by a plausible 50-200 m
+    (vs the no-shift projection), and the Helmert matrix inverse is exact:
+    ECEF -> datum -> ECEF closes to float precision."""
+    import numpy as np
+
+    from geoarrow_rs_spark.wkb import proj as P
+
+    lon, lat = np.array([-1.5]), np.array([52.5])
+    with_shift = np.array(P.transform_xy(lon, lat, 4326, 27700))
+    lon_no, lat_no = lon, lat  # pretend WGS84 == OSGB36 (no shift)
+    E_no, N_no = P.tm_forward(
+        lon_no, lat_no, -2.0, k0=0.9996012717, fe=400_000.0, fn=-100_000.0,
+        a=P.AIRY_A, f=P.AIRY_F, lat0_deg=49.0,
+    )
+    d = float(np.hypot(with_shift[0][0] - E_no[0], with_shift[1][0] - N_no[0]))
+    assert 50.0 < d < 200.0
+
+    X, Y, Z = P.geodetic_to_ecef(lon, lat, P.WGS84_A, P.WGS84_F)
+    M, t, Minv = P._helmert_for(P.OSGB36_TO_WGS84)
+    V = M @ np.vstack([X, Y, Z]) + t[:, None]
+    W = Minv @ (V - t[:, None])
+    assert np.abs(W - np.vstack([X, Y, Z])).max() < 1e-6  # meters
