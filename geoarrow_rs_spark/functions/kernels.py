@@ -1000,6 +1000,48 @@ def k_from_native(s, enc):
     return pd.Series(out, dtype=object)
 
 
+def k_to_native(s, enc: str):
+    """WKB -> native GeoArrow nested-layout values (the inverse of
+    k_from_native; writer parity with
+    /root/reference/rust/geoparquet/src/writer/encode.rs:21-79). Returns
+    nested python lists matching the array<double> leaf layout the read
+    side expects. Geometry type must match the declared encoding — mixed
+    columns need WKB (same constraint as the reference writer)."""
+    e = str(enc).lower()
+    out = []
+    for g in geoms_of(s):
+        if g is None:
+            out.append(None)
+            continue
+        k = g.kind
+        if e == "point":
+            if k != wc.POINT:
+                raise ValueError(f"encoding 'point' got {g.type_name}")
+            out.append([float(g.data[0]), float(g.data[1])])
+        elif e in ("linestring", "multipoint"):
+            want = wc.LINESTRING if e == "linestring" else wc.MULTIPOINT
+            if k != want:
+                raise ValueError(f"encoding {e!r} got {g.type_name}")
+            out.append(np.asarray(g.data, dtype=np.float64)[:, :2].tolist())
+        elif e in ("polygon", "multilinestring"):
+            want = wc.POLYGON if e == "polygon" else wc.MULTILINESTRING
+            if k != want:
+                raise ValueError(f"encoding {e!r} got {g.type_name}")
+            out.append([
+                np.asarray(r, dtype=np.float64)[:, :2].tolist() for r in g.data
+            ])
+        elif e == "multipolygon":
+            if k != wc.MULTIPOLYGON:
+                raise ValueError(f"encoding 'multipolygon' got {g.type_name}")
+            out.append([
+                [np.asarray(r, dtype=np.float64)[:, :2].tolist() for r in rings]
+                for rings in g.data
+            ])
+        else:
+            raise ValueError(f"unknown native encoding: {enc!r}")
+    return pd.Series(out, dtype=object)
+
+
 def k_geom_from_wkt(s):
     # memoize per distinct string: WKT columns are usually CASE literals or
     # templated shapes with few distinct values per batch

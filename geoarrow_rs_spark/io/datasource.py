@@ -31,8 +31,8 @@ _CHUNK = 20000  # feature offsets per partition (matches read_flatgeobuf)
 
 
 class _FgbPartition(InputPartition):
-    def __init__(self, offsets):
-        self.offsets = offsets
+    def __init__(self, extents):
+        self.extents = extents  # [(off, end)]
 
 
 class FlatGeobufDataSource(DataSource):
@@ -79,13 +79,13 @@ class _FgbReader(DataSourceReader):
         if options.get("bbox"):
             self.bbox = tuple(float(v) for v in options["bbox"].split(","))
         # plan at construction: the reader object is pickled to executors,
-        # so header + offsets computed here ship with it
-        self._header, self._offsets = _plan_fgb(path, self.bbox)
+        # so header + extents computed here ship with it
+        self._header, self._extents = _plan_fgb(path, self.bbox)
 
     def partitions(self):
-        offsets = self._offsets
+        extents = self._extents
         chunks = [
-            offsets[i : i + _CHUNK] for i in range(0, len(offsets), _CHUNK)
+            extents[i : i + _CHUNK] for i in range(0, len(extents), _CHUNK)
         ] or [[]]
         return [_FgbPartition(c) for c in chunks]
 
@@ -93,6 +93,7 @@ class _FgbReader(DataSourceReader):
         from ..wkb import algorithms as alg
         from ..wkb import core as wc
         from .flatgeobuf import _decode_properties, _geometry_to_geom, _root
+        from .ranges import coalesce_ranges, open_range_source
 
         header = self._header
         cols_meta = header["columns"]
@@ -100,28 +101,30 @@ class _FgbReader(DataSourceReader):
         has_z = header["has_z"]
         prop_names = [f.name for f in self.schema.fields[:-1]]
         bbox = self.bbox
-        with open(self.path, "rb") as fh:
-            for off in partition.offsets:
-                fh.seek(int(off))
-                (sz,) = struct.unpack("<I", fh.read(4))
-                buf = fh.read(sz)
-                feat = _root(buf)
-                geom_t = feat.table(0)
-                geom = _geometry_to_geom(geom_t, gtype_hint, has_z) if geom_t else None
-                if bbox is not None and geom is not None:
-                    # exact refine after the conservative index prune —
-                    # identical semantics to read_flatgeobuf's post-filter
-                    b = alg.bounds(geom)
-                    if b is None or (
-                        b[2] < bbox[0] or b[0] > bbox[2]
-                        or b[3] < bbox[1] or b[1] > bbox[3]
-                    ):
-                        continue
-                props = _decode_properties(feat.vector_bytes(1), cols_meta)
-                yield tuple(
-                    [props.get(n) for n in prop_names]
-                    + [wc.to_wkb(geom) if geom is not None else None]
-                )
+        with open_range_source(self.path) as src:
+            for roff, rend, members in coalesce_ranges(partition.extents):
+                blob = src.read_at(roff, rend - roff)
+                for off, _end in members:
+                    rel = int(off) - roff
+                    (sz,) = struct.unpack_from("<I", blob, rel)
+                    buf = blob[rel + 4 : rel + 4 + sz]
+                    feat = _root(buf)
+                    geom_t = feat.table(0)
+                    geom = _geometry_to_geom(geom_t, gtype_hint, has_z) if geom_t else None
+                    if bbox is not None and geom is not None:
+                        # exact refine after the conservative index prune —
+                        # identical semantics to read_flatgeobuf's post-filter
+                        b = alg.bounds(geom)
+                        if b is None or (
+                            b[2] < bbox[0] or b[0] > bbox[2]
+                            or b[3] < bbox[1] or b[1] > bbox[3]
+                        ):
+                            continue
+                    props = _decode_properties(feat.vector_bytes(1), cols_meta)
+                    yield tuple(
+                        [props.get(n) for n in prop_names]
+                        + [wc.to_wkb(geom) if geom is not None else None]
+                    )
 
 
 class _ShpPartition(InputPartition):

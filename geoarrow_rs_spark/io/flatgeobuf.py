@@ -571,24 +571,50 @@ def write_flatgeobuf(
 
 def _plan_fgb(path: str, bbox=None):
     """Driver-side scan planning shared by read_flatgeobuf and the
-    'flatgeobuf' Python DataSource: parse the header and compute the
-    feature byte offsets — bbox-pruned through the packed Hilbert R-tree
-    leaf boxes when the file carries an index, sequential size-prefix
-    scan otherwise. Returns (header, offsets)."""
-    with open(path, "rb") as f:
-        if f.read(8)[:7] != MAGIC:
+    'flatgeobuf' Python DataSource: parse the header and compute per-
+    feature [off, end) byte extents — bbox-pruned through the packed
+    Hilbert R-tree leaf boxes when the file carries an index, sequential
+    size-prefix scan otherwise. Returns (header, extents).
+
+    Everything goes through :mod:`..ranges` byte-range requests, so the
+    same planner serves local paths, file:// URLs, http(s):// objects and
+    fsspec schemes (reference parity:
+    rust/geoarrow-flatgeobuf/src/reader/object_store.rs:13) — planning
+    costs exactly three range reads on an indexed file: magic+header
+    size, header, leaf level."""
+    from .ranges import open_range_source
+
+    with open_range_source(path) as src:
+        head = src.read_at(0, 12)
+        if head[:7] != MAGIC:
             raise ValueError(f"{path} is not a FlatGeobuf file")
-        (hsize,) = struct.unpack("<I", f.read(4))
-        header = _parse_header(f.read(hsize))
+        (hsize,) = struct.unpack("<I", head[8:12])
+        header = _parse_header(src.read_at(12, hsize))
         fc = header["features_count"]
         node_size = header["index_node_size"]
         index_pos = 12 + hsize
         has_index = node_size > 0 and fc > 0
         isize = _index_size(fc, node_size) if has_index else 0
         feat_base = index_pos + isize
+        file_size = src.size()
         if has_index:
-            leaves = _read_leaf_nodes(f, index_pos, fc, node_size)
-            offsets = [int(o) + feat_base for o in leaves["off"]]
+            sizes = _index_level_sizes(fc, node_size)
+            non_leaf = sum(sizes[:-1]) if len(sizes) > 1 else 0
+            raw = src.read_at(index_pos + non_leaf * 40, fc * 40)
+            dt = np.dtype([
+                ("minx", "<f8"), ("miny", "<f8"), ("maxx", "<f8"),
+                ("maxy", "<f8"), ("off", "<u8"),
+            ])
+            leaves = np.frombuffer(raw, dtype=dt)
+            offs = leaves["off"].astype(np.int64) + feat_base
+            # each feature's extent ends where the next (in file order)
+            # begins; the last runs to EOF (the feature section is the
+            # file's tail per the FGB spec)
+            order = np.argsort(offs, kind="stable")
+            ends = np.empty_like(offs)
+            sorted_offs = offs[order]
+            ends[order] = np.append(sorted_offs[1:], file_size)
+            keep = np.ones(len(offs), dtype=bool)
             if bbox is not None:
                 xmin, ymin, xmax, ymax = bbox
                 keep = ~(
@@ -597,19 +623,26 @@ def _plan_fgb(path: str, bbox=None):
                     | (leaves["maxy"] < ymin)
                     | (leaves["miny"] > ymax)
                 )
-                offsets = [int(o) + feat_base for o in leaves["off"][keep]]
+            extents = [
+                (int(o), int(e)) for o, e in zip(offs[keep], ends[keep])
+            ]
         else:
-            # no index: sequential size-prefix scan on the driver
-            offsets = []
+            # no index: sequential size-prefix scan, buffered in 4 MB
+            # range requests (a 4-byte-at-a-time loop would be one round
+            # trip per feature against an object store)
+            chunk = 4 << 20
+            extents = []
             pos = feat_base
-            f.seek(0, 2)
-            end = f.tell()
-            while pos < end and (fc == 0 or len(offsets) < fc):
-                offsets.append(pos)
-                f.seek(pos)
-                (sz,) = struct.unpack("<I", f.read(4))
+            buf = b""
+            buf_start = pos
+            while pos < file_size and (fc == 0 or len(extents) < fc):
+                if pos + 4 > buf_start + len(buf):
+                    buf = src.read_at(pos, min(chunk, file_size - pos))
+                    buf_start = pos
+                (sz,) = struct.unpack_from("<I", buf, pos - buf_start)
+                extents.append((pos, pos + 4 + sz))
                 pos += 4 + sz
-    return header, offsets
+    return header, extents
 
 
 def _fgb_spark_type(t):
@@ -649,7 +682,7 @@ def read_flatgeobuf(
         StructType,
     )
 
-    header, offsets = _plan_fgb(path, bbox)
+    header, extents = _plan_fgb(path, bbox)
     cols_meta = header["columns"]
     if columns is not None:
         want = set(columns)
@@ -665,26 +698,38 @@ def read_flatgeobuf(
     gtype_hint = header["geometry_type"]
     has_z = header["has_z"]
 
-    ranges = spark.createDataFrame([(o,) for o in offsets], schema="off long")
+    ranges = spark.createDataFrame(
+        [(o, e) for o, e in extents], schema="off long, end long"
+    )
 
     def decode(batches):
-        fh = open(path, "rb")
-        for pdf in batches:
-            rows = []
-            for off in pdf["off"]:
-                fh.seek(int(off))
-                (sz,) = struct.unpack("<I", fh.read(4))
-                buf = fh.read(sz)
-                feat = _root(buf)
-                geom_t = feat.table(0)
-                geom = _geometry_to_geom(geom_t, gtype_hint, has_z) if geom_t else None
-                props = _decode_properties(feat.vector_bytes(1), cols_meta)
-                row = {name: props.get(name) for name in (f.name for f in out_fields[:-1])}
-                row[geometry_col] = wc.to_wkb(geom) if geom is not None else None
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        # executors open their own range source (local file, http(s)
+        # Range requests, or fsspec) and coalesce adjacent feature
+        # extents into one request per contiguous run — dense scans of a
+        # Hilbert-ordered file cost a handful of large reads, sparse
+        # bbox results only fetch the matching bytes
+        from .ranges import coalesce_ranges, open_range_source
 
-    df = ranges.repartition(max(1, len(offsets) // 20000 + 1)).mapInPandas(
+        with open_range_source(path) as src:
+            for pdf in batches:
+                rows = []
+                feature_extents = list(zip(pdf["off"], pdf["end"]))
+                for roff, rend, members in coalesce_ranges(feature_extents):
+                    blob = src.read_at(roff, rend - roff)
+                    for off, _end in members:
+                        rel = int(off) - roff
+                        (sz,) = struct.unpack_from("<I", blob, rel)
+                        buf = blob[rel + 4 : rel + 4 + sz]
+                        feat = _root(buf)
+                        geom_t = feat.table(0)
+                        geom = _geometry_to_geom(geom_t, gtype_hint, has_z) if geom_t else None
+                        props = _decode_properties(feat.vector_bytes(1), cols_meta)
+                        row = {name: props.get(name) for name in (f.name for f in out_fields[:-1])}
+                        row[geometry_col] = wc.to_wkb(geom) if geom is not None else None
+                        rows.append(row)
+                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    df = ranges.repartition(max(1, len(extents) // 20000 + 1)).mapInPandas(
         decode, schema=out_schema
     )
     if bbox is not None:

@@ -125,11 +125,15 @@ def write_geoparquet(
     cost a second full pass over everything just written, which at 100 TB
     doubles the job).
 
-    ``encoding="point"`` writes the native GeoArrow interleaved layout
-    (array<double> [x, y]) instead of WKB — the reference writer's native
-    encoding path (rust/geoparquet/src/writer/encode.rs); ``read_geoparquet``
-    converts it back via ST_GeomFromNative. Covering structs are generated
-    BEFORE the conversion so bbox pushdown works identically."""
+    Native GeoArrow encodings (``encoding="point" / "linestring" /
+    "polygon" / "multipoint" / "multilinestring" / "multipolygon"``)
+    write the interleaved nested-array layout instead of WKB — the full
+    reference writer encoding matrix
+    (rust/geoparquet/src/writer/encode.rs:21-79); ``read_geoparquet``
+    converts any of them back via ST_GeomFromNative. The geometry column
+    must be uniformly of the declared type (the reference writer's
+    constraint too — mixed columns keep WKB). Covering structs are
+    generated BEFORE the conversion so bbox pushdown works identically."""
     out = df
     if generate_covering and covering_col not in df.columns:
         out = out.withColumn(covering_col, F.expr(f"ST_BBox({geometry_col})"))
@@ -140,6 +144,10 @@ def write_geoparquet(
             F.array(
                 F.expr(f"ST_X({geometry_col})"), F.expr(f"ST_Y({geometry_col})")
             ),
+        )
+    elif enc.lower() in _ENC_DEPTH:
+        out = out.withColumn(
+            geometry_col, _to_native_expr(geometry_col, enc.lower())
         )
     elif enc != "WKB":
         raise ValueError(f"unsupported write encoding: {encoding}")
@@ -166,7 +174,8 @@ def write_geoparquet(
 
     doc = _geo_doc(
         geometry_col, crs, file_bbox, covering_col if generate_covering else None,
-        encoding="point" if enc.lower() == "point" else "WKB",
+        encoding=enc.lower() if enc.lower() in _ENC_DEPTH or enc.lower() == "point"
+        else "WKB",
     )
     with open(os.path.join(path, SIDECAR), "w") as f:
         json.dump(doc, f)
@@ -302,6 +311,21 @@ _ENC_DEPTH = {
     "multilinestring": 2,
     "multipolygon": 3,
 }
+
+
+def _to_native_expr(gcol, enc):
+    """Column expression: WKB -> interleaved nested-array native layout
+    (pandas UDF over kernels.k_to_native, return type = the array nesting
+    depth of the encoding)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from ..functions import kernels as K
+
+    rtype = ArrayType(DoubleType())
+    for _ in range(_ENC_DEPTH[str(enc).lower()]):
+        rtype = ArrayType(rtype)
+    udf = F.pandas_udf(lambda s: K.k_to_native(s, enc), rtype)
+    return udf(F.col(gcol))
 
 
 def _native_coords_to_arrays(df, gcol, enc):

@@ -1,0 +1,172 @@
+"""Byte-range access to local and remote files.
+
+Spark-side analogue of the reference's object_store-backed FlatGeobuf
+reader (/root/reference/rust/geoarrow-flatgeobuf/src/reader/object_store.rs:13
+and async.rs:143): scan planning and feature reads are expressed as
+positional range requests against an abstract source, so the same code
+path serves a local file, a ``file://`` URL, an ``http(s)://`` object
+(stdlib urllib with ``Range`` headers — no extra dependencies), or any
+fsspec-supported scheme (``s3://``, ``gs://``, ``az://``...) when fsspec
+is importable.
+
+Design notes (scale):
+- Range COALESCING is the important part at object-store latencies: the
+  planner hands each feature its exact [off, end) extent, and
+  :func:`coalesce_ranges` merges adjacent/near-adjacent extents into one
+  request per contiguous run (the same optimization object_store.rs's
+  ``coalesce_ranges`` performs). A dense scan of a Hilbert-ordered FGB
+  becomes a handful of large GETs instead of two round trips per feature.
+- Sources are constructed from a plain path string on each executor
+  (picklable by construction — no open handles cross the driver/executor
+  boundary).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+
+class RangeSource:
+    """Positional byte reads: the minimal surface scan planning needs."""
+
+    def read_at(self, off: int, n: int) -> bytes:
+        raise NotImplementedError
+
+    def size(self) -> int:
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class LocalRange(RangeSource):
+    """Local filesystem backend (plain paths and file:// URLs)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+
+    def read_at(self, off, n):
+        self._f.seek(int(off))
+        return self._f.read(int(n))
+
+    def size(self):
+        import os
+
+        return os.fstat(self._f.fileno()).st_size
+
+    def close(self):
+        self._f.close()
+
+
+class HttpRange(RangeSource):
+    """HTTP(S) backend via stdlib urllib ``Range: bytes=`` requests — the
+    object-store pattern FGB was designed for (cloud-hosted file, client
+    reads header + index + just the matching features)."""
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url
+        self.timeout = timeout
+        self._size = None
+
+    def read_at(self, off, n):
+        import urllib.request
+
+        off, n = int(off), int(n)
+        if n <= 0:
+            return b""
+        req = urllib.request.Request(
+            self.url, headers={"Range": f"bytes={off}-{off + n - 1}"}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            if resp.status not in (200, 206):
+                raise IOError(f"range request failed ({resp.status}): {self.url}")
+            data = resp.read()
+            if resp.status == 200:
+                # server ignored the Range header; slice locally
+                self._size = len(data)
+                return data[off : off + n]
+            cr = resp.headers.get("Content-Range", "")
+            if "/" in cr and not cr.endswith("/*"):
+                self._size = int(cr.rsplit("/", 1)[1])
+            return data
+
+    def size(self):
+        if self._size is None:
+            import urllib.request
+
+            req = urllib.request.Request(self.url, method="HEAD")
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                self._size = int(resp.headers["Content-Length"])
+        return self._size
+
+
+class FsspecRange(RangeSource):
+    """Any fsspec-supported scheme (s3://, gs://, az://, ...)."""
+
+    def __init__(self, url: str):
+        import fsspec
+
+        self._f = fsspec.open(url, "rb").open()
+
+    def read_at(self, off, n):
+        self._f.seek(int(off))
+        return self._f.read(int(n))
+
+    def size(self):
+        return self._f.size
+
+    def close(self):
+        self._f.close()
+
+
+def open_range_source(path: str) -> RangeSource:
+    """RangeSource for a path/URL. Local paths and file:// URLs use the
+    filesystem; http(s):// uses stdlib Range requests; anything else
+    needs fsspec (clear error when it isn't installed)."""
+    parsed = urlparse(path)
+    scheme = parsed.scheme.lower()
+    # windows drive letters parse as a 1-char scheme; treat as local
+    if scheme in ("", "file") or len(scheme) == 1:
+        local = parsed.path if scheme == "file" else path
+        return LocalRange(local)
+    if scheme in ("http", "https"):
+        return HttpRange(path)
+    try:
+        return FsspecRange(path)
+    except ImportError:
+        raise ValueError(
+            f"cannot read {path!r}: scheme {scheme!r} needs the optional "
+            "fsspec package (http(s)://, file:// and local paths work "
+            "without it)"
+        )
+
+
+def coalesce_ranges(ranges, gap: int = 65536, max_size: int = 8 << 20):
+    """Merge [(off, end), ...] extents whose gaps are below ``gap`` bytes
+    into single requests, splitting runs that would exceed ``max_size``
+    (bounded buffering). Returns [(off, end, members)] where members are
+    the original extents served by that request — object_store.rs's
+    coalesce_ranges semantics."""
+    out = []
+    cur = None
+    for off, end in sorted((int(o), int(e)) for o, e in ranges):
+        if (
+            cur is not None
+            and off - cur[1] <= gap
+            and max(cur[1], end) - cur[0] <= max_size
+        ):
+            cur[1] = max(cur[1], end)
+            cur[2].append((off, end))
+        else:
+            if cur is not None:
+                out.append((cur[0], cur[1], cur[2]))
+            cur = [off, end, [(off, end)]]
+    if cur is not None:
+        out.append((cur[0], cur[1], cur[2]))
+    return out

@@ -443,3 +443,177 @@ def test_shapefile_python_datasource(spark, tmp_path):
     got = sorted((r["name"], r["value"], bytes(r["geometry"])) for r in ds.collect())
     want = sorted((r["name"], r["value"], bytes(r["geometry"])) for r in fn.collect())
     assert got == want and len(got) == 3
+
+
+def test_coalesce_ranges_merges_and_splits():
+    from geoarrow_rs_spark.io.ranges import coalesce_ranges
+
+    # adjacent + small-gap extents merge; big gaps split; max_size bounds
+    runs = coalesce_ranges([(0, 10), (10, 20), (25, 30), (200000, 200010)],
+                           gap=16, max_size=1 << 20)
+    assert [(r[0], r[1]) for r in runs] == [(0, 30), (200000, 200010)]
+    assert runs[0][2] == [(0, 10), (10, 20), (25, 30)]
+    capped = coalesce_ranges([(0, 600), (600, 1200)], gap=16, max_size=1000)
+    assert len(capped) == 2
+
+
+def test_fgb_file_url_through_generic_range_path(spark):
+    """file:// URLs route through the generic RangeSource machinery (the
+    sandbox stand-in for remote object stores): planning and feature
+    reads go through read_at() byte ranges, and results are identical to
+    the plain local-path read — object_store.rs:13 parity."""
+    from geoarrow_rs_spark.io.flatgeobuf import read_flatgeobuf
+    from geoarrow_rs_spark.io.ranges import LocalRange, open_range_source
+
+    src = open_range_source(f"file://{FGB_DIR}/countries.fgb")
+    assert isinstance(src, LocalRange)
+    assert src.read_at(0, 3) == b"fgb"
+    assert src.size() > 1000
+    src.close()
+
+    local = read_flatgeobuf(spark, f"{FGB_DIR}/countries.fgb")
+    via_url = read_flatgeobuf(spark, f"file://{FGB_DIR}/countries.fgb")
+    a = sorted(map(tuple, local.collect()))
+    b = sorted(map(tuple, via_url.collect()))
+    assert a == b and len(a) == 179
+
+    bbox = (-20.0, 30.0, 40.0, 70.0)
+    pl = sorted(map(tuple, read_flatgeobuf(spark, f"{FGB_DIR}/countries.fgb", bbox=bbox).collect()))
+    pu = sorted(map(tuple, read_flatgeobuf(spark, f"file://{FGB_DIR}/countries.fgb", bbox=bbox).collect()))
+    assert pl == pu and 0 < len(pl) < 179
+
+
+def test_fgb_http_range_read(spark):
+    """End-to-end object-store read: a localhost HTTP server that honors
+    Range headers serves countries.fgb; read_flatgeobuf plans the scan
+    with three small GETs (magic+header+leaves) and fetches features by
+    coalesced byte ranges — no local copy of the file anywhere."""
+    import http.server
+    import os
+    import re
+    import threading
+
+    serve_dir = FGB_DIR
+
+    class RangeHandler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _path(self):
+            return os.path.join(serve_dir, self.path.lstrip("/"))
+
+        def do_HEAD(self):
+            p = self._path()
+            self.send_response(200)
+            self.send_header("Content-Length", str(os.path.getsize(p)))
+            self.end_headers()
+
+        def do_GET(self):
+            p = self._path()
+            size = os.path.getsize(p)
+            m = re.match(r"bytes=(\d+)-(\d+)$", self.headers.get("Range", ""))
+            with open(p, "rb") as f:
+                if m:
+                    lo, hi = int(m.group(1)), min(int(m.group(2)), size - 1)
+                    f.seek(lo)
+                    data = f.read(hi - lo + 1)
+                    self.send_response(206)
+                    self.send_header("Content-Range", f"bytes {lo}-{hi}/{size}")
+                else:
+                    data = f.read()
+                    self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RangeHandler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from geoarrow_rs_spark.io.flatgeobuf import read_flatgeobuf
+
+        url = f"http://127.0.0.1:{port}/countries.fgb"
+        df = read_flatgeobuf(spark, url)
+        assert df.count() == 179
+        bbox = (-20.0, 30.0, 40.0, 70.0)
+        pruned = sorted(map(tuple, read_flatgeobuf(spark, url, bbox=bbox).collect()))
+        local = sorted(map(tuple, read_flatgeobuf(
+            spark, f"{FGB_DIR}/countries.fgb", bbox=bbox).collect()))
+        assert pruned == local
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_geoparquet_native_nested_encodings_roundtrip(spark, tmp_path):
+    """Native nested write encodings beyond point (writer/encode.rs:21-79
+    parity): linestring / polygon / multipoint / multilinestring /
+    multipolygon each write the interleaved nested-array layout, read
+    back to byte-identical WKB."""
+    import os as _os
+
+    from geoarrow_rs_spark.io import read_geoparquet, write_geoparquet
+
+    cases = {
+        "linestring": "ST_MakeLine(ST_Point(CAST(id AS DOUBLE), 0.0),"
+                      " ST_Point(CAST(id + 1 AS DOUBLE), 2.0))",
+        "multipoint": "ST_CastToSingle(ST_Multi(ST_Point(CAST(id AS DOUBLE), 1.0)))",
+        "polygon": "ST_MakeEnvelope(0.0, 0.0, CAST(id + 1 AS DOUBLE), 2.0)",
+        "multilinestring": "ST_Multi(ST_MakeLine(ST_Point(CAST(id AS DOUBLE), 0.0),"
+                           " ST_Point(0.0, CAST(id + 1 AS DOUBLE))))",
+        "multipolygon": "ST_Multi(ST_MakeEnvelope(0.0, 0.0, CAST(id + 1 AS DOUBLE), 2.0))",
+    }
+    for enc, expr in cases.items():
+        df = spark.range(50).selectExpr("id", f"{expr} AS geometry")
+        if enc == "multipoint":
+            df = spark.range(50).selectExpr(
+                "id", "ST_Multi(ST_Point(CAST(id AS DOUBLE), 1.0)) AS geometry"
+            )
+        path = _os.path.join(str(tmp_path), f"native_{enc}")
+        doc = write_geoparquet(df, path, "geometry", encoding=enc)
+        assert doc["columns"]["geometry"]["encoding"] == enc
+        raw = spark.read.parquet(path)
+        assert raw.schema["geometry"].dataType.typeName() == "array", enc
+        back = read_geoparquet(spark, path)
+        exp = {(r.id, bytes(r.geometry)) for r in df.collect()}
+        got = {(r.id, bytes(r.geometry)) for r in back.collect()}
+        assert got == exp, enc
+
+
+def test_geoparquet_nybb_native_rewrite_identical(spark, tmp_path):
+    """The reference's native-multipolygon nybb fixture, re-written by this
+    repo's native multipolygon encoder and read back: identical WKB per
+    borough (writer completes the read/write encoding symmetry)."""
+    import os as _os
+
+    from geoarrow_rs_spark.io import read_geoparquet, write_geoparquet
+
+    src = read_geoparquet(spark, f"{GP_DIR}/nybb_geoarrow.parquet")
+    path = _os.path.join(str(tmp_path), "nybb_native_rewrite")
+    doc = write_geoparquet(src, path, "geometry", encoding="multipolygon")
+    assert doc["columns"]["geometry"]["encoding"] == "multipolygon"
+    back = read_geoparquet(spark, path)
+    exp = {(r.BoroName, bytes(r.geometry)) for r in src.collect()}
+    got = {(r.BoroName, bytes(r.geometry)) for r in back.collect()}
+    assert got == exp and len(got) == 5
+
+
+def test_geoparquet_native_encoding_rejects_mixed(spark, tmp_path):
+    """A mixed-type geometry column must fail fast with a clear error when
+    a single-type native encoding is requested (the reference writer's
+    constraint), not silently corrupt."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from geoarrow_rs_spark.io import write_geoparquet
+
+    df = spark.range(4).selectExpr(
+        "id",
+        "CASE WHEN id % 2 = 0 THEN ST_Point(1.0, 2.0)"
+        " ELSE ST_MakeLine(ST_Point(0.0, 0.0), ST_Point(1.0, 1.0)) END AS geometry",
+    )
+    path = _os.path.join(str(tmp_path), "mixed_native")
+    with _pytest.raises(Exception, match="encoding"):
+        write_geoparquet(df, path, "geometry", encoding="linestring")
