@@ -6353,6 +6353,77 @@ FROM params
 """
 
 
+def geo_edges_aware(spark, sf_dir):
+    """Edges-metadata-aware measure defaults (edges.rs:35-60): the SAME
+    geometry and the SAME ``geom_length``/``geom_area``/``geom_distance``
+    API calls, with the method chosen by the column's ``edges`` tag —
+    planar-tagged columns measure euclidean, spherical-tagged columns
+    haversine/Chamberlain-Duquette. The oracle restates both families'
+    closed forms, so a dispatch bug in EITHER direction fails the check."""
+    from .ops.table import geom_area, geom_distance, geom_length
+    from .types.geo_types import tag_geometry_column
+
+    p = _t(spark, sf_dir, "part")
+    x0 = "CAST(p_partkey % 30 AS DOUBLE)"
+    y0 = "CAST(p_size % 20 + 10 AS DOUBLE)"
+    dx = "CAST(p_partkey % 3 + 1 AS DOUBLE)"
+    dy = "CAST(p_size % 4 + 1 AS DOUBLE)"
+    base = p.selectExpr(
+        "p_partkey",
+        f"ST_MakeLine(ST_Point({x0}, {y0}), ST_Point({x0} + {dx}, {y0} + {dy})) AS g_pl",
+        f"ST_MakeEnvelope({x0}, {y0}, {x0} + {dx}, {y0} + {dy}) AS b_pl",
+        f"ST_Point({x0}, {y0}) AS pa_pl",
+        f"ST_Point({x0} + {dx}, {y0} + {dy}) AS pb_pl",
+    ).selectExpr(
+        "p_partkey",
+        "g_pl", "b_pl", "pa_pl", "pb_pl",
+        "g_pl AS g_sp", "b_pl AS b_sp", "pa_pl AS pa_sp", "pb_pl AS pb_sp",
+    )
+    tagged = base
+    for c in ("g_pl", "b_pl", "pa_pl", "pb_pl"):
+        tagged = tag_geometry_column(tagged, c, edges="planar")
+    for c in ("g_sp", "b_sp", "pa_sp", "pb_sp"):
+        tagged = tag_geometry_column(tagged, c, edges="spherical")
+    return tagged.select(
+        "p_partkey",
+        F.round(geom_length(tagged, "g_pl"), 6).alias("planar_len"),
+        F.round(geom_area(tagged, "b_pl"), 6).alias("planar_area"),
+        F.round(geom_distance(tagged, "pa_pl", "pb_pl"), 6).alias("planar_dist"),
+        F.round(geom_length(tagged, "g_sp"), 3).alias("sph_len"),
+        F.round(F.abs(geom_area(tagged, "b_sp")), 0).alias("sph_area"),
+        F.round(geom_distance(tagged, "pa_sp", "pb_sp"), 3).alias("sph_dist"),
+    )
+
+
+ORACLE_GEO_EDGES = """
+WITH params AS (
+  SELECT p_partkey,
+         CAST(p_partkey % 3 + 1 AS DOUBLE) AS dx,
+         CAST(p_size % 4 + 1 AS DOUBLE) AS dy,
+         radians(CAST(p_partkey % 30 AS DOUBLE)) AS lam0,
+         radians(CAST(p_partkey % 30 AS DOUBLE) + CAST(p_partkey % 3 + 1 AS DOUBLE)) AS lam1,
+         radians(CAST(p_size % 20 + 10 AS DOUBLE)) AS phi0,
+         radians(CAST(p_size % 20 + 10 AS DOUBLE) + CAST(p_size % 4 + 1 AS DOUBLE)) AS phi1
+  FROM part
+)
+SELECT p_partkey,
+       round(sqrt(dx * dx + dy * dy), 6) AS planar_len,
+       round(dx * dy, 6) AS planar_area,
+       round(sqrt(dx * dx + dy * dy), 6) AS planar_dist,
+       round(2.0 * 6371008.8 * asin(sqrt(
+           sin((phi1 - phi0) / 2.0) * sin((phi1 - phi0) / 2.0)
+           + cos(phi0) * cos(phi1)
+             * sin((lam1 - lam0) / 2.0) * sin((lam1 - lam0) / 2.0))), 3) AS sph_len,
+       round(abs((lam1 - lam0) * (sin(phi0) - sin(phi1)))
+             * 6371008.8 * 6371008.8, 0) AS sph_area,
+       round(2.0 * 6371008.8 * asin(sqrt(
+           sin((phi1 - phi0) / 2.0) * sin((phi1 - phi0) / 2.0)
+           + cos(phi0) * cos(phi1)
+             * sin((lam1 - lam0) / 2.0) * sin((lam1 - lam0) / 2.0))), 3) AS sph_dist
+FROM params
+"""
+
+
 def geo_cast_matrix(spark, sf_dir):
     """Dimension + multiplicity cast surface (cast.rs parity, now the full
     matrix): Force2D drops Z with XY preserved, Force3D adds a constant Z
@@ -6549,6 +6620,7 @@ QUERIES = {
     "geo_shape_metrics": (geo_shape_metrics, ORACLE_GEO_SHAPE_METRICS),
     "geo_affine_parts": (geo_affine_parts, ORACLE_GEO_AFFINE_PARTS),
     "geo_spherical": (geo_spherical, ORACLE_GEO_SPHERICAL),
+    "geo_edges_aware": (geo_edges_aware, ORACLE_GEO_EDGES),
     "geo_cast_matrix": (geo_cast_matrix, ORACLE_GEO_CAST),
     "geo_trajectory_stats": (geo_trajectory_stats, ORACLE_GEO_TRAJECTORY),
     "geo_areal_interpolation": (geo_areal_interpolation, ORACLE_GEO_AREAL),

@@ -120,3 +120,34 @@ def test_dataframe_level_ops(geoms):
     assert tuple(b) == (0.0, 0.0, 6.0, 4.0)
     n = compute.explode(geoms.select(F.col("g")), "g").count()
     assert n == 3
+
+
+def test_edges_metadata_dispatch(spark):
+    """geom_length/area/distance pick the kernel family from the column's
+    edges tag; conflicting tags on a distance pair raise."""
+    import pytest
+
+    from geoarrow_rs_spark.ops.table import geom_distance, geom_length
+    from geoarrow_rs_spark.types.geo_types import tag_geometry_column
+
+    df = spark.range(1).selectExpr(
+        "ST_MakeLine(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0)) AS g",
+        "ST_Point(0.0, 0.0) AS a",
+        "ST_Point(1.0, 0.0) AS b",
+    )
+    planar = tag_geometry_column(df, "g", edges="planar")
+    assert planar.select(geom_length(planar, "g").alias("v")).collect()[0]["v"] == 5.0
+
+    sph = tag_geometry_column(df, "g", edges="spherical")
+    v = sph.select(geom_length(sph, "g").alias("v")).collect()[0]["v"]
+    assert v > 500_000  # meters, not degrees: the tag flipped the math
+
+    vin = tag_geometry_column(df, "g", edges="vincenty")
+    v2 = vin.select(geom_length(vin, "g").alias("v")).collect()[0]["v"]
+    assert abs(v2 - v) / v < 0.01 and v2 != v  # spheroid family, close to sphere
+
+    mixed = tag_geometry_column(
+        tag_geometry_column(df, "a", edges="planar"), "b", edges="spherical"
+    )
+    with pytest.raises(ValueError, match="edges mismatch"):
+        geom_distance(mixed, "a", "b")
