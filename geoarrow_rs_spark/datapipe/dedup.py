@@ -273,6 +273,41 @@ def simhash_near_pairs(
     )
 
 
+LOCAL_CC_DISABLED = __import__("os").environ.get(
+    "SPARK_GRAFT_DISABLE_LOCAL_CC", ""
+) == "1"
+_LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def _cc_local(hi, lo, max_rounds: int = 64):
+    """Vectorized connected components over edge arrays: min-label
+    propagation with pointer jumping (labels are indices into the sorted
+    unique node array, so the converged label IS the component-minimum
+    id). Returns [(node, component_min)] — the same label function the
+    distributed loop converges to. O(E) numpy work per round, O(log n)
+    rounds; returns None if the round cap fires (caller falls back to
+    the distributed loop)."""
+    import numpy as np
+
+    hi = np.asarray(hi, dtype=np.int64)
+    lo = np.asarray(lo, dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([hi, lo]), return_inverse=True)
+    a, b = inv[: len(hi)], inv[len(hi):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(max_rounds):
+        new = lab.copy()
+        np.minimum.at(new, a, lab[b])
+        np.minimum.at(new, b, lab[a])
+        for _ in range(3):
+            new = new[new]
+        if np.array_equal(new, lab):
+            return [
+                (int(nodes[i]), int(nodes[lab[i]])) for i in range(len(nodes))
+            ]
+        lab = new
+    return None
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -298,15 +333,36 @@ def dedup_clusters(
     iteration cap. Each round materializes via localCheckpoint so
     lineage stays flat; convergence is detected by a (count, hash-sum)
     signature — two cheap aggregates, no edge-set diff join."""
-    edges = (
-        pairs.select(
-            F.greatest(F.col(a_col).cast("long"), F.col(b_col).cast("long")).alias("hi"),
-            F.least(F.col(a_col).cast("long"), F.col(b_col).cast("long")).alias("lo"),
-        )
-        .filter(F.col("hi") != F.col("lo"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    raw_edges = pairs.select(
+        F.greatest(F.col(a_col).cast("long"), F.col(b_col).cast("long")).alias("hi"),
+        F.least(F.col(a_col).cast("long"), F.col(b_col).cast("long")).alias("lo"),
+    ).filter(F.col("hi") != F.col("lo"))
+
+    # Small-graph fast path: probe with limit(cap + 1) — one bounded job.
+    # If it comes back within the cap, that IS the complete edge multiset
+    # (duplicates included — np.unique absorbs them), and union-find runs
+    # vectorized on the driver with the identical label function
+    # (component minimum). No distinct shuffle, no checkpoint, no rounds.
+    # Oversized graphs waste only the bounded probe and take the
+    # distributed large-star/small-star loop — the 100 TB path.
+    if not LOCAL_CC_DISABLED:
+        probe = raw_edges.limit(_LOCAL_CC_MAX_EDGES + 1).toPandas()
+        if len(probe) <= _LOCAL_CC_MAX_EDGES:
+            ids = df.select(F.col(id_col).cast("long").alias(id_col))
+            local = (
+                _cc_local(probe["hi"].to_numpy(), probe["lo"].to_numpy())
+                if len(probe)
+                else []
+            )
+            if local is not None:
+                labels = pairs.sparkSession.createDataFrame(
+                    local, "node long, label long"
+                )
+                return ids.join(labels, ids[id_col] == labels.node, "left").select(
+                    id_col, F.coalesce("label", F.col(id_col)).alias("cluster_id")
+                )
+
+    edges = raw_edges.distinct().localCheckpoint(eager=True)
 
     def _sig(E):
         r = E.agg(

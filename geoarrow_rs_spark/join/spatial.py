@@ -234,6 +234,123 @@ def _refine_expr(predicate: str, lg: str, rg: str):
     return F.expr(f"{fn}({lg}, {rg})")
 
 
+LOCAL_KNN_DISABLED = __import__("os").environ.get(
+    "SPARK_GRAFT_DISABLE_LOCAL_KNN", ""
+) == "1"
+_LOCAL_KNN_MAX = 50_000
+
+
+def _knn_local(l_ids, lxs, lys, r_ids, rxs, rys, k, cs, max_radius_cells):
+    """Driver-local replica of the grid-rounds kNN join below: same cell
+    hashing, same (2R+1)^2 probe square, same resolution rule
+    (cnt >= k and k-th distance <= R*cs), same doubling ladder, same
+    brute-force fallback, same (dist, r_id) tie-break and the identical
+    IEEE dist expression — so results match the distributed plan row for
+    row. Requires integer ids (returns None otherwise, as for any bail)."""
+    import numpy as np
+
+    if not (
+        np.issubdtype(np.asarray(l_ids).dtype, np.integer)
+        and np.issubdtype(np.asarray(r_ids).dtype, np.integer)
+    ):
+        return None
+    l_ids = np.asarray(l_ids, dtype=np.int64)
+    lxs = np.asarray(lxs, dtype=np.float64)
+    lys = np.asarray(lys, dtype=np.float64)
+    r_ids = np.asarray(r_ids, dtype=np.int64)
+    rxs = np.asarray(rxs, dtype=np.float64)
+    rys = np.asarray(rys, dtype=np.float64)
+    nl, nr = len(l_ids), len(r_ids)
+    if nr == 0 or nl == 0:
+        return [], [], [], []
+    P = 1 << 21
+    rkey = (
+        np.floor(rxs / cs).astype(np.int64) * P
+        + np.floor(rys / cs).astype(np.int64)
+    )
+    order = np.argsort(rkey, kind="stable")
+    sk = rkey[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    bounds = np.r_[starts, nr]
+    rcells = {int(sk[s]): order[s:e] for s, e in zip(bounds[:-1], bounds[1:])}
+    lcx = np.floor(lxs / cs).astype(np.int64)
+    lcy = np.floor(lys / cs).astype(np.int64)
+
+    pair_dt = np.dtype([("d", "<f8"), ("i", "<i8")])
+    chunks_l, chunks_r, chunks_rn, chunks_d = [], [], [], []
+
+    def rank(lidx, cand):
+        """(top, cnt, kdist): sorted (dist, r_id) top-k per left row."""
+        dx = lxs[lidx][:, None] - rxs[cand][None, :]
+        dy = lys[lidx][:, None] - rys[cand][None, :]
+        dist = np.sqrt(dx * dx + dy * dy)
+        arr = np.empty(dist.shape, dtype=pair_dt)
+        arr["d"] = dist
+        arr["i"] = r_ids[cand][None, :]
+        arr = np.sort(arr, axis=1)  # lexicographic (dist, r_id)
+        take = min(int(k), arr.shape[1])
+        top = arr[:, :take]
+        kdist = top["d"][:, take - 1] if take else np.full(len(lidx), np.inf)
+        return top, arr.shape[1], kdist
+
+    def emit(lidx, top):
+        m, take = top.shape
+        if m == 0 or take == 0:
+            return
+        chunks_l.append(np.repeat(l_ids[lidx], take))
+        chunks_r.append(top["i"].ravel())
+        chunks_rn.append(np.tile(np.arange(1, take + 1, dtype=np.int64), m))
+        chunks_d.append(top["d"].ravel())
+
+    unresolved = np.arange(nl)
+    radius = 1
+    while len(unresolved) and radius <= max_radius_cells:
+        # group unresolved lefts by home cell
+        ukey = lcx[unresolved] * P + lcy[unresolved]
+        uorder = np.argsort(ukey, kind="stable")
+        usk = ukey[uorder]
+        ustarts = np.flatnonzero(np.r_[True, usk[1:] != usk[:-1]])
+        ubounds = np.r_[ustarts, len(usk)]
+        still = []
+        for s, e in zip(ubounds[:-1], ubounds[1:]):
+            lidx = unresolved[uorder[s:e]]
+            # true cell coords from a group member (no packed-key
+            # decomposition — negative cy wraps under // and %)
+            ccx = int(lcx[lidx[0]])
+            ccy = int(lcy[lidx[0]])
+            parts = [
+                rcells[(ccx + ox) * P + (ccy + oy)]
+                for ox in range(-radius, radius + 1)
+                for oy in range(-radius, radius + 1)
+                if ((ccx + ox) * P + (ccy + oy)) in rcells
+            ]
+            if not parts:
+                still.extend(lidx)
+                continue
+            cand = np.concatenate(parts)
+            top, cnt, kdist = rank(lidx, cand)
+            ok = (kdist <= radius * cs) if cnt >= int(k) else np.zeros(
+                len(lidx), dtype=bool
+            )
+            emit(lidx[ok], top[ok])
+            still.extend(lidx[~ok])
+        unresolved = np.asarray(still, dtype=np.int64)
+        radius *= 2
+
+    if len(unresolved):
+        # brute-force fallback, same as the broadcast scan
+        top, _cnt, _kd = rank(unresolved, np.arange(nr))
+        emit(unresolved, top)
+    if not chunks_l:
+        return [], [], [], []
+    return (
+        np.concatenate(chunks_l),
+        np.concatenate(chunks_r),
+        np.concatenate(chunks_rn),
+        np.concatenate(chunks_d),
+    )
+
+
 def knn_spatial_join(
     left: DataFrame,
     right: DataFrame,
@@ -294,6 +411,46 @@ def knn_spatial_join(
         F.floor(F.col("rx") / cs).cast("long") * F.lit(1 << 21)
         + F.floor(F.col("ry") / cs).cast("long"),
     )
+
+    # Small-input fast path: probe both sides with limit(cap + 1) — when
+    # they fit on the driver, the identical grid-rounds algorithm (same
+    # resolution rule, same escalation ladder, same dist expression, same
+    # (dist, r_id) tie-break) runs vectorized in numpy: two bounded jobs
+    # + one Arrow createDataFrame instead of per-round shuffle stages.
+    if not LOCAL_KNN_DISABLED:
+        self_join = (
+            right is left and left_id == right_id and tuple(left_xy) == tuple(right_xy)
+        )
+        lp = L.limit(_LOCAL_KNN_MAX + 1).toPandas()
+        if len(lp) <= _LOCAL_KNN_MAX:
+            if self_join:
+                rp = lp.rename(
+                    columns={"l_id": "r_id", "lx": "rx", "ly": "ry"}
+                )
+            else:
+                rp = R.drop("__cell").limit(_LOCAL_KNN_MAX + 1).toPandas()
+            if len(rp) <= _LOCAL_KNN_MAX:
+                local = _knn_local(
+                    lp["l_id"].to_numpy(), lp["lx"].to_numpy(), lp["ly"].to_numpy(),
+                    rp["r_id"].to_numpy(), rp["rx"].to_numpy(), rp["ry"].to_numpy(),
+                    k, cs, max_radius_cells,
+                )
+                if local is not None:
+                    import numpy as np
+                    import pandas as pd
+
+                    pdf = pd.DataFrame(
+                        {
+                            "l_id": np.asarray(local[0], dtype=np.int64),
+                            "r_id": np.asarray(local[1], dtype=np.int64),
+                            "rn": np.asarray(local[2], dtype=np.int32),
+                            "dist": np.asarray(local[3], dtype=np.float64),
+                        }
+                    )
+                    # Arrow path (no nulls, fixed dtypes) — avoids
+                    # pickling n*k rows through parallelize
+                    return left.sparkSession.createDataFrame(pdf)
+
     R = R.localCheckpoint(eager=True)
 
     from pyspark.sql import Window

@@ -79,6 +79,98 @@ def eps_neighbor_pairs(
     )
 
 
+LOCAL_DBSCAN_DISABLED = __import__("os").environ.get(
+    "SPARK_GRAFT_DISABLE_LOCAL_DBSCAN", ""
+) == "1"
+_LOCAL_DBSCAN_MAX_POINTS = 30_000
+_LOCAL_DBSCAN_MAX_EDGES = 5_000_000
+
+
+def _dbscan_local(ids, xs, ys, eps: float, min_pts: int):
+    """Driver-local DBSCAN over collected points — the same arithmetic as
+    the distributed composition (dx*dx + dy*dy <= eps*eps in IEEE doubles,
+    cluster id = smallest core id in the component, border = min
+    neighboring core cluster), computed block-wise in numpy. Returns
+    [(id, cluster_id_or_None, role)], or None if the edge set exceeds the
+    local cap (caller falls back to the distributed path)."""
+    import numpy as np
+
+    from ..datapipe.dedup import _cc_local
+
+    ids = np.asarray(ids, dtype=np.int64)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    n = len(ids)
+    eps = float(eps)
+    eps2 = eps * eps
+    # same grid-cell candidate generation as the distributed plan: only
+    # 3x3 neighborhoods are ever compared (O(n * density), not O(n^2))
+    key = (
+        np.floor(xs / eps).astype(np.int64) * _PACK
+        + np.floor(ys / eps).astype(np.int64)
+    )
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]]) if n else np.empty(0, int)
+    bounds = np.r_[starts, n]
+    cells = {
+        int(sk[s]): order[s:e] for s, e in zip(bounds[:-1], bounds[1:])
+    }
+    ea, eb = [], []
+    counts = np.zeros(n, dtype=np.int64)
+    n_edges = 0
+    for ck, idx in cells.items():
+        cand_parts = [
+            cells[ck + ox * _PACK + oy]
+            for ox in (-1, 0, 1)
+            for oy in (-1, 0, 1)
+            if (ck + ox * _PACK + oy) in cells
+        ]
+        cand = np.concatenate(cand_parts)
+        dx = xs[idx][:, None] - xs[cand][None, :]
+        dy = ys[idx][:, None] - ys[cand][None, :]
+        mask = (dx * dx + dy * dy) <= eps2
+        mask &= idx[:, None] != cand[None, :]
+        counts[idx] = mask.sum(axis=1)
+        ii, jj = np.nonzero(mask)
+        n_edges += len(ii)
+        if n_edges > _LOCAL_DBSCAN_MAX_EDGES:
+            return None
+        ea.append(idx[ii])
+        eb.append(cand[jj])
+    a = np.concatenate(ea) if ea else np.empty(0, dtype=np.int64)
+    b = np.concatenate(eb) if eb else np.empty(0, dtype=np.int64)
+    is_core = (counts + 1) >= int(min_pts)
+    cc_mask = is_core[a] & is_core[b]
+    labels = _cc_local(ids[a[cc_mask]], ids[b[cc_mask]])
+    if labels is None:
+        return None
+    # cluster id per point index: core points take their component min
+    # (singleton cores keep their own id), vectorized via sorted-id lookup
+    sort_ids = np.argsort(ids, kind="stable")
+    sorted_ids = ids[sort_ids]
+    cluster = np.where(is_core, ids, np.int64(-1))
+    if labels:
+        lab_nodes = np.array([p for p, _ in labels], dtype=np.int64)
+        lab_vals = np.array([v for _, v in labels], dtype=np.int64)
+        pos = sort_ids[np.searchsorted(sorted_ids, lab_nodes)]
+        cluster[pos] = lab_vals
+    # border: non-core with >= 1 core neighbor -> min neighboring cluster
+    bmask = ~is_core[a] & is_core[b]
+    border_min = np.full(n, np.iinfo(np.int64).max)
+    np.minimum.at(border_min, a[bmask], cluster[b[bmask]])
+    out = []
+    for i in range(n):
+        pid = int(ids[i])
+        if is_core[i]:
+            out.append((pid, int(cluster[i]), "core"))
+        elif border_min[i] != np.iinfo(np.int64).max:
+            out.append((pid, int(border_min[i]), "border"))
+        else:
+            out.append((pid, None, "noise"))
+    return out
+
+
 def dbscan(
     df: DataFrame,
     id_col: str,
@@ -95,6 +187,30 @@ def dbscan(
     id in the cluster (NULL for noise). ``min_pts`` counts the point
     itself, matching the classic |N_eps(p)| >= minPts definition."""
     from ..datapipe.dedup import dedup_clusters
+
+    # Small-input fast path: probe with limit(cap + 1) — if the point set
+    # fits on the driver, the whole algorithm runs in numpy with identical
+    # arithmetic (one job + one createDataFrame instead of ~8 shuffle
+    # stages). The grid/CC composition below remains the at-scale path.
+    if not LOCAL_DBSCAN_DISABLED:
+        probe = (
+            df.select(
+                F.col(id_col).cast("long").alias("pid"),
+                F.col(x_col).cast("double").alias("px"),
+                F.col(y_col).cast("double").alias("py"),
+            )
+            .limit(_LOCAL_DBSCAN_MAX_POINTS + 1)
+            .toPandas()
+        )
+        if len(probe) <= _LOCAL_DBSCAN_MAX_POINTS:
+            local = _dbscan_local(
+                probe["pid"].to_numpy(), probe["px"].to_numpy(),
+                probe["py"].to_numpy(), eps, min_pts,
+            )
+            if local is not None:
+                return df.sparkSession.createDataFrame(
+                    local, f"{id_col} long, cluster_id long, role string"
+                )
 
     pairs = eps_neighbor_pairs(df, id_col, x_col, y_col, eps).localCheckpoint(
         eager=True

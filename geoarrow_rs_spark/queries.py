@@ -587,14 +587,20 @@ SELECT gtype, type_id, npoints, ngeoms, COUNT(*) AS n FROM (
 
 def geo_simplify_scale(spark, sf_dir):
     """ST_Simplify after an affine scale: RDP collapses the collinear midpoint."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(_t(spark, sf_dir, "lineitem"))
     sx = "CAST(l_partkey % 20 + 1 AS DOUBLE)"
     g = f"ST_Affine(ST_GeomFromWKT('LINESTRING (0 0, 5 0.1, 10 0)'), {sx}, 0.0, 0.0, 1.0, 0.0, 0.0)"
+    # construct-once: build + simplify once, measure twice (the column has
+    # only 20 distinct geometries — the chain would otherwise run per
+    # output column over the full lineitem scan); _spread parallelizes the
+    # python kernel loop over the biggest table's single-file scan
     return li.selectExpr(
+        "l_orderkey", "l_linenumber", f"ST_Simplify({g}, 1.0) AS s"
+    ).selectExpr(
         "l_orderkey",
         "l_linenumber",
-        f"ST_Length(ST_Simplify({g}, 1.0)) AS len_simplified",
-        f"ST_NPoints(ST_Simplify({g}, 1.0)) AS np_simplified",
+        "ST_Length(s) AS len_simplified",
+        "ST_NPoints(s) AS np_simplified",
     )
 
 
@@ -987,18 +993,27 @@ def sim_near_dup_pairs(spark, sf_dir):
     bounded candidate set (brute-force; the LSH-blocked variant is the scale
     path, strictly oracle-checked as sim_srp_buckets)."""
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    a = e.selectExpr("vec_id AS a_id", "embedding AS ea")
-    b = e.selectExpr("vec_id AS b_id", "embedding AS eb")
-    from .datapipe.similarity import cosine_expr
+    from .datapipe.similarity import dot_decimal_expr, norm_decimal_expr
 
+    # norms hoisted to the per-vector side BEFORE the cross join — the
+    # per-pair expression shrinks from three decimal folds to one (3x less
+    # codegen and runtime), and sqrt(norm.cast(double)) is the exact value
+    # cosine_expr would compute inline
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"),
+        F.sqrt(norm_decimal_expr(F.col("embedding")).cast("double")).alias("__sa"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"),
+        F.sqrt(norm_decimal_expr(F.col("embedding")).cast("double")).alias("__sb"),
+    )
+    num = dot_decimal_expr(F.col("ea"), F.col("eb")).cast("double")
+    den = F.col("__sa") * F.col("__sb")
+    cosine = F.when(den > 0, num / den).otherwise(F.lit(0.0))
     pairs = (
         a.crossJoin(F.broadcast(b))
         .where(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.round(cosine_expr(F.col("ea"), F.col("eb")), 8).alias("cosine"),
-        )
+        .select("a_id", "b_id", F.round(cosine, 8).alias("cosine"))
         .where(F.col("cosine") >= 0.9)
     )
     return pairs
@@ -4012,7 +4027,9 @@ def geo_lof_outliers(spark, sf_dir):
     from .ops.outliers import lof_scores
 
     c = _t(spark, sf_dir, "customer")
-    pts = _spread(c).selectExpr("c_custkey", _KNN_PX, _KNN_PY)
+    # no _spread: px/py are native expressions; a repartition would only
+    # add an exchange in front of the small-input probe
+    pts = c.selectExpr("c_custkey", _KNN_PX, _KNN_PY)
     return lof_scores(pts, "c_custkey", "px", "py", k=5, cell_size=2.0)
 
 
@@ -4211,7 +4228,10 @@ def geo_dbscan(spark, sf_dir):
     from .ops.dbscan import dbscan
 
     c = _t(spark, sf_dir, "customer")
-    pts = _spread(c).selectExpr("c_custkey", _KNN_PX, _KNN_PY)
+    # no _spread: px/py are native md5 expressions (no python kernels
+    # before dbscan's own shuffles), so a repartition would only add an
+    # exchange in front of the small-input probe
+    pts = c.selectExpr("c_custkey", _KNN_PX, _KNN_PY)
     out = dbscan(pts, "c_custkey", "px", "py", eps=1.5, min_pts=5)
     return out.select("c_custkey", "cluster_id", "role")
 
@@ -6184,7 +6204,7 @@ def geo_shape_metrics(spark, sf_dir):
     ceil(L/d)+1, length preserved), MinimumRotatedRectangle of a rectangle
     (itself: area w*h, perimeter 2(w+h)), and Polylabel of a rectangle
     (the exact center — halves are exact doubles, so no rounding)."""
-    p = _t(spark, sf_dir, "part")
+    p = _spread(_t(spark, sf_dir, "part"))
     L = "CAST(p_size % 7 + 2 AS DOUBLE)"
     k = "CAST(p_partkey % 9 + 1 AS DOUBLE)"
     w = "CAST(p_size % 5 + 1 AS DOUBLE)"
@@ -6192,25 +6212,37 @@ def geo_shape_metrics(spark, sf_dir):
     la = f"ST_MakeLine(ST_Point(0.0, 0.0), ST_Point({L}, 0.0))"
     lb = f"ST_MakeLine(ST_Point(0.0, {k}), ST_Point({L}, {k}))"
     box = f"ST_MakeEnvelope(0.0, 0.0, {w}, {h})"
-    return p.selectExpr(
+    # construct-once two-step select (same trick as geo_affine_parts):
+    # shared geometries and the Densify/MRR derivations run once each
+    staged = p.selectExpr(
         "p_partkey",
-        f"ST_FrechetDistance({la}, {lb}) AS frechet",
-        f"ST_HausdorffDistance({la}, {lb}) AS hausdorff",
-        f"CAST(ST_NPoints(ST_Densify({la}, 2.0)) AS BIGINT) AS dens_npoints",
-        f"ST_Length(ST_Densify({la}, 2.0)) AS dens_length",
-        f"ST_Area(ST_MinimumRotatedRectangle({box})) AS mrr_area",
-        f"ST_Perimeter(ST_MinimumRotatedRectangle({box})) AS mrr_perim",
+        "CAST(p_partkey % 11 AS DOUBLE) AS locx",
+        f"{la} AS la",
+        f"{lb} AS lb",
+        f"ST_Densify({la}, 2.0) AS dens",
+        f"ST_MinimumRotatedRectangle({box}) AS mrr",
+        f"{box} AS box",
+        f"ST_ChaikinSmoothing(ST_LineFromArrays(array(0.0, {w}, {w}), array(0.0, 0.0, {h})), 1) AS chaik",
+    )
+    return staged.selectExpr(
+        "p_partkey",
+        "ST_FrechetDistance(la, lb) AS frechet",
+        "ST_HausdorffDistance(la, lb) AS hausdorff",
+        "CAST(ST_NPoints(dens) AS BIGINT) AS dens_npoints",
+        "ST_Length(dens) AS dens_length",
+        "ST_Area(mrr) AS mrr_area",
+        "ST_Perimeter(mrr) AS mrr_perim",
         # tol 0.25: still the exact center for rectangles (the first probe
         # wins); finer tolerances degenerate on the symmetric distance-field
         # ties of a rectangle (quadtree can't prune) — 100x slower, same
         # answer
-        f"ST_X(ST_Polylabel({box}, 0.25)) AS pl_x",
-        f"ST_Y(ST_Polylabel({box}, 0.25)) AS pl_y",
+        "ST_X(ST_Polylabel(box, 0.25)) AS pl_x",
+        "ST_Y(ST_Polylabel(box, 0.25)) AS pl_y",
         # Chaikin on an open 3-point corner keeps endpoints and replaces
         # each segment with its 1/4-3/4 points: 2(n-1)+2 = 6 vertices
-        f"CAST(ST_NPoints(ST_ChaikinSmoothing(ST_LineFromArrays(array(0.0, {w}, {w}), array(0.0, 0.0, {h})), 1)) AS BIGINT) AS chaikin_npoints",
+        "CAST(ST_NPoints(chaik) AS BIGINT) AS chaikin_npoints",
         # locate on a horizontal segment = clamp(x/L, 0, 1), exact division
-        f"ST_LineLocatePoint({la}, ST_Point(CAST(p_partkey % 11 AS DOUBLE), 5.0)) AS line_loc",
+        "ST_LineLocatePoint(la, ST_Point(locx, 5.0)) AS line_loc",
     )
 
 

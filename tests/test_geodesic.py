@@ -410,9 +410,11 @@ def test_pyproj_hook_falls_back_cleanly(monkeypatch):
     x, y = proj.transform_xy(np.array([10.0]), np.array([45.0]), 4326, 3857)
     ex, ey = proj.webmercator_forward(np.array([10.0]), np.array([45.0]))
     assert x[0] == ex[0] and y[0] == ey[0]
-    assert not proj.supported_crs(27700)  # needs pyproj, not installed
+    # 27700 is covered natively now; Irish TM (2157) still needs pyproj
+    assert proj.supported_crs(27700)
+    assert not proj.supported_crs(2157)
     with _pytest.raises(ValueError):
-        proj.transform_xy(np.array([0.0]), np.array([0.0]), 4326, 27700)
+        proj.transform_xy(np.array([0.0]), np.array([0.0]), 4326, 2157)
 
 
 def test_tmerc_bng_matches_os_worked_example():

@@ -164,3 +164,56 @@ def test_null_coordinates_are_excluded_not_fatal(spark):
         for r in dbscan(df, "id", "x", "y", eps=1.5, min_pts=3).collect()
     }
     assert roles[1] == "core" and roles[5] == "noise" and roles[6] == "noise"
+
+
+def test_local_fast_paths_match_distributed(spark):
+    """The driver-local kNN / DBSCAN / connected-components fast paths
+    must produce row-identical results to the distributed plans they
+    replace (same resolution rules, tie-breaks and IEEE arithmetic)."""
+    import numpy as np
+
+    from geoarrow_rs_spark.datapipe import dedup as D
+    from geoarrow_rs_spark.join import spatial as SP
+    from geoarrow_rs_spark.ops import dbscan as DB
+
+    rng = np.random.default_rng(11)
+    pts = [(i, float(x), float(y))
+           for i, (x, y) in enumerate(rng.uniform(0, 12, (300, 2)))]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+
+    def knn_rows():
+        return sorted(
+            (r["l_id"], r["r_id"], r["rn"], round(r["dist"], 12))
+            for r in knn_spatial_join(df, df, k=4, cell_size=2.0).collect()
+        )
+
+    def db_rows():
+        return sorted(
+            (r["id"], r["cluster_id"], r["role"])
+            for r in dbscan(df, "id", "x", "y", eps=1.0, min_pts=4).collect()
+        )
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in rng.integers(0, 80, (150, 2)) if a != b],
+        "a_id long, b_id long",
+    )
+    ids = spark.createDataFrame([(i,) for i in range(80)], "doc_id long")
+
+    def cc_rows():
+        from geoarrow_rs_spark.datapipe.dedup import dedup_clusters
+
+        return sorted(map(tuple, dedup_clusters(ids, pairs).collect()))
+
+    local = (knn_rows(), db_rows(), cc_rows())
+    SP.LOCAL_KNN_DISABLED = True
+    DB.LOCAL_DBSCAN_DISABLED = True
+    D.LOCAL_CC_DISABLED = True
+    try:
+        dist = (knn_rows(), db_rows(), cc_rows())
+    finally:
+        SP.LOCAL_KNN_DISABLED = False
+        DB.LOCAL_DBSCAN_DISABLED = False
+        D.LOCAL_CC_DISABLED = False
+    assert local[0] == dist[0]
+    assert local[1] == dist[1]
+    assert local[2] == dist[2]
