@@ -15,8 +15,11 @@ in a single contiguous buffer and structure lands in offset arrays.
 The per-row Python work here is only the fixed-size header walk (a few
 ``int.from_bytes`` per ring); every coordinate byte is moved by exactly
 one numpy fancy-gather.  Batches containing big-endian values, Z/M
-dimensions, EWKB SRID flags, or GeometryCollections bail (return None)
-and the caller falls back to the per-row Geom path.
+dimensions, or EWKB SRID flags bail (return None) and the caller falls
+back to the per-row Geom path.  GeometryCollections decode recursively
+and set ``has_gc``; only consumers whose math is coordinate-set or
+structure-preserving (bounds, hulls, affine splice) accept such batches
+— see ``kernels.decoded_of(allow_gc=...)``.
 
 A small content-keyed cache lets chained ST_ calls inside one
 ArrowEvalPython node (e.g. ``ST_Area(g), ST_Centroid(g), ST_ConvexHull(g)``
@@ -42,6 +45,7 @@ _WKB_POLYGON = 3
 _WKB_MULTIPOINT = 4
 _WKB_MULTILINESTRING = 5
 _WKB_MULTIPOLYGON = 6
+_WKB_GEOMETRYCOLLECTION = 7
 
 _PT_HDR5 = b"\x01\x01\x00\x00\x00"
 _LS_HDR5 = b"\x01\x02\x00\x00\x00"
@@ -58,7 +62,8 @@ class DecodedBatch:
     ----------
     n          : batch length (including nulls)
     idx        : int64[nd] input row index of each decoded (non-null) row
-    kind       : uint8[nd]  WKB type code (1..6) per decoded row
+    kind       : uint8[nd]  WKB type code (1..7) per decoded row
+    has_gc     : bool — batch contains GeometryCollection rows
     coords     : (P, 2) float64 — every coordinate of every decoded row
     ring_npt   : int64[R] points per ring (Point parts are 1-point rings)
     ring_off   : int64[R] byte offset of the ring's coord block in its value
@@ -77,7 +82,7 @@ class DecodedBatch:
     __slots__ = (
         "n", "idx", "kind", "coords", "ring_npt", "ring_drow", "ring_dim",
         "ring_role", "ring_part", "row_npt", "row_start", "ring_off",
-        "row_nparts", "row_topcount",
+        "row_nparts", "row_topcount", "has_gc",
     )
 
     # ring-level start offsets into coords (derived, used by reduceat)
@@ -86,168 +91,187 @@ class DecodedBatch:
 
 
 def _parse_structure(vals):
-    """Header walk. Returns (idx, kind, chunks, npts, drow, dim, role, part)
-    where chunks are per-ring coordinate memoryviews (joined once by the
-    caller), or None if any value is not plain XY LE WKB of types 1..6."""
+    """Header walk. Returns (idx, kind, chunks, npts, drow, dim, role, part,
+    row_parts, row_top, has_gc) where chunks are per-ring coordinate
+    memoryviews (joined once by the caller), or None if any value is not
+    plain XY LE WKB of types 1..7. GeometryCollections (type 7) recurse
+    into their children (depth-capped); batches containing them set
+    has_gc so consumers whose math is not coordinate-set/structure-
+    preserving can decline (see decoded_of's allow_gc gate)."""
     idx, kinds = [], []
     chunks, r_npt, r_drow, r_dim, r_role, r_part = [], [], [], [], [], []
     r_off = []
     row_parts, row_top = [], []
     drow = -1         # decoded-row ordinal
     part = -1         # global part ordinal
+    has_gc = False
     ib = int.from_bytes
-    for i, v in enumerate(vals):
-        if v is None:
-            continue
-        lv = len(v)
-        if lv < 5 or v[0] != 1:
+
+    def parse_geom(v, mv, lv, o, drow, depth):
+        """Parse one geometry at byte offset o; returns
+        (end_offset, nparts, topcount) or None. Appends ring records."""
+        nonlocal part, has_gc
+        if lv < o + 5 or v[o] != 1:
             return None
-        t = ib(v[1:5], "little")
-        drow += 1
-        idx.append(i)
-        kinds.append(t)
-        mv = memoryview(v)
+        t = ib(v[o + 1:o + 5], "little")
         if t == _WKB_POINT:
-            if lv != 21:
+            if lv < o + 21:
                 return None
-            row_parts.append(1)
-            row_top.append(1)
             part += 1
-            chunks.append(mv[5:])
-            r_off.append(5)
+            chunks.append(mv[o + 5:o + 21])
+            r_off.append(o + 5)
             r_npt.append(1)
             r_drow.append(drow)
             r_dim.append(0)
             r_role.append(0)
             r_part.append(part)
-        elif t == _WKB_LINESTRING:
-            if lv < 9:
+            return o + 21, 1, 1
+        if t == _WKB_LINESTRING:
+            if lv < o + 9:
                 return None
-            npt = ib(v[5:9], "little")
-            if lv != 9 + 16 * npt:
+            npt = ib(v[o + 5:o + 9], "little")
+            end = o + 9 + 16 * npt
+            if lv < end:
                 return None
-            row_parts.append(1)
-            row_top.append(npt)
             part += 1
             if npt:
-                chunks.append(mv[9:])
-                r_off.append(9)
+                chunks.append(mv[o + 9:end])
+                r_off.append(o + 9)
                 r_npt.append(npt)
                 r_drow.append(drow)
                 r_dim.append(1)
                 r_role.append(0)
                 r_part.append(part)
-        elif t == _WKB_POLYGON:
-            if lv < 9:
+            return end, 1, npt
+        if t == _WKB_POLYGON:
+            if lv < o + 9:
                 return None
-            o = 9
+            nr = ib(v[o + 5:o + 9], "little")
+            oo = o + 9
             part += 1
-            nr = ib(v[5:9], "little")
-            row_parts.append(1)
-            row_top.append(nr)
             for ri in range(nr):
-                if lv < o + 4:
+                if lv < oo + 4:
                     return None
-                npt = ib(v[o:o + 4], "little")
-                o += 4
-                end = o + 16 * npt
+                npt = ib(v[oo:oo + 4], "little")
+                oo += 4
+                end = oo + 16 * npt
                 if lv < end:
                     return None
                 if npt:
-                    chunks.append(mv[o:end])
-                    r_off.append(o)
+                    chunks.append(mv[oo:end])
+                    r_off.append(oo)
                     r_npt.append(npt)
                     r_drow.append(drow)
                     r_dim.append(2)
                     r_role.append(0 if ri == 0 else 1)
                     r_part.append(part)
-                o = end
-            if o != lv:
+                oo = end
+            return oo, 1, nr
+        if t == _WKB_MULTIPOINT:
+            if lv < o + 9:
                 return None
-        elif t == _WKB_MULTIPOINT:
-            if lv < 9:
+            npt = ib(v[o + 5:o + 9], "little")
+            end = o + 9 + 21 * npt
+            if lv < end:
                 return None
-            npt = ib(v[5:9], "little")
-            if lv != 9 + 21 * npt:
-                return None
-            row_parts.append(npt)
-            row_top.append(npt)
-            o = 9
+            oo = o + 9
             for _ in range(npt):
-                if v[o:o + 5] != _PT_HDR5:
+                if v[oo:oo + 5] != _PT_HDR5:
                     return None
                 part += 1
-                chunks.append(mv[o + 5:o + 21])
-                r_off.append(o + 5)
+                chunks.append(mv[oo + 5:oo + 21])
+                r_off.append(oo + 5)
                 r_npt.append(1)
                 r_drow.append(drow)
                 r_dim.append(0)
                 r_role.append(0)
                 r_part.append(part)
-                o += 21
-        elif t == _WKB_MULTILINESTRING:
-            if lv < 9:
+                oo += 21
+            return oo, npt, npt
+        if t == _WKB_MULTILINESTRING:
+            if lv < o + 9:
                 return None
-            nls = ib(v[5:9], "little")
-            row_parts.append(nls)
-            row_top.append(nls)
-            o = 9
+            nls = ib(v[o + 5:o + 9], "little")
+            oo = o + 9
             for _ in range(nls):
-                if v[o:o + 5] != _LS_HDR5 or lv < o + 9:
+                if v[oo:oo + 5] != _LS_HDR5 or lv < oo + 9:
                     return None
-                npt = ib(v[o + 5:o + 9], "little")
-                o += 9
-                end = o + 16 * npt
+                npt = ib(v[oo + 5:oo + 9], "little")
+                oo += 9
+                end = oo + 16 * npt
                 if lv < end:
                     return None
                 part += 1
                 if npt:
-                    chunks.append(mv[o:end])
-                    r_off.append(o)
+                    chunks.append(mv[oo:end])
+                    r_off.append(oo)
                     r_npt.append(npt)
                     r_drow.append(drow)
                     r_dim.append(1)
                     r_role.append(0)
                     r_part.append(part)
-                o = end
-            if o != lv:
+                oo = end
+            return oo, nls, nls
+        if t == _WKB_MULTIPOLYGON:
+            if lv < o + 9:
                 return None
-        elif t == _WKB_MULTIPOLYGON:
-            if lv < 9:
-                return None
-            npg = ib(v[5:9], "little")
-            row_parts.append(npg)
-            row_top.append(npg)
-            o = 9
+            npg = ib(v[o + 5:o + 9], "little")
+            oo = o + 9
             for _ in range(npg):
-                if v[o:o + 5] != _PG_HDR5 or lv < o + 9:
+                if v[oo:oo + 5] != _PG_HDR5 or lv < oo + 9:
                     return None
-                nr = ib(v[o + 5:o + 9], "little")
-                o += 9
+                nr = ib(v[oo + 5:oo + 9], "little")
+                oo += 9
                 part += 1
                 for ri in range(nr):
-                    if lv < o + 4:
+                    if lv < oo + 4:
                         return None
-                    npt = ib(v[o:o + 4], "little")
-                    o += 4
-                    end = o + 16 * npt
+                    npt = ib(v[oo:oo + 4], "little")
+                    oo += 4
+                    end = oo + 16 * npt
                     if lv < end:
                         return None
                     if npt:
-                        chunks.append(mv[o:end])
-                        r_off.append(o)
+                        chunks.append(mv[oo:end])
+                        r_off.append(oo)
                         r_npt.append(npt)
                         r_drow.append(drow)
                         r_dim.append(2)
                         r_role.append(0 if ri == 0 else 1)
                         r_part.append(part)
-                    o = end
-            if o != lv:
+                    oo = end
+            return oo, npg, npg
+        if t == _WKB_GEOMETRYCOLLECTION:
+            if depth >= 8 or lv < o + 9:
                 return None
-        else:
-            return None  # GeometryCollection / Z / M / EWKB flags / ISO 1000+
+            has_gc = True
+            ng = ib(v[o + 5:o + 9], "little")
+            oo = o + 9
+            nparts = 0
+            for _ in range(ng):
+                got = parse_geom(v, mv, lv, oo, drow, depth + 1)
+                if got is None:
+                    return None
+                oo, np_, _tc = got
+                nparts += np_
+            return oo, nparts, ng
+        return None  # Z / M / EWKB flags / ISO 1000+
+
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        lv = len(v)
+        mv = memoryview(v)
+        drow += 1
+        got = parse_geom(v, mv, lv, 0, drow, 0)
+        if got is None or got[0] != lv:
+            return None
+        idx.append(i)
+        kinds.append(ib(v[1:5], "little"))
+        row_parts.append(got[1])
+        row_top.append(got[2])
     return (idx, kinds, chunks, r_npt, r_off, r_drow, r_dim, r_role,
-            r_part, row_parts, row_top)
+            r_part, row_parts, row_top, has_gc)
 
 
 def decode_batch(vals):
@@ -256,9 +280,10 @@ def decode_batch(vals):
     if parsed is None:
         return None
     (idx, kinds, chunks, r_npt, r_off, r_drow, r_dim, r_role, r_part,
-     row_parts, row_top) = parsed
+     row_parts, row_top, has_gc) = parsed
     db = DecodedBatch()
     db.n = len(vals)
+    db.has_gc = has_gc
     db.idx = np.asarray(idx, dtype=np.int64)
     db.kind = np.asarray(kinds, dtype=np.uint8)
     nd = len(idx)

@@ -142,13 +142,23 @@ def geoms_of(s: pd.Series):
     return geoms
 
 
-def decoded_of(vals):
+def decoded_of(vals, allow_gc=False):
     """Whole-batch offset-table decode (cached across chained ST_ calls on
-    the same column in one ArrowEvalPython node); None -> use geoms_of."""
+    the same column in one ArrowEvalPython node); None -> use geoms_of.
+
+    Batches containing GeometryCollection rows are returned only to
+    callers that pass ``allow_gc=True`` — i.e. kernels whose math is a
+    pure function of the coordinate set (bounds, hulls) or a structure-
+    preserving byte splice (the affine family). Everything else (area,
+    length, centroid, ...) has per-dimension GC semantics the flat batch
+    tables don't model, and falls back to the per-row Geom path."""
     try:
-        return bd.decode_batch_cached(vals)
+        db = bd.decode_batch_cached(vals)
     except Exception:
         return None
+    if db is not None and db.has_gc and not allow_gc:
+        return None
+    return db
 
 
 def _f64(vals):
@@ -307,7 +317,7 @@ def k_centroid(s):
 def _bounds_geom_out(vals, mk):
     """Shared decode path for bounds-derived geometry kernels: mk(b) maps a
     (xmin,ymin,xmax,ymax) tuple or None (empty) to a Geom."""
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is None:
         return None
     xmin, ymin, xmax, ymax = bd.batch_bounds(db)
@@ -348,7 +358,7 @@ def k_envelope(s):
 
 def k_convex_hull(s):
     vals = list(s)
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is not None:
         out = [None] * len(vals)
         for (kind, data), i in zip(bd.batch_hulls(db), db.idx):
@@ -377,7 +387,7 @@ def k_convex_hull(s):
 
 def k_min_rotated_rect(s):
     vals = list(s)
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is not None:
         # calipers run on the batch-computed hull; convex_hull is
         # deterministic in the point SET (unique+lexsort), so re-hulling
@@ -438,7 +448,7 @@ def k_bbox_struct(s):
                 cols["xmax"][ia] = xmax
                 cols["ymax"][ia] = ymax
                 return pd.DataFrame(cols)
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is not None:
         xmin, ymin, xmax, ymax = bd.batch_bounds(db)
         return pd.DataFrame({"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax})
@@ -643,7 +653,7 @@ def k_srid(s):
 
 def k_reverse(s):
     vals = list(s)
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is not None:
         # reverse point order within every ring/line in one gather; 1-point
         # rings (points, multipoint members) are fixed points of the formula
@@ -677,7 +687,7 @@ def k_reverse(s):
 
 def k_flip_coordinates(s):
     vals = list(s)
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is not None:
         return pd.Series(
             bd.batch_rebuild(db, vals, db.coords[:, ::-1]), dtype=object
@@ -1319,7 +1329,7 @@ def _bbox_centers(db):
 def k_translate(s, dx, dy):
     vals = list(s)
     n = len(vals)
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is not None:
         DX, DY = _param_arr(dx, n), _param_arr(dy, n)
         if DX is not None and DY is not None:
@@ -1332,7 +1342,7 @@ def k_translate(s, dx, dy):
 def k_rotate(s, ang):
     vals = list(s)
     n = len(vals)
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is not None:
         A = _param_arr(ang, n)
         if A is not None:
@@ -1352,7 +1362,7 @@ def k_rotate(s, ang):
 def k_scale(s, fx, fy):
     vals = list(s)
     n = len(vals)
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is not None:
         FX, FY = _param_arr(fx, n), _param_arr(fy, n)
         if FX is not None and FY is not None:
@@ -1369,7 +1379,7 @@ def k_scale(s, fx, fy):
 def k_skew(s, xs_deg, ys_deg):
     vals = list(s)
     n = len(vals)
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is not None:
         XS, YS = _param_arr(xs_deg, n), _param_arr(ys_deg, n)
         if XS is not None and YS is not None:
@@ -1385,7 +1395,7 @@ def k_skew(s, xs_deg, ys_deg):
 def k_affine(s, a, b, d, e, xo, yo):
     vals = list(s)
     n = len(vals)
-    db = decoded_of(vals)
+    db = decoded_of(vals, allow_gc=True)
     if db is not None:
         ps = [_param_arr(p, n) for p in (a, b, d, e, xo, yo)]
         if all(p is not None for p in ps):
@@ -1441,7 +1451,7 @@ def k_transform(s, src, dst):
         # any-geometry batch: reproject the whole flat coord table at once
         # and splice back into the original WKB structure — the exact Spark
         # analogue of reproject.rs operating on CoordBuffers
-        db = decoded_of(vals)
+        db = decoded_of(vals, allow_gc=True)
         if db is not None and proj.supported_crs(se) and proj.supported_crs(de):
             tx, ty = proj.transform_xy(db.coords[:, 0], db.coords[:, 1], se, de)
             return pd.Series(
@@ -1959,11 +1969,14 @@ _GC2_HDR = b"\x01\x07\x00\x00\x00\x02\x00\x00\x00"
 
 
 def _plain_xy_wkb(v):
-    """True if v starts like canonical XY little-endian WKB of type 1..6 —
+    """True if v starts like canonical XY little-endian WKB of type 1..7 —
     for such inputs re-serializing the parsed Geom reproduces the input
-    bytes, so collection/multi wrappers can concatenate without parsing."""
+    bytes, so collection/multi wrappers can concatenate without parsing.
+    (Type 7 included: a GeometryCollection embeds its children verbatim,
+    which is exactly what the concat fast path produces — this is what
+    makes chained ST_Collect calls O(bytes), not O(parse).)"""
     return v is not None and len(v) >= 5 and v[0] == 1 and v[2] == 0 \
-        and v[3] == 0 and v[4] == 0 and 1 <= v[1] <= 6
+        and v[3] == 0 and v[4] == 0 and 1 <= v[1] <= 7
 
 
 def k_collect_two(s1, s2):

@@ -91,8 +91,14 @@ def test_decode_activates_on_mixed_batch(batch):
 def test_decode_bails_on_unsupported():
     z = to_wkb(wc.point(1.0, 2.0, 3.0))
     assert bd.decode_batch([z]) is None
+    # GeometryCollections decode now, flagged so consumers can decline
     coll = to_wkb(wc.collection([wc.point(0, 0), wc.point(1, 1)]))
-    assert bd.decode_batch([coll]) is None
+    db = bd.decode_batch([coll])
+    assert db is not None and db.has_gc and db.row_npt.tolist() == [2]
+    from geoarrow_rs_spark.functions.kernels import decoded_of
+
+    assert decoded_of([coll]) is None  # default: GC batches decline
+    assert decoded_of([coll], allow_gc=True) is not None
     be = b"\x00" + to_wkb(wc.point(0, 0))[1:]  # big-endian marker
     assert bd.decode_batch([be]) is None
     assert bd.decode_batch([b"\x01\x01\x00\x00"]) is None  # truncated
@@ -485,3 +491,51 @@ def test_line_locate_and_make_line_parity(batch):
         to_wkb(wc.linestring([[float(i), 0.0], [0.0, float(i)]])) for i in range(50)
     ] + [None, None]
     assert got_ml == want_ml
+
+
+def test_gc_batch_safe_consumers_match_slow_path():
+    """GeometryCollection batches through the opted-in kernels (bounds
+    family, hulls, affine splice) are byte/value-identical to the per-row
+    Geom path; unsafe consumers (area/centroid/num_geometries) keep using
+    the slow path and stay correct."""
+    import pandas as pd
+
+    gcs = [
+        wc.collection([wc.point(0, 0), wc.point(3, 0), wc.point(0, 4)]),
+        wc.collection(
+            [wc.collection([wc.point(1, 1), wc.point(2, 5)]), wc.point(-1, 0)]
+        ),
+        wc.collection([
+            wc.box(0, 0, 2, 2),
+            Geom(wc.LINESTRING, np.array([[0.0, 0.0], [5.0, 5.0]])),
+            wc.point(9, 9),
+        ]),
+    ]
+    vals = [to_wkb(g) for g in gcs]
+    s = pd.Series(vals, dtype=object)
+
+    db = bd.decode_batch(vals)
+    assert db is not None and db.has_gc
+
+    hull_fast = [bytes(v) for v in K.k_convex_hull(s)]
+    hull_slow = [to_wkb(alg.convex_hull(g)) for g in gcs]
+    assert hull_fast == hull_slow
+
+    env_fast = [bytes(v) for v in K.k_envelope(s)]
+    env_slow = [to_wkb(alg.envelope(g)) for g in gcs]
+    assert env_fast == env_slow
+
+    tr_fast = [bytes(v) for v in K.k_translate(s, 1.5, -2.0)]
+    tr_slow = [
+        to_wkb(alg.affine_transform(g, 1.0, 0.0, 0.0, 1.0, 1.5, -2.0))
+        for g in gcs
+    ]
+    assert tr_fast == tr_slow
+
+    # unsafe consumers fall back and still match per-row semantics
+    area_got = list(K.k_area(s))
+    area_want = [alg.area(g) for g in gcs]
+    assert area_got == area_want
+    ng = list(K.k_num_geometries(s))
+    # iter_parts semantics: recursive single-part count (nested GC flattens)
+    assert ng == [3, 3, 3]
