@@ -11,6 +11,10 @@ pyproj, so the transforms are implemented from public closed forms:
   exact-to-nanometers Krueger series (Karney 2011, "Transverse Mercator with an
   accuracy of a few nanometers", public domain formulas, 6th order in the
   third flattening n)
+- EPSG:27700 — OSGB36 British National Grid (Airy 1830 + Helmert datum
+  shift through ECEF); EPSG:2157 Irish TM, EPSG:2193 NZTM, and the GRS80
+  UTM zone families ETRS89 (25828-25838), NAD83 (26901-26923), GDA94 MGA
+  (28348-28358), GDA2020 MGA (7846-7859)
 - EPSG:5070 / 2154 — Albers equal-area + Lambert conformal conic (Snyder)
 - EPSG:3035 — Lambert azimuthal equal-area Europe (Snyder pp. 187-190)
 - EPSG:3413 / 3031 — polar stereographic variant B (Snyder pp. 160-162)
@@ -355,19 +359,33 @@ TMERC = {
     # OSGB36 / British National Grid
     27700: dict(a=AIRY_A, f=AIRY_F, lat0=49.0, lon0=-2.0, k0=0.9996012717,
                 fe=400_000.0, fn=-100_000.0, helmert=OSGB36_TO_WGS84),
-    # ETRS89 / UTM zones 32N, 33N (ETRS89 == WGS84 to well under the formal
-    # accuracy of any Helmert shift; GRS80 ellipsoid)
-    25832: dict(a=GRS80_A, f=GRS80_F, lat0=0.0, lon0=9.0, k0=0.9996,
-                fe=500_000.0, fn=0.0),
-    25833: dict(a=GRS80_A, f=GRS80_F, lat0=0.0, lon0=15.0, k0=0.9996,
-                fe=500_000.0, fn=0.0),
-    # GDA94 / MGA zones 55, 56 (GRS80; GDA94 treated as WGS84-equivalent,
-    # the standard datum-shift-free approximation)
-    28355: dict(a=GRS80_A, f=GRS80_F, lat0=0.0, lon0=147.0, k0=0.9996,
-                fe=500_000.0, fn=10_000_000.0),
-    28356: dict(a=GRS80_A, f=GRS80_F, lat0=0.0, lon0=153.0, k0=0.9996,
-                fe=500_000.0, fn=10_000_000.0),
+    # IRENET95 / Irish Transverse Mercator (ETRS89-based, datum-free)
+    2157: dict(a=GRS80_A, f=GRS80_F, lat0=53.5, lon0=-8.0, k0=0.99982,
+               fe=600_000.0, fn=750_000.0),
+    # NZGD2000 / New Zealand Transverse Mercator
+    2193: dict(a=GRS80_A, f=GRS80_F, lat0=0.0, lon0=173.0, k0=0.9996,
+               fe=1_600_000.0, fn=10_000_000.0),
 }
+
+# Whole GRS80 UTM-style zone families, by EPSG range (all treated as
+# WGS84-equivalent datums — ETRS89 / NAD83 / GDA94 / GDA2020 agree with
+# WGS84 far below any Helmert shift's formal accuracy):
+# (lo, hi, zone_base, false_northing)
+_TM_GRS80_ZONES = (
+    (25828, 25838, 25800, 0.0),           # ETRS89 / UTM 28N-38N
+    (26901, 26923, 26900, 0.0),           # NAD83 / UTM 1N-23N
+    (28348, 28358, 28300, 10_000_000.0),  # GDA94 / MGA 48-58
+    (7846, 7859, 7800, 10_000_000.0),     # GDA2020 / MGA 46-59
+)
+
+
+def _grs80_utm_params(epsg):
+    """(lon0_deg, false_northing) for GRS80 zone-family EPSG codes, or
+    None if the code is not in any registered family."""
+    for lo, hi, base, fn in _TM_GRS80_ZONES:
+        if lo <= epsg <= hi:
+            return (epsg - base) * 6.0 - 183.0, fn
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -623,7 +641,8 @@ def _is_utm(epsg):
 def supported_crs(epsg) -> bool:
     epsg = int(epsg)
     if epsg in (4326, 3857) or epsg in CONICS or epsg in LAEA \
-            or epsg in POLAR or epsg in TMERC or _is_utm(epsg):
+            or epsg in POLAR or epsg in TMERC or _is_utm(epsg) \
+            or _grs80_utm_params(epsg) is not None:
         return True
     if USE_PYPROJ:
         try:
@@ -657,6 +676,9 @@ def to_wgs84(x, y, src_epsg):
     if _is_utm(src_epsg):
         lon0, fn = utm_zone_params(src_epsg)
         return tm_inverse(x, y, lon0, fn=fn)
+    zp = _grs80_utm_params(src_epsg)
+    if zp is not None:
+        return tm_inverse(x, y, zp[0], fn=zp[1], a=GRS80_A, f=GRS80_F)
     raise ValueError(f"unsupported source CRS: EPSG:{src_epsg}")
 
 
@@ -681,6 +703,9 @@ def from_wgs84(lon, lat, dst_epsg):
     if _is_utm(dst_epsg):
         lon0, fn = utm_zone_params(dst_epsg)
         return tm_forward(lon, lat, lon0, fn=fn)
+    zp = _grs80_utm_params(dst_epsg)
+    if zp is not None:
+        return tm_forward(lon, lat, zp[0], fn=zp[1], a=GRS80_A, f=GRS80_F)
     raise ValueError(f"unsupported target CRS: EPSG:{dst_epsg}")
 
 

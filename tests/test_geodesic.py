@@ -410,11 +410,11 @@ def test_pyproj_hook_falls_back_cleanly(monkeypatch):
     x, y = proj.transform_xy(np.array([10.0]), np.array([45.0]), 4326, 3857)
     ex, ey = proj.webmercator_forward(np.array([10.0]), np.array([45.0]))
     assert x[0] == ex[0] and y[0] == ey[0]
-    # 27700 is covered natively now; Irish TM (2157) still needs pyproj
-    assert proj.supported_crs(27700)
-    assert not proj.supported_crs(2157)
+    # 27700/2157 are covered natively now; Krovak (5514) still needs pyproj
+    assert proj.supported_crs(27700) and proj.supported_crs(2157)
+    assert not proj.supported_crs(5514)
     with _pytest.raises(ValueError):
-        proj.transform_xy(np.array([0.0]), np.array([0.0]), 4326, 2157)
+        proj.transform_xy(np.array([0.0]), np.array([0.0]), 4326, 5514)
 
 
 def test_tmerc_bng_matches_os_worked_example():
@@ -488,3 +488,44 @@ def test_tmerc_helmert_shift_magnitude_and_exact_inverse():
     V = M @ np.vstack([X, Y, Z]) + t[:, None]
     W = Minv @ (V - t[:, None])
     assert np.abs(W - np.vstack([X, Y, Z])).max() < 1e-6  # meters
+
+
+def test_tmerc_zone_families_and_special_grids():
+    """GRS80 zone families (ETRS89/NAD83/GDA94/GDA2020 UTM ranges) resolve
+    by rule with the same math as the explicit entries; ITM and NZTM map
+    their projection origin to the exact false origin (closed anchor) and
+    round-trip below 1e-9 deg."""
+    import numpy as np
+
+    from geoarrow_rs_spark.wkb import proj as P
+
+    # the natural origin lands exactly on (fe, fn) for datum-free grids
+    e, n = P.transform_xy(np.array([-8.0]), np.array([53.5]), 4326, 2157)
+    assert abs(e[0] - 600_000.0) < 1e-6 and abs(n[0] - 750_000.0) < 1e-6
+    e, n = P.transform_xy(np.array([173.0]), np.array([0.0]), 4326, 2193)
+    assert abs(e[0] - 1_600_000.0) < 1e-6 and abs(n[0] - 10_000_000.0) < 1e-6
+
+    rng = np.random.default_rng(7)
+    cases = {
+        2157: ((-10.5, -5.5), (51.4, 55.4)),    # Irish TM
+        2193: ((166.0, 178.5), (-47.3, -34.1)), # NZTM
+        26917: ((-84.0, -78.0), (25.0, 48.0)),  # NAD83 / UTM 17N
+        25830: ((-6.0, 0.0), (36.0, 44.0)),     # ETRS89 / UTM 30N
+        28354: ((138.0, 144.0), (-39.0, -26.0)),# GDA94 / MGA 54
+        7855: ((144.0, 150.0), (-39.0, -26.0)), # GDA2020 / MGA 55
+    }
+    for epsg, ((lo0, lo1), (la0, la1)) in cases.items():
+        lons = rng.uniform(lo0, lo1, 100)
+        lats = rng.uniform(la0, la1, 100)
+        x, y = P.transform_xy(lons, lats, 4326, epsg)
+        lon2, lat2 = P.transform_xy(x, y, epsg, 4326)
+        assert np.abs(lon2 - lons).max() < 1e-9, epsg
+        assert np.abs(lat2 - lats).max() < 1e-9, epsg
+
+    # the rule-resolved codes agree with a directly-parameterized forward
+    lons = rng.uniform(6.5, 11.5, 50)
+    lats = rng.uniform(47.0, 55.0, 50)
+    xr, yr = P.transform_xy(lons, lats, 4326, 25832)
+    xd, yd = P.tm_forward(lons, lats, 9.0, fe=500_000.0, fn=0.0,
+                          a=P.GRS80_A, f=P.GRS80_F)
+    assert np.array_equal(xr, xd) and np.array_equal(yr, yd)
