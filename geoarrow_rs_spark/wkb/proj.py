@@ -754,10 +754,34 @@ def transform_xy(x, y, src_epsg, dst_epsg):
 
 
 def parse_crs(crs) -> int:
-    """Accept 4326 / 'EPSG:4326' / 'epsg:4326' / '4326'."""
+    """EPSG code from any of the reference's CRS variants (crs.rs:36-140):
+    an int SRID, 'EPSG:4326' / '4326' strings, a PROJJSON dict (or its
+    JSON string) carrying an EPSG id, or a WKT2 string ending in an
+    ID["EPSG", n] node."""
     if isinstance(crs, (int, np.integer)):
         return int(crs)
-    s = str(crs).strip().lower()
-    if s.startswith("epsg:"):
-        s = s[5:]
+    if isinstance(crs, dict):
+        ident = crs.get("id") or {}
+        if str(ident.get("authority", "")).upper() == "EPSG":
+            return int(ident["code"])
+        raise ValueError(f"PROJJSON without an EPSG id: {crs.get('name', crs)!r}")
+    s = str(crs).strip()
+    low = s.lower()
+    if low.startswith("epsg:"):
+        return int(s[5:])
+    if s.startswith("{"):
+        import json
+
+        return parse_crs(json.loads(s))
+    if "[" in s:  # WKT2: take the OUTERMOST (last) ID/AUTHORITY node
+        import re
+
+        m = None
+        for m in re.finditer(
+            r'(?:ID|AUTHORITY)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', s, re.I
+        ):
+            pass
+        if m:
+            return int(m.group(1))
+        raise ValueError(f"WKT2 CRS without an EPSG identifier: {s[:80]!r}")
     return int(s)

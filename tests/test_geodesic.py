@@ -529,3 +529,32 @@ def test_tmerc_zone_families_and_special_grids():
     xd, yd = P.tm_forward(lons, lats, 9.0, fe=500_000.0, fn=0.0,
                           a=P.GRS80_A, f=P.GRS80_F)
     assert np.array_equal(xr, xd) and np.array_equal(yr, yd)
+
+
+def test_parse_crs_projjson_and_wkt2():
+    """parse_crs covers the reference's CRS variants (crs.rs:36-140):
+    SRID ints, authority strings, PROJJSON dicts/strings, WKT2 with a
+    trailing ID node."""
+    import json
+
+    import pytest as _pytest
+
+    from geoarrow_rs_spark.wkb import proj as P
+
+    assert P.parse_crs(4326) == 4326
+    assert P.parse_crs("EPSG:3857") == 3857
+    assert P.parse_crs("27700") == 27700
+    pj = {"type": "GeographicCRS", "name": "WGS 84",
+          "id": {"authority": "EPSG", "code": 4326}}
+    assert P.parse_crs(pj) == 4326
+    assert P.parse_crs(json.dumps(pj)) == 4326
+    wkt2 = ('PROJCRS["OSGB36 / British National Grid",'
+            'BASEGEOGCRS["OSGB36",DATUM["OSGB 1936"],ID["EPSG",4277]],'
+            'CONVERSION["BNG"],ID["EPSG",27700]]')
+    assert P.parse_crs(wkt2) == 27700
+    wkt1 = 'GEOGCS["WGS 84",AUTHORITY["EPSG","4326"]]'
+    assert P.parse_crs(wkt1) == 4326
+    with _pytest.raises(ValueError):
+        P.parse_crs({"type": "GeographicCRS", "name": "custom"})
+    with _pytest.raises(ValueError):
+        P.parse_crs('PROJCRS["mystery",CONVERSION["x"]]')
