@@ -249,3 +249,69 @@ def test_luhn_bulk_matches_reference(spark):
     got = {r.i: r.v for r in df.select("i", luhn_valid("n").alias("v")).collect()}
     for i, c in enumerate(cases):
         assert got[i] == _luhn_ref(c), (c, got[i])
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.binary(min_size=0, max_size=64),
+            st.just(None),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_batchdecode_never_crashes_on_garbage(vals):
+    """The recursive WKB parser must return a DecodedBatch or None for ANY
+    byte input — never raise, never mis-index (property fuzz over raw
+    garbage; structured cases covered in test_batchdecode)."""
+    from geoarrow_rs_spark.functions import batchdecode as bd
+
+    db = bd.decode_batch(list(vals))
+    if db is not None:
+        assert len(db.idx) <= len(vals)
+        assert db.coords.shape[1] == 2
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_batchdecode_gc_fuzz_roundtrip(data):
+    """Random (nested) GeometryCollections: the batch decode must accept
+    them, report has_gc, and the opted-in kernels (bounds + hull +
+    translate) must match the per-row Geom path byte-for-byte."""
+    import numpy as np
+    import pandas as pd
+
+    from geoarrow_rs_spark.functions import batchdecode as bd
+    from geoarrow_rs_spark.functions import kernels as K
+    from geoarrow_rs_spark.wkb import algorithms as alg
+    from geoarrow_rs_spark.wkb import core as wc
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+
+    def rand_geom(depth):
+        k = rng.integers(0, 4 if depth >= 2 else 5)
+        if k == 0:
+            return wc.point(float(rng.uniform(-50, 50)), float(rng.uniform(-50, 50)))
+        if k == 1:
+            n = int(rng.integers(2, 5))
+            return wc.Geom(wc.LINESTRING, rng.uniform(-50, 50, (n, 2)))
+        if k == 2:
+            x0, y0 = rng.uniform(-50, 40, 2)
+            return wc.box(float(x0), float(y0), float(x0 + 5), float(y0 + 5))
+        if k == 3:
+            return wc.multipoint(rng.uniform(-50, 50, (int(rng.integers(1, 4)), 2)))
+        return wc.collection([rand_geom(depth + 1) for _ in range(int(rng.integers(1, 3)))])
+
+    gcs = [wc.collection([rand_geom(0) for _ in range(int(rng.integers(1, 4)))])
+           for _ in range(5)]
+    vals = [wc.to_wkb(g) for g in gcs]
+    db = bd.decode_batch(vals)
+    assert db is not None and db.has_gc
+    s = pd.Series(vals, dtype=object)
+    assert [bytes(v) for v in K.k_envelope(s)] == [wc.to_wkb(alg.envelope(g)) for g in gcs]
+    assert [bytes(v) for v in K.k_convex_hull(s)] == [wc.to_wkb(alg.convex_hull(g)) for g in gcs]
+    assert [bytes(v) for v in K.k_translate(s, 1.0, 2.0)] == [
+        wc.to_wkb(alg.affine_transform(g, 1.0, 0.0, 0.0, 1.0, 1.0, 2.0)) for g in gcs
+    ]
