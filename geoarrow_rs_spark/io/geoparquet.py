@@ -35,10 +35,26 @@ SIDECAR = "_geo_metadata.json"
 GEOPARQUET_VERSION = "1.1.0"
 
 
-def _geo_doc(geometry_col: str, crs, bbox, covering_col, encoding: str = "WKB"):
+_ENC_GEOM_TYPE = {
+    "point": "Point",
+    "linestring": "LineString",
+    "polygon": "Polygon",
+    "multipoint": "MultiPoint",
+    "multilinestring": "MultiLineString",
+    "multipolygon": "MultiPolygon",
+}
+
+
+def _geo_doc(geometry_col: str, crs, bbox, covering_col, encoding: str = "WKB",
+             geometry_types=None):
+    if geometry_types is None:
+        # native encodings pin the type by construction (writer/encode.rs
+        # populates geometry_types the same way); WKB stays [] = unknown
+        gt = _ENC_GEOM_TYPE.get(str(encoding).lower())
+        geometry_types = [gt] if gt else []
     col_meta = {
         "encoding": encoding,
-        "geometry_types": [],
+        "geometry_types": list(geometry_types),
     }
     if crs is not None:
         col_meta["crs"] = crs
@@ -117,6 +133,7 @@ def write_geoparquet(
     mode: str = "overwrite",
     compute_bbox: bool = True,
     encoding: str = "WKB",
+    geometry_types=None,
 ):
     """Write a DataFrame with a WKB geometry column as GeoParquet.
 
@@ -176,6 +193,7 @@ def write_geoparquet(
         geometry_col, crs, file_bbox, covering_col if generate_covering else None,
         encoding=enc.lower() if enc.lower() in _ENC_DEPTH or enc.lower() == "point"
         else "WKB",
+        geometry_types=geometry_types,
     )
     with open(os.path.join(path, SIDECAR), "w") as f:
         json.dump(doc, f)

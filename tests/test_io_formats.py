@@ -617,3 +617,23 @@ def test_geoparquet_native_encoding_rejects_mixed(spark, tmp_path):
     path = _os.path.join(str(tmp_path), "mixed_native")
     with _pytest.raises(Exception, match="encoding"):
         write_geoparquet(df, path, "geometry", encoding="linestring")
+
+
+def test_geoparquet_geometry_types_metadata(spark, tmp_path):
+    """Native encodings pin geometry_types in the geo doc (writer parity);
+    WKB stays [] = unknown unless the caller declares the set."""
+    import os as _os
+
+    from geoarrow_rs_spark.io import write_geoparquet
+
+    df = spark.range(5).selectExpr(
+        "id", "ST_Point(CAST(id AS DOUBLE), 1.0) AS geometry"
+    )
+    doc = write_geoparquet(df, _os.path.join(str(tmp_path), "p"), "geometry",
+                           encoding="point")
+    assert doc["columns"]["geometry"]["geometry_types"] == ["Point"]
+    doc = write_geoparquet(df, _os.path.join(str(tmp_path), "w"), "geometry")
+    assert doc["columns"]["geometry"]["geometry_types"] == []
+    doc = write_geoparquet(df, _os.path.join(str(tmp_path), "d"), "geometry",
+                           geometry_types=["Point"])
+    assert doc["columns"]["geometry"]["geometry_types"] == ["Point"]
