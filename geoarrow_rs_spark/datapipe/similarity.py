@@ -383,7 +383,11 @@ def _assign_local(X: _np.ndarray, cents: list) -> _np.ndarray:
     d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     best = _np.argmin(d2, axis=1)  # first minimum = lowest cid
     mind = d2[_np.arange(len(X)), best]
-    near = d2 <= (mind[:, None] + 1e-6)
+    # scale-aware near-tie window: float64 summation error grows with the
+    # d2 magnitude (~dims * eps * d2), so an absolute 1e-6 alone would
+    # miss genuine ties on large-magnitude vectors
+    tol = 1e-6 + 1e-9 * float(d2.max(initial=0.0))
+    near = d2 <= (mind[:, None] + tol)
     for i in _np.flatnonzero(near.sum(axis=1) > 1):
         cand = _np.flatnonzero(near[i])
         exact = [(_fold_d2(X[i], C[j]), j) for j in cand]
@@ -737,6 +741,8 @@ def ivfpq_topk(
     # One shared collect feeds both local trainers when the corpus is
     # plan-estimated small; otherwise each falls back to its distributed
     # training pipeline independently.
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     local_rows = _collect_if_small(corpus, corpus_id, corpus_vec)
     ccents = pcents = None
     if local_rows is not None:

@@ -1023,6 +1023,14 @@ def k_to_native(s, enc: str):
         if g is None:
             out.append(None)
             continue
+        if g.has_z or g.has_m:
+            # the native interleaved layouts here are XY; silently
+            # dropping Z/M would corrupt round trips (WKB keeps them)
+            raise ValueError(
+                f"native encoding {e!r} is XY-only; geometry has "
+                f"{'Z' if g.has_z else ''}{'M' if g.has_m else ''} — "
+                "write encoding='WKB' for 3D/measured columns"
+            )
         k = g.kind
         if e == "point":
             if k != wc.POINT:

@@ -569,6 +569,24 @@ def write_flatgeobuf(
             os.unlink(tmp_path)
 
 
+class _SeekAdapter:
+    """seek/read file interface over a RangeSource, so the canonical leaf
+    parser (_read_leaf_nodes) serves both local handles and range
+    sources — one implementation, no drift."""
+
+    def __init__(self, src):
+        self._src = src
+        self._pos = 0
+
+    def seek(self, pos):
+        self._pos = int(pos)
+
+    def read(self, n):
+        data = self._src.read_at(self._pos, n)
+        self._pos += len(data)
+        return data
+
+
 def _plan_fgb(path: str, bbox=None):
     """Driver-side scan planning shared by read_flatgeobuf and the
     'flatgeobuf' Python DataSource: parse the header and compute per-
@@ -598,14 +616,9 @@ def _plan_fgb(path: str, bbox=None):
         feat_base = index_pos + isize
         file_size = src.size()
         if has_index:
-            sizes = _index_level_sizes(fc, node_size)
-            non_leaf = sum(sizes[:-1]) if len(sizes) > 1 else 0
-            raw = src.read_at(index_pos + non_leaf * 40, fc * 40)
-            dt = np.dtype([
-                ("minx", "<f8"), ("miny", "<f8"), ("maxx", "<f8"),
-                ("maxy", "<f8"), ("off", "<u8"),
-            ])
-            leaves = np.frombuffer(raw, dtype=dt)
+            leaves = _read_leaf_nodes(
+                _SeekAdapter(src), index_pos, fc, node_size
+            )
             offs = leaves["off"].astype(np.int64) + feat_base
             # each feature's extent ends where the next (in file order)
             # begins; the last runs to EOF (the feature section is the

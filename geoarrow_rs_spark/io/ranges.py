@@ -73,6 +73,7 @@ class HttpRange(RangeSource):
         self.url = url
         self.timeout = timeout
         self._size = None
+        self._body = None  # cached full body when Range is unsupported
 
     def read_at(self, off, n):
         import urllib.request
@@ -80,6 +81,8 @@ class HttpRange(RangeSource):
         off, n = int(off), int(n)
         if n <= 0:
             return b""
+        if self._body is not None:
+            return self._body[off : off + n]
         req = urllib.request.Request(
             self.url, headers={"Range": f"bytes={off}-{off + n - 1}"}
         )
@@ -88,7 +91,10 @@ class HttpRange(RangeSource):
                 raise IOError(f"range request failed ({resp.status}): {self.url}")
             data = resp.read()
             if resp.status == 200:
-                # server ignored the Range header; slice locally
+                # server ignored the Range header: cache the whole body so
+                # a multi-request scan downloads the file ONCE, not once
+                # per range
+                self._body = data
                 self._size = len(data)
                 return data[off : off + n]
             cr = resp.headers.get("Content-Range", "")

@@ -278,6 +278,9 @@ def _knn_local(l_ids, lxs, lys, r_ids, rxs, rys, k, cs, max_radius_cells):
 
     pair_dt = np.dtype([("d", "<f8"), ("i", "<i8")])
     chunks_l, chunks_r, chunks_rn, chunks_d = [], [], [], []
+    # dense (left x cand) matrix bound: ~0.5 GB of f8 — bigger blocks
+    # bail to the distributed path, which streams them on executors
+    max_cells = 1 << 26
 
     def rank(lidx, cand):
         """(top, cnt, kdist): sorted (dist, r_id) top-k per left row."""
@@ -305,17 +308,22 @@ def _knn_local(l_ids, lxs, lys, r_ids, rxs, rys, k, cs, max_radius_cells):
     unresolved = np.arange(nl)
     radius = 1
     while len(unresolved) and radius <= max_radius_cells:
-        # group unresolved lefts by home cell
-        ukey = lcx[unresolved] * P + lcy[unresolved]
-        uorder = np.argsort(ukey, kind="stable")
-        usk = ukey[uorder]
-        ustarts = np.flatnonzero(np.r_[True, usk[1:] != usk[:-1]])
-        ubounds = np.r_[ustarts, len(usk)]
+        # group unresolved lefts by TRUE home cell (lexsort on the coord
+        # pair, not the packed key: packing collides at |cell| >= 2^20
+        # and a collided group would probe around the wrong center —
+        # the distributed plan computes probe cells per row, so the
+        # packed rcells lookup below only ever ADDS spurious candidates
+        # there, identical to its behavior)
+        uorder = np.lexsort((lcy[unresolved], lcx[unresolved]))
+        ux = lcx[unresolved][uorder]
+        uy = lcy[unresolved][uorder]
+        ustarts = np.flatnonzero(
+            np.r_[True, (ux[1:] != ux[:-1]) | (uy[1:] != uy[:-1])]
+        )
+        ubounds = np.r_[ustarts, len(ux)]
         still = []
         for s, e in zip(ubounds[:-1], ubounds[1:]):
             lidx = unresolved[uorder[s:e]]
-            # true cell coords from a group member (no packed-key
-            # decomposition — negative cy wraps under // and %)
             ccx = int(lcx[lidx[0]])
             ccy = int(lcy[lidx[0]])
             parts = [
@@ -328,6 +336,8 @@ def _knn_local(l_ids, lxs, lys, r_ids, rxs, rys, k, cs, max_radius_cells):
                 still.extend(lidx)
                 continue
             cand = np.concatenate(parts)
+            if len(lidx) * len(cand) > max_cells:
+                return None
             top, cnt, kdist = rank(lidx, cand)
             ok = (kdist <= radius * cs) if cnt >= int(k) else np.zeros(
                 len(lidx), dtype=bool
@@ -338,9 +348,14 @@ def _knn_local(l_ids, lxs, lys, r_ids, rxs, rys, k, cs, max_radius_cells):
         radius *= 2
 
     if len(unresolved):
-        # brute-force fallback, same as the broadcast scan
-        top, _cnt, _kd = rank(unresolved, np.arange(nr))
-        emit(unresolved, top)
+        # brute-force fallback, same as the broadcast scan (blocked so
+        # the dense matrix stays under the memory bound)
+        block = max(1, max_cells // max(1, nr))
+        cand = np.arange(nr)
+        for i0 in range(0, len(unresolved), block):
+            part = unresolved[i0 : i0 + block]
+            top, _cnt, _kd = rank(part, cand)
+            emit(part, top)
     if not chunks_l:
         return [], [], [], []
     return (

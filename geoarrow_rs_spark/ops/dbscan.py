@@ -127,6 +127,10 @@ def _dbscan_local(ids, xs, ys, eps: float, min_pts: int):
             if (ck + ox * _PACK + oy) in cells
         ]
         cand = np.concatenate(cand_parts)
+        if len(idx) * len(cand) > (1 << 26):
+            # one hyper-dense cell would materialize a multi-GB matrix
+            # before the edge cap could fire — distributed path instead
+            return None
         dx = xs[idx][:, None] - xs[cand][None, :]
         dy = ys[idx][:, None] - ys[cand][None, :]
         mask = (dx * dx + dy * dy) <= eps2

@@ -50,6 +50,12 @@ def _lof_local(ids, xs, ys, k, cs, max_radius_cells):
             Decimal(repr(float(x))).quantize(E12, rounding=ROUND_HALF_UP).scaleb(12)
         )
 
+    # degenerate inputs (NaN coordinates, all-co-located neighborhoods
+    # that zero out reach sums) take the distributed path rather than
+    # risk a local/distributed behavior divergence
+    if not (np.isfinite(np.asarray(xs, dtype=np.float64)).all()
+            and np.isfinite(np.asarray(ys, dtype=np.float64)).all()):
+        return None
     res = _knn_local(ids, xs, ys, ids, xs, ys, k + 1, cs, max_radius_cells)
     if res is None:
         return None
@@ -89,6 +95,11 @@ def _lof_local(ids, xs, ys, k, cs, max_radius_cells):
             # distributed: round(reach, 12) to double FIRST, then the
             # decimal cast — compose both steps
             s += dec12_scaled(r12(reach))
+        if s == 0:
+            # >= k co-located duplicates: Spark's double division yields
+            # Infinity and nulls propagate through the decimal casts —
+            # let the distributed path own that edge case
+            return None
         lrd[int(lid)] = float(k) / float(Decimal(s).scaleb(-12))
     out = []
     for lid in uids:
