@@ -551,3 +551,41 @@ def test_dedup_index_roll_forward(spark, tmp_path, sf_dir):
         r.doc_id for r in incremental_dedup(grown, batch2).collect()
     )
     assert adm2_idx == adm2_live and len(adm2_idx) > 0
+
+
+def test_tfidf_topk_empty_query_terms_raises(spark):
+    from geoarrow_rs_spark.datapipe.corpus import tfidf_topk
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="query_terms"):
+        tfidf_topk(d, [])
+
+
+def test_kmv_prefilter_flags_underflow_groups(spark):
+    """With prefilter set, groups whose surviving hashes fall below k are
+    scaled up by survival probability and flagged est_is_exact=False —
+    never silently posing as exact counts."""
+    from geoarrow_rs_spark.datapipe.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(f"u{i}", "g") for i in range(50)], "user_id string, grp string"
+    )
+    out = kmv_distinct(df, "user_id", ["grp"], k=16, prefilter=0.05).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert "est_is_exact" in row.asDict() and row["est_is_exact"] is False
+    # survival-scaled estimate is in the right ballpark of 50, and not
+    # the raw surviving count
+    assert row["n_seen"] < 16
+    assert 10 <= row["est_distinct"] <= 200
+
+    # without prefilter the schema keeps its original semantics: groups
+    # under k distinct hashes are exact
+    df_small = spark.createDataFrame(
+        [(f"u{i}", "g") for i in range(10)], "user_id string, grp string"
+    )
+    out2 = kmv_distinct(df_small, "user_id", ["grp"], k=16).collect()[0]
+    assert "est_is_exact" not in out2.asDict()
+    assert out2["est_distinct"] == 10.0

@@ -91,3 +91,22 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     got_map = {r.tid: r.px_r for r in out.collect()}
     assert got_map == want_map
     assert any(v is not None for v in got_map.values())
+
+
+def test_interval_join_tolerates_end_before_start(spark):
+    """A malformed row with end < start yields zero matches (the refine
+    predicate can never hold) instead of a sequence() boundary error
+    killing the job."""
+    from geoarrow_rs_spark.join.interval import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 200), (2, 500, 400)], "lid long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(10, 150), (11, 450)], "rid long, ts long"
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(left, right, "s", "e", "ts", bin_width=50).collect()
+    )
+    assert got == [(1, 10)]  # the inverted interval matches nothing
