@@ -7,6 +7,7 @@ read_csv = read_csv_wkt
 write_csv = write_csv_wkt
 from .geojson import read_geojson, read_geojson_lines, write_geojson, write_geojson_lines
 from .geoparquet import (
+    geoparquet_info,
     read_geoparquet,
     write_geoparquet,
     write_geoparquet_partitioned,
@@ -15,6 +16,7 @@ from .postgis import read_postgis
 from .shapefile import read_shapefile, write_shapefile
 
 __all__ = [
+    "geoparquet_info",
     "read_geoparquet",
     "write_geoparquet",
     "write_geoparquet_partitioned",

@@ -680,11 +680,23 @@ def read_flatgeobuf(
     bbox=None,
     columns=None,
     geometry_col: str = "geometry",
+    read_geometry: bool = True,
 ):
     """Read a FlatGeobuf file into a DataFrame (WKB geometry + properties).
 
     ``bbox=(xmin,ymin,xmax,ymax)`` prunes features via the file's Hilbert
-    R-tree leaf boxes before any feature bytes are read."""
+    R-tree leaf boxes before any feature bytes are read.
+    ``read_geometry=False`` omits the geometry column entirely
+    (properties-only scans skip WKB construction — reference parity with
+    read_flatgeobuf's read_geometry flag). Combined with ``bbox`` the
+    exact refine still needs geometry, so it is decoded internally,
+    filtered, and dropped."""
+    if not read_geometry and bbox is not None:
+        df = read_flatgeobuf(
+            spark, path, bbox=bbox, columns=columns,
+            geometry_col=geometry_col, read_geometry=True,
+        )
+        return df.drop(geometry_col)
     from pyspark.sql.types import (
         BinaryType,
         BooleanType,
@@ -702,11 +714,14 @@ def read_flatgeobuf(
     else:
         want = {c["name"] for c in cols_meta}
 
-    out_fields = [
+    prop_fields = [
         StructField(c["name"], _fgb_spark_type(c["type"]))
         for c in cols_meta
         if c["name"] in want
-    ] + [StructField(geometry_col, BinaryType())]
+    ]
+    out_fields = prop_fields + (
+        [StructField(geometry_col, BinaryType())] if read_geometry else []
+    )
     out_schema = StructType(out_fields)
     gtype_hint = header["geometry_type"]
     has_z = header["has_z"]
@@ -734,11 +749,12 @@ def read_flatgeobuf(
                         (sz,) = struct.unpack_from("<I", blob, rel)
                         buf = blob[rel + 4 : rel + 4 + sz]
                         feat = _root(buf)
-                        geom_t = feat.table(0)
-                        geom = _geometry_to_geom(geom_t, gtype_hint, has_z) if geom_t else None
                         props = _decode_properties(feat.vector_bytes(1), cols_meta)
-                        row = {name: props.get(name) for name in (f.name for f in out_fields[:-1])}
-                        row[geometry_col] = wc.to_wkb(geom) if geom is not None else None
+                        row = {name: props.get(name) for name in (f.name for f in prop_fields)}
+                        if read_geometry:
+                            geom_t = feat.table(0)
+                            geom = _geometry_to_geom(geom_t, gtype_hint, has_z) if geom_t else None
+                            row[geometry_col] = wc.to_wkb(geom) if geom is not None else None
                         rows.append(row)
                 yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 

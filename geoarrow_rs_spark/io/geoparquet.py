@@ -425,3 +425,71 @@ def read_geoparquet(
         else:
             raise ValueError("bbox filter requires a geometry or covering column")
     return df
+
+
+def geoparquet_info(path: str) -> dict:
+    """File/dataset-level GeoParquet metadata accessors, mirroring the
+    reference's GeoParquetFile surface (python/geoarrow-io _parquet.pyi:
+    num_rows / num_row_groups / crs / file_bbox / row_group_bounds) from
+    parquet FOOTER metadata only — no data pages are read.
+
+    ``row_group_bounds`` comes from the covering-struct column statistics
+    (min of xmin / max of xmax per row group — exactly the stats the bbox
+    predicate pushdown prunes against); None when the file carries no
+    covering column or stats.
+
+    Returns: dict(num_rows, num_row_groups, primary_column, crs,
+    encoding, file_bbox, row_group_bounds, files).
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    meta = read_geo_metadata(path) or {}
+    gcol = meta.get("primary_column")
+    col_meta = meta.get("columns", {}).get(gcol, {}) if gcol else {}
+    cov = col_meta.get("covering", {}).get("bbox")
+    if os.path.isdir(path):
+        parts = sorted(
+            p for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if not os.path.basename(p).startswith("_")
+        )
+    else:
+        parts = [path]
+    num_rows = 0
+    num_row_groups = 0
+    rg_bounds = [] if cov else None
+    for p in parts:
+        md = pq.ParquetFile(p).metadata
+        num_rows += md.num_rows
+        num_row_groups += md.num_row_groups
+        if cov:
+            names = {
+                k: ".".join(cov[k]) for k in ("xmin", "ymin", "xmax", "ymax")
+            }
+            col_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+
+                def stat(key, lo):
+                    i = col_idx.get(names[key])
+                    if i is None:
+                        return None
+                    st = g.column(i).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    return st.min if lo else st.max
+
+                vals = [stat("xmin", True), stat("ymin", True),
+                        stat("xmax", False), stat("ymax", False)]
+                rg_bounds.append(None if any(v is None for v in vals) else vals)
+    return {
+        "num_rows": int(num_rows),
+        "num_row_groups": int(num_row_groups),
+        "primary_column": gcol,
+        "crs": col_meta.get("crs"),
+        "encoding": col_meta.get("encoding"),
+        "file_bbox": col_meta.get("bbox"),
+        "row_group_bounds": rg_bounds,
+        "files": len(parts),
+    }

@@ -637,3 +637,53 @@ def test_geoparquet_geometry_types_metadata(spark, tmp_path):
     doc = write_geoparquet(df, _os.path.join(str(tmp_path), "d"), "geometry",
                            geometry_types=["Point"])
     assert doc["columns"]["geometry"]["geometry_types"] == ["Point"]
+
+
+def test_geoparquet_info_accessors(spark, tmp_path):
+    """geoparquet_info mirrors the reference's GeoParquetFile metadata
+    surface from parquet footers: row counts, row-group counts, crs,
+    file bbox, and per-row-group covering bounds (the same stats bbox
+    pushdown prunes against)."""
+    import os as _os
+
+    from geoarrow_rs_spark.io import geoparquet_info, write_geoparquet
+
+    df = spark.range(500).selectExpr(
+        "id",
+        "ST_Point(CAST(id % 50 AS DOUBLE), CAST(id div 50 AS DOUBLE)) AS geometry",
+    )
+    path = _os.path.join(str(tmp_path), "info")
+    write_geoparquet(df.coalesce(2), path, "geometry", crs="EPSG:4326")
+    info = geoparquet_info(path)
+    assert info["num_rows"] == 500
+    assert info["num_row_groups"] >= info["files"] >= 1
+    assert info["primary_column"] == "geometry"
+    assert info["crs"] == "EPSG:4326"
+    assert info["encoding"] == "WKB"
+    fb = info["file_bbox"]
+    assert fb == [0.0, 0.0, 49.0, 9.0]
+    rgb = info["row_group_bounds"]
+    assert rgb is not None and len(rgb) == info["num_row_groups"]
+    # every row-group bound is inside the file bbox
+    for b in rgb:
+        assert b is not None
+        assert b[0] >= fb[0] and b[1] >= fb[1] and b[2] <= fb[2] and b[3] <= fb[3]
+
+
+def test_fgb_read_geometry_false(spark):
+    """read_geometry=False omits the geometry column (properties-only
+    scan); with bbox it still filters exactly, then drops geometry."""
+    from geoarrow_rs_spark.io.flatgeobuf import read_flatgeobuf
+
+    props = read_flatgeobuf(spark, f"{FGB_DIR}/countries.fgb", read_geometry=False)
+    assert "geometry" not in props.columns and props.count() == 179
+
+    bbox = (-20.0, 30.0, 40.0, 70.0)
+    with_geom = read_flatgeobuf(spark, f"{FGB_DIR}/countries.fgb", bbox=bbox)
+    no_geom = read_flatgeobuf(
+        spark, f"{FGB_DIR}/countries.fgb", bbox=bbox, read_geometry=False
+    )
+    assert "geometry" not in no_geom.columns
+    a = sorted(r["name"] for r in no_geom.select("name").collect())
+    b = sorted(r["name"] for r in with_geom.select("name").collect())
+    assert a == b
