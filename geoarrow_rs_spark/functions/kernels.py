@@ -701,20 +701,7 @@ def k_flip_coordinates(s):
 def k_multi(s):
     """X -> Multi-X cast (infallible side of the reference's cast matrix,
     /root/reference/rust/geoarrow-cast/src/cast.rs:56-82)."""
-    def mk(g):
-        if g is None:
-            return None
-        if g.kind == wc.POINT:
-            if g.is_empty():
-                return wc.empty(wc.MULTIPOINT, g.has_z, g.has_m)
-            return Geom(wc.MULTIPOINT, g.data.reshape(1, -1), g.has_z, g.has_m)
-        if g.kind == wc.LINESTRING:
-            return Geom(wc.MULTILINESTRING, [g.data], g.has_z, g.has_m)
-        if g.kind == wc.POLYGON:
-            return Geom(wc.MULTIPOLYGON, [g.data], g.has_z, g.has_m)
-        return g
-
-    return _geom_out([mk(g) for g in geoms_of(s)])
+    return _geom_out([wc.to_multi(g) for g in geoms_of(s)])
 
 
 def _force_2d(g):

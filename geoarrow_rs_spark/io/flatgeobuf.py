@@ -119,6 +119,7 @@ def _parse_header(buf):
     cols = []
     for c in h.table_vector(7):
         cols.append({"name": c.string(0), "type": c.scalar(1, "<B")})
+    crs = h.table(10)
     return {
         "name": h.string(0),
         "envelope": h.vector(1, "<f8"),
@@ -127,6 +128,14 @@ def _parse_header(buf):
         "columns": cols,
         "features_count": h.scalar(8, "<Q"),
         "index_node_size": h.scalar(9, "<H", 16),
+        "crs": (
+            {"org": crs.string(0), "code": crs.scalar(1, "<i")}
+            if crs is not None
+            else None
+        ),
+        "title": h.string(11),
+        "description": h.string(12),
+        "metadata": h.string(13),
     }
 
 
@@ -272,7 +281,8 @@ class _FBBuilder:
         {'u8','u16','u64','bool','offset'}. Returns end-distance of table."""
         fields = [f for f in fields if f is not None]
         fields.sort(key=lambda t: t[0])
-        sizes = {"u8": 1, "bool": 1, "u16": 2, "u32": 4, "u64": 8, "offset": 4}
+        sizes = {"u8": 1, "bool": 1, "u16": 2, "u32": 4, "i32": 4, "u64": 8,
+                 "offset": 4}
         # lay out table body (after the 4-byte soffset), descending size for
         # natural alignment
         order = sorted(fields, key=lambda t: -sizes[t[1]])
@@ -297,7 +307,8 @@ class _FBBuilder:
                 e_field = e_table - p
                 struct.pack_into("<I", body, p, e_field - val)
             else:
-                fmt = {"u8": "<B", "bool": "<?", "u16": "<H", "u32": "<I", "u64": "<Q"}[kind]
+                fmt = {"u8": "<B", "bool": "<?", "u16": "<H", "u32": "<I",
+                       "i32": "<i", "u64": "<Q"}[kind]
                 struct.pack_into(fmt, body, p, val)
         self._push(bytes(body))
         vt = bytearray(vt_size)
@@ -425,6 +436,11 @@ def write_flatgeobuf(
     name: str = "layer",
     write_index: bool = True,
     node_size: int = 16,
+    promote_to_multi: bool = False,
+    title: str = None,
+    description: str = None,
+    metadata: str = None,
+    crs=None,
 ):
     """Driver-side FlatGeobuf writer with a packed Hilbert R-tree index
     (rust/geoarrow-flatgeobuf/src/writer.rs write_index parity).
@@ -470,6 +486,9 @@ def write_flatgeobuf(
                     if r[geometry_col] is not None
                     else None
                 )
+                if promote_to_multi and g is not None:
+                    # reference writer default behavior (cast.rs X->MultiX)
+                    g = wc.to_multi(g)
                 fb = _FBBuilder()
                 props = bytearray()
                 for ci, (cname, ctype) in enumerate(col_types):
@@ -554,6 +573,17 @@ def write_flatgeobuf(
             header_fields.append((1, "offset", env_vec))
         if cols_vec is not None:
             header_fields.append((7, "offset", cols_vec))
+        if crs is not None:
+            from ..wkb import proj as _proj
+
+            org_off = hb.string("EPSG")
+            crs_tbl = hb.table(
+                [(0, "offset", org_off), (1, "i32", int(_proj.parse_crs(crs)))]
+            )
+            header_fields.append((10, "offset", crs_tbl))
+        for fid, val in ((11, title), (12, description), (13, metadata)):
+            if val is not None:
+                header_fields.append((fid, "offset", hb.string(val)))
         header = hb.finish(hb.table(header_fields))
 
         with open(path, "wb") as f, open(tmp_path, "rb") as tf:

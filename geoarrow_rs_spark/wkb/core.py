@@ -608,3 +608,20 @@ def all_coords(g):
     if not arrs:
         return np.empty((0, dim))
     return np.vstack(arrs)
+
+
+def to_multi(g):
+    """X -> Multi-X promotion (the infallible side of the reference cast
+    matrix, rust/geoarrow-cast/src/cast.rs:56-82); multis and collections
+    pass through unchanged."""
+    if g is None:
+        return None
+    if g.kind == POINT:
+        if g.is_empty():
+            return empty(MULTIPOINT, g.has_z, g.has_m)
+        return Geom(MULTIPOINT, g.data.reshape(1, -1), g.has_z, g.has_m)
+    if g.kind == LINESTRING:
+        return Geom(MULTILINESTRING, [g.data], g.has_z, g.has_m)
+    if g.kind == POLYGON:
+        return Geom(MULTIPOLYGON, [g.data], g.has_z, g.has_m)
+    return g

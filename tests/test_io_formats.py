@@ -687,3 +687,39 @@ def test_fgb_read_geometry_false(spark):
     a = sorted(r["name"] for r in no_geom.select("name").collect())
     b = sorted(r["name"] for r in with_geom.select("name").collect())
     assert a == b
+
+
+def test_fgb_writer_header_options_roundtrip(spark, tmp_path):
+    """write_flatgeobuf's reference-parity options: promote_to_multi
+    (X -> MultiX cast), crs (EPSG org/code table), title / description /
+    metadata header strings — all readable back from the header."""
+    import os as _os
+
+    from geoarrow_rs_spark.io.flatgeobuf import (
+        _parse_header, read_flatgeobuf, write_flatgeobuf,
+    )
+
+    df = spark.range(5).selectExpr(
+        "id", "ST_Point(CAST(id AS DOUBLE), 2.0) AS geometry"
+    )
+    p = _os.path.join(str(tmp_path), "opts.fgb")
+    write_flatgeobuf(
+        df, p, promote_to_multi=True, crs="EPSG:4326",
+        title="t", description="d", metadata='{"k":1}',
+    )
+    import struct as _struct
+
+    with open(p, "rb") as f:
+        f.read(8)
+        (hsize,) = _struct.unpack("<I", f.read(4))
+        h = _parse_header(f.read(hsize))
+    assert h["crs"] == {"org": "EPSG", "code": 4326}
+    assert h["title"] == "t" and h["description"] == "d"
+    assert h["metadata"] == '{"k":1}'
+    assert h["geometry_type"] == 4  # MultiPoint after promotion
+
+    back = read_flatgeobuf(spark, p)
+    types = {r["t"] for r in back.selectExpr(
+        "ST_GeometryType(geometry) AS t").collect()}
+    assert types == {"ST_MultiPoint"}
+    assert back.count() == 5
