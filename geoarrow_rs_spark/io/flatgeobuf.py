@@ -119,7 +119,19 @@ def _parse_header(buf):
     cols = []
     for c in h.table_vector(7):
         cols.append({"name": c.string(0), "type": c.scalar(1, "<B")})
-    crs = h.table(10)
+    crs_t = h.table(10)
+    crs = None
+    if crs_t is not None:
+        # Crs table (spec field ids): 0 org, 1 code, 4 wkt — the reference
+        # writer populates only wkt, so code-less tables must not read as
+        # a bogus code 0
+        crs = {
+            "org": crs_t.string(0),
+            "code": crs_t.scalar(1, "<i", None),
+            "wkt": crs_t.string(4),
+        }
+        if all(v is None for v in crs.values()):
+            crs = None
     return {
         "name": h.string(0),
         "envelope": h.vector(1, "<f8"),
@@ -128,11 +140,7 @@ def _parse_header(buf):
         "columns": cols,
         "features_count": h.scalar(8, "<Q"),
         "index_node_size": h.scalar(9, "<H", 16),
-        "crs": (
-            {"org": crs.string(0), "code": crs.scalar(1, "<i")}
-            if crs is not None
-            else None
-        ),
+        "crs": crs,
         "title": h.string(11),
         "description": h.string(12),
         "metadata": h.string(13),
@@ -436,7 +444,7 @@ def write_flatgeobuf(
     name: str = "layer",
     write_index: bool = True,
     node_size: int = 16,
-    promote_to_multi: bool = False,
+    promote_to_multi: bool = True,
     title: str = None,
     description: str = None,
     metadata: str = None,
@@ -487,7 +495,11 @@ def write_flatgeobuf(
                     else None
                 )
                 if promote_to_multi and g is not None:
-                    # reference writer default behavior (cast.rs X->MultiX)
+                    # matches the reference writer's default
+                    # (FlatGeobufWriterOptions promote_to_multi: true) —
+                    # a uniform Multi* header type even for mixed
+                    # single/multi inputs; pass False for type-stable
+                    # round trips
                     g = wc.to_multi(g)
                 fb = _FBBuilder()
                 props = bytearray()

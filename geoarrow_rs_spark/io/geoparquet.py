@@ -86,7 +86,9 @@ def _stamp_geo_footers(spark: SparkSession, path: str, doc: dict):
     import glob
 
     parts = sorted(
-        p for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        p for p in glob.glob(
+            os.path.join(glob.escape(path), "**", "*.parquet"), recursive=True
+        )
         if not os.path.basename(p).startswith("_")
     )
     if not parts:
@@ -433,6 +435,11 @@ def geoparquet_info(path: str) -> dict:
     num_rows / num_row_groups / crs / file_bbox / row_group_bounds) from
     parquet FOOTER metadata only — no data pages are read.
 
+    Metadata resolution: the sidecar (repo-written datasets) when present,
+    else the ``geo`` key of the part footers the function enumerates
+    anyway — so externally-written datasets (including hive-partitioned
+    layouts with per-part bboxes, whose bboxes are unioned) resolve too.
+
     ``row_group_bounds`` comes from the covering-struct column statistics
     (min of xmin / max of xmax per row group — exactly the stats the bbox
     predicate pushdown prunes against); None when the file carries no
@@ -445,43 +452,76 @@ def geoparquet_info(path: str) -> dict:
 
     import pyarrow.parquet as pq
 
-    meta = read_geo_metadata(path) or {}
-    gcol = meta.get("primary_column")
-    col_meta = meta.get("columns", {}).get(gcol, {}) if gcol else {}
-    cov = col_meta.get("covering", {}).get("bbox")
     if os.path.isdir(path):
         parts = sorted(
-            p for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            p for p in glob.glob(
+                os.path.join(glob.escape(path), "**", "*.parquet"),
+                recursive=True,
+            )
             if not os.path.basename(p).startswith("_")
         )
     else:
         parts = [path]
-    num_rows = 0
-    num_row_groups = 0
+
+    metas = [pq.read_metadata(p) for p in parts]
+
+    meta = read_geo_metadata(path)
+    # per-part footers are always scanned: they are the only metadata
+    # source for external datasets, and external writers stamp each part
+    # with its own bbox (unioned below for file_bbox)
+    part_bboxes = []
+    for md in metas:
+        kv = md.metadata or {}
+        if GEO_KEY in kv:
+            try:
+                doc = json.loads(kv[GEO_KEY])
+            except Exception:
+                continue
+            if meta is None:
+                meta = doc
+            pc = doc.get("primary_column")
+            bb = doc.get("columns", {}).get(pc, {}).get("bbox")
+            if bb is not None:
+                part_bboxes.append(bb)
+    meta = meta or {}
+    gcol = meta.get("primary_column")
+    col_meta = meta.get("columns", {}).get(gcol, {}) if gcol else {}
+    cov = col_meta.get("covering", {}).get("bbox")
+
+    file_bbox = col_meta.get("bbox")
+    if part_bboxes and (file_bbox is None or len(part_bboxes) > 1):
+        # distinct per-part bboxes (external writers stamp each part with
+        # its own) -> the dataset bbox is their union
+        uniq = {tuple(b) for b in part_bboxes}
+        if file_bbox is not None:
+            uniq.add(tuple(file_bbox))
+        if len(uniq) > 1 or file_bbox is None:
+            file_bbox = [
+                min(b[0] for b in uniq), min(b[1] for b in uniq),
+                max(b[2] for b in uniq), max(b[3] for b in uniq),
+            ]
+
+    num_rows = sum(md.num_rows for md in metas)
+    num_row_groups = sum(md.num_row_groups for md in metas)
     rg_bounds = [] if cov else None
-    for p in parts:
-        md = pq.ParquetFile(p).metadata
-        num_rows += md.num_rows
-        num_row_groups += md.num_row_groups
-        if cov:
-            names = {
-                k: ".".join(cov[k]) for k in ("xmin", "ymin", "xmax", "ymax")
-            }
+    if cov:
+        names = {k: ".".join(cov[k]) for k in ("xmin", "ymin", "xmax", "ymax")}
+
+        def stat(g, col_idx, key, lo):
+            i = col_idx.get(names[key])
+            if i is None:
+                return None
+            st = g.column(i).statistics
+            if st is None or not st.has_min_max:
+                return None
+            return st.min if lo else st.max
+
+        for md in metas:
             col_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
-
-                def stat(key, lo):
-                    i = col_idx.get(names[key])
-                    if i is None:
-                        return None
-                    st = g.column(i).statistics
-                    if st is None or not st.has_min_max:
-                        return None
-                    return st.min if lo else st.max
-
-                vals = [stat("xmin", True), stat("ymin", True),
-                        stat("xmax", False), stat("ymax", False)]
+                vals = [stat(g, col_idx, "xmin", True), stat(g, col_idx, "ymin", True),
+                        stat(g, col_idx, "xmax", False), stat(g, col_idx, "ymax", False)]
                 rg_bounds.append(None if any(v is None for v in vals) else vals)
     return {
         "num_rows": int(num_rows),
@@ -489,7 +529,7 @@ def geoparquet_info(path: str) -> dict:
         "primary_column": gcol,
         "crs": col_meta.get("crs"),
         "encoding": col_meta.get("encoding"),
-        "file_bbox": col_meta.get("bbox"),
+        "file_bbox": file_bbox,
         "row_group_bounds": rg_bounds,
         "files": len(parts),
     }

@@ -110,7 +110,9 @@ def test_flatgeobuf_write_roundtrip(spark, tmp_path):
         ]
     ).selectExpr("name", "score", "CAST(n AS LONG) AS n", "ST_GeomFromWKT(wkt) AS geometry")
     p = os.path.join(str(tmp_path), "rt.fgb")
-    write_flatgeobuf(df, p)
+    # promote_to_multi=False: this test checks TYPE-STABLE round trips
+    # (the default matches the reference and promotes X -> MultiX)
+    write_flatgeobuf(df, p, promote_to_multi=False)
     back = read_flatgeobuf(spark, p)
     rows = {r["name"]: r for r in back.selectExpr(
         "name", "score", "n",
@@ -713,7 +715,7 @@ def test_fgb_writer_header_options_roundtrip(spark, tmp_path):
         f.read(8)
         (hsize,) = _struct.unpack("<I", f.read(4))
         h = _parse_header(f.read(hsize))
-    assert h["crs"] == {"org": "EPSG", "code": 4326}
+    assert h["crs"] == {"org": "EPSG", "code": 4326, "wkt": None}
     assert h["title"] == "t" and h["description"] == "d"
     assert h["metadata"] == '{"k":1}'
     assert h["geometry_type"] == 4  # MultiPoint after promotion
