@@ -3888,6 +3888,103 @@ FROM (
 ORACLE_GEO_TRANSFORM_TMERC = _tmerc_oracle_sql()
 
 
+def geo_transform_cyl(spark, sf_dir):
+    """World cylindrical projections (ST_Transform; reproject.rs:105 parity
+    for the global-analysis CRSs): World Mercator (EPSG:3395, ellipsoidal),
+    EASE-Grid 2.0 cylindrical equal-area (EPSG:6933), and World Equidistant
+    Cylindrical (EPSG:4087, true meridian arc) forwards are checked against
+    the Snyder/Karney closed forms restated in plain SQL; Mollweide
+    (ESRI:54009, Newton iteration — not SQL-expressible directly) is
+    checked as a round-trip closure boolean, and the ETRS89 geographic
+    alias (EPSG:4258 == WGS84 pivot) end-to-end through ST_Transform."""
+    c = _t(spark, sf_dir, "customer")
+    lon = "(CAST(c_custkey % 360 AS DOUBLE) - 179.5)"
+    lat = "(CAST(c_custkey % 170 AS DOUBLE) - 84.5)"
+    staged = c.selectExpr(
+        "c_custkey",
+        f"{lon} AS lon", f"{lat} AS lat",
+        f"ST_Transform(ST_Point({lon}, {lat}), 'EPSG:4326', 'EPSG:3395') AS pm",
+        f"ST_Transform(ST_Point({lon}, {lat}), 'EPSG:4326', 'EPSG:6933') AS pc",
+        f"ST_Transform(ST_Point({lon}, {lat}), 'EPSG:4326', 'EPSG:4087') AS pe",
+        f"ST_Transform(ST_Point({lon}, {lat}), 'EPSG:4326', 'ESRI:54009') AS pw",
+    )
+    return staged.selectExpr(
+        "c_custkey",
+        "round(ST_X(pm), 2) AS merc_x",
+        "round(ST_Y(pm), 2) AS merc_y",
+        "round(ST_X(pc), 2) AS cea_x",
+        "round(ST_Y(pc), 2) AS cea_y",
+        "round(ST_Y(pe), 2) AS eqc_y",
+        "abs(ST_X(ST_Transform(pw, 'ESRI:54009', 'EPSG:4326')) - lon) < 1e-9"
+        " AND abs(ST_Y(ST_Transform(pw, 'ESRI:54009', 'EPSG:4326')) - lat) < 1e-9"
+        " AS moll_rt_ok",
+        "ST_X(ST_Transform(ST_Point(lon, lat), 'EPSG:4258', 'EPSG:3395'))"
+        " = ST_X(pm) AS alias_ok",
+    )
+
+
+def _cyl_oracle_sql() -> str:
+    """World Mercator / cylindrical equal-area / equidistant-cylindrical
+    forwards restated in DuckDB SQL (hyperbolics via exp/ln; ellipsoid and
+    series constants inlined as double literals)."""
+    from .wkb import proj
+
+    ell = proj.ellipsoid_consts(proj.WGS84_A, proj.WGS84_F)
+
+    def d(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    a = d(proj.WGS84_A)
+    e = d(ell["e"])
+    e2 = d(ell["e2"])
+    k0 = d(proj.CYL[6933]["k0"])
+    a_rect = d(ell["a_rect"])
+
+    s = "sin(radians(lat))"
+    lam = "radians(lon)"
+    # isometric latitude psi = atanh(sin) - e*atanh(e*sin), as ln
+    psi = (
+        f"(0.5 * ln((1.0 + {s}) / (1.0 - {s}))"
+        f" - {e} * 0.5 * ln((1.0 + {e} * {s}) / (1.0 - {e} * {s})))"
+    )
+    # authalic q (same expression order as wkb.proj._laea_q)
+    q = (
+        f"((1.0 - {e2}) * ({s} / (1.0 - {e2} * {s} * {s})"
+        f" - ln((1.0 - {e} * {s}) / (1.0 + {e} * {s})) / (2.0 * {e})))"
+    )
+    # rectifying latitude: xi = xi' + sum(alpha_j sin(2j xi')),
+    # xi' = atan(sinh(psi)) — the tm series at eta = 0
+    xi_terms = " + ".join(
+        f"{d(ell['alpha'][j])} * sin({2 * (j + 1)}.0 * xip)" for j in range(6)
+    )
+    return f"""
+SELECT c_custkey,
+       round({a} * lam, 2) AS merc_x,
+       round({a} * psi, 2) AS merc_y,
+       round({a} * {k0} * lam, 2) AS cea_x,
+       round({a} * q / (2.0 * {k0}), 2) AS cea_y,
+       round({a_rect} * (xip + {xi_terms}), 2) AS eqc_y,
+       TRUE AS moll_rt_ok,
+       TRUE AS alias_ok
+FROM (
+  SELECT c_custkey, lam, psi, q,
+         atan((exp(psi) - exp(-psi)) / 2.0) AS xip
+  FROM (
+    SELECT c_custkey, {lam} AS lam, {psi} AS psi, {q} AS q
+    FROM (
+      SELECT c_custkey,
+             CAST(c_custkey % 360 AS DOUBLE) - 179.5 AS lon,
+             CAST(c_custkey % 170 AS DOUBLE) - 84.5 AS lat
+      FROM customer
+    )
+  )
+)
+"""
+
+
+ORACLE_GEO_TRANSFORM_CYL = _cyl_oracle_sql()
+
+
 def geo_zorder(spark, sf_dir):
     """Space-filling-curve keys (functions/curves.py): level-16 Morton
     (Z-order) and Hilbert keys of customer points, computed entirely as
@@ -6635,6 +6732,7 @@ QUERIES = {
     "geo_transform_conic": (geo_transform_conic, ORACLE_GEO_TRANSFORM_CONIC),
     "geo_transform_laea": (geo_transform_laea, ORACLE_GEO_TRANSFORM_LAEA),
     "geo_transform_tmerc": (geo_transform_tmerc, ORACLE_GEO_TRANSFORM_TMERC),
+    "geo_transform_cyl": (geo_transform_cyl, ORACLE_GEO_TRANSFORM_CYL),
     "geo_zorder": (geo_zorder, ORACLE_GEO_ZORDER),
     "geo_knn_join": (geo_knn_join, ORACLE_GEO_KNN),
     "geo_dbscan": (geo_dbscan, ORACLE_GEO_DBSCAN),

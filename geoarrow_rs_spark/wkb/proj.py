@@ -18,6 +18,11 @@ pyproj, so the transforms are implemented from public closed forms:
 - EPSG:5070 / 2154 — Albers equal-area + Lambert conformal conic (Snyder)
 - EPSG:3035 — Lambert azimuthal equal-area Europe (Snyder pp. 187-190)
 - EPSG:3413 / 3031 — polar stereographic variant B (Snyder pp. 160-162)
+- EPSG:3395 — World Mercator (ellipsoidal, variant A); EPSG:6933 / 3410 —
+  EASE-Grid 2.0 / v1 cylindrical equal-area; EPSG:4087 — World Equidistant
+  Cylindrical (ellipsoidal meridian arc); ESRI:54009 — World Mollweide
+- EPSG:4258 / 4269 / 4283 / 7844 — ETRS89 / NAD83 / GDA94 / GDA2020
+  geographic, treated as WGS84-coincident (sub-meter datum differences)
 
 All functions are elementwise over numpy arrays — a batch of coordinates is
 transformed with no Python-level loop, matching the reference's
@@ -631,6 +636,182 @@ def polar_inverse(x, y, epsg, iters=12):
 
 
 # ---------------------------------------------------------------------------
+# Normal-aspect cylindrical + pseudocylindrical world projections
+# (Snyder 1987: Mercator pp. 41-44, cylindrical equal-area pp. 76-85,
+# equidistant cylindrical p. 90, Mollweide pp. 249-252; EPSG methods
+# 9804 / 9835 / 1028). Covers the global-analysis CRSs a reference user
+# hits after the national grids: World Mercator, EASE-Grid 2.0,
+# plate carree, Mollweide.
+# ---------------------------------------------------------------------------
+
+def _rect_lat(phi, ell):
+    """Rectifying latitude xi(phi) (vectorized): meridian arc = A_rect*xi.
+    Same conformal-then-alpha-series composition as tm_forward at lam=0,
+    exact to n^6."""
+    s = np.sin(phi)
+    e = ell["e"]
+    if e == 0.0:
+        return np.asarray(phi, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # arctanh(+-1) -> +-inf at the poles; arctan collapses it to +-pi/2
+        tau = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+    xi_p = np.arctan(tau)
+    xi = xi_p.copy()
+    for j in range(6):
+        w = 2.0 * (j + 1)
+        xi = xi + ell["alpha"][j] * np.sin(w * xi_p)
+    return xi
+
+
+def _inv_rect_lat(xi, ell):
+    """Geographic latitude from rectifying latitude (vectorized): the
+    tm_inverse beta/delta series composition at eta = 0."""
+    if ell["e"] == 0.0:
+        return np.asarray(xi, dtype=np.float64)
+    xi_p = np.asarray(xi, dtype=np.float64).copy()
+    for j in range(6):
+        w = 2.0 * (j + 1)
+        xi_p = xi_p - ell["beta"][j] * np.sin(w * xi)
+    phi = xi_p.copy()
+    for j in range(6):
+        w = 2.0 * (j + 1)
+        phi = phi + ell["delta"][j] * np.sin(w * xi_p)
+    return phi
+
+
+def _cea_q(phi, e, e2):
+    """Authalic q with the spherical (e -> 0) limit 2*sin(phi)."""
+    if e == 0.0:
+        return 2.0 * np.sin(phi)
+    return _laea_q(phi, e, e2)
+
+
+def _cyl_setup(p):
+    ell = ellipsoid_consts(p["a"], p.get("f", 0.0))
+    ts = np.radians(p.get("lat_ts", 0.0))
+    s = np.sin(ts)
+    # point scale on the standard parallel(s): k0 = m(lat_ts)
+    k0 = float(np.cos(ts) / np.sqrt(1 - ell["e2"] * s * s))
+    p.update(e=ell["e"], e2=ell["e2"], k0=k0, ell=ell)
+    if p["kind"] == "cea":
+        p["qp"] = float(_cea_q(np.pi / 2, ell["e"], ell["e2"]))
+    return p
+
+
+CYL = {
+    # WGS 84 / World Mercator (ellipsoidal Mercator variant A: k0 = 1)
+    3395: _cyl_setup(dict(kind="merc", a=WGS84_A, f=WGS84_F, lat_ts=0.0,
+                          lon0=0.0, fe=0.0, fn=0.0)),
+    # WGS 84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area,
+    # standard parallels 30N/S) — the sea-ice / soil-moisture grid CRS
+    6933: _cyl_setup(dict(kind="cea", a=WGS84_A, f=WGS84_F, lat_ts=30.0,
+                          lon0=0.0, fe=0.0, fn=0.0)),
+    # NSIDC EASE-Grid Global v1 (international authalic SPHERE)
+    3410: _cyl_setup(dict(kind="cea", a=6_371_228.0, f=0.0, lat_ts=30.0,
+                          lon0=0.0, fe=0.0, fn=0.0)),
+    # WGS 84 / World Equidistant Cylindrical (EPSG method 1028:
+    # x = a*lam, y = meridian arc M(phi) on the ellipsoid)
+    4087: _cyl_setup(dict(kind="eqc", a=WGS84_A, f=WGS84_F, lat_ts=0.0,
+                          lon0=0.0, fe=0.0, fn=0.0)),
+    # World Mollweide (ESRI:54009). Spherical-only projection; like PROJ,
+    # the sphere radius is the ellipsoid semi-major axis.
+    54009: _cyl_setup(dict(kind="moll", a=WGS84_A, f=0.0, lat_ts=0.0,
+                           lon0=0.0, fe=0.0, fn=0.0)),
+}
+
+_MERC_LAT_CLIP = 89.9999999  # same pole guard as webmercator_forward
+
+
+def cyl_forward(lon_deg, lat_deg, epsg):
+    p = CYL[int(epsg)]
+    a, k0 = p["a"], p["k0"]
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    kind = p["kind"]
+    if kind == "merc":
+        phi = np.radians(np.clip(
+            np.asarray(lat_deg, dtype=np.float64), -_MERC_LAT_CLIP, _MERC_LAT_CLIP
+        ))
+        s = np.sin(phi)
+        # isometric latitude psi = atanh(sin) - e*atanh(e*sin)
+        psi = np.arctanh(s) - p["e"] * np.arctanh(p["e"] * s)
+        x = a * k0 * lam
+        y = a * k0 * psi
+    elif kind == "cea":
+        x = a * k0 * lam
+        y = a * _cea_q(phi, p["e"], p["e2"]) / (2.0 * k0)
+    elif kind == "eqc":
+        x = a * k0 * lam
+        y = p["ell"]["a_rect"] * _rect_lat(phi, p["ell"])
+    else:  # moll (sphere R = a)
+        sp = np.pi * np.sin(phi)
+        theta = np.asarray(phi, dtype=np.float64).copy()
+        for _ in range(15):
+            denom = 2.0 + 2.0 * np.cos(2.0 * theta)
+            step = np.where(
+                denom < 1e-14, 0.0,
+                (2.0 * theta + np.sin(2.0 * theta) - sp) / np.maximum(denom, 1e-14),
+            )
+            theta = theta - step
+        x = (2.0 * np.sqrt(2.0) / np.pi) * a * lam * np.cos(theta)
+        y = np.sqrt(2.0) * a * np.sin(theta)
+    return p["fe"] + x, p["fn"] + y
+
+
+def cyl_inverse(x, y, epsg, iters=12):
+    p = CYL[int(epsg)]
+    a, k0 = p["a"], p["k0"]
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = np.asarray(y, dtype=np.float64) - p["fn"]
+    kind = p["kind"]
+    if kind == "merc":
+        lam = xp / (a * k0)
+        psi = yp / (a * k0)
+        chi = np.arctan(np.sinh(psi))  # conformal latitude
+        phi = chi.copy()
+        e = p["e"]
+        if e != 0.0:
+            for _ in range(iters):
+                phi = np.arctan(np.sinh(psi + e * np.arctanh(e * np.sin(phi))))
+    elif kind == "cea":
+        lam = xp / (a * k0)
+        q = 2.0 * yp * k0 / a
+        if p["e"] == 0.0:
+            phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        else:
+            e, e2 = p["e"], p["e2"]
+            phi = np.arcsin(np.clip(q / p["qp"], -1.0, 1.0))  # authalic lat
+            for _ in range(iters):
+                s = np.sin(phi)
+                one = 1 - e2 * s * s
+                phi = phi + one * one / (2 * np.cos(phi)) * (
+                    q / (1 - e2) - s / one
+                    + np.log((1 - e * s) / (1 + e * s)) / (2 * e)
+                )
+    elif kind == "eqc":
+        lam = xp / (a * k0)
+        phi = _inv_rect_lat(yp / p["ell"]["a_rect"], p["ell"])
+    else:  # moll
+        theta = np.arcsin(np.clip(yp / (np.sqrt(2.0) * a), -1.0, 1.0))
+        phi = np.arcsin(np.clip(
+            (2.0 * theta + np.sin(2.0 * theta)) / np.pi, -1.0, 1.0
+        ))
+        ct = np.cos(theta)
+        lam = np.where(
+            ct < 1e-14, 0.0,
+            np.pi * xp / (2.0 * np.sqrt(2.0) * a * np.maximum(ct, 1e-14)),
+        )
+    return np.degrees(lam) + p["lon0"], np.degrees(phi)
+
+
+# Geodetic CRSs treated as WGS84-equivalent pivots: ETRS89 / NAD83 /
+# GDA94 / GDA2020 lon-lat differ from WGS84 by well under the Helmert
+# shifts' formal accuracy (same convention as the GRS80 UTM zone
+# families above).
+GEOGRAPHIC_WGS84_EQUIV = frozenset({4326, 4258, 4269, 4283, 7844})
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -640,8 +821,9 @@ def _is_utm(epsg):
 
 def supported_crs(epsg) -> bool:
     epsg = int(epsg)
-    if epsg in (4326, 3857) or epsg in CONICS or epsg in LAEA \
-            or epsg in POLAR or epsg in TMERC or _is_utm(epsg) \
+    if epsg == 3857 or epsg in GEOGRAPHIC_WGS84_EQUIV or epsg in CONICS \
+            or epsg in LAEA or epsg in POLAR or epsg in TMERC \
+            or epsg in CYL or _is_utm(epsg) \
             or _grs80_utm_params(epsg) is not None:
         return True
     if USE_PYPROJ:
@@ -655,10 +837,12 @@ def supported_crs(epsg) -> bool:
 
 def to_wgs84(x, y, src_epsg):
     src_epsg = int(src_epsg)
-    if src_epsg == 4326:
+    if src_epsg in GEOGRAPHIC_WGS84_EQUIV:
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if src_epsg == 3857:
         return webmercator_inverse(x, y)
+    if src_epsg in CYL:
+        return cyl_inverse(x, y, src_epsg)
     if src_epsg in CONICS:
         return conic_inverse(x, y, src_epsg)
     if src_epsg in LAEA:
@@ -684,10 +868,12 @@ def to_wgs84(x, y, src_epsg):
 
 def from_wgs84(lon, lat, dst_epsg):
     dst_epsg = int(dst_epsg)
-    if dst_epsg == 4326:
+    if dst_epsg in GEOGRAPHIC_WGS84_EQUIV:
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
     if dst_epsg == 3857:
         return webmercator_forward(lon, lat)
+    if dst_epsg in CYL:
+        return cyl_forward(lon, lat, dst_epsg)
     if dst_epsg in CONICS:
         return conic_forward(lon, lat, dst_epsg)
     if dst_epsg in LAEA:
@@ -767,7 +953,9 @@ def parse_crs(crs) -> int:
         raise ValueError(f"PROJJSON without an EPSG id: {crs.get('name', crs)!r}")
     s = str(crs).strip()
     low = s.lower()
-    if low.startswith("epsg:"):
+    if low.startswith("epsg:") or low.startswith("esri:"):
+        # ESRI: for the 54xxx world-projection series (e.g. ESRI:54009
+        # Mollweide); the numeric namespaces don't collide
         return int(s[5:])
     if s.startswith("{"):
         import json

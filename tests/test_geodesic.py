@@ -558,3 +558,104 @@ def test_parse_crs_projjson_and_wkt2():
         P.parse_crs({"type": "GeographicCRS", "name": "custom"})
     with _pytest.raises(ValueError):
         P.parse_crs('PROJCRS["mystery",CONVERSION["x"]]')
+
+
+def test_cylindrical_world_projections():
+    """World Mercator (3395), EASE-Grid 2.0 / v1 cylindrical equal-area
+    (6933/3410), World Equidistant Cylindrical (4087), and Mollweide
+    (ESRI:54009): round trips at 1e-9 degrees, each projection's defining
+    property, and published anchor constants."""
+    import numpy as np
+
+    from geoarrow_rs_spark.wkb import proj as P
+
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-179.9, 179.9, 5000)
+    lat = rng.uniform(-84.9, 84.9, 5000)
+    for code in (3395, 6933, 3410, 4087, 54009):
+        assert P.supported_crs(code)
+        x, y = P.cyl_forward(lon, lat, code)
+        lo2, la2 = P.cyl_inverse(x, y, code)
+        assert np.abs(lo2 - lon).max() < 1e-9, code
+        assert np.abs(la2 - lat).max() < 1e-9, code
+
+    a = P.WGS84_A
+    e = float(np.sqrt(P.WGS84_F * (2 - P.WGS84_F)))
+
+    # 3395: the atanh isometric-latitude form equals the independent
+    # Snyder tan(pi/4 + phi/2) closed form
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    y_snyder = a * np.log(
+        np.tan(np.pi / 4 + phi / 2) * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+    )
+    x1, y1 = P.cyl_forward(lon, lat, 3395)
+    assert np.abs(y1 - y_snyder).max() < 1e-6
+    # conformality: local E-W and N-S scales agree (isotropic)
+    d = 1e-6
+    for lon0, lat0 in ((10.0, 40.0), (-60.0, -25.0), (120.0, 70.0)):
+        x0, y0 = P.cyl_forward(np.array([lon0]), np.array([lat0]), 3395)
+        xe, _ = P.cyl_forward(np.array([lon0 + d]), np.array([lat0]), 3395)
+        _, yn = P.cyl_forward(np.array([lon0]), np.array([lat0 + d]), 3395)
+        s0 = np.sin(np.radians(lat0))
+        w = np.sqrt(1 - e * e * s0 * s0)
+        k_ew = float(xe[0] - x0[0]) / (
+            np.radians(d) * a * np.cos(np.radians(lat0)) / w
+        )
+        k_ns = float(yn[0] - y0[0]) / (
+            np.radians(d) * a * (1 - e * e) / w**3
+        )
+        assert abs(k_ew / k_ns - 1.0) < 1e-6
+
+    # 6933: published EASE-Grid 2.0 projected extents (EPSG registry
+    # bounds): x(180, 0) and y(0, 90)
+    xe, _ = P.cyl_forward(np.array([180.0]), np.array([0.0]), 6933)
+    _, yn = P.cyl_forward(np.array([0.0]), np.array([90.0]), 6933)
+    assert abs(xe[0] - 17367530.445161) < 1e-3
+    assert abs(yn[0] - 7342230.1365) < 1e-2
+    # equal-area: projected Jacobian == ellipsoidal area element M*N*cos
+    for code in (6933, 3410):
+        p = P.CYL[code]
+        a_c, e2_c = p["a"], p["e2"]
+        for lat0 in (0.0, 25.0, 55.0, -80.0):
+            x0, y0 = P.cyl_forward(np.array([10.0]), np.array([lat0]), code)
+            xq, _ = P.cyl_forward(np.array([10.0 + d]), np.array([lat0]), code)
+            _, yq = P.cyl_forward(np.array([10.0]), np.array([lat0 + d]), code)
+            J = float(xq[0] - x0[0]) * float(yq[0] - y0[0]) / np.radians(d) ** 2
+            s0 = np.sin(np.radians(lat0))
+            exact = (
+                a_c * a_c * (1 - e2_c) * np.cos(np.radians(lat0))
+                / (1 - e2_c * s0 * s0) ** 2
+            )
+            assert abs(J / exact - 1.0) < 1e-5, (code, lat0)
+
+    # 4087: y is the true meridian arc — quarter meridian anchor
+    # (WGS84 pole distance 10001965.7293 m) and x = a*lam on the equator
+    _, yp = P.cyl_forward(np.array([0.0]), np.array([90.0]), 4087)
+    assert abs(yp[0] - 10001965.7293) < 1e-3
+    xq, _ = P.cyl_forward(np.array([90.0]), np.array([0.0]), 4087)
+    assert abs(xq[0] - a * np.pi / 2) < 1e-9
+
+    # Mollweide: exact ellipse extents 2*sqrt(2)*R and sqrt(2)*R, and
+    # equal-area on the R = a sphere
+    xm, _ = P.cyl_forward(np.array([180.0]), np.array([0.0]), 54009)
+    _, ym = P.cyl_forward(np.array([0.0]), np.array([90.0]), 54009)
+    assert abs(xm[0] - 2 * np.sqrt(2) * a) < 1e-6
+    assert abs(ym[0] - np.sqrt(2) * a) < 1e-6
+    for lat0 in (0.0, 35.0, -62.0):
+        x0, y0 = P.cyl_forward(np.array([15.0]), np.array([lat0]), 54009)
+        xq, yqx = P.cyl_forward(np.array([15.0 + d]), np.array([lat0]), 54009)
+        xn, yq = P.cyl_forward(np.array([15.0]), np.array([lat0 + d]), 54009)
+        J = abs(
+            float(xq[0] - x0[0]) * float(yq[0] - y0[0])
+            - float(xn[0] - x0[0]) * float(yqx[0] - y0[0])
+        ) / np.radians(d) ** 2
+        exact = a * a * np.cos(np.radians(lat0))
+        assert abs(J / exact - 1.0) < 1e-5, lat0
+
+    # geodetic aliases pivot as WGS84; ESRI namespace parses
+    for alias in (4258, 4269, 4283, 7844):
+        ax, ay = P.transform_xy(np.array([2.0]), np.array([48.0]), alias, 3395)
+        bx, by = P.transform_xy(np.array([2.0]), np.array([48.0]), 4326, 3395)
+        assert ax[0] == bx[0] and ay[0] == by[0]
+    assert P.parse_crs("ESRI:54009") == 54009
