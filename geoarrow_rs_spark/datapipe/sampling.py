@@ -165,3 +165,61 @@ def scrub_pii(
     return F.when(
         (cand != "") & luhn_valid(cand), F.replace(s, cand, F.lit(cc_token))
     ).otherwise(s)
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict,
+    budget_tokens: int,
+    token_count_col,
+    key: str = "doc_id",
+    max_repeat: float = 4.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture planning for training-data assembly (the Pile /
+    LLaMA-style data-mixing pass): given target domain ``weights`` (summing
+    to 1) and a total token ``budget``, compute per-domain epoch counts
+    ``epochs = min(weight * budget / available_tokens, max_repeat)`` and
+    materialize a per-document copy count: every document is repeated
+    ``floor(epochs)`` times plus one more with probability ``frac(epochs)``
+    via the deterministic per-key uniform — so the realized token mixture
+    matches the plan in expectation, is exactly reproducible across reruns
+    and cluster layouts, and over-represented domains are capped at
+    ``max_repeat`` epochs (the standard repetition-harm guard).
+
+    Scale shape: one groupBy(domain) over the corpus (map-side partial
+    sums of one long), the tiny per-domain plan broadcast back; the copy
+    count is a stateless expression. No shuffle of document text.
+
+    Output: the input rows plus ``epochs`` (rounded to 8dp, engine-stable)
+    and ``n_copies``. Domains absent from ``weights`` get weight 0 (and so
+    n_copies 0).
+    """
+    tok = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
+    w = F.lit(0.0)
+    for dom, wt in sorted(weights.items()):
+        w = F.when(F.col(domain_col) == dom, F.lit(float(wt))).otherwise(w)
+    avail = df.groupBy(domain_col).agg(F.sum(tok.cast("long")).alias("__avail"))
+    plan = avail.select(
+        domain_col,
+        "__avail",
+        F.round(
+            F.least(
+                w * F.lit(float(budget_tokens)) / F.col("__avail").cast("double"),
+                F.lit(float(max_repeat)),
+            ),
+            8,
+        ).alias("epochs"),
+    )
+    joined = df.join(F.broadcast(plan), domain_col)
+    full = F.floor(F.col("epochs")).cast("long")
+    frac = F.round(F.col("epochs") - full.cast("double"), 8)
+    u = hash_uniform(key, salt)
+    return joined.withColumn(
+        "n_copies", (full + F.when(u < frac, 1).otherwise(0).cast("long"))
+    ).drop("__avail")

@@ -974,3 +974,93 @@ def load_pq_codebooks(spark, path: str) -> list:
     return sorted(
         (int(r["s"]), int(r["code"]), [float(x) for x in r["__cvec"]]) for r in rows
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    k: int = 3,
+    lam: float = 0.7,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    rel_col: str = "rel",
+    vec_col: str = "vec",
+    round_to: int = 8,
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998) of
+    a per-query candidate set — the diversity pass between retrieval and a
+    RAG context window: greedily pick k candidates maximizing
+    ``lam * relevance - (1 - lam) * max_similarity_to_already_picked``.
+
+    The greedy loop is unrolled into k DataFrame rounds (a window top-1,
+    an anti-join, and a candidates-x-selected cosine per round), so the
+    whole plan is native expressions over the CANDIDATE table — cost is
+    O(k * |queries| * fetch), independent of corpus size; the corpus-scale
+    work stays in the upstream retrieval stage.
+
+    Determinism: relevance and pairwise cosines are rounded to
+    ``round_to`` dp, then the MMR combination runs in EXACT integer
+    arithmetic — scores in 1e-{round_to} units, ``lam`` quantized to
+    thousandths — so there is no float rounding step whose half-way ties
+    could differ between engines; ties broken by candidate id. The greedy
+    argmax (and so the selection) is exactly reproducible in SQL.
+
+    Output: query_id, cand_id, mmr_rank (1-based pick order), mmr_score
+    (= (lam_i * rel_i - (1000 - lam_i) * maxsim_i) / 1e{round_to + 3};
+    rank 1 carries the plain rounded relevance).
+    """
+    qid, cid = query_id, cand_id
+    scale = float(10 ** round_to)
+    lam_i = int(round(lam * 1000))
+
+    def to_i(c):
+        # rounded-to-round_to doubles recovered as exact integers (the
+        # argument is within float error of an integer, never near .5)
+        return F.round(c * F.lit(scale)).cast("long")
+
+    rel8 = F.round(F.col(rel_col), round_to).alias("__rel8")
+    base = cands.select(
+        qid, cid, rel8, F.col(vec_col).alias("__v")
+    ).withColumn("__reli", to_i(F.col("__rel8")))
+    w1 = Window.partitionBy(qid).orderBy(F.desc("__reli"), F.asc(cid))
+    sel = (
+        base.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") == 1)
+        .select(
+            qid, cid, "__reli", "__v",
+            F.lit(1).alias("mmr_rank"),
+            F.col("__rel8").alias("mmr_score"),
+        )
+    )
+    for r in range(2, k + 1):
+        rem = base.join(sel.select(qid, cid), [qid, cid], "left_anti")
+        pair = rem.join(
+            sel.select(qid, F.col("__v").alias("__sv")), qid
+        )
+        ms = (
+            pair.groupBy(qid, cid)
+            .agg(
+                F.max(
+                    to_i(F.round(
+                        cosine_fast_expr(F.col("__v"), F.col("__sv")), round_to
+                    ))
+                ).alias("__msi")
+            )
+        )
+        scored = rem.join(ms, [qid, cid]).withColumn(
+            "__scorei",
+            F.lit(lam_i) * F.col("__reli")
+            - F.lit(1000 - lam_i) * F.col("__msi"),
+        )
+        wr = Window.partitionBy(qid).orderBy(F.desc("__scorei"), F.asc(cid))
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(wr))
+            .where(F.col("__rn") == 1)
+            .select(
+                qid, cid, "__reli", "__v",
+                F.lit(r).alias("mmr_rank"),
+                (F.col("__scorei").cast("double") / F.lit(scale * 1000.0))
+                .alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(qid, F.col(cid), "mmr_rank", "mmr_score")

@@ -3985,6 +3985,174 @@ FROM (
 ORACLE_GEO_TRANSFORM_CYL = _cyl_oracle_sql()
 
 
+def sim_mmr_rerank(spark, sf_dir):
+    """MMR diversity reranking (Carbonell & Goldstein 1998) of the
+    brute-force retrieval's top-8 candidates: greedy 3-pick with
+    lambda = 0.7, scores and pairwise cosines rounded to 8dp with id
+    tie-breaks so the greedy argmax is engine-independent. The DuckDB
+    oracle unrolls the same 3 rounds as CTEs — rows, schema, and values
+    all strict."""
+    from .datapipe import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    c = e.where(F.col("vec_id") >= 8)
+    topk = similarity.cosine_topk(q, c, k=8)
+    cands = topk.join(
+        c.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("vec")),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"), "vec")
+    out = similarity.mmr_rerank(cands, k=3, lam=0.7)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"), "mmr_score",
+    )
+
+
+def _mmr_oracle_sql() -> str:
+    """The same greedy MMR unroll (fetch=8, k=3, lambda=0.7) as CTE
+    rounds; cosines via the in-order fold mirror, the MMR combination in
+    the same exact integer units as similarity.mmr_rerank (1e-8 score
+    ticks, lambda in thousandths) so no float rounding tie can differ."""
+    rel = _inorder_cosine_sql("qv", "cv")
+    pair = _inorder_cosine_sql("r.cv", "s.cv")
+
+    def pick(r, rem, sel):
+        return f"""
+ms{r} AS (
+  SELECT r.query_id, r.neighbor_id,
+         max(CAST(round(round({pair}, 8) * 1e8) AS BIGINT)) AS msi
+  FROM {rem} r JOIN {sel} s ON r.query_id = s.query_id
+  GROUP BY r.query_id, r.neighbor_id
+), pick{r} AS (
+  SELECT query_id, neighbor_id, reli, cv, {r} AS mmr_rank,
+         CAST(scorei AS DOUBLE) / 1e11 AS mmr_score
+  FROM (
+    SELECT r.query_id, r.neighbor_id, r.reli, r.cv,
+           700 * r.reli - 300 * m.msi AS scorei
+    FROM {rem} r JOIN ms{r} m
+      ON r.query_id = m.query_id AND r.neighbor_id = m.neighbor_id
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY scorei DESC, neighbor_id
+  ) = 1
+)"""
+
+    def anti(rem, src, sel):
+        return f"""
+{rem} AS (
+  SELECT c.* FROM {src} c LEFT JOIN {sel} s
+    ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id
+  WHERE s.neighbor_id IS NULL
+)"""
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 8
+), scored AS (
+  SELECT query_id, neighbor_id, {rel} AS rel8,
+         CAST(round({rel} * 1e8) AS BIGINT) AS reli, cv
+  FROM q CROSS JOIN c
+), cand AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY reli DESC, neighbor_id
+  ) <= 8
+), sel1 AS (
+  SELECT query_id, neighbor_id, reli, cv, 1 AS mmr_rank, rel8 AS mmr_score
+  FROM cand
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY reli DESC, neighbor_id
+  ) = 1
+), {anti('rem2', 'cand', 'sel1')}, {pick(2, 'rem2', 'sel1')},
+sel12 AS (
+  SELECT * FROM sel1 UNION ALL SELECT * FROM pick2
+), {anti('rem3', 'cand', 'sel12')}, {pick(3, 'rem3', 'sel12')}
+SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank, mmr_score
+FROM (
+  SELECT * FROM sel12 UNION ALL SELECT * FROM pick3
+)
+"""
+
+
+ORACLE_SIM_MMR = _mmr_oracle_sql()
+
+
+def pipe_mixture_plan(spark, sf_dir):
+    """Domain-mixture planning (Pile/LLaMA-style data mixing): documents
+    bucketed into four synthetic domains, target weights
+    web .5 / books .2 / code .2 / wiki .1 against a 500k-token budget,
+    epochs capped at 4; per-document copy counts drawn with the
+    deterministic md5 uniform. Aggregated per domain: document count,
+    planned epochs, total copies, realized token count — all exactly
+    mirrored in SQL."""
+    from .datapipe import sampling, text
+
+    d = _t(spark, sf_dir, "documents")
+    dom = (
+        F.when(F.col("doc_id") % 4 == 0, "web")
+        .when(F.col("doc_id") % 4 == 1, "books")
+        .when(F.col("doc_id") % 4 == 2, "code")
+        .otherwise("wiki")
+    )
+    toks = d.select(
+        "doc_id", dom.alias("domain"),
+        text.token_count("text").cast("long").alias("n_tok"),
+    )
+    planned = sampling.mixture_plan(
+        toks,
+        "domain",
+        weights={"web": 0.5, "books": 0.2, "code": 0.2, "wiki": 0.1},
+        budget_tokens=500_000,
+        token_count_col="n_tok",
+        key="doc_id",
+        max_repeat=4.0,
+    )
+    return planned.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("epochs").alias("epochs"),
+        F.sum("n_copies").alias("n_copies_total"),
+        F.sum(F.col("n_copies") * F.col("n_tok")).alias("realized_tokens"),
+    )
+
+
+ORACLE_PIPE_MIXTURE = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+              WHEN 2 THEN 'code' ELSE 'wiki' END AS domain,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), avail AS (
+  SELECT domain, SUM(n_tok) AS avail FROM toks GROUP BY domain
+), plan AS (
+  SELECT domain,
+         round(least(
+           CASE domain WHEN 'web' THEN CAST(0.5 AS DOUBLE)
+                WHEN 'books' THEN CAST(0.2 AS DOUBLE)
+                WHEN 'code' THEN CAST(0.2 AS DOUBLE)
+                ELSE CAST(0.1 AS DOUBLE) END
+           * CAST(500000.0 AS DOUBLE) / CAST(avail AS DOUBLE),
+           CAST(4.0 AS DOUBLE)), 8) AS epochs
+  FROM avail
+), perdoc AS (
+  SELECT t.doc_id, t.domain, t.n_tok, p.epochs,
+         CAST(floor(p.epochs) AS BIGINT)
+         + CASE WHEN CAST(concat('0x', substr(md5(concat('mix:', CAST(t.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0
+                     < round(p.epochs - floor(p.epochs), 8)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM toks t JOIN plan p USING (domain)
+)
+SELECT domain, COUNT(*) AS n_docs, MIN(epochs) AS epochs,
+       SUM(n_copies) AS n_copies_total,
+       SUM(n_copies * n_tok) AS realized_tokens
+FROM perdoc GROUP BY domain
+"""
+
+
 def geo_zorder(spark, sf_dir):
     """Space-filling-curve keys (functions/curves.py): level-16 Morton
     (Z-order) and Hilbert keys of customer points, computed entirely as
@@ -6733,6 +6901,8 @@ QUERIES = {
     "geo_transform_laea": (geo_transform_laea, ORACLE_GEO_TRANSFORM_LAEA),
     "geo_transform_tmerc": (geo_transform_tmerc, ORACLE_GEO_TRANSFORM_TMERC),
     "geo_transform_cyl": (geo_transform_cyl, ORACLE_GEO_TRANSFORM_CYL),
+    "sim_mmr_rerank": (sim_mmr_rerank, ORACLE_SIM_MMR),
+    "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE),
     "geo_zorder": (geo_zorder, ORACLE_GEO_ZORDER),
     "geo_knn_join": (geo_knn_join, ORACLE_GEO_KNN),
     "geo_dbscan": (geo_dbscan, ORACLE_GEO_DBSCAN),

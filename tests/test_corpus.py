@@ -589,3 +589,65 @@ def test_kmv_prefilter_flags_underflow_groups(spark):
     out2 = kmv_distinct(df_small, "user_id", ["grp"], k=16).collect()[0]
     assert "est_is_exact" not in out2.asDict()
     assert out2["est_distinct"] == 10.0
+
+
+def test_mmr_rerank_diversity_and_greedy_semantics(spark):
+    """MMR on a crafted candidate set: rank 1 is the plain top-relevance
+    pick; a near-duplicate of the first pick (higher relevance than a
+    diverse alternative) is demoted by the similarity penalty; picks are
+    distinct per query."""
+    from geoarrow_rs_spark.datapipe.similarity import mmr_rerank
+
+    # query 1: cand 10 most relevant; cand 11 is (almost) the same vector
+    # (sim ~1) with the next-best relevance; cand 12 is orthogonal to 10
+    # with slightly lower relevance than 11 -> plain ranking picks 11
+    # second, MMR must pick 12 second.
+    rows = [
+        Row(query_id=1, neighbor_id=10, rel=0.95, vec=[1.0, 0.0, 0.0]),
+        Row(query_id=1, neighbor_id=11, rel=0.94, vec=[0.999, 0.04471, 0.0]),
+        Row(query_id=1, neighbor_id=12, rel=0.80, vec=[0.0, 1.0, 0.0]),
+        Row(query_id=1, neighbor_id=13, rel=0.10, vec=[0.0, 0.0, 1.0]),
+        Row(query_id=2, neighbor_id=20, rel=0.50, vec=[1.0, 0.0, 0.0]),
+        Row(query_id=2, neighbor_id=21, rel=0.40, vec=[0.0, 1.0, 0.0]),
+        Row(query_id=2, neighbor_id=22, rel=0.30, vec=[0.0, 0.0, 1.0]),
+    ]
+    cands = spark.createDataFrame(rows)
+    out = mmr_rerank(cands, k=3, lam=0.7).collect()
+    got = {(r["query_id"], r["mmr_rank"]): r["neighbor_id"] for r in out}
+    assert got[(1, 1)] == 10
+    assert got[(1, 2)] == 12  # diversity beats the near-duplicate
+    assert got[(1, 3)] == 11
+    assert got[(2, 1)] == 20 and got[(2, 2)] == 21 and got[(2, 3)] == 22
+    # distinct picks per query, k each
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == 3 and len(set(v)) == 3 for v in per_q.values())
+
+
+def test_mixture_plan_caps_and_copy_counts(spark):
+    """mixture_plan: epochs = min(weight*budget/avail, cap); n_copies is
+    floor(epochs) or floor+1 only; a domain with weight 0 gets 0 copies;
+    an over-weighted tiny domain hits the repeat cap exactly."""
+    from geoarrow_rs_spark.datapipe.sampling import mixture_plan
+
+    rows = (
+        [Row(doc_id=i, domain="big", n_tok=100) for i in range(50)]
+        + [Row(doc_id=100 + i, domain="tiny", n_tok=10) for i in range(5)]
+        + [Row(doc_id=200 + i, domain="junk", n_tok=100) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows)
+    out = mixture_plan(
+        df, "domain", weights={"big": 0.5, "tiny": 0.5},
+        budget_tokens=10_000, token_count_col="n_tok",
+        key="doc_id", max_repeat=4.0,
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    # big: 0.5*10000/5000 = 1.0 epoch -> every doc exactly once
+    assert all(r["epochs"] == 1.0 and r["n_copies"] == 1 for r in by_dom["big"])
+    # tiny: 0.5*10000/50 = 100 -> capped at 4.0, deterministic 4 copies
+    assert all(r["epochs"] == 4.0 and r["n_copies"] == 4 for r in by_dom["tiny"])
+    # junk: no weight -> 0 epochs, 0 copies
+    assert all(r["epochs"] == 0.0 and r["n_copies"] == 0 for r in by_dom["junk"])
