@@ -223,3 +223,87 @@ def mixture_plan(
     return joined.withColumn(
         "n_copies", (full + F.when(u < frac, 1).otherwise(0).cast("long"))
     ).drop("__avail")
+
+
+def budget_fill(
+    df: DataFrame,
+    domain_col: str,
+    token_count_col,
+    score_col,
+    budget_tokens: int,
+    n_buckets: int = 1000,
+    key: str = "doc_id",
+    salt: str = "fill",
+) -> DataFrame:
+    """Quality-first budget fill (FineWeb-style curation): per domain,
+    select the highest-scoring documents until ``budget_tokens`` is
+    reached — WITHOUT a per-domain global sort. A per-domain sort/window
+    would funnel each domain through one reducer (a 100 TB domain through
+    one task); instead the selection threshold comes from a score
+    HISTOGRAM:
+
+    1. bucket = floor(score * n_buckets) (scores in [0, 1]);
+    2. per-(domain, bucket) token totals — one small shuffle, constant
+       state per group;
+    3. a window over the TINY histogram (domains x n_buckets rows) finds
+       the threshold bucket where the best-first cumulative token count
+       crosses the budget;
+    4. documents strictly above the threshold bucket are selected; inside
+       the threshold bucket a deterministic md5-uniform admits the
+       fraction needed to fill the remainder in expectation.
+
+    Everything after step 2 operates on the histogram, and the per-doc
+    decision is a stateless expression over a broadcast plan — so the
+    corpus is scanned twice and shuffled never.
+
+    Output: input rows plus ``bucket``, ``selected``; domains whose total
+    tokens fit the budget select everything.
+    """
+    tok = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    b = F.least(
+        F.floor(score * F.lit(float(n_buckets))).cast("long"),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    rows = df.withColumn("bucket", b).withColumn("__tok", tok.cast("long"))
+    hist = rows.groupBy(domain_col, "bucket").agg(
+        F.sum("__tok").alias("__btok")
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__btok").over(w))
+    hit = cum.where(F.col("__cum") >= F.lit(int(budget_tokens)))
+    thresh = hit.groupBy(domain_col).agg(F.max("bucket").alias("__tb"))
+    plan = (
+        thresh.join(
+            cum.select(domain_col, F.col("bucket").alias("__tb"),
+                       "__btok", "__cum"),
+            [domain_col, "__tb"],
+        )
+        .select(
+            domain_col,
+            "__tb",
+            F.round(
+                (F.lit(float(budget_tokens))
+                 - (F.col("__cum") - F.col("__btok")).cast("double"))
+                / F.col("__btok").cast("double"),
+                8,
+            ).alias("__rate"),
+        )
+    )
+    joined = rows.join(F.broadcast(plan), domain_col, "left")
+    u = hash_uniform(key, salt)
+    selected = F.when(F.col("__tb").isNull(), F.lit(True)).otherwise(
+        (F.col("bucket") > F.col("__tb"))
+        | ((F.col("bucket") == F.col("__tb")) & (u < F.col("__rate")))
+    )
+    return joined.withColumn("selected", selected).drop(
+        "__tok", "__tb", "__rate"
+    )

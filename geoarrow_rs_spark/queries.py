@@ -4119,7 +4119,102 @@ def pipe_mixture_plan(spark, sf_dir):
     )
 
 
-ORACLE_PIPE_MIXTURE = """
+def pipe_budget_fill(spark, sf_dir):
+    """Quality-first budget fill (FineWeb-style curation) without a
+    per-domain sort: score-histogram threshold + deterministic fractional
+    admission inside the threshold bucket (sampling.budget_fill). Four
+    synthetic domains, 60k-token budget each, 1000 score buckets.
+    Aggregated per domain; the DuckDB oracle replays the identical
+    histogram/window/threshold arithmetic."""
+    from .datapipe import sampling, text
+
+    d = _t(spark, sf_dir, "documents")
+    dom = (
+        F.when(F.col("doc_id") % 4 == 0, "web")
+        .when(F.col("doc_id") % 4 == 1, "books")
+        .when(F.col("doc_id") % 4 == 2, "code")
+        .otherwise("wiki")
+    )
+    toks = d.select(
+        "doc_id", dom.alias("domain"),
+        text.token_count("text").cast("long").alias("n_tok"),
+        F.round(text.quality_score("text"), 6).alias("q"),
+    )
+    out = sampling.budget_fill(
+        toks, "domain", "n_tok", "q",
+        budget_tokens=60_000, n_buckets=1000, key="doc_id",
+    )
+    return out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("selected").cast("long")).alias("n_selected"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum(F.when(F.col("selected"), F.col("n_tok")).otherwise(0)).alias(
+            "tokens_selected"
+        ),
+    )
+
+
+_Q6_SQL = """round(LEAST(GREATEST(
+         (CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END) * 0.6
+         + (1.0 - (CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END)) * 0.2
+         + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) > 0
+               THEN CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), x -> length(x))) AS DOUBLE)
+                    / CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)
+               ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         , 0.0), 1.0), 6)"""
+
+
+ORACLE_PIPE_BUDGET_FILL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+              WHEN 2 THEN 'code' ELSE 'wiki' END AS domain,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+         {_Q6_SQL} AS q
+  FROM documents
+), rows_b AS (
+  SELECT doc_id, domain, n_tok,
+         LEAST(CAST(floor(q * 1000.0) AS BIGINT), 999) AS bucket
+  FROM toks
+), hist AS (
+  SELECT domain, bucket, SUM(n_tok) AS btok
+  FROM rows_b GROUP BY domain, bucket
+), cum AS (
+  SELECT domain, bucket, btok,
+         SUM(btok) OVER (PARTITION BY domain ORDER BY bucket DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM hist
+), plan AS (
+  SELECT cum.domain, cum.bucket AS tb,
+         round((CAST(60000.0 AS DOUBLE) - CAST(c - btok AS DOUBLE))
+               / CAST(btok AS DOUBLE), 8) AS rate
+  FROM cum
+  JOIN (SELECT domain, MAX(bucket) AS tb FROM cum WHERE c >= 60000
+        GROUP BY domain) t
+    ON cum.domain = t.domain AND cum.bucket = t.tb
+), perdoc AS (
+  SELECT r.domain, r.n_tok,
+         CASE WHEN p.tb IS NULL THEN TRUE
+              WHEN r.bucket > p.tb THEN TRUE
+              WHEN r.bucket = p.tb
+                   AND CAST(concat('0x', substr(md5(concat('fill:', CAST(r.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < p.rate
+                   THEN TRUE
+              ELSE FALSE END AS selected
+  FROM rows_b r LEFT JOIN plan p ON r.domain = p.domain
+)
+SELECT domain, COUNT(*) AS n_docs,
+       SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS n_selected,
+       SUM(n_tok) AS tokens_total,
+       SUM(CASE WHEN selected THEN n_tok ELSE 0 END) AS tokens_selected
+FROM perdoc GROUP BY domain
+"""
+
+
+ORACLE_PIPE_MIXTURE_PLAN = """
 WITH toks AS (
   SELECT doc_id,
          CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'books'
@@ -6902,7 +6997,8 @@ QUERIES = {
     "geo_transform_tmerc": (geo_transform_tmerc, ORACLE_GEO_TRANSFORM_TMERC),
     "geo_transform_cyl": (geo_transform_cyl, ORACLE_GEO_TRANSFORM_CYL),
     "sim_mmr_rerank": (sim_mmr_rerank, ORACLE_SIM_MMR),
-    "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE),
+    "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE_PLAN),
+    "pipe_budget_fill": (pipe_budget_fill, ORACLE_PIPE_BUDGET_FILL),
     "geo_zorder": (geo_zorder, ORACLE_GEO_ZORDER),
     "geo_knn_join": (geo_knn_join, ORACLE_GEO_KNN),
     "geo_dbscan": (geo_dbscan, ORACLE_GEO_DBSCAN),

@@ -651,3 +651,35 @@ def test_mixture_plan_caps_and_copy_counts(spark):
     assert all(r["epochs"] == 4.0 and r["n_copies"] == 4 for r in by_dom["tiny"])
     # junk: no weight -> 0 epochs, 0 copies
     assert all(r["epochs"] == 0.0 and r["n_copies"] == 0 for r in by_dom["junk"])
+
+
+def test_budget_fill_threshold_semantics(spark):
+    """budget_fill: strictly-better buckets fully selected, worse buckets
+    fully rejected, under-budget domains select everything, and selected
+    token mass lands within the threshold bucket of the budget."""
+    from geoarrow_rs_spark.datapipe.sampling import budget_fill
+
+    rows = []
+    # domain 'a': 10 docs of quality 0.9 (100 tok each), 10 of 0.5, 10 of 0.1
+    for i in range(10):
+        rows.append(Row(doc_id=i, domain="a", n_tok=100, q=0.9))
+        rows.append(Row(doc_id=100 + i, domain="a", n_tok=100, q=0.5))
+        rows.append(Row(doc_id=200 + i, domain="a", n_tok=100, q=0.1))
+    # domain 'b': tiny, fits any budget
+    rows.append(Row(doc_id=300, domain="b", n_tok=5, q=0.3))
+    df = spark.createDataFrame(rows)
+    out = budget_fill(
+        df, "domain", "n_tok", "q", budget_tokens=1500, n_buckets=1000,
+        key="doc_id",
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["domain"], r["q"]), []).append(r["selected"])
+    assert all(by[("a", 0.9)])           # above threshold: all in
+    assert not any(by[("a", 0.1)])       # below threshold: all out
+    n_mid = sum(by[("a", 0.5)])          # threshold bucket: fractional
+    assert 0 <= n_mid <= 10
+    assert all(by[("b", 0.3)])           # under-budget domain: everything
+    # selected token mass is within one threshold-bucket granule of budget
+    tok_sel = 10 * 100 + n_mid * 100
+    assert 1000 <= tok_sel <= 2000
