@@ -976,6 +976,60 @@ def load_pq_codebooks(spark, path: str) -> list:
     )
 
 
+LOCAL_MMR_DISABLED = _os.environ.get("SPARK_GRAFT_DISABLE_LOCAL_MMR", "") == "1"
+_MMR_LOCAL_MAX_ROWS = 100_000  # ~60 MB of (ids, rel, 64-dim vec) rows
+
+
+def _round_half_up(x: float, exp: str) -> float:
+    """Replica of Spark ``round(double, n)``: BigDecimal.valueOf (shortest
+    decimal repr) then setScale(n, HALF_UP)."""
+    return float(_Dec(repr(float(x))).quantize(_Dec(exp), rounding=_HALF_UP))
+
+
+def _mmr_local(rows, k, lam_i, scale, round_exp):
+    """Driver-local replica of the unrolled greedy rounds — the same
+    in-order IEEE cosine fold, the same HALF_UP rounding composition, the
+    same integer score arithmetic and (score desc, cand id asc)
+    tie-breaks, so output is bit-identical to the distributed plan
+    (equality-tested). rows: (qid, cid, rel8, reli, vec)."""
+    import math
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos_i(a, b):
+        den = math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+        c = fold_dot(a, b) / den if den > 0 else 0.0
+        return int(round(_round_half_up(c, round_exp) * scale))
+
+    byq = {}
+    for r in rows:
+        byq.setdefault(r[0], []).append(r)
+    out = []
+    for qid in byq:
+        cands = byq[qid]
+        first = min(cands, key=lambda c: (-c[3], c[1]))
+        sel = [first]
+        out.append((qid, first[1], 1, float(first[2])))
+        for rank in range(2, k + 1):
+            rem = [c for c in cands if all(c[1] != s[1] for s in sel)]
+            if not rem:
+                break
+            best = None
+            for c in rem:
+                msi = max(cos_i(c[4], s[4]) for s in sel)
+                scorei = lam_i * c[3] - (1000 - lam_i) * msi
+                key = (-scorei, c[1])
+                if best is None or key < best[1]:
+                    best = (c, key, scorei)
+            out.append((qid, best[0][1], rank, best[2] / (scale * 1000.0)))
+            sel.append(best[0])
+    return out
+
+
 def mmr_rerank(
     cands: DataFrame,
     k: int = 3,
@@ -1021,6 +1075,44 @@ def mmr_rerank(
     base = cands.select(
         qid, cid, rel8, F.col(vec_col).alias("__v")
     ).withColumn("__reli", to_i(F.col("__rel8")))
+
+    # Driver-local fast path (same design rules as the k-means/PQ/CC local
+    # paths, SCALE.md): the candidate table is |queries| x fetch rows by
+    # construction, and the unrolled plan pays k rounds of driver-
+    # synchronous stages for kilobyte-scale state. Gate = a bounded
+    # limit(cap + 1) probe — the Catalyst size estimate is useless here
+    # (a post-window cross-join lineage estimates at petabytes), and the
+    # probe's cost is bounded by the cap even on huge inputs. Kill switch
+    # SPARK_GRAFT_DISABLE_LOCAL_MMR=1; output bit-identical to the
+    # distributed plan (equality-tested).
+    if not LOCAL_MMR_DISABLED and not cands.isStreaming:
+        probe = base.select(qid, cid, "__rel8", "__reli", "__v").limit(
+            _MMR_LOCAL_MAX_ROWS + 1
+        ).collect()
+        if len(probe) <= _MMR_LOCAL_MAX_ROWS:
+            rows = [
+                (r[0], r[1], r[2], r[3], [float(x) for x in r[4]])
+                for r in probe
+            ]
+            out = _mmr_local(rows, k, lam_i, scale, f"1E-{round_to}")
+            from pyspark.sql import types as T
+
+            in_schema = {f.name: f.dataType for f in base.schema.fields}
+            schema = T.StructType([
+                T.StructField(qid, in_schema[qid]),
+                T.StructField(cid, in_schema[cid]),
+                T.StructField("mmr_rank", T.IntegerType(), False),
+                T.StructField("mmr_score", T.DoubleType(), True),
+            ])
+            spark = cands.sparkSession
+            return spark.createDataFrame(
+                [(o[0], o[1], o[2], o[3]) for o in out], schema
+            )
+
+    # every greedy round references the candidate table 2-3 times; without
+    # this the upstream RETRIEVAL lineage would re-execute per reference.
+    # The table is small by construction — always cheap to hold.
+    base = base.cache()
     w1 = Window.partitionBy(qid).orderBy(F.desc("__reli"), F.asc(cid))
     sel = (
         base.withColumn("__rn", F.row_number().over(w1))

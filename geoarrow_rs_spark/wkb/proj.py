@@ -942,17 +942,30 @@ def transform_xy(x, y, src_epsg, dst_epsg):
 def parse_crs(crs) -> int:
     """EPSG code from any of the reference's CRS variants (crs.rs:36-140):
     an int SRID, 'EPSG:4326' / '4326' strings, a PROJJSON dict (or its
-    JSON string) carrying an EPSG id, or a WKT2 string ending in an
-    ID["EPSG", n] node."""
+    JSON string) carrying an EPSG or OGC id, a WKT2 string ending in an
+    ID["EPSG", n] node, an OGC URN ('urn:ogc:def:crs:EPSG::4326'), or
+    'OGC:CRS84' (the GeoParquet default CRS — WGS84 lon-lat, which is
+    exactly this engine's axis convention, so it resolves to 4326)."""
     if isinstance(crs, (int, np.integer)):
         return int(crs)
     if isinstance(crs, dict):
         ident = crs.get("id") or {}
-        if str(ident.get("authority", "")).upper() == "EPSG":
+        auth = str(ident.get("authority", "")).upper()
+        if auth == "EPSG":
             return int(ident["code"])
+        if auth == "OGC" and str(ident.get("code", "")).upper() in (
+            "CRS84", "84"
+        ):
+            return 4326
         raise ValueError(f"PROJJSON without an EPSG id: {crs.get('name', crs)!r}")
     s = str(crs).strip()
     low = s.lower()
+    if low in ("ogc:crs84", "crs84", "urn:ogc:def:crs:ogc:1.3:crs84",
+               "urn:ogc:def:crs:ogc::crs84"):
+        return 4326
+    if low.startswith("urn:ogc:def:crs:epsg:"):
+        # urn:ogc:def:crs:EPSG::4326 (the version field may be present)
+        return int(s.rsplit(":", 1)[1])
     if low.startswith("epsg:") or low.startswith("esri:"):
         # ESRI: for the 54xxx world-projection series (e.g. ESRI:54009
         # Mollweide); the numeric namespaces don't collide

@@ -659,3 +659,17 @@ def test_cylindrical_world_projections():
         bx, by = P.transform_xy(np.array([2.0]), np.array([48.0]), 4326, 3395)
         assert ax[0] == bx[0] and ay[0] == by[0]
     assert P.parse_crs("ESRI:54009") == 54009
+
+
+def test_parse_crs_ogc_variants():
+    """OGC:CRS84 (the GeoParquet default CRS) and OGC URNs resolve: CRS84
+    is WGS84 lon-lat — this engine's axis convention — so it maps to 4326;
+    EPSG URNs with or without a version field parse."""
+    from geoarrow_rs_spark.wkb import proj as P
+
+    assert P.parse_crs("OGC:CRS84") == 4326
+    assert P.parse_crs("CRS84") == 4326
+    assert P.parse_crs("urn:ogc:def:crs:OGC:1.3:CRS84") == 4326
+    assert P.parse_crs("urn:ogc:def:crs:EPSG::4326") == 4326
+    assert P.parse_crs("urn:ogc:def:crs:EPSG:9.9.1:27700") == 27700
+    assert P.parse_crs({"id": {"authority": "OGC", "code": "CRS84"}}) == 4326

@@ -504,3 +504,52 @@ def test_window_analytics_single_exchange(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         n = plan.count("Exchange hashpartitioning")
         assert n <= max_ex, (fn.__name__, n, max_ex)
+
+
+def test_mmr_and_mixture_and_budget_fill_plans(spark, sf_dir):
+    """Round-4 pipeline operators stay native and scale-shaped:
+    mmr_rerank plans no Python eval and no CartesianProduct (its joins
+    are all query-key equi-joins); mixture_plan and budget_fill broadcast
+    their tiny plan tables and never shuffle document text (no
+    ArrowEvalPython, no cartesian, and the only exchanges key on
+    domain/bucket)."""
+    from geoarrow_rs_spark.datapipe.sampling import budget_fill, mixture_plan
+    from geoarrow_rs_spark.datapipe.similarity import cosine_topk, mmr_rerank
+    from geoarrow_rs_spark.datapipe.text import quality_score, token_count
+
+    import geoarrow_rs_spark.datapipe.similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 4)
+    c = e.where(F.col("vec_id") >= 4)
+    topk = cosine_topk(q, c, k=4)
+    cands = topk.join(
+        c.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("vec")),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"), "vec")
+    # assert the DISTRIBUTED plan (the local fast path would show only a
+    # LocalTableScan)
+    saved = S.LOCAL_MMR_DISABLED
+    S.LOCAL_MMR_DISABLED = True
+    try:
+        plan = _plan(mmr_rerank(cands, k=3, lam=0.7))
+    finally:
+        S.LOCAL_MMR_DISABLED = saved
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("domain"),
+        token_count("text").cast("long").alias("n_tok"),
+        F.round(quality_score("text"), 6).alias("q"),
+    )
+    mp = mixture_plan(toks, "domain", {"a": 0.6, "b": 0.4}, 10_000, "n_tok")
+    bf = budget_fill(toks, "domain", "n_tok", "q", budget_tokens=5_000)
+    for df in (mp, bf):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan  # the tiny plan table broadcasts
