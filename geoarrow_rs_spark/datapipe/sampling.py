@@ -216,7 +216,12 @@ def mixture_plan(
             8,
         ).alias("epochs"),
     )
-    joined = df.join(F.broadcast(plan), domain_col)
+    # left join + coalesce: rows whose domain is NULL (the equi-join never
+    # matches NULL = NULL) keep flowing with 0 epochs / 0 copies instead
+    # of silently vanishing — consistent with budget_fill's left join
+    joined = df.join(F.broadcast(plan), domain_col, "left").withColumn(
+        "epochs", F.coalesce(F.col("epochs"), F.lit(0.0))
+    )
     full = F.floor(F.col("epochs")).cast("long")
     frac = F.round(F.col("epochs") - full.cast("double"), 8)
     u = hash_uniform(key, salt)

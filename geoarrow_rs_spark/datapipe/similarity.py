@@ -1000,10 +1000,24 @@ def _mmr_local(rows, k, lam_i, scale, round_exp):
             acc += x * y
         return acc
 
-    def cos_i(a, b):
-        den = math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
-        c = fold_dot(a, b) / den if den > 0 else 0.0
-        return int(round(_round_half_up(c, round_exp) * scale))
+    # per-row norms computed once (they never change); the pairwise cosine
+    # reuses them with the same expression order as cosine_fast_expr.
+    # Keyed by row identity, not candidate id — the same neighbor id under
+    # a different query is a different row object.
+    norms = {}
+
+    def norm(c):
+        key = id(c)
+        n = norms.get(key)
+        if n is None:
+            n = math.sqrt(fold_dot(c[4], c[4]))
+            norms[key] = n
+        return n
+
+    def cos_i(c, s):
+        den = norm(c) * norm(s)
+        v = fold_dot(c[4], s[4]) / den if den > 0 else 0.0
+        return int(round(_round_half_up(v, round_exp) * scale))
 
     byq = {}
     for r in rows:
@@ -1012,21 +1026,32 @@ def _mmr_local(rows, k, lam_i, scale, round_exp):
     for qid in byq:
         cands = byq[qid]
         first = min(cands, key=lambda c: (-c[3], c[1]))
-        sel = [first]
+        sel_ids = {first[1]}
+        newest = first
         out.append((qid, first[1], 1, float(first[2])))
+        # running max-sim per candidate: round r only folds in the newest
+        # pick (max is associative — identical to the full max the
+        # distributed groupBy computes)
+        maxsim = {}
         for rank in range(2, k + 1):
-            rem = [c for c in cands if all(c[1] != s[1] for s in sel)]
+            rem = [c for c in cands if c[1] not in sel_ids]
             if not rem:
                 break
             best = None
             for c in rem:
-                msi = max(cos_i(c[4], s[4]) for s in sel)
+                msi = cos_i(c, newest)
+                prev = maxsim.get(c[1])
+                if prev is None or msi > prev:
+                    maxsim[c[1]] = msi
+                else:
+                    msi = prev
                 scorei = lam_i * c[3] - (1000 - lam_i) * msi
                 key = (-scorei, c[1])
                 if best is None or key < best[1]:
                     best = (c, key, scorei)
             out.append((qid, best[0][1], rank, best[2] / (scale * 1000.0)))
-            sel.append(best[0])
+            sel_ids.add(best[0][1])
+            newest = best[0]
     return out
 
 
@@ -1111,8 +1136,11 @@ def mmr_rerank(
 
     # every greedy round references the candidate table 2-3 times; without
     # this the upstream RETRIEVAL lineage would re-execute per reference.
-    # The table is small by construction — always cheap to hold.
-    base = base.cache()
+    # localCheckpoint (not cache) so the materialized blocks are released
+    # by the ContextCleaner when the result is dereferenced — cache()
+    # would pin them in executor storage for the session's lifetime with
+    # no safe point to unpersist.
+    base = base.localCheckpoint(eager=False)
     w1 = Window.partitionBy(qid).orderBy(F.desc("__reli"), F.asc(cid))
     sel = (
         base.withColumn("__rn", F.row_number().over(w1))

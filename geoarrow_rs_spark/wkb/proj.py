@@ -565,12 +565,17 @@ def laea_inverse(x, y, epsg, iters=12):
     lam = np.arctan2(xp * sc, D * rho * cb0 * cc - D * D * yp * sb0 * sc)
     lam = np.where(rho == 0.0, 0.0, lam)
     phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    # same pole guard as the cylindrical equal-area inverse: the
+    # 1/(2 cos phi) factor diverges at |phi| = pi/2
+    at_pole = np.abs(q) >= qp * (1.0 - 1e-14)
     for _ in range(iters):
         s = np.sin(phi)
         one = 1 - e2 * s * s
         phi = phi + one * one / (2 * np.cos(phi)) * (
             q / (1 - e2) - s / one + np.log((1 - e * s) / (1 + e * s)) / (2 * e)
         )
+    phi = np.where(at_pole, np.copysign(np.pi / 2, q), phi)
+    phi = np.clip(phi, -np.pi / 2, np.pi / 2)
     return np.degrees(lam) + p["lon0"], np.degrees(phi)
 
 
@@ -719,7 +724,12 @@ CYL = {
                            lon0=0.0, fe=0.0, fn=0.0)),
 }
 
-_MERC_LAT_CLIP = 89.9999999  # same pole guard as webmercator_forward
+# Pole guard for the ellipsoidal (arctanh) Mercator form: must keep
+# sin(phi) strictly below 1.0 in double precision — webmercator's
+# 89.9999999 is NOT enough there (sin rounds to exactly 1.0 and
+# arctanh(1) = inf); at 89.99999 sin(phi) = 1 - 1.5e-14, comfortably
+# representable below 1, giving the large-finite y PROJ produces.
+_MERC_LAT_CLIP = 89.99999
 
 
 def cyl_forward(lon_deg, lat_deg, epsg):
@@ -781,6 +791,11 @@ def cyl_inverse(x, y, epsg, iters=12):
         else:
             e, e2 = p["e"], p["e2"]
             phi = np.arcsin(np.clip(q / p["qp"], -1.0, 1.0))  # authalic lat
+            # the Snyder iteration's 1/(2 cos(phi)) factor amplifies the
+            # ~1e-16 residual of the analytically-zero bracket into a
+            # wrong fixed point at the pole (latitudes PAST 90) — pole
+            # rows are answered directly, not iterated
+            at_pole = np.abs(q) >= p["qp"] * (1.0 - 1e-14)
             for _ in range(iters):
                 s = np.sin(phi)
                 one = 1 - e2 * s * s
@@ -788,6 +803,8 @@ def cyl_inverse(x, y, epsg, iters=12):
                     q / (1 - e2) - s / one
                     + np.log((1 - e * s) / (1 + e * s)) / (2 * e)
                 )
+            phi = np.where(at_pole, np.copysign(np.pi / 2, q), phi)
+            phi = np.clip(phi, -np.pi / 2, np.pi / 2)
     elif kind == "eqc":
         lam = xp / (a * k0)
         phi = _inv_rect_lat(yp / p["ell"]["a_rect"], p["ell"])
@@ -907,6 +924,16 @@ USE_PYPROJ = __import__("os").environ.get("SPARK_GRAFT_USE_PYPROJ", "") == "1"
 _PYPROJ_CACHE: dict = {}
 
 
+# codes this engine accepts that live in the ESRI registry, not EPSG —
+# the pyproj path must preserve the authority or Transformer.from_crs
+# raises CRSError on a nonexistent EPSG code
+_ESRI_CODES = frozenset({54009})
+
+
+def _crs_authority_string(code: int) -> str:
+    return f"ESRI:{code}" if code in _ESRI_CODES else f"EPSG:{code}"
+
+
 def _pyproj_transform(x, y, src_epsg, dst_epsg):
     """Vectorized pyproj transform, or None if pyproj is unavailable."""
     try:
@@ -917,7 +944,9 @@ def _pyproj_transform(x, y, src_epsg, dst_epsg):
     tr = _PYPROJ_CACHE.get(key)
     if tr is None:
         tr = Transformer.from_crs(
-            f"EPSG:{int(src_epsg)}", f"EPSG:{int(dst_epsg)}", always_xy=True
+            _crs_authority_string(int(src_epsg)),
+            _crs_authority_string(int(dst_epsg)),
+            always_xy=True,
         )
         _PYPROJ_CACHE[key] = tr
     tx, ty = tr.transform(

@@ -710,3 +710,18 @@ def test_mmr_local_path_equals_distributed(spark, sf_dir):
         S.LOCAL_MMR_DISABLED = saved
     assert sorted(map(tuple, local)) == sorted(map(tuple, dist))
     assert len(local) == 18  # 6 queries x 3 picks
+
+
+def test_mixture_plan_keeps_null_domain_rows(spark):
+    """Rows with a NULL domain survive mixture_plan (left join + coalesce)
+    with 0 epochs / 0 copies instead of silently vanishing."""
+    from geoarrow_rs_spark.datapipe.sampling import mixture_plan
+
+    rows = [Row(doc_id=1, domain="a", n_tok=100),
+            Row(doc_id=2, domain=None, n_tok=100)]
+    df = spark.createDataFrame(rows)
+    out = mixture_plan(df, "domain", {"a": 1.0}, 100, "n_tok").collect()
+    assert len(out) == 2
+    got = {r["doc_id"]: r for r in out}
+    assert got[1]["epochs"] == 1.0 and got[1]["n_copies"] == 1
+    assert got[2]["epochs"] == 0.0 and got[2]["n_copies"] == 0

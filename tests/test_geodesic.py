@@ -673,3 +673,31 @@ def test_parse_crs_ogc_variants():
     assert P.parse_crs("urn:ogc:def:crs:EPSG::4326") == 4326
     assert P.parse_crs("urn:ogc:def:crs:EPSG:9.9.1:27700") == 27700
     assert P.parse_crs({"id": {"authority": "OGC", "code": "CRS84"}}) == 4326
+
+
+def test_cylindrical_pole_edges():
+    """Pole edge cases (review findings): ellipsoidal Mercator stays
+    FINITE at |lat| = 90 (large clip value, not inf); the equal-area
+    inverses return latitudes within [-90, 90] and hit the pole exactly
+    from the pole's own forward image."""
+    import numpy as np
+
+    from geoarrow_rs_spark.wkb import proj as P
+
+    x, y = P.cyl_forward(np.array([10.0, -20.0]), np.array([90.0, -90.0]), 3395)
+    assert np.all(np.isfinite(y)) and y[0] > 1e7 and y[1] < -1e7
+
+    for code in (6933, 3410):
+        x, y = P.cyl_forward(np.array([10.0, 10.0]), np.array([90.0, -90.0]), code)
+        lo, la = P.cyl_inverse(x, y, code)
+        assert abs(la[0] - 90.0) < 1e-9 and abs(la[1] + 90.0) < 1e-9
+        # near-pole sweep never leaves the valid latitude range
+        lats = np.array([89.999999, 89.9999995, 89.99999999, 90.0])
+        _, yy = P.cyl_forward(np.full(4, 0.0), lats, code)
+        _, la2 = P.cyl_inverse(np.zeros(4), yy, code)
+        assert np.all(la2 <= 90.0) and np.all(la2 >= -90.0)
+
+    # LAEA gets the same guard
+    xs, ys = P.laea_forward(np.array([10.0]), np.array([90.0]), 3035)
+    _, la3 = P.laea_inverse(xs, ys, 3035)
+    assert abs(la3[0] - 90.0) < 1e-9
