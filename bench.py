@@ -42,6 +42,10 @@ HEADLINE = [
     "events_interval_join",
     "events_retention",
     "events_attribution",
+    # round-4 additions
+    "geo_transform_cyl",
+    "sim_mmr_rerank",
+    "pipe_budget_fill",
 ]
 
 
