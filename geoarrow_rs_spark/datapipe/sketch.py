@@ -126,3 +126,67 @@ def histogram_quantiles(
         round_to,
     )
     return first.select(*group_cols, "q", est.alias("est"))
+
+
+def _cms_bucket(token, j: int, width: int, salt: str):
+    """Row-j counter bucket for a token: 60-bit md5 hash mod width
+    (identical in Spark ``conv`` and DuckDB's 0x-cast)."""
+    t = F.col(token) if isinstance(token, str) else token
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}{j}:"), t)), 1, 15), 16, 10
+    ).cast("long")
+    return h % F.lit(int(width))
+
+
+def cms_build(
+    df: DataFrame,
+    token_col: str,
+    depth: int = 4,
+    width: int = 4096,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a token column:
+    a (row, bucket, cnt) counter table with at most depth * width rows.
+
+    Scale shape: one scan; the posexplode multiplies rows by ``depth``
+    BEFORE the shuffle, but map-side partial aggregation collapses each
+    partition's contribution to <= depth * width counters — so the
+    exchange moves bounded state regardless of corpus size or vocabulary,
+    which is the whole point vs an exact token groupBy. The finished
+    sketch is broadcastable and mergeable (counter-wise sum).
+    """
+    buckets = F.array(*[
+        _cms_bucket(token_col, j, width, salt) for j in range(depth)
+    ])
+    per = df.select(F.posexplode(buckets).alias("row", "bucket"))
+    return per.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    tokens: DataFrame,
+    token_col: str,
+    depth: int = 4,
+    width: int = 4096,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for each row of ``tokens``: the estimate is
+    min over the depth rows of the addressed counters (0 when a bucket
+    was never touched). CMS guarantees estimate >= true count, with the
+    overestimate bounded by the collision mass e*N/width w.h.p.
+
+    The sketch is broadcast (<= depth * width rows); the lookup is a
+    stateless bucket computation + equi-join — no corpus access at all.
+    """
+    buckets = F.array(*[
+        _cms_bucket(token_col, j, width, salt) for j in range(depth)
+    ])
+    addressed = tokens.select(
+        token_col, F.posexplode(buckets).alias("row", "bucket")
+    )
+    hit = addressed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return hit.groupBy(token_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count")
+    )

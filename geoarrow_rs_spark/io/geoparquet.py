@@ -380,11 +380,18 @@ def read_geoparquet(
     bbox=None,
     geometry_col: str = None,
     parse_to_native: bool = True,
+    limit: int = None,
+    offset: int = None,
 ):
     """Read GeoParquet; optional ``bbox=(xmin,ymin,xmax,ymax)`` filter uses the
     covering column when present (native predicate -> row-group pruning) and
     falls back to an on-the-fly ST_BBox prefilter otherwise (the reference's
-    native-encoding row-filter path, spatial_filter.rs:183-254)."""
+    native-encoding row-filter path, spatial_filter.rs:183-254).
+
+    ``limit``/``offset`` mirror ``GeoParquetFile.read(limit=, offset=)``
+    (_parquet.pyi:31-170): applied AFTER the bbox filter, in the scan's
+    file/row-group order — the same post-filter row-selection semantics
+    as the reference reader."""
     df = spark.read.parquet(path)
     meta = read_geo_metadata(path)
     gcol = geometry_col
@@ -426,6 +433,10 @@ def read_geoparquet(
             ).drop("__qb")
         else:
             raise ValueError("bbox filter requires a geometry or covering column")
+    if offset:
+        df = df.offset(int(offset))
+    if limit is not None:
+        df = df.limit(int(limit))
     return df
 
 

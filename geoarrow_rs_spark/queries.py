@@ -4119,6 +4119,69 @@ def pipe_mixture_plan(spark, sf_dir):
     )
 
 
+def text_heavy_hitters_cms(spark, sf_dir):
+    """Heavy-hitter token counts by count-min sketch (Cormode &
+    Muthukrishnan; sketch.cms_build/cms_estimate, depth 4 x width 4096)
+    next to the exact counts for the top-20 tokens. The sketch exchange
+    moves bounded state (<= depth*width counters) regardless of corpus or
+    vocabulary size — the 100 TB substitute for an exact token groupBy.
+    The md5 bucket addressing and counter minima replay exactly in SQL."""
+    from .datapipe import sketch
+    from .datapipe.corpus import words_of
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(words_of(F.col("text"))).alias("token"))
+    sk = sketch.cms_build(toks, "token", depth=4, width=4096)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        # distributed top-k (TakeOrderedAndProject: per-partition heads +
+        # a 20-row merge), never a single-partition global window
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(20)
+    )
+    est = sketch.cms_estimate(sk, top.select("token"), "token",
+                              depth=4, width=4096)
+    return top.join(est, "token").select("token", "exact_count", "cms_count")
+
+
+def _cms_oracle_sql() -> str:
+    def bucket(j, tok):
+        return (
+            f"CAST(concat('0x', substr(md5(concat('cms{j}:', {tok})), 1, 15)) "
+            f"AS BIGINT) % 4096"
+        )
+
+    sk_rows = " UNION ALL ".join(
+        f"SELECT {j} AS row, {bucket(j, 'token')} AS bucket FROM toks"
+        for j in range(4)
+    )
+    est_rows = " UNION ALL ".join(
+        f"SELECT token, {j} AS row, {bucket(j, 'token')} AS bucket FROM top"
+        for j in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+), sk AS (
+  SELECT row, bucket, COUNT(*) AS cnt FROM ({sk_rows}) GROUP BY row, bucket
+), top AS (
+  SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY token
+  QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, token) <= 20
+), est AS (
+  SELECT a.token, MIN(COALESCE(s.cnt, 0)) AS cms_count
+  FROM ({est_rows}) a LEFT JOIN sk s ON a.row = s.row AND a.bucket = s.bucket
+  GROUP BY a.token
+)
+SELECT t.token, t.exact_count, e.cms_count
+FROM top t JOIN est e ON t.token = e.token
+"""
+
+
+ORACLE_TEXT_CMS = _cms_oracle_sql()
+
+
 def pipe_budget_fill(spark, sf_dir):
     """Quality-first budget fill (FineWeb-style curation) without a
     per-domain sort: score-histogram threshold + deterministic fractional
@@ -6999,6 +7062,7 @@ QUERIES = {
     "sim_mmr_rerank": (sim_mmr_rerank, ORACLE_SIM_MMR),
     "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE_PLAN),
     "pipe_budget_fill": (pipe_budget_fill, ORACLE_PIPE_BUDGET_FILL),
+    "text_heavy_hitters_cms": (text_heavy_hitters_cms, ORACLE_TEXT_CMS),
     "geo_zorder": (geo_zorder, ORACLE_GEO_ZORDER),
     "geo_knn_join": (geo_knn_join, ORACLE_GEO_KNN),
     "geo_dbscan": (geo_dbscan, ORACLE_GEO_DBSCAN),

@@ -725,3 +725,27 @@ def test_mixture_plan_keeps_null_domain_rows(spark):
     got = {r["doc_id"]: r for r in out}
     assert got[1]["epochs"] == 1.0 and got[1]["n_copies"] == 1
     assert got[2]["epochs"] == 0.0 and got[2]["n_copies"] == 0
+
+
+def test_cms_overestimates_and_matches_exact_when_uncollided(spark):
+    """Count-min sketch invariants: cms_count >= exact count always; with
+    a width far above the vocabulary, collisions are rare enough that the
+    top tokens' estimates equal their exact counts."""
+    from geoarrow_rs_spark.datapipe.sketch import cms_build, cms_estimate
+
+    words = ["alpha"] * 50 + ["beta"] * 30 + ["gamma"] * 20 + ["delta"] * 5
+    toks = spark.createDataFrame([Row(token=w) for w in words])
+    sk = cms_build(toks, "token", depth=4, width=4096)
+    assert sk.count() <= 4 * 4096
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(
+        sk, exact.select("token"), "token", depth=4, width=4096
+    )
+    rows = {r["token"]: r for r in exact.join(est, "token").collect()}
+    assert all(r["cms_count"] >= r["exact"] for r in rows.values())
+    # 4 tokens in 4096 buckets x 4 rows: no collision in practice
+    assert all(r["cms_count"] == r["exact"] for r in rows.values())
+    # unseen token -> 0 (all four buckets untouched) or tiny collision mass
+    ghost = spark.createDataFrame([Row(token="omega")])
+    g = cms_estimate(sk, ghost, "token", depth=4, width=4096).collect()[0]
+    assert g["cms_count"] == 0

@@ -725,3 +725,30 @@ def test_fgb_writer_header_options_roundtrip(spark, tmp_path):
         "ST_GeometryType(geometry) AS t").collect()}
     assert types == {"ST_MultiPoint"}
     assert back.count() == 5
+
+
+def test_geoparquet_read_limit_offset(spark, tmp_path):
+    """read_geoparquet(limit=, offset=) mirrors GeoParquetFile.read's
+    post-filter row-selection semantics (_parquet.pyi:31-170): offset rows
+    skipped, limit rows taken, in scan order."""
+    import os
+
+    from geoarrow_rs_spark.io.geoparquet import read_geoparquet, write_geoparquet
+
+    df = spark.range(100).selectExpr(
+        "id", "ST_Point(CAST(id AS DOUBLE), CAST(id AS DOUBLE)) AS geometry"
+    ).coalesce(1)
+    p = os.path.join(str(tmp_path), "lo.parquet")
+    write_geoparquet(df, p)
+
+    assert read_geoparquet(spark, p, limit=7).count() == 7
+    assert read_geoparquet(spark, p, offset=90).count() == 10
+    got = read_geoparquet(spark, p, limit=5, offset=10)
+    rows = sorted(r["id"] for r in got.collect())
+    assert len(rows) == 5
+    # single-file scan order is the write order: offset 10 -> ids 10..14
+    assert rows == [10, 11, 12, 13, 14]
+    # composes with bbox: filter first, then limit
+    few = read_geoparquet(spark, p, bbox=(50, 50, 60, 60), limit=3)
+    ids = sorted(r["id"] for r in few.collect())
+    assert len(ids) == 3 and all(50 <= i <= 60 for i in ids)
