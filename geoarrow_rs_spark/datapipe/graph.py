@@ -87,3 +87,61 @@ def pagerank(
             )
         )
     return pr.select(F.col("node").alias(id_col), "pr")
+
+
+def triangle_count(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id"
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list — the
+    local-clustering signal of the duplicate-candidate graph (a document
+    inside a dense triangle cluster is a much stronger duplicate than one
+    with the same raw degree).
+
+    Degree-ordered orientation (the standard distributed formulation):
+    every edge points from its lower (degree, id) endpoint to the higher,
+    so each triangle is counted exactly once at its minimum vertex and —
+    the scale property — the maximum out-degree is O(sqrt(|E|)), which
+    bounds the wedge join at O(|E|^1.5) total work regardless of hub
+    nodes. Three equi-joins + one semi-join + one groupBy; all exact
+    integers, so the SQL oracle replays it verbatim.
+
+    Output: (node, tri_count) for nodes in at least one triangle.
+    """
+    e = (
+        pairs.select(
+            F.least(a_col, b_col).alias("a"), F.greatest(a_col, b_col).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("dg").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("dg").alias("db")), "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    directed = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    d1 = directed.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    d2 = directed.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = d1.join(d2, "u").where(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = directed.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closing, ["v1", "v2"], "left_semi")
+    nodes = tris.select(
+        F.explode(F.array("u", "v1", "v2")).alias("node")
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("tri_count"))

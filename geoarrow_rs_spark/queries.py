@@ -2325,6 +2325,61 @@ def dedup_graph_pagerank(spark, sf_dir):
     return graph.pagerank(d, pairs, id_col="doc_id", iters=3, damping=0.85)
 
 
+def dedup_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the near-duplicate candidate graph
+    (graph.triangle_count): degree-ordered edge orientation counts each
+    triangle once at its minimum (degree, id) vertex and bounds the wedge
+    join at O(|E|^1.5) — the local-clustering duplicate signal next to
+    pagerank's global one. All exact integers; the oracle replays the
+    orientation and joins verbatim."""
+    from .datapipe import graph
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    )
+    out = graph.triangle_count(pairs)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("tri_count").cast("long").alias("tri_count"),
+    )
+
+
+def _triangles_oracle_sql() -> str:
+    fwd = "(da < db) OR (da = db AND a < b)"
+    return f"""
+WITH {_minhash_pairs_cte()}, e AS (
+  SELECT DISTINCT LEAST(a_id, b_id) AS a, GREATEST(a_id, b_id) AS b
+  FROM pairs WHERE a_id <> b_id
+), deg AS (
+  SELECT n, COUNT(*) AS dg
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n
+), ed AS (
+  SELECT e.a, e.b, dda.dg AS da, ddb.dg AS db
+  FROM e JOIN deg dda ON e.a = dda.n JOIN deg ddb ON e.b = ddb.n
+), directed AS (
+  SELECT CASE WHEN {fwd} THEN a ELSE b END AS u,
+         CASE WHEN {fwd} THEN b ELSE a END AS v,
+         CASE WHEN {fwd} THEN db ELSE da END AS dv
+  FROM ed
+), wedges AS (
+  SELECT d1.u, d1.v AS v1, d2.v AS v2
+  FROM directed d1 JOIN directed d2 ON d1.u = d2.u
+  WHERE (d1.dv < d2.dv) OR (d1.dv = d2.dv AND d1.v < d2.v)
+), tris AS (
+  SELECT u, v1, v2 FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM directed c WHERE c.u = w.v1 AND c.v = w.v2)
+), tnodes AS (
+  SELECT unnest([u, v1, v2]) AS node FROM tris
+)
+SELECT CAST(node AS BIGINT) AS node, COUNT(*) AS tri_count
+FROM tnodes GROUP BY node
+"""
+
+
+ORACLE_DEDUP_TRIANGLES = _triangles_oracle_sql()
+
+
 def _pagerank_oracle_sql(iters=3, damping=0.85):
     d = repr(float(damping))
     one_minus_d = repr(1.0 - float(damping))  # Python's 1.0-0.85 bit pattern
@@ -7092,6 +7147,7 @@ QUERIES = {
     "dedup_clusters_assignment": (dedup_clusters_assignment, ORACLE_DEDUP_CLUSTERS),
     "dedup_corpus_keepers": (dedup_corpus_keepers, ORACLE_DEDUP_CORPUS),
     "dedup_graph_pagerank": (dedup_graph_pagerank, ORACLE_DEDUP_PAGERANK),
+    "dedup_graph_triangles": (dedup_graph_triangles, ORACLE_DEDUP_TRIANGLES),
     "dedup_incremental_keepers": (dedup_incremental_keepers, ORACLE_DEDUP_INCREMENTAL),
     "dedup_lsh_eval": (dedup_lsh_eval, ORACLE_DEDUP_LSH_EVAL),
     "text_containment_pairs": (text_containment_pairs, ORACLE_TEXT_CONTAINMENT),

@@ -749,3 +749,26 @@ def test_cms_overestimates_and_matches_exact_when_uncollided(spark):
     ghost = spark.createDataFrame([Row(token="omega")])
     g = cms_estimate(sk, ghost, "token", depth=4, width=4096).collect()[0]
     assert g["cms_count"] == 0
+
+
+def test_triangle_count_hand_built_graphs(spark):
+    """triangle_count on known graphs: K4 (every node in C(3,2)=3
+    triangles), a triangle with a pendant edge (pendant node in none),
+    and a square (no triangles at all)."""
+    from geoarrow_rs_spark.datapipe.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tri_pendant = [(10, 11), (11, 12), (10, 12), (12, 13)]
+    square = [(20, 21), (21, 22), (22, 23), (23, 20)]
+    edges = spark.createDataFrame(
+        [Row(a_id=a, b_id=b) for a, b in k4 + tri_pendant + square]
+    )
+    got = {r["node"]: r["tri_count"] for r in triangle_count(edges).collect()}
+    assert {n: got.get(n, 0) for n in range(4)} == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert got.get(10) == 1 and got.get(11) == 1 and got.get(12) == 1
+    assert 13 not in got
+    assert all(n not in got for n in (20, 21, 22, 23))
+    # duplicate + reversed edges don't change anything
+    noisy = edges.union(spark.createDataFrame([Row(a_id=1, b_id=0), Row(a_id=0, b_id=1)]))
+    got2 = {r["node"]: r["tri_count"] for r in triangle_count(noisy).collect()}
+    assert got2 == got
