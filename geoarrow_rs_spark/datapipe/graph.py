@@ -18,7 +18,7 @@ small-star contraction); this module adds the weighted-centrality side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _DEC = "decimal(38,12)"
 
@@ -145,3 +145,116 @@ def triangle_count(
         F.explode(F.array("u", "v1", "v2")).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("tri_count"))
+
+
+def neighborhood_function(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    k: int = 32,
+    hops: int = 3,
+    salt: str = "anf",
+) -> DataFrame:
+    """Approximate neighborhood function + harmonic centrality — the
+    HyperBall algorithm (Boldi & Vigna 2013; CommonCrawl's page-quality
+    signal) with a KMV sketch in place of HLL, so the result is a pure
+    deterministic function of the graph and can be oracle-checked in SQL
+    (HLL register layouts differ per engine; KMV minima do not).
+
+    Per node, per hop h: a set of the k smallest md5 hashes of node ids
+    reachable within h steps. One round = each node merges its neighbors'
+    sketches (edge join + explode + distinct + per-node rank <= k) —
+    state is k longs per node REGARDLESS of neighborhood size, which is
+    the entire point vs exact BFS frontiers (O(component) state per node).
+    |N_<=h(u)| is then exact when the sketch is unsaturated (< k hashes),
+    else the KMV estimate (k-1) * M / h_k.
+
+    Harmonic centrality sums ring sizes / distance. To keep the engine
+    comparison exact the rings are combined in integer micro-units with
+    the LCM-of-denominators trick (no float rounding of pre-rounded
+    values — see mmr_rerank for the same reasoning).
+
+    Output: (node, n1..n{hops} cumulative-ball estimates, harmonic).
+    Nodes with no edges are not in the output (centrality 0).
+    """
+    M = float(1 << 60)
+    e0 = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("src"),
+            F.col(b_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    h_expr = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("node").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    state = nodes.select("node", F.array(h_expr).alias("hs"))
+
+    def est_micro(hs):
+        # ball-size estimate in exact 1e-6 units (long): exact count when
+        # unsaturated, else round((k-1) * M / h_k, 6) recovered as an int
+        raw = F.when(
+            F.size(hs) < k, F.size(hs).cast("double")
+        ).otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(M)
+                / F.element_at(hs, k).cast("double"),
+                6,
+            )
+        )
+        return F.round(raw * F.lit(1e6)).cast("long")
+
+    ests = []
+    for h in range(1, hops + 1):
+        msgs = e.join(
+            state.select(F.col("node").alias("dst"), "hs"), "dst"
+        ).select(F.col("src").alias("node"), "hs")
+        merged = (
+            state.unionByName(msgs)
+            .select("node", F.explode("hs").alias("hv"))
+            .distinct()
+        )
+        w = Window.partitionBy("node").orderBy("hv")
+        state = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .groupBy("node")
+            .agg(F.sort_array(F.collect_list("hv")).alias("hs"))
+        )
+        # truncate lineage so round r+1's plan doesn't re-run rounds 1..r
+        # per reference (blocks released on dereference, unlike cache)
+        state = state.localCheckpoint(eager=False)
+        ests.append(
+            state.select("node", est_micro(F.col("hs")).alias(f"__n{h}"))
+        )
+    out = ests[0]
+    for df in ests[1:]:
+        out = out.join(df, "node")
+    # harmonic = sum_h (ball_h - ball_{h-1}) / h, in exact integers scaled
+    # by lcm(1..hops); ball_0 = exactly the node itself = 1e6 micro-units
+    import math as _math
+
+    lcm = _math.lcm(*range(1, hops + 1))
+    prev = F.lit(1_000_000).cast("long")
+    harm = F.lit(0).cast("long")
+    for h in range(1, hops + 1):
+        cur = F.col(f"__n{h}")
+        harm = harm + F.lit(lcm // h) * (cur - prev)
+        prev = cur
+    cols = [
+        (F.col(f"__n{h}").cast("double") / F.lit(1e6)).alias(f"n{h}")
+        for h in range(1, hops + 1)
+    ]
+    return out.select(
+        "node", *cols,
+        (harm.cast("double") / F.lit(float(lcm) * 1e6)).alias("harmonic"),
+    )

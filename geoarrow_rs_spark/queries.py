@@ -2380,6 +2380,91 @@ FROM tnodes GROUP BY node
 ORACLE_DEDUP_TRIANGLES = _triangles_oracle_sql()
 
 
+def dedup_graph_harmonic(spark, sf_dir):
+    """HyperBall harmonic centrality over the near-duplicate candidate
+    graph (graph.neighborhood_function): per-node KMV neighborhood
+    sketches (k=32) merged over 3 hops — constant state per node
+    regardless of ball size, the CommonCrawl-style page-quality signal.
+    Deterministic (KMV, not HLL), so the oracle unrolls the 3 sketch-
+    merge rounds as CTEs and matches bit-for-bit."""
+    from .datapipe import graph
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    )
+    return graph.neighborhood_function(pairs, k=32, hops=3)
+
+
+def _harmonic_oracle_sql(k=32, hops=3) -> str:
+    est_const = repr(float(k - 1) * float(1 << 60))
+    rounds = []
+    prev = "s0"
+    for h in range(1, hops + 1):
+        rounds.append(f"""m{h} AS (
+  SELECT e.src AS node, s.hs FROM e JOIN {prev} s ON e.dst = s.node
+  UNION ALL SELECT node, hs FROM {prev}
+), x{h} AS (
+  SELECT DISTINCT node, unnest(hs) AS hv FROM m{h}
+), s{h} AS (
+  SELECT node, list(hv ORDER BY hv) AS hs FROM (
+    SELECT node, hv FROM x{h}
+    QUALIFY row_number() OVER (PARTITION BY node ORDER BY hv) <= {k}
+  ) GROUP BY node
+)""")
+        prev = f"s{h}"
+
+    def ni(h):
+        return (
+            f"CAST(round((CASE WHEN len(s{h}.hs) < {k} "
+            f"THEN CAST(len(s{h}.hs) AS DOUBLE) "
+            f"ELSE round(CAST({est_const} AS DOUBLE) / CAST(s{h}.hs[{k}] AS DOUBLE), 6) "
+            f"END) * 1e6) AS BIGINT)"
+        )
+
+    joins = " ".join(
+        f"JOIN s{h} ON s1.node = s{h}.node" for h in range(2, hops + 1)
+    )
+    import math as _math
+
+    lcm = _math.lcm(*range(1, hops + 1))
+    harm_terms = []
+    prev_expr = "1000000"
+    for h in range(1, hops + 1):
+        harm_terms.append(f"{lcm // h} * (n{h}i - {prev_expr})")
+        prev_expr = f"n{h}i"
+    n_cols = ",\n       ".join(
+        f"CAST(n{h}i AS DOUBLE) / 1000000.0 AS n{h}" for h in range(1, hops + 1)
+    )
+    return f"""
+WITH {_minhash_pairs_cte()}, e0 AS (
+  SELECT DISTINCT CAST(a_id AS BIGINT) AS src, CAST(b_id AS BIGINT) AS dst
+  FROM pairs WHERE a_id <> b_id
+), e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+  )
+), n0 AS (
+  SELECT DISTINCT src AS node FROM e
+), s0 AS (
+  SELECT node,
+         [CAST(concat('0x', substr(md5(concat('anf:', CAST(node AS VARCHAR))), 1, 15)) AS BIGINT)] AS hs
+  FROM n0
+), {', '.join(rounds)},
+balls AS (
+  SELECT s1.node, {ni(1)} AS n1i, {ni(2)} AS n2i, {ni(3)} AS n3i
+  FROM s1 {joins}
+)
+SELECT node,
+       {n_cols},
+       CAST({' + '.join(harm_terms)} AS DOUBLE) / {float(lcm) * 1e6!r} AS harmonic
+FROM balls
+"""
+
+
+ORACLE_DEDUP_HARMONIC = _harmonic_oracle_sql()
+
+
 def _pagerank_oracle_sql(iters=3, damping=0.85):
     d = repr(float(damping))
     one_minus_d = repr(1.0 - float(damping))  # Python's 1.0-0.85 bit pattern
@@ -7148,6 +7233,7 @@ QUERIES = {
     "dedup_corpus_keepers": (dedup_corpus_keepers, ORACLE_DEDUP_CORPUS),
     "dedup_graph_pagerank": (dedup_graph_pagerank, ORACLE_DEDUP_PAGERANK),
     "dedup_graph_triangles": (dedup_graph_triangles, ORACLE_DEDUP_TRIANGLES),
+    "dedup_graph_harmonic": (dedup_graph_harmonic, ORACLE_DEDUP_HARMONIC),
     "dedup_incremental_keepers": (dedup_incremental_keepers, ORACLE_DEDUP_INCREMENTAL),
     "dedup_lsh_eval": (dedup_lsh_eval, ORACLE_DEDUP_LSH_EVAL),
     "text_containment_pairs": (text_containment_pairs, ORACLE_TEXT_CONTAINMENT),

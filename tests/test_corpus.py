@@ -772,3 +772,40 @@ def test_triangle_count_hand_built_graphs(spark):
     noisy = edges.union(spark.createDataFrame([Row(a_id=1, b_id=0), Row(a_id=0, b_id=1)]))
     got2 = {r["node"]: r["tri_count"] for r in triangle_count(noisy).collect()}
     assert got2 == got
+
+
+def test_neighborhood_function_exact_on_path_graph(spark):
+    """With k far above component size the KMV sketch never saturates, so
+    the neighborhood function is EXACT: verified on a 5-path against
+    hand-computed ball sizes and harmonic centralities."""
+    from geoarrow_rs_spark.datapipe.graph import neighborhood_function
+
+    path = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame([Row(a_id=a, b_id=b) for a, b in path])
+    got = {r["node"]: r for r in
+           neighborhood_function(edges, k=32, hops=3).collect()}
+    # balls INCLUDE the node itself
+    assert (got[0]["n1"], got[0]["n2"], got[0]["n3"]) == (2.0, 3.0, 4.0)
+    assert (got[2]["n1"], got[2]["n2"], got[2]["n3"]) == (3.0, 5.0, 5.0)
+    # harmonic over 3 hops: node 0 -> 1/1 + 1/2 + 1/3; node 2 -> 2 + 1
+    assert abs(got[0]["harmonic"] - (1 + 0.5 + 1 / 3)) < 1e-9
+    assert abs(got[2]["harmonic"] - 3.0) < 1e-9
+    # node 1: dist-1 {0,2}, dist-2 {3}, dist-3 {4}
+    assert abs(got[1]["harmonic"] - (2 + 0.5 + 1 / 3)) < 1e-9
+
+
+def test_neighborhood_function_saturated_estimator(spark):
+    """With k below the component size the KMV estimate branch runs: on a
+    20-clique every node's round-1 sketch is the same k global minima, so
+    all estimates agree, stay stable across hops, and land near 20."""
+    from geoarrow_rs_spark.datapipe.graph import neighborhood_function
+
+    clique = [(a, b) for a in range(20) for b in range(a + 1, 20)]
+    edges = spark.createDataFrame([Row(a_id=a, b_id=b) for a, b in clique])
+    rows = neighborhood_function(edges, k=8, hops=2).collect()
+    assert len(rows) == 20
+    n1s = {r["n1"] for r in rows}
+    assert len(n1s) == 1  # identical saturated sketches
+    (n1,) = n1s
+    assert 10 <= n1 <= 40  # KMV(k=8) estimate of a true 20
+    assert all(r["n2"] == r["n1"] for r in rows)  # ball stops growing
