@@ -189,13 +189,11 @@ def neighborhood_function(
     e = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    h_expr = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), F.col("node").cast("string"))),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long")
+    from .dedup import gram_hash_expr
+
+    h_expr = gram_hash_expr(
+        F.concat(F.lit(f"{salt}:"), F.col("node").cast("string"))
+    )
     nodes = e.select(F.col("src").alias("node")).distinct()
     state = nodes.select("node", F.array(h_expr).alias("hs"))
 

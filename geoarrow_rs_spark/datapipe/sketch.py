@@ -129,13 +129,12 @@ def histogram_quantiles(
 
 
 def _cms_bucket(token, j: int, width: int, salt: str):
-    """Row-j counter bucket for a token: 60-bit md5 hash mod width
-    (identical in Spark ``conv`` and DuckDB's 0x-cast)."""
+    """Row-j counter bucket for a token: the shared 60-bit md5 hash
+    (dedup.gram_hash_expr) of the salted token, mod width."""
+    from .dedup import gram_hash_expr
+
     t = F.col(token) if isinstance(token, str) else token
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{salt}{j}:"), t)), 1, 15), 16, 10
-    ).cast("long")
-    return h % F.lit(int(width))
+    return gram_hash_expr(F.concat(F.lit(f"{salt}{j}:"), t)) % F.lit(int(width))
 
 
 def cms_build(

@@ -388,10 +388,17 @@ def read_geoparquet(
     falls back to an on-the-fly ST_BBox prefilter otherwise (the reference's
     native-encoding row-filter path, spatial_filter.rs:183-254).
 
-    ``limit``/``offset`` mirror ``GeoParquetFile.read(limit=, offset=)``
-    (_parquet.pyi:31-170): applied AFTER the bbox filter, in the scan's
-    file/row-group order — the same post-filter row-selection semantics
-    as the reference reader."""
+    ``parse_to_native=False`` mirrors the reference flag (_parquet.pyi:
+    141-142): native-encoded geometry columns are returned AS STORED (the
+    nested struct layout) with no conversion cost, instead of being
+    parsed to the canonical WKB form.
+
+    ``limit``/``offset`` mirror ``GeoParquetFile.read(limit=, offset=)``:
+    applied AFTER the bbox filter, in scan order. Scan order is the row
+    order WITHIN each file; across a multi-file dataset it follows
+    Spark's split packing (size-ordered), not lexical file order — stable
+    for a given file set, but only single-file (or coalesced) datasets
+    reproduce the reference reader's byte order exactly."""
     df = spark.read.parquet(path)
     meta = read_geo_metadata(path)
     gcol = geometry_col
@@ -403,7 +410,7 @@ def read_geoparquet(
         if cov:
             covering = cov["xmin"][0]
         enc = col_meta.get("encoding", "WKB")
-        if enc != "WKB":
+        if enc != "WKB" and parse_to_native:
             # native GeoArrow nested layout -> canonical WKB (the reference's
             # parse_record_batch path, reader/parse.rs:132-160, inverted: our
             # canonical form is WKB). Struct coords are flattened to plain

@@ -2425,6 +2425,7 @@ def _harmonic_oracle_sql(k=32, hops=3) -> str:
     joins = " ".join(
         f"JOIN s{h} ON s1.node = s{h}.node" for h in range(2, hops + 1)
     )
+    balls_cols = ", ".join(f"{ni(h)} AS n{h}i" for h in range(1, hops + 1))
     import math as _math
 
     lcm = _math.lcm(*range(1, hops + 1))
@@ -2452,7 +2453,7 @@ WITH {_minhash_pairs_cte()}, e0 AS (
   FROM n0
 ), {', '.join(rounds)},
 balls AS (
-  SELECT s1.node, {ni(1)} AS n1i, {ni(2)} AS n2i, {ni(3)} AS n3i
+  SELECT s1.node, {balls_cols}
   FROM s1 {joins}
 )
 SELECT node,
@@ -4279,6 +4280,9 @@ def text_heavy_hitters_cms(spark, sf_dir):
         # a 20-row merge), never a single-partition global window
         .orderBy(F.desc("exact_count"), F.asc("token"))
         .limit(20)
+        # referenced twice below (estimate input + final join): checkpoint
+        # the 20 rows so the corpus-wide exact groupBy runs once
+        .localCheckpoint(eager=False)
     )
     est = sketch.cms_estimate(sk, top.select("token"), "token",
                               depth=4, width=4096)
