@@ -114,6 +114,10 @@ def triangle_count(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    # e is referenced three times (degree union x2, the orientation join)
+    # and directed three more (both wedge sides + the closing-edge check):
+    # checkpoint each so the upstream pair generation runs once
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -130,7 +134,7 @@ def triangle_count(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=False)
     d1 = directed.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
     d2 = directed.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
     wedges = d1.join(d2, "u").where(
@@ -189,6 +193,10 @@ def neighborhood_function(
     e = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # the edge list joins into EVERY round; checkpoint it once so its
+    # upstream lineage (e.g. minhash pair generation) runs once, not
+    # once per hop
+    e = e.localCheckpoint(eager=False)
     from .dedup import gram_hash_expr
 
     h_expr = gram_hash_expr(
@@ -216,17 +224,21 @@ def neighborhood_function(
         msgs = e.join(
             state.select(F.col("node").alias("dst"), "hs"), "dst"
         ).select(F.col("src").alias("node"), "hs")
-        merged = (
-            state.unionByName(msgs)
-            .select("node", F.explode("hs").alias("hv"))
-            .distinct()
-        )
-        w = Window.partitionBy("node").orderBy("hv")
+        # one groupBy per round: gather neighbor sketches as arrays and
+        # take the k smallest distinct hashes with array expressions —
+        # same result as explode + distinct + rank window, but a single
+        # exchange instead of three (join, distinct, window)
         state = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= k)
+            state.unionByName(msgs)
             .groupBy("node")
-            .agg(F.sort_array(F.collect_list("hv")).alias("hs"))
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("hs")))
+                    ),
+                    1, k,
+                ).alias("hs")
+            )
         )
         # truncate lineage so round r+1's plan doesn't re-run rounds 1..r
         # per reference (blocks released on dereference, unlike cache)
