@@ -1891,6 +1891,55 @@ def events_retention(spark, sf_dir):
     ).agg(F.countDistinct("user_id").alias("n_users"))
 
 
+def events_funnel_windowed(spark, sf_dir):
+    """Ordered 3-step funnel view -> click -> purchase within 7 days
+    (datapipe.events.funnel_counts): first-touch greedy matching, every
+    join/groupBy keyed on user_id, per-step user counts + exact
+    integer-ppm conversion vs step 1. The oracle replays the same staged
+    min-after-previous-step construction."""
+    from .datapipe.events import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    week_ns = 7 * 86_400_000_000_000
+    return funnel_counts(
+        e, ["view", "click", "purchase"], window=week_ns
+    )
+
+
+ORACLE_EVENTS_FUNNEL_WINDOWED = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+), s1 AS (
+  SELECT user_id, MIN(tns) AS t1 FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.t1, MIN(e.tns) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.tns > s1.t1
+    AND e.tns <= s1.t1 + 604800000000000
+  GROUP BY e.user_id, s1.t1
+), s3 AS (
+  SELECT e.user_id, s2.t1, s2.t2, MIN(e.tns) AS t3
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.tns > s2.t2
+    AND e.tns <= s2.t1 + 604800000000000
+  GROUP BY e.user_id, s2.t1, s2.t2
+), counts AS (
+  SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM s3
+)
+SELECT CAST(step AS INT) AS step, step_name,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(CASE WHEN (SELECT n_users FROM counts WHERE step = 1) > 0
+            THEN n_users * 1000000 // (SELECT n_users FROM counts WHERE step = 1)
+            ELSE 0 END AS BIGINT) AS conv_ppm
+FROM counts
+"""
+
+
 ORACLE_EVENTS_RETENTION = """
 WITH ud AS (
   SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
@@ -7238,6 +7287,7 @@ QUERIES = {
     "dedup_graph_pagerank": (dedup_graph_pagerank, ORACLE_DEDUP_PAGERANK),
     "dedup_graph_triangles": (dedup_graph_triangles, ORACLE_DEDUP_TRIANGLES),
     "dedup_graph_harmonic": (dedup_graph_harmonic, ORACLE_DEDUP_HARMONIC),
+    "events_funnel_windowed": (events_funnel_windowed, ORACLE_EVENTS_FUNNEL_WINDOWED),
     "dedup_incremental_keepers": (dedup_incremental_keepers, ORACLE_DEDUP_INCREMENTAL),
     "dedup_lsh_eval": (dedup_lsh_eval, ORACLE_DEDUP_LSH_EVAL),
     "text_containment_pairs": (text_containment_pairs, ORACLE_TEXT_CONTAINMENT),

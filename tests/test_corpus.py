@@ -809,3 +809,35 @@ def test_neighborhood_function_saturated_estimator(spark):
     (n1,) = n1s
     assert 10 <= n1 <= 40  # KMV(k=8) estimate of a true 20
     assert all(r["n2"] == r["n1"] for r in rows)  # ball stops growing
+
+
+def test_funnel_first_touch_semantics(spark):
+    """funnel/funnel_counts on a crafted event log: ordered completion
+    only (a purchase BEFORE the click doesn't count), the window caps
+    late steps, and conversion ppm is exact."""
+    from geoarrow_rs_spark.datapipe.events import funnel, funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel
+        Row(user_id=1, event_type="view", ts=100),
+        Row(user_id=1, event_type="click", ts=200),
+        Row(user_id=1, event_type="purchase", ts=300),
+        # user 2: purchase precedes click -> stops at step 2
+        Row(user_id=2, event_type="view", ts=100),
+        Row(user_id=2, event_type="purchase", ts=150),
+        Row(user_id=2, event_type="click", ts=200),
+        # user 3: click outside the window -> stops at step 1
+        Row(user_id=3, event_type="view", ts=100),
+        Row(user_id=3, event_type="click", ts=5000),
+        # user 4: never starts the funnel
+        Row(user_id=4, event_type="purchase", ts=100),
+    ]
+    e = spark.createDataFrame(rows)
+    done = funnel(e, ["view", "click", "purchase"], window=1000).collect()
+    assert {r["user_id"] for r in done} == {1}
+    assert (done[0]["t1"], done[0]["t2"], done[0]["t3"]) == (100, 200, 300)
+    counts = {r["step"]: r for r in
+              funnel_counts(e, ["view", "click", "purchase"], window=1000).collect()}
+    assert counts[1]["n_users"] == 3 and counts[1]["conv_ppm"] == 1000000
+    assert counts[2]["n_users"] == 2 and counts[2]["conv_ppm"] == 666666
+    assert counts[3]["n_users"] == 1 and counts[3]["conv_ppm"] == 333333
