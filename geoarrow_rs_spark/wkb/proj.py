@@ -409,6 +409,7 @@ def _conic_setup(p):
         s = np.sin(phi)
         return np.cos(phi) / np.sqrt(1 - e2 * s * s)
 
+    one_sp = abs(lat1 - lat2) < 1e-12
     if p["kind"] == "aea":
         def q(phi):
             s = np.sin(phi)
@@ -418,7 +419,10 @@ def _conic_setup(p):
 
         m1, m2 = m(lat1), m(lat2)
         q0, q1, q2 = q(lat0), q(lat1), q(lat2)
-        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        # one-standard-parallel limit: n = lim (m1^2 - m2^2)/(q2 - q1)
+        # = -2 m m' / q' evaluated at the parallel = sin(phi1)
+        # (Snyder 14-8 one-SP form)
+        n = np.sin(lat1) if one_sp else (m1 * m1 - m2 * m2) / (q2 - q1)
         C = m1 * m1 + n * q1
         rho0 = a * np.sqrt(C - n * q0) / n
         p.update(e=e, e2=e2, n=float(n), C=float(C), rho0=float(rho0))
@@ -431,7 +435,12 @@ def _conic_setup(p):
 
         m1, m2 = m(lat1), m(lat2)
         t0, t1, t2 = t(lat0), t(lat1), t(lat2)
-        n = np.log(m1 / m2) / np.log(t1 / t2)
+        # one-standard-parallel limit: n = d(ln m)/d(ln t) at the
+        # parallel = sin(phi1) (Snyder 15-4's 1SP case). The LCC-1SP
+        # scale factor k0 enters as rho = k0 * a * F * t^n; since a only
+        # ever multiplies F's rho products, it is folded as a *= k0 by
+        # the custom-CRS constructor before calling this setup.
+        n = np.sin(lat1) if one_sp else np.log(m1 / m2) / np.log(t1 / t2)
         Fc = m1 / (n * t1 ** n)
         rho0 = a * Fc * t0 ** n
         p.update(e=e, e2=e2, n=float(n), F=float(Fc), rho0=float(rho0))
@@ -454,7 +463,7 @@ CONICS = {
 
 
 def conic_forward(lon_deg, lat_deg, epsg):
-    p = CONICS[int(epsg)]
+    p = epsg if isinstance(epsg, dict) else CONICS[int(epsg)]
     a, e, e2, n = p["a"], p["e"], p["e2"], p["n"]
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
@@ -474,7 +483,7 @@ def conic_forward(lon_deg, lat_deg, epsg):
 
 
 def conic_inverse(x, y, epsg, iters=12):
-    p = CONICS[int(epsg)]
+    p = epsg if isinstance(epsg, dict) else CONICS[int(epsg)]
     a, e, e2, n = p["a"], p["e"], p["e2"], p["n"]
     xp = np.asarray(x, dtype=np.float64) - p["fe"]
     yp = p["rho0"] - (np.asarray(y, dtype=np.float64) - p["fn"])
@@ -536,7 +545,7 @@ LAEA = {
 
 
 def laea_forward(lon_deg, lat_deg, epsg):
-    p = LAEA[int(epsg)]
+    p = epsg if isinstance(epsg, dict) else LAEA[int(epsg)]
     e, e2, qp, b0, Rq, D = p["e"], p["e2"], p["qp"], p["beta0"], p["Rq"], p["D"]
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
@@ -550,7 +559,7 @@ def laea_forward(lon_deg, lat_deg, epsg):
 
 
 def laea_inverse(x, y, epsg, iters=12):
-    p = LAEA[int(epsg)]
+    p = epsg if isinstance(epsg, dict) else LAEA[int(epsg)]
     e, e2, qp, b0, Rq, D = p["e"], p["e2"], p["qp"], p["beta0"], p["Rq"], p["D"]
     sb0, cb0 = np.sin(b0), np.cos(b0)
     xp = (np.asarray(x, dtype=np.float64) - p["fe"])
@@ -593,6 +602,16 @@ def _polar_setup(p):
     a = p["a"]
     e2 = p["f"] * (2 - p["f"])
     e = float(np.sqrt(e2))
+    if "k0" in p:
+        # variant A (EPSG method 9810): scale factor k0 given at the pole
+        # instead of a standard parallel. rho = 2 a k0 t /
+        # sqrt((1+e)^(1+e) (1-e)^(1-e)) (Snyder 21-33), expressed through
+        # the variant-B machinery as mc/tc = that constant, tc = 1.
+        mc = float(
+            2.0 * p["k0"] / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        )
+        p.update(e=e, e2=e2, tc=1.0, mc=mc, south=p["lat_ts"] < 0)
+        return p
     ts = np.radians(abs(p["lat_ts"]))
     tc = float(_polar_t(ts, e))
     mc = float(np.cos(ts) / np.sqrt(1 - e2 * np.sin(ts) ** 2))
@@ -611,7 +630,7 @@ POLAR = {
 
 
 def polar_forward(lon_deg, lat_deg, epsg):
-    p = POLAR[int(epsg)]
+    p = epsg if isinstance(epsg, dict) else POLAR[int(epsg)]
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
     if p["south"]:
@@ -624,7 +643,7 @@ def polar_forward(lon_deg, lat_deg, epsg):
 
 
 def polar_inverse(x, y, epsg, iters=12):
-    p = POLAR[int(epsg)]
+    p = epsg if isinstance(epsg, dict) else POLAR[int(epsg)]
     e = p["e"]
     xp = np.asarray(x, dtype=np.float64) - p["fe"]
     yp = np.asarray(y, dtype=np.float64) - p["fn"]
@@ -693,10 +712,15 @@ def _cea_q(phi, e, e2):
 
 def _cyl_setup(p):
     ell = ellipsoid_consts(p["a"], p.get("f", 0.0))
-    ts = np.radians(p.get("lat_ts", 0.0))
-    s = np.sin(ts)
-    # point scale on the standard parallel(s): k0 = m(lat_ts)
-    k0 = float(np.cos(ts) / np.sqrt(1 - ell["e2"] * s * s))
+    if "k0" in p:
+        # Mercator variant A (EPSG method 9804): explicit scale factor at
+        # the natural origin instead of a standard parallel
+        k0 = float(p["k0"])
+    else:
+        ts = np.radians(p.get("lat_ts", 0.0))
+        s = np.sin(ts)
+        # point scale on the standard parallel(s): k0 = m(lat_ts)
+        k0 = float(np.cos(ts) / np.sqrt(1 - ell["e2"] * s * s))
     p.update(e=ell["e"], e2=ell["e2"], k0=k0, ell=ell)
     if p["kind"] == "cea":
         p["qp"] = float(_cea_q(np.pi / 2, ell["e"], ell["e2"]))
@@ -733,7 +757,7 @@ _MERC_LAT_CLIP = 89.99999
 
 
 def cyl_forward(lon_deg, lat_deg, epsg):
-    p = CYL[int(epsg)]
+    p = epsg if isinstance(epsg, dict) else CYL[int(epsg)]
     a, k0 = p["a"], p["k0"]
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
@@ -769,7 +793,7 @@ def cyl_forward(lon_deg, lat_deg, epsg):
 
 
 def cyl_inverse(x, y, epsg, iters=12):
-    p = CYL[int(epsg)]
+    p = epsg if isinstance(epsg, dict) else CYL[int(epsg)]
     a, k0 = p["a"], p["k0"]
     xp = np.asarray(x, dtype=np.float64) - p["fe"]
     yp = np.asarray(y, dtype=np.float64) - p["fn"]
@@ -837,6 +861,8 @@ def _is_utm(epsg):
 
 
 def supported_crs(epsg) -> bool:
+    if isinstance(epsg, CustomCRS):
+        return True
     epsg = int(epsg)
     if epsg == 3857 or epsg in GEOGRAPHIC_WGS84_EQUIV or epsg in CONICS \
             or epsg in LAEA or epsg in POLAR or epsg in TMERC \
@@ -853,6 +879,8 @@ def supported_crs(epsg) -> bool:
 
 
 def to_wgs84(x, y, src_epsg):
+    if isinstance(src_epsg, CustomCRS):
+        return _custom_to_wgs84(x, y, src_epsg)
     src_epsg = int(src_epsg)
     if src_epsg in GEOGRAPHIC_WGS84_EQUIV:
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
@@ -884,6 +912,8 @@ def to_wgs84(x, y, src_epsg):
 
 
 def from_wgs84(lon, lat, dst_epsg):
+    if isinstance(dst_epsg, CustomCRS):
+        return _custom_from_wgs84(lon, lat, dst_epsg)
     dst_epsg = int(dst_epsg)
     if dst_epsg in GEOGRAPHIC_WGS84_EQUIV:
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
@@ -940,14 +970,20 @@ def _pyproj_transform(x, y, src_epsg, dst_epsg):
         from pyproj import Transformer
     except ImportError:
         return None
-    key = (int(src_epsg), int(dst_epsg))
+    def spec(c):
+        # custom CRSs hand pyproj their original PROJJSON/WKT definition
+        if isinstance(c, CustomCRS):
+            return c.text if c.text else None
+        return _crs_authority_string(int(c))
+
+    key = (src_epsg if isinstance(src_epsg, CustomCRS) else int(src_epsg),
+           dst_epsg if isinstance(dst_epsg, CustomCRS) else int(dst_epsg))
     tr = _PYPROJ_CACHE.get(key)
     if tr is None:
-        tr = Transformer.from_crs(
-            _crs_authority_string(int(src_epsg)),
-            _crs_authority_string(int(dst_epsg)),
-            always_xy=True,
-        )
+        s_spec, d_spec = spec(src_epsg), spec(dst_epsg)
+        if s_spec is None or d_spec is None:
+            return None  # definition text lost; fall back to closed forms
+        tr = Transformer.from_crs(s_spec, d_spec, always_xy=True)
         _PYPROJ_CACHE[key] = tr
     tx, ty = tr.transform(
         np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
@@ -958,7 +994,9 @@ def _pyproj_transform(x, y, src_epsg, dst_epsg):
 def transform_xy(x, y, src_epsg, dst_epsg):
     """Vectorized (x, y) arrays src -> dst. Pivot through EPSG:4326, unless
     the pyproj hook is enabled and pyproj is importable."""
-    if int(src_epsg) == int(dst_epsg):
+    custom = isinstance(src_epsg, CustomCRS) or isinstance(dst_epsg, CustomCRS)
+    same = (src_epsg == dst_epsg) if custom else int(src_epsg) == int(dst_epsg)
+    if same:
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if USE_PYPROJ:
         got = _pyproj_transform(x, y, src_epsg, dst_epsg)
@@ -978,15 +1016,31 @@ def parse_crs(crs) -> int:
     if isinstance(crs, (int, np.integer)):
         return int(crs)
     if isinstance(crs, dict):
+        import json
+
         ident = crs.get("id") or {}
         auth = str(ident.get("authority", "")).upper()
         if auth == "EPSG":
-            return int(ident["code"])
+            code = int(ident["code"])
+            if supported_crs(code):
+                return code
+            # unregistered code, but the PROJJSON may carry the full
+            # method + parameters — build the projection from those
+            try:
+                return _custom_from_projjson(crs, text=json.dumps(crs))
+            except (ValueError, KeyError, TypeError):
+                return code  # surface the unsupported-CRS error downstream
         if auth == "OGC" and str(ident.get("code", "")).upper() in (
             "CRS84", "84"
         ):
             return 4326
-        raise ValueError(f"PROJJSON without an EPSG id: {crs.get('name', crs)!r}")
+        try:
+            return _custom_from_projjson(crs, text=json.dumps(crs))
+        except (ValueError, KeyError, TypeError) as exc:
+            raise ValueError(
+                "PROJJSON without an EPSG id and not buildable from its "
+                f"conversion parameters ({exc}): {crs.get('name', crs)!r}"
+            )
     s = str(crs).strip()
     low = s.lower()
     if low in ("ogc:crs84", "crs84", "urn:ogc:def:crs:ogc:1.3:crs84",
@@ -1012,6 +1066,504 @@ def parse_crs(crs) -> int:
         ):
             pass
         if m:
-            return int(m.group(1))
-        raise ValueError(f"WKT2 CRS without an EPSG identifier: {s[:80]!r}")
+            code = int(m.group(1))
+            if supported_crs(code):
+                return code
+            try:
+                return _custom_from_wkt2(s)
+            except (ValueError, KeyError, TypeError, IndexError):
+                return code
+        try:
+            return _custom_from_wkt2(s)
+        except (ValueError, KeyError, TypeError, IndexError) as exc:
+            raise ValueError(
+                "WKT2 CRS without an EPSG identifier and not buildable "
+                f"from its CONVERSION node ({exc}): {s[:80]!r}"
+            )
     return int(s)
+
+
+# ---------------------------------------------------------------------------
+# Custom CRS: projection method + parameters with NO EPSG code
+# ---------------------------------------------------------------------------
+# GeoParquet carries CRS as PROJJSON, and a user-defined CRS (a local TM
+# grid, a bespoke LCC, a BoundCRS with explicit TOWGS84 shifts) has no
+# EPSG id at all — the reference handles those through its geodesy engine
+# (reproject.rs:105 takes any definition string). Here the same coverage
+# comes from routing the parsed method + parameters into the generic
+# engines above. Everything below is built from the public PROJJSON
+# schema (proj.org/schemas/v0.7/projjson.schema.json) and the OGC WKT2
+# spec (ISO 19162); EPSG method/parameter codes are from the public EPSG
+# registry.
+#
+# Datum convention: a custom CRS on a non-WGS84 ellipsoid WITHOUT an
+# explicit transformation (BoundCRS / TOWGS84) is treated as
+# WGS84-coincident — the same convention as the GRS80 zone families
+# above, and what PROJ does when no pipeline is available. With a
+# BoundCRS the 3/7-parameter Helmert shift is applied through ECEF.
+
+class CustomCRS:
+    """A CRS resolved from method + parameters rather than an EPSG code.
+
+    ``kind`` selects the engine ('tmerc' | 'conic' | 'laea' | 'polar' |
+    'cyl' | 'geographic'); ``p`` is the engine's precomputed setup dict;
+    ``a``/``f`` are the TRUE datum ellipsoid (LCC-1SP folds k0 into the
+    setup's working ``a``, so the helmert path must not read it from
+    ``p``); ``helmert`` is an optional position-vector 7-tuple
+    (datum -> WGS84); ``text`` is the original definition for the pyproj
+    hook. Hash/equality are by canonical scalar parameters, so the
+    ``src == dst`` early exit and the pyproj transformer cache work."""
+
+    __slots__ = ("kind", "p", "a", "f", "helmert", "text", "_key")
+
+    def __init__(self, kind, p, a, f, helmert=None, text=None):
+        self.kind = kind
+        self.p = p
+        self.a = float(a)
+        self.f = float(f)
+        self.helmert = tuple(float(v) for v in helmert) if helmert else None
+        self.text = text
+        scalars = tuple(sorted(
+            (k, float(v)) for k, v in p.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        ))
+        self._key = (kind, self.a, self.f, scalars, self.helmert)
+
+    def __eq__(self, other):
+        return isinstance(other, CustomCRS) and self._key == other._key
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __repr__(self):
+        return f"CustomCRS(kind={self.kind!r}, a={self.a}, f={self.f})"
+
+
+# EPSG method code / lower-cased name -> internal method tag
+_PJ_METHODS = {
+    9807: "tmerc", "transverse mercator": "tmerc",
+    9801: "lcc1", "lambert conic conformal (1sp)": "lcc1",
+    9802: "lcc2", "lambert conic conformal (2sp)": "lcc2",
+    9822: "aea", "albers equal area": "aea",
+    9820: "laea", "lambert azimuthal equal area": "laea",
+    9829: "polar_b", "polar stereographic (variant b)": "polar_b",
+    9810: "polar_a", "polar stereographic (variant a)": "polar_a",
+    9804: "merc_a", "mercator (variant a)": "merc_a",
+    9805: "merc_b", "mercator (variant b)": "merc_b",
+    9835: "cea", "lambert cylindrical equal area": "cea",
+    1028: "eqc", "equidistant cylindrical": "eqc",
+    1029: "eqc", "equidistant cylindrical (spherical)": "eqc",
+    1024: "webmerc", "popular visualisation pseudo mercator": "webmerc",
+    "mollweide": "moll",
+}
+
+# EPSG parameter code / lower-cased name -> (slot, unit kind)
+_PJ_PARAMS = {
+    8801: ("lat0", "angle"), "latitude of natural origin": ("lat0", "angle"),
+    8802: ("lon0", "angle"), "longitude of natural origin": ("lon0", "angle"),
+    8805: ("k0", "scale"), "scale factor at natural origin": ("k0", "scale"),
+    8806: ("fe", "length"), "false easting": ("fe", "length"),
+    8807: ("fn", "length"), "false northing": ("fn", "length"),
+    8821: ("lat0", "angle"), "latitude of false origin": ("lat0", "angle"),
+    8822: ("lon0", "angle"), "longitude of false origin": ("lon0", "angle"),
+    8823: ("lat1", "angle"),
+    "latitude of 1st standard parallel": ("lat1", "angle"),
+    8824: ("lat2", "angle"),
+    "latitude of 2nd standard parallel": ("lat2", "angle"),
+    8826: ("fe", "length"), "easting at false origin": ("fe", "length"),
+    8827: ("fn", "length"), "northing at false origin": ("fn", "length"),
+    8832: ("lat_ts", "angle"),
+    "latitude of standard parallel": ("lat_ts", "angle"),
+    8833: ("lon0", "angle"), "longitude of origin": ("lon0", "angle"),
+}
+
+# BoundCRS Helmert parameter codes (position-vector convention slots)
+_PJ_HELMERT = {
+    8605: 0, "x-axis translation": 0,
+    8606: 1, "y-axis translation": 1,
+    8607: 2, "z-axis translation": 2,
+    8608: 3, "x-axis rotation": 3,
+    8609: 4, "y-axis rotation": 4,
+    8610: 5, "z-axis rotation": 5,
+    8611: 6, "scale difference": 6,
+}
+
+
+def _pj_unit_factor(unit, kind):
+    """Multiplier taking a PROJJSON/WKT parameter value to degrees
+    (angles), metres (lengths), or unity (scales). ``unit`` is a name
+    string or a dict/float carrying a conversion factor to SI
+    (radians / metres)."""
+    if unit is None:
+        return 1.0
+    if isinstance(unit, str):
+        u = unit.lower()
+        if u in ("degree", "metre", "meter", "unity", ""):
+            return 1.0
+        if u == "grad":
+            return 0.9 if kind == "angle" else 1.0
+        if u in ("arc-second", "arcsecond"):
+            return 1.0 / 3600.0
+        raise ValueError(f"unsupported CRS parameter unit: {unit!r}")
+    cf = float(unit["conversion_factor"] if isinstance(unit, dict) else unit)
+    if kind == "angle":  # factor to radians -> degrees
+        return cf * 180.0 / np.pi
+    return cf  # factor to metres (or unity for scales)
+
+
+def _pj_method_tag(method):
+    mid = (method.get("id") or {})
+    if str(mid.get("authority", "")).upper() == "EPSG":
+        tag = _PJ_METHODS.get(int(mid["code"]))
+        if tag:
+            return tag
+    return _PJ_METHODS.get(str(method.get("name", "")).strip().lower())
+
+
+def _pj_params(parameters):
+    """{slot: value-in-deg/m} from a PROJJSON parameter list."""
+    out = {}
+    for prm in parameters or ():
+        pid = (prm.get("id") or {})
+        slot = None
+        if str(pid.get("authority", "")).upper() == "EPSG":
+            slot = _PJ_PARAMS.get(int(pid["code"]))
+        if slot is None:
+            slot = _PJ_PARAMS.get(str(prm.get("name", "")).strip().lower())
+        if slot is None:
+            continue  # unused parameter (e.g. ellipsoid scaling factor)
+        name, ukind = slot
+        out[name] = float(prm["value"]) * _pj_unit_factor(
+            prm.get("unit"), ukind
+        )
+    return out
+
+
+def _pj_ellipsoid(geog):
+    """(a, f) from a PROJJSON GeographicCRS / GeodeticCRS node."""
+    datum = geog.get("datum") or geog.get("datum_ensemble") or {}
+    ell = datum.get("ellipsoid")
+    if ell is None:
+        raise ValueError("CRS definition carries no ellipsoid")
+    if "radius" in ell:
+        return float(ell["radius"]), 0.0
+    a = float(ell["semi_major_axis"])
+    if "inverse_flattening" in ell:
+        rf = float(ell["inverse_flattening"])
+        return a, (1.0 / rf if rf else 0.0)
+    b = float(ell["semi_minor_axis"])
+    return a, (a - b) / a
+
+
+def _wgs84_like(a, f):
+    """WGS84/GRS80-coincident by the repo's standing convention."""
+    return abs(a - WGS84_A) < 1.0 and abs(f - WGS84_F) < 1e-8
+
+
+def _custom_projected(tag, g, a, f, helmert, text):
+    """CustomCRS for a projected method tag + {slot: value} params on
+    ellipsoid (a, f)."""
+    lat0 = g.get("lat0", 0.0)
+    lon0 = g.get("lon0", 0.0)
+    k0 = g.get("k0", 1.0)
+    fe = g.get("fe", 0.0)
+    fn = g.get("fn", 0.0)
+    if tag == "tmerc":
+        p = dict(a=a, f=f, lat0=lat0, lon0=lon0, k0=k0, fe=fe, fn=fn)
+        return CustomCRS("tmerc", p, a, f, helmert, text)
+    if tag in ("lcc1", "lcc2", "aea"):
+        if tag == "lcc1":
+            # rho = k0 * a * F * t^n == (k0*a) * F * t^n: fold the 1SP
+            # scale factor into the setup's working semi-major axis
+            # (dimensionless F, t, n are unchanged); lat1 = lat2 = lat0
+            # takes the one-parallel limit branch in _conic_setup
+            p = _conic_setup(dict(kind="lcc", a=a * k0, f=f, lat0=lat0,
+                                  lon0=lon0, lat1=lat0, lat2=lat0,
+                                  fe=fe, fn=fn))
+        else:
+            p = _conic_setup(dict(kind="lcc" if tag == "lcc2" else "aea",
+                                  a=a, f=f, lat0=lat0, lon0=lon0,
+                                  lat1=g.get("lat1", lat0),
+                                  lat2=g.get("lat2", g.get("lat1", lat0)),
+                                  fe=fe, fn=fn))
+        return CustomCRS("conic", p, a, f, helmert, text)
+    if tag == "laea":
+        p = _laea_setup(dict(a=a, f=f, lat0=lat0, lon0=lon0, fe=fe, fn=fn))
+        return CustomCRS("laea", p, a, f, helmert, text)
+    if tag == "polar_b":
+        p = _polar_setup(dict(a=a, f=f, lat_ts=g.get("lat_ts", 90.0),
+                              lon0=lon0, fe=fe, fn=fn))
+        return CustomCRS("polar", p, a, f, helmert, text)
+    if tag == "polar_a":
+        # variant A: lat0 is +-90; only its sign reaches the engine
+        # (hemisphere selector) — k0 carries the scale
+        p = _polar_setup(dict(a=a, f=f, lat_ts=lat0 if lat0 else 90.0,
+                              lon0=lon0, fe=fe, fn=fn, k0=k0))
+        return CustomCRS("polar", p, a, f, helmert, text)
+    if tag in ("merc_a", "merc_b", "cea", "eqc", "webmerc", "moll"):
+        kind = {"merc_a": "merc", "merc_b": "merc", "cea": "cea",
+                "eqc": "eqc", "webmerc": "merc", "moll": "moll"}[tag]
+        d = dict(kind=kind, a=a, lon0=lon0, fe=fe, fn=fn)
+        if tag == "merc_a":
+            d.update(f=f, k0=k0)
+        elif tag in ("webmerc", "moll"):
+            d.update(f=0.0, lat_ts=0.0)  # spherical by definition (R = a)
+        else:
+            d.update(f=f, lat_ts=g.get("lat1", g.get("lat_ts", 0.0)))
+        return CustomCRS("cyl", _cyl_setup(d), a, f, helmert, text)
+    raise ValueError(f"unsupported projection method tag: {tag!r}")
+
+
+def _custom_from_projjson(d, text=None, helmert=None):
+    """CustomCRS (or int EPSG pivot) from a PROJJSON dict that carries a
+    full definition (conversion / datum) rather than a usable EPSG id."""
+    typ = str(d.get("type", ""))
+    if typ == "BoundCRS":
+        tr = d.get("transformation") or {}
+        hp = [0.0] * 7
+        for prm in tr.get("parameters", ()):
+            pid = (prm.get("id") or {})
+            slot = None
+            if str(pid.get("authority", "")).upper() == "EPSG":
+                slot = _PJ_HELMERT.get(int(pid["code"]))
+            if slot is None:
+                slot = _PJ_HELMERT.get(str(prm.get("name", "")).strip().lower())
+            if slot is None:
+                continue
+            ukind = "length" if slot < 3 else ("angle" if slot < 6 else "scale")
+            v = float(prm["value"])
+            if slot < 3:
+                v *= _pj_unit_factor(prm.get("unit"), "length")
+            elif slot < 6:
+                # rotations: position-vector tuple wants ARC-SECONDS
+                u = prm.get("unit")
+                if isinstance(u, str):
+                    v *= {"arc-second": 1.0, "arcsecond": 1.0,
+                          "degree": 3600.0}.get(u.lower(), 1.0)
+                elif u is not None:  # factor to radians
+                    cf = float(u["conversion_factor"] if isinstance(u, dict) else u)
+                    v *= cf * (180.0 * 3600.0) / np.pi
+            hp[slot] = v
+        mname = str((tr.get("method") or {}).get("name", "")).lower()
+        if "frame" in mname:  # coordinate-frame rotation: opposite sign
+            hp[3], hp[4], hp[5] = -hp[3], -hp[4], -hp[5]
+        return _custom_from_projjson(d["source_crs"], text=text,
+                                     helmert=tuple(hp))
+    if typ in ("GeographicCRS", "GeodeticCRS", "Geographic 2D CRS"):
+        a, f = _pj_ellipsoid(d)
+        if helmert is None and _wgs84_like(a, f):
+            return 4326
+        return CustomCRS("geographic", dict(a=a, f=f), a, f, helmert, text)
+    if typ == "ProjectedCRS":
+        base = d.get("base_crs") or {}
+        a, f = _pj_ellipsoid(base)
+        conv = d.get("conversion") or {}
+        tag = _pj_method_tag(conv.get("method") or {})
+        if tag is None:
+            raise ValueError(
+                "unsupported projection method: "
+                f"{(conv.get('method') or {}).get('name')!r}"
+            )
+        return _custom_projected(tag, _pj_params(conv.get("parameters")),
+                                 a, f, helmert, text)
+    raise ValueError(f"unsupported PROJJSON CRS type: {typ!r}")
+
+
+def _custom_to_wgs84(x, y, crs):
+    k = crs.kind
+    if k == "geographic":
+        lon = np.asarray(x, dtype=np.float64)
+        lat = np.asarray(y, dtype=np.float64)
+    elif k == "tmerc":
+        q = crs.p
+        lon, lat = tm_inverse(x, y, q["lon0"], k0=q["k0"], fe=q["fe"],
+                              fn=q["fn"], a=q["a"], f=q["f"],
+                              lat0_deg=q["lat0"])
+    elif k == "conic":
+        lon, lat = conic_inverse(x, y, crs.p)
+    elif k == "laea":
+        lon, lat = laea_inverse(x, y, crs.p)
+    elif k == "polar":
+        lon, lat = polar_inverse(x, y, crs.p)
+    else:
+        lon, lat = cyl_inverse(x, y, crs.p)
+    if crs.helmert:
+        lon, lat = datum_to_wgs84(lon, lat, crs.a, crs.f, crs.helmert)
+    return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+
+
+def _custom_from_wgs84(lon, lat, crs):
+    if crs.helmert:
+        lon, lat = wgs84_to_datum(lon, lat, crs.a, crs.f, crs.helmert)
+    k = crs.kind
+    if k == "geographic":
+        return (np.asarray(lon, dtype=np.float64),
+                np.asarray(lat, dtype=np.float64))
+    if k == "tmerc":
+        q = crs.p
+        return tm_forward(lon, lat, q["lon0"], k0=q["k0"], fe=q["fe"],
+                          fn=q["fn"], a=q["a"], f=q["f"], lat0_deg=q["lat0"])
+    if k == "conic":
+        return conic_forward(lon, lat, crs.p)
+    if k == "laea":
+        return laea_forward(lon, lat, crs.p)
+    if k == "polar":
+        return polar_forward(lon, lat, crs.p)
+    return cyl_forward(lon, lat, crs.p)
+
+
+# --- WKT2 (ISO 19162): same coverage through a minimal node parser -------
+
+def _wkt_tokenize(s):
+    """Parse a WKT2 string into a (NAME, [args...]) tree; args are nested
+    nodes, numbers, or bare strings. Quoted strings use the WKT '""'
+    escape."""
+    i, n = 0, len(s)
+
+    def skip_ws():
+        nonlocal i
+        while i < n and s[i] in " \t\r\n":
+            i += 1
+
+    def parse_node():
+        nonlocal i
+        skip_ws()
+        j = i
+        while i < n and (s[i].isalnum() or s[i] in "_$"):
+            i += 1
+        name = s[j:i].upper()
+        skip_ws()
+        args = []
+        if i < n and s[i] in "[(":
+            close = "]" if s[i] == "[" else ")"
+            i += 1
+            while True:
+                skip_ws()
+                if i >= n:
+                    raise ValueError("unterminated WKT node")
+                if s[i] == close:
+                    i += 1
+                    break
+                if s[i] == ",":
+                    i += 1
+                    continue
+                if s[i] == '"':
+                    i += 1
+                    buf = []
+                    while i < n:
+                        if s[i] == '"':
+                            if i + 1 < n and s[i + 1] == '"':
+                                buf.append('"')
+                                i += 2
+                                continue
+                            i += 1
+                            break
+                        buf.append(s[i])
+                        i += 1
+                    args.append("".join(buf))
+                elif s[i] in "-+.0123456789":
+                    j2 = i
+                    while i < n and s[i] in "-+.0123456789eE":
+                        i += 1
+                    args.append(float(s[j2:i]))
+                else:
+                    args.append(parse_node())
+        return (name, args)
+
+    node = parse_node()
+    skip_ws()
+    return node
+
+
+def _wkt_find(node, *names):
+    for arg in node[1]:
+        if isinstance(arg, tuple) and arg[0] in names:
+            return arg
+    return None
+
+
+def _wkt_find_all(node, *names):
+    return [a for a in node[1]
+            if isinstance(a, tuple) and a[0] in names]
+
+
+def _wkt_epsg_id(node):
+    idn = _wkt_find(node, "ID", "AUTHORITY")
+    if idn and str(idn[1][0]).upper() == "EPSG":
+        try:
+            return int(float(idn[1][1]))
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
+def _wkt_unit_factor(pnode, kind):
+    u = _wkt_find(pnode, "ANGLEUNIT", "LENGTHUNIT", "SCALEUNIT", "UNIT")
+    if u is None:
+        return 1.0
+    name = str(u[1][0]).lower()
+    cf = float(u[1][1]) if len(u[1]) > 1 and isinstance(u[1][1], float) else 1.0
+    if kind == "angle":
+        if name == "degree":
+            return 1.0
+        return cf * 180.0 / np.pi  # factor to radians
+    if name in ("metre", "meter", "unity"):
+        return 1.0
+    return cf
+
+
+def _custom_from_wkt2(s):
+    """CustomCRS (or int EPSG pivot) from a WKT2 string with a full
+    CONVERSION definition (the path for WKT without a usable EPSG id)."""
+    root = _wkt_tokenize(s)
+    if root[0] == "BOUNDCRS":
+        # keep scope: WKT BoundCRS is rare next to PROJJSON BoundCRS
+        raise ValueError("WKT2 BOUNDCRS is not supported; "
+                         "use the PROJJSON form")
+    if root[0] in ("GEOGCRS", "GEODCRS", "GEOGCS"):
+        a, f = _wkt_ellipsoid(root)
+        if _wgs84_like(a, f):
+            return 4326
+        return CustomCRS("geographic", dict(a=a, f=f), a, f, None, s)
+    if root[0] not in ("PROJCRS", "PROJCS"):
+        raise ValueError(f"unsupported WKT2 CRS node: {root[0]}")
+    base = _wkt_find(root, "BASEGEOGCRS", "BASEGEODCRS", "GEOGCS")
+    if base is None:
+        raise ValueError("WKT2 ProjectedCRS without a base geographic CRS")
+    a, f = _wkt_ellipsoid(base)
+    conv = _wkt_find(root, "CONVERSION", "DERIVINGCONVERSION")
+    if conv is not None:
+        meth = _wkt_find(conv, "METHOD", "PROJECTION")
+        pnodes = _wkt_find_all(conv, "PARAMETER")
+    else:  # WKT1: PROJECTION/PARAMETER directly under PROJCS
+        meth = _wkt_find(root, "PROJECTION")
+        pnodes = _wkt_find_all(root, "PARAMETER")
+    if meth is None:
+        raise ValueError("WKT2 ProjectedCRS without a projection method")
+    code = _wkt_epsg_id(meth)
+    tag = _PJ_METHODS.get(code) if code else None
+    if tag is None:
+        tag = _PJ_METHODS.get(str(meth[1][0]).strip().lower())
+    if tag is None:
+        raise ValueError(f"unsupported projection method: {meth[1][0]!r}")
+    g = {}
+    for pn in pnodes:
+        pcode = _wkt_epsg_id(pn)
+        slot = _PJ_PARAMS.get(pcode) if pcode else None
+        if slot is None:
+            slot = _PJ_PARAMS.get(str(pn[1][0]).strip().lower())
+        if slot is None:
+            continue
+        name, ukind = slot
+        g[name] = float(pn[1][1]) * _wkt_unit_factor(pn, ukind)
+    return _custom_projected(tag, g, a, f, None, s)
+
+
+def _wkt_ellipsoid(geog_node):
+    datum = _wkt_find(geog_node, "DATUM", "TRF", "ENSEMBLE")
+    ell = _wkt_find(datum, "ELLIPSOID", "SPHEROID") if datum else None
+    if ell is None:
+        raise ValueError("WKT2 CRS carries no ellipsoid")
+    a = float(ell[1][1])
+    rf = float(ell[1][2])
+    return a, (1.0 / rf if rf else 0.0)
