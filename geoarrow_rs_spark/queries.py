@@ -7366,9 +7366,122 @@ QUERIES = {
 }
 
 
+# Catalog emission order. The driver's per-round CORRECTNESS gate samples a
+# prefix of the catalog, so entries that have not yet had a driver row are
+# listed first (families that shipped after round 1, plus the two entries
+# whose only driver row predates their oracles). Entries absent from this
+# list keep their QUERIES insertion order after it.
+_SAMPLE_PRIORITY = [
+    "dedup_simhash_signatures",
+    "sim_srp_buckets",
+    "sim_mmr_rerank",
+    "sim_ivf_topk",
+    "sim_knn_join",
+    "sim_kmeans_ivf_topk",
+    "sim_semantic_dedup",
+    "sim_quantized_topk",
+    "sim_hard_negatives",
+    "sim_text_hash_retrieval",
+    "sim_ivfpq_topk",
+    "pipe_mixture_plan",
+    "pipe_budget_fill",
+    "pipe_sample_split",
+    "pipe_full_pipeline",
+    "pipe_scrub_text",
+    "pipe_scrub_pii",
+    "pipe_stratified_sample",
+    "pipe_dataset_card",
+    "pipe_mixture_weights",
+    "pipe_decontaminate",
+    "pipe_weighted_sample",
+    "pipe_pack_bins",
+    "mm_image_brightness",
+    "mm_audio_features",
+    "mm_image_resize",
+    "mm_gif_decode",
+    "dedup_graph_pagerank",
+    "dedup_graph_triangles",
+    "dedup_graph_harmonic",
+    "events_funnel_windowed",
+    "text_heavy_hitters_cms",
+    "text_containment_pairs",
+    "text_bm25_topk",
+    "text_chunks",
+    "text_tfidf_topk",
+    "text_vocab_stats",
+    "text_keywords",
+    "text_c4_clean",
+    "text_repetition",
+    "text_fuzzy_pairs",
+    "text_bpe_train",
+    "text_bpe_tokenize",
+    "text_lm_score",
+    "text_gopher_rules",
+    "dedup_minhash_refined",
+    "dedup_clusters_assignment",
+    "dedup_corpus_keepers",
+    "dedup_incremental_keepers",
+    "dedup_lsh_eval",
+    "dedup_substring_spans",
+    "geo_transform_conic",
+    "geo_transform_laea",
+    "geo_transform_tmerc",
+    "geo_transform_cyl",
+    "geo_zorder",
+    "geo_knn_join",
+    "geo_dbscan",
+    "geo_hexbin",
+    "geo_lof_outliers",
+    "geo_cluster_kmeans",
+    "geo_line_substring",
+    "geo_closest_point",
+    "geo_split_line",
+    "geo_line_merge",
+    "geo_snap_points",
+    "geo_subdivide",
+    "geo_shape_metrics",
+    "geo_affine_parts",
+    "geo_spherical",
+    "geo_edges_aware",
+    "geo_cast_matrix",
+    "geo_trajectory_stats",
+    "geo_areal_interpolation",
+    "events_funnel",
+    "events_geo_extent",
+    "events_asof_join",
+    "events_asof_forward",
+    "events_time_weighted_avg",
+    "events_rolling_anomaly",
+    "events_attribution",
+    "events_expectations",
+    "events_dau_wau",
+    "events_top_paths",
+    "events_markov_transitions",
+    "events_geo_hotspots",
+    "events_user_stats",
+    "events_props_json",
+    "events_salted_join",
+    "events_windowed_topk",
+    "events_retention",
+    "events_interval_join",
+    "events_kmv_distinct",
+    "events_value_quantiles",
+]
+
+
+def _catalog_order():
+    front = [n for n in _SAMPLE_PRIORITY if n in QUERIES]
+    seen = set(front)
+    return front + [n for n in QUERIES if n not in seen]
+
+
 def queries():
-    return {name: fn for name, (fn, _) in QUERIES.items()}
+    return {name: QUERIES[name][0] for name in _catalog_order()}
 
 
 def oracle_sql():
-    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+    return {
+        name: QUERIES[name][1]
+        for name in _catalog_order()
+        if QUERIES[name][1] is not None
+    }
