@@ -11,7 +11,36 @@ with md5, which is how the oracle checks it exactly.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+PLAN_BROADCAST_DISABLED = (
+    _os.environ.get("SPARK_GRAFT_DISABLE_PLAN_BROADCAST", "") == "1"
+)
+_PLAN_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _broadcast_if_small(plan: DataFrame) -> DataFrame:
+    """Attach a broadcast hint to a per-domain plan table only when the
+    plan-time size estimate proves it small. The plan has one row per
+    distinct domain; at web-scale domain cardinality (hostname level,
+    1e8+) an unconditional hint would exceed broadcast limits, so above
+    the gate (or when stats are unavailable) the hint is dropped and the
+    equi-join is left to AQE, which still broadcasts at runtime when the
+    built side turns out small. Kill switch:
+    SPARK_GRAFT_DISABLE_PLAN_BROADCAST=1."""
+    if PLAN_BROADCAST_DISABLED:
+        return plan
+    try:
+        if plan.isStreaming:
+            return plan
+        jstats = plan._jdf.queryExecution().optimizedPlan().stats()
+        size = jstats.sizeInBytes()
+        size = size if isinstance(size, int) else int(size.toString())
+    except Exception:
+        return plan
+    return F.broadcast(plan) if size <= _PLAN_BROADCAST_MAX_BYTES else plan
 
 
 def hash_uniform(key, salt: str = "sample") -> Column:
@@ -189,8 +218,10 @@ def mixture_plan(
     ``max_repeat`` epochs (the standard repetition-harm guard).
 
     Scale shape: one groupBy(domain) over the corpus (map-side partial
-    sums of one long), the tiny per-domain plan broadcast back; the copy
-    count is a stateless expression. No shuffle of document text.
+    sums of one long), the per-domain plan joined back (broadcast when the
+    size estimate proves it small, else AQE decides — domain cardinality
+    can be web-scale); the copy count is a stateless expression. No
+    shuffle of document text.
 
     Output: the input rows plus ``epochs`` (rounded to 8dp, engine-stable)
     and ``n_copies``. Domains absent from ``weights`` get weight 0 (and so
@@ -219,7 +250,7 @@ def mixture_plan(
     # left join + coalesce: rows whose domain is NULL (the equi-join never
     # matches NULL = NULL) keep flowing with 0 epochs / 0 copies instead
     # of silently vanishing — consistent with budget_fill's left join
-    joined = df.join(F.broadcast(plan), domain_col, "left").withColumn(
+    joined = df.join(_broadcast_if_small(plan), domain_col, "left").withColumn(
         "epochs", F.coalesce(F.col("epochs"), F.lit(0.0))
     )
     full = F.floor(F.col("epochs")).cast("long")
@@ -258,8 +289,9 @@ def budget_fill(
        fraction needed to fill the remainder in expectation.
 
     Everything after step 2 operates on the histogram, and the per-doc
-    decision is a stateless expression over a broadcast plan — so the
-    corpus is scanned twice and shuffled never.
+    decision is a stateless expression over the plan table (broadcast when
+    the size estimate proves it small, else left to AQE) — so the corpus
+    is scanned twice and shuffled never.
 
     Output: input rows plus ``bucket``, ``selected``; domains whose total
     tokens fit the budget select everything.
@@ -303,7 +335,7 @@ def budget_fill(
             ).alias("__rate"),
         )
     )
-    joined = rows.join(F.broadcast(plan), domain_col, "left")
+    joined = rows.join(_broadcast_if_small(plan), domain_col, "left")
     u = hash_uniform(key, salt)
     selected = F.when(F.col("__tb").isNull(), F.lit(True)).otherwise(
         (F.col("bucket") > F.col("__tb"))

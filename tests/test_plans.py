@@ -553,3 +553,47 @@ def test_mmr_and_mixture_and_budget_fill_plans(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "BroadcastHashJoin" in plan  # the tiny plan table broadcasts
+
+
+def test_domain_plan_broadcast_is_size_gated(spark, sf_dir):
+    """mixture_plan / budget_fill hint the per-domain plan table for
+    broadcast only when the plan-time size estimate proves it small; above
+    the gate the hint is dropped (no static rightHint in the optimized
+    logical plan) and the equi-join is left to AQE. Guards the web-scale
+    domain-cardinality edge (a 1e8-domain plan must not be force-broadcast)."""
+    import geoarrow_rs_spark.datapipe.sampling as S
+    from geoarrow_rs_spark.datapipe.sampling import budget_fill, mixture_plan
+    from geoarrow_rs_spark.datapipe.text import quality_score, token_count
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("domain"),
+        token_count("text").cast("long").alias("n_tok"),
+        F.round(quality_score("text"), 6).alias("q"),
+    )
+
+    def builds():
+        return (
+            mixture_plan(toks, "domain", {"a": 0.6, "b": 0.4}, 10_000, "n_tok"),
+            budget_fill(toks, "domain", "n_tok", "q", budget_tokens=5_000),
+        )
+
+    def hinted(df):
+        return "strategy=broadcast" in (
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    # small domain count: the estimate is under the gate -> hint present
+    for df in builds():
+        assert hinted(df)
+    # force "above the gate": the hint must disappear; the join survives as
+    # a plain equi-join (AQE picks the runtime strategy)
+    saved = S._PLAN_BROADCAST_MAX_BYTES
+    S._PLAN_BROADCAST_MAX_BYTES = -1
+    try:
+        for df in builds():
+            assert not hinted(df)
+            assert "CartesianProduct" not in _plan(df)
+    finally:
+        S._PLAN_BROADCAST_MAX_BYTES = saved
