@@ -212,33 +212,47 @@ def streaming_asof_join(
         + right_fields
     )
 
+    import numpy as np
+
     def asof_fn(key, pdfs, state):
         lefts, rights = ([], [])
         if state.exists:
             lefts = json.loads(state.get[0])
             rights = json.loads(state.get[1])
+        # vectorized ingest: one timestamp conversion + two masked column
+        # slices per Arrow batch, no per-row iteration
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                ts_ms = int(pd.Timestamp(row[on]).value // 1_000_000)
-                if row["__side"] == 0:
-                    lefts.append((ts_ms, row["__lpayload"]))
-                else:
-                    rights.append((ts_ms, row["__rpayload"]))
+            if len(pdf) == 0:
+                continue
+            ts_ms = (
+                pd.to_datetime(pdf[on]).astype("int64").to_numpy() // 1_000_000
+            )
+            lmask = (pdf["__side"] == 0).to_numpy()
+            lefts.extend(
+                zip(ts_ms[lmask].tolist(), pdf["__lpayload"].to_numpy()[lmask])
+            )
+            rights.extend(
+                zip(ts_ms[~lmask].tolist(), pdf["__rpayload"].to_numpy()[~lmask])
+            )
         wm = state.getCurrentWatermarkMs()
         lefts.sort(key=lambda t: t[0])
         rights.sort(key=lambda t: t[0])
         ready = [t for t in lefts if t[0] <= wm]
         pending = [t for t in lefts if t[0] > wm]
         out_rows = []
-        for ts_ms, lp in ready:
-            match = None
-            for rts, rp in rights:
-                if rts <= ts_ms:
-                    match = rp
-                else:
-                    break
+        # latest right at-or-below each ready left: searchsorted over the
+        # sorted right-timestamp array (side="right" - 1 = last index <= ts,
+        # matching the previous linear scan's last-match-wins semantics)
+        rts_arr = np.fromiter(
+            (t[0] for t in rights), dtype=np.int64, count=len(rights)
+        )
+        lts_arr = np.fromiter(
+            (t[0] for t in ready), dtype=np.int64, count=len(ready)
+        )
+        match_idx = np.searchsorted(rts_arr, lts_arr, side="right") - 1
+        for (ts_ms, lp), j in zip(ready, match_idx.tolist()):
             lvals = json.loads(lp)
-            rvals = json.loads(match) if match is not None else {}
+            rvals = json.loads(rights[j][1]) if j >= 0 else {}
             rec = {
                 by: key[0],
                 on: pd.Timestamp(ts_ms, unit="ms"),
