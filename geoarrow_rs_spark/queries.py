@@ -4175,6 +4175,153 @@ FROM (
 ORACLE_GEO_TRANSFORM_CYL = _cyl_oracle_sql()
 
 
+def _projjson_utm32() -> str:
+    """Full PROJJSON definition duplicating EPSG:25832's parameters (the
+    custom dispatch lands on the identical tmerc setup dict, so the path is
+    bit-exact vs the registered code — pinned in tests/test_custom_crs.py)."""
+    import json as _json
+
+    def prm(code, name, value, unit):
+        return {"name": name, "value": value, "unit": unit,
+                "id": {"authority": "EPSG", "code": code}}
+
+    return _json.dumps({
+        "type": "ProjectedCRS",
+        "name": "custom UTM 32N twin",
+        "base_crs": {
+            "type": "GeographicCRS",
+            "name": "ETRS89",
+            "datum": {
+                "type": "GeodeticReferenceFrame",
+                "name": "ETRS89",
+                "ellipsoid": {"name": "GRS 1980",
+                              "semi_major_axis": 6378137.0,
+                              "inverse_flattening": 298.257222101},
+            },
+        },
+        "conversion": {
+            "name": "UTM zone 32N",
+            "method": {"name": "Transverse Mercator",
+                       "id": {"authority": "EPSG", "code": 9807}},
+            "parameters": [
+                prm(8801, "Latitude of natural origin", 0, "degree"),
+                prm(8802, "Longitude of natural origin", 9, "degree"),
+                prm(8805, "Scale factor at natural origin", 0.9996, "unity"),
+                prm(8806, "False easting", 500000, "metre"),
+                prm(8807, "False northing", 0, "metre"),
+            ],
+        },
+    })
+
+
+_WKT2_UTM32 = (
+    'PROJCRS["custom UTM32 twin",'
+    'BASEGEOGCRS["ETRS89",DATUM["ETRS89",'
+    'ELLIPSOID["GRS 1980",6378137,298.257222101]]],'
+    'CONVERSION["UTM 32N",METHOD["Transverse Mercator",ID["EPSG",9807]],'
+    'PARAMETER["Latitude of natural origin",0,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Longitude of natural origin",9,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Scale factor at natural origin",0.9996,'
+    'SCALEUNIT["unity",1]],'
+    'PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],'
+    'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]]]'
+)
+
+
+def geo_transform_projjson(spark, sf_dir):
+    """ST_Transform with full PROJJSON / WKT2 *definitions* as the CRS
+    argument (reproject.rs:105 accepts arbitrary definitions, not just
+    registered codes; dispatch in wkb/proj.py parse_crs →
+    CustomCRS). A PROJJSON twin of EPSG:25832 produces the absolute UTM
+    eastings/northings (oracle: the Karney order-n^6 series restated in
+    plain SQL — the custom dispatch lands on the identical setup dict as
+    the registered code, so values are bit-equal); the WKT2 spelling of
+    the same definition must agree bit-exactly with the PROJJSON one; and
+    the custom CRS must round-trip closure at 1e-9 deg."""
+    c = _t(spark, sf_dir, "customer")
+    pj = _projjson_utm32()
+    wkt2 = _WKT2_UTM32
+    lon32 = "(6.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)"
+    lat32 = "(47.0 + CAST(c_custkey % 90 AS DOUBLE) / 10.0)"
+    staged = c.selectExpr(
+        "c_custkey",
+        f"{lon32} AS lon32", f"{lat32} AS lat32",
+        f"ST_Transform(ST_Point({lon32}, {lat32}), 'EPSG:4326', '{pj}') AS pj",
+        f"ST_Transform(ST_Point({lon32}, {lat32}), 'EPSG:4326', '{wkt2}') AS pw",
+    )
+    return staged.selectExpr(
+        "c_custkey",
+        "round(ST_X(pj), 2) AS utm32_e",
+        "round(ST_Y(pj), 2) AS utm32_n",
+        "ST_X(pw) = ST_X(pj) AND ST_Y(pw) = ST_Y(pj) AS wkt2_json_agree",
+        f"abs(ST_X(ST_Transform(pj, '{pj}', 'EPSG:4326')) - lon32) < 1e-9"
+        f" AND abs(ST_Y(ST_Transform(pj, '{pj}', 'EPSG:4326')) - lat32) < 1e-9"
+        " AS custom_rt_ok",
+    )
+
+
+def _projjson_oracle_sql() -> str:
+    """Karney order-n^6 transverse-Mercator forward for UTM zone 32N in
+    DuckDB SQL — the same series as _tmerc_oracle_sql, single zone; the
+    definition-equivalence and closure checks mirror as TRUE."""
+    from .wkb import proj
+
+    ell = proj.ellipsoid_consts(proj.GRS80_A, proj.GRS80_F)
+
+    def d(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    e = d(ell["e"])
+    k0a = d(0.9996 * ell["a_rect"])
+    s = "sin(radians(lat32))"
+    lam = "radians(lon32 - (" + d(9.0) + "))"
+    u = (
+        f"(0.5 * ln((1.0 + {s}) / (1.0 - {s}))"
+        f" - {e} * 0.5 * ln((1.0 + {e} * {s}) / (1.0 - {e} * {s})))"
+    )
+    t = "((exp(u32) - exp(-u32)) / 2.0)"
+    xip = "atan2(tt32, cos(lam32))"
+    w = "(sin(lam32) / sqrt(tt32 * tt32 + cos(lam32) * cos(lam32)))"
+    etap = f"ln({w} + sqrt({w} * {w} + 1.0))"
+    xi_terms = " + ".join(
+        f"{d(ell['alpha'][j])} * sin({2 * (j + 1)}.0 * xip32)"
+        f" * (exp({2 * (j + 1)}.0 * etap32) + exp(-{2 * (j + 1)}.0 * etap32)) / 2.0"
+        for j in range(6)
+    )
+    eta_terms = " + ".join(
+        f"{d(ell['alpha'][j])} * cos({2 * (j + 1)}.0 * xip32)"
+        f" * (exp({2 * (j + 1)}.0 * etap32) - exp(-{2 * (j + 1)}.0 * etap32)) / 2.0"
+        for j in range(6)
+    )
+    return f"""
+SELECT c_custkey,
+       round(500000.0 + {k0a} * (etap32 + {eta_terms}), 2) AS utm32_e,
+       round(0.0 + {k0a} * (xip32 + {xi_terms}), 2) AS utm32_n,
+       TRUE AS wkt2_json_agree,
+       TRUE AS custom_rt_ok
+FROM (
+  SELECT c_custkey, {xip} AS xip32, {etap} AS etap32
+  FROM (
+    SELECT c_custkey, lam32, {t} AS tt32
+    FROM (
+      SELECT c_custkey, {lam} AS lam32, {u} AS u32
+      FROM (
+        SELECT c_custkey,
+               6.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0 AS lon32,
+               47.0 + CAST(c_custkey % 90 AS DOUBLE) / 10.0 AS lat32
+        FROM customer
+      )
+    )
+  )
+)
+"""
+
+
+ORACLE_GEO_TRANSFORM_PROJJSON = _projjson_oracle_sql()
+
+
 def sim_mmr_rerank(spark, sf_dir):
     """MMR diversity reranking (Carbonell & Goldstein 1998) of the
     brute-force retrieval's top-8 candidates: greedy 3-pick with
@@ -7252,6 +7399,7 @@ QUERIES = {
     "geo_transform_laea": (geo_transform_laea, ORACLE_GEO_TRANSFORM_LAEA),
     "geo_transform_tmerc": (geo_transform_tmerc, ORACLE_GEO_TRANSFORM_TMERC),
     "geo_transform_cyl": (geo_transform_cyl, ORACLE_GEO_TRANSFORM_CYL),
+    "geo_transform_projjson": (geo_transform_projjson, ORACLE_GEO_TRANSFORM_PROJJSON),
     "sim_mmr_rerank": (sim_mmr_rerank, ORACLE_SIM_MMR),
     "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE_PLAN),
     "pipe_budget_fill": (pipe_budget_fill, ORACLE_PIPE_BUDGET_FILL),
@@ -7423,6 +7571,7 @@ _SAMPLE_PRIORITY = [
     "dedup_incremental_keepers",
     "dedup_lsh_eval",
     "dedup_substring_spans",
+    "geo_transform_projjson",
     "geo_transform_conic",
     "geo_transform_laea",
     "geo_transform_tmerc",

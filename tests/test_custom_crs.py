@@ -1,0 +1,393 @@
+"""Full PROJJSON / WKT2 *definition* support for ST_Transform
+(reproject.rs:105 accepts arbitrary definitions; here the parsed
+method + parameters route into the same closed-form engines as the
+registered EPSG codes).
+
+Strategy: every custom definition below duplicates the parameters of a
+registered EPSG code, so the custom path must agree with the EPSG path —
+bit-exactly where the dispatch lands on the identical setup dict, within
+1e-6 m otherwise — and every custom CRS must round-trip lon/lat at 1e-9
+degrees (the repo-wide projection closure bar)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from geoarrow_rs_spark.wkb import proj as P
+
+
+def _geog(name, a, rf):
+    return {
+        "type": "GeographicCRS",
+        "name": name,
+        "datum": {
+            "type": "GeodeticReferenceFrame",
+            "name": name,
+            "ellipsoid": {
+                "name": name,
+                "semi_major_axis": a,
+                "inverse_flattening": rf,
+            },
+        },
+    }
+
+
+def _prm(code, name, value, unit):
+    return {
+        "name": name,
+        "value": value,
+        "unit": unit,
+        "id": {"authority": "EPSG", "code": code},
+    }
+
+
+def _projjson(base, method_name, method_code, params):
+    return {
+        "type": "ProjectedCRS",
+        "name": f"custom {method_name}",
+        "base_crs": base,
+        "conversion": {
+            "name": method_name,
+            "method": {
+                "name": method_name,
+                "id": {"authority": "EPSG", "code": method_code},
+            },
+            "parameters": params,
+        },
+    }
+
+
+GRS80 = _geog("GRS 1980", 6378137.0, 298.257222101)
+WGS84 = _geog("WGS 84", 6378137.0, 298.257223563)
+
+# custom definition -> (EPSG twin, sample lon range, lat range, tol metres)
+# tol 0.0 = bit-exact (dispatch reaches the identical setup dict)
+CASES = {
+    "tmerc_utm32": (
+        _projjson(GRS80, "Transverse Mercator", 9807, [
+            _prm(8801, "Latitude of natural origin", 0, "degree"),
+            _prm(8802, "Longitude of natural origin", 9, "degree"),
+            _prm(8805, "Scale factor at natural origin", 0.9996, "unity"),
+            _prm(8806, "False easting", 500000, "metre"),
+            _prm(8807, "False northing", 0, "metre"),
+        ]),
+        25832, (6.0, 12.0), (47.0, 56.0), 0.0,
+    ),
+    "lcc2sp_lambert93": (
+        _projjson(GRS80, "Lambert Conic Conformal (2SP)", 9802, [
+            _prm(8821, "Latitude of false origin", 46.5, "degree"),
+            _prm(8822, "Longitude of false origin", 3, "degree"),
+            _prm(8823, "Latitude of 1st standard parallel", 49, "degree"),
+            _prm(8824, "Latitude of 2nd standard parallel", 44, "degree"),
+            _prm(8826, "Easting at false origin", 700000, "metre"),
+            _prm(8827, "Northing at false origin", 6600000, "metre"),
+        ]),
+        2154, (-4.5, 7.5), (42.5, 50.5), 1e-6,
+    ),
+    "aea_conus": (
+        _projjson(GRS80, "Albers Equal Area", 9822, [
+            _prm(8821, "Latitude of false origin", 23, "degree"),
+            _prm(8822, "Longitude of false origin", -96, "degree"),
+            _prm(8823, "Latitude of 1st standard parallel", 29.5, "degree"),
+            _prm(8824, "Latitude of 2nd standard parallel", 45.5, "degree"),
+            _prm(8826, "Easting at false origin", 0, "metre"),
+            _prm(8827, "Northing at false origin", 0, "metre"),
+        ]),
+        5070, (-124.0, -67.0), (25.0, 49.0), 1e-6,
+    ),
+    "laea_europe": (
+        _projjson(GRS80, "Lambert Azimuthal Equal Area", 9820, [
+            _prm(8801, "Latitude of natural origin", 52, "degree"),
+            _prm(8802, "Longitude of natural origin", 10, "degree"),
+            _prm(8806, "False easting", 4321000, "metre"),
+            _prm(8807, "False northing", 3210000, "metre"),
+        ]),
+        3035, (-10.0, 30.0), (35.0, 70.0), 1e-6,
+    ),
+    "polarb_nsidc_north": (
+        _projjson(WGS84, "Polar Stereographic (variant B)", 9829, [
+            _prm(8832, "Latitude of standard parallel", 70, "degree"),
+            _prm(8833, "Longitude of origin", -45, "degree"),
+            _prm(8806, "False easting", 0, "metre"),
+            _prm(8807, "False northing", 0, "metre"),
+        ]),
+        3413, (-180.0, 180.0), (60.0, 89.5), 1e-6,
+    ),
+    "mercb_world": (
+        _projjson(WGS84, "Mercator (variant B)", 9805, [
+            _prm(8832, "Latitude of standard parallel", 0, "degree"),
+            _prm(8802, "Longitude of natural origin", 0, "degree"),
+            _prm(8806, "False easting", 0, "metre"),
+            _prm(8807, "False northing", 0, "metre"),
+        ]),
+        3395, (-179.0, 179.0), (-84.0, 84.0), 1e-6,
+    ),
+    "cea_easegrid2": (
+        _projjson(WGS84, "Lambert Cylindrical Equal Area", 9835, [
+            _prm(8823, "Latitude of 1st standard parallel", 30, "degree"),
+            _prm(8802, "Longitude of natural origin", 0, "degree"),
+            _prm(8806, "False easting", 0, "metre"),
+            _prm(8807, "False northing", 0, "metre"),
+        ]),
+        6933, (-179.0, 179.0), (-85.0, 85.0), 1e-6,
+    ),
+    "eqc_world": (
+        _projjson(WGS84, "Equidistant Cylindrical", 1028, [
+            _prm(8823, "Latitude of 1st standard parallel", 0, "degree"),
+            _prm(8802, "Longitude of natural origin", 0, "degree"),
+            _prm(8806, "False easting", 0, "metre"),
+            _prm(8807, "False northing", 0, "metre"),
+        ]),
+        4087, (-179.0, 179.0), (-85.0, 85.0), 1e-6,
+    ),
+    "moll_world": (
+        _projjson(WGS84, "Mollweide", 0, [
+            _prm(8802, "Longitude of natural origin", 0, "degree"),
+            _prm(8806, "False easting", 0, "metre"),
+            _prm(8807, "False northing", 0, "metre"),
+        ]),
+        54009, (-179.0, 179.0), (-85.0, 85.0), 1e-6,
+    ),
+}
+
+
+def _samples(lon_rng, lat_rng, n=2000, seed=11):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.uniform(lon_rng[0], lon_rng[1], n),
+        rng.uniform(lat_rng[0], lat_rng[1], n),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_projjson_definition_matches_epsg_twin(name):
+    d, epsg, lon_rng, lat_rng, tol = CASES[name]
+    crs = P.parse_crs(d)
+    assert isinstance(crs, P.CustomCRS), name
+    lon, lat = _samples(lon_rng, lat_rng)
+    xe, ye = P.transform_xy(lon, lat, 4326, epsg)
+    xc, yc = P.transform_xy(lon, lat, 4326, crs)
+    if tol == 0.0:
+        assert np.array_equal(xe, xc) and np.array_equal(ye, yc), name
+    else:
+        assert float(np.abs(xe - xc).max()) < tol, name
+        assert float(np.abs(ye - yc).max()) < tol, name
+    # the JSON *string* form parses to the same CRS
+    crs2 = P.parse_crs(json.dumps(d))
+    assert crs2 == crs
+    # round-trip closure at the repo-wide 1e-9 deg bar (1e-7 for the
+    # near-pole stereographic band, where 1e-9 deg of longitude is
+    # sub-micrometre)
+    rt_tol = 1e-7 if name == "polarb_nsidc_north" else 1e-9
+    lo, la = P.transform_xy(xc, yc, crs, 4326)
+    # longitude compares modulo 360 (±180 is the same meridian; atan2 may
+    # return either branch near the antimeridian)
+    dlon = np.abs(lo - lon)
+    dlon = np.minimum(dlon, 360.0 - dlon)
+    assert float(dlon.max()) < rt_tol, name
+    assert float(np.abs(la - lat).max()) < rt_tol, name
+
+
+def test_boundcrs_helmert_matches_epsg_27700():
+    """BoundCRS (projected source + position-vector TOWGS84) == the
+    registered OSGB36/BNG path, which applies the same 7-parameter
+    Helmert through ECEF — bit-exact."""
+    h = P.OSGB36_TO_WGS84
+    bound = {
+        "type": "BoundCRS",
+        "source_crs": _projjson(
+            _geog("Airy 1830", 6377563.396, 299.3249646),
+            "Transverse Mercator", 9807, [
+                _prm(8801, "Latitude of natural origin", 49, "degree"),
+                _prm(8802, "Longitude of natural origin", -2, "degree"),
+                _prm(8805, "Scale factor at natural origin",
+                     0.9996012717, "unity"),
+                _prm(8806, "False easting", 400000, "metre"),
+                _prm(8807, "False northing", -100000, "metre"),
+            ]),
+        "target_crs": {"type": "GeographicCRS", "name": "WGS 84",
+                       "id": {"authority": "EPSG", "code": 4326}},
+        "transformation": {
+            "name": "OSGB36 to WGS 84 (9)",
+            "method": {
+                "name": "Position Vector transformation (geog2D domain)",
+                "id": {"authority": "EPSG", "code": 9606},
+            },
+            "parameters": [
+                _prm(8605, "X-axis translation", h[0], "metre"),
+                _prm(8606, "Y-axis translation", h[1], "metre"),
+                _prm(8607, "Z-axis translation", h[2], "metre"),
+                _prm(8608, "X-axis rotation", h[3], "arc-second"),
+                _prm(8609, "Y-axis rotation", h[4], "arc-second"),
+                _prm(8610, "Z-axis rotation", h[5], "arc-second"),
+                _prm(8611, "Scale difference", h[6], "parts per million"),
+            ],
+        },
+    }
+    crs = P.parse_crs(bound)
+    assert isinstance(crs, P.CustomCRS)
+    assert crs.helmert == tuple(h)
+    lon, lat = _samples((-5.5, 1.5), (50.2, 57.7), 1000)
+    xe, ye = P.transform_xy(lon, lat, 4326, 27700)
+    xc, yc = P.transform_xy(lon, lat, 4326, crs)
+    assert np.array_equal(xe, xc) and np.array_equal(ye, yc)
+    lo, la = P.transform_xy(xc, yc, crs, 4326)
+    # mm-scale closure: the h=0 2D Helmert convention couples lon/lat
+    # (same bar as the registered 27700 round-trip)
+    assert float(np.abs(lo - lon).max()) < 1e-6
+    assert float(np.abs(la - lat).max()) < 1e-6
+
+
+def test_wkt2_full_definition_matches_epsg_twin():
+    """A WKT2 PROJCRS with no usable EPSG id parses via its CONVERSION
+    node into the same engine as the EPSG twin (Lambert-93 params)."""
+    wkt2 = (
+        'PROJCRS["custom L93",'
+        'BASEGEOGCRS["RGF93",DATUM["RGF93",'
+        'ELLIPSOID["GRS 1980",6378137,298.257222101]]],'
+        'CONVERSION["Lambert-93",'
+        'METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],'
+        'PARAMETER["Latitude of false origin",46.5,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Longitude of false origin",3,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Latitude of 1st standard parallel",49,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Latitude of 2nd standard parallel",44,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Easting at false origin",700000,LENGTHUNIT["metre",1]],'
+        'PARAMETER["Northing at false origin",6600000,'
+        'LENGTHUNIT["metre",1]]]]'
+    )
+    crs = P.parse_crs(wkt2)
+    assert isinstance(crs, P.CustomCRS) and crs.kind == "conic"
+    lon, lat = _samples((-4.5, 7.5), (42.5, 50.5))
+    xe, ye = P.transform_xy(lon, lat, 4326, 2154)
+    xc, yc = P.transform_xy(lon, lat, 4326, crs)
+    assert float(np.abs(xe - xc).max()) < 1e-6
+    assert float(np.abs(ye - yc).max()) < 1e-6
+    lo, la = P.transform_xy(xc, yc, crs, 4326)
+    assert float(np.abs(lo - lon).max()) < 1e-9
+    assert float(np.abs(la - lat).max()) < 1e-9
+
+
+def test_wkt2_tmerc_definition_bit_exact_vs_utm():
+    wkt2 = (
+        'PROJCRS["custom UTM32",'
+        'BASEGEOGCRS["ETRS89",DATUM["ETRS89",'
+        'ELLIPSOID["GRS 1980",6378137,298.257222101]]],'
+        'CONVERSION["UTM 32N",METHOD["Transverse Mercator",ID["EPSG",9807]],'
+        'PARAMETER["Latitude of natural origin",0,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Longitude of natural origin",9,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Scale factor at natural origin",0.9996,'
+        'SCALEUNIT["unity",1]],'
+        'PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],'
+        'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]]]'
+    )
+    crs = P.parse_crs(wkt2)
+    assert isinstance(crs, P.CustomCRS) and crs.kind == "tmerc"
+    lon, lat = _samples((6.0, 12.0), (47.0, 56.0))
+    xe, ye = P.transform_xy(lon, lat, 4326, 25832)
+    xc, yc = P.transform_xy(lon, lat, 4326, crs)
+    assert np.array_equal(xe, xc) and np.array_equal(ye, yc)
+
+
+def test_lcc_1sp_roundtrip():
+    """LCC 1SP (EPSG method 9801) has no registered twin — check the
+    k0-folding construction by its defining properties: 1e-9 deg
+    round-trip and scale k0 at the natural-origin parallel."""
+    d = _projjson(GRS80, "Lambert Conic Conformal (1SP)", 9801, [
+        _prm(8801, "Latitude of natural origin", 40, "degree"),
+        _prm(8802, "Longitude of natural origin", 5, "degree"),
+        _prm(8805, "Scale factor at natural origin", 0.9995, "unity"),
+        _prm(8806, "False easting", 300000, "metre"),
+        _prm(8807, "False northing", 200000, "metre"),
+    ])
+    crs = P.parse_crs(d)
+    assert isinstance(crs, P.CustomCRS) and crs.kind == "conic"
+    lon, lat = _samples((-5.0, 15.0), (30.0, 50.0))
+    x, y = P.transform_xy(lon, lat, 4326, crs)
+    lo, la = P.transform_xy(x, y, crs, 4326)
+    assert float(np.abs(lo - lon).max()) < 1e-9
+    assert float(np.abs(la - lat).max()) < 1e-9
+    # local E-W scale at (5, 40) == k0 * (geodesic-normal radius form).
+    # dd=1e-4 deg (~8.5 m) keeps the finite difference well above float64
+    # noise on ~3e5 m coordinates while curvature error stays ~1e-12.
+    dd = 1e-4
+    x0, y0 = P.transform_xy(np.array([5.0]), np.array([40.0]), 4326, crs)
+    x1, y1 = P.transform_xy(np.array([5.0 + dd]), np.array([40.0]), 4326, crs)
+    e2 = P.GRS80_F * (2 - P.GRS80_F)
+    s = np.sin(np.radians(40.0))
+    nu = P.GRS80_A / np.sqrt(1 - e2 * s * s)
+    ground = np.radians(dd) * nu * np.cos(np.radians(40.0))
+    k = float(np.hypot(x1[0] - x0[0], y1[0] - y0[0])) / float(ground)
+    assert abs(k - 0.9995) < 1e-9
+
+
+def test_custom_geographic_and_sphere():
+    """A non-WGS84 geographic CRS (no transformation) follows the
+    WGS84-coincident convention; a spherical ellipsoid parses via
+    'radius'. International 1924 sphere-of-radius example round-trips
+    through a projected custom CRS."""
+    intl = _geog("International 1924", 6378388.0, 297.0)
+    crs = P.parse_crs(intl)
+    assert isinstance(crs, P.CustomCRS) and crs.kind == "geographic"
+    lon, lat = _samples((-170.0, 170.0), (-80.0, 80.0), 500)
+    lo, la = P.transform_xy(lon, lat, 4326, crs)
+    # WGS84-coincident convention: geographic custom CRS with no shift is
+    # an identity on lon/lat
+    assert np.array_equal(lo, lon) and np.array_equal(la, lat)
+
+    sphere = {
+        "type": "ProjectedCRS",
+        "name": "sphere cea",
+        "base_crs": {
+            "type": "GeographicCRS",
+            "name": "authalic sphere",
+            "datum": {
+                "type": "GeodeticReferenceFrame",
+                "name": "sphere",
+                "ellipsoid": {"name": "sphere", "radius": 6371228.0},
+            },
+        },
+        "conversion": {
+            "name": "EASE v1",
+            "method": {"name": "Lambert Cylindrical Equal Area",
+                       "id": {"authority": "EPSG", "code": 9835}},
+            "parameters": [
+                _prm(8823, "Latitude of 1st standard parallel", 30, "degree"),
+                _prm(8802, "Longitude of natural origin", 0, "degree"),
+                _prm(8806, "False easting", 0, "metre"),
+                _prm(8807, "False northing", 0, "metre"),
+            ],
+        },
+    }
+    crs2 = P.parse_crs(sphere)
+    assert isinstance(crs2, P.CustomCRS)
+    xe, ye = P.transform_xy(lon, lat, 4326, 3410)  # EASE v1 twin
+    xc, yc = P.transform_xy(lon, lat, 4326, crs2)
+    assert float(np.abs(xe - xc).max()) < 1e-6
+    assert float(np.abs(ye - yc).max()) < 1e-6
+
+
+def test_unsupported_definitions_still_raise():
+    with pytest.raises(ValueError):
+        P.parse_crs({"type": "GeographicCRS", "name": "no-datum custom"})
+    bad = _projjson(GRS80, "Hotine Oblique Mercator (variant A)", 9812, [])
+    with pytest.raises(ValueError):
+        P.parse_crs(bad)
+    with pytest.raises(ValueError):
+        P.parse_crs('PROJCRS["mystery",CONVERSION["x"]]')
+
+
+def test_custom_crs_identity_and_grouping():
+    """CustomCRS equality/hash key on the definition text — the batch
+    kernel's uniform-CRS fast path and transform caches depend on it."""
+    d, _, _, _, _ = CASES["tmerc_utm32"]
+    c1, c2 = P.parse_crs(d), P.parse_crs(json.dumps(d))
+    assert c1 == c2 and hash(c1) == hash(c2)
+    other = P.parse_crs(CASES["laea_europe"][0])
+    assert c1 != other
