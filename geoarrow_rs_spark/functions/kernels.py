@@ -23,7 +23,7 @@ import pandas as pd
 
 from ..wkb import algorithms as alg
 from ..wkb import core as wc
-from ..wkb.core import Geom, from_wkb, from_wkt, to_wkb, to_wkt
+from ..wkb.core import Geom, from_wkb, from_wkt, to_ewkb, to_wkb, to_wkt
 from . import batchdecode as bd
 
 # ---------------------------------------------------------------------------
@@ -1490,6 +1490,8 @@ k_project_sphere = _project_kernel(alg.project_sphere)
 
 
 def k_set_srid(s, srid):
+    """PostGIS ST_SetSRID: returns EWKB with the SRID flag in the top-level
+    header (srid 0/NULL degrades to plain ISO WKB = "unknown")."""
     n = len(s)
     sr = list(srid) if hasattr(srid, "__len__") else [srid] * n
     out = []
@@ -1501,7 +1503,23 @@ def k_set_srid(s, srid):
             # touch the shared geoms_of cache
             g = from_wkb(v)
             g.srid = int(sid) if sid is not None else 0
-            out.append(to_wkb(g))
+            out.append(to_ewkb(g))
+    return pd.Series(out, dtype=object)
+
+
+def k_geom_from_ewkb(s):
+    """PostGIS ST_GeomFromEWKB: normalize structure/endianness like
+    ST_GeomFromWKB but KEEP the embedded SRID (reader.rs:171's wire format
+    retains per-value SRID; ST_GeomFromWKB strips it to canonical ISO)."""
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+        else:
+            try:
+                out.append(to_ewkb(from_wkb(v)))
+            except (ValueError, struct.error, IndexError):
+                out.append(None)
     return pd.Series(out, dtype=object)
 
 

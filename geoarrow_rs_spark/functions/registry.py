@@ -58,6 +58,7 @@ _SCALAR_UDFS = {
     "ST_AsText": (K.k_as_wkt, StringType()),
     "ST_AsWKT": (K.k_as_wkt, StringType()),
     "ST_GeomFromWKB": (K.k_geom_from_wkb, BinaryType()),
+    "ST_GeomFromEWKB": (K.k_geom_from_ewkb, BinaryType()),
     "ST_GeomFromNative": (K.k_from_native, BinaryType()),
     "ST_AsGeoJSON": (K.k_as_geojson, StringType()),
     "ST_GeomFromGeoJSON": (K.k_geom_from_geojson, BinaryType()),

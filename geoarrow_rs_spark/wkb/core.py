@@ -354,6 +354,32 @@ def to_wkb(g):
     return b"".join(out)
 
 
+def to_ewkb(g):
+    """Serialize Geom -> PostGIS EWKB: the ISO body with the SRID flag and
+    SRID word spliced into the top-level header when ``g.srid`` is set
+    (PostGIS tags only the outermost header). srid == 0 degrades to plain
+    ISO WKB — PostGIS treats 0 as "unknown" and omits the flag too."""
+    if g is None:
+        return None
+    iso = to_wkb(g)
+    if not g.srid:
+        return iso
+    # EWKB top-level code: base kind + flag bits (the ISO 1000/2000 Z/M
+    # offsets and the EWKB flag encoding cannot be mixed in one word)
+    code = (
+        g.kind
+        | (_EWKB_Z if g.has_z else 0)
+        | (_EWKB_M if g.has_m else 0)
+        | _EWKB_SRID
+    )
+    return (
+        b"\x01"
+        + struct.pack("<I", code)
+        + struct.pack("<I", g.srid)
+        + iso[5:]
+    )
+
+
 # ---------------------------------------------------------------------------
 # WKT
 # ---------------------------------------------------------------------------

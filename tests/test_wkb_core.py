@@ -379,3 +379,33 @@ def test_spherical_and_haversine():
 def test_multipoint_wkt_with_parens():
     g = from_wkt("MULTIPOINT ((10 40), (40 30))")
     assert g.data.shape == (2, 2)
+
+
+def test_to_ewkb_roundtrip_and_flags():
+    import struct
+
+    from geoarrow_rs_spark.wkb.core import to_ewkb
+
+    # srid=0 -> plain ISO bytes
+    g = from_wkt("POINT (3 4)")
+    assert to_ewkb(g) == to_wkb(g)
+    # srid set -> SRID flag + word in the top-level header, body unchanged
+    g.srid = 3857
+    e = to_ewkb(g)
+    (code,) = struct.unpack_from("<I", e, 1)
+    assert code & 0x20000000
+    (srid,) = struct.unpack_from("<I", e, 5)
+    assert srid == 3857
+    g2 = from_wkb(e)
+    assert g2.srid == 3857 and to_wkt(g2) == "POINT (3 4)"
+    # Z/M survive the EWKB header (flag bits, not ISO 1000-offsets)
+    gz = from_wkt("POINT ZM (1 2 3 4)")
+    gz.srid = 4326
+    gz2 = from_wkb(to_ewkb(gz))
+    assert gz2.has_z and gz2.has_m and gz2.srid == 4326
+    assert to_wkt(gz2) == to_wkt(gz)
+    # nested kinds keep only the top-level SRID, like PostGIS
+    gm = from_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")
+    gm.srid = 2154
+    gm2 = from_wkb(to_ewkb(gm))
+    assert gm2.srid == 2154 and to_wkt(gm2) == to_wkt(gm)
