@@ -23,6 +23,7 @@ import pandas as pd
 
 from ..wkb import algorithms as alg
 from ..wkb import core as wc
+from ..wkb import spherical as sph
 from ..wkb.core import Geom, from_wkb, from_wkt, to_ewkb, to_wkb, to_wkt
 from . import batchdecode as bd
 
@@ -1562,7 +1563,10 @@ def _binary_kernel(fn, out_dtype=object):
     return k
 
 
-k_intersects = _binary_kernel(alg.intersects)
+# slow paths; the public k_intersects / k_intersects_sphere below add a
+# vectorized whole-batch fast path for two-point-segment columns
+_k_intersects_slow = _binary_kernel(alg.intersects)
+_k_intersects_sphere_slow = _binary_kernel(sph.sph_intersects)
 def k_line_merge(s):
     return _geom_out([alg.line_merge(g) if g is not None else None for g in geoms_of(s)])
 
@@ -1605,6 +1609,91 @@ def pack_lines2(x1, y1, x2, y2):
     rec["y2"] = y2
     raw = rec.tobytes()
     return [raw[i * 41:(i + 1) * 41] for i in range(n)]
+
+
+_LS2_HDR = _LS_HDR + b"\x02\x00\x00\x00"
+
+
+def try_unpack_lines2(vals):
+    """If every non-null value is a little-endian XY two-point LINESTRING
+    (41 bytes), return (x1, y1, x2, y2, mask_null) arrays; else None."""
+    n = len(vals)
+    null = np.zeros(n, dtype=bool)
+    chunks = []
+    idx = []
+    for i, v in enumerate(vals):
+        if v is None:
+            null[i] = True
+            continue
+        if len(v) != 41 or v[:9] != _LS2_HDR:
+            return None
+        chunks.append(v)
+        idx.append(i)
+    out = np.full((4, n), np.nan)
+    if chunks:
+        rec = np.frombuffer(b"".join(chunks), dtype=_LS2_WKB)
+        idx = np.asarray(idx)
+        for j, f in enumerate(("x1", "y1", "x2", "y2")):
+            out[j][idx] = rec[f]
+    return out[0], out[1], out[2], out[3], null
+
+
+def k_intersects(s1, s2):
+    """Planar intersects with a vectorized fast path for two-point-segment
+    pairs: strict-straddle rows decide in numpy; boundary rows (any
+    orientation exactly 0: touching, collinear, NaN) fall back to the
+    exact per-row geometry path so semantics are bit-identical."""
+    v1 = list(s1)
+    f1 = try_unpack_lines2(v1)
+    if f1 is None:
+        return _k_intersects_slow(s1, s2)
+    v2 = list(s2)
+    f2 = try_unpack_lines2(v2)
+    if f2 is None:
+        return _k_intersects_slow(s1, s2)
+    ax1, ay1, ax2, ay2, n1 = f1
+    bx1, by1, bx2, by2, n2 = f2
+    o1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    o2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    o3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    o4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    with np.errstate(invalid="ignore"):
+        strict_true = (o1 * o2 < 0) & (o3 * o4 < 0)
+        strict_false = (o1 * o2 > 0) | (o3 * o4 > 0)
+    anynull = n1 | n2
+    out = np.empty(len(v1), dtype=object)
+    out[:] = False
+    out[strict_true] = True
+    out[anynull] = None
+    fb = ~(strict_true | strict_false) & ~anynull
+    for i in np.flatnonzero(fb):
+        out[i] = alg.intersects(from_wkb(v1[i]), from_wkb(v2[i]))
+    return pd.Series(out, dtype=object)
+
+
+def k_intersects_sphere(s1, s2):
+    """Great-circle intersects (wkb/spherical.py) with the same whole-batch
+    two-point-segment fast path; degenerate/coplanar rows fall back to the
+    scalar path, which owns the antipodal ValueError contract."""
+    v1 = list(s1)
+    f1 = try_unpack_lines2(v1)
+    if f1 is None:
+        return _k_intersects_sphere_slow(s1, s2)
+    v2 = list(s2)
+    f2 = try_unpack_lines2(v2)
+    if f2 is None:
+        return _k_intersects_sphere_slow(s1, s2)
+    ax1, ay1, ax2, ay2, n1 = f1
+    bx1, by1, bx2, by2, n2 = f2
+    hit, fb = sph.sph_seg2_batch(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+    anynull = n1 | n2
+    out = np.empty(len(v1), dtype=object)
+    out[:] = False
+    out[hit] = True
+    out[anynull] = None
+    for i in np.flatnonzero(fb & ~anynull):
+        out[i] = sph.sph_intersects(from_wkb(v1[i]), from_wkb(v2[i]))
+    return pd.Series(out, dtype=object)
 
 
 def _closest_candidates(s_geom, s_pt_unpacked):

@@ -148,6 +148,7 @@ _SCALAR_UDFS = {
     "ST_LineSubstring": (K.k_line_substring, BinaryType()),
     # binary predicates / measures
     "ST_Intersects": (K.k_intersects, BooleanType()),
+    "ST_IntersectsSphere": (K.k_intersects_sphere, BooleanType()),
     "ST_Contains": (K.k_contains, BooleanType()),
     "ST_Within": (K.k_within, BooleanType()),
     "ST_Disjoint": (K.k_disjoint, BooleanType()),

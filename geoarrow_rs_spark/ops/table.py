@@ -123,16 +123,23 @@ _EDGE_KERNELS = {
         "length": "ST_Length",
         "area": "ST_Area",
         "distance": "ST_Distance",
+        "intersects": "ST_Intersects",
     },
     "spherical": {
         "length": "ST_LengthSphere",
         "area": "ST_AreaSpherical",
         "distance": "ST_DistanceSphere",
+        "intersects": "ST_IntersectsSphere",
     },
+    # geodesic edges use the spherical predicate too: an ellipsoidal
+    # geodesic deviates from the great circle by < f/2 (~0.17%) of the arc,
+    # which never flips a predicate except within that sliver of the
+    # crossing — documented divergence (wkb/spherical.py's table)
     "spheroid": {
         "length": "ST_LengthSpheroid",
         "area": "ST_AreaSpheroid",
         "distance": "ST_DistanceSpheroid",
+        "intersects": "ST_IntersectsSphere",
     },
 }
 
@@ -173,4 +180,23 @@ def geom_distance(df: DataFrame, geom_col: str, other_col: str) -> Column:
         )
     return F.call_function(
         _edge_kernel(df, geom_col, "distance"), F.col(geom_col), F.col(other_col)
+    )
+
+
+def geom_intersects(df: DataFrame, geom_col: str, other_col: str) -> Column:
+    """Intersects honoring the ``edges`` tag: planar columns get
+    ST_Intersects, spherical/geodesic columns great-circle
+    ST_IntersectsSphere (puntal/lineal only — polygon inputs raise; the
+    full per-kernel divergence table lives in wkb/spherical.py). Raises on
+    conflicting tags, like :func:`geom_distance`."""
+    from ..types.geo_types import get_edges
+
+    fam_a = _EDGE_FAMILY.get(str(get_edges(df, geom_col)).lower())
+    fam_b = _EDGE_FAMILY.get(str(get_edges(df, other_col)).lower())
+    if fam_a != fam_b:
+        raise ValueError(
+            f"edges mismatch: {geom_col!r} is {fam_a}, {other_col!r} is {fam_b}"
+        )
+    return F.call_function(
+        _edge_kernel(df, geom_col, "intersects"), F.col(geom_col), F.col(other_col)
     )

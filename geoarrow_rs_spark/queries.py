@@ -4322,6 +4322,167 @@ FROM (
 ORACLE_GEO_TRANSFORM_PROJJSON = _projjson_oracle_sql()
 
 
+# Spherical-edges predicates (wkb/spherical.py; edges.rs:35-60 semantics):
+# per-row parameterized segment pairs in the two regimes where plate-carrée
+# and great-circle ST_Intersects genuinely disagree — antimeridian
+# crossings and the poleward bulge of long east-west arcs.
+_SPH_PARAMS = {
+    # antimeridian pair: arc p (crosses ±180) vs meridian segment q
+    "am_p1lon": "(165.0 + CAST(c_custkey % 10 AS DOUBLE))",
+    "am_p1lat": "(-20.0 + CAST(c_custkey % 9 AS DOUBLE) * 5.0)",
+    "am_p2lon": "(-165.0 - CAST(c_custkey % 8 AS DOUBLE))",
+    "am_p2lat": "(25.0 - CAST(c_custkey % 7 AS DOUBLE) * 6.0)",
+    # fractional offsets keep the meridian off the arc's integer lattice:
+    # exact endpoint-on-segment tangencies would make the kernel (touch =
+    # intersect) and the strict-straddle oracle disagree
+    "am_qlon": "(-40.7 + CAST(c_custkey % 16 AS DOUBLE) * 14.0)",
+    "am_q1lat": "(-35.3 + CAST(c_custkey % 12 AS DOUBLE) * 5.0)",
+    "am_q2lat": "(-23.3 + CAST(c_custkey % 12 AS DOUBLE) * 5.0"
+    " + CAST(c_custkey % 5 AS DOUBLE) * 8.0)",
+    # bulge pair: east-west arc p at constant latitude vs meridian segment q
+    "bu_p1lon": "(-50.0 - CAST(c_custkey % 6 AS DOUBLE) * 5.0)",
+    "bu_plat": "(40.0 + CAST(c_custkey % 5 AS DOUBLE) * 3.0)",
+    "bu_p2lon": "(50.0 + CAST(c_custkey % 7 AS DOUBLE) * 5.0)",
+    "bu_qlon": "(-10.0 + CAST(c_custkey % 8 AS DOUBLE) * 4.0)",
+    "bu_q1lat": "(41.0 + CAST(c_custkey % 9 AS DOUBLE) * 3.0)",
+    "bu_q2lat": "(47.0 + CAST(c_custkey % 9 AS DOUBLE) * 3.0)",
+}
+
+
+def geo_spherical_predicates(spark, sf_dir):
+    """Planar vs great-circle ST_Intersects over parameterized segment
+    pairs (ST_IntersectsSphere, wkb/spherical.py). Returns both verdicts
+    plus the flip flag per regime; the DuckDB oracle restates the same
+    unit-vector cross-product arc test in plain SQL, so values are strict
+    (booleans; generic-position data keeps every sign test away from the
+    1e-12 band)."""
+    c = _t(spark, sf_dir, "customer")
+    P = _SPH_PARAMS
+    am_p = f"ST_MakeLine(ST_Point({P['am_p1lon']}, {P['am_p1lat']}), ST_Point({P['am_p2lon']}, {P['am_p2lat']}))"
+    am_q = f"ST_MakeLine(ST_Point({P['am_qlon']}, {P['am_q1lat']}), ST_Point({P['am_qlon']}, {P['am_q2lat']}))"
+    bu_p = f"ST_MakeLine(ST_Point({P['bu_p1lon']}, {P['bu_plat']}), ST_Point({P['bu_p2lon']}, {P['bu_plat']}))"
+    bu_q = f"ST_MakeLine(ST_Point({P['bu_qlon']}, {P['bu_q1lat']}), ST_Point({P['bu_qlon']}, {P['bu_q2lat']}))"
+    staged = c.selectExpr(
+        "c_custkey",
+        f"ST_Intersects({am_p}, {am_q}) AS am_planar",
+        f"ST_IntersectsSphere({am_p}, {am_q}) AS am_sph",
+        f"ST_Intersects({bu_p}, {bu_q}) AS bu_planar",
+        f"ST_IntersectsSphere({bu_p}, {bu_q}) AS bu_sph",
+    )
+    return staged.selectExpr(
+        "c_custkey",
+        "am_planar",
+        "am_sph",
+        "am_planar <> am_sph AS am_flip",
+        "bu_planar",
+        "bu_sph",
+        "bu_planar <> bu_sph AS bu_flip",
+    )
+
+
+def _sph_oracle_sql() -> str:
+    """Great-circle arc-pair intersection in plain SQL: unit xyz vectors,
+    plane normals n = p x q, candidate +-(n1 x n2), minor-arc sign tests
+    (p x X)·n >= -1e-12 — the same math as wkb/spherical.py (sign tests are
+    scale-invariant so the candidate needs no normalization). Planar is the
+    strict straddle test (generic-position data has no touching pairs)."""
+
+    def xyz(lon, lat, pfx):
+        return (
+            f"cos(radians({lat})) * cos(radians({lon})) AS {pfx}x,"
+            f" cos(radians({lat})) * sin(radians({lon})) AS {pfx}y,"
+            f" sin(radians({lat})) AS {pfx}z"
+        )
+
+    def cross(a, b, pfx):
+        return (
+            f"{a}y * {b}z - {a}z * {b}y AS {pfx}x,"
+            f" {a}z * {b}x - {a}x * {b}z AS {pfx}y,"
+            f" {a}x * {b}y - {a}y * {b}x AS {pfx}z"
+        )
+
+    def dot_cross(a, b, n):
+        # (a x b) · n
+        return (
+            f"(({a}y * {b}z - {a}z * {b}y) * {n}x"
+            f" + ({a}z * {b}x - {a}x * {b}z) * {n}y"
+            f" + ({a}x * {b}y - {a}y * {b}x) * {n}z)"
+        )
+
+    def contains(x, p, q, n):
+        return (
+            f"({dot_cross(p, x, n)} >= -1e-12 AND {dot_cross(x, q, n)} >= -1e-12)"
+        )
+
+    def sph(g):  # g in {am, bu}: points {g}a1,{g}a2,{g}b1,{g}b2; normals {g}n1,{g}n2; candidate {g}d / {g}m
+        return (
+            f"(({contains(f'{g}d', f'{g}a1', f'{g}a2', f'{g}n1')}"
+            f" AND {contains(f'{g}d', f'{g}b1', f'{g}b2', f'{g}n2')})"
+            f" OR ({contains(f'{g}m', f'{g}a1', f'{g}a2', f'{g}n1')}"
+            f" AND {contains(f'{g}m', f'{g}b1', f'{g}b2', f'{g}n2')}))"
+        )
+
+    def orient(px, py, qx, qy, rx, ry):
+        return f"(({qx} - {px}) * ({ry} - {py}) - ({qy} - {py}) * ({rx} - {px}))"
+
+    def planar(p1x, p1y, p2x, p2y, q1x, q1y, q2x, q2y):
+        o1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+        o2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+        o3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+        o4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+        return f"({o1} * {o2} < 0 AND {o3} * {o4} < 0)"
+
+    P = _SPH_PARAMS
+    lonlat = ", ".join(
+        f"{expr} AS {name}" for name, expr in P.items()
+    )
+    s1 = f"SELECT c_custkey, {lonlat} FROM customer"
+    s2 = (
+        "SELECT c_custkey,"
+        f" {planar('am_p1lon', 'am_p1lat', 'am_p2lon', 'am_p2lat', 'am_qlon', 'am_q1lat', 'am_qlon', 'am_q2lat')} AS am_planar,"
+        f" {planar('bu_p1lon', 'bu_plat', 'bu_p2lon', 'bu_plat', 'bu_qlon', 'bu_q1lat', 'bu_qlon', 'bu_q2lat')} AS bu_planar,"
+        f" {xyz('am_p1lon', 'am_p1lat', 'ama1')}, {xyz('am_p2lon', 'am_p2lat', 'ama2')},"
+        f" {xyz('am_qlon', 'am_q1lat', 'amb1')}, {xyz('am_qlon', 'am_q2lat', 'amb2')},"
+        f" {xyz('bu_p1lon', 'bu_plat', 'bua1')}, {xyz('bu_p2lon', 'bu_plat', 'bua2')},"
+        f" {xyz('bu_qlon', 'bu_q1lat', 'bub1')}, {xyz('bu_qlon', 'bu_q2lat', 'bub2')}"
+        f" FROM ({s1})"
+    )
+    s3 = (
+        "SELECT c_custkey, am_planar, bu_planar,"
+        " ama1x, ama1y, ama1z, ama2x, ama2y, ama2z,"
+        " amb1x, amb1y, amb1z, amb2x, amb2y, amb2z,"
+        " bua1x, bua1y, bua1z, bua2x, bua2y, bua2z,"
+        " bub1x, bub1y, bub1z, bub2x, bub2y, bub2z,"
+        f" {cross('ama1', 'ama2', 'amn1')}, {cross('amb1', 'amb2', 'amn2')},"
+        f" {cross('bua1', 'bua2', 'bun1')}, {cross('bub1', 'bub2', 'bun2')}"
+        f" FROM ({s2})"
+    )
+    s4 = (
+        "SELECT *,"
+        f" {cross('amn1', 'amn2', 'amd')}, {cross('bun1', 'bun2', 'bud')}"
+        f" FROM ({s3})"
+    )
+    s5 = (
+        "SELECT *,"
+        " -amdx AS ammx, -amdy AS ammy, -amdz AS ammz,"
+        " -budx AS bumx, -budy AS bumy, -budz AS bumz"
+        f" FROM ({s4})"
+    )
+    return (
+        "SELECT c_custkey,"
+        " am_planar,"
+        f" {sph('am')} AS am_sph,"
+        f" am_planar <> {sph('am')} AS am_flip,"
+        " bu_planar,"
+        f" {sph('bu')} AS bu_sph,"
+        f" bu_planar <> {sph('bu')} AS bu_flip"
+        f" FROM ({s5})"
+    )
+
+
+ORACLE_GEO_SPHERICAL_PREDICATES = _sph_oracle_sql()
+
+
 def sim_mmr_rerank(spark, sf_dir):
     """MMR diversity reranking (Carbonell & Goldstein 1998) of the
     brute-force retrieval's top-8 candidates: greedy 3-pick with
@@ -7400,6 +7561,7 @@ QUERIES = {
     "geo_transform_tmerc": (geo_transform_tmerc, ORACLE_GEO_TRANSFORM_TMERC),
     "geo_transform_cyl": (geo_transform_cyl, ORACLE_GEO_TRANSFORM_CYL),
     "geo_transform_projjson": (geo_transform_projjson, ORACLE_GEO_TRANSFORM_PROJJSON),
+    "geo_spherical_predicates": (geo_spherical_predicates, ORACLE_GEO_SPHERICAL_PREDICATES),
     "sim_mmr_rerank": (sim_mmr_rerank, ORACLE_SIM_MMR),
     "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE_PLAN),
     "pipe_budget_fill": (pipe_budget_fill, ORACLE_PIPE_BUDGET_FILL),
@@ -7572,6 +7734,7 @@ _SAMPLE_PRIORITY = [
     "dedup_lsh_eval",
     "dedup_substring_spans",
     "geo_transform_projjson",
+    "geo_spherical_predicates",
     "geo_transform_conic",
     "geo_transform_laea",
     "geo_transform_tmerc",

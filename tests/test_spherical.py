@@ -1,0 +1,171 @@
+"""Spherical-edges binary predicates (wkb/spherical.py; VERDICT r4 #8).
+
+Great-circle ST_Intersects for puntal/lineal geometries, the SQL kernel,
+and the edges-metadata dispatch. The flip cases are the ones where planar
+plate-carrée and spherical answers genuinely differ: antimeridian
+crossings and the poleward bulge of long east-west arcs."""
+
+import pytest
+
+from geoarrow_rs_spark.wkb import algorithms as alg
+from geoarrow_rs_spark.wkb.core import from_wkt, to_wkb
+from geoarrow_rs_spark.wkb.spherical import sph_intersects
+
+
+def L(a, b, c, d):
+    return from_wkt(f"LINESTRING ({a} {b}, {c} {d})")
+
+
+def P(x, y):
+    return from_wkt(f"POINT ({x} {y})")
+
+
+# (g1, g2, spherical expected, planar expected)
+FLIP_CASES = [
+    # arc (170,0)->(-170,10) crosses the antimeridian; the planar segment
+    # runs the other way around through lon 0
+    (L(170, 0, -170, 10), L(179.5, -5, 179.5, 15), True, False),
+    # east-west arc at lat 45 bulges to 63.43N at lon 0
+    (L(-60, 45, 60, 45), L(0, 50, 0, 60), False, False),
+    (L(-60, 45, 60, 45), L(0, 63, 0, 65), True, False),
+    (L(-60, 45, 60, 45), L(0, 44, 0, 46), False, True),
+    (L(-60, 45, 60, 45), P(0, 63.434948822922), True, False),
+]
+
+AGREE_CASES = [
+    (L(-1, -1, 1, 1), L(-1, 1, 1, -1), True),
+    (L(10, 10, 11, 11), L(50, 50, 51, 51), False),
+    (P(5, 5), P(5, 5), True),
+    (P(5, 5), P(5, 5.001), False),
+    (L(0, 0, 10, 0), L(5, 0, 15, 0), True),  # same great circle, overlap
+    (L(0, 0, 10, 0), L(11, 0, 15, 0), False),  # same great circle, disjoint
+    (L(0, 0, 10, 10), L(10, 10, 20, 0), True),  # touch at shared vertex
+]
+
+
+def test_flip_cases_vs_planar():
+    for g1, g2, want_sph, want_planar in FLIP_CASES:
+        assert sph_intersects(g1, g2) is want_sph
+        assert alg.intersects(g1, g2) is want_planar
+
+
+def test_agreement_cases():
+    for g1, g2, want in AGREE_CASES:
+        assert sph_intersects(g1, g2) is want
+        assert alg.intersects(g1, g2) is want
+        # symmetric
+        assert sph_intersects(g2, g1) is want
+
+
+def test_multi_kinds_and_nulls():
+    ml = from_wkt("MULTILINESTRING ((170 0, -170 10), (10 10, 11 11))")
+    assert sph_intersects(ml, L(179.5, -5, 179.5, 15)) is True
+    mp = from_wkt("MULTIPOINT (0 63.434948822922, 40 40)")
+    assert sph_intersects(mp, L(-60, 45, 60, 45)) is True
+    assert sph_intersects(None, L(0, 0, 1, 1)) is None
+    assert sph_intersects(L(0, 0, 1, 1), None) is None
+
+
+def test_polygon_raises():
+    poly = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))")
+    with pytest.raises(NotImplementedError):
+        sph_intersects(poly, P(0.5, 0.25))
+
+
+def test_antipodal_raises():
+    with pytest.raises(ValueError):
+        sph_intersects(L(0, 0, 180, 0), L(10, -10, 10, 10))
+
+
+def test_sql_kernel_and_edges_dispatch(spark):
+    from pyspark.sql import functions as F
+
+    from geoarrow_rs_spark.ops.table import geom_intersects
+    from geoarrow_rs_spark.types.geo_types import set_crs
+
+    rows = [
+        (1, to_wkb(L(170, 0, -170, 10)), to_wkb(L(179.5, -5, 179.5, 15))),
+        (2, to_wkb(L(-60, 45, 60, 45)), to_wkb(L(0, 44, 0, 46))),
+        (3, to_wkb(L(-1, -1, 1, 1)), to_wkb(L(-1, 1, 1, -1))),
+    ]
+    df = spark.createDataFrame(rows, "id INT, a BINARY, b BINARY")
+    got = {
+        r["id"]: (r["sph"], r["pl"])
+        for r in df.selectExpr(
+            "id",
+            "ST_IntersectsSphere(a, b) AS sph",
+            "ST_Intersects(a, b) AS pl",
+        ).collect()
+    }
+    assert got == {1: (True, False), 2: (False, True), 3: (True, True)}
+
+    # edges dispatch: identical query text, metadata picks the math
+    sph_df = set_crs(set_crs(df, "a", "EPSG:4326", edges="spherical"),
+                     "b", "EPSG:4326", edges="spherical")
+    out_sph = {
+        r["id"]: r["hit"]
+        for r in sph_df.select("id", geom_intersects(sph_df, "a", "b").alias("hit")).collect()
+    }
+    assert out_sph == {1: True, 2: False, 3: True}
+    out_pl = {
+        r["id"]: r["hit"]
+        for r in df.select("id", geom_intersects(df, "a", "b").alias("hit")).collect()
+    }
+    assert out_pl == {1: False, 2: True, 3: True}
+
+    # conflicting tags raise
+    mixed = set_crs(df, "a", "EPSG:4326", edges="spherical")
+    with pytest.raises(ValueError):
+        geom_intersects(mixed, "a", "b")
+
+
+def test_seg2_fast_path_matches_scalar():
+    """The vectorized two-point-segment fast paths must agree with the
+    per-row geometry paths on a dense grid including touching, collinear,
+    shared-endpoint, NaN-free generic, and null rows."""
+    import numpy as np
+    import pandas as pd
+
+    from geoarrow_rs_spark.functions import kernels as K
+    from geoarrow_rs_spark.wkb.spherical import sph_intersects
+
+    rng = np.random.RandomState(7)
+    segs = []
+    # generic random segments (short, mid-lat)
+    for _ in range(120):
+        x1, y1 = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        segs.append((x1, y1, x1 + rng.uniform(-20, 20), y1 + rng.uniform(-20, 20)))
+    # adversarial: touching / collinear / shared endpoints / antimeridian
+    segs += [
+        (0, 0, 10, 0), (5, 0, 15, 0), (10, 0, 20, 0), (0, 0, 10, 10),
+        (10, 10, 20, 0), (5, 5, 5, -5), (0, 5, 10, 5), (170, 0, -170, 10),
+        (179.5, -5, 179.5, 15), (-60, 45, 60, 45), (0, 44, 0, 46),
+    ]
+    a = [K.to_wkb(K.from_wkt(f"LINESTRING ({s[0]} {s[1]}, {s[2]} {s[3]})")) for s in segs]
+    n = len(a)
+    idx2 = rng.permutation(n)
+    b = [a[i] for i in idx2]
+    a[3] = None  # null row
+    s1, s2 = pd.Series(a, dtype=object), pd.Series(b, dtype=object)
+
+    fast_pl = K.k_intersects(s1, s2)
+    slow_pl = K._k_intersects_slow(s1, s2)
+    assert list(fast_pl) == list(slow_pl)
+
+    fast_sp = K.k_intersects_sphere(s1, s2)
+    for i in range(n):
+        want = (
+            None if a[i] is None or b[i] is None
+            else sph_intersects(K.from_wkb(a[i]), K.from_wkb(b[i]))
+        )
+        assert fast_sp[i] is want or fast_sp[i] == want
+
+    # non-seg2 columns (points / 3-vertex lines) must route to the slow path
+    mixed = pd.Series(
+        [K.to_wkb(K.from_wkt("POINT (5 5)")),
+         K.to_wkb(K.from_wkt("LINESTRING (0 0, 5 5, 10 0)"))], dtype=object
+    )
+    other = pd.Series([a[0], a[1]], dtype=object)
+    got = K.k_intersects(mixed, other)
+    want = K._k_intersects_slow(mixed, other)
+    assert list(got) == list(want)
