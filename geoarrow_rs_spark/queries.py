@@ -4483,6 +4483,141 @@ def _sph_oracle_sql() -> str:
 ORACLE_GEO_SPHERICAL_PREDICATES = _sph_oracle_sql()
 
 
+# Spherical POLYGON containment: per-row regular spherical pentagon built
+# by the direct-geodesic destination formula (shared expression text so
+# Spark and DuckDB compute bit-identical vertex doubles), test point at a
+# parameterized distance/azimuth from the same center. Centers alternate
+# between an antimeridian-straddling band (planar ring becomes a bowtie —
+# the flip regime) and a mid-lon band.
+_SPOLY_K = 5
+
+
+def _spoly_stages():
+    """Shared stage expressions: stage1 params -> stage2 per-vertex sinlat
+    -> stage3 lon/lat degrees (wrapped). Returns (stage1, stage2, stage3)
+    as ordered (name, expr) lists; later stages reference earlier names."""
+    wrap = lambda x: f"(({x}) + 540.0 - floor((({x}) + 540.0) / 360.0) * 360.0 - 180.0)"
+    s1 = [
+        ("clon", "(CASE WHEN c_custkey % 2 = 0"
+                 " THEN 168.4 + CAST(c_custkey % 24 AS DOUBLE)"
+                 " ELSE 20.7 + CAST(c_custkey % 90 AS DOUBLE) END)"),
+        ("phi", "radians(6.3 + CAST(c_custkey % 45 AS DOUBLE))"),
+        ("delt", "radians(1.5 + CAST(c_custkey % 4 AS DOUBLE) * 0.5)"),
+        ("az0", "(7.0 + CAST(c_custkey % 5 AS DOUBLE) * 13.0)"),
+        ("deltp", "radians((1.5 + CAST(c_custkey % 4 AS DOUBLE) * 0.5)"
+                  " * (0.4 + 0.25 * CAST(c_custkey % 6 AS DOUBLE)))"),
+        ("thp", "radians(3.7 + 9.0 * CAST(c_custkey % 40 AS DOUBLE))"),
+    ]
+    s2 = []
+    for i in range(_SPOLY_K):
+        th = f"radians(az0 + {72.0 * i})"
+        s2.append((f"th{i}", th))
+    s2.append(
+        ("slp", "sin(phi) * cos(deltp) + cos(phi) * sin(deltp) * cos(thp)")
+    )
+    for i in range(_SPOLY_K):
+        s2.append(
+            (f"sl{i}", f"sin(phi) * cos(delt) + cos(phi) * sin(delt) * cos(th{i})")
+        )
+    s3 = [
+        ("plat", "degrees(asin(slp))"),
+        ("plon", wrap(
+            "degrees(atan2(sin(thp) * sin(deltp) * cos(phi),"
+            " cos(deltp) - sin(phi) * slp)) + clon"
+        )),
+    ]
+    for i in range(_SPOLY_K):
+        s3.append((f"lat{i}", f"degrees(asin(sl{i}))"))
+        s3.append((f"lon{i}", wrap(
+            f"degrees(atan2(sin(th{i}) * sin(delt) * cos(phi),"
+            f" cos(delt) - sin(phi) * sl{i})) + clon"
+        )))
+    return s1, s2, s3
+
+
+def geo_spherical_polygon(spark, sf_dir):
+    """Spherical-polygon containment (ST_IntersectsSphere over POLYGON
+    inputs, wkb/spherical.py even-odd arcs) vs planar ST_Intersects on the
+    same ring. Antimeridian-straddling pentagons are planar bowties — the
+    regime where plate-carrée containment is simply wrong; the DuckDB
+    oracle decides spherical truth with the convex all-same-sign edge test
+    and planar truth with an even-odd ray cast on the identical ring
+    doubles (vertex coordinates share expression text, so both engines
+    compute bit-identical doubles)."""
+    c = _t(spark, sf_dir, "customer")
+    df = c.selectExpr("c_custkey")
+    for stage in _spoly_stages():
+        df = df.selectExpr("*", *[f"{e} AS {n}" for n, e in stage])
+    ring = ", ".join(
+        [f"CAST(lon{i} AS STRING), ' ', CAST(lat{i} AS STRING), ', '"
+         for i in range(_SPOLY_K)]
+    )
+    wkt = (
+        f"concat('POLYGON ((', {ring}, "
+        f"CAST(lon0 AS STRING), ' ', CAST(lat0 AS STRING), '))')"
+    )
+    staged = df.selectExpr(
+        "c_custkey",
+        f"ST_IntersectsSphere(ST_Point(plon, plat), ST_GeomFromText({wkt})) AS sph_in",
+        f"ST_Intersects(ST_Point(plon, plat), ST_GeomFromText({wkt})) AS planar_in",
+    )
+    return staged.selectExpr(
+        "c_custkey", "sph_in", "planar_in", "sph_in <> planar_in AS flip"
+    )
+
+
+def _spoly_oracle_sql() -> str:
+    s1, s2, s3 = _spoly_stages()
+
+    def sel(stage, frm):
+        cols = ", ".join(f"{e} AS {n}" for n, e in stage)
+        return f"SELECT *, {cols} FROM ({frm})"
+
+    q = "SELECT c_custkey FROM customer"
+    for stage in (s1, s2, s3):
+        q = sel(stage, q)
+    # stage 4: unit xyz of the vertices and the test point
+    xyz = []
+    for nm, lon, lat in [("p", "plon", "plat")] + [
+        (f"v{i}", f"lon{i}", f"lat{i}") for i in range(_SPOLY_K)
+    ]:
+        xyz += [
+            (f"{nm}x", f"cos(radians({lat})) * cos(radians({lon}))"),
+            (f"{nm}y", f"cos(radians({lat})) * sin(radians({lon}))"),
+            (f"{nm}z", f"sin(radians({lat}))"),
+        ]
+    q = sel(xyz, q)
+    # stage 5: edge sign tests s_i = (v_i x v_{i+1}) . p
+    signs = []
+    for i in range(_SPOLY_K):
+        a, b = f"v{i}", f"v{(i + 1) % _SPOLY_K}"
+        signs.append((f"s{i}", (
+            f"(({a}y * {b}z - {a}z * {b}y) * px"
+            f" + ({a}z * {b}x - {a}x * {b}z) * py"
+            f" + ({a}x * {b}y - {a}y * {b}x) * pz)"
+        )))
+    q = sel(signs, q)
+    allpos = " AND ".join(f"s{i} > 0" for i in range(_SPOLY_K))
+    allneg = " AND ".join(f"s{i} < 0" for i in range(_SPOLY_K))
+    # planar even-odd ray cast on the identical ring doubles
+    crossings = " + ".join(
+        f"(CASE WHEN (lat{i} > plat) <> (lat{j} > plat)"
+        f" AND plon < (lon{j} - lon{i}) * (plat - lat{i}) / (lat{j} - lat{i}) + lon{i}"
+        f" THEN 1 ELSE 0 END)"
+        for i, j in [(i, (i + 1) % _SPOLY_K) for i in range(_SPOLY_K)]
+    )
+    return (
+        "SELECT c_custkey,"
+        f" (({allpos}) OR ({allneg})) AS sph_in,"
+        f" ({crossings}) % 2 = 1 AS planar_in,"
+        f" (({allpos}) OR ({allneg})) <> (({crossings}) % 2 = 1) AS flip"
+        f" FROM ({q})"
+    )
+
+
+ORACLE_GEO_SPHERICAL_POLYGON = _spoly_oracle_sql()
+
+
 def sim_mmr_rerank(spark, sf_dir):
     """MMR diversity reranking (Carbonell & Goldstein 1998) of the
     brute-force retrieval's top-8 candidates: greedy 3-pick with
@@ -7562,6 +7697,7 @@ QUERIES = {
     "geo_transform_cyl": (geo_transform_cyl, ORACLE_GEO_TRANSFORM_CYL),
     "geo_transform_projjson": (geo_transform_projjson, ORACLE_GEO_TRANSFORM_PROJJSON),
     "geo_spherical_predicates": (geo_spherical_predicates, ORACLE_GEO_SPHERICAL_PREDICATES),
+    "geo_spherical_polygon": (geo_spherical_polygon, ORACLE_GEO_SPHERICAL_POLYGON),
     "sim_mmr_rerank": (sim_mmr_rerank, ORACLE_SIM_MMR),
     "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE_PLAN),
     "pipe_budget_fill": (pipe_budget_fill, ORACLE_PIPE_BUDGET_FILL),
@@ -7735,6 +7871,7 @@ _SAMPLE_PRIORITY = [
     "dedup_substring_spans",
     "geo_transform_projjson",
     "geo_spherical_predicates",
+    "geo_spherical_polygon",
     "geo_transform_conic",
     "geo_transform_laea",
     "geo_transform_tmerc",

@@ -16,11 +16,13 @@ Per-kernel divergence contract (VERDICT r4 directive #8):
 ============================  =============================================
 kernel                        spherical-edges behavior
 ============================  =============================================
-ST_IntersectsSphere           exact great-circle semantics for POINT /
-                              MULTIPOINT / LINESTRING / MULTILINESTRING
-                              (and collections thereof); polygon inputs
-                              raise NotImplementedError — an honest
-                              boundary, not a silent planar answer
+ST_IntersectsSphere           exact great-circle semantics for ALL WKB
+                              kinds: points/lines exact; polygons get
+                              great-circle edges + spherical even-odd
+                              containment, restricted to polygons that fit
+                              in an open hemisphere (ValueError otherwise —
+                              an honest boundary, not a silent planar
+                              answer; split or densify larger regions)
 ST_Distance/Length/Area       already edges-dispatched via
                               ops.table.geom_* (sphere/spheroid kernels)
 ST_Contains/Within/Relate,    remain PLANAR regardless of the edges tag;
@@ -112,10 +114,78 @@ def _arcs_intersect(p1, q1, p2, q2) -> bool:
     return _arc_contains(Xn, p1, q1, n1) and _arc_contains(Xn, p2, q2, n2)
 
 
+def _rings_xyz(poly):
+    """Rings of a POLYGON part as lists of unit xyz vertices (the closing
+    duplicate vertex dropped)."""
+    rings = []
+    for r in poly.data:
+        m = len(r)
+        if m and np.allclose(r[0, :2], r[m - 1, :2]):
+            m -= 1
+        rings.append([_xyz(float(r[i, 0]), float(r[i, 1])) for i in range(m)])
+    return rings
+
+
+def _poly_outside_ref(rings):
+    """A reference point guaranteed OUTSIDE the polygon: the antipode of
+    the outer ring's vertex centroid. Valid only while the polygon fits in
+    an open hemisphere around that centroid — the same restriction most
+    geography engines impose — else ValueError."""
+    C = np.sum(rings[0], axis=0)
+    n = float(np.linalg.norm(C))
+    if n < _EPS:
+        raise ValueError(
+            "spherical polygon has no defined interior (vertex centroid "
+            "degenerate — the ring spans a full great circle)"
+        )
+    C = C / n
+    for ring in rings:
+        for v in ring:
+            if float(np.dot(v, C)) <= _EPS:
+                raise ValueError(
+                    "spherical polygon exceeds a hemisphere: interior is "
+                    "ambiguous (split it or densify)"
+                )
+    return -C
+
+
+def _ring_edges(rings):
+    for ring in rings:
+        m = len(ring)
+        for i in range(m):
+            yield ring[i], ring[(i + 1) % m]
+
+
+def _point_in_sph_poly(X, rings, ref) -> bool:
+    """Even-odd rule on the sphere: parity of proper crossings of the arc
+    X -> ref with every ring edge (holes subtract automatically). Boundary
+    points are handled by the caller's on-edge test."""
+    if float(np.dot(X, ref)) <= -1.0 + 1e-12:
+        # X is (nearly) the centroid itself — the arc to its antipode is
+        # undefined. The polygon lies strictly inside the open centroid
+        # hemisphere (enforced in _poly_outside_ref), so any direction 90°
+        # from the centroid is also guaranteed outside.
+        C = -ref
+        e = (
+            np.array([1.0, 0.0, 0.0])
+            if abs(C[0]) < 0.9
+            else np.array([0.0, 1.0, 0.0])
+        )
+        ref = np.cross(C, e)
+        ref = ref / np.linalg.norm(ref)
+    crossings = 0
+    for p, q in _ring_edges(rings):
+        if _arcs_intersect(X, ref, p, q):
+            crossings += 1
+    return crossings % 2 == 1
+
+
 def _decompose(g):
-    """(points, segments) of g as unit xyz vectors; puntal/lineal only."""
+    """(points, segments, polygons) of g as unit xyz vectors. Each polygon
+    entry is (rings, outside_ref)."""
     pts = []
     segs = []
+    polys = []
     for p in iter_parts(g):
         if p.is_empty():
             continue
@@ -127,14 +197,12 @@ def _decompose(g):
             if len(V) == 1:
                 pts.append(V[0])
             segs.extend((V[i], V[i + 1]) for i in range(len(V) - 1))
-        else:
-            raise NotImplementedError(
-                "spherical-edges predicates are implemented for puntal and "
-                "lineal geometries; polygon inputs have no great-circle "
-                "kernel yet (use planar ST_Intersects explicitly, or "
-                "densify edges)"
-            )
-    return pts, segs
+        else:  # POLYGON (iter_parts never yields other kinds)
+            rings = _rings_xyz(p)
+            if not rings or not rings[0]:
+                continue
+            polys.append((rings, _poly_outside_ref(rings)))
+    return pts, segs, polys
 
 
 def sph_seg2_batch(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
@@ -182,26 +250,54 @@ def sph_seg2_batch(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
     return hit & ~need_fallback, need_fallback
 
 
+def _point_touches(X, segs, polys) -> bool:
+    for p, q in segs:
+        if _point_on_arc(X, p, q):
+            return True
+    for rings, ref in polys:
+        for p, q in _ring_edges(rings):
+            if _point_on_arc(X, p, q):
+                return True
+        if _point_in_sph_poly(X, rings, ref):
+            return True
+    return False
+
+
 def sph_intersects(g1, g2):
-    """Great-circle ST_Intersects for point/line geometries. None-safe."""
+    """Great-circle ST_Intersects. Points/lines are exact; polygons use
+    great-circle edges + spherical even-odd containment and must fit in an
+    open hemisphere (ValueError otherwise). None-safe."""
     if g1 is None or g2 is None:
         return None
-    pts1, segs1 = _decompose(g1)
-    pts2, segs2 = _decompose(g2)
+    pts1, segs1, polys1 = _decompose(g1)
+    pts2, segs2, polys2 = _decompose(g2)
     for a in pts1:
         for b in pts2:
             if float(np.dot(a, b)) >= _SAME_POINT_DOT:
                 return True
     for a in pts1:
-        for p, q in segs2:
-            if _point_on_arc(a, p, q):
-                return True
+        if _point_touches(a, segs2, polys2):
+            return True
     for b in pts2:
-        for p, q in segs1:
-            if _point_on_arc(b, p, q):
-                return True
-    for p1, q1 in segs1:
-        for p2, q2 in segs2:
+        if _point_touches(b, segs1, polys1):
+            return True
+    edges1 = list(segs1)
+    for rings, _ in polys1:
+        edges1.extend(_ring_edges(rings))
+    edges2 = list(segs2)
+    for rings, _ in polys2:
+        edges2.extend(_ring_edges(rings))
+    for p1, q1 in edges1:
+        for p2, q2 in edges2:
             if _arcs_intersect(p1, q1, p2, q2):
                 return True
+    # no boundary contact: containment. Boundaries don't cross, so any
+    # vertex decides for its whole connected part — but parts are
+    # independent, so every endpoint is tested (cheap vs the arc sweep).
+    for rings, ref in polys1:
+        if any(_point_in_sph_poly(p, rings, ref) for p, _ in edges2):
+            return True
+    for rings, ref in polys2:
+        if any(_point_in_sph_poly(p, rings, ref) for p, _ in edges1):
+            return True
     return False

@@ -66,10 +66,56 @@ def test_multi_kinds_and_nulls():
     assert sph_intersects(L(0, 0, 1, 1), None) is None
 
 
-def test_polygon_raises():
-    poly = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))")
-    with pytest.raises(NotImplementedError):
-        sph_intersects(poly, P(0.5, 0.25))
+def test_polygon_point_containment():
+    poly = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert sph_intersects(poly, P(5, 5)) is True
+    assert sph_intersects(P(5, 5), poly) is True
+    assert sph_intersects(poly, P(20, 5)) is False
+    # hole subtracts (even-odd)
+    holed = from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    assert sph_intersects(holed, P(5, 5)) is False
+    assert sph_intersects(holed, P(2, 2)) is True
+
+
+def test_polygon_antimeridian_flip():
+    # quad straddling ±180: planar sees a bowtie spanning lon [-174, 170]
+    # and calls (179, 10) outside; spherically it is inside
+    quad = from_wkt("POLYGON ((170 5, -174 5, -174 15, 170 15, 170 5))")
+    assert sph_intersects(quad, P(179, 10)) is True
+    assert alg.intersects(quad, P(179, 10)) is False
+    assert sph_intersects(quad, P(160, 10)) is False
+
+
+def test_polygon_polar_cap():
+    # triangle around the south pole: contains the pole spherically;
+    # the planar ring does not even contain its own "pole" point
+    cap = from_wkt("POLYGON ((0 -80, 120 -80, -120 -80, 0 -80))")
+    assert sph_intersects(cap, P(0, -90)) is True
+    assert sph_intersects(cap, P(45, -85)) is True
+    assert sph_intersects(cap, P(0, -70)) is False
+
+
+def test_polygon_polygon():
+    a = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    b = from_wkt("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+    c = from_wkt("POLYGON ((20 20, 25 20, 25 25, 20 25, 20 20))")
+    inner = from_wkt("POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))")
+    line = L(-5, 5, 20, 5)
+    assert sph_intersects(a, b) is True
+    assert sph_intersects(a, c) is False
+    assert sph_intersects(a, inner) is True   # containment, no boundary touch
+    assert sph_intersects(inner, a) is True
+    assert sph_intersects(a, line) is True    # line crosses the polygon
+    assert sph_intersects(c, line) is False
+
+
+def test_polygon_hemisphere_limit():
+    too_big = from_wkt("POLYGON ((0 80, 120 80, -120 80, 0 -50, 0 80))")
+    with pytest.raises(ValueError):
+        sph_intersects(too_big, P(0, 0))
 
 
 def test_antipodal_raises():
