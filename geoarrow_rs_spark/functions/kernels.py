@@ -1924,18 +1924,92 @@ def k_make_polygon(s):
 
 
 def k_distance_sphere(s1, s2):
+    """Great-circle distance: point-point pairs keep the haversine formula
+    (established oracle parity); every other kind combination is the TRUE
+    minimum distance (sph_min_distance: 0 on spherical intersection /
+    containment, else s2-style vertex-vs-arc cross-track reduction) —
+    PostGIS ST_DistanceSphere semantics, replacing the old
+    centroid-to-centroid approximation. Point-vs-segment batches
+    vectorize (sph_pt_seg2_dist_batch)."""
+    v1 = list(s1)
+    v2 = list(s2)
+    fast = _sph_pt_seg2_fast(v1, v2)
+    if fast is not None:
+        m, nulls, fb = fast
+        m[nulls] = np.nan
+        for i in np.flatnonzero(fb & ~nulls):
+            m[i] = _sph_dist_row(from_wkb(v1[i]), from_wkb(v2[i]))
+        return _f64(list(m))
     out = []
     for a, b in zip(geoms_of(s1), geoms_of(s2)):
         if a is None or b is None or a.is_empty() or b.is_empty():
             out.append(np.nan)
-        else:
-            ca, cb = alg.centroid(a), alg.centroid(b)
+        elif a.kind == wc.POINT and b.kind == wc.POINT:
             out.append(
                 alg.haversine_distance(
-                    float(ca.data[0]), float(ca.data[1]), float(cb.data[0]), float(cb.data[1])
+                    float(a.data[0]), float(a.data[1]), float(b.data[0]), float(b.data[1])
                 )
             )
+        else:
+            out.append(sph.sph_min_distance(a, b))
     return _f64(out)
+
+
+def _sph_pt_seg2_fast(v1, v2):
+    """(meters, null_mask, fallback_mask) for point-vs-2pt-segment batches
+    (either argument order), or None when the shapes don't apply."""
+    fp = try_unpack_points_xy(v1)
+    if fp is not None:
+        fl = try_unpack_lines2(v2)
+        if fl is None:
+            return None
+    else:
+        fl = try_unpack_lines2(v1)
+        if fl is None:
+            return None
+        fp = try_unpack_points_xy(v2)
+        if fp is None:
+            return None
+    px, py, n1 = fp
+    x1, y1, x2, y2, n2 = fl
+    m, fb = sph.sph_pt_seg2_dist_batch(px, py, x1, y1, x2, y2)
+    return m, (n1 | n2), fb
+
+
+def _sph_dist_row(a, b):
+    if a is None or b is None or a.is_empty() or b.is_empty():
+        return np.nan
+    return sph.sph_min_distance(a, b)
+
+
+def k_dwithin_sphere(s1, s2, dist):
+    """ST_DWithinSphere(g1, g2, meters): great-circle DWithin via
+    sph_min_distance (0 on intersection, so containment passes any
+    non-negative threshold). Point-vs-segment batches vectorize."""
+    n = len(s1)
+    dv = list(dist) if hasattr(dist, "__len__") else [dist] * n
+    v1 = list(s1)
+    v2 = list(s2)
+    fast = _sph_pt_seg2_fast(v1, v2)
+    if fast is not None:
+        m, nulls, fb = fast
+        for i in np.flatnonzero(fb & ~nulls):
+            m[i] = _sph_dist_row(from_wkb(v1[i]), from_wkb(v2[i]))
+        out = [
+            None
+            if nulls[i] or dv[i] is None or m[i] != m[i]
+            else bool(m[i] <= float(dv[i]))
+            for i in range(n)
+        ]
+        return pd.Series(out, dtype=object)
+    out = []
+    for a, b, d in zip(geoms_of(s1), geoms_of(s2), dv):
+        if a is None or b is None or d is None or a.is_empty() or b.is_empty():
+            out.append(None)
+        else:
+            m = sph.sph_min_distance(a, b)
+            out.append(None if m != m else bool(m <= float(d)))
+    return pd.Series(out, dtype=object)
 
 
 k_frechet = _binary_kernel(alg.frechet_distance, out_dtype=np.float64)

@@ -174,6 +174,7 @@ _SCALAR_UDFS = {
     "ST_Subdivide": (K.k_subdivide, BinaryType()),
     "ST_LineMerge": (K.k_line_merge, BinaryType()),
     "ST_DistanceSphere": (K.k_distance_sphere, DoubleType()),
+    "ST_DWithinSphere": (K.k_dwithin_sphere, BooleanType()),
     "ST_FrechetDistance": (K.k_frechet, DoubleType()),
     "ST_HausdorffDistance": (K.k_hausdorff, DoubleType()),
     "ST_LineLocatePoint": (K.k_line_locate_point, DoubleType()),

@@ -4618,6 +4618,109 @@ def _spoly_oracle_sql() -> str:
 ORACLE_GEO_SPHERICAL_POLYGON = _spoly_oracle_sql()
 
 
+# True great-circle point-to-arc distance (ST_DistanceSphere beyond
+# point-point: cross-track when the foot falls in the arc, else nearest
+# endpoint — wkb/spherical.py sph_min_distance) + ST_DWithinSphere.
+_SDIST_PARAMS = {
+    "alon1": "(-120.0 + CAST(c_custkey % 30 AS DOUBLE) * 8.0)",
+    "alat1": "(-55.0 + CAST(c_custkey % 23 AS DOUBLE) * 5.0)",
+    "alon2": "(-116.0 + CAST(c_custkey % 30 AS DOUBLE) * 8.0"
+             " + CAST(c_custkey % 9 AS DOUBLE) * 3.0)",
+    "alat2": "(-50.0 + CAST(c_custkey % 21 AS DOUBLE) * 5.0)",
+    # fractional lat step keeps the point off the (transcendental) arc
+    "plon": "(-130.0 + CAST(c_custkey % 30 AS DOUBLE) * 8.0"
+            " + CAST(c_custkey % 13 AS DOUBLE) * 4.0)",
+    "plat": "(-60.2 + CAST(c_custkey % 25 AS DOUBLE) * 5.0)",
+    "thresh": "(300000.0 + CAST(c_custkey % 7 AS DOUBLE) * 150000.0)",
+}
+
+
+def geo_spherical_distance(spark, sf_dir):
+    """Great-circle point-to-arc distance: ST_DistanceSphere(point, 2-pt
+    linestring) is min(cross-track, endpoint hops) on the sphere, plus
+    ST_DWithinSphere at a per-row threshold. The DuckDB oracle restates
+    the identical scalar arithmetic (same op order as _pt_arc_angle), so
+    round-3 meters are strict."""
+    c = _t(spark, sf_dir, "customer")
+    P = _SDIST_PARAMS
+    arc = (
+        f"ST_MakeLine(ST_Point({P['alon1']}, {P['alat1']}),"
+        f" ST_Point({P['alon2']}, {P['alat2']}))"
+    )
+    pt = f"ST_Point({P['plon']}, {P['plat']})"
+    staged = c.selectExpr(
+        "c_custkey",
+        f"ST_DistanceSphere({pt}, {arc}) AS d_raw",
+        f"ST_DWithinSphere({pt}, {arc}, {P['thresh']}) AS within_t",
+    )
+    return staged.selectExpr(
+        "c_custkey", "round(d_raw, 3) AS dist_m", "within_t"
+    )
+
+
+def _sdist_oracle_sql() -> str:
+    from .wkb.algorithms import EARTH_RADIUS_M
+
+    P = _SDIST_PARAMS
+    R = f"CAST({float(EARTH_RADIUS_M)!r} AS DOUBLE)"
+    s1 = ", ".join(f"{e} AS {n}" for n, e in P.items())
+    q1 = f"SELECT c_custkey, {s1} FROM customer"
+    # unit xyz
+    xyz = ", ".join(
+        f"cos(radians({lat})) * cos(radians({lon})) AS {nm}x,"
+        f" cos(radians({lat})) * sin(radians({lon})) AS {nm}y,"
+        f" sin(radians({lat})) AS {nm}z"
+        for nm, lon, lat in [("p", "plon", "plat"), ("a", "alon1", "alat1"), ("b", "alon2", "alat2")]
+    )
+    q2 = f"SELECT c_custkey, thresh, {xyz} FROM ({q1})"
+    q3 = (
+        "SELECT *,"
+        " ay * bz - az * by AS nx, az * bx - ax * bz AS ny, ax * by - ay * bx AS nz"
+        f" FROM ({q2})"
+    )
+    q4 = f"SELECT *, sqrt(nx * nx + ny * ny + nz * nz) AS nn FROM ({q3})"
+    q5 = f"SELECT *, (px * nx + py * ny + pz * nz) / nn AS s FROM ({q4})"
+    q6 = (
+        "SELECT *,"
+        " px - s * (nx / nn) AS fx, py - s * (ny / nn) AS fy, pz - s * (nz / nn) AS fz"
+        f" FROM ({q5})"
+    )
+    q7 = f"SELECT *, sqrt(fx * fx + fy * fy + fz * fz) AS nf FROM ({q6})"
+    # normalized foot + in-arc sign tests against the unnormalized normal
+    q8 = (
+        "SELECT *,"
+        " fx / nf AS gx, fy / nf AS gy, fz / nf AS gz"
+        f" FROM ({q7})"
+    )
+    contains = (
+        "((ay * gz - az * gy) * nx + (az * gx - ax * gz) * ny + (ax * gy - ay * gx) * nz >= -1e-12"
+        " AND (gy * bz - gz * by) * nx + (gz * bx - gx * bz) * ny + (gx * by - gy * bx) * nz >= -1e-12)"
+    )
+    ang = lambda u: (
+        f"atan2(sqrt((py * {u}z - pz * {u}y) * (py * {u}z - pz * {u}y)"
+        f" + (pz * {u}x - px * {u}z) * (pz * {u}x - px * {u}z)"
+        f" + (px * {u}y - py * {u}x) * (px * {u}y - py * {u}x)),"
+        f" px * {u}x + py * {u}y + pz * {u}z)"
+    )
+    q9 = (
+        "SELECT c_custkey, thresh,"
+        f" least({ang('a')}, {ang('b')},"
+        f" CASE WHEN nf >= 1e-12 AND {contains}"
+        "  THEN abs(asin(greatest(-1.0, least(1.0, s))))"
+        "  ELSE CAST('infinity' AS DOUBLE) END) AS best_ang"
+        f" FROM ({q8})"
+    )
+    return (
+        "SELECT c_custkey,"
+        f" round({R} * best_ang, 3) AS dist_m,"
+        f" {R} * best_ang <= thresh AS within_t"
+        f" FROM ({q9})"
+    )
+
+
+ORACLE_GEO_SPHERICAL_DISTANCE = _sdist_oracle_sql()
+
+
 def sim_mmr_rerank(spark, sf_dir):
     """MMR diversity reranking (Carbonell & Goldstein 1998) of the
     brute-force retrieval's top-8 candidates: greedy 3-pick with
@@ -7698,6 +7801,7 @@ QUERIES = {
     "geo_transform_projjson": (geo_transform_projjson, ORACLE_GEO_TRANSFORM_PROJJSON),
     "geo_spherical_predicates": (geo_spherical_predicates, ORACLE_GEO_SPHERICAL_PREDICATES),
     "geo_spherical_polygon": (geo_spherical_polygon, ORACLE_GEO_SPHERICAL_POLYGON),
+    "geo_spherical_distance": (geo_spherical_distance, ORACLE_GEO_SPHERICAL_DISTANCE),
     "sim_mmr_rerank": (sim_mmr_rerank, ORACLE_SIM_MMR),
     "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE_PLAN),
     "pipe_budget_fill": (pipe_budget_fill, ORACLE_PIPE_BUDGET_FILL),
@@ -7872,6 +7976,7 @@ _SAMPLE_PRIORITY = [
     "geo_transform_projjson",
     "geo_spherical_predicates",
     "geo_spherical_polygon",
+    "geo_spherical_distance",
     "geo_transform_conic",
     "geo_transform_laea",
     "geo_transform_tmerc",

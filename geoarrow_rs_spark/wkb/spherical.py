@@ -205,6 +205,130 @@ def _decompose(g):
     return pts, segs, polys
 
 
+def _angle(a, b) -> float:
+    """Angular distance between unit vectors (atan2 form: accurate at both
+    tiny and near-antipodal separations, unlike acos)."""
+    cx = a[1] * b[2] - a[2] * b[1]
+    cy = a[2] * b[0] - a[0] * b[2]
+    cz = a[0] * b[1] - a[1] * b[0]
+    cross = math.sqrt(cx * cx + cy * cy + cz * cz)
+    dot = a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+    return math.atan2(cross, dot)
+
+
+def _pt_arc_angle(X, p, q) -> float:
+    """Min angular distance from point X to the minor arc (p, q):
+    cross-track |asin(X·n̂)| when the great-circle foot falls inside the
+    arc, else the nearer endpoint. Scalar arithmetic in fixed order so the
+    SQL oracles can restate it verbatim."""
+    nx = p[1] * q[2] - p[2] * q[1]
+    ny = p[2] * q[0] - p[0] * q[2]
+    nz = p[0] * q[1] - p[1] * q[0]
+    nn = math.sqrt(nx * nx + ny * ny + nz * nz)
+    if nn < _EPS:  # degenerate arc (point); antipodal raises in intersects
+        return _angle(X, p)
+    s = (X[0] * nx + X[1] * ny + X[2] * nz) / nn
+    fx = X[0] - s * (nx / nn)
+    fy = X[1] - s * (ny / nn)
+    fz = X[2] - s * (nz / nn)
+    nf = math.sqrt(fx * fx + fy * fy + fz * fz)
+    if nf >= _EPS:
+        F = np.array([fx / nf, fy / nf, fz / nf])
+        if _arc_contains(F, p, q, np.array([nx, ny, nz])):
+            return abs(math.asin(max(-1.0, min(1.0, s))))
+    return min(_angle(X, p), _angle(X, q))
+
+
+def sph_min_distance(g1, g2, radius: float = None):
+    """Minimum great-circle distance between two geometries (meters by
+    default): 0 when they intersect spherically (incl. polygon
+    containment), else the s2-style reduction — min over every vertex of
+    one geometry against every arc of the other (for non-crossing arcs the
+    minimum is always attained at an endpoint). None-safe; NaN for empty
+    inputs, matching the planar distance kernel."""
+    from .algorithms import EARTH_RADIUS_M
+
+    if g1 is None or g2 is None:
+        return None
+    if radius is None:
+        radius = EARTH_RADIUS_M
+    hit = sph_intersects(g1, g2)
+    if hit:
+        return 0.0
+    pts1, segs1, polys1 = _decompose(g1)
+    pts2, segs2, polys2 = _decompose(g2)
+    edges1 = list(segs1)
+    for rings, _ in polys1:
+        edges1.extend(_ring_edges(rings))
+    edges2 = list(segs2)
+    for rings, _ in polys2:
+        edges2.extend(_ring_edges(rings))
+    # both endpoints: a ring edge's second endpoint repeats as the next
+    # edge's first, but an open linestring's final vertex appears only as
+    # an e[1]
+    v1 = pts1 + [e[0] for e in edges1] + [e[1] for e in edges1]
+    v2 = pts2 + [e[0] for e in edges2] + [e[1] for e in edges2]
+    if not v1 or not v2:
+        return float("nan")
+    best = math.inf
+    for a in v1:
+        for b in v2:
+            best = min(best, _angle(a, b))
+        for p, q in edges2:
+            best = min(best, _pt_arc_angle(a, p, q))
+    for b in v2:
+        for p, q in edges1:
+            best = min(best, _pt_arc_angle(b, p, q))
+    return radius * best
+
+
+def sph_pt_seg2_dist_batch(plon, plat, ax1, ay1, ax2, ay2):
+    """Whole-batch great-circle point-to-arc distance in meters for
+    point-vs-two-point-segment rows: min(cross-track if the foot is in
+    the arc, endpoint hops). Returns (meters, need_fallback); fallback
+    rows (NaN inputs, degenerate arcs) re-run through sph_min_distance."""
+    from .algorithms import EARTH_RADIUS_M
+
+    def xyz(lon, lat):
+        lam = np.radians(lon)
+        phi = np.radians(lat)
+        c = np.cos(phi)
+        return np.stack([c * np.cos(lam), c * np.sin(lam), np.sin(phi)], axis=1)
+
+    X = xyz(plon, plat)
+    p = xyz(ax1, ay1)
+    q = xyz(ax2, ay2)
+    n = np.cross(p, q)
+    nn = np.linalg.norm(n, axis=1)
+    nan = (
+        np.isnan(plon) | np.isnan(plat)
+        | np.isnan(ax1) | np.isnan(ay1) | np.isnan(ax2) | np.isnan(ay2)
+    )
+    need_fallback = nan | (nn < _EPS)
+    safe_nn = np.where(nn < _EPS, 1.0, nn)
+    s = np.einsum("ij,ij->i", X, n) / safe_nn
+    f = X - s[:, None] * (n / safe_nn[:, None])
+    nf = np.linalg.norm(f, axis=1)
+    safe_nf = np.where(nf < _EPS, 1.0, nf)
+    g = f / safe_nf[:, None]
+    in_arc = (
+        (nf >= _EPS)
+        & (np.einsum("ij,ij->i", np.cross(p, g), n) >= -_EPS)
+        & (np.einsum("ij,ij->i", np.cross(g, q), n) >= -_EPS)
+    )
+    xt = np.abs(np.arcsin(np.clip(s, -1.0, 1.0)))
+
+    def ang(u):
+        c = np.cross(X, u)
+        return np.arctan2(
+            np.linalg.norm(c, axis=1), np.einsum("ij,ij->i", X, u)
+        )
+
+    best = np.minimum(ang(p), ang(q))
+    best = np.where(in_arc, np.minimum(best, xt), best)
+    return EARTH_RADIUS_M * best, need_fallback
+
+
 def sph_seg2_batch(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
     """Whole-batch great-circle intersection for two-point segments (the
     dominant shape in segment tables). Inputs are degree arrays (n,).

@@ -215,3 +215,84 @@ def test_seg2_fast_path_matches_scalar():
     got = K.k_intersects(mixed, other)
     want = K._k_intersects_slow(mixed, other)
     assert list(got) == list(want)
+
+
+def test_sph_min_distance():
+    import math
+
+    from geoarrow_rs_spark.wkb.algorithms import EARTH_RADIUS_M
+    from geoarrow_rs_spark.wkb.spherical import sph_min_distance
+
+    R = EARTH_RADIUS_M
+    eq_arc = L(-10, 0, 10, 0)
+    # cross-track: foot inside the arc -> R * 1 deg
+    d = sph_min_distance(P(0, 1), eq_arc)
+    assert abs(d - R * math.radians(1)) < 1e-6 * R
+    # beyond the endpoint -> nearest endpoint distance (R * 10 deg)
+    d = sph_min_distance(P(20, 0), eq_arc)
+    assert abs(d - R * math.radians(10)) < 1e-6 * R
+    # intersecting -> 0 (even though planar would disagree about the spot)
+    assert sph_min_distance(L(170, 0, -170, 10), L(179.5, -5, 179.5, 15)) == 0.0
+    # polygon containment -> 0; outside polygon -> distance to boundary
+    poly = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert sph_min_distance(poly, P(5, 5)) == 0.0
+    d = sph_min_distance(poly, P(5, -2))
+    assert abs(d - R * math.radians(2)) < 1e-4 * R  # ~cross-track to the south edge
+    # symmetric + None-safe
+    assert sph_min_distance(P(5, -2), poly) == d
+    assert sph_min_distance(None, poly) is None
+
+
+def test_sql_distance_sphere_and_dwithin(spark):
+    import math
+
+    from geoarrow_rs_spark.wkb.algorithms import EARTH_RADIUS_M
+
+    rows = [
+        (1, to_wkb(P(0, 1)), to_wkb(L(-10, 0, 10, 0))),
+        (2, to_wkb(P(20, 0)), to_wkb(L(-10, 0, 10, 0))),
+    ]
+    df = spark.createDataFrame(rows, "id INT, a BINARY, b BINARY")
+    got = {
+        r["id"]: (r["d"], r["w1"], r["w2"])
+        for r in df.selectExpr(
+            "id",
+            "ST_DistanceSphere(a, b) AS d",
+            "ST_DWithinSphere(a, b, 120000.0) AS w1",
+            "ST_DWithinSphere(a, b, 100000.0) AS w2",
+        ).collect()
+    }
+    R = EARTH_RADIUS_M
+    assert abs(got[1][0] - R * math.radians(1)) < 1.0
+    assert got[1][1] is True and got[1][2] is False  # ~111.2 km
+    assert got[2][1] is False
+
+
+def test_distance_fast_path_matches_scalar():
+    """Vectorized point-vs-segment spherical distance must agree with the
+    scalar sph_min_distance (both argument orders, nulls, empties)."""
+    import numpy as np
+    import pandas as pd
+
+    from geoarrow_rs_spark.functions import kernels as K
+    from geoarrow_rs_spark.wkb.spherical import sph_min_distance
+
+    rng = np.random.RandomState(11)
+    pts, arcs = [], []
+    for _ in range(80):
+        pts.append((rng.uniform(-175, 175), rng.uniform(-85, 85)))
+        x1, y1 = rng.uniform(-170, 170), rng.uniform(-75, 75)
+        arcs.append((x1, y1, x1 + rng.uniform(-25, 25), y1 + rng.uniform(-15, 15)))
+    a = [K.to_wkb(P(x, y)) for x, y in pts]
+    b = [K.to_wkb(L(*s)) for s in arcs]
+    a[5] = None
+    s1, s2 = pd.Series(a, dtype=object), pd.Series(b, dtype=object)
+    for left, right in ((s1, s2), (s2, s1)):
+        fast = K.k_distance_sphere(left, right)
+        for i in range(len(a)):
+            va, vb = left[i], right[i]
+            if va is None or vb is None:
+                assert fast[i] != fast[i]  # NaN
+            else:
+                want = sph_min_distance(K.from_wkb(va), K.from_wkb(vb))
+                assert abs(fast[i] - want) <= 1e-6 * max(1.0, want)
