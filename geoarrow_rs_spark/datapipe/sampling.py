@@ -344,3 +344,29 @@ def budget_fill(
     return joined.withColumn("selected", selected).drop(
         "__tok", "__tb", "__rate"
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    order_col: str,
+    cap: int,
+    key_col: str = None,
+) -> DataFrame:
+    """Per-domain frequency cap (the FineWeb/RefinedWeb "no domain may
+    contribute more than N documents" curation step, complementary to the
+    global-budget :func:`budget_fill`): keep the top ``cap`` rows per
+    domain by ``order_col`` (descending; ``key_col`` ascending as the
+    deterministic tie-break). One shuffle keyed on the domain — the same
+    scale shape as stratified_sample; with pathological single-domain
+    skew, AQE's skew-join splitting does not apply to windows, so
+    pre-filter with a score threshold first if one domain dominates."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(),
+        *( [F.col(key_col).asc()] if key_col else [] ),
+    )
+    return (
+        df.withColumn("__dcrn", F.row_number().over(w))
+        .where(F.col("__dcrn") <= cap)
+        .drop("__dcrn")
+    )

@@ -444,3 +444,35 @@ def hash_embed(
         lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("long")),
     )
     return assembled.select(F.col(id_col), vec.alias("hvec"))
+
+
+def canonical_url(url) -> Column:
+    """URL canonicalization for URL-keyed dedup / frequency capping — the
+    normalization crawl pipelines apply before grouping by page identity:
+
+    1. drop the ``#fragment``
+    2. drop the scheme (http/https treated as the same page)
+    3. drop a leading ``www.``
+    4. lowercase the host (the path stays case-sensitive per RFC 3986)
+    5. remove tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``ref``), then tidy dangling ``?``/``&`` separators
+    6. drop one trailing ``/``
+
+    Native regexp expressions restricted to the Java-regex/RE2 common
+    subset (no lookaround), so DuckDB oracles replay them with the 'g'
+    flag and match byte-for-byte.
+    """
+    t = F.col(url) if isinstance(url, str) else url
+    t = F.regexp_replace(t, r"#.*$", "")
+    t = F.regexp_replace(t, r"^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    t = F.regexp_replace(t, r"^[Ww][Ww][Ww]\.", "")
+    host = F.regexp_extract(t, r"^([^/?]*)", 1)
+    rest = F.substring(t, F.length(host) + F.lit(1), F.lit(1 << 20))
+    t = F.concat(F.lower(host), rest)
+    t = F.regexp_replace(t, r"[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", "")
+    # if the first surviving param lost its '?' (tracking param was first),
+    # promote the dangling '&' back to '?'
+    t = F.regexp_replace(t, r"^([^?&]*)&", r"$1?")
+    t = F.regexp_replace(t, r"[?&]+$", "")
+    t = F.regexp_replace(t, r"/$", "")
+    return t

@@ -4921,6 +4921,104 @@ FROM top t JOIN est e ON t.token = e.token
 ORACLE_TEXT_CMS = _cms_oracle_sql()
 
 
+# Messy-URL construction shared verbatim between the Spark query and the
+# DuckDB oracle (same engine-portable SQL text -> identical strings).
+_URL_MESSY_EXPR = """concat(
+  CASE WHEN doc_id % 4 = 0 THEN 'https://' WHEN doc_id % 4 = 1 THEN 'HTTP://'
+       WHEN doc_id % 4 = 2 THEN 'http://' ELSE 'HTTPS://' END,
+  CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'WWW.' ELSE '' END,
+  CASE WHEN doc_id % 2 = 0
+       THEN concat('Site', CAST(doc_id % 7 AS STRING), '.Example.COM')
+       ELSE concat('site', CAST(doc_id % 7 AS STRING), '.example.com') END,
+  '/articles/Item-', CAST(CAST(floor(doc_id / 3.0) AS BIGINT) AS STRING),
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&utm_medium=rss'
+       WHEN doc_id % 6 = 1 THEN concat('?id=', CAST(doc_id % 9 AS STRING), '&utm_campaign=x')
+       WHEN doc_id % 6 = 2 THEN concat('?utm_content=a&id=', CAST(doc_id % 9 AS STRING))
+       WHEN doc_id % 6 = 3 THEN concat('?id=', CAST(doc_id % 9 AS STRING))
+       WHEN doc_id % 6 = 4 THEN '?gclid=abc123'
+       ELSE '' END,
+  CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)"""
+
+
+def text_url_canonical(spark, sf_dir):
+    """URL canonicalization + URL-keyed duplicate counting
+    (datapipe.text.canonical_url): scheme/www/fragment/tracking-param
+    normalization as native regexp expressions, then a count per canonical
+    page identity. The messy URLs are synthesized from doc_id with case,
+    scheme, trailing-slash, tracking-param, and fragment noise; the oracle
+    replays the identical regexp pipeline with DuckDB's 'g' flag."""
+    from .datapipe.text import canonical_url
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.selectExpr("doc_id", f"{_URL_MESSY_EXPR} AS url")
+    staged = staged.withColumn("canon", canonical_url("url"))
+    w = Window.partitionBy("canon")
+    return staged.select(
+        "doc_id",
+        "url",
+        "canon",
+        F.count("*").over(w).cast("long").alias("dup_cnt"),
+    )
+
+
+ORACLE_TEXT_URL_CANONICAL = f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_MESSY_EXPR} AS url FROM documents
+), c1 AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(url, '#.*$', '', 'g'),
+             '^[Hh][Tt][Tt][Pp][Ss]?://', '', 'g'),
+           '^[Ww][Ww][Ww]\\.', '', 'g') AS t
+  FROM raw
+), c2 AS (
+  SELECT doc_id, url,
+         concat(lower(regexp_extract(t, '^([^/?]*)', 1)),
+                substr(t, length(regexp_extract(t, '^([^/?]*)', 1)) + 1, 1048576)) AS t
+  FROM c1
+), c3 AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+               '^([^?&]*)&', '\\1?'),
+             '[?&]+$', ''),
+           '/$', '') AS canon
+  FROM c2
+)
+SELECT doc_id, url, canon,
+       COUNT(*) OVER (PARTITION BY canon) AS dup_cnt
+FROM c3
+"""
+
+
+def pipe_domain_cap(spark, sf_dir):
+    """Per-domain frequency cap (sampling.domain_cap; the FineWeb-style
+    "no domain contributes more than N docs" step): top 15 documents per
+    source by n_chars, doc_id tie-break. One shuffle keyed on the domain;
+    the oracle is the same ROW_NUMBER window."""
+    from .datapipe.sampling import domain_cap
+
+    d = _t(spark, sf_dir, "documents")
+    kept = domain_cap(d, "source", "n_chars", 15, key_col="doc_id")
+    return kept.select("doc_id", "source", "n_chars")
+
+
+ORACLE_PIPE_DOMAIN_CAP = """
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn <= 15
+"""
+
+
 def pipe_budget_fill(spark, sf_dir):
     """Quality-first budget fill (FineWeb-style curation) without a
     per-domain sort: score-histogram threshold + deterministic fractional
@@ -7805,6 +7903,8 @@ QUERIES = {
     "sim_mmr_rerank": (sim_mmr_rerank, ORACLE_SIM_MMR),
     "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE_PLAN),
     "pipe_budget_fill": (pipe_budget_fill, ORACLE_PIPE_BUDGET_FILL),
+    "text_url_canonical": (text_url_canonical, ORACLE_TEXT_URL_CANONICAL),
+    "pipe_domain_cap": (pipe_domain_cap, ORACLE_PIPE_DOMAIN_CAP),
     "text_heavy_hitters_cms": (text_heavy_hitters_cms, ORACLE_TEXT_CMS),
     "geo_zorder": (geo_zorder, ORACLE_GEO_ZORDER),
     "geo_knn_join": (geo_knn_join, ORACLE_GEO_KNN),
@@ -7977,6 +8077,8 @@ _SAMPLE_PRIORITY = [
     "geo_spherical_predicates",
     "geo_spherical_polygon",
     "geo_spherical_distance",
+    "text_url_canonical",
+    "pipe_domain_cap",
     "geo_transform_conic",
     "geo_transform_laea",
     "geo_transform_tmerc",
