@@ -4921,6 +4921,54 @@ FROM top t JOIN est e ON t.token = e.token
 ORACLE_TEXT_CMS = _cms_oracle_sql()
 
 
+def text_heavy_hitters_stream(spark, sf_dir):
+    """Sharded Space-Saving heavy hitters (streaming.ops
+    streaming_heavy_hitters — Metwally 2005; the batch degradation is the
+    exact per-shard capped count, which is what a single-trigger stream
+    emits): document tokens hash into 8 md5-derived shards, each capped at
+    64 candidates, global top-20 by (count desc, token asc). The oracle
+    replays the md5 shard assignment and the per-shard cap verbatim."""
+    from .streaming.ops import streaming_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("token")
+    )
+    hh = streaming_heavy_hitters(toks, "token", k=20, shards=8, capacity=64)
+    return (
+        hh.orderBy(F.col("est_count").desc(), F.col("token").asc())
+        .limit(20)
+        .select("token", "est_count", "shard")
+    )
+
+
+ORACLE_TEXT_HH_STREAM = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+), sharded AS (
+  SELECT token,
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 8 AS shard
+  FROM toks
+), counts AS (
+  SELECT shard, token, COUNT(*) AS est_count
+  FROM sharded GROUP BY shard, token
+), capped AS (
+  SELECT shard, token, est_count,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY est_count DESC, token ASC) AS rn
+  FROM counts
+)
+SELECT token, est_count, CAST(shard AS INT) AS shard
+FROM capped
+WHERE rn <= 64
+ORDER BY est_count DESC, token ASC
+LIMIT 20
+"""
+
+
 # Messy-URL construction shared verbatim between the Spark query and the
 # DuckDB oracle (same engine-portable SQL text -> identical strings).
 _URL_MESSY_EXPR = """concat(
@@ -7904,6 +7952,7 @@ QUERIES = {
     "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE_PLAN),
     "pipe_budget_fill": (pipe_budget_fill, ORACLE_PIPE_BUDGET_FILL),
     "text_url_canonical": (text_url_canonical, ORACLE_TEXT_URL_CANONICAL),
+    "text_heavy_hitters_stream": (text_heavy_hitters_stream, ORACLE_TEXT_HH_STREAM),
     "pipe_domain_cap": (pipe_domain_cap, ORACLE_PIPE_DOMAIN_CAP),
     "text_heavy_hitters_cms": (text_heavy_hitters_cms, ORACLE_TEXT_CMS),
     "geo_zorder": (geo_zorder, ORACLE_GEO_ZORDER),
@@ -8079,6 +8128,7 @@ _SAMPLE_PRIORITY = [
     "geo_spherical_distance",
     "text_url_canonical",
     "pipe_domain_cap",
+    "text_heavy_hitters_stream",
     "geo_transform_conic",
     "geo_transform_laea",
     "geo_transform_tmerc",

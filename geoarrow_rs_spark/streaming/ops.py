@@ -475,3 +475,122 @@ def streaming_binned_counts(
             "cnt",
         )
     )
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    token_col: str = "token",
+    k: int = 10,
+    shards: int = 16,
+    capacity: int = 256,
+) -> DataFrame:
+    """Streaming top-k tokens via sharded Space-Saving (Metwally et al.
+    2005): tokens hash into ``shards`` groups; each shard keeps a bounded
+    candidate map (token -> count, overestimation error) in
+    ``applyInPandasWithState`` state, evicting the minimum-count candidate
+    on overflow (the evictee's count becomes the newcomer's error bound).
+    Every trigger each shard emits its candidate snapshot tagged with a
+    monotone ``emit_seq`` — consumers keep the latest sequence per shard
+    and take ``ORDER BY est_count DESC LIMIT k`` (a ~shards*capacity-row
+    batch aggregation). State is O(shards * capacity) irrespective of
+    stream length, and each shard guarantees est - err <= true <= est for
+    every candidate, exact while a shard holds <= capacity distinct
+    tokens.
+
+    Batch DataFrames degrade to the exact per-shard counts (err = 0,
+    emit_seq = 0), capped at ``capacity`` per shard by (count desc, token)
+    so batch output matches what a single-trigger stream emits.
+
+    Deterministic regardless of partition order: per batch, tokens merge
+    in (batch count desc, token asc) order and eviction picks the
+    (count asc, token asc) minimum.
+    """
+    # md5-derived shard (not F.hash/murmur) so SQL oracles on any engine
+    # can replay the sharding byte-for-byte
+    tok = F.col(token_col).cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % shards
+    )
+    src = df.select(
+        tok.alias("__tok"), shard.alias("__shard")
+    ).where(F.col("__tok").isNotNull())
+
+    out_schema = (
+        "shard int, token string, est_count long, max_err long, emit_seq long"
+    )
+
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        counts = src.groupBy("__shard", "__tok").count()
+        w = Window.partitionBy("__shard").orderBy(
+            F.col("count").desc(), F.col("__tok").asc()
+        )
+        return (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= capacity)
+            .select(
+                F.col("__shard").cast("int").alias("shard"),
+                F.col("__tok").alias("token"),
+                F.col("count").cast("long").alias("est_count"),
+                F.lit(0).cast("long").alias("max_err"),
+                F.lit(0).cast("long").alias("emit_seq"),
+            )
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def hh_fn(key, pdfs, state):
+        if state.exists:
+            toks, counts, errs, seq = state.get()
+            cand = {
+                t: [int(c), int(e)] for t, c, e in zip(toks, counts, errs)
+            }
+            seq = int(seq)
+        else:
+            cand = {}
+            seq = 0
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+        if batch is not None and len(batch):
+            vc = batch["__tok"].value_counts()
+            # deterministic merge order: count desc, token asc
+            for tok in sorted(vc.index, key=lambda t: (-int(vc[t]), t)):
+                c = int(vc[tok])
+                if tok in cand:
+                    cand[tok][0] += c
+                elif len(cand) < capacity:
+                    cand[tok] = [c, 0]
+                else:
+                    evict = min(cand.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    m = evict[1][0]
+                    del cand[evict[0]]
+                    cand[tok] = [m + c, m]
+        seq += 1
+        items = sorted(cand.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update((
+            [t for t, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+            seq,
+        ))
+        shard = int(key[0])
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(items),
+                "token": [t for t, _ in items],
+                "est_count": [v[0] for _, v in items],
+                "max_err": [v[1] for _, v in items],
+                "emit_seq": [seq] * len(items),
+            }
+        )
+
+    return src.groupBy("__shard").applyInPandasWithState(
+        hh_fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "tokens array<string>, counts array<long>, errs array<long>, seq long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
