@@ -1184,3 +1184,66 @@ def mmr_rerank(
         )
         sel = sel.unionByName(pick)
     return sel.select(qid, F.col(cid), "mmr_rank", "mmr_score")
+
+
+def sign_pack_expr(vec, word: int) -> Column:
+    """Pack 32 of an embedding's sign bits (dims 32*word .. 32*word+31,
+    bit set when the component > 0) into a non-negative int64 word. 32-bit
+    words keep every shift and sum inside BIGINT range on ANY engine (a
+    single 64-bit word would need bit 63 = 2^63, which overflows signed
+    64-bit in SQL). Pure codegen: sequence + transform + aggregate."""
+    name = vec if isinstance(vec, str) else None
+    if name is None:
+        raise ValueError("sign_pack_expr needs a column NAME (used in expr SQL)")
+    off = 32 * word
+    return F.expr(
+        f"aggregate(transform(sequence(0, 31), i -> "
+        f"IF({off} + i < size({name}) AND element_at({name}, {off} + i + 1) > 0.0D, "
+        f"shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x)"
+    )
+
+
+def binary_hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Binary (sign-bit) retrieval: embeddings compress 32x+ to
+    ceil(dim/32) int64 words and similarity is the Hamming distance
+    ``sum(bit_count(q XOR c))`` — the standard cheap first-stage filter
+    before an exact float rerank. Everything is native codegen (pack,
+    XOR, bit_count, TakeOrdered window); at scale the corpus shuffles a
+    few bytes per vector and the tiny query side broadcasts.
+
+    Output: query_id, neighbor_id, hamming, rank — ranked by
+    (hamming asc, neighbor_id asc) for engine-independent determinism.
+    """
+    n_words = (dim + 31) // 32
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        *[sign_pack_expr(query_vec, w).alias(f"__qw{w}") for w in range(n_words)],
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        *[sign_pack_expr(corpus_vec, w).alias(f"__cw{w}") for w in range(n_words)],
+    )
+    ham = F.lit(0)
+    for w in range(n_words):
+        ham = ham + F.bit_count(F.col(f"__qw{w}").bitwiseXOR(F.col(f"__cw{w}")))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        ham.cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -6543,6 +6543,59 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
 ORACLE_SIM_KMEANS_IVF = _kmeans_ivf_oracle_sql()
 
 
+def sim_binary_hamming_topk(spark, sf_dir):
+    """Binary sign-bit retrieval (similarity.binary_hamming_topk): 64-dim
+    embeddings pack into ONE int64 word, candidates rank by
+    bit_count(q XOR c) — all codegen, 8 bytes/vector at scale. Strict
+    oracle: DuckDB replays the sign pack and Hamming rank with identical
+    (hamming asc, neighbor_id asc) determinism."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    corpus = e.where(F.col("vec_id") >= 8)
+    out = similarity.binary_hamming_topk(q, corpus, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "hamming", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _sign_pack_sql(v: str, word: int) -> str:
+    """32-bit sign-pack word (mirrors similarity.sign_pack_expr): BIGINT
+    shifts never exceed 1<<31, safe in any engine."""
+    off = 32 * word
+    return (
+        f"COALESCE(list_sum(list_transform(range(0, 32), "
+        f"i -> CASE WHEN {off} + i < len({v}) AND {v}[{off} + CAST(i AS INT) + 1] > 0.0 "
+        f"THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)), 0)"
+    )
+
+
+ORACLE_SIM_BINARY_HAMMING = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         {_sign_pack_sql('embedding', 0)} AS qw0,
+         {_sign_pack_sql('embedding', 1)} AS qw1
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id,
+         {_sign_pack_sql('embedding', 0)} AS cw0,
+         {_sign_pack_sql('embedding', 1)} AS cw1
+  FROM embeddings WHERE vec_id >= 8
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(bit_count(xor(CAST(qw0 AS BIGINT), CAST(cw0 AS BIGINT)))
+              + bit_count(xor(CAST(qw1 AS BIGINT), CAST(cw1 AS BIGINT))) AS INT) AS hamming
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, hamming,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def sim_quantized_topk(spark, sf_dir):
     """int8 scalar-quantized brute-force top-k: per-dim max-abs scales
     from the corpus, symmetric round-to-127 encode, EXACT int64 dot
@@ -8029,6 +8082,7 @@ QUERIES = {
     "sim_kmeans_ivf_topk": (sim_kmeans_ivf_topk, ORACLE_SIM_KMEANS_IVF),
     "sim_semantic_dedup": (sim_semantic_dedup, ORACLE_SIM_SEMANTIC_DEDUP),
     "sim_quantized_topk": (sim_quantized_topk, ORACLE_SIM_QUANTIZED),
+    "sim_binary_hamming_topk": (sim_binary_hamming_topk, ORACLE_SIM_BINARY_HAMMING),
     "sim_hard_negatives": (sim_hard_negatives, ORACLE_SIM_HARD_NEGATIVES),
     "sim_text_hash_retrieval": (sim_text_hash_retrieval, ORACLE_SIM_TEXT_HASH),
     "sim_ivfpq_topk": (sim_ivfpq_topk, ORACLE_SIM_IVFPQ),
@@ -8129,6 +8183,7 @@ _SAMPLE_PRIORITY = [
     "text_url_canonical",
     "pipe_domain_cap",
     "text_heavy_hitters_stream",
+    "sim_binary_hamming_topk",
     "geo_transform_conic",
     "geo_transform_laea",
     "geo_transform_tmerc",
