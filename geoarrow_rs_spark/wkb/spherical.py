@@ -46,8 +46,11 @@ import numpy as np
 from .core import LINESTRING, POINT, iter_parts
 
 _EPS = 1e-12
-# dot >= _SAME_POINT_DOT treats two unit vectors as the same position
-# (~4.5e-7 rad ~ 2.9 mm on Earth — float64 xyz conversion noise floor)
+# dot >= _SAME_POINT_DOT treats two unit vectors as the same position for
+# the INTERSECTS predicate (~4.5e-7 rad ~ 2.8 m on Earth; cos snaps to 1.0
+# well before that, so a much tighter cutoff would misfire on exact-equal
+# inputs). sph_min_distance deliberately bypasses this snap for
+# point-vs-point inputs — its atan2 form resolves ~6 cm.
 _SAME_POINT_DOT = 1.0 - 1e-13
 
 
@@ -173,9 +176,29 @@ def _point_in_sph_poly(X, rings, ref) -> bool:
         )
         ref = np.cross(C, e)
         ref = ref / np.linalg.norm(ref)
+    nr = np.cross(X, ref)
+    nnr = float(np.linalg.norm(nr))
+    if nnr < _EPS:  # X coincides with the outside reference
+        return False
+    # half-open plane-straddle rule (the spherical analog of the planar
+    # "(y_i > py) != (y_j > py)" ray cast): an edge counts only when its
+    # endpoints sit on strictly opposite sides of the ray circle, which
+    # makes a ray through a shared VERTEX count exactly once for a true
+    # crossing and twice (parity no-op) for a graze — no double-count
     crossings = 0
     for p, q in _ring_edges(rings):
-        if _arcs_intersect(X, ref, p, q):
+        sp = float(np.dot(p, nr)) > 0.0
+        sq = float(np.dot(q, nr)) > 0.0
+        if sp == sq:
+            continue
+        ne = np.cross(p, q)
+        u = np.cross(ne, nr)
+        nu = float(np.linalg.norm(u))
+        if nu < _EPS:  # edge lies in the ray plane: a graze, not a cross
+            continue
+        u = u / nu
+        cand = u if _arc_contains(u, p, q, ne) else -u
+        if _arc_contains(cand, p, q, ne) and _arc_contains(cand, X, ref, nr):
             crossings += 1
     return crossings % 2 == 1
 
@@ -252,11 +275,14 @@ def sph_min_distance(g1, g2, radius: float = None):
         return None
     if radius is None:
         radius = EARTH_RADIUS_M
-    hit = sph_intersects(g1, g2)
-    if hit:
-        return 0.0
     pts1, segs1, polys1 = _decompose(g1)
     pts2, segs2, polys2 = _decompose(g2)
+    if (segs1 or polys1 or segs2 or polys2) and sph_intersects(g1, g2):
+        # arcs/polygons can overlap or contain — distance 0. Pure
+        # point-vs-point inputs skip this: the predicate's same-point
+        # epsilon (~4.5e-7 rad) would snap sub-3m distances to zero,
+        # while the _angle math below resolves them exactly.
+        return 0.0
     edges1 = list(segs1)
     for rings, _ in polys1:
         edges1.extend(_ring_edges(rings))

@@ -296,3 +296,108 @@ def test_distance_fast_path_matches_scalar():
             else:
                 want = sph_min_distance(K.from_wkb(va), K.from_wkb(vb))
                 assert abs(fast[i] - want) <= 1e-6 * max(1.0, want)
+
+
+# ---------------------------------------------------------------------------
+# property-based coverage (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lon=st.floats(-5.0, 5.0),
+    lat=st.floats(-5.0, 5.0),
+    dx1=st.floats(-0.05, 0.05),
+    dy1=st.floats(-0.05, 0.05),
+    dx2=st.floats(-0.05, 0.05),
+    dy2=st.floats(-0.05, 0.05),
+)
+def test_tiny_segments_converge_to_planar(lon, lat, dx1, dy1, dx2, dy2):
+    """For sub-0.1-degree segments near the equator the sphere is locally
+    flat: spherical and planar intersects must agree away from boundary
+    configurations (skip the ±1e-7-degree band around touching)."""
+    import numpy as np
+
+    a = L(lon, lat, lon + dx1, lat + dy1)
+    b = L(lon + dx2, lat + dy2, lon + dx2 + dx1, lat + dy2 - dy1)
+    planar = alg.intersects(a, b)
+    # reject near-degenerate configs where the answers legitimately sit
+    # inside each algorithm's epsilon band
+    ax = np.array([lon, lat]); d1 = np.array([dx1, dy1]); d2 = np.array([dx2, dy2])
+    if abs(np.cross(d1, np.array([dx1, -dy1]))) < 1e-8:  # near-parallel
+        return
+    # distance of each endpoint from the other segment's line, in degrees
+    def pt_line(p, q0, q1):
+        v = q1 - q0
+        nv = np.hypot(v[0], v[1])
+        if nv < 1e-12:
+            return 0.0
+        return abs(np.cross(v, p - q0)) / nv
+    pts_a = [ax, ax + d1]
+    pts_b = [ax + d2, ax + d2 + np.array([dx1, -dy1])]
+    margin = min(
+        min(pt_line(p, pts_b[0], pts_b[1]) for p in pts_a),
+        min(pt_line(p, pts_a[0], pts_a[1]) for p in pts_b),
+    )
+    if margin < 1e-6:
+        return
+    assert sph_intersects(a, b) is planar
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    lon1=st.floats(-179.0, 179.0), lat1=st.floats(-85.0, 85.0),
+    lon2=st.floats(-179.0, 179.0), lat2=st.floats(-85.0, 85.0),
+    lon3=st.floats(-179.0, 179.0), lat3=st.floats(-85.0, 85.0),
+)
+def test_sph_distance_metric_properties(lon1, lat1, lon2, lat2, lon3, lat3):
+    """sph_min_distance between points is the haversine-free metric:
+    symmetric, zero on identity, triangle inequality."""
+    from geoarrow_rs_spark.wkb.spherical import sph_min_distance
+
+    p1, p2, p3 = P(lon1, lat1), P(lon2, lat2), P(lon3, lat3)
+    d12 = sph_min_distance(p1, p2)
+    d21 = sph_min_distance(p2, p1)
+    assert d12 == d21
+    assert sph_min_distance(p1, p1) <= 1e-6
+    d13 = sph_min_distance(p1, p3)
+    d23 = sph_min_distance(p2, p3)
+    # relative slack: atan2-form angles carry ~1e-10 relative float error
+    assert d12 <= d13 + d23 + 1e-6 * (1.0 + d12)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    clon=st.floats(-170.0, 170.0),
+    clat=st.floats(-60.0, 60.0),
+    r=st.floats(0.5, 5.0),
+    az=st.floats(0.0, 359.0),
+    frac=st.floats(0.1, 2.5),
+)
+def test_point_in_spherical_cap_polygon(clon, clat, r, az, frac):
+    """A regular 12-gon inscribed in a spherical cap: points strictly
+    inside the inradius are inside, points beyond the circumradius are
+    outside (the ring between is polygon-geometry-dependent, skipped)."""
+    import math
+
+    from geoarrow_rs_spark.wkb import algorithms as A
+    from geoarrow_rs_spark.wkb.core import from_wkt
+
+    verts = []
+    for i in range(12):
+        g = A.project_sphere(clon, clat, math.radians(r) * A.EARTH_RADIUS_M,
+                             math.radians(i * 30.0))
+        verts.append((g[0], g[1]))
+    wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in verts)
+    wkt += f", {verts[0][0]} {verts[0][1]}))"
+    poly = from_wkt(wkt)
+    gp = A.project_sphere(clon, clat, math.radians(r * frac) * A.EARTH_RADIUS_M,
+                          math.radians(az))
+    pt = P(gp[0], gp[1])
+    inradius = r * math.cos(math.radians(15.0))  # apothem of the 12-gon
+    if frac * r < inradius * 0.98:
+        assert sph_intersects(poly, pt) is True
+    elif frac * r > r * 1.02:
+        assert sph_intersects(poly, pt) is False
