@@ -7,9 +7,11 @@ partition sizing, mapInPandas signatures — is real and tested.
 Decode status: library-free formats are decoded FOR REAL — 24-bit BMP and
 16-bit PCM WAV in pure numpy (header parse + buffer reshape), 8-bit PNG
 via stdlib zlib inflate + numpy scanline unfiltering (all five PNG filter
-types, gray/RGB/alpha variants), and GIF87a/89a via a from-scratch LZW
+types, gray/RGB/alpha variants), GIF87a/89a via a from-scratch LZW
 codec (variable code width, KwKwK case, 4096-entry freeze — decoder AND
-encoder reproduce the published spec example byte-identically). Patent-era codec formats (JPEG,
+encoder reproduce the published spec example byte-identically), and
+baseline uncompressed TIFF (8-bit gray/RGB, stripped, chunky, either
+endianness) via a pure-struct IFD walker. Patent-era codec formats (JPEG,
 MP3, H.264…) still raise ``NotImplementedError`` unless ``fake=True``,
 because this runtime ships no codec libraries. Features/resize/
 meta-sniffing run on the real decode path whenever the blob magic matches
@@ -70,6 +72,104 @@ def encode_bmp(img: np.ndarray) -> bytes:
     header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     return header + info + data
+
+
+_TIFF_LE = b"II\x2a\x00"
+_TIFF_BE = b"MM\x00\x2a"
+
+
+def _tiff_ifd(blob: bytes):
+    """Parse the first IFD of a TIFF blob -> {tag: [values...]}, endianness
+    prefix ('<' or '>')."""
+    if blob[:4] == _TIFF_LE:
+        e = "<"
+    elif blob[:4] == _TIFF_BE:
+        e = ">"
+    else:
+        raise ValueError("not a TIFF blob")
+    (ifd_off,) = struct.unpack_from(e + "I", blob, 4)
+    (n,) = struct.unpack_from(e + "H", blob, ifd_off)
+    tags = {}
+    sizes = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG — all a baseline IFD needs
+    fmts = {1: "B", 3: "H", 4: "I"}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", blob, off)
+        if typ not in sizes:
+            continue  # RATIONAL resolution tags etc. — irrelevant here
+        total = sizes[typ] * cnt
+        voff = off + 8 if total <= 4 else struct.unpack_from(e + "I", blob, off + 8)[0]
+        tags[tag] = list(struct.unpack_from(e + fmts[typ] * cnt, blob, voff))
+    return tags, e
+
+
+def decode_tiff(blob: bytes) -> np.ndarray:
+    """Decode a baseline uncompressed stripped TIFF (8-bit grayscale or
+    RGB, chunky planar config, either endianness) into an (h, w[, 3])
+    uint8 array. Pure struct/numpy — header + IFD walk + strip concat.
+    Compressed, tiled, planar, or deep TIFFs raise NotImplementedError
+    (the honest codec boundary, same contract as PNG/GIF here)."""
+    tags, e = _tiff_ifd(blob)
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(f"only uncompressed TIFF (compression={comp})")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    bits = tags.get(258, [1])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit TIFF (bits={bits})")
+    w = tags[256][0]
+    h = tags[257][0]
+    spp = tags.get(277, [len(bits)])[0]
+    offs = tags[273]
+    counts = tags.get(279, [w * h * spp])
+    raw = b"".join(
+        blob[o : o + c] for o, c in zip(offs, counts)
+    )
+    arr = np.frombuffer(raw, dtype=np.uint8, count=w * h * spp)
+    img = arr.reshape(h, w, spp) if spp > 1 else arr.reshape(h, w)
+    return img
+
+
+def encode_tiff(img: np.ndarray) -> bytes:
+    """Inverse of decode_tiff: single-strip chunky little-endian baseline
+    TIFF (8-bit gray or RGB)."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    data = np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+    # header(8) + IFD: count(2) + 10 entries(120) + next(4) = 134; then
+    # BitsPerSample array (for RGB) then pixel data
+    n_entries = 10
+    ifd_off = 8
+    bits_off = ifd_off + 2 + 12 * n_entries + 4
+    bits_len = 2 * spp if spp > 1 else 0
+    data_off = bits_off + bits_len
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+    def entry_shorts(tag, vals):
+        if len(vals) == 1:
+            return struct.pack("<HHI", tag, 3, 1) + struct.pack("<HH", vals[0], 0)
+        return struct.pack("<HHI", tag, 3, len(vals)) + struct.pack("<I", bits_off)
+    entries = b"".join([
+        entry_shorts(256, [w]),
+        entry_shorts(257, [h]),
+        entry_shorts(258, [8] * spp),
+        entry_shorts(259, [1]),                       # no compression
+        entry_shorts(262, [2 if spp == 3 else 1]),    # RGB / BlackIsZero
+        entry(273, 4, 1, data_off),                   # strip offset
+        entry_shorts(277, [spp]),
+        entry_shorts(278, [h]),                       # rows per strip
+        entry(279, 4, 1, len(data)),                  # strip byte count
+        entry_shorts(284, [1]),                       # chunky
+    ])
+    out = _TIFF_LE + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", n_entries) + entries + struct.pack("<I", 0)
+    if spp > 1:
+        out += struct.pack("<" + "H" * spp, *([8] * spp))
+    out += data
+    return out
 
 
 def decode_wav(blob: bytes):
@@ -528,6 +628,17 @@ def sniff_media_meta(blob: bytes):
             )
         except (ValueError, NotImplementedError):
             meta.update(media_type="image/x-portable-anymap")
+    elif blob[:4] in (_TIFF_LE, _TIFF_BE):
+        try:
+            tags, _ = _tiff_ifd(bytes(blob))
+            meta.update(
+                media_type="image/tiff",
+                width=int(tags[256][0]) if 256 in tags else None,
+                height=int(tags[257][0]) if 257 in tags else None,
+                n_channels=int(tags.get(277, [1])[0]),
+            )
+        except (ValueError, KeyError, struct.error):
+            meta.update(media_type="image/tiff")
     elif blob[:3] == b"\xff\xd8\xff":
         meta.update(media_type="image/jpeg")  # recognized, codec not shipped
     return meta
@@ -623,6 +734,8 @@ def extract_features(
             return _image_features(decode_gif(blob), dim)
         if blob[:2] in (b"P5", b"P6") and blob[2:3].isspace():
             return _image_features(_to_rgb(decode_ppm(blob)), dim)
+        if blob[:4] in (_TIFF_LE, _TIFF_BE):
+            return _image_features(_to_rgb(decode_tiff(blob)), dim)
         if fake:
             return _fake_features(blob, dim)
         raise NotImplementedError(
@@ -654,6 +767,8 @@ def resize_images(df: DataFrame, blob_col: str, out_h: int, out_w: int) -> DataF
             return encode_gif(resize_nearest(decode_gif(blob), out_h, out_w))
         if blob[:2] in (b"P5", b"P6") and blob[2:3].isspace():
             return encode_ppm(resize_nearest(decode_ppm(blob), out_h, out_w))
+        if blob[:4] in (_TIFF_LE, _TIFF_BE):
+            return encode_tiff(resize_nearest(decode_tiff(blob), out_h, out_w))
         return encode_bmp(resize_nearest(decode_bmp(blob), out_h, out_w))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -3794,6 +3794,48 @@ FROM documents
 """
 
 
+_TIFF_PRE_HEX = (
+    "49492a00080000000a0000010300010000000200000001010300010000000200000002"
+    "0103000100000008000000030103000100000001000000060103000100000001000000"
+    "1101040001000000860000001501030001000000010000001601030001000000020000"
+    "001701040001000000040000001c010300010000000100000000000000"
+)
+
+
+def mm_tiff_decode(spark, sf_dir):
+    """REAL baseline-TIFF decode under oracle check: per-doc 2x2 8-bit
+    grayscale little-endian TIFF built from hex in BOTH engines (fixed
+    header+IFD prefix + 4 pixel bytes [k, k, 0, 128], k = doc_id%256),
+    decoded through the pure-struct IFD walker (datapipe/multimodal.py
+    decode_tiff), then header meta + mean brightness vs closed forms."""
+    from .datapipe.multimodal import attach_media_meta, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    kk = "lpad(hex(doc_id % 256), 2, '0')"
+    blob = f"unhex(concat('{_TIFF_PRE_HEX}', {kk}, {kk}, '00', '80'))"
+    src = d.selectExpr("doc_id", f"{blob} AS blob")
+    meta = attach_media_meta(src, "blob")
+    feats = extract_features(meta, "blob", dim=3)
+    return feats.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_channels").alias("n_channels"),
+        F.col("features")[0].alias("mean_gray"),
+    )
+
+
+ORACLE_MM_TIFF = """
+SELECT doc_id,
+       'image/tiff' AS media_type,
+       CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(((2.0 * (doc_id % 256) + 128.0) / 4.0) / 255.0 AS REAL) AS mean_gray
+FROM documents
+"""
+
+
 def geo_transform(spark, sf_dir):
     """CRS reprojection (ST_Transform; reproject.rs:105 parity): 4326->3857
     verified against the closed-form Web Mercator in plain SQL, plus a UTM
@@ -8116,6 +8158,7 @@ QUERIES = {
     "mm_audio_features": (mm_audio_features, ORACLE_MM_AUDIO),
     "mm_image_resize": (mm_image_resize, ORACLE_MM_RESIZE),
     "mm_gif_decode": (mm_gif_decode, ORACLE_MM_GIF),
+    "mm_tiff_decode": (mm_tiff_decode, ORACLE_MM_TIFF),
 }
 
 
@@ -8152,6 +8195,7 @@ _SAMPLE_PRIORITY = [
     "mm_audio_features",
     "mm_image_resize",
     "mm_gif_decode",
+    "mm_tiff_decode",
     "dedup_graph_pagerank",
     "dedup_graph_triangles",
     "dedup_graph_harmonic",

@@ -875,3 +875,63 @@ def test_local_trainer_bit_identical_to_distributed(spark, sf_dir):
         S.LOCAL_TRAIN_DISABLED = old
     assert km_local == km_dist
     assert pq_local == pq_dist
+
+
+def test_tiff_roundtrip_and_boundaries():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from geoarrow_rs_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    for shape in [(7, 5, 3), (9, 4), (1, 1), (3, 17, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        blob = mm.encode_tiff(img)
+        back = mm.decode_tiff(blob)
+        assert back.shape == img.shape and (back == img).all()
+        meta = mm.sniff_media_meta(blob)
+        assert meta["media_type"] == "image/tiff"
+        assert meta["width"] == shape[1] and meta["height"] == shape[0]
+    # big-endian hand-built 2x2 grayscale
+    def e_be(tag, typ, cnt, val, short=False):
+        b = struct.pack(">HHI", tag, typ, cnt)
+        return b + (struct.pack(">HH", val, 0) if short else struct.pack(">I", val))
+    n = 8
+    data_off = 8 + 2 + 12 * n + 4
+    ents = [e_be(256, 3, 1, 2, True), e_be(257, 3, 1, 2, True),
+            e_be(258, 3, 1, 8, True), e_be(259, 3, 1, 1, True),
+            e_be(262, 3, 1, 1, True), e_be(273, 4, 1, data_off),
+            e_be(277, 3, 1, 1, True), e_be(279, 4, 1, 4)]
+    blob = (b"MM\x00\x2a" + struct.pack(">I", 8) + struct.pack(">H", n)
+            + b"".join(ents) + struct.pack(">I", 0) + bytes([1, 2, 3, 4]))
+    assert mm.decode_tiff(blob).tolist() == [[1, 2], [3, 4]]
+    # honest boundaries: LZW-compressed tag rejects
+    bad = bytearray(mm.encode_tiff(np.zeros((2, 2), np.uint8)))
+    # compression entry is the 4th (tag 259): flip its value to 5 (LZW)
+    comp_off = 8 + 2 + 12 * 3 + 8
+    struct.pack_into("<H", bad, comp_off, 5)
+    with pytest.raises(NotImplementedError):
+        mm.decode_tiff(bytes(bad))
+
+
+def test_tiff_spark_pipeline(spark):
+    import numpy as np
+
+    from geoarrow_rs_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(6):
+        img = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+        rows.append((i, mm.encode_tiff(img)))
+    df = spark.createDataFrame(rows, "id INT, blob BINARY")
+    feats = mm.extract_features(df, "blob", dim=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    resized = mm.resize_images(df, "blob", 4, 3).collect()
+    for r in resized:
+        out = mm.decode_tiff(bytes(r["resized"]))
+        assert out.shape == (4, 3, 3)
+    tagged = mm.attach_media_meta(df, "blob").collect()
+    assert all(r["media_meta"]["media_type"] == "image/tiff" for r in tagged)
