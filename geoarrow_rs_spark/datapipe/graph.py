@@ -268,3 +268,63 @@ def neighborhood_function(
         "node", *cols,
         (harm.cast("double") / F.lit(float(lcm) * 1e6)).alias("harmonic"),
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 2,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    rounds: int = 20,
+    early_stop: bool = True,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: every round drops nodes
+    whose CURRENT degree is below k, until no node is dropped (the classic
+    fixed point — the dense sub-community a duplicate-cluster or citation
+    graph keeps after trimming its fringe). Each round is one groupBy
+    (degrees) + two left-semi joins (surviving endpoints); peel depth, not
+    |V|, bounds the round count. With ``early_stop`` each round pays one
+    count() action to detect the fixed point (same pattern as PageRank's
+    fixed rounds); pass ``early_stop=False`` to run exactly ``rounds``
+    peels — bit-reproducible for unrolled-CTE oracles.
+
+    Output: (node, core_deg) for nodes in the k-core, with their degree
+    inside the core subgraph.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).cast("long").alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    prev_edges = None
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .count()
+        )
+        keep = deg.where(F.col("count") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        if early_stop:
+            cnt = e.count()
+            if prev_edges is not None and cnt == prev_edges:
+                break
+            prev_edges = cnt
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .count()
+    )
+    return deg.where(F.col("count") >= k).select(
+        "node", F.col("count").cast("long").alias("core_deg")
+    )

@@ -2429,6 +2429,58 @@ FROM tnodes GROUP BY node
 ORACLE_DEDUP_TRIANGLES = _triangles_oracle_sql()
 
 
+def dedup_graph_kcore(spark, sf_dir):
+    """2-core of the near-duplicate candidate graph (graph.k_core):
+    iterative peel dropping degree<2 fringe nodes — what survives is the
+    densely-duplicated community worth batch-deduping. Runs exactly 4
+    peel rounds with early_stop off so the DuckDB oracle can unroll the
+    identical rounds as CTEs (tests pin that the peel has converged by
+    round 4 on this data, so the output IS the true 2-core)."""
+    from .datapipe import graph
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    )
+    out = graph.k_core(pairs, k=2, rounds=4, early_stop=False)
+    return out.select("node", "core_deg")
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 4) -> str:
+    # AS MATERIALIZED: each round references the previous one 3x — an
+    # inlining optimizer would otherwise expand the heavy pairs CTE 3^rounds
+    # times (measured 300s vs <20s at sf0.001)
+    parts = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a_id, b_id) AS a,"
+        " GREATEST(a_id, b_id) AS b FROM pairs WHERE a_id <> b_id)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT n, COUNT(*) AS dg FROM"
+            f" (SELECT a AS n FROM e{r} UNION ALL SELECT b AS n FROM e{r})"
+            f" GROUP BY n)"
+        )
+        parts.append(f"k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE dg >= {k})")
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e{r}.a, e{r}.b FROM e{r}"
+            f" JOIN k{r} ka ON e{r}.a = ka.n"
+            f" JOIN k{r} kb ON e{r}.b = kb.n)"
+        )
+    parts.append(
+        f"dfin AS (SELECT n, COUNT(*) AS dg FROM"
+        f" (SELECT a AS n FROM e{rounds} UNION ALL SELECT b AS n FROM e{rounds})"
+        f" GROUP BY n)"
+    )
+    return (
+        f"WITH {_minhash_pairs_cte()}, "
+        + ", ".join(parts)
+        + f" SELECT n AS node, dg AS core_deg FROM dfin WHERE dg >= {k}"
+    )
+
+
+ORACLE_DEDUP_KCORE = _kcore_oracle_sql()
+
+
 def dedup_graph_harmonic(spark, sf_dir):
     """HyperBall harmonic centrality over the near-duplicate candidate
     graph (graph.neighborhood_function): per-node KMV neighborhood
@@ -8080,6 +8132,7 @@ QUERIES = {
     "dedup_corpus_keepers": (dedup_corpus_keepers, ORACLE_DEDUP_CORPUS),
     "dedup_graph_pagerank": (dedup_graph_pagerank, ORACLE_DEDUP_PAGERANK),
     "dedup_graph_triangles": (dedup_graph_triangles, ORACLE_DEDUP_TRIANGLES),
+    "dedup_graph_kcore": (dedup_graph_kcore, ORACLE_DEDUP_KCORE),
     "dedup_graph_harmonic": (dedup_graph_harmonic, ORACLE_DEDUP_HARMONIC),
     "events_funnel_windowed": (events_funnel_windowed, ORACLE_EVENTS_FUNNEL_WINDOWED),
     "dedup_incremental_keepers": (dedup_incremental_keepers, ORACLE_DEDUP_INCREMENTAL),
@@ -8228,6 +8281,7 @@ _SAMPLE_PRIORITY = [
     "pipe_domain_cap",
     "text_heavy_hitters_stream",
     "sim_binary_hamming_topk",
+    "dedup_graph_kcore",
     "geo_transform_conic",
     "geo_transform_laea",
     "geo_transform_tmerc",

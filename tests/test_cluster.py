@@ -256,3 +256,41 @@ def test_zorder_parquet_prunes_both_columns(spark, tmp_path, sf_dir):
     ).fetchone()
     z_ok, _ = file_stats_overlap(zord, "l_orderkey", ok_lo, ok_hi)
     assert z_ok < z_n, (z_ok, z_n)
+
+
+def test_k_core_peel(spark):
+    from geoarrow_rs_spark.datapipe.graph import k_core
+
+    # path 1-2-3-4 + triangle 5-6-7 + pendant 8 off the triangle:
+    # the 2-core is exactly the triangle (each with core degree 2)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 5), (7, 8)],
+        "a_id LONG, b_id LONG",
+    )
+    got = {(r["node"], r["core_deg"]) for r in k_core(pairs, k=2).collect()}
+    assert got == {(5, 2), (6, 2), (7, 2)}
+    # k=1 keeps everything with an edge
+    got1 = {r["node"] for r in k_core(pairs, k=1).collect()}
+    assert got1 == {1, 2, 3, 4, 5, 6, 7, 8}
+    # fixed-round (no early stop) converges to the same fixed point
+    got4 = {(r["node"], r["core_deg"]) for r in
+            k_core(pairs, k=2, rounds=4, early_stop=False).collect()}
+    assert got4 == got
+
+
+def test_kcore_catalog_rounds_converged(spark, sf_dir):
+    """The catalog entry runs exactly 4 peel rounds (oracle-unrollable);
+    pin that the peel has actually converged by then on the test data, so
+    the entry's output IS the true 2-core."""
+    from geoarrow_rs_spark.datapipe import dedup
+    from geoarrow_rs_spark.datapipe.graph import k_core
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
+    )
+    r4 = {(r["node"], r["core_deg"]) for r in
+          k_core(pairs, k=2, rounds=4, early_stop=False).collect()}
+    r6 = {(r["node"], r["core_deg"]) for r in
+          k_core(pairs, k=2, rounds=6, early_stop=False).collect()}
+    assert r4 == r6
