@@ -46,6 +46,12 @@ HEADLINE = [
     "geo_transform_cyl",
     "sim_mmr_rerank",
     "pipe_budget_fill",
+    # round-5 additions
+    "geo_spherical_predicates",
+    "geo_spherical_distance",
+    "sim_binary_hamming_topk",
+    "text_url_canonical",
+    "dedup_graph_kcore",
 ]
 
 
