@@ -124,12 +124,14 @@ _EDGE_KERNELS = {
         "area": "ST_Area",
         "distance": "ST_Distance",
         "intersects": "ST_Intersects",
+        "dwithin": "ST_DWithin",
     },
     "spherical": {
         "length": "ST_LengthSphere",
         "area": "ST_AreaSpherical",
         "distance": "ST_DistanceSphere",
         "intersects": "ST_IntersectsSphere",
+        "dwithin": "ST_DWithinSphere",
     },
     # geodesic edges use the spherical predicate too: an ellipsoidal
     # geodesic deviates from the great circle by < f/2 (~0.17%) of the arc,
@@ -140,6 +142,7 @@ _EDGE_KERNELS = {
         "area": "ST_AreaSpheroid",
         "distance": "ST_DistanceSpheroid",
         "intersects": "ST_IntersectsSphere",
+        "dwithin": "ST_DWithinSphere",
     },
 }
 
@@ -199,4 +202,23 @@ def geom_intersects(df: DataFrame, geom_col: str, other_col: str) -> Column:
         )
     return F.call_function(
         _edge_kernel(df, geom_col, "intersects"), F.col(geom_col), F.col(other_col)
+    )
+
+
+def geom_dwithin(df: DataFrame, geom_col: str, other_col: str, distance) -> Column:
+    """DWithin honoring the ``edges`` tag: planar columns compare euclidean
+    units, spherical/geodesic columns METERS via great-circle
+    ST_DWithinSphere (note the unit change — same PostGIS geometry vs
+    geography convention). Raises on conflicting tags."""
+    from ..types.geo_types import get_edges
+
+    fam_a = _EDGE_FAMILY.get(str(get_edges(df, geom_col)).lower())
+    fam_b = _EDGE_FAMILY.get(str(get_edges(df, other_col)).lower())
+    if fam_a != fam_b:
+        raise ValueError(
+            f"edges mismatch: {geom_col!r} is {fam_a}, {other_col!r} is {fam_b}"
+        )
+    d = F.lit(float(distance)) if not isinstance(distance, Column) else distance
+    return F.call_function(
+        _edge_kernel(df, geom_col, "dwithin"), F.col(geom_col), F.col(other_col), d
     )

@@ -401,3 +401,20 @@ def test_point_in_spherical_cap_polygon(clon, clat, r, az, frac):
         assert sph_intersects(poly, pt) is True
     elif frac * r > r * 1.02:
         assert sph_intersects(poly, pt) is False
+
+
+def test_geom_dwithin_edges_dispatch(spark):
+    from geoarrow_rs_spark.ops.table import geom_dwithin
+    from geoarrow_rs_spark.types.geo_types import set_crs
+
+    # two points ~111 km apart (1 deg on a meridian)
+    rows = [(1, to_wkb(P(0, 0)), to_wkb(P(0, 1)))]
+    df = spark.createDataFrame(rows, "id INT, a BINARY, b BINARY")
+    # planar: euclidean degrees
+    assert df.select(geom_dwithin(df, "a", "b", 1.5).alias("w")).collect()[0]["w"] is True
+    assert df.select(geom_dwithin(df, "a", "b", 0.5).alias("w")).collect()[0]["w"] is False
+    # spherical: METERS
+    sdf = set_crs(set_crs(df, "a", "EPSG:4326", edges="spherical"),
+                  "b", "EPSG:4326", edges="spherical")
+    assert sdf.select(geom_dwithin(sdf, "a", "b", 120000.0).alias("w")).collect()[0]["w"] is True
+    assert sdf.select(geom_dwithin(sdf, "a", "b", 100000.0).alias("w")).collect()[0]["w"] is False
