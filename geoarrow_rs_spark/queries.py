@@ -6690,6 +6690,71 @@ QUALIFY rank <= 5
 """
 
 
+def sim_binary_recall(spark, sf_dir):
+    """Retrieval-quality evaluation: recall@5 of the binary sign-bit
+    Hamming shortlist against the exact float-cosine top-5 per query (the
+    measurement that justifies using the 32x-compressed first stage). A
+    k-row equi-join of two top-k tables — evaluation never touches the
+    corpus a second time. Oracle replays both rankers and the overlap."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    corpus = e.where(F.col("vec_id") >= 8)
+    ham = similarity.binary_hamming_topk(q, corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ex = similarity.cosine_topk(q, corpus, k=5).select("query_id", "neighbor_id")
+    hits = ham.join(ex, ["query_id", "neighbor_id"]).groupBy("query_id").count()
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("count"), F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
+
+
+ORACLE_SIM_BINARY_RECALL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         {_sign_pack_sql('embedding', 0)} AS qw0,
+         {_sign_pack_sql('embedding', 1)} AS qw1
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce,
+         {_sign_pack_sql('embedding', 0)} AS cw0,
+         {_sign_pack_sql('embedding', 1)} AS cw1
+  FROM embeddings WHERE vec_id >= 8
+),
+ham AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY bit_count(xor(CAST(qw0 AS BIGINT), CAST(cw0 AS BIGINT)))
+                      + bit_count(xor(CAST(qw1 AS BIGINT), CAST(cw1 AS BIGINT))) ASC,
+                      neighbor_id ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 5
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {_inorder_cosine_sql('qe', 'ce')} DESC, neighbor_id ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 5
+),
+hits AS (
+  SELECT h.query_id, COUNT(*) AS n
+  FROM ham h JOIN ex e ON h.query_id = e.query_id AND h.neighbor_id = e.neighbor_id
+  GROUP BY h.query_id
+)
+SELECT q.query_id, COALESCE(hits.n, 0) / 5.0 AS recall_at_5
+FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+"""
+
+
 def sim_quantized_topk(spark, sf_dir):
     """int8 scalar-quantized brute-force top-k: per-dim max-abs scales
     from the corpus, symmetric round-to-127 encode, EXACT int64 dot
@@ -8178,6 +8243,7 @@ QUERIES = {
     "sim_semantic_dedup": (sim_semantic_dedup, ORACLE_SIM_SEMANTIC_DEDUP),
     "sim_quantized_topk": (sim_quantized_topk, ORACLE_SIM_QUANTIZED),
     "sim_binary_hamming_topk": (sim_binary_hamming_topk, ORACLE_SIM_BINARY_HAMMING),
+    "sim_binary_recall": (sim_binary_recall, ORACLE_SIM_BINARY_RECALL),
     "sim_hard_negatives": (sim_hard_negatives, ORACLE_SIM_HARD_NEGATIVES),
     "sim_text_hash_retrieval": (sim_text_hash_retrieval, ORACLE_SIM_TEXT_HASH),
     "sim_ivfpq_topk": (sim_ivfpq_topk, ORACLE_SIM_IVFPQ),
@@ -8282,6 +8348,7 @@ _SAMPLE_PRIORITY = [
     "text_heavy_hitters_stream",
     "sim_binary_hamming_topk",
     "dedup_graph_kcore",
+    "sim_binary_recall",
     "geo_transform_conic",
     "geo_transform_laea",
     "geo_transform_tmerc",
