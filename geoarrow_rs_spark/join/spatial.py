@@ -529,3 +529,102 @@ def knn_spatial_join(
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def haversine_expr(lon1, lat1, lon2, lat2, radius_m: float = 6371008.8):
+    """Great-circle distance in meters as a NATIVE column expression
+    (whole-stage codegen; mirrors wkb.algorithms.haversine_distance's
+    formula so SQL oracles replay it verbatim)."""
+    s_lat = F.sin(F.radians(lat2 - lat1) / F.lit(2.0))
+    s_lon = F.sin(F.radians(lon2 - lon1) / F.lit(2.0))
+    h = s_lat * s_lat + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * s_lon * s_lon
+    return F.lit(2.0 * radius_m) * F.asin(F.sqrt(F.least(F.lit(1.0), h)))
+
+
+def dwithin_sphere_join(
+    left: DataFrame,
+    right: DataFrame,
+    eps_m: float,
+    l_id: str = "l_id",
+    l_lon: str = "lon",
+    l_lat: str = "lat",
+    r_id: str = "r_id",
+    r_lon: str = "lon",
+    r_lat: str = "lat",
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """Distributed great-circle DWithin join over lon/lat point tables —
+    the geography twin of the planar PBSM grid join. Candidates come from
+    a lat/lon grid equi-join whose LONGITUDE cells are MODULAR, so pairs
+    straddling the ±180 antimeridian land in adjacent (wrapped) cells
+    instead of opposite map edges; refine is the exact native haversine.
+
+    Cell sizing: lat cells are eps degrees; lon cells are
+    eps / cos(max_abs_lat) degrees, so a 3x3 neighborhood still covers
+    eps at the highest latitude the caller promises (|lat| must be
+    <= max_abs_lat — shrink-toward-pole is the caller's contract, same as
+    every lon/lat grid scheme; beyond ~80° use a polar-cap partition).
+
+    Shape at scale: one explode(9) on the probe side + one shuffle keyed
+    on the packed cell id + a codegen filter — no cartesian anywhere.
+    Output: (l_id, r_id, dist_m).
+    """
+    import math
+
+    R = 6371008.8
+    eps_deg = math.degrees(eps_m / R)
+    cell_lat = eps_deg
+    cell_lon = eps_deg / max(0.05, math.cos(math.radians(max_abs_lat)))
+    n_lon = max(1, int(math.ceil(360.0 / cell_lon)))
+    cell_lon = 360.0 / n_lon  # exact wrap: n_lon cells tile the circle
+    PACK = 4 * n_lon  # lon index < n_lon; keep lat rows disjoint
+
+    def lon_idx(lon):
+        return F.floor((lon + F.lit(180.0)) / F.lit(cell_lon)).cast("long")
+
+    def lat_idx(lat):
+        return F.floor((lat + F.lit(90.0)) / F.lit(cell_lat)).cast("long")
+
+    L = left.select(
+        F.col(l_id).alias("__lid"),
+        F.col(l_lon).cast("double").alias("__llon"),
+        F.col(l_lat).cast("double").alias("__llat"),
+    )
+    Rt = right.select(
+        F.col(r_id).alias("__rid"),
+        F.col(r_lon).cast("double").alias("__rlon"),
+        F.col(r_lat).cast("double").alias("__rlat"),
+    )
+    home = Rt.withColumn(
+        "__cell",
+        lat_idx(F.col("__rlat")) * F.lit(PACK)
+        + F.pmod(lon_idx(F.col("__rlon")), F.lit(n_lon)),
+    )
+    cx = lon_idx(F.col("__llon"))
+    cy = lat_idx(F.col("__llat"))
+    cells = F.flatten(
+        F.transform(
+            F.sequence(cy - 1, cy + 1),
+            lambda iy: F.transform(
+                F.sequence(cx - 1, cx + 1),
+                lambda ix: iy * F.lit(PACK) + F.pmod(ix, F.lit(n_lon)),
+            ),
+        )
+    )
+    # array_distinct: with very large eps (n_lon < 3) the wrapped lon
+    # neighborhood collapses onto itself — dedupe so each (probe, home)
+    # pair joins exactly once
+    probe = L.withColumn("__cell", F.explode(F.array_distinct(cells)))
+    d = haversine_expr(
+        F.col("__llon"), F.col("__llat"), F.col("__rlon"), F.col("__rlat")
+    )
+    return (
+        probe.join(home, on="__cell")
+        .withColumn("dist_m", d)
+        .filter(F.col("dist_m") <= F.lit(float(eps_m)))
+        .select(
+            F.col("__lid").alias(l_id),
+            F.col("__rid").alias(r_id),
+            "dist_m",
+        )
+    )

@@ -4815,6 +4815,73 @@ def _sdist_oracle_sql() -> str:
 ORACLE_GEO_SPHERICAL_DISTANCE = _sdist_oracle_sql()
 
 
+# shared lon/lat derivations for the spherical join (engine-portable SQL
+# text; half of each side clusters against the antimeridian)
+def _sjoin_lonlat(pfx: str, m1: int, m2: int) -> dict:
+    wrap = lambda x: f"(({x}) + 540.0 - floor((({x}) + 540.0) / 360.0) * 360.0 - 180.0)"
+    lon_raw = (
+        f"(CASE WHEN c_custkey % 2 = 0"
+        f" THEN 176.5 + CAST(c_custkey % {m1} AS DOUBLE) / 10.0"
+        f" ELSE -60.0 + CAST(c_custkey % {m1} AS DOUBLE) END)"
+    )
+    return {
+        f"{pfx}lon": wrap(lon_raw),
+        f"{pfx}lat": f"(-58.3 + CAST(c_custkey % {m2} AS DOUBLE))",
+    }
+
+
+def geo_spherical_join(spark, sf_dir):
+    """Distributed great-circle DWithin JOIN (join.spatial
+    dwithin_sphere_join): lon-wrapped grid cells make candidate pairs that
+    straddle the ±180 antimeridian land in adjacent cells — a planar grid
+    would put them at opposite map edges and silently drop them. Exact
+    native-haversine refine; the oracle brute-forces the same formula over
+    the full cross product (bounded sides)."""
+    from .join.spatial import dwithin_sphere_join
+
+    c = _t(spark, sf_dir, "customer")
+    lcols = _sjoin_lonlat("l", 70, 111)
+    rcols = _sjoin_lonlat("r", 64, 107)
+    left = c.where("c_custkey % 23 = 0").selectExpr(
+        "c_custkey AS l_id", *[f"{e} AS {n}" for n, e in lcols.items()]
+    )
+    right = c.where("c_custkey % 17 = 3").selectExpr(
+        "c_custkey AS r_id", *[f"{e} AS {n}" for n, e in rcols.items()]
+    )
+    out = dwithin_sphere_join(
+        left, right, 120_000.0,
+        l_id="l_id", l_lon="llon", l_lat="llat",
+        r_id="r_id", r_lon="rlon", r_lat="rlat",
+    )
+    return out.select("l_id", "r_id", F.round("dist_m", 3).alias("dist_m"))
+
+
+def _sjoin_oracle_sql() -> str:
+    lcols = _sjoin_lonlat("l", 70, 111)
+    rcols = _sjoin_lonlat("r", 64, 107)
+    lsel = ", ".join(f"{e} AS {n}" for n, e in lcols.items())
+    rsel = ", ".join(f"{e} AS {n}" for n, e in rcols.items())
+    hav = (
+        "2.0 * 6371008.8 * asin(sqrt(least(1.0,"
+        " sin(radians(rlat - llat) / 2.0) * sin(radians(rlat - llat) / 2.0)"
+        " + cos(radians(llat)) * cos(radians(rlat))"
+        " * sin(radians(rlon - llon) / 2.0) * sin(radians(rlon - llon) / 2.0))))"
+    )
+    return f"""
+WITH l AS (SELECT c_custkey AS l_id, {lsel} FROM customer WHERE c_custkey % 23 = 0),
+r AS (SELECT c_custkey AS r_id, {rsel} FROM customer WHERE c_custkey % 17 = 3),
+scored AS (
+  SELECT l_id, r_id, {hav} AS dist_m
+  FROM l CROSS JOIN r
+)
+SELECT l_id, r_id, round(dist_m, 3) AS dist_m
+FROM scored WHERE dist_m <= 120000.0
+"""
+
+
+ORACLE_GEO_SPHERICAL_JOIN = _sjoin_oracle_sql()
+
+
 def sim_mmr_rerank(spark, sf_dir):
     """MMR diversity reranking (Carbonell & Goldstein 1998) of the
     brute-force retrieval's top-8 candidates: greedy 3-pick with
@@ -8160,6 +8227,7 @@ QUERIES = {
     "geo_spherical_predicates": (geo_spherical_predicates, ORACLE_GEO_SPHERICAL_PREDICATES),
     "geo_spherical_polygon": (geo_spherical_polygon, ORACLE_GEO_SPHERICAL_POLYGON),
     "geo_spherical_distance": (geo_spherical_distance, ORACLE_GEO_SPHERICAL_DISTANCE),
+    "geo_spherical_join": (geo_spherical_join, ORACLE_GEO_SPHERICAL_JOIN),
     "sim_mmr_rerank": (sim_mmr_rerank, ORACLE_SIM_MMR),
     "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE_PLAN),
     "pipe_budget_fill": (pipe_budget_fill, ORACLE_PIPE_BUDGET_FILL),
@@ -8349,6 +8417,7 @@ _SAMPLE_PRIORITY = [
     "sim_binary_hamming_topk",
     "dedup_graph_kcore",
     "sim_binary_recall",
+    "geo_spherical_join",
     "geo_transform_conic",
     "geo_transform_laea",
     "geo_transform_tmerc",

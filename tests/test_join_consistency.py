@@ -110,3 +110,55 @@ def test_interval_join_tolerates_end_before_start(spark):
         for r in interval_join(left, right, "s", "e", "ts", bin_width=50).collect()
     )
     assert got == [(1, 10)]  # the inverted interval matches nothing
+
+
+def test_dwithin_sphere_join_vs_brute_force(spark):
+    """Grid-candidate great-circle DWithin join == brute-force haversine
+    cross join, including pairs straddling the antimeridian."""
+    import math
+    import numpy as np
+
+    from geoarrow_rs_spark.join.spatial import dwithin_sphere_join, haversine_expr
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    def mk(n, offset):
+        rows = []
+        for i in range(n):
+            # cluster half the points hard against ±180
+            if i % 2 == 0:
+                lon = 179.0 + rng.uniform(0, 2.0)
+                lon = lon - 360.0 if lon >= 180.0 else lon
+            else:
+                lon = rng.uniform(-170, 170)
+            rows.append((offset + i, float(lon), float(rng.uniform(-60, 60))))
+        return rows
+    left = spark.createDataFrame(mk(120, 0), "l_id LONG, lon DOUBLE, lat DOUBLE")
+    right = spark.createDataFrame(mk(150, 1000), "r_id LONG, lon DOUBLE, lat DOUBLE")
+    eps = 150_000.0  # 150 km
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in dwithin_sphere_join(left, right, eps).collect()
+    }
+    brute = (
+        left.crossJoin(
+            right.select(
+                F.col("r_id"), F.col("lon").alias("rlon"), F.col("lat").alias("rlat")
+            )
+        )
+        .withColumn(
+            "d",
+            haversine_expr(F.col("lon"), F.col("lat"), F.col("rlon"), F.col("rlat")),
+        )
+        .filter(F.col("d") <= eps)
+    )
+    want = {(r["l_id"], r["r_id"]) for r in brute.collect()}
+    assert got == want
+    assert want  # the clusters guarantee some matches
+    # at least one matched pair genuinely straddles ±180
+    lons = {r["l_id"]: r["lon"] for r in left.collect()}
+    rlons = {r["r_id"]: r["lon"] for r in right.collect()}
+    assert any(
+        (lons[a] > 170 and rlons[b] < -170) or (lons[a] < -170 and rlons[b] > 170)
+        for a, b in want
+    )
