@@ -120,6 +120,11 @@ def decode_tiff(blob: bytes) -> np.ndarray:
     bits = tags.get(258, [1])
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"only 8-bit TIFF (bits={bits})")
+    photo = tags.get(262, [1])[0]
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"only grayscale/RGB TIFF (photometric={photo})"
+        )
     w = tags[256][0]
     h = tags[257][0]
     spp = tags.get(277, [len(bits)])[0]
@@ -130,6 +135,8 @@ def decode_tiff(blob: bytes) -> np.ndarray:
     )
     arr = np.frombuffer(raw, dtype=np.uint8, count=w * h * spp)
     img = arr.reshape(h, w, spp) if spp > 1 else arr.reshape(h, w)
+    if photo == 0:  # WhiteIsZero (fax/scan convention): invert to min-is-black
+        img = 255 - img
     return img
 
 

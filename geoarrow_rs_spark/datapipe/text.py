@@ -469,10 +469,20 @@ def canonical_url(url) -> Column:
     host = F.regexp_extract(t, r"^([^/?]*)", 1)
     rest = F.substring(t, F.length(host) + F.lit(1), F.lit(1 << 20))
     t = F.concat(F.lower(host), rest)
-    t = F.regexp_replace(t, r"[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", "")
-    # if the first surviving param lost its '?' (tracking param was first),
-    # promote the dangling '&' back to '?'
-    t = F.regexp_replace(t, r"^([^?&]*)&", r"$1?")
-    t = F.regexp_replace(t, r"[?&]+$", "")
-    t = F.regexp_replace(t, r"/$", "")
-    return t
+    # isolate the query string before touching params: a literal '&' in
+    # the PATH must never be rewritten (path and query normalize
+    # independently, then rejoin only if params survive)
+    path = F.regexp_replace(t, r"\?.*$", "")
+    path = F.regexp_replace(path, r"/$", "")
+    q = F.regexp_extract(t, r"\?(.*)$", 1)
+    # '&'-prefix makes every param uniformly '&'-delimited for one pass
+    q = F.regexp_replace(
+        F.concat(F.lit("&"), q),
+        r"&(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*",
+        "",
+    )
+    q = F.regexp_replace(q, r"^&+", "")
+    q = F.regexp_replace(q, r"&+$", "")
+    return F.when(q == F.lit(""), path).otherwise(
+        F.concat(path, F.lit("?"), q)
+    )

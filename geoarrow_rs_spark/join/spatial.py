@@ -574,9 +574,18 @@ def dwithin_sphere_join(
     R = 6371008.8
     eps_deg = math.degrees(eps_m / R)
     cell_lat = eps_deg
-    cell_lon = eps_deg / max(0.05, math.cos(math.radians(max_abs_lat)))
-    n_lon = max(1, int(math.ceil(360.0 / cell_lon)))
-    cell_lon = 360.0 / n_lon  # exact wrap: n_lon cells tile the circle
+    # exact max lon separation of an in-eps pair with both |lat| <=
+    # max_abs_lat (haversine worst case: both points AT max_abs_lat):
+    # 2*asin(sin(eps/2R)/cos(lat)) — strictly larger than the small-angle
+    # eps_deg/cos(lat), so cells sized by the latter MISS pairs in the
+    # last fraction of a degree below the limit. 1.001 guards the exact-
+    # wrap floor below from landing a hair under the requirement.
+    s = math.sin(eps_m / (2.0 * R)) / max(0.05, math.cos(math.radians(max_abs_lat)))
+    req_lon = 1.001 * math.degrees(2.0 * math.asin(min(1.0, s)))
+    # exact wrap with cells >= req_lon: FLOOR the cell count (ceil would
+    # shrink cells below the requirement)
+    n_lon = max(1, int(360.0 // req_lon)) if req_lon < 360.0 else 1
+    cell_lon = 360.0 / n_lon
     PACK = 4 * n_lon  # lon index < n_lon; keep lat rows disjoint
 
     def lon_idx(lon):

@@ -189,9 +189,10 @@ def geom_distance(df: DataFrame, geom_col: str, other_col: str) -> Column:
 def geom_intersects(df: DataFrame, geom_col: str, other_col: str) -> Column:
     """Intersects honoring the ``edges`` tag: planar columns get
     ST_Intersects, spherical/geodesic columns great-circle
-    ST_IntersectsSphere (puntal/lineal only — polygon inputs raise; the
-    full per-kernel divergence table lives in wkb/spherical.py). Raises on
-    conflicting tags, like :func:`geom_distance`."""
+    ST_IntersectsSphere (all WKB kinds; polygons must fit in an open
+    hemisphere — the full per-kernel divergence table lives in
+    wkb/spherical.py). Raises on conflicting tags, like
+    :func:`geom_distance`."""
     from ..types.geo_types import get_edges
 
     fam_a = _EDGE_FAMILY.get(str(get_edges(df, geom_col)).lower())

@@ -5189,18 +5189,22 @@ WITH raw AS (
   FROM c1
 ), c3 AS (
   SELECT doc_id, url,
+         regexp_replace(regexp_replace(t, '\\?.*$', '', 'g'), '/$', '') AS pth,
          regexp_replace(
            regexp_replace(
-             regexp_replace(
-               regexp_replace(t, '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '', 'g'),
-               '^([^?&]*)&', '\\1?'),
-             '[?&]+$', ''),
-           '/$', '') AS canon
+             regexp_replace(concat('&', regexp_extract(t, '\\?(.*)$', 1)),
+               '&(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+             '^&+', ''),
+           '&+$', '') AS qs
   FROM c2
+), c4 AS (
+  SELECT doc_id, url,
+         CASE WHEN qs = '' THEN pth ELSE concat(pth, '?', qs) END AS canon
+  FROM c3
 )
 SELECT doc_id, url, canon,
        COUNT(*) OVER (PARTITION BY canon) AS dup_cnt
-FROM c3
+FROM c4
 """
 
 

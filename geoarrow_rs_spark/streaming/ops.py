@@ -551,7 +551,8 @@ def streaming_heavy_hitters(
         else:
             cand = {}
             seq = 0
-        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+        chunks = list(pdfs)  # an iterator is always truthy — materialize
+        batch = pd.concat(chunks, ignore_index=True) if chunks else None
         if batch is not None and len(batch):
             vc = batch["__tok"].value_counts()
             # deterministic merge order: count desc, token asc

@@ -203,28 +203,42 @@ def _point_in_sph_poly(X, rings, ref) -> bool:
     return crossings % 2 == 1
 
 
-def _decompose(g):
-    """(points, segments, polygons) of g as unit xyz vectors. Each polygon
-    entry is (rings, outside_ref)."""
+def _decompose_with_verts(g):
+    """(points, segments, polygons, vertices) of g as unit xyz vectors.
+    Each polygon entry is (rings, outside_ref); ``vertices`` lists every
+    distinct vertex ONCE (points, all linestring vertices, all ring
+    vertices) for the distance reduction."""
     pts = []
     segs = []
     polys = []
+    verts = []
     for p in iter_parts(g):
         if p.is_empty():
             continue
         if p.kind == POINT:
-            pts.append(_xyz(float(p.data[0]), float(p.data[1])))
+            v = _xyz(float(p.data[0]), float(p.data[1]))
+            pts.append(v)
+            verts.append(v)
         elif p.kind == LINESTRING:
             L = p.data
             V = [_xyz(float(L[i, 0]), float(L[i, 1])) for i in range(len(L))]
             if len(V) == 1:
                 pts.append(V[0])
             segs.extend((V[i], V[i + 1]) for i in range(len(V) - 1))
+            verts.extend(V)
         else:  # POLYGON (iter_parts never yields other kinds)
             rings = _rings_xyz(p)
             if not rings or not rings[0]:
                 continue
             polys.append((rings, _poly_outside_ref(rings)))
+            for ring in rings:
+                verts.extend(ring)
+    return pts, segs, polys, verts
+
+
+def _decompose(g):
+    """(points, segments, polygons) of g as unit xyz vectors."""
+    pts, segs, polys, _ = _decompose_with_verts(g)
     return pts, segs, polys
 
 
@@ -275,8 +289,8 @@ def sph_min_distance(g1, g2, radius: float = None):
         return None
     if radius is None:
         radius = EARTH_RADIUS_M
-    pts1, segs1, polys1 = _decompose(g1)
-    pts2, segs2, polys2 = _decompose(g2)
+    pts1, segs1, polys1, v1 = _decompose_with_verts(g1)
+    pts2, segs2, polys2, v2 = _decompose_with_verts(g2)
     if (segs1 or polys1 or segs2 or polys2) and sph_intersects(g1, g2):
         # arcs/polygons can overlap or contain — distance 0. Pure
         # point-vs-point inputs skip this: the predicate's same-point
@@ -289,11 +303,6 @@ def sph_min_distance(g1, g2, radius: float = None):
     edges2 = list(segs2)
     for rings, _ in polys2:
         edges2.extend(_ring_edges(rings))
-    # both endpoints: a ring edge's second endpoint repeats as the next
-    # edge's first, but an open linestring's final vertex appears only as
-    # an e[1]
-    v1 = pts1 + [e[0] for e in edges1] + [e[1] for e in edges1]
-    v2 = pts2 + [e[0] for e in edges2] + [e[1] for e in edges2]
     if not v1 or not v2:
         return float("nan")
     best = math.inf
@@ -308,6 +317,14 @@ def sph_min_distance(g1, g2, radius: float = None):
     return radius * best
 
 
+def _xyz_batch(lon, lat):
+    """Degree arrays -> (n, 3) unit vectors (batch twin of _xyz)."""
+    lam = np.radians(lon)
+    phi = np.radians(lat)
+    c = np.cos(phi)
+    return np.stack([c * np.cos(lam), c * np.sin(lam), np.sin(phi)], axis=1)
+
+
 def sph_pt_seg2_dist_batch(plon, plat, ax1, ay1, ax2, ay2):
     """Whole-batch great-circle point-to-arc distance in meters for
     point-vs-two-point-segment rows: min(cross-track if the foot is in
@@ -315,15 +332,9 @@ def sph_pt_seg2_dist_batch(plon, plat, ax1, ay1, ax2, ay2):
     rows (NaN inputs, degenerate arcs) re-run through sph_min_distance."""
     from .algorithms import EARTH_RADIUS_M
 
-    def xyz(lon, lat):
-        lam = np.radians(lon)
-        phi = np.radians(lat)
-        c = np.cos(phi)
-        return np.stack([c * np.cos(lam), c * np.sin(lam), np.sin(phi)], axis=1)
-
-    X = xyz(plon, plat)
-    p = xyz(ax1, ay1)
-    q = xyz(ax2, ay2)
+    X = _xyz_batch(plon, plat)
+    p = _xyz_batch(ax1, ay1)
+    q = _xyz_batch(ax2, ay2)
     n = np.cross(p, q)
     nn = np.linalg.norm(n, axis=1)
     nan = (
@@ -361,19 +372,16 @@ def sph_seg2_batch(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
     Returns (hit, need_fallback): rows flagged need_fallback (degenerate
     arcs, coplanar arcs, NaN coords) must be re-evaluated per-row by
     :func:`sph_intersects`, which also owns the antipodal ValueError.
-    The sign tests are scale-invariant, so the candidate direction
-    n1 x n2 needs no normalization — same booleans as the scalar path."""
+    The candidate direction n1 x n2 is NORMALIZED before the sign tests:
+    the tests compare against the absolute -1e-12 epsilon, so an
+    unnormalized short-arc candidate (|d| << 1) would scale marginal
+    values into the acceptance band the scalar path rejects — booleans
+    must match the scalar path even in the tolerance band."""
 
-    def xyz(lon, lat):
-        lam = np.radians(lon)
-        phi = np.radians(lat)
-        c = np.cos(phi)
-        return np.stack([c * np.cos(lam), c * np.sin(lam), np.sin(phi)], axis=1)
-
-    p1 = xyz(ax1, ay1)
-    q1 = xyz(ax2, ay2)
-    p2 = xyz(bx1, by1)
-    q2 = xyz(bx2, by2)
+    p1 = _xyz_batch(ax1, ay1)
+    q1 = _xyz_batch(ax2, ay2)
+    p2 = _xyz_batch(bx1, by1)
+    q2 = _xyz_batch(bx2, by2)
     n1 = np.cross(p1, q1)
     n2 = np.cross(p2, q2)
     l1 = np.linalg.norm(n1, axis=1)
@@ -385,6 +393,7 @@ def sph_seg2_batch(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
         | np.isnan(bx1) | np.isnan(by1) | np.isnan(bx2) | np.isnan(by2)
     )
     need_fallback = nan | (l1 < _EPS) | (l2 < _EPS) | (ld < _EPS * l1 * l2)
+    du = d / np.where(ld < _EPS * l1 * l2, 1.0, ld)[:, None]
 
     def contains(X, p, q, n):
         return (
@@ -393,9 +402,9 @@ def sph_seg2_batch(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
         )
 
     hit = (
-        contains(d, p1, q1, n1) & contains(d, p2, q2, n2)
+        contains(du, p1, q1, n1) & contains(du, p2, q2, n2)
     ) | (
-        contains(-d, p1, q1, n1) & contains(-d, p2, q2, n2)
+        contains(-du, p1, q1, n1) & contains(-du, p2, q2, n2)
     )
     return hit & ~need_fallback, need_fallback
 

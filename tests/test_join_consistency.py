@@ -162,3 +162,32 @@ def test_dwithin_sphere_join_vs_brute_force(spark):
         (lons[a] > 170 and rlons[b] < -170) or (lons[a] < -170 and rlons[b] > 170)
         for a, b in want
     )
+
+
+def test_dwithin_sphere_join_at_latitude_limit(spark):
+    """Regression: pairs sitting in the last fraction of a degree below
+    max_abs_lat whose lon separation exceeds the small-angle eps_deg/cos
+    estimate must still be found (cell sizing uses the exact haversine
+    worst case, and the exact-wrap recompute may not shrink cells)."""
+    import numpy as np
+
+    from geoarrow_rs_spark.join.spatial import dwithin_sphere_join, haversine_expr
+    from pyspark.sql import functions as F
+
+    eps = 120_000.0
+    # dense band hugging the 66-degree default limit
+    rng = np.random.RandomState(9)
+    lrows = [(i, float(rng.uniform(-5, 5)), float(rng.uniform(65.5, 66.0)))
+             for i in range(120)]
+    rrows = [(1000 + i, float(rng.uniform(-5, 5)), float(rng.uniform(65.5, 66.0)))
+             for i in range(120)]
+    left = spark.createDataFrame(lrows, "l_id LONG, lon DOUBLE, lat DOUBLE")
+    right = spark.createDataFrame(rrows, "r_id LONG, lon DOUBLE, lat DOUBLE")
+    got = {(r["l_id"], r["r_id"]) for r in dwithin_sphere_join(left, right, eps).collect()}
+    brute = (
+        left.crossJoin(right.select("r_id", F.col("lon").alias("rlon"), F.col("lat").alias("rlat")))
+        .withColumn("d", haversine_expr(F.col("lon"), F.col("lat"), F.col("rlon"), F.col("rlat")))
+        .filter(F.col("d") <= eps)
+    )
+    want = {(r["l_id"], r["r_id"]) for r in brute.collect()}
+    assert got == want and want
