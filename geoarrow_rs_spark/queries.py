@@ -1237,7 +1237,7 @@ def _bpe_ctes(n_merges=8, max_doc=120, max_word=16) -> list:
     for i in range(n_merges):
         ctes += [
             f"""p{i} AS MATERIALIZED (
-  SELECT p.a AS a, p.b AS b, SUM(cnt) AS n FROM (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS n FROM (
     SELECT cnt,
            unnest(list_transform(range(1, len(t)),
                   j -> {{'a': t[CAST(j AS INT)], 'b': t[CAST(j AS INT) + 1]}})) AS p
@@ -1562,10 +1562,10 @@ lab AS (
   FROM allp p LEFT JOIN cand c ON p.a_id = c.a_id AND p.b_id = c.b_id
 )
 SELECT COUNT(*) AS n_pairs,
-       SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS n_cand,
-       SUM(CASE WHEN j >= 0.5 AND cand THEN 1 ELSE 0 END) AS tp,
-       SUM(CASE WHEN j < 0.5 AND cand THEN 1 ELSE 0 END) AS fp,
-       SUM(CASE WHEN j >= 0.5 AND NOT cand THEN 1 ELSE 0 END) AS fn,
+       CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       CAST(SUM(CASE WHEN j >= 0.5 AND cand THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN j < 0.5 AND cand THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN j >= 0.5 AND NOT cand THEN 1 ELSE 0 END) AS BIGINT) AS fn,
        {mean_of.format(cond='cand')} AS mean_jacc_cand,
        {mean_of.format(cond='NOT cand')} AS mean_jacc_noncand
 FROM lab
@@ -1724,7 +1724,7 @@ WITH sampled AS (
   FROM sampled
 )
 SELECT split, COUNT(*) AS n_docs,
-       SUM(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS n_tokens
+       CAST(SUM(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
 FROM labeled GROUP BY split
 """
 
@@ -2118,7 +2118,7 @@ top AS (
   FROM documents GROUP BY lang
   ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
 )
-SELECT s.n_docs, s.n_tokens, s.n_langs,
+SELECT s.n_docs, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.n_langs,
        (s.n_docs - s.uniq) * 1000000 // s.n_docs AS dup_ppm,
        round(CAST(s.chars AS DOUBLE) / CAST(s.n_docs AS DOUBLE), 6) AS mean_chars,
        t.top_lang,
@@ -2261,7 +2261,7 @@ ORACLE_PIPE_MIXTURE = """
 WITH per AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS k FROM per)
 SELECT p.lang, p.n_docs,
-       p.n_docs * 1000000 // t.total AS share_ppm,
+       CAST(p.n_docs * 1000000 // t.total AS BIGINT) AS share_ppm,
        round(CAST(t.total AS DOUBLE) / (CAST(t.k AS DOUBLE) * CAST(p.n_docs AS DOUBLE)), 6) AS weight
 FROM per p CROSS JOIN tot t
 """
@@ -2351,9 +2351,9 @@ WITH w AS (
   FROM documents
 ),
 counts AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word)
-SELECT SUM(c) AS n_tokens,
+SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_types,
-       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
        round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio
 FROM counts
 """
@@ -2705,7 +2705,7 @@ labeled AS (
   )
 )
 SELECT split, COUNT(*) AS n_docs,
-       SUM(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS n_tokens
+       CAST(SUM(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
 FROM labeled GROUP BY split
 """
 
@@ -3159,7 +3159,7 @@ d AS (
 SELECT user_id,
        round(CAST(SUM(CAST(c AS DECIMAL(38,0)) * dt) AS DOUBLE) / 100.0
              / CAST(SUM(dt) AS DOUBLE), 6) AS twa,
-       SUM(dt) AS total_ns
+       CAST(SUM(dt) AS BIGINT) AS total_ns
 FROM d WHERE dt IS NOT NULL GROUP BY user_id
 """
 
@@ -3284,8 +3284,8 @@ WITH one AS (
          SUM(CASE WHEN COALESCE(props IS NOT NULL AND length(props) > 0, FALSE) THEN 0 ELSE 1 END) AS v_props
   FROM events
 )
-SELECT r.rule, one.n_rows, r.v AS n_violations,
-       r.v * 1000000 // one.n_rows AS violation_ppm
+SELECT r.rule, one.n_rows, CAST(r.v AS BIGINT) AS n_violations,
+       CAST(r.v * 1000000 // one.n_rows AS BIGINT) AS violation_ppm
 FROM one, (
   SELECT 'event_type_known' AS rule, v_type AS v FROM one
   UNION ALL SELECT 'props_present', v_props FROM one
@@ -3407,7 +3407,7 @@ counts AS (
          SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_second
   FROM d GROUP BY cx, cy
 )
-SELECT cx, cy, n_first, n_second
+SELECT cx, cy, CAST(n_first AS BIGINT) AS n_first, CAST(n_second AS BIGINT) AS n_second
 FROM counts
 WHERE n_second >= 2 * n_first AND n_second >= 5
 """
@@ -5320,9 +5320,9 @@ WITH toks AS (
   FROM rows_b r LEFT JOIN plan p ON r.domain = p.domain
 )
 SELECT domain, COUNT(*) AS n_docs,
-       SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS n_selected,
-       SUM(n_tok) AS tokens_total,
-       SUM(CASE WHEN selected THEN n_tok ELSE 0 END) AS tokens_selected
+       CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN selected THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_selected
 FROM perdoc GROUP BY domain
 """
 
@@ -5355,8 +5355,8 @@ WITH toks AS (
   FROM toks t JOIN plan p USING (domain)
 )
 SELECT domain, COUNT(*) AS n_docs, MIN(epochs) AS epochs,
-       SUM(n_copies) AS n_copies_total,
-       SUM(n_copies * n_tok) AS realized_tokens
+       CAST(SUM(n_copies) AS BIGINT) AS n_copies_total,
+       CAST(SUM(n_copies * n_tok) AS BIGINT) AS realized_tokens
 FROM perdoc GROUP BY domain
 """
 
@@ -8354,62 +8354,18 @@ QUERIES = {
 
 
 # Catalog emission order. The driver's per-round CORRECTNESS gate samples a
-# prefix of the catalog, so entries that have not yet had a driver row are
-# listed first (families that shipped after round 1, plus the two entries
-# whose only driver row predates their oracles). Entries absent from this
-# list keep their QUERIES insertion order after it.
+# prefix of the catalog, so entries that have never had a driver row are
+# listed first. Entries absent from this list keep their QUERIES insertion
+# order after it.
+# Driver-sample rotation (round 6): the 56 never-driver-sampled entries
+# first -- led by the 4 latent-HUGEINT oracles fixed this round -- then
+# previously-sampled entries oldest-round-first, with round 5's 50 at the
+# back. Regenerate each round from the union of CORRECTNESS_r*.json keys.
 _SAMPLE_PRIORITY = [
-    "dedup_simhash_signatures",
-    "sim_srp_buckets",
-    "sim_mmr_rerank",
-    "sim_ivf_topk",
-    "sim_knn_join",
-    "sim_kmeans_ivf_topk",
-    "sim_semantic_dedup",
-    "sim_quantized_topk",
-    "sim_hard_negatives",
-    "sim_text_hash_retrieval",
-    "sim_ivfpq_topk",
-    "pipe_mixture_plan",
-    "pipe_budget_fill",
-    "pipe_sample_split",
-    "pipe_full_pipeline",
-    "pipe_scrub_text",
-    "pipe_scrub_pii",
-    "pipe_stratified_sample",
-    "pipe_dataset_card",
-    "pipe_mixture_weights",
-    "pipe_decontaminate",
-    "pipe_weighted_sample",
-    "pipe_pack_bins",
-    "mm_image_brightness",
-    "mm_audio_features",
-    "mm_image_resize",
-    "mm_gif_decode",
-    "mm_tiff_decode",
-    "dedup_graph_pagerank",
-    "dedup_graph_triangles",
-    "dedup_graph_harmonic",
-    "events_funnel_windowed",
-    "text_heavy_hitters_cms",
-    "text_containment_pairs",
-    "text_bm25_topk",
-    "text_chunks",
-    "text_tfidf_topk",
-    "text_vocab_stats",
-    "text_keywords",
-    "text_c4_clean",
-    "text_repetition",
-    "text_fuzzy_pairs",
-    "text_bpe_train",
-    "text_bpe_tokenize",
-    "text_lm_score",
-    "text_gopher_rules",
-    "dedup_minhash_refined",
-    "dedup_clusters_assignment",
-    "dedup_corpus_keepers",
-    "dedup_incremental_keepers",
     "dedup_lsh_eval",
+    "events_time_weighted_avg",
+    "events_expectations",
+    "events_geo_hotspots",
     "dedup_substring_spans",
     "geo_transform_projjson",
     "geo_spherical_predicates",
@@ -8449,14 +8405,11 @@ _SAMPLE_PRIORITY = [
     "events_geo_extent",
     "events_asof_join",
     "events_asof_forward",
-    "events_time_weighted_avg",
     "events_rolling_anomaly",
     "events_attribution",
-    "events_expectations",
     "events_dau_wau",
     "events_top_paths",
     "events_markov_transitions",
-    "events_geo_hotspots",
     "events_user_stats",
     "events_props_json",
     "events_salted_join",
@@ -8465,6 +8418,124 @@ _SAMPLE_PRIORITY = [
     "events_interval_join",
     "events_kmv_distinct",
     "events_value_quantiles",
+    "dedup_exact_keepers",
+    "dedup_exact_stats",
+    "dedup_minhash_pairs",
+    "events_hourly",
+    "events_sessions",
+    "events_sliding_windows",
+    "mm_blob_stats",
+    "sim_cosine_topk",
+    "sim_embedding_stats",
+    "sim_near_dup_pairs",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_langid",
+    "text_ngram_jaccard_vs_ref",
+    "text_quality",
+    "text_tokens",
+    "geo_geodesic_area",
+    "geo_project",
+    "geo_azimuth",
+    "geo_box_measures",
+    "geo_buffer_area",
+    "geo_buffer_line",
+    "geo_center_envelope",
+    "geo_centroid",
+    "geo_clip",
+    "geo_convex_hull",
+    "geo_distance",
+    "geo_dump_explode",
+    "geo_geohash",
+    "geo_geojson_roundtrip",
+    "geo_line_interpolate",
+    "geo_multipolygon_stats",
+    "geo_overlay_areas",
+    "geo_point_accessors",
+    "geo_relate_matrix",
+    "geo_reverse_flip",
+    "geo_simplify_scale",
+    "geo_spatial_join",
+    "geo_total_bounds",
+    "geo_transform",
+    "geo_within_triangle",
+    "geo_wkt_types",
+    "q10_returned_items",
+    "q11_important_values",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_brand_revenue",
+    "q1_pricing_summary",
+    "q20_dominant_suppliers",
+    "q21_sole_fault_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_late_shipments",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_customer_value_deciles",
+    "q_order_priority",
+    "q_rollup_revenue",
+    "q_top_customers_per_nation",
+    "dedup_clusters_assignment",
+    "dedup_corpus_keepers",
+    "dedup_graph_harmonic",
+    "dedup_graph_pagerank",
+    "dedup_graph_triangles",
+    "dedup_incremental_keepers",
+    "dedup_minhash_refined",
+    "dedup_simhash_signatures",
+    "events_funnel_windowed",
+    "mm_audio_features",
+    "mm_gif_decode",
+    "mm_image_brightness",
+    "mm_image_resize",
+    "mm_tiff_decode",
+    "pipe_budget_fill",
+    "pipe_dataset_card",
+    "pipe_decontaminate",
+    "pipe_full_pipeline",
+    "pipe_mixture_plan",
+    "pipe_mixture_weights",
+    "pipe_pack_bins",
+    "pipe_sample_split",
+    "pipe_scrub_pii",
+    "pipe_scrub_text",
+    "pipe_stratified_sample",
+    "pipe_weighted_sample",
+    "sim_hard_negatives",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "sim_kmeans_ivf_topk",
+    "sim_knn_join",
+    "sim_mmr_rerank",
+    "sim_quantized_topk",
+    "sim_semantic_dedup",
+    "sim_srp_buckets",
+    "sim_text_hash_retrieval",
+    "text_bm25_topk",
+    "text_bpe_tokenize",
+    "text_bpe_train",
+    "text_c4_clean",
+    "text_chunks",
+    "text_containment_pairs",
+    "text_fuzzy_pairs",
+    "text_gopher_rules",
+    "text_heavy_hitters_cms",
+    "text_keywords",
+    "text_lm_score",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_vocab_stats",
 ]
 
 

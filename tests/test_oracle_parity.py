@@ -47,6 +47,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family for the strict driver-style comparison: the
+    driver's value hash is type-strict, so an oracle whose DuckDB output
+    materializes as float64 (e.g. an un-cast HUGEINT aggregate) must FAIL
+    locally against a Spark int64 even though 1808 == 1808.0 elementwise."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    return "object"
+
+
 def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
@@ -56,6 +72,13 @@ def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     )
     a = _normalize(spark_pdf)
     b = _normalize(oracle_pdf)
+    for c in a.columns:
+        fam_a, fam_b = _dtype_family(a[c]), _dtype_family(b[c])
+        assert fam_a == fam_b, (
+            f"{name}: column {c} dtype-family mismatch: spark={fam_a} "
+            f"({spark_pdf[c].dtype}) oracle={fam_b} ({oracle_pdf[c].dtype}) — "
+            "the driver's type-strict hash would flag this (HUGEINT oracle?)"
+        )
     for c in a.columns:
         col_a, col_b = a[c], b[c]
         if pd.api.types.is_float_dtype(col_a):
