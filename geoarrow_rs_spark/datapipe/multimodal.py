@@ -142,7 +142,16 @@ def decode_tiff(blob: bytes) -> np.ndarray:
 
 def encode_tiff(img: np.ndarray) -> bytes:
     """Inverse of decode_tiff: single-strip chunky little-endian baseline
-    TIFF (8-bit gray or RGB)."""
+    TIFF (8-bit gray or RGB). An (h, w, 1) input is squeezed to (h, w) —
+    spp=1 TIFFs decode as 2-D, so round-trip shape is (h, w), not
+    (h, w, 1). Other channel counts are rejected up front."""
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[2] != 3):
+        raise ValueError(
+            f"encode_tiff: expected (h, w), (h, w, 1) or (h, w, 3) uint8, "
+            f"got shape {img.shape}"
+        )
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
     data = np.ascontiguousarray(img, dtype=np.uint8).tobytes()

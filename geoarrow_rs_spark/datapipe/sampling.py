@@ -11,7 +11,14 @@ with md5, which is how the oracle checks it exactly.
 
 from __future__ import annotations
 
+import logging as _logging
 import os as _os
+
+try:
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover - py4j ships with pyspark
+    class _Py4JError(Exception):
+        pass
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -38,7 +45,12 @@ def _broadcast_if_small(plan: DataFrame) -> DataFrame:
         jstats = plan._jdf.queryExecution().optimizedPlan().stats()
         size = jstats.sizeInBytes()
         size = size if isinstance(size, int) else int(size.toString())
-    except Exception:
+    except (AttributeError, ValueError, TypeError, _Py4JError) as exc:
+        # only the expected stats-probe failure modes degrade to
+        # no-hint; anything else (a real planner error) propagates
+        _logging.getLogger(__name__).debug(
+            "plan-broadcast stats probe failed; skipping hint: %s", exc
+        )
         return plan
     return F.broadcast(plan) if size <= _PLAN_BROADCAST_MAX_BYTES else plan
 

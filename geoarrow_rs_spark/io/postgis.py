@@ -36,6 +36,13 @@ def read_postgis(
         .option("driver", "org.postgresql.Driver")
     )
     if partition_column:
+        if lower_bound is None or upper_bound is None:
+            # reader.option() stringifies None to 'None', which surfaces as
+            # an opaque JDBC error deep inside Spark — fail up front instead
+            raise ValueError(
+                "read_postgis: partition_column requires lower_bound and "
+                "upper_bound"
+            )
         # Spark rejects 'query' + 'partitionColumn' together: the partitioned
         # fetch must go through a dbtable subquery alias instead
         reader = (

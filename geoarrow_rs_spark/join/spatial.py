@@ -561,18 +561,39 @@ def dwithin_sphere_join(
 
     Cell sizing: lat cells are eps degrees; lon cells are
     eps / cos(max_abs_lat) degrees, so a 3x3 neighborhood still covers
-    eps at the highest latitude the caller promises (|lat| must be
-    <= max_abs_lat — shrink-toward-pole is the caller's contract, same as
-    every lon/lat grid scheme; beyond ~80° use a polar-cap partition).
+    eps at the highest latitude in the equatorial band (max_abs_lat).
+    Rows beyond max_abs_lat are NOT dropped: they route through a
+    polar-cap partition per pole, gridded in azimuthal-equidistant
+    coordinates about that pole (x, y) = (colat*cos(lon), colat*sin(lon)),
+    where lon/lat cells degenerate. AEQD's tangential scale at colatitude
+    theta is theta/sin(theta) >= 1 and radial scale is 1, and a short
+    geodesic between two cap points stays within their max colatitude, so
+    Euclidean AEQD distance overestimates great-circle separation by at
+    most c = theta_max/sin(theta_max); cells of c*eps with a 3x3
+    neighborhood therefore cover every true pair. Band/cap outputs are
+    made disjoint by mutually-exclusive pair predicates (a missed-by-band
+    pair has >=1 endpoint beyond max_abs_lat), so no pair is duplicated.
 
-    Shape at scale: one explode(9) on the probe side + one shuffle keyed
-    on the packed cell id + a codegen filter — no cartesian anywhere.
+    Shape at scale: per partition (band, N cap, S cap) one explode(9) on
+    the probe side + one shuffle keyed on the packed cell id + a codegen
+    filter — no cartesian anywhere; empty caps cost empty scans.
     Output: (l_id, r_id, dist_m).
     """
     import math
 
     R = 6371008.8
     eps_deg = math.degrees(eps_m / R)
+    # polar caps take rows within eps_deg of the band limit too (a cap
+    # pair may have its second endpoint just inside the band)
+    cap_margin_deg = 1.001 * eps_deg
+    cap_floor = max_abs_lat - cap_margin_deg
+    if cap_floor < 5.0:
+        raise ValueError(
+            f"dwithin_sphere_join: eps_m={eps_m!r} is too large for "
+            f"max_abs_lat={max_abs_lat!r} (polar caps would reach within 5 "
+            "degrees of the equator); use a smaller radius or a different "
+            "join strategy"
+        )
     cell_lat = eps_deg
     # exact max lon separation of an in-eps pair with both |lat| <=
     # max_abs_lat (haversine worst case: both points AT max_abs_lat):
@@ -604,7 +625,20 @@ def dwithin_sphere_join(
         F.col(r_lon).cast("double").alias("__rlon"),
         F.col(r_lat).cast("double").alias("__rlat"),
     )
-    home = Rt.withColumn(
+    d = haversine_expr(
+        F.col("__llon"), F.col("__llat"), F.col("__rlon"), F.col("__rlat")
+    )
+
+    def refine(candidates):
+        return (
+            candidates.withColumn("dist_m", d)
+            .filter(F.col("dist_m") <= F.lit(float(eps_m)))
+        )
+
+    # --- equatorial band: modular lon/lat grid over |lat| <= max_abs_lat
+    band_l = L.filter(F.abs(F.col("__llat")) <= F.lit(max_abs_lat))
+    band_r = Rt.filter(F.abs(F.col("__rlat")) <= F.lit(max_abs_lat))
+    home = band_r.withColumn(
         "__cell",
         lat_idx(F.col("__rlat")) * F.lit(PACK)
         + F.pmod(lon_idx(F.col("__rlon")), F.lit(n_lon)),
@@ -623,17 +657,63 @@ def dwithin_sphere_join(
     # array_distinct: with very large eps (n_lon < 3) the wrapped lon
     # neighborhood collapses onto itself — dedupe so each (probe, home)
     # pair joins exactly once
-    probe = L.withColumn("__cell", F.explode(F.array_distinct(cells)))
-    d = haversine_expr(
-        F.col("__llon"), F.col("__llat"), F.col("__rlon"), F.col("__rlat")
-    )
-    return (
-        probe.join(home, on="__cell")
-        .withColumn("dist_m", d)
-        .filter(F.col("dist_m") <= F.lit(float(eps_m)))
-        .select(
-            F.col("__lid").alias(l_id),
-            F.col("__rid").alias(r_id),
-            "dist_m",
+    probe = band_l.withColumn("__cell", F.explode(F.array_distinct(cells)))
+    res = refine(probe.join(home, on="__cell"))
+
+    # --- polar caps: AEQD grid about each pole over |lat| > cap_floor,
+    # keeping exactly the pairs the band cannot see (>=1 endpoint beyond
+    # max_abs_lat), with the south cap additionally excluding any pair the
+    # north cap already claims so the three outputs partition the matches.
+    theta_max = math.radians(90.0 - cap_floor)
+    c_scale = theta_max / math.sin(theta_max)
+    cap_cell = c_scale * eps_deg
+    # |x|, |y| <= colat <= 90 - cap_floor < 90 deg -> |ix| < 90/cap_cell;
+    # offset-pack with a power-of-two stride comfortably above that
+    cap_pack = 1 << 21
+    cap_off = 1 << 20
+
+    def aeqd_xy(lat_col, lon_col, pole: int):
+        theta = F.lit(90.0) - F.lit(float(pole)) * lat_col  # colat, degrees
+        lon_r = F.radians(lon_col)
+        return theta * F.cos(lon_r), theta * F.sin(lon_r)
+
+    def cap_join(pole: int, keep):
+        sgn = F.lit(float(pole))
+        cl = L.filter(sgn * F.col("__llat") > F.lit(cap_floor))
+        cr = Rt.filter(sgn * F.col("__rlat") > F.lit(cap_floor))
+        rx, ry = aeqd_xy(F.col("__rlat"), F.col("__rlon"), pole)
+        chome = cr.withColumn(
+            "__cell",
+            (F.floor(rx / F.lit(cap_cell)).cast("long") + F.lit(cap_off))
+            * F.lit(cap_pack)
+            + F.floor(ry / F.lit(cap_cell)).cast("long") + F.lit(cap_off),
         )
+        lx, ly = aeqd_xy(F.col("__llat"), F.col("__llon"), pole)
+        cix = F.floor(lx / F.lit(cap_cell)).cast("long")
+        ciy = F.floor(ly / F.lit(cap_cell)).cast("long")
+        ccells = F.flatten(
+            F.transform(
+                F.sequence(cix - 1, cix + 1),
+                lambda ix: F.transform(
+                    F.sequence(ciy - 1, ciy + 1),
+                    lambda iy: (ix + F.lit(cap_off)) * F.lit(cap_pack)
+                    + iy + F.lit(cap_off),
+                ),
+            )
+        )
+        cprobe = cl.withColumn("__cell", F.explode(ccells))
+        return refine(cprobe.join(chome, on="__cell")).filter(keep)
+
+    beyond_n = (F.col("__llat") > F.lit(max_abs_lat)) | (
+        F.col("__rlat") > F.lit(max_abs_lat)
+    )
+    beyond_s = (F.col("__llat") < F.lit(-max_abs_lat)) | (
+        F.col("__rlat") < F.lit(-max_abs_lat)
+    )
+    res = res.unionByName(cap_join(1, beyond_n))
+    res = res.unionByName(cap_join(-1, beyond_s & ~beyond_n))
+    return res.select(
+        F.col("__lid").alias(l_id),
+        F.col("__rid").alias(r_id),
+        "dist_m",
     )

@@ -191,3 +191,60 @@ def test_dwithin_sphere_join_at_latitude_limit(spark):
     )
     want = {(r["l_id"], r["r_id"]) for r in brute.collect()}
     assert got == want and want
+
+
+def test_dwithin_sphere_join_polar_caps(spark):
+    """Rows beyond max_abs_lat must not be silently dropped: polar-cap
+    AEQD partitions find every pair, including pole-hugging clusters where
+    lon/lat grids degenerate and pairs straddling the band/cap boundary;
+    band and cap outputs stay disjoint (no duplicated pairs)."""
+    import numpy as np
+
+    from geoarrow_rs_spark.join.spatial import dwithin_sphere_join, haversine_expr
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    def mk(n, offset):
+        rows = []
+        for i in range(n):
+            kind = i % 4
+            if kind == 0:        # hard against the north pole, all longitudes
+                lat, lon = rng.uniform(88.5, 90.0), rng.uniform(-180, 180)
+            elif kind == 1:      # straddle the band/cap boundary at ±66
+                lat = rng.uniform(65.0, 67.0) * rng.choice([-1.0, 1.0])
+                lon = rng.uniform(-3, 3)
+            elif kind == 2:      # south cap
+                lat, lon = rng.uniform(-90.0, -80.0), rng.uniform(-180, 180)
+            else:                # mid-latitude control
+                lat, lon = rng.uniform(-50, 50), rng.uniform(-170, 170)
+            rows.append((offset + i, float(lon), float(lat)))
+        return rows
+
+    left = spark.createDataFrame(mk(140, 0), "l_id LONG, lon DOUBLE, lat DOUBLE")
+    right = spark.createDataFrame(mk(140, 1000), "r_id LONG, lon DOUBLE, lat DOUBLE")
+    eps = 150_000.0
+    got = [(r["l_id"], r["r_id"]) for r in dwithin_sphere_join(left, right, eps).collect()]
+    assert len(got) == len(set(got))  # band/cap partitions are disjoint
+    brute = (
+        left.crossJoin(right.select("r_id", F.col("lon").alias("rlon"), F.col("lat").alias("rlat")))
+        .withColumn("d", haversine_expr(F.col("lon"), F.col("lat"), F.col("rlon"), F.col("rlat")))
+        .filter(F.col("d") <= eps)
+    )
+    want = {(r["l_id"], r["r_id"]) for r in brute.collect()}
+    assert set(got) == want
+    # the fixture must actually exercise the cap paths
+    lats = {r["l_id"]: r["lat"] for r in left.collect()}
+    rlats = {r["r_id"]: r["lat"] for r in right.collect()}
+    assert any(lats[a] > 66.0 or rlats[b] > 66.0 for a, b in want)
+    assert any(lats[a] < -66.0 or rlats[b] < -66.0 for a, b in want)
+    assert any(abs(lats[a]) > 88.0 for a, _ in want)  # pole-hugging matches
+
+
+def test_dwithin_sphere_join_eps_too_large_raises(spark):
+    from geoarrow_rs_spark.join.spatial import dwithin_sphere_join
+
+    left = spark.createDataFrame([(1, 0.0, 0.0)], "l_id LONG, lon DOUBLE, lat DOUBLE")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="too large"):
+        dwithin_sphere_join(left, left, 8_000_000.0)

@@ -935,3 +935,22 @@ def test_tiff_spark_pipeline(spark):
         assert out.shape == (4, 3, 3)
     tagged = mm.attach_media_meta(df, "blob").collect()
     assert all(r["media_meta"]["media_type"] == "image/tiff" for r in tagged)
+
+
+def test_tiff_singleton_channel_and_bad_shapes():
+    """(h, w, 1) squeezes to (h, w) on encode (spp=1 TIFFs decode 2-D);
+    unsupported channel counts are rejected up front, not mis-encoded."""
+    import numpy as np
+    import pytest
+
+    from geoarrow_rs_spark.datapipe import multimodal as mm
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    back = mm.decode_tiff(mm.encode_tiff(img))
+    assert back.shape == (3, 4) and (back == img[:, :, 0]).all()
+    with pytest.raises(ValueError, match="encode_tiff"):
+        mm.encode_tiff(np.zeros((3, 4, 2), np.uint8))
+    with pytest.raises(ValueError, match="encode_tiff"):
+        mm.encode_tiff(np.zeros((3, 4, 4), np.uint8))
+    with pytest.raises(ValueError, match="encode_tiff"):
+        mm.encode_tiff(np.zeros((5,), np.uint8))

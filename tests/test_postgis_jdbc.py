@@ -139,3 +139,19 @@ def test_read_postgis_no_geometry_column_passthrough(spark, derby_url):
         driver=DERBY_DRIVER,
     )
     assert sorted(r["gid"] for r in df.collect()) == [g for g, *_ in ROWS]
+
+
+def test_read_postgis_partitioned_requires_bounds(spark):
+    """partition_column without bounds must fail fast with a clear error,
+    not stringify None into the JDBC reader options."""
+    import pytest
+
+    from geoarrow_rs_spark.io.postgis import read_postgis
+
+    with pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        read_postgis(
+            spark,
+            "jdbc:postgresql://localhost/none",
+            "SELECT 1 AS id",
+            partition_column="id",
+        )
