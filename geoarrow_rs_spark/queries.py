@@ -4882,6 +4882,54 @@ FROM scored WHERE dist_m <= 120000.0
 ORACLE_GEO_SPHERICAL_JOIN = _sjoin_oracle_sql()
 
 
+COUNTRIES_FGB = "/root/reference/fixtures/flatgeobuf/countries.fgb"
+
+
+def geo_countries_spherical(spark, sf_dir):
+    """Spherical kernels over REAL fixture shapes (VERDICT r5 #4): six
+    countries from countries.fgb through the engine's own FlatGeobuf
+    reader — part counts, spherical area (km^2), min great-circle distance
+    to Suva (sph_min_distance over the real multipolygons, 0 inside Fiji),
+    and ST_IntersectsSphere against an arc crossing the antimeridian at
+    Fiji's +-180 split (True only for Fiji; a planar segment runs the
+    wrong way around the map and misses — test_spherical_fixtures.py pins
+    that flip). The oracle pins the goldens as literals, the way the
+    reference pins kernel fixtures (geoarrow-expr-geo/src/area.rs:73-93);
+    sf_dir is unused (fixture-backed entry)."""
+    from .io.flatgeobuf import read_flatgeobuf
+
+    names = ["Antarctica", "Brazil", "Fiji", "Greenland", "New Zealand", "Russia"]
+    df = read_flatgeobuf(spark, COUNTRIES_FGB)
+    return (
+        df.filter(F.col("name").isin(names))
+        .select(
+            "name",
+            F.expr("CAST(ST_NumGeometries(geometry) AS BIGINT)").alias("n_parts"),
+            F.expr("round(ST_AreaSpherical(geometry) / 1e6, 4)").alias("area_km2"),
+            F.expr(
+                "round(ST_DistanceSphere(geometry,"
+                " ST_Point(178.4417D, -18.1416D)) / 1e3, 4)"
+            ).alias("dist_suva_km"),
+            F.expr(
+                "ST_IntersectsSphere(geometry, ST_GeomFromText("
+                "'LINESTRING (179.99 -17.3, -179.99 -15.3)'))"
+            ).alias("hits_am_arc"),
+        )
+    )
+
+
+ORACLE_GEO_COUNTRIES_SPHERICAL = """
+SELECT * FROM (VALUES
+  ('Antarctica', CAST(8 AS BIGINT), 11154857.7148, 5853.9454, FALSE),
+  ('Brazil', CAST(1 AS BIGINT), 8540552.4172, 11575.4863, FALSE),
+  ('Fiji', CAST(3 AS BIGINT), 19351.2202, 0.0, TRUE),
+  ('Greenland', CAST(1 AS BIGINT), 2190190.4321, 12389.2505, FALSE),
+  ('New Zealand', CAST(2 AS BIGINT), 277275.4202, 1891.7619, FALSE),
+  ('Russia', CAST(13 AS BIGINT), 16897110.8982, 7963.8077, FALSE)
+) AS t(name, n_parts, area_km2, dist_suva_km, hits_am_arc)
+"""
+
+
 def sim_mmr_rerank(spark, sf_dir):
     """MMR diversity reranking (Carbonell & Goldstein 1998) of the
     brute-force retrieval's top-8 candidates: greedy 3-pick with
@@ -8232,6 +8280,7 @@ QUERIES = {
     "geo_spherical_polygon": (geo_spherical_polygon, ORACLE_GEO_SPHERICAL_POLYGON),
     "geo_spherical_distance": (geo_spherical_distance, ORACLE_GEO_SPHERICAL_DISTANCE),
     "geo_spherical_join": (geo_spherical_join, ORACLE_GEO_SPHERICAL_JOIN),
+    "geo_countries_spherical": (geo_countries_spherical, ORACLE_GEO_COUNTRIES_SPHERICAL),
     "sim_mmr_rerank": (sim_mmr_rerank, ORACLE_SIM_MMR),
     "pipe_mixture_plan": (pipe_mixture_plan, ORACLE_PIPE_MIXTURE_PLAN),
     "pipe_budget_fill": (pipe_budget_fill, ORACLE_PIPE_BUDGET_FILL),
@@ -8366,6 +8415,7 @@ _SAMPLE_PRIORITY = [
     "events_time_weighted_avg",
     "events_expectations",
     "events_geo_hotspots",
+    "geo_countries_spherical",
     "dedup_substring_spans",
     "geo_transform_projjson",
     "geo_spherical_predicates",

@@ -19,10 +19,15 @@ kernel                        spherical-edges behavior
 ST_IntersectsSphere           exact great-circle semantics for ALL WKB
                               kinds: points/lines exact; polygons get
                               great-circle edges + spherical even-odd
-                              containment, restricted to polygons that fit
-                              in an open hemisphere (ValueError otherwise —
-                              an honest boundary, not a silent planar
-                              answer; split or densify larger regions)
+                              containment. Polygons that fit in an open
+                              hemisphere are winding-agnostic (interior =
+                              the hemisphere-bounded region, like PostGIS
+                              geography). Larger polygons (oceans, Russia)
+                              fall back to the s2/OGC ORIENTATION
+                              convention: interior lies on the LEFT of the
+                              outer-ring walk — no ValueError, but winding
+                              now matters, exactly as in other geography
+                              engines.
 ST_Distance/Length/Area       already edges-dispatched via
                               ops.table.geom_* (sphere/spheroid kernels)
 ST_Contains/Within/Relate,    remain PLANAR regardless of the edges tag;
@@ -133,7 +138,8 @@ def _poly_outside_ref(rings):
     """A reference point guaranteed OUTSIDE the polygon: the antipode of
     the outer ring's vertex centroid. Valid only while the polygon fits in
     an open hemisphere around that centroid — the same restriction most
-    geography engines impose — else ValueError."""
+    geography engines impose — else ValueError (callers fall back to
+    :func:`_interior_ref_by_orientation`)."""
     C = np.sum(rings[0], axis=0)
     n = float(np.linalg.norm(C))
     if n < _EPS:
@@ -152,6 +158,68 @@ def _poly_outside_ref(rings):
     return -C
 
 
+def _boundary_min_angle(X, rings, skip=None):
+    """Min angular distance from X to every ring edge, optionally skipping
+    one (ring_index, edge_index) host edge."""
+    best = math.inf
+    for ri, ring in enumerate(rings):
+        m = len(ring)
+        for j in range(m):
+            if skip is not None and (ri, j) == skip:
+                continue
+            best = min(best, _pt_arc_angle(X, ring[j], ring[(j + 1) % m]))
+    return best
+
+
+def _interior_ref_by_orientation(rings):
+    """Interior reference for a polygon that does NOT fit in an open
+    hemisphere: the s2/OGC orientation convention — interior on the LEFT
+    of the outer-ring walk. The reference sits just left of the midpoint
+    of the longest outer edge, offset by half the midpoint's clearance to
+    the rest of the boundary so the offset arc provably crosses nothing
+    (a boundary-local wedge of that radius is all-interior on the left)."""
+    outer = rings[0]
+    m = len(outer)
+    best_i, best_len = -1, -1.0
+    for i in range(m):
+        ll = _angle(outer[i], outer[(i + 1) % m])
+        if ll > best_len:
+            best_len, best_i = ll, i
+    v0, v1 = outer[best_i], outer[(best_i + 1) % m]
+    ne = np.cross(v0, v1)
+    nn = float(np.linalg.norm(ne))
+    if nn < _EPS:
+        if float(np.dot(v0, v1)) < 0.0:
+            raise ValueError(
+                "antipodal segment endpoints: great-circle arc undefined"
+            )
+        raise ValueError(
+            "spherical polygon boundary is degenerate (all edges zero-length)"
+        )
+    ne = ne / nn  # left of travel v0 -> v1 (eastward equator edge -> north)
+    mid = v0 + v1
+    mid = mid / float(np.linalg.norm(mid))
+    delta = _boundary_min_angle(mid, rings, skip=(0, best_i))
+    if delta < 1e-9:
+        raise ValueError(
+            "spherical polygon is self-touching at an edge midpoint: "
+            "interior reference undefined"
+        )
+    th = min(delta / 2.0, 0.1)
+    R = mid * math.cos(th) + ne * math.sin(th)
+    return R / float(np.linalg.norm(R))
+
+
+def _poly_ref(rings):
+    """(reference point, reference_is_inside) for even-odd containment:
+    hemisphere-bounded polygons use the winding-agnostic outside antipode;
+    larger ones the orientation-convention interior point."""
+    try:
+        return _poly_outside_ref(rings), False
+    except ValueError:
+        return _interior_ref_by_orientation(rings), True
+
+
 def _ring_edges(rings):
     for ring in rings:
         m = len(ring)
@@ -159,32 +227,17 @@ def _ring_edges(rings):
             yield ring[i], ring[(i + 1) % m]
 
 
-def _point_in_sph_poly(X, rings, ref) -> bool:
-    """Even-odd rule on the sphere: parity of proper crossings of the arc
-    X -> ref with every ring edge (holes subtract automatically). Boundary
-    points are handled by the caller's on-edge test."""
-    if float(np.dot(X, ref)) <= -1.0 + 1e-12:
-        # X is (nearly) the centroid itself — the arc to its antipode is
-        # undefined. The polygon lies strictly inside the open centroid
-        # hemisphere (enforced in _poly_outside_ref), so any direction 90°
-        # from the centroid is also guaranteed outside.
-        C = -ref
-        e = (
-            np.array([1.0, 0.0, 0.0])
-            if abs(C[0]) < 0.9
-            else np.array([0.0, 1.0, 0.0])
-        )
-        ref = np.cross(C, e)
-        ref = ref / np.linalg.norm(ref)
+def _count_crossings(X, ref, rings) -> int:
+    """Proper crossings of the minor arc X -> ref with every ring edge,
+    using the half-open plane-straddle rule (the spherical analog of the
+    planar "(y_i > py) != (y_j > py)" ray cast): an edge counts only when
+    its endpoints sit on strictly opposite sides of the ray circle, which
+    makes a ray through a shared VERTEX count exactly once for a true
+    crossing and twice (parity no-op) for a graze — no double-count."""
     nr = np.cross(X, ref)
     nnr = float(np.linalg.norm(nr))
-    if nnr < _EPS:  # X coincides with the outside reference
-        return False
-    # half-open plane-straddle rule (the spherical analog of the planar
-    # "(y_i > py) != (y_j > py)" ray cast): an edge counts only when its
-    # endpoints sit on strictly opposite sides of the ray circle, which
-    # makes a ray through a shared VERTEX count exactly once for a true
-    # crossing and twice (parity no-op) for a graze — no double-count
+    if nnr < _EPS:  # X coincides with the reference point
+        return 0
     crossings = 0
     for p, q in _ring_edges(rings):
         sp = float(np.dot(p, nr)) > 0.0
@@ -200,7 +253,61 @@ def _point_in_sph_poly(X, rings, ref) -> bool:
         cand = u if _arc_contains(u, p, q, ne) else -u
         if _arc_contains(cand, p, q, ne) and _arc_contains(cand, X, ref, nr):
             crossings += 1
-    return crossings % 2 == 1
+    return crossings
+
+
+def _safe_waypoint(X, rings):
+    """A point ~90 degrees from X with clearance from the boundary, for
+    splitting an antipodal X -> ref parity walk into two defined arcs."""
+    for e in (
+        np.array([1.0, 0.0, 0.0]),
+        np.array([0.0, 1.0, 0.0]),
+        np.array([0.0, 0.0, 1.0]),
+        np.array([0.577350269189626, 0.577350269189626, 0.577350269189626]),
+    ):
+        M = np.cross(X, e)
+        nm = float(np.linalg.norm(M))
+        if nm < 0.1:
+            continue
+        M = M / nm
+        if _boundary_min_angle(M, rings) > 1e-9:
+            return M
+    raise ValueError(
+        "spherical polygon boundary blocks every parity waypoint"
+    )
+
+
+def _point_in_sph_poly(X, rings, ref, ref_inside: bool = False) -> bool:
+    """Even-odd rule on the sphere: parity of proper crossings of the arc
+    X -> ref with every ring edge (holes subtract automatically), XORed
+    with the reference point's known classification. Boundary points are
+    handled by the caller's on-edge test."""
+    if float(np.dot(X, ref)) <= -1.0 + 1e-12:
+        # X is (nearly) the reference's antipode — the arc between them is
+        # undefined.
+        if not ref_inside:
+            # Hemisphere path: ref is the centroid's antipode, so X is the
+            # centroid itself; the polygon lies strictly inside the open
+            # centroid hemisphere, so any direction 90° from the centroid
+            # is also guaranteed outside.
+            C = -ref
+            e = (
+                np.array([1.0, 0.0, 0.0])
+                if abs(C[0]) < 0.9
+                else np.array([0.0, 1.0, 0.0])
+            )
+            ref2 = np.cross(C, e)
+            ref2 = ref2 / np.linalg.norm(ref2)
+            return _count_crossings(X, ref2, rings) % 2 == 1
+        # Orientation path: no hemisphere guarantee — walk X -> M -> ref
+        # through a boundary-clear waypoint (parity is path-independent).
+        M = _safe_waypoint(X, rings)
+        parity = (
+            _count_crossings(X, M, rings) + _count_crossings(M, ref, rings)
+        ) % 2
+        return (parity == 1) != ref_inside
+    parity = _count_crossings(X, ref, rings) % 2
+    return (parity == 1) != ref_inside
 
 
 def _decompose_with_verts(g):
@@ -230,7 +337,7 @@ def _decompose_with_verts(g):
             rings = _rings_xyz(p)
             if not rings or not rings[0]:
                 continue
-            polys.append((rings, _poly_outside_ref(rings)))
+            polys.append((rings, *_poly_ref(rings)))
             for ring in rings:
                 verts.extend(ring)
     return pts, segs, polys, verts
@@ -298,10 +405,10 @@ def sph_min_distance(g1, g2, radius: float = None):
         # while the _angle math below resolves them exactly.
         return 0.0
     edges1 = list(segs1)
-    for rings, _ in polys1:
+    for rings, _, _ in polys1:
         edges1.extend(_ring_edges(rings))
     edges2 = list(segs2)
-    for rings, _ in polys2:
+    for rings, _, _ in polys2:
         edges2.extend(_ring_edges(rings))
     if not v1 or not v2:
         return float("nan")
@@ -413,11 +520,11 @@ def _point_touches(X, segs, polys) -> bool:
     for p, q in segs:
         if _point_on_arc(X, p, q):
             return True
-    for rings, ref in polys:
+    for rings, ref, ref_inside in polys:
         for p, q in _ring_edges(rings):
             if _point_on_arc(X, p, q):
                 return True
-        if _point_in_sph_poly(X, rings, ref):
+        if _point_in_sph_poly(X, rings, ref, ref_inside):
             return True
     return False
 
@@ -441,10 +548,10 @@ def sph_intersects(g1, g2):
         if _point_touches(b, segs1, polys1):
             return True
     edges1 = list(segs1)
-    for rings, _ in polys1:
+    for rings, _, _ in polys1:
         edges1.extend(_ring_edges(rings))
     edges2 = list(segs2)
-    for rings, _ in polys2:
+    for rings, _, _ in polys2:
         edges2.extend(_ring_edges(rings))
     for p1, q1 in edges1:
         for p2, q2 in edges2:
@@ -453,10 +560,10 @@ def sph_intersects(g1, g2):
     # no boundary contact: containment. Boundaries don't cross, so any
     # vertex decides for its whole connected part — but parts are
     # independent, so every endpoint is tested (cheap vs the arc sweep).
-    for rings, ref in polys1:
-        if any(_point_in_sph_poly(p, rings, ref) for p, _ in edges2):
+    for rings, ref, ref_inside in polys1:
+        if any(_point_in_sph_poly(p, rings, ref, ref_inside) for p, _ in edges2):
             return True
-    for rings, ref in polys2:
-        if any(_point_in_sph_poly(p, rings, ref) for p, _ in edges1):
+    for rings, ref, ref_inside in polys2:
+        if any(_point_in_sph_poly(p, rings, ref, ref_inside) for p, _ in edges1):
             return True
     return False

@@ -112,10 +112,55 @@ def test_polygon_polygon():
     assert sph_intersects(c, line) is False
 
 
-def test_polygon_hemisphere_limit():
-    too_big = from_wkt("POLYGON ((0 80, 120 80, -120 80, 0 -50, 0 80))")
-    with pytest.raises(ValueError):
-        sph_intersects(too_big, P(0, 0))
+def test_polygon_beyond_hemisphere_orientation_semantics():
+    """Polygons exceeding an open hemisphere no longer raise: they use the
+    s2/OGC orientation convention (interior on the LEFT of the outer-ring
+    walk), so oceans/Russia-sized regions work without caller splitting."""
+    # equator ring walked EASTWARD: left of travel = north -> interior is
+    # the whole northern hemisphere (centroid degenerate -> orientation)
+    north = from_wkt("POLYGON ((0 0, 90 0, 180 0, -90 0, 0 0))")
+    assert sph_intersects(north, P(0, 45)) is True
+    assert sph_intersects(north, P(77, 89)) is True
+    assert sph_intersects(north, P(0, -45)) is False
+    assert sph_intersects(north, P(-120, -5)) is False
+    # a ring whose vertices fit an open hemisphere stays winding-AGNOSTIC
+    # (interior = the hemisphere-bounded small region), so both windings
+    # of the lat -60 ring denote the southern cap
+    for ring in (
+        "POLYGON ((0 -60, 90 -60, 180 -60, -90 -60, 0 -60))",
+        "POLYGON ((0 -60, -90 -60, 180 -60, 90 -60, 0 -60))",
+    ):
+        g = from_wkt(ring)
+        assert sph_intersects(g, P(45, -89)) is True
+        assert sph_intersects(g, P(0, 0)) is False
+    # a 200-degree-wide lune (lon 0..200, lat -80..80): vertices span more
+    # than any open hemisphere -> orientation path. Eastward walk along
+    # the south edge => interior on the left = the wide lune itself
+    big = from_wkt(
+        "POLYGON ((0 -80, 100 -80, -160 -80, -160 80, 100 80, 0 80, 0 -80))"
+    )
+    assert sph_intersects(big, P(100, 0)) is True
+    assert sph_intersects(big, P(30, 0)) is True
+    assert sph_intersects(big, P(190, 0)) is True
+    assert sph_intersects(big, P(100, 75)) is True
+    assert sph_intersects(big, P(-80, 0)) is False
+    assert sph_intersects(big, P(-120, 0)) is False
+    # reversed winding flips the interior to the 160-degree complement
+    small = from_wkt(
+        "POLYGON ((0 -80, 0 80, 100 80, -160 80, -160 -80, 100 -80, 0 -80))"
+    )
+    assert sph_intersects(small, P(-80, 0)) is True
+    assert sph_intersects(small, P(100, 0)) is False
+    # a crossing line still intersects the big lune via its boundary
+    assert sph_intersects(big, L(-10, 0, 10, 0)) is True
+    # hemisphere-sized polygons keep the winding-AGNOSTIC behavior: both
+    # windings of a small triangle contain its interior point
+    tri_ccw = from_wkt("POLYGON ((0 0, 10 0, 5 8, 0 0))")
+    tri_cw = from_wkt("POLYGON ((0 0, 5 8, 10 0, 0 0))")
+    assert sph_intersects(tri_ccw, P(5, 3)) is True
+    assert sph_intersects(tri_cw, P(5, 3)) is True
+    assert sph_intersects(tri_ccw, P(50, 50)) is False
+    assert sph_intersects(tri_cw, P(50, 50)) is False
 
 
 def test_antipodal_raises():
