@@ -723,6 +723,7 @@ def read_flatgeobuf(
     columns=None,
     geometry_col: str = "geometry",
     read_geometry: bool = True,
+    range_batch_bytes: int = 8 << 20,
 ):
     """Read a FlatGeobuf file into a DataFrame (WKB geometry + properties).
 
@@ -732,11 +733,16 @@ def read_flatgeobuf(
     (properties-only scans skip WKB construction — reference parity with
     read_flatgeobuf's read_geometry flag). Combined with ``bbox`` the
     exact refine still needs geometry, so it is decoded internally,
-    filtered, and dropped."""
+    filtered, and dropped.
+    ``range_batch_bytes`` caps the size of each coalesced range request
+    (object_store.rs coalesce_ranges' max-size knob) — smaller values
+    trade request count for per-request memory/latency on remote
+    sources."""
     if not read_geometry and bbox is not None:
         df = read_flatgeobuf(
             spark, path, bbox=bbox, columns=columns,
             geometry_col=geometry_col, read_geometry=True,
+            range_batch_bytes=range_batch_bytes,
         )
         return df.drop(geometry_col)
     from pyspark.sql.types import (
@@ -784,7 +790,9 @@ def read_flatgeobuf(
             for pdf in batches:
                 rows = []
                 feature_extents = list(zip(pdf["off"], pdf["end"]))
-                for roff, rend, members in coalesce_ranges(feature_extents):
+                for roff, rend, members in coalesce_ranges(
+                    feature_extents, max_size=range_batch_bytes
+                ):
                     blob = src.read_at(roff, rend - roff)
                     for off, _end in members:
                         rel = int(off) - roff

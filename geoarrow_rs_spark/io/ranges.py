@@ -67,13 +67,51 @@ class LocalRange(RangeSource):
 class HttpRange(RangeSource):
     """HTTP(S) backend via stdlib urllib ``Range: bytes=`` requests — the
     object-store pattern FGB was designed for (cloud-hosted file, client
-    reads header + index + just the matching features)."""
+    reads header + index + just the matching features). Presigned-style
+    URLs (S3/GCS query-string auth) pass through untouched.
 
-    def __init__(self, url: str, timeout: float = 30.0):
+    Object stores throttle and flake: transient failures (5xx, 429,
+    connection resets, timeouts) retry with exponential backoff, the same
+    policy object_store.rs applies client-side. Permanent errors (other
+    4xx) raise immediately."""
+
+    _RETRYABLE_CODES = frozenset({429, 500, 502, 503, 504})
+
+    def __init__(
+        self,
+        url: str,
+        timeout: float = 30.0,
+        max_retries: int = 3,
+        backoff_base: float = 0.2,
+    ):
         self.url = url
         self.timeout = timeout
+        self.max_retries = int(max_retries)
+        self.backoff_base = float(backoff_base)
         self._size = None
         self._body = None  # cached full body when Range is unsupported
+
+    def _open_with_retry(self, req):
+        import time
+        import urllib.error
+        import urllib.request
+
+        last = None
+        for attempt in range(self.max_retries + 1):
+            if attempt:
+                time.sleep(self.backoff_base * (2 ** (attempt - 1)))
+            try:
+                return urllib.request.urlopen(req, timeout=self.timeout)
+            except urllib.error.HTTPError as e:
+                if e.code not in self._RETRYABLE_CODES:
+                    raise
+                last = e
+            except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
+                last = e
+        raise IOError(
+            f"range request failed after {self.max_retries + 1} attempts: "
+            f"{self.url} ({last})"
+        )
 
     def read_at(self, off, n):
         import urllib.request
@@ -86,7 +124,7 @@ class HttpRange(RangeSource):
         req = urllib.request.Request(
             self.url, headers={"Range": f"bytes={off}-{off + n - 1}"}
         )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+        with self._open_with_retry(req) as resp:
             if resp.status not in (200, 206):
                 raise IOError(f"range request failed ({resp.status}): {self.url}")
             data = resp.read()
@@ -107,7 +145,7 @@ class HttpRange(RangeSource):
             import urllib.request
 
             req = urllib.request.Request(self.url, method="HEAD")
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            with self._open_with_retry(req) as resp:
                 self._size = int(resp.headers["Content-Length"])
         return self._size
 
