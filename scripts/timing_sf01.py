@@ -1,0 +1,59 @@
+import os, statistics, sys, time
+
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+
+import geoarrow_rs_spark as gs
+from geoarrow_rs_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.1"
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+gs.register_all(spark)
+# one trivial warm query absorbs one-time session costs
+spark.range(10**6).agg(F.sum("id")).collect()
+
+rows = []
+errs = 0
+for name in QUERIES:
+    fn, _ = QUERIES[name]
+    t0 = time.time()
+    try:
+        df = fn(spark, SF)
+        df.agg(*[F.count(c).alias(f"c{i}") for i, c in enumerate(df.columns)]).collect()
+        dt = time.time() - t0
+        rows.append((name, dt))
+        print(f"{name}: {dt:.2f}", flush=True)
+    except Exception as exc:
+        errs += 1
+        rows.append((name, float("nan")))
+        print(f"{name}: ERROR {exc}", flush=True)
+
+ts = [t for _, t in rows if t == t]
+over5 = [n for n, t in rows if t == t and t > 5]
+over5 = ("NO query exceeds 5s" if not over5 else
+         f"over 5s: {', '.join(over5)} — see notes")
+hdr = f"""# SF01_TIMING_r06 — full-catalog execution log at sf0.1
+#
+# Refreshed at the end of round 6 (175-entry catalog). Methodology:
+# every catalog query executed once, COLD (its own plan analysis +
+# codegen compile included), in one fresh local[32] session
+# (spark.sql.shuffle.partitions=32, UTC). One trivial warm query
+# absorbs one-time session costs (JVM warmup, parquet reader init)
+# before the loop; nothing else is pre-warmed. Forcing = count(col)
+# over every output column.
+#
+# queries: {len(rows)}   errors: {errs}   total: {sum(ts):.1f}s
+# median: {statistics.median(ts):.2f}s   max: {max(ts):.2f}s ({max(rows, key=lambda r: r[1] if r[1] == r[1] else -1)[0]})\n# {over5}
+
+"""
+with open("/root/repo/SF01_TIMING_r06.log", "w") as f:
+    f.write(hdr + "\n".join(f"{n}: {t:.2f}" for n, t in rows) + "\n")
+print("DONE total", sum(ts))
