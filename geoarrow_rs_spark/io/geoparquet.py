@@ -306,11 +306,9 @@ def read_geo_metadata(path: str):
         if os.path.exists(side):
             with open(side) as f:
                 return json.load(f)
-        candidates = [
-            os.path.join(path, p)
-            for p in sorted(os.listdir(path))
-            if p.endswith(".parquet")
-        ][:1]
+        # recursive: hive-partitioned layouts keep parts in key=value
+        # subdirectories, each stamped with the same geo footer
+        candidates = _parquet_parts(path)[:1]
     else:
         candidates = [path]
     for c in candidates:
@@ -374,6 +372,227 @@ def _native_coords_to_arrays(df, gcol, enc):
     return fn(F.col(gcol))
 
 
+# ---------------------------------------------------------------------------
+# Native-encoding row-group pruning (no covering column needed)
+#
+# The Spark translation of the reference's native-stats path
+# (/root/reference/rust/geoparquet/src/reader/spatial_filter.rs:57-135
+# ParquetBboxStatistics over the coordinate LEAF columns themselves, and
+# :167-181 bbox_row_groups): for a native-encoded geometry column the
+# parquet column statistics of the x / y coordinate leaves ARE per-row-group
+# bbox bounds, so a bbox query can skip row groups from footer metadata
+# alone. Spark's built-in parquet source cannot express a pushed predicate
+# over list-nested leaves, so the pruned scan runs as one Spark task per
+# surviving row group (mapInPandas over a (file, row_group) task table) —
+# distributed, and at 100 TB the task count equals surviving row groups,
+# not files. Footer scans themselves distribute as a Spark job when the
+# dataset has many part files.
+# ---------------------------------------------------------------------------
+
+
+def _local_path(path: str):
+    """Filesystem path for local / file:// URIs; None for remote schemes."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if "://" in path:
+        return None
+    return path
+
+
+def _parquet_parts(root: str):
+    import glob
+
+    if os.path.isdir(root):
+        return sorted(
+            p
+            for p in glob.glob(
+                os.path.join(glob.escape(root), "**", "*.parquet"), recursive=True
+            )
+            if not os.path.basename(p).startswith("_")
+        )
+    return [root]
+
+
+def _native_stat_leaves(md, gcol: str):
+    """Locate the parquet leaf columns carrying the native coordinates of
+    ``gcol`` in a file's footer metadata. Returns ("separated", x_idx, y_idx)
+    for struct{x,y} coords (exact per-axis stats — the GeoParquet 1.1 layout,
+    chosen by the spec precisely for this pushdown), ("interleaved", idx) for
+    a single doubles leaf (stats mix x and y; still usable conservatively),
+    or None when the layout is unrecognized (no pruning).
+
+    Mirrors ParquetBboxStatistics::try_new's path walk
+    (spatial_filter.rs:59-135) — there the native case is detected by the
+    min and max paths resolving to the SAME leaf (:188-190)."""
+    rg0 = md.row_group(0)
+    x_idx = y_idx = None
+    under = []
+    for i in range(rg0.num_columns):
+        parts = rg0.column(i).path_in_schema.split(".")
+        if parts[0] != gcol:
+            continue
+        last = parts[-1]
+        if last == "x":
+            x_idx = i
+        elif last == "y":
+            y_idx = i
+        elif last in ("z", "m"):
+            continue
+        else:
+            under.append(i)
+    if x_idx is not None and y_idx is not None:
+        return ("separated", x_idx, y_idx)
+    if x_idx is None and y_idx is None and len(under) == 1:
+        return ("interleaved", under[0])
+    return None
+
+
+def _file_rowgroup_tasks(file_path: str, gcol: str, bbox):
+    """(row_group_index, intersects) pairs for one file from footer stats.
+
+    Row groups with missing/disabled statistics are kept (can't prune —
+    same conservative fallback as parse_statistics_f64 erroring out of the
+    reference's pruning path)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(file_path)
+    if md.num_row_groups == 0:
+        return []
+    leaves = _native_stat_leaves(md, gcol)
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    out = []
+    for rg in range(md.num_row_groups):
+        keep = True
+        if leaves is not None:
+            try:
+                if leaves[0] == "separated":
+                    sx = md.row_group(rg).column(leaves[1]).statistics
+                    sy = md.row_group(rg).column(leaves[2]).statistics
+                    if (
+                        sx is not None and sy is not None
+                        and sx.has_min_max and sy.has_min_max
+                    ):
+                        keep = not (
+                            float(sx.max) < xmin or float(sx.min) > xmax
+                            or float(sy.max) < ymin or float(sy.min) > ymax
+                        )
+                else:
+                    # interleaved: one leaf's stats bound BOTH axes, so a
+                    # row group can only be skipped when the combined range
+                    # misses the query window on either axis entirely
+                    sc = md.row_group(rg).column(leaves[1]).statistics
+                    if sc is not None and sc.has_min_max:
+                        lo, hi = float(sc.min), float(sc.max)
+                        keep = not (
+                            hi < xmin or lo > xmax or hi < ymin or lo > ymax
+                        )
+            except (TypeError, ValueError):
+                keep = True
+        out.append((rg, keep))
+    return out
+
+
+def native_rowgroup_plan(spark, path: str, bbox, geometry_col: str = None):
+    """Plan a native-stats pruned scan: (kept_tasks, total_row_groups) where
+    kept_tasks is [(file, row_group_index), ...] intersecting ``bbox``.
+
+    Footer scanning distributes as a Spark job when the dataset has more
+    than 32 part files (each footer read is one ~KB-scale range read); the
+    returned task list is metadata-sized."""
+    local = _local_path(path)
+    if local is None:
+        raise ValueError("native row-group pruning requires a local/file:// path")
+    meta = read_geo_metadata(local)
+    gcol = geometry_col or (meta or {}).get("primary_column", "geometry")
+    parts = _parquet_parts(local)
+    if len(parts) > 32 and spark is not None:
+        import pandas as pd
+
+        def scan(iters):
+            for pdf in iters:
+                rows = []
+                for f in pdf["file"]:
+                    for rg, keep in _file_rowgroup_tasks(f, gcol, bbox):
+                        rows.append((f, rg, keep))
+                yield pd.DataFrame(rows, columns=["file", "rg", "keep"])
+
+        tasks_df = spark.createDataFrame(
+            [(p,) for p in parts], "file string"
+        ).repartition(min(len(parts), 64))
+        planned = tasks_df.mapInPandas(
+            scan, "file string, rg int, keep boolean"
+        ).collect()
+        total = len(planned)
+        kept = [(r.file, r.rg) for r in planned if r.keep]
+        kept.sort()
+        return kept, total
+    kept, total = [], 0
+    for f in parts:
+        for rg, keep in _file_rowgroup_tasks(f, gcol, bbox):
+            total += 1
+            if keep:
+                kept.append((f, rg))
+    return kept, total
+
+
+def _hive_partition_values(file_path: str, root: str):
+    """key=value directory segments between dataset root and the part file."""
+    rel = os.path.relpath(os.path.dirname(file_path), root)
+    out = {}
+    if rel in (".", ""):
+        return out
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+def _read_native_rowgroups(spark, path, tasks, gcol, enc, out_schema):
+    """Distributed scan of the surviving (file, row_group) tasks: one Spark
+    task per row group, geometry decoded native->WKB inside the scan (so no
+    nested-struct column ever crosses the Arrow->pandas UDF boundary)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+        StringType,
+    )
+
+    root = _local_path(path)
+    names = [f.name for f in out_schema.fields]
+    part_casts = {}
+    for f in out_schema.fields:
+        if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType)):
+            part_casts[f.name] = int
+        elif isinstance(f.dataType, (FloatType, DoubleType)):
+            part_casts[f.name] = float
+        elif isinstance(f.dataType, StringType):
+            part_casts[f.name] = str
+
+    if not tasks:
+        return spark.createDataFrame([], out_schema)
+
+    def scan(iters):
+        import pyarrow.parquet as pq
+
+        from ..functions import kernels as K
+
+        for pdf in iters:
+            for file, rg in zip(pdf["file"], pdf["rg"]):
+                tbl = pq.ParquetFile(file).read_row_group(int(rg))
+                out = tbl.to_pandas()
+                out[gcol] = K.k_from_native(out[gcol], enc)
+                for k, v in _hive_partition_values(file, root).items():
+                    if k not in out.columns:
+                        out[k] = part_casts.get(k, str)(v)
+                yield out[names]
+
+    tasks_df = spark.createDataFrame(tasks, "file string, rg int").repartition(
+        min(len(tasks), spark.sparkContext.defaultParallelism)
+    )
+    return tasks_df.mapInPandas(scan, out_schema)
+
+
 def read_geoparquet(
     spark: SparkSession,
     path: str,
@@ -398,11 +617,17 @@ def read_geoparquet(
     order WITHIN each file; across a multi-file dataset it follows
     Spark's split packing (size-ordered), not lexical file order — stable
     for a given file set, but only single-file (or coalesced) datasets
-    reproduce the reference reader's byte order exactly."""
-    df = spark.read.parquet(path)
+    reproduce the reference reader's byte order exactly.
+
+    bbox + a native encoding WITHOUT a covering column takes the
+    native-stats pruned path (spatial_filter.rs:167-181 parity): row groups
+    are skipped from the coordinate leaves' own footer statistics and only
+    the survivors are scanned (one Spark task each), before the exact
+    per-row filter runs."""
     meta = read_geo_metadata(path)
     gcol = geometry_col
     covering = None
+    enc = "WKB"
     if meta:
         gcol = gcol or meta.get("primary_column")
         col_meta = meta.get("columns", {}).get(gcol, {})
@@ -410,7 +635,29 @@ def read_geoparquet(
         if cov:
             covering = cov["xmin"][0]
         enc = col_meta.get("encoding", "WKB")
-        if enc != "WKB" and parse_to_native:
+
+    df = None
+    if (
+        bbox is not None
+        and enc != "WKB"
+        and parse_to_native
+        and covering is None
+        and gcol is not None
+        and _local_path(path) is not None
+    ):
+        tasks, _total = native_rowgroup_plan(spark, path, bbox, gcol)
+        base = spark.read.parquet(path)
+        from pyspark.sql.types import BinaryType, StructField, StructType
+
+        out_schema = StructType([
+            StructField(f.name, BinaryType() if f.name == gcol else f.dataType,
+                        True)
+            for f in base.schema.fields
+        ])
+        df = _read_native_rowgroups(spark, path, tasks, gcol, enc, out_schema)
+    if df is None:
+        df = spark.read.parquet(path)
+        if meta and enc != "WKB" and parse_to_native:
             # native GeoArrow nested layout -> canonical WKB (the reference's
             # parse_record_batch path, reader/parse.rs:132-160, inverted: our
             # canonical form is WKB). Struct coords are flattened to plain

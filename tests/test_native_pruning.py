@@ -1,0 +1,167 @@
+"""Native-encoding GeoParquet row-group pruning (no covering column).
+
+The Spark translation of the reference's native-stats path
+(/root/reference/rust/geoparquet/src/reader/spatial_filter.rs:57-135 +
+167-181): the coordinate leaf columns' own parquet statistics bound each
+row group, so a bbox query skips row groups from footer metadata alone and
+only the survivors are scanned (one distributed task each)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geoarrow_rs_spark.io.geoparquet import (
+    native_rowgroup_plan,
+    read_geoparquet,
+)
+
+GEO_POINT = json.dumps({
+    "version": "1.1.0",
+    "primary_column": "geometry",
+    "columns": {
+        "geometry": {"encoding": "point", "geometry_types": ["Point"]},
+    },
+})
+
+
+def _write_separated_points(path, n=1000, row_group_size=100, stats=True):
+    """n points, x = i (sorted -> disjoint per-row-group x stats), y = i % 50,
+    separated struct{x,y} coords (the GeoParquet 1.1 native layout)."""
+    xs = [float(i) for i in range(n)]
+    ys = [float(i % 50) for i in range(n)]
+    coords = pa.StructArray.from_arrays(
+        [pa.array(xs), pa.array(ys)], ["x", "y"]
+    )
+    tbl = pa.table({"id": pa.array(list(range(n))), "geometry": coords})
+    tbl = tbl.replace_schema_metadata({b"geo": GEO_POINT})
+    pq.write_table(
+        tbl, path, row_group_size=row_group_size, write_statistics=stats
+    )
+
+
+def _write_interleaved_points(path, n=1000, row_group_size=100):
+    flat = []
+    for i in range(n):
+        flat += [float(i), float(i % 50)]
+    coords = pa.FixedSizeListArray.from_arrays(pa.array(flat), 2)
+    tbl = pa.table({"id": pa.array(list(range(n))), "geometry": coords})
+    tbl = tbl.replace_schema_metadata({b"geo": GEO_POINT})
+    pq.write_table(tbl, path, row_group_size=row_group_size)
+
+
+def test_separated_plan_prunes(tmp_path, spark):
+    f = str(tmp_path / "pts.parquet")
+    _write_separated_points(f)
+    kept, total = native_rowgroup_plan(spark, f, (0.0, 0.0, 250.0, 50.0))
+    assert total == 10
+    # x in [0, 250] -> row groups 0 (x 0-99), 1 (100-199), 2 (200-299)
+    assert [rg for (_, rg) in kept] == [0, 1, 2]
+
+
+def test_separated_plan_y_axis_prunes(tmp_path, spark):
+    f = str(tmp_path / "pts.parquet")
+    _write_separated_points(f)
+    # every row group spans y 0..49, so a y-window above that prunes ALL
+    kept, total = native_rowgroup_plan(spark, f, (0.0, 60.0, 1000.0, 99.0))
+    assert total == 10 and kept == []
+
+
+def test_separated_pruned_read_matches_brute_force(tmp_path, spark):
+    f = str(tmp_path / "pts.parquet")
+    _write_separated_points(f)
+    bbox = (120.0, 10.0, 310.0, 40.0)
+    got = (
+        read_geoparquet(spark, f, bbox=bbox)
+        .selectExpr("id", "ST_X(geometry) AS x", "ST_Y(geometry) AS y")
+        .orderBy("id")
+        .collect()
+    )
+    exp = [
+        (i, float(i), float(i % 50))
+        for i in range(1000)
+        if 120 <= i <= 310 and 10 <= i % 50 <= 40
+    ]
+    assert [(r.id, r.x, r.y) for r in got] == exp
+
+
+def test_pruned_read_empty_window(tmp_path, spark):
+    f = str(tmp_path / "pts.parquet")
+    _write_separated_points(f)
+    df = read_geoparquet(spark, f, bbox=(5000.0, 0.0, 6000.0, 10.0))
+    assert df.count() == 0
+    assert [fld.name for fld in df.schema.fields] == ["id", "geometry"]
+
+
+def test_interleaved_plan_conservative(tmp_path, spark):
+    f = str(tmp_path / "pts.parquet")
+    _write_interleaved_points(f)
+    # combined leaf stats of rg k: [min(100k, 0), max(100k+99, 49)] ->
+    # [0..99] then [y-floor .. x-ceiling]; a window at x 700..800 cannot
+    # prune via y (ys included in the same leaf) but prunes groups whose
+    # COMBINED max < 700: groups 0-5 (max 599) go, later ones stay
+    kept, total = native_rowgroup_plan(spark, f, (700.0, 0.0, 800.0, 50.0))
+    assert total == 10
+    assert [rg for (_, rg) in kept] == [7, 8, 9]  # rg 6 max=699 < 700 pruned
+
+
+def test_interleaved_pruned_read_matches(tmp_path, spark):
+    f = str(tmp_path / "pts.parquet")
+    _write_interleaved_points(f)
+    bbox = (700.0, 0.0, 800.0, 20.0)
+    got = (
+        read_geoparquet(spark, f, bbox=bbox)
+        .selectExpr("id", "ST_X(geometry) AS x", "ST_Y(geometry) AS y")
+        .orderBy("id")
+        .collect()
+    )
+    exp = [
+        (i, float(i), float(i % 50))
+        for i in range(1000)
+        if 700 <= i <= 800 and i % 50 <= 20
+    ]
+    assert [(r.id, r.x, r.y) for r in got] == exp
+
+
+def test_no_stats_keeps_everything(tmp_path, spark):
+    f = str(tmp_path / "pts.parquet")
+    _write_separated_points(f, stats=False)
+    kept, total = native_rowgroup_plan(spark, f, (0.0, 0.0, 50.0, 50.0))
+    assert total == 10 and len(kept) == 10  # conservative: no stats, no prune
+
+
+def test_multifile_hive_dataset(tmp_path, spark):
+    root = tmp_path / "ds"
+    for cell in (0, 1, 2):
+        d = root / f"cell={cell}"
+        os.makedirs(d)
+        base = cell * 1000
+        xs = [float(base + i) for i in range(300)]
+        ys = [float(i % 50) for i in range(300)]
+        coords = pa.StructArray.from_arrays(
+            [pa.array(xs), pa.array(ys)], ["x", "y"]
+        )
+        tbl = pa.table(
+            {"id": pa.array([base + i for i in range(300)]), "geometry": coords}
+        )
+        tbl = tbl.replace_schema_metadata({b"geo": GEO_POINT})
+        pq.write_table(tbl, str(d / "part.parquet"), row_group_size=100)
+
+    kept, total = native_rowgroup_plan(spark, str(root), (950.0, 0.0, 1150.0, 50.0))
+    assert total == 9
+    # cell=1 holds x 1000-1299: groups 0 (1000-1099) and 1 (1100-1199) survive
+    assert [(os.path.basename(os.path.dirname(f)), rg) for f, rg in kept] == [
+        ("cell=1", 0),
+        ("cell=1", 1),
+    ]
+
+    got = (
+        read_geoparquet(spark, str(root), bbox=(950.0, 0.0, 1150.0, 50.0))
+        .selectExpr("id", "cell", "ST_X(geometry) AS x")
+        .orderBy("id")
+        .collect()
+    )
+    exp = [(i, 1, float(i)) for i in range(1000, 1151)]
+    assert [(r.id, r.cell, r.x) for r in got] == exp
