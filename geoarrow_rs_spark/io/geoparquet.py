@@ -593,6 +593,35 @@ def _read_native_rowgroups(spark, path, tasks, gcol, enc, out_schema):
     return tasks_df.mapInPandas(scan, out_schema)
 
 
+def _native_bbox_filter_expr(df, gcol, enc, bbox):
+    """Exact bbox-intersects predicate expressed ON the stored native layout
+    (no WKB decode): for point encodings this is four scalar comparisons on
+    the coordinate leaves — which Spark's parquet source pushes down to
+    row-group statistics, including for struct fields (PushedFilters on
+    geometry.x/geometry.y) — and for nested encodings it is array_min/
+    array_max over the flattened coordinate list. The native analogue of the
+    reference's construct_native_predicate (spatial_filter.rs:205-255)."""
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    depth = _ENC_DEPTH[str(enc).lower()]
+    dt = df.schema[gcol].dataType
+    if depth == 0:
+        if dt.typeName() == "struct":
+            x, y = F.col(f"{gcol}.x"), F.col(f"{gcol}.y")
+        else:
+            x, y = F.col(gcol)[0], F.col(gcol)[1]
+        return (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+    arrs = _native_coords_to_arrays(df, gcol, enc)
+    flat = arrs
+    for _ in range(depth - 1):
+        flat = F.flatten(flat)
+    xs = F.transform(flat, lambda c: c[0])
+    ys = F.transform(flat, lambda c: c[1])
+    return (
+        (F.array_max(xs) >= xmin) & (F.array_min(xs) <= xmax)
+        & (F.array_max(ys) >= ymin) & (F.array_min(ys) <= ymax)
+    )
+
+
 def read_geoparquet(
     spark: SparkSession,
     path: str,
@@ -655,18 +684,28 @@ def read_geoparquet(
             for f in base.schema.fields
         ])
         df = _read_native_rowgroups(spark, path, tasks, gcol, enc, out_schema)
+    native_filtered = False
     if df is None:
         df = spark.read.parquet(path)
-        if meta and enc != "WKB" and parse_to_native:
-            # native GeoArrow nested layout -> canonical WKB (the reference's
-            # parse_record_batch path, reader/parse.rs:132-160, inverted: our
-            # canonical form is WKB). Struct coords are flattened to plain
-            # double arrays NATIVELY first — deeply nested structs break the
-            # Arrow->pandas conversion inside pandas UDFs.
-            df = df.withColumn(gcol, _native_coords_to_arrays(df, gcol, enc))
-            df = df.withColumn(
-                gcol, F.call_udf("ST_GeomFromNative", F.col(gcol), F.lit(enc))
-            )
+        if meta and enc != "WKB":
+            if bbox is not None and covering is None and gcol is not None:
+                # exact bbox predicate on the STORED layout, before any
+                # decode: point-struct comparisons reach the parquet scan
+                # as PushedFilters (remote datasets too, where the footer
+                # pruning path above doesn't apply)
+                df = df.filter(_native_bbox_filter_expr(df, gcol, enc, bbox))
+                native_filtered = True
+            if parse_to_native:
+                # native GeoArrow nested layout -> canonical WKB (the
+                # reference's parse_record_batch path, reader/parse.rs:
+                # 132-160, inverted: our canonical form is WKB). Struct
+                # coords are flattened to plain double arrays NATIVELY
+                # first — deeply nested structs break the Arrow->pandas
+                # conversion inside pandas UDFs.
+                df = df.withColumn(gcol, _native_coords_to_arrays(df, gcol, enc))
+                df = df.withColumn(
+                    gcol, F.call_udf("ST_GeomFromNative", F.col(gcol), F.lit(enc))
+                )
     gcol = gcol or ("geometry" if "geometry" in df.columns else None)
 
     if bbox is not None:
@@ -679,7 +718,9 @@ def read_geoparquet(
                 # (PartitionFilters): only matching cell directories are
                 # listed/opened, before any row group is touched
                 df = df.filter(F.col(part["column"]).isin(cells))
-        if covering and covering in df.columns:
+        if native_filtered:
+            pass  # exact native predicate already applied above
+        elif covering and covering in df.columns:
             df = df.filter(bbox_intersects_expr(covering, xmin, ymin, xmax, ymax))
         elif gcol is not None:
             df = df.withColumn("__qb", F.expr(f"ST_BBox({gcol})")).filter(
@@ -788,6 +829,29 @@ def geoparquet_info(path: str) -> dict:
                 vals = [stat(g, col_idx, "xmin", True), stat(g, col_idx, "ymin", True),
                         stat(g, col_idx, "xmax", False), stat(g, col_idx, "ymax", False)]
                 rg_bounds.append(None if any(v is None for v in vals) else vals)
+    elif gcol and col_meta.get("encoding", "WKB") != "WKB":
+        # native encoding: the coordinate leaves' own statistics bound each
+        # row group (the reference returns row-group bounds for native
+        # columns the same way — spatial_filter.rs:137-164 get_bbox, where
+        # the min and max columns coincide). Exact for separated struct{x,y}
+        # coords; interleaved single-leaf stats mix the axes, so None.
+        rg_bounds = []
+        for md in metas:
+            if md.num_row_groups == 0:
+                continue
+            leaves = _native_stat_leaves(md, gcol)
+            for rg in range(md.num_row_groups):
+                vals = None
+                if leaves is not None and leaves[0] == "separated":
+                    sx = md.row_group(rg).column(leaves[1]).statistics
+                    sy = md.row_group(rg).column(leaves[2]).statistics
+                    if (sx is not None and sy is not None
+                            and sx.has_min_max and sy.has_min_max):
+                        vals = [float(sx.min), float(sy.min),
+                                float(sx.max), float(sy.max)]
+                rg_bounds.append(vals)
+        if all(v is None for v in rg_bounds):
+            rg_bounds = None
     return {
         "num_rows": int(num_rows),
         "num_row_groups": int(num_row_groups),

@@ -165,3 +165,78 @@ def test_multifile_hive_dataset(tmp_path, spark):
     )
     exp = [(i, 1, float(i)) for i in range(1000, 1151)]
     assert [(r.id, r.cell, r.x) for r in got] == exp
+
+
+def _write_interleaved_lines(path, n=200):
+    """n 2-point linestrings, line i spans x=[2i, 2i+1], y=[0, 1]."""
+    flat, offs = [], [0]
+    for i in range(n):
+        flat += [float(2 * i), 0.0, float(2 * i + 1), 1.0]
+        offs.append(2 * (i + 1))
+    coords = pa.FixedSizeListArray.from_arrays(pa.array(flat), 2)
+    lines = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), coords)
+    doc = json.dumps({
+        "version": "1.1.0",
+        "primary_column": "geometry",
+        "columns": {"geometry": {"encoding": "linestring",
+                                 "geometry_types": ["LineString"]}},
+    })
+    tbl = pa.table({"id": pa.array(list(range(n))), "geometry": lines})
+    tbl = tbl.replace_schema_metadata({b"geo": doc})
+    pq.write_table(tbl, path, row_group_size=50)
+
+
+def test_bbox_on_stored_layout_point(tmp_path, spark):
+    """parse_to_native=False + bbox: the exact predicate runs on the STORED
+    struct layout (previously unsupported — ST_BBox can't take a struct)."""
+    f = str(tmp_path / "pts.parquet")
+    _write_separated_points(f)
+    df = read_geoparquet(
+        spark, f, bbox=(100.0, 0.0, 150.0, 50.0), parse_to_native=False
+    )
+    rows = df.orderBy("id").collect()
+    assert [r.id for r in rows] == list(range(100, 151))
+    assert rows[0].geometry.x == 100.0  # stored struct preserved
+    # point-struct comparisons reach the parquet scan as pushed filters
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = plan.split("PushedFilters")[1][:400] if "PushedFilters" in plan else ""
+    assert "x" in pushed and "GreaterThanOrEqual" in pushed
+
+
+def test_bbox_on_stored_layout_linestring(tmp_path, spark):
+    f = str(tmp_path / "lines.parquet")
+    _write_interleaved_lines(f)
+    df = read_geoparquet(
+        spark, f, bbox=(101.0, 0.0, 120.5, 2.0), parse_to_native=False
+    )
+    # line i spans x [2i, 2i+1]: bbox-intersects for 2i+1 >= 101 and
+    # 2i <= 120.5 -> i in 50..60
+    assert sorted(r.id for r in df.collect()) == list(range(50, 61))
+
+
+def test_bbox_native_parse_linestring_pruned(tmp_path, spark):
+    """Same file through the pruned+parse path: WKB out, same row set."""
+    f = str(tmp_path / "lines.parquet")
+    _write_interleaved_lines(f)
+    df = read_geoparquet(spark, f, bbox=(101.0, 0.0, 120.5, 2.0))
+    rows = df.selectExpr("id", "ST_AsText(geometry) AS wkt").orderBy("id").collect()
+    assert [r.id for r in rows] == list(range(50, 61))
+    assert rows[0].wkt == "LINESTRING (100 0, 101 1)"
+
+
+def test_geoparquet_info_native_rowgroup_bounds(tmp_path, spark):
+    """row_group_bounds from native coordinate leaf stats (reference parity:
+    get_bboxes works for native columns too, spatial_filter.rs:137-164)."""
+    from geoarrow_rs_spark.io.geoparquet import geoparquet_info
+
+    f = str(tmp_path / "pts.parquet")
+    _write_separated_points(f, n=300, row_group_size=100)
+    info = geoparquet_info(f)
+    assert info["num_row_groups"] == 3
+    assert info["row_group_bounds"] == [
+        [0.0, 0.0, 99.0, 49.0],
+        [100.0, 0.0, 199.0, 49.0],
+        [200.0, 0.0, 299.0, 49.0],
+    ]
