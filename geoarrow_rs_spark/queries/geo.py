@@ -682,3 +682,64 @@ FROM ends
 """
 
 
+
+
+def geo_native_pruned_read(spark, sf_dir):
+    """Native-encoding GeoParquet row-group pruning END TO END: customer
+    points are staged as a separated-coord (struct{x,y}, the GeoParquet 1.1
+    native layout) point file with small row groups sorted by x, then read
+    back through read_geoparquet's native-stats pruned path — row groups
+    skipped from the coordinate leaves' own footer statistics
+    (spatial_filter.rs:57-135 + 167-181 parity) before the exact window
+    filter. The staging write is driver-side fixture construction (pyarrow,
+    deterministic, overwritten per call), not a production path."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..io.geoparquet import read_geoparquet
+
+    c = _t(spark, sf_dir, "customer")
+    rows = (
+        c.selectExpr(
+            "c_custkey",
+            "CAST(c_custkey % 1000 AS DOUBLE) AS x",
+            "CAST(c_nationkey AS DOUBLE) AS y",
+        )
+        .orderBy("x", "c_custkey")
+        .collect()
+    )
+    coords = _pa.StructArray.from_arrays(
+        [_pa.array([r.x for r in rows]), _pa.array([r.y for r in rows])],
+        ["x", "y"],
+    )
+    tbl = _pa.table({"id": _pa.array([r.c_custkey for r in rows]),
+                     "geometry": coords})
+    tbl = tbl.replace_schema_metadata({b"geo": _json.dumps({
+        "version": "1.1.0",
+        "primary_column": "geometry",
+        "columns": {"geometry": {"encoding": "point",
+                                 "geometry_types": ["Point"]}},
+    })})
+    f = _os.path.join(
+        _tempfile.gettempdir(),
+        f"geoarrow_native_pruned_{abs(hash(_os.path.abspath(sf_dir)))}.parquet",
+    )
+    _pq.write_table(tbl, f, row_group_size=256)
+    df = read_geoparquet(spark, f, bbox=(100.0, 0.0, 300.0, 12.0))
+    return df.selectExpr(
+        "id", "ST_X(geometry) AS gx", "ST_Y(geometry) AS gy"
+    )
+
+
+ORACLE_GEO_NATIVE_PRUNED = """
+SELECT c_custkey AS id,
+       CAST(c_custkey % 1000 AS DOUBLE) AS gx,
+       CAST(c_nationkey AS DOUBLE) AS gy
+FROM customer
+WHERE (c_custkey % 1000) BETWEEN 100 AND 300
+  AND c_nationkey BETWEEN 0 AND 12
+"""
