@@ -229,6 +229,171 @@ class _ShpReader(DataSourceReader):
             dbf.close()
 
 
+class _GpqPartition(InputPartition):
+    def __init__(self, file, rg, part_vals):
+        self.file = file
+        self.rg = rg
+        self.part_vals = part_vals  # hive key=value dirs, as strings
+
+
+class GeoParquetDataSource(DataSource):
+    """``format("geoparquet")``: one InputPartition per SURVIVING row group.
+
+    Planning prunes row groups from parquet footer statistics alone — the
+    covering struct's leaves when the file has one (GeoParquet 1.1 bbox
+    covering), else the native coordinate leaves themselves (the
+    reference's with_intersecting_row_groups over ParquetBboxStatistics,
+    rust/geoparquet/src/reader/spatial_filter.rs:57-181) — then each task
+    reads exactly one row group and refines with the exact per-row bbox
+    test. Geometry comes back as canonical WKB whatever the stored
+    encoding. Options: ``bbox`` ("xmin,ymin,xmax,ymax"), ``columns``
+    (top-level projection, pushed into the row-group read), ``geometry_col``.
+    Hive ``key=value`` directory levels surface as string columns.
+
+    The DataFrame-function reader (``io.geoparquet.read_geoparquet``)
+    stays the primary API; this wrapper makes format-string pipelines and
+    ``CREATE TABLE ... USING geoparquet`` work, with the pruning visible
+    to Spark as real InputPartitions."""
+
+    @classmethod
+    def name(cls):
+        return "geoparquet"
+
+    def _path(self):
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("geoparquet: .load(path) or .option('path', ...) required")
+        local = p[len("file://"):] if p.startswith("file://") else p
+        if "://" in local:
+            raise ValueError(
+                "geoparquet data source reads local/file:// paths; use "
+                "read_geoparquet / spark.read.parquet for object stores"
+            )
+        return local
+
+    def _plan_meta(self):
+        from .geoparquet import _parquet_parts, read_geo_metadata
+
+        path = self._path()
+        meta = read_geo_metadata(path) or {}
+        gcol = self.options.get("geometry_col") or meta.get(
+            "primary_column", "geometry"
+        )
+        col_meta = meta.get("columns", {}).get(gcol, {})
+        cov = col_meta.get("covering", {}).get("bbox")
+        covering = cov["xmin"][0] if cov else None
+        enc = col_meta.get("encoding", "WKB")
+        return path, _parquet_parts(path), gcol, enc, covering
+
+    def schema(self):
+        import os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        path, parts, gcol, enc, _cov = self._plan_meta()
+        if not parts:
+            raise ValueError(f"geoparquet: no part files under {path}")
+        aschema = pq.read_schema(parts[0])
+        want = None
+        if self.options.get("columns"):
+            want = {c.strip() for c in self.options["columns"].split(",")}
+            want.add(gcol)
+        fields = []
+        for f in aschema:
+            if want is not None and f.name not in want:
+                continue
+            if f.name == gcol:
+                fields.append(StructField(gcol, BinaryType()))
+            else:
+                fields.append(StructField(f.name, from_arrow_type(f.type)))
+        seen = {f.name for f in fields}
+        root = path if os.path.isdir(path) else os.path.dirname(path)
+        from .geoparquet import _hive_partition_values
+        for k in _hive_partition_values(parts[0], root):
+            if k not in seen and (want is None or k in want):
+                from pyspark.sql.types import StringType
+
+                fields.append(StructField(k, StringType()))
+        return StructType(fields)
+
+    def reader(self, schema):
+        return _GpqReader(self._plan_meta(), self.options, schema)
+
+
+class _GpqReader(DataSourceReader):
+    def __init__(self, plan_meta, options, schema):
+        import os
+
+        from .geoparquet import _file_rowgroup_tasks, _hive_partition_values
+
+        path, parts, gcol, enc, covering = plan_meta
+        self.gcol = gcol
+        self.enc = enc
+        self.covering = covering
+        self.schema = schema
+        self.bbox = None
+        if options.get("bbox"):
+            self.bbox = tuple(float(v) for v in options["bbox"].split(","))
+        root = path if os.path.isdir(path) else os.path.dirname(path)
+        self._tasks = []
+        for f in parts:
+            pv = _hive_partition_values(f, root)
+            if self.bbox is None:
+                import pyarrow.parquet as pq
+
+                rgs = [(rg, True) for rg in range(pq.read_metadata(f).num_row_groups)]
+            else:
+                rgs = _file_rowgroup_tasks(f, gcol, self.bbox, covering)
+            self._tasks.extend(
+                _GpqPartition(f, rg, pv) for rg, keep in rgs if keep
+            )
+
+    def partitions(self):
+        return self._tasks or [_GpqPartition(None, -1, {})]
+
+    def read(self, partition):
+        if partition.file is None:
+            return
+        import pyarrow.parquet as pq
+
+        from ..wkb import algorithms as alg
+        from ..wkb import core as wc
+
+        gcol = self.gcol
+        names = [f.name for f in self.schema.fields]
+        file_cols = [n for n in names if n not in partition.part_vals]
+        tbl = pq.ParquetFile(partition.file).read_row_group(
+            partition.rg, columns=file_cols
+        )
+        cols = {n: tbl.column(n).to_pylist() for n in file_cols}
+        if self.enc != "WKB":
+            from ..functions import kernels as K
+            import pandas as pd
+
+            cols[gcol] = list(K.k_from_native(pd.Series(cols[gcol]), self.enc))
+        else:
+            cols[gcol] = [bytes(v) if v is not None else None for v in cols[gcol]]
+        n = tbl.num_rows
+        keep = [True] * n
+        if self.bbox is not None:
+            bx0, by0, bx1, by1 = self.bbox
+            for i, v in enumerate(cols[gcol]):
+                if v is None:
+                    keep[i] = False
+                    continue
+                b = alg.bounds(wc.from_wkb(v))
+                keep[i] = b is not None and not (
+                    b[2] < bx0 or b[0] > bx1 or b[3] < by0 or b[1] > by1
+                )
+        for k, v in partition.part_vals.items():
+            if k in names:
+                cols[k] = [v] * n
+        for i in range(n):
+            if keep[i]:
+                yield tuple(cols[c][i] for c in names)
+
+
 def register_datasources(spark):
     """Register the Python data sources on this session (idempotent).
 
@@ -240,7 +405,7 @@ def register_datasources(spark):
     registry = getattr(spark, "dataSource", None)
     if registry is None:
         return  # Spark < 4: Python DataSource API unavailable
-    for src in (FlatGeobufDataSource, ShapefileDataSource):
+    for src in (FlatGeobufDataSource, ShapefileDataSource, GeoParquetDataSource):
         try:
             registry.register(src)
         except Exception as exc:

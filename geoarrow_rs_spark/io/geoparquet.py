@@ -447,19 +447,57 @@ def _native_stat_leaves(md, gcol: str):
     return None
 
 
-def _file_rowgroup_tasks(file_path: str, gcol: str, bbox):
+def _covering_stat_leaves(md, covering: str):
+    """Leaf indices of the covering struct's xmin/ymin/xmax/ymax columns
+    (GeoParquet 1.1 bounding-box covering — the stats the reference's
+    construct_bbox_columns_predicate prunes with, spatial_filter.rs:258+)."""
+    rg0 = md.row_group(0)
+    idx = {}
+    for i in range(rg0.num_columns):
+        parts = rg0.column(i).path_in_schema.split(".")
+        if len(parts) == 2 and parts[0] == covering and parts[1] in (
+            "xmin", "ymin", "xmax", "ymax"
+        ):
+            idx[parts[1]] = i
+    if len(idx) == 4:
+        return idx
+    return None
+
+
+def _file_rowgroup_tasks(file_path: str, gcol: str, bbox, covering: str = None):
     """(row_group_index, intersects) pairs for one file from footer stats.
 
-    Row groups with missing/disabled statistics are kept (can't prune —
-    same conservative fallback as parse_statistics_f64 erroring out of the
+    Prunes via the covering struct's leaf statistics when ``covering`` is
+    given and resolvable, else via the native coordinate leaves. Row groups
+    with missing/disabled statistics are kept (can't prune — same
+    conservative fallback as parse_statistics_f64 erroring out of the
     reference's pruning path)."""
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(file_path)
     if md.num_row_groups == 0:
         return []
-    leaves = _native_stat_leaves(md, gcol)
     xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    cov = _covering_stat_leaves(md, covering) if covering else None
+    if cov is not None:
+        out = []
+        for rg in range(md.num_row_groups):
+            keep = True
+            try:
+                g = md.row_group(rg)
+                sts = {k: g.column(i).statistics for k, i in cov.items()}
+                if all(s is not None and s.has_min_max for s in sts.values()):
+                    keep = not (
+                        float(sts["xmax"].max) < xmin
+                        or float(sts["xmin"].min) > xmax
+                        or float(sts["ymax"].max) < ymin
+                        or float(sts["ymin"].min) > ymax
+                    )
+            except (TypeError, ValueError):
+                keep = True
+            out.append((rg, keep))
+        return out
+    leaves = _native_stat_leaves(md, gcol)
     out = []
     for rg in range(md.num_row_groups):
         keep = True

@@ -240,3 +240,60 @@ def test_geoparquet_info_native_rowgroup_bounds(tmp_path, spark):
         [100.0, 0.0, 199.0, 49.0],
         [200.0, 0.0, 299.0, 49.0],
     ]
+
+
+def test_geoparquet_python_datasource_native(tmp_path, spark):
+    """spark.read.format('geoparquet') on a native file: row-for-row equal
+    to read_geoparquet, with one InputPartition per SURVIVING row group."""
+    import geoarrow_rs_spark as gs
+    from geoarrow_rs_spark.io.datasource import GeoParquetDataSource
+
+    gs.register_all(spark)
+    f = str(tmp_path / "pts.parquet")
+    _write_separated_points(f)
+    bbox = (120.0, 10.0, 310.0, 40.0)
+
+    ds = (
+        spark.read.format("geoparquet")
+        .option("bbox", ",".join(str(v) for v in bbox))
+        .load(f)
+    )
+    fn = read_geoparquet(spark, f, bbox=bbox)
+    got = sorted((r.id, bytes(r.geometry)) for r in ds.collect())
+    want = sorted((r.id, bytes(r.geometry)) for r in fn.collect())
+    assert got == want and len(got) > 0
+
+    src = GeoParquetDataSource(
+        {"path": f, "bbox": ",".join(str(v) for v in bbox)}
+    )
+    rdr = src.reader(src.schema())
+    assert len(rdr.partitions()) == 3  # row groups 1,2,3 (x 100-399) survive
+
+    # full scan: all 10 row groups become partitions
+    src_full = GeoParquetDataSource({"path": f})
+    assert len(src_full.reader(src_full.schema()).partitions()) == 10
+    assert spark.read.format("geoparquet").load(f).count() == 1000
+
+
+def test_geoparquet_python_datasource_wkb_covering(tmp_path, spark):
+    """format('geoparquet') on a repo-written WKB+covering dataset prunes
+    from the covering leaves and matches the function API."""
+    import geoarrow_rs_spark as gs
+    from geoarrow_rs_spark.io import write_geoparquet
+
+    gs.register_all(spark)
+    df = spark.range(500).selectExpr(
+        "id", "ST_Point(CAST(id AS DOUBLE), CAST(id % 50 AS DOUBLE)) AS geometry"
+    )
+    path = str(tmp_path / "wkbds")
+    write_geoparquet(df.repartition(1), path, "geometry")
+    bbox = (100.0, 0.0, 200.0, 50.0)
+    ds = (
+        spark.read.format("geoparquet")
+        .option("bbox", ",".join(str(v) for v in bbox))
+        .option("columns", "id")
+        .load(path)
+    )
+    assert ds.columns == ["id", "geometry"]
+    got = sorted(r.id for r in ds.collect())
+    assert got == list(range(100, 201))
