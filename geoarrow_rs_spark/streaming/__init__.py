@@ -4,8 +4,11 @@ from .ops import (
     streaming_asof_join,
     streaming_minhash_pairs,
     streaming_dedup,
+    streaming_geofence_transitions,
+    streaming_heavy_hitters,
     streaming_running_counts,
     streaming_binned_counts,
+    streaming_spatial_join,
     windowed_counts,
     windowed_extent,
 )
@@ -18,6 +21,9 @@ __all__ = [
     "streaming_asof_join",
     "streaming_minhash_pairs",
     "streaming_dedup",
+    "streaming_geofence_transitions",
+    "streaming_heavy_hitters",
     "streaming_running_counts",
     "streaming_binned_counts",
+    "streaming_spatial_join",
 ]

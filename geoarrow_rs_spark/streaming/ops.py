@@ -543,7 +543,7 @@ def streaming_heavy_hitters(
 
     def hh_fn(key, pdfs, state):
         if state.exists:
-            toks, counts, errs, seq = state.get()
+            toks, counts, errs, seq = state.get
             cand = {
                 t: [int(c), int(e)] for t, c, e in zip(toks, counts, errs)
             }
@@ -592,6 +592,173 @@ def streaming_heavy_hitters(
         stateStructType=(
             "tokens array<string>, counts array<long>, errs array<long>, seq long"
         ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _parse_fence_layer(fences, fence_id_col, fence_geometry_col):
+    """Driver-side parse of a (dimension-sized) geofence layer: WKB
+    Polygon/MultiPolygon -> [(fence_id, [(xmin, ymin, xmax, ymax, rings),
+    ...])] with a per-polygon bbox for fast reject. The layer is collected
+    and shipped in the task closure — the same contract as
+    ``spatial_join(strategy='broadcast')``; continent-scale layers belong
+    in the stateless ``streaming_spatial_join`` instead."""
+    from ..wkb import core as C
+
+    parsed = []
+    for r in fences.select(fence_id_col, fence_geometry_col).collect():
+        g = C.from_wkb(bytes(r[1]))
+        if g.kind == C.MULTIPOLYGON:
+            polys = g.data
+        elif g.kind == C.POLYGON:
+            polys = [g.data]
+        else:
+            raise ValueError(
+                f"geofence {r[0]!r}: expected Polygon/MultiPolygon, "
+                f"got {g.type_name}"
+            )
+        entry = []
+        for rings in polys:
+            if not len(rings) or len(rings[0]) < 4:
+                continue
+            outer = rings[0]
+            entry.append((
+                float(outer[:, 0].min()), float(outer[:, 1].min()),
+                float(outer[:, 0].max()), float(outer[:, 1].max()),
+                rings,
+            ))
+        parsed.append((int(r[0]), entry))
+    if not parsed:
+        raise ValueError("geofence layer is empty")
+    return parsed
+
+
+def streaming_geofence_transitions(
+    points: DataFrame,
+    fences: DataFrame,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+    fence_id_col: str = "fence_id",
+    fence_geometry_col: str = "geometry",
+) -> DataFrame:
+    """Stateful geofence ENTER/EXIT detector: a stream of per-entity
+    positions against a static polygon layer, emitting one row per
+    membership *transition* — (entity, ts, fence_id, 'enter'|'exit') —
+    rather than per position. The stateless membership join
+    (``streaming_geofence`` / ``streaming_spatial_join``) cannot express
+    this: enter/exit needs the entity's PREVIOUS membership set, which is
+    exactly what ``applyInPandasWithState`` keyed state holds (state =
+    current fence set + last event time per entity, O(entities) overall).
+
+    Semantics: an entity's first observed position emits 'enter' for every
+    fence containing it; boundary counts as inside (covers semantics);
+    rows at-or-before the entity's last processed event time are dropped
+    (out-of-order delivery is the watermark's concern — same convention
+    as ``streaming_asof_join``). Within a micro-batch rows are processed
+    in (ts, x, y) order, so batch boundaries never change the output.
+
+    Scale: the fence layer is driver-collected into the task closure
+    (broadcast-join contract — geofence layers are dimension-sized);
+    per-polygon bbox reject keeps the point test O(candidate polygons).
+    The stream shuffles once on entity — the minimum any stateful per-key
+    operator needs.
+
+    Batch DataFrames run the identical per-entity walk through
+    ``applyInPandas`` (state degenerates to 'no prior history'), so a
+    batch replay of a day's positions produces byte-identical transitions
+    to the live stream — that twin is the test oracle."""
+    import pandas as pd
+
+    from ..wkb.algorithms import point_in_polygon
+
+    layer = _parse_fence_layer(fences, fence_id_col, fence_geometry_col)
+
+    ts_type = dict(points.dtypes).get(ts_col, "bigint")
+    ts_expr = (
+        F.unix_micros(F.col(ts_col))
+        if ts_type.startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    src = points.select(
+        F.col(entity_col).cast("string").alias("__entity"),
+        ts_expr.alias("__ts"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+
+    def membership(px, py):
+        cur = set()
+        for fid, polys in layer:
+            for xmin, ymin, xmax, ymax, rings in polys:
+                if xmin <= px <= xmax and ymin <= py <= ymax:
+                    if point_in_polygon(px, py, rings) > 0:
+                        cur.add(fid)
+                        break
+        return cur
+
+    out_schema = "entity string, ts long, fence_id long, transition string"
+
+    def walk(rows, prev, last_ts):
+        ent, tss, fids, trans = [], [], [], []
+        rows = rows.sort_values(["__ts", "__x", "__y"])
+        it = zip(
+            rows["__entity"].to_numpy(),
+            rows["__ts"].to_numpy().astype("int64"),
+            rows["__x"].to_numpy(),
+            rows["__y"].to_numpy(),
+        )
+        for entity, ts, px, py in it:
+            ts = int(ts)
+            if last_ts is not None and ts <= last_ts:
+                continue  # late or duplicate: watermark territory
+            cur = membership(float(px), float(py))
+            for fid in sorted(cur - prev):
+                ent.append(entity); tss.append(ts)
+                fids.append(fid); trans.append("enter")
+            for fid in sorted(prev - cur):
+                ent.append(entity); tss.append(ts)
+                fids.append(fid); trans.append("exit")
+            prev, last_ts = cur, ts
+        frame = pd.DataFrame(
+            {"entity": ent, "ts": tss, "fence_id": fids, "transition": trans}
+        )
+        return frame, prev, last_ts
+
+    if not points.isStreaming:
+
+        def batch_fn(pdf):
+            frame, _, _ = walk(pdf, set(), None)
+            return frame
+
+        return src.groupBy("__entity").applyInPandas(
+            batch_fn, schema=out_schema
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def stream_fn(key, pdfs, state):
+        if state.exists:
+            fence_list, last_ts = state.get
+            prev = set(int(f) for f in fence_list)
+            last_ts = int(last_ts)
+        else:
+            prev, last_ts = set(), None
+        chunks = list(pdfs)
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True)
+            frame, prev, last_ts = walk(rows, prev, last_ts)
+            if last_ts is not None:
+                state.update((sorted(prev), last_ts))
+            if len(frame):
+                yield frame
+
+    return src.groupBy("__entity").applyInPandasWithState(
+        stream_fn,
+        outputStructType=out_schema,
+        stateStructType="fences array<long>, last_ts long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1012,7 +1012,9 @@ def parse_crs(crs) -> int:
     JSON string) carrying an EPSG or OGC id, a WKT2 string ending in an
     ID["EPSG", n] node, an OGC URN ('urn:ogc:def:crs:EPSG::4326'), or
     'OGC:CRS84' (the GeoParquet default CRS — WGS84 lon-lat, which is
-    exactly this engine's axis convention, so it resolves to 4326)."""
+    exactly this engine's axis convention, so it resolves to 4326).
+    Compound CRSs (horizontal + vertical, PROJJSON or WKT2) resolve to
+    their horizontal component — geometry here is 2-D."""
     if isinstance(crs, (int, np.integer)):
         return int(crs)
     if isinstance(crs, dict):
@@ -1349,6 +1351,18 @@ def _custom_from_projjson(d, text=None, helmert=None):
             hp[3], hp[4], hp[5] = -hp[3], -hp[4], -hp[5]
         return _custom_from_projjson(d["source_crs"], text=text,
                                      helmert=tuple(hp))
+    if typ == "CompoundCRS":
+        # horizontal + vertical: geometry here is 2-D, so resolve the
+        # horizontal component (PROJ does the same for 2-D input). Route
+        # through parse_crs so an EPSG-coded component lands on its
+        # registered engine.
+        for comp in d.get("components") or ():
+            if str(comp.get("type", "")) in (
+                "GeographicCRS", "GeodeticCRS", "Geographic 2D CRS",
+                "ProjectedCRS", "BoundCRS",
+            ):
+                return parse_crs(comp)
+        raise ValueError("CompoundCRS without a horizontal component")
     if typ in ("GeographicCRS", "GeodeticCRS", "Geographic 2D CRS"):
         a, f = _pj_ellipsoid(d)
         if helmert is None and _wgs84_like(a, f):
@@ -1515,7 +1529,22 @@ def _wkt_unit_factor(pnode, kind):
 def _custom_from_wkt2(s):
     """CustomCRS (or int EPSG pivot) from a WKT2 string with a full
     CONVERSION definition (the path for WKT without a usable EPSG id)."""
-    root = _wkt_tokenize(s)
+    return _custom_from_wkt_node(_wkt_tokenize(s), s)
+
+
+def _custom_from_wkt_node(root, s):
+    if root[0] == "COMPOUNDCRS":
+        # horizontal + vertical: geometry here is 2-D, so resolve the
+        # horizontal member (same convention as the PROJJSON path).
+        for arg in root[1]:
+            if isinstance(arg, tuple) and arg[0] in (
+                "GEOGCRS", "GEODCRS", "GEOGCS", "PROJCRS", "PROJCS",
+            ):
+                code = _wkt_epsg_id(arg)
+                if code and supported_crs(code):
+                    return code
+                return _custom_from_wkt_node(arg, s)
+        raise ValueError("COMPOUNDCRS without a horizontal component")
     if root[0] == "BOUNDCRS":
         # keep scope: WKT BoundCRS is rare next to PROJJSON BoundCRS
         raise ValueError("WKT2 BOUNDCRS is not supported; "

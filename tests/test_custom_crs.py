@@ -383,6 +383,58 @@ def test_unsupported_definitions_still_raise():
         P.parse_crs('PROJCRS["mystery",CONVERSION["x"]]')
 
 
+def test_compound_crs_resolves_horizontal_component():
+    """CompoundCRS (horizontal + vertical) resolves its horizontal member
+    for 2-D geometry — PROJ's convention for 2-D input. Covered: PROJJSON
+    with an EPSG-coded horizontal, PROJJSON with a full-definition
+    horizontal, and the WKT2 COMPOUNDCRS node (whose outermost ID is the
+    compound's own — unusable — code)."""
+    # PROJJSON, horizontal by EPSG id (WGS84 + EGM2008 height = EPSG:9518)
+    compound = {
+        "type": "CompoundCRS",
+        "name": "WGS 84 + EGM2008 height",
+        "id": {"authority": "EPSG", "code": 9518},
+        "components": [
+            {"type": "GeographicCRS", "name": "WGS 84",
+             "id": {"authority": "EPSG", "code": 4326}},
+            {"type": "VerticalCRS", "name": "EGM2008 height",
+             "id": {"authority": "EPSG", "code": 3855}},
+        ],
+    }
+    assert P.parse_crs(compound) == 4326
+    # vertical listed first still resolves the horizontal member
+    compound["components"].reverse()
+    assert P.parse_crs(compound) == 4326
+
+    # PROJJSON, horizontal carried as a full definition (no usable id)
+    d, epsg, lon_rng, lat_rng, _ = CASES["tmerc_utm32"]
+    nested = {
+        "type": "CompoundCRS",
+        "name": "custom UTM32 + height",
+        "components": [d, {"type": "VerticalCRS", "name": "h"}],
+    }
+    crs = P.parse_crs(nested)
+    assert isinstance(crs, P.CustomCRS)
+    lon, lat = _samples(lon_rng, lat_rng)
+    xe, ye = P.transform_xy(lon, lat, 4326, epsg)
+    xc, yc = P.transform_xy(lon, lat, 4326, crs)
+    assert np.array_equal(xe, xc) and np.array_equal(ye, yc)
+
+    # WKT2 COMPOUNDCRS: horizontal member by ID, trailing compound ID
+    wkt2 = (
+        'COMPOUNDCRS["WGS 84 + EGM2008 height",'
+        'GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+        'ELLIPSOID["WGS 84",6378137,298.257223563]],ID["EPSG",4326]],'
+        'VERTCRS["EGM2008 height",VDATUM["EGM2008 geoid"],'
+        'ID["EPSG",3855]],ID["EPSG",9518]]'
+    )
+    assert P.parse_crs(wkt2) == 4326
+
+    with pytest.raises(ValueError):
+        P.parse_crs({"type": "CompoundCRS", "name": "vertical only",
+                     "components": [{"type": "VerticalCRS", "name": "h"}]})
+
+
 def test_custom_crs_identity_and_grouping():
     """CustomCRS equality/hash key on the definition text — the batch
     kernel's uniform-CRS fast path and transform caches depend on it."""

@@ -783,7 +783,13 @@ def test_streaming_heavy_hitters_real_stream(spark, tmp_path):
     batch = spark.createDataFrame(rows, "token STRING")
     src = str(tmp_path / "hh_src")
     batch.repartition(3).write.parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
+    # one file per trigger: three micro-batches, so per-shard state MUST
+    # carry counts across triggers for the final snapshot to be exact
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     out = streaming_heavy_hitters(stream, "token", k=5, shards=4, capacity=64)
     q = (
         out.writeStream.format("memory")
@@ -819,3 +825,99 @@ def test_streaming_heavy_hitters_eviction_bounds(spark):
     # batch mode is exact-capped; stress the STREAM state path instead via
     # direct function-level merge below
     assert any(r["token"] == "big" and r["est_count"] == 500 for r in out)
+
+
+def _fence_layer(spark):
+    """Two fences: a unit-ish box and a triangle with a hole-free interior
+    overlapping the box corner — overlap proves per-fence independence."""
+    from geoarrow_rs_spark.wkb import core as C
+
+    box = C.to_wkb(C.polygon([np.array(
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]
+    )]))
+    tri = C.to_wkb(C.polygon([np.array(
+        [[3.0, 3.0], [9.0, 3.0], [6.0, 9.0], [3.0, 3.0]]
+    )]))
+    return spark.createDataFrame(
+        [Row(fence_id=1, geometry=bytearray(box)),
+         Row(fence_id=2, geometry=bytearray(tri))]
+    )
+
+
+def _walk_rows():
+    # entity A: outside -> box -> box∩tri overlap -> tri only -> outside
+    # entity B: starts INSIDE the box (first obs = enter), exits, re-enters
+    return [
+        Row(entity_id="A", ts=1, x=-1.0, y=-1.0),
+        Row(entity_id="A", ts=2, x=1.0, y=1.0),     # enter 1
+        Row(entity_id="A", ts=3, x=3.5, y=3.5),     # enter 2
+        Row(entity_id="A", ts=4, x=5.0, y=4.0),     # exit 1
+        Row(entity_id="A", ts=5, x=-2.0, y=0.5),    # exit 2
+        Row(entity_id="B", ts=1, x=2.0, y=2.0),     # enter 1
+        Row(entity_id="B", ts=2, x=10.0, y=10.0),   # exit 1
+        Row(entity_id="B", ts=3, x=0.0, y=4.0),     # boundary = inside: enter 1
+    ]
+
+
+EXPECT_TRANSITIONS = {
+    ("A", 2, 1, "enter"), ("A", 3, 2, "enter"),
+    ("A", 4, 1, "exit"), ("A", 5, 2, "exit"),
+    ("B", 1, 1, "enter"), ("B", 2, 1, "exit"), ("B", 3, 1, "enter"),
+}
+
+
+def test_streaming_geofence_transitions_batch_mode(spark):
+    from geoarrow_rs_spark.streaming import streaming_geofence_transitions
+
+    out = streaming_geofence_transitions(
+        spark.createDataFrame(_walk_rows()), _fence_layer(spark)
+    )
+    got = {(r["entity"], r["ts"], r["fence_id"], r["transition"])
+           for r in out.collect()}
+    assert got == EXPECT_TRANSITIONS
+
+
+def test_streaming_geofence_transitions_real_stream(spark, tmp_path):
+    """Micro-batch boundaries (one file per trigger) must not change the
+    transition set: state carries each entity's fence set across batches,
+    and a late row (ts <= last seen) is dropped, not re-emitted."""
+    import time
+
+    from geoarrow_rs_spark.streaming import streaming_geofence_transitions
+
+    src = os.path.join(str(tmp_path), "positions")
+    rows = _walk_rows()
+    # split mid-walk so A's overlap dwell and B's re-entry straddle batches
+    spark.createDataFrame(rows[:3] + rows[5:6]).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    time.sleep(1.1)
+    late = [Row(entity_id="A", ts=2, x=50.0, y=50.0)]  # stale: must be dropped
+    spark.createDataFrame(rows[3:5] + rows[6:] + late).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_geofence_transitions(stream, _fence_layer(spark))
+    q = (
+        out.writeStream.format("memory").queryName("geofence_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r["entity"], r["ts"], r["fence_id"], r["transition"])
+           for r in spark.sql("SELECT * FROM geofence_out").collect()}
+    assert got == EXPECT_TRANSITIONS
+
+
+def test_streaming_geofence_rejects_non_polygon_layer(spark):
+    from geoarrow_rs_spark.streaming import streaming_geofence_transitions
+    from geoarrow_rs_spark.wkb import core as C
+
+    pt = C.to_wkb(C.point(1.0, 2.0))
+    bad = spark.createDataFrame([Row(fence_id=1, geometry=bytearray(pt))])
+    with pytest.raises(ValueError, match="Polygon"):
+        streaming_geofence_transitions(
+            spark.createDataFrame(_walk_rows()), bad
+        )
