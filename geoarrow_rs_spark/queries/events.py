@@ -951,3 +951,85 @@ FROM events JOIN customer ON user_id = c_custkey
 WHERE c_custkey < 150
 GROUP BY c_nationkey
 """
+
+
+def events_geofence_transitions(spark, sf_dir):
+    """Geofence ENTER/EXIT transitions (batch twin of
+    streaming.ops streaming_geofence_transitions — the applyInPandas path
+    the stream degenerates to, so this entry oracle-checks the stream's
+    per-entity walk): synthetic per-event positions against two WKB
+    fences — a box WITH A HOLE (half-integer bounds, so boundary hits are
+    exact in both engines) and an integer diamond (45-degree edges whose
+    boundary lattice points land exactly on |dx|+|dy| = r). One row per
+    membership change, covers semantics (boundary = inside, hole boundary
+    included). The oracle mirrors the fences as closed half-plane
+    inequalities and the walk as a lag window over strictly-increasing
+    per-entity timestamps."""
+    import numpy as np
+
+    from ..streaming.ops import streaming_geofence_transitions
+    from ..wkb import core as C
+
+    e = _t(spark, sf_dir, "events")
+    pos = e.selectExpr(
+        "CAST(user_id AS STRING) AS entity_id",
+        "ts",
+        "CAST(event_id % 360 AS DOUBLE) - 179.5 AS x",
+        "CAST((event_id * 7) % 170 AS DOUBLE) - 84.5 AS y",
+    )
+    box_outer = np.array([
+        [-60.5, -40.5], [60.5, -40.5], [60.5, 40.5], [-60.5, 40.5],
+        [-60.5, -40.5],
+    ])
+    box_hole = np.array([
+        [-20.5, -10.5], [0.5, -10.5], [0.5, 10.5], [-20.5, 10.5],
+        [-20.5, -10.5],
+    ])
+    diamond = np.array([
+        [100.0, 10.0], [40.0, 70.0], [-20.0, 10.0], [40.0, -50.0],
+        [100.0, 10.0],
+    ])
+    fences = spark.createDataFrame(
+        [
+            (1, bytearray(C.to_wkb(C.polygon([box_outer, box_hole])))),
+            (2, bytearray(C.to_wkb(C.polygon([diamond])))),
+        ],
+        "fence_id long, geometry binary",
+    )
+    return streaming_geofence_transitions(pos, fences)
+
+
+ORACLE_EVENTS_GEOFENCE = """
+WITH pos AS (
+  SELECT CAST(user_id AS VARCHAR) AS entity, epoch_ns(ts) AS tsn,
+         CAST(event_id % 360 AS DOUBLE) - 179.5 AS x,
+         CAST((event_id * 7) % 170 AS DOUBLE) - 84.5 AS y
+  FROM events
+),
+dedup AS (
+  SELECT entity, tsn, x, y FROM (
+    SELECT entity, tsn, x, y,
+           row_number() OVER (PARTITION BY entity, tsn ORDER BY x, y) AS rn
+    FROM pos) t WHERE rn = 1
+),
+memb AS (
+  SELECT entity, tsn,
+         (x >= -60.5 AND x <= 60.5 AND y >= -40.5 AND y <= 40.5
+          AND NOT (x > -20.5 AND x < 0.5 AND y > -10.5 AND y < 10.5)) AS m1,
+         (abs(x - 40.0) + abs(y - 10.0) <= 60.0) AS m2
+  FROM dedup
+),
+lagd AS (
+  SELECT entity, tsn, m1, m2,
+         coalesce(lag(m1) OVER (PARTITION BY entity ORDER BY tsn), FALSE) AS p1,
+         coalesce(lag(m2) OVER (PARTITION BY entity ORDER BY tsn), FALSE) AS p2
+  FROM memb
+)
+SELECT entity, tsn AS ts, CAST(1 AS BIGINT) AS fence_id,
+       CASE WHEN m1 THEN 'enter' ELSE 'exit' END AS transition
+FROM lagd WHERE m1 <> p1
+UNION ALL
+SELECT entity, tsn AS ts, CAST(2 AS BIGINT) AS fence_id,
+       CASE WHEN m2 THEN 'enter' ELSE 'exit' END AS transition
+FROM lagd WHERE m2 <> p2
+"""

@@ -670,11 +670,13 @@ def streaming_geofence_transitions(
     ``applyInPandas`` (state degenerates to 'no prior history'), so a
     batch replay of a day's positions produces byte-identical transitions
     to the live stream — that twin is the test oracle."""
+    import numpy as np
     import pandas as pd
 
-    from ..wkb.algorithms import point_in_polygon
+    from ..wkb.algorithms import points_in_polygon
 
     layer = _parse_fence_layer(fences, fence_id_col, fence_geometry_col)
+    fence_ids = np.array([fid for fid, _ in layer], dtype=np.int64)
 
     ts_type = dict(points.dtypes).get(ts_col, "bigint")
     ts_expr = (
@@ -689,43 +691,66 @@ def streaming_geofence_transitions(
         F.col(y_col).cast("double").alias("__y"),
     )
 
-    def membership(px, py):
-        cur = set()
-        for fid, polys in layer:
+    def membership_masks(xs, ys):
+        """(n_points, n_fences) bool matrix, vectorized per fence:
+        bbox reject then ``points_in_polygon`` on the candidates only."""
+        m = np.zeros((len(xs), len(layer)), dtype=bool)
+        for j, (_fid, polys) in enumerate(layer):
+            col = m[:, j]
             for xmin, ymin, xmax, ymax, rings in polys:
-                if xmin <= px <= xmax and ymin <= py <= ymax:
-                    if point_in_polygon(px, py, rings) > 0:
-                        cur.add(fid)
-                        break
-        return cur
+                cand = np.flatnonzero(
+                    ~col & (xs >= xmin) & (xs <= xmax)
+                    & (ys >= ymin) & (ys <= ymax)
+                )
+                if len(cand):
+                    col[cand[points_in_polygon(xs[cand], ys[cand], rings) > 0]] = True
+        return m
 
     out_schema = "entity string, ts long, fence_id long, transition string"
 
     def walk(rows, prev, last_ts):
-        ent, tss, fids, trans = [], [], [], []
+        """prev = set of fence ids the entity is currently in. Vectorized:
+        sort, drop stale/duplicate timestamps, compute the membership
+        matrix in one shot, then diff consecutive rows — only rows that
+        actually transition are touched by Python-level code."""
+        empty = pd.DataFrame(
+            {"entity": pd.Series(dtype=object),
+             "ts": pd.Series(dtype="int64"),
+             "fence_id": pd.Series(dtype="int64"),
+             "transition": pd.Series(dtype=object)}
+        )
         rows = rows.sort_values(["__ts", "__x", "__y"])
-        it = zip(
-            rows["__entity"].to_numpy(),
-            rows["__ts"].to_numpy().astype("int64"),
-            rows["__x"].to_numpy(),
-            rows["__y"].to_numpy(),
-        )
-        for entity, ts, px, py in it:
-            ts = int(ts)
-            if last_ts is not None and ts <= last_ts:
-                continue  # late or duplicate: watermark territory
-            cur = membership(float(px), float(py))
-            for fid in sorted(cur - prev):
-                ent.append(entity); tss.append(ts)
-                fids.append(fid); trans.append("enter")
-            for fid in sorted(prev - cur):
-                ent.append(entity); tss.append(ts)
-                fids.append(fid); trans.append("exit")
-            prev, last_ts = cur, ts
+        ts = rows["__ts"].to_numpy().astype("int64")
+        if last_ts is not None:
+            keep = np.flatnonzero(ts > last_ts)  # late/dupe: watermark territory
+        else:
+            keep = np.arange(len(ts))
+        if len(keep):  # first row of each equal-ts run only
+            tk = ts[keep]
+            first = np.ones(len(keep), dtype=bool)
+            first[1:] = tk[1:] != tk[:-1]
+            keep = keep[first]
+        if not len(keep):
+            return empty, prev, last_ts
+        ts = ts[keep]
+        xs = rows["__x"].to_numpy()[keep]
+        ys = rows["__y"].to_numpy()[keep]
+        entity = rows["__entity"].iloc[0]
+        m = membership_masks(xs, ys)
+        prev_row = np.isin(fence_ids, list(prev))
+        full = np.vstack([prev_row[None, :], m])
+        changed_r, changed_f = np.nonzero(full[1:] != full[:-1])
+        new_prev = set(int(f) for f in fence_ids[m[-1]])
+        new_last = int(ts[-1])
+        if not len(changed_r):
+            return empty, new_prev, new_last
         frame = pd.DataFrame(
-            {"entity": ent, "ts": tss, "fence_id": fids, "transition": trans}
+            {"entity": entity,
+             "ts": ts[changed_r],
+             "fence_id": fence_ids[changed_f],
+             "transition": np.where(m[changed_r, changed_f], "enter", "exit")}
         )
-        return frame, prev, last_ts
+        return frame, new_prev, new_last
 
     if not points.isStreaming:
 

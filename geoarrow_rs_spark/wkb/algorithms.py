@@ -435,6 +435,58 @@ def point_in_polygon(px, py, poly_data):
     return 2
 
 
+def points_in_ring(px, py, ring, eps=1e-9):
+    """Vectorized ``_point_in_ring``: int8 array of 2/1/0 for many points
+    against one ring. The per-edge float expressions (cross, dot, t, xi)
+    are written in the SAME order as the scalar version, so both paths
+    produce bit-identical classifications — callers may mix them."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    n = len(ring) - 1
+    if n < 3:
+        return np.zeros(px.shape, dtype=np.int8)
+    inside = np.zeros(px.shape, dtype=bool)
+    onb = np.zeros(px.shape, dtype=bool)
+    x, y = ring[:, 0], ring[:, 1]
+    for i in range(n):
+        ax, ay, bx, by = x[i], y[i], x[i + 1], y[i + 1]
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        L = math.hypot(bx - ax, by - ay)
+        near = np.abs(cross) <= eps * max(L, 1.0)
+        if near.any():
+            dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+            onb |= near & (dot >= -eps) & (dot <= L * L + eps)
+        if ay != by:
+            crossing = (ay > py) != (by > py)
+            if crossing.any():
+                t = (py - ay) / (by - ay)
+                xi = ax + t * (bx - ax)
+                inside ^= crossing & (xi > px)
+    out = np.where(inside, np.int8(2), np.int8(0))
+    out[onb] = 1
+    return out
+
+
+def points_in_polygon(px, py, poly_data):
+    """Vectorized ``point_in_polygon``: int8 array of 2=interior,
+    1=boundary, 0=exterior; identical classification to the scalar."""
+    px = np.atleast_1d(np.asarray(px, dtype=np.float64))
+    py = np.atleast_1d(np.asarray(py, dtype=np.float64))
+    if not poly_data:
+        return np.zeros(px.shape, dtype=np.int8)
+    res = points_in_ring(px, py, poly_data[0])
+    interior = res == 2
+    for hole in poly_data[1:]:
+        if not interior.any():
+            break
+        idx = np.flatnonzero(interior)
+        h = points_in_ring(px[idx], py[idx], hole)
+        res[idx[h == 2]] = 0
+        res[idx[h == 1]] = 1
+        interior = res == 2
+    return res
+
+
 def _seg_intersect(a1, a2, b1, b2, eps=1e-12):
     """Segment intersection test. Returns 0 none, 1 proper, 2 touching/collinear.
 

@@ -63,3 +63,54 @@ def test_relate_pattern():
     assert relate_pattern(from_wkt(A), inner, "T*****FF*") is True  # contains
     assert relate_pattern(inner, from_wkt(A), "T*F**F***") is True  # within
     assert relate_pattern(from_wkt(A), inner, "FF*FF****") is False  # not disjoint
+
+
+def test_points_in_polygon_vectorized_matches_scalar():
+    """points_in_polygon (vectorized) must classify bit-identically to the
+    scalar point_in_polygon on every input — interior, exterior, boundary
+    lattice points, concave rings, and holes — because callers mix the two
+    paths (geofence batches use the vector one, single-geometry kernels
+    the scalar one)."""
+    import random
+
+    import numpy as np
+
+    from geoarrow_rs_spark.wkb.algorithms import (
+        point_in_polygon,
+        points_in_polygon,
+    )
+
+    rng = random.Random(42)
+    # concave outer ring + one hole, integer vertices so lattice points hit
+    # edges/vertices exactly
+    outer = np.array([
+        [0.0, 0.0], [10.0, 0.0], [10.0, 4.0], [5.0, 4.0], [5.0, 7.0],
+        [10.0, 7.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0],
+    ])
+    hole = np.array([
+        [2.0, 2.0], [4.0, 2.0], [4.0, 8.0], [2.0, 8.0], [2.0, 2.0],
+    ])
+    cases = [([outer], None), ([outer, hole], None)]
+    # diamond: 45-degree edges exercise the crossing interpolation
+    diamond = np.array([
+        [6.0, 1.0], [11.0, 6.0], [6.0, 11.0], [1.0, 6.0], [6.0, 1.0],
+    ])
+    cases.append(([diamond], None))
+
+    pts = []
+    for gx in range(-1, 13):
+        for gy in range(-1, 13):
+            pts.append((float(gx), float(gy)))          # lattice incl. edges
+            pts.append((gx + 0.5, gy + 0.5))            # interior offsets
+    for _ in range(500):
+        pts.append((rng.uniform(-2, 13), rng.uniform(-2, 13)))
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+
+    for rings, _ in cases:
+        vec = points_in_polygon(px, py, rings)
+        sca = np.array(
+            [point_in_polygon(float(x), float(y), rings) for x, y in pts],
+            dtype=np.int8,
+        )
+        assert np.array_equal(vec, sca)
