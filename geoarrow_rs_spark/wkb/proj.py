@@ -1014,7 +1014,9 @@ def parse_crs(crs) -> int:
     'OGC:CRS84' (the GeoParquet default CRS — WGS84 lon-lat, which is
     exactly this engine's axis convention, so it resolves to 4326).
     Compound CRSs (horizontal + vertical, PROJJSON or WKT2) resolve to
-    their horizontal component — geometry here is 2-D."""
+    their horizontal component — geometry here is 2-D. Legacy PROJ
+    strings ('+proj=utm +zone=32 +datum=WGS84', '+init=epsg:n') resolve
+    through the same closed-form engines."""
     if isinstance(crs, (int, np.integer)):
         return int(crs)
     if isinstance(crs, dict):
@@ -1059,6 +1061,8 @@ def parse_crs(crs) -> int:
         import json
 
         return parse_crs(json.loads(s))
+    if s.startswith("+") or low.startswith("proj=") or low.startswith("init="):
+        return _custom_from_proj_string(s)
     if "[" in s:  # WKT2: take the OUTERMOST (last) ID/AUTHORITY node
         import re
 
@@ -1381,6 +1385,228 @@ def _custom_from_projjson(d, text=None, helmert=None):
         return _custom_projected(tag, _pj_params(conv.get("parameters")),
                                  a, f, helmert, text)
     raise ValueError(f"unsupported PROJJSON CRS type: {typ!r}")
+
+
+# ---------------------------------------------------------------------------
+# PROJ strings ('+proj=utm +zone=32 +datum=WGS84') — the legacy definition
+# format still carried by shapefile .prj sidecars, GeoJSON pipelines and
+# user configs. Parsed from the public PROJ documentation
+# (proj.org/usage/projections.html); the resolved parameters route into
+# the same closed-form engines as PROJJSON/WKT2.
+# ---------------------------------------------------------------------------
+
+# (a, f) from the public PROJ ellipsoid registry ('proj -le')
+_PROJ_ELLPS = {
+    "wgs84": (6378137.0, 1.0 / 298.257223563),
+    "grs80": (6378137.0, 1.0 / 298.257222101),
+    "intl": (6378388.0, 1.0 / 297.0),
+    "clrk66": (6378206.4, (6378206.4 - 6356583.8) / 6378206.4),
+    "clrk80": (6378249.145, 1.0 / 293.465),
+    "clrk80ign": (6378249.2, 1.0 / 293.4660212936269),
+    "bessel": (6377397.155, 1.0 / 299.1528128),
+    "krass": (6378245.0, 1.0 / 298.3),
+    "airy": (6377563.396, 1.0 / 299.3249646),
+    "mod_airy": (6377340.189, (6377340.189 - 6356034.446) / 6377340.189),
+    "aust_sa": (6378160.0, 1.0 / 298.25),
+    "helmert": (6378200.0, 1.0 / 298.3),
+    "evrst30": (6377276.345, 1.0 / 300.8017),
+    "sphere": (6370997.0, 0.0),
+}
+
+# datum shorthand -> (ellps key, towgs84 7-tuple or None). None means
+# WGS84-coincident (NAD27's real shift needs grid files PROJ ships and we
+# don't — the repo's standing no-transformation convention applies, as
+# documented at the CustomCRS section header).
+_PROJ_DATUMS = {
+    "wgs84": ("wgs84", None),
+    "nad83": ("grs80", None),
+    "nad27": ("clrk66", None),
+    "potsdam": ("bessel", (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)),
+    "osgb36": ("airy",
+               (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489)),
+    "carthage": ("clrk80ign", (-263.0, 6.0, 431.0, 0.0, 0.0, 0.0, 0.0)),
+    "hermannskogel": ("bessel",
+                      (577.326, 90.129, 463.919, 5.137, 1.474, 5.297,
+                       2.4232)),
+    "ire65": ("mod_airy",
+              (482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15)),
+    "nzgd49": ("intl",
+               (59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993)),
+}
+
+# +proj= name -> engine method tag (same tags as _PJ_METHODS)
+_PROJ_NAMES = {
+    "tmerc": "tmerc", "etmerc": "tmerc",
+    "lcc": "lcc",          # 1SP/2SP split on the parameters below
+    "aea": "aea",
+    "laea": "laea",
+    "stere": "stere",      # polar_a / polar_b split on the parameters
+    "merc": "merc",        # merc_a / merc_b split on k vs lat_ts
+    "webmerc": "webmerc",
+    "cea": "cea",
+    "eqc": "eqc",
+    "moll": "moll",
+}
+
+# +key= -> engine parameter slot (all angles are degrees in PROJ strings,
+# lengths metres — no unit conversion needed)
+_PROJ_PARAM_KEYS = {
+    "lat_0": "lat0", "lon_0": "lon0", "k_0": "k0", "k": "k0",
+    "x_0": "fe", "y_0": "fn", "lat_1": "lat1", "lat_2": "lat2",
+    "lat_ts": "lat_ts",
+}
+
+_PROJ_IGNORED_KEYS = {
+    "no_defs", "type", "wktext", "over", "no_off", "approx", "vunits",
+    "geoid_crs",
+}
+
+
+def _parse_proj_kv(s):
+    """{key: value-or-True} from '+k=v +flag' text (keys lower-cased)."""
+    out = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            out[k.lower()] = v
+        else:
+            out[tok.lower()] = True
+    return out
+
+
+def _proj_string_ellipsoid(kv):
+    """(a, f, helmert-or-None) from +datum/+ellps/+a/+b/+rf/+f/+R."""
+    helmert = None
+    if "datum" in kv:
+        d = str(kv["datum"]).lower()
+        if d not in _PROJ_DATUMS:
+            raise ValueError(f"unsupported PROJ +datum={kv['datum']!r}")
+        ekey, helmert = _PROJ_DATUMS[d]
+        a, f = _PROJ_ELLPS[ekey]
+    elif "ellps" in kv:
+        e = str(kv["ellps"]).lower()
+        if e not in _PROJ_ELLPS:
+            raise ValueError(f"unsupported PROJ +ellps={kv['ellps']!r}")
+        a, f = _PROJ_ELLPS[e]
+    elif "r" in kv:
+        a, f = float(kv["r"]), 0.0
+    elif "a" in kv:
+        a = float(kv["a"])
+        if "rf" in kv:
+            rf = float(kv["rf"])
+            f = 1.0 / rf if rf else 0.0
+        elif "f" in kv:
+            f = float(kv["f"])
+        elif "b" in kv:
+            f = (a - float(kv["b"])) / a
+        else:
+            f = 0.0
+    else:
+        a, f = _PROJ_ELLPS["wgs84"]  # PROJ's default
+    if "towgs84" in kv:
+        vals = [float(v) for v in str(kv["towgs84"]).split(",")]
+        if len(vals) == 3:
+            vals += [0.0, 0.0, 0.0, 0.0]
+        if len(vals) != 7:
+            raise ValueError("+towgs84 wants 3 or 7 comma-separated terms")
+        # PROJ +towgs84 is the position-vector convention — same as ours
+        helmert = None if not any(vals) else tuple(vals)
+    return a, f, helmert
+
+
+def _custom_from_proj_string(s):
+    """CustomCRS (or int EPSG pivot) from a legacy PROJ string."""
+    kv = _parse_proj_kv(s)
+    if "init" in kv:
+        ns, _, code = str(kv["init"]).partition(":")
+        if ns.lower() != "epsg":
+            raise ValueError(f"unsupported PROJ +init namespace {ns!r}")
+        return parse_crs(int(code))
+    # keys that change the result and have no engine here must not be
+    # silently dropped
+    if str(kv.get("pm", "greenwich")).lower() not in ("greenwich", "0"):
+        raise ValueError("PROJ +pm (non-Greenwich prime meridian) "
+                         "is not supported")
+    for key in ("nadgrids", "geoidgrids", "alpha", "gamma", "lonc"):
+        if key in kv and str(kv[key]).lower() not in ("@null", "null"):
+            raise ValueError(f"PROJ +{key} is not supported")
+    if str(kv.get("axis", "enu")).lower() != "enu":
+        raise ValueError("PROJ +axis other than 'enu' is not supported")
+    if "units" in kv and str(kv["units"]).lower() not in ("m", "meter",
+                                                          "metre"):
+        raise ValueError(f"unsupported PROJ +units={kv['units']!r}")
+    if "to_meter" in kv and float(kv["to_meter"]) != 1.0:
+        raise ValueError("PROJ +to_meter other than 1 is not supported")
+
+    name = str(kv.get("proj", "")).lower()
+    if not name:
+        raise ValueError("PROJ string carries no +proj=")
+    a, f, helmert = _proj_string_ellipsoid(kv)
+
+    if name in ("longlat", "latlong", "lonlat", "latlon"):
+        if helmert is None and _wgs84_like(a, f):
+            return 4326
+        return CustomCRS("geographic", dict(a=a, f=f), a, f, helmert, s)
+
+    g = {}
+    for key, slot in _PROJ_PARAM_KEYS.items():
+        if key in kv:
+            g[slot] = float(kv[key])
+
+    if name == "utm":
+        zone = int(kv.get("zone", 0))
+        if not 1 <= zone <= 60:
+            raise ValueError("+proj=utm wants +zone=1..60")
+        south = "south" in kv
+        # pivot to the registered zone engine only on the EXACT WGS84
+        # ellipsoid — GRS80 stays custom so its (micrometre-level, but
+        # real) flattening difference is honored like EPSG 258xx does
+        if helmert is None and a == WGS84_A and f == WGS84_F:
+            return (32700 if south else 32600) + zone
+        g = dict(lat0=0.0, lon0=zone * 6.0 - 183.0, k0=_UTM_K0,
+                 fe=_UTM_FE, fn=1e7 if south else 0.0)
+        return _custom_projected("tmerc", g, a, f, helmert, s)
+
+    tag = _PROJ_NAMES.get(name)
+    if tag is None:
+        raise ValueError(f"unsupported PROJ projection +proj={name!r}")
+    if tag == "lcc":
+        # PROJ: lat_2 absent -> tangent cone at lat_1 (1SP, k_0 honored)
+        if "lat2" in g and g.get("lat2") != g.get("lat1"):
+            tag = "lcc2"
+        else:
+            if "lat1" in g and "lat0" in g and g["lat1"] != g["lat0"]:
+                raise ValueError(
+                    "+proj=lcc 1SP with lat_0 != lat_1 is not supported "
+                    "(the engine's 1SP cone is tangent at its origin "
+                    "latitude)")
+            tag = "lcc1"
+            g.setdefault("lat1", g.get("lat0", 0.0))
+            g["lat0"] = g["lat1"]
+    elif tag == "stere":
+        lat0 = g.get("lat0")
+        if lat0 is None or abs(lat0) != 90.0:
+            raise ValueError("+proj=stere is only supported at the poles "
+                             "(+lat_0=90 or -90; oblique stereographic "
+                             "has no engine here)")
+        if "lat_ts" in g:
+            tag = "polar_b"
+            if g["lat_ts"] == 0.0:
+                g["lat_ts"] = lat0  # sign selects the hemisphere
+            elif (g["lat_ts"] < 0) != (lat0 < 0):
+                g["lat_ts"] = -g["lat_ts"]
+        else:
+            tag = "polar_a"
+    elif tag == "merc":
+        tag = "merc_b" if "lat_ts" in g else "merc_a"
+    if tag in ("merc_a", "merc_b", "cea", "eqc", "webmerc", "moll") and \
+            g.get("lat0"):
+        raise ValueError(
+            f"+proj={name} with a non-zero +lat_0 is not supported")
+    return _custom_projected(tag, g, a, f, helmert, s)
 
 
 def _custom_to_wgs84(x, y, crs):

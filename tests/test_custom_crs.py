@@ -443,3 +443,126 @@ def test_custom_crs_identity_and_grouping():
     assert c1 == c2 and hash(c1) == hash(c2)
     other = P.parse_crs(CASES["laea_europe"][0])
     assert c1 != other
+
+
+# ---------------------------------------------------------------------------
+# PROJ strings ('+proj=... +datum=...') — legacy definitions from .prj
+# sidecars and user configs, resolved through the same engines
+# ---------------------------------------------------------------------------
+
+
+def test_proj_string_epsg_pivots():
+    """WGS84-datum shorthand forms resolve straight to registered codes."""
+    assert P.parse_crs("+proj=longlat +datum=WGS84 +no_defs") == 4326
+    assert P.parse_crs("+proj=longlat +ellps=WGS84 +no_defs +type=crs") == 4326
+    assert P.parse_crs("+proj=utm +zone=32 +datum=WGS84 +units=m +no_defs") == 32632
+    assert P.parse_crs("+proj=utm +zone=33 +south +datum=WGS84") == 32733
+    assert P.parse_crs("+init=epsg:3857") == 3857
+    assert P.parse_crs("+init=EPSG:4326 +no_defs") == 4326
+
+
+PROJ_STRING_TWINS = {
+    # proj string -> (EPSG twin, lon range, lat range, metre tolerance)
+    "+proj=utm +zone=32 +ellps=GRS80 +units=m +no_defs": (
+        25832, (6.0, 12.0), (38.0, 62.0), 1e-6),
+    "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +x_0=0 +y_0=0 "
+    "+ellps=GRS80 +units=m": (5070, (-120.0, -75.0), (25.0, 49.0), 1e-6),
+    "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80": (
+        3035, (-10.0, 30.0), (35.0, 65.0), 1e-6),
+    "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+    "+datum=WGS84 +units=m": (3413, (-180.0, 180.0), (62.0, 88.0), 1e-6),
+    "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+    "+datum=WGS84": (3031, (-180.0, 180.0), (-88.0, -62.0), 1e-6),
+    "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +x_0=700000 "
+    "+y_0=6600000 +ellps=GRS80 +units=m +no_defs": (
+        2154, (-5.0, 9.0), (41.5, 51.0), 1e-6),
+}
+
+
+@pytest.mark.parametrize("pstr", sorted(PROJ_STRING_TWINS))
+def test_proj_string_matches_epsg_twin(pstr):
+    epsg, lon_rng, lat_rng, tol = PROJ_STRING_TWINS[pstr]
+    crs = P.parse_crs(pstr)
+    # GRS80-on-UTM pivots to the registered WGS84 zone code (the
+    # ellipsoids differ by ~1e-11 in flattening — sub-micrometre); every
+    # other twin resolves to a CustomCRS
+    assert isinstance(crs, P.CustomCRS) or P.supported_crs(crs)
+    lon, lat = _samples(lon_rng, lat_rng)
+    xe, ye = P.transform_xy(lon, lat, 4326, epsg)
+    xc, yc = P.transform_xy(lon, lat, 4326, crs)
+    assert np.max(np.abs(xe - xc)) <= tol
+    assert np.max(np.abs(ye - yc)) <= tol
+    # round-trip closure (longitude compared modulo 360: polar grids
+    # cover the +-180 seam where both signs name the same meridian)
+    lon2, lat2 = P.transform_xy(xc, yc, crs, 4326)
+    dlon = np.abs(lon2 - lon)
+    dlon = np.minimum(dlon, 360.0 - dlon)
+    assert np.max(dlon) <= 1e-9
+    assert np.max(np.abs(lat2 - lat)) <= 1e-9
+
+
+def test_proj_string_towgs84_matches_boundcrs():
+    """+towgs84 is the position-vector convention — the same 7 numbers in
+    a PROJJSON BoundCRS (position-vector method) must land on the same
+    Helmert pipeline."""
+    hp = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+    pstr = ("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
+            "+ellps=bessel +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7 "
+            "+units=m +no_defs")
+    crs_p = P.parse_crs(pstr)
+    assert isinstance(crs_p, P.CustomCRS)
+    assert crs_p.helmert == hp
+    crs_d = P.parse_crs("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 "
+                        "+y_0=0 +datum=potsdam +units=m")
+    lon, lat = _samples((6.0, 12.0), (47.0, 55.0))
+    xp, yp = P.transform_xy(lon, lat, 4326, crs_p)
+    xd, yd = P.transform_xy(lon, lat, 4326, crs_d)
+    assert np.array_equal(xp, xd) and np.array_equal(yp, yd)
+    # all-zero towgs84 collapses to the no-transformation convention
+    z = P.parse_crs("+proj=longlat +ellps=WGS84 +towgs84=0,0,0")
+    assert z == 4326
+
+
+def test_proj_string_merc_variants_and_sphere():
+    """merc splits on k vs lat_ts; webmerc is the registered 3857."""
+    ma = P.parse_crs("+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +datum=WGS84")
+    mb = P.parse_crs("+proj=merc +lon_0=0 +lat_ts=0 +x_0=0 +y_0=0 "
+                     "+datum=WGS84")
+    lon, lat = _samples((-170.0, 170.0), (-80.0, 80.0))
+    xa, ya = P.transform_xy(lon, lat, 4326, ma)
+    xb, yb = P.transform_xy(lon, lat, 4326, mb)
+    # k=1 and lat_ts=0 are the same Mercator
+    assert np.max(np.abs(xa - xb)) <= 1e-6
+    assert np.max(np.abs(ya - yb)) <= 1e-6
+    wm = P.parse_crs("+proj=webmerc +datum=WGS84")
+    xw, yw = P.transform_xy(lon, lat, 4326, wm)
+    xr, yr = P.transform_xy(lon, lat, 4326, 3857)
+    assert np.max(np.abs(xw - xr)) <= 1e-6
+    assert np.max(np.abs(yw - yr)) <= 1e-6
+
+
+def test_proj_string_unsupported_forms_raise():
+    for bad in (
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +ellps=GRS80",
+        "+proj=utm +zone=32 +datum=WGS84 +units=us-ft",
+        "+proj=longlat +datum=WGS84 +pm=paris",
+        "+proj=lcc +lat_1=33 +lat_0=40 +lon_0=-96 +ellps=GRS80",  # 1SP mismatch
+        "+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel",  # oblique
+        "+proj=tmerc +lat_0=0 +lon_0=9 +ellps=unknown_ellps",
+        "+proj=utm +zone=99 +datum=WGS84",
+        "+proj=eqc +lat_0=30 +datum=WGS84",
+        "+nadgrids=ntv2.gsb +proj=longlat +ellps=clrk66",
+        "+proj=utm +zone=10 +datum=NAD27 +axis=neu",
+    ):
+        with pytest.raises((ValueError, KeyError)):
+            P.parse_crs(bad)
+
+
+def test_proj_string_nad27_convention():
+    """+datum=NAD27 resolves to clrk66 with the documented
+    WGS84-coincident convention (the real shift needs grid files)."""
+    crs = P.parse_crs("+proj=utm +zone=10 +datum=NAD27 +units=m +no_defs")
+    assert isinstance(crs, P.CustomCRS)
+    assert crs.helmert is None
+    a, f = P._PROJ_ELLPS["clrk66"]
+    assert crs.a == a and abs(crs.f - f) < 1e-15
