@@ -753,14 +753,66 @@ def streaming_geofence_transitions(
         return frame, new_prev, new_last
 
     if not points.isStreaming:
-
-        def batch_fn(pdf):
-            frame, _, _ = walk(pdf, set(), None)
-            return frame
-
-        return src.groupBy("__entity").applyInPandas(
-            batch_fn, schema=out_schema
+        # Batch twin: one vectorized multi-entity pass per partition
+        # instead of per-entity applyInPandas — hash-repartition on entity
+        # (explicit partition count, so AQE's size-based coalescing can't
+        # shrink the Python-heavy stage), sort within partitions, then
+        # mapInPandas with carry state across Arrow batches. Per-entity
+        # group overhead disappears; Python-level work is proportional to
+        # transitions, not entities.
+        n_parts = max(
+            points.sparkSession.sparkContext.defaultParallelism,
+            int(points.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         )
+        part = src.repartition(n_parts, "__entity").sortWithinPartitions(
+            "__entity", "__ts", "__x", "__y"
+        )
+
+        def batch_fn(batches):
+            carry_entity = None
+            carry_mask = np.zeros(len(fence_ids), dtype=bool)
+            carry_ts = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ent = pdf["__entity"].to_numpy()
+                ts = pdf["__ts"].to_numpy().astype("int64")
+                # drop all but the first row of each (entity, ts) run —
+                # the batch's rows arrive sorted; the run may continue
+                # from the previous Arrow batch of this partition
+                dupe = np.zeros(len(ent), dtype=bool)
+                dupe[1:] = (ent[1:] == ent[:-1]) & (ts[1:] == ts[:-1])
+                if carry_entity is not None:
+                    dupe[0] = ent[0] == carry_entity and ts[0] == carry_ts
+                idx = np.flatnonzero(~dupe)
+                if not len(idx):
+                    continue
+                ent_k, ts_k = ent[idx], ts[idx]
+                m = membership_masks(
+                    pdf["__x"].to_numpy()[idx], pdf["__y"].to_numpy()[idx]
+                )
+                # previous membership row: the prior kept row when it is
+                # the same entity, the carried row for a cross-batch
+                # continuation, all-False at each entity's first position
+                prev = np.vstack([carry_mask[None, :], m[:-1]])
+                new_ent = np.ones(len(idx), dtype=bool)
+                new_ent[1:] = ent_k[1:] != ent_k[:-1]
+                new_ent[0] = carry_entity is None or ent_k[0] != carry_entity
+                prev[new_ent] = False
+                changed_r, changed_f = np.nonzero(m != prev)
+                carry_entity = ent_k[-1]
+                carry_mask = m[-1]
+                carry_ts = int(ts_k[-1])
+                if len(changed_r):
+                    yield pd.DataFrame(
+                        {"entity": ent_k[changed_r],
+                         "ts": ts_k[changed_r],
+                         "fence_id": fence_ids[changed_f],
+                         "transition": np.where(
+                             m[changed_r, changed_f], "enter", "exit")}
+                    )
+
+        return part.mapInPandas(batch_fn, schema=out_schema)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
