@@ -1790,15 +1790,31 @@ def _custom_from_wkt_node(root, s):
     if conv is not None:
         meth = _wkt_find(conv, "METHOD", "PROJECTION")
         pnodes = _wkt_find_all(conv, "PARAMETER")
-    else:  # WKT1: PROJECTION/PARAMETER directly under PROJCS
+    else:  # WKT1 (incl. ESRI): PROJECTION/PARAMETER directly under PROJCS
         meth = _wkt_find(root, "PROJECTION")
         pnodes = _wkt_find_all(root, "PARAMETER")
+        # WKT1 parameter values are in the CS-level UNIT — the engines
+        # here work in metres, so a foot-based CRS must not be silently
+        # misread (ESRI state-plane .prj files are routinely in feet)
+        unit = _wkt_find(root, "UNIT")
+        if unit is not None:
+            uname = str(unit[1][0]).lower()
+            ucf = (float(unit[1][1])
+                   if len(unit[1]) > 1 and isinstance(unit[1][1], float)
+                   else 1.0)
+            if uname not in ("metre", "meter") and ucf != 1.0:
+                raise ValueError(
+                    f"WKT1 projected CRS in non-metre unit {unit[1][0]!r} "
+                    "is not supported")
     if meth is None:
         raise ValueError("WKT2 ProjectedCRS without a projection method")
     code = _wkt_epsg_id(meth)
     tag = _PJ_METHODS.get(code) if code else None
+    mname = str(meth[1][0]).strip().lower()
     if tag is None:
-        tag = _PJ_METHODS.get(str(meth[1][0]).strip().lower())
+        tag = _PJ_METHODS.get(mname)
+    if tag is None:
+        tag = _ESRI_METHODS.get(mname)
     if tag is None:
         raise ValueError(f"unsupported projection method: {meth[1][0]!r}")
     g = {}
@@ -1806,12 +1822,80 @@ def _custom_from_wkt_node(root, s):
         pcode = _wkt_epsg_id(pn)
         slot = _PJ_PARAMS.get(pcode) if pcode else None
         if slot is None:
-            slot = _PJ_PARAMS.get(str(pn[1][0]).strip().lower())
+            pname = str(pn[1][0]).strip().lower()
+            slot = _PJ_PARAMS.get(pname) or _ESRI_PARAMS.get(pname)
         if slot is None:
             continue
         name, ukind = slot
         g[name] = float(pn[1][1]) * _wkt_unit_factor(pn, ukind)
+    tag, g = _resolve_esri_tag(tag, g)
     return _custom_projected(tag, g, a, f, None, s)
+
+
+# ESRI WKT1 projection / parameter spellings (the dialect written into
+# shapefile .prj sidecars by ArcGIS; names from the public ESRI
+# projection-engine documentation). Pseudo-tags resolve on parameters in
+# _resolve_esri_tag.
+_ESRI_METHODS = {
+    "transverse_mercator": "tmerc",
+    "gauss_kruger": "tmerc",
+    "lambert_conformal_conic": "lcc_auto",
+    "albers": "aea",
+    "lambert_azimuthal_equal_area": "laea",
+    "stereographic_north_pole": "polar_north",
+    "stereographic_south_pole": "polar_south",
+    "mercator": "merc_b",
+    "mercator_auxiliary_sphere": "esri_webmerc",
+    "cylindrical_equal_area": "cea",
+    "equidistant_cylindrical": "eqc",
+    "plate_carree": "eqc",
+    "mollweide": "moll",
+}
+
+_ESRI_PARAMS = {
+    "false_easting": ("fe", "length"),
+    "false_northing": ("fn", "length"),
+    "central_meridian": ("lon0", "angle"),
+    "longitude_of_origin": ("lon0", "angle"),
+    "latitude_of_origin": ("lat0", "angle"),
+    "scale_factor": ("k0", "scale"),
+    "standard_parallel_1": ("lat1", "angle"),
+    "standard_parallel_2": ("lat2", "angle"),
+    "auxiliary_sphere_type": ("aux_type", "scale"),
+}
+
+
+def _resolve_esri_tag(tag, g):
+    """Split ESRI's parameter-overloaded method names onto engine tags."""
+    if tag == "lcc_auto":
+        # ESRI uses one name for 1SP and 2SP; 2SP carries both parallels
+        if "lat2" in g and g.get("lat2") != g.get("lat1"):
+            return "lcc2", g
+        if "lat1" in g and "lat0" in g and g["lat1"] != g["lat0"] and \
+                g.get("k0", 1.0) != 1.0:
+            raise ValueError(
+                "ESRI Lambert_Conformal_Conic 1SP with "
+                "Latitude_Of_Origin != Standard_Parallel_1 and a scale "
+                "factor is not supported")
+        g = dict(g)
+        g["lat0"] = g.get("lat1", g.get("lat0", 0.0))
+        return "lcc1", g
+    if tag in ("polar_north", "polar_south"):
+        south = tag == "polar_south"
+        g = dict(g)
+        lat_ts = g.get("lat1", g.get("lat0", 90.0))
+        g["lat_ts"] = -abs(lat_ts) if south else abs(lat_ts)
+        return "polar_b", g
+    if tag == "esri_webmerc":
+        if g.pop("aux_type", 0.0) != 0.0:
+            raise ValueError(
+                "Mercator_Auxiliary_Sphere with Auxiliary_Sphere_Type != 0 "
+                "is not supported")
+        g = dict(g)
+        g.pop("lat1", None)
+        return "webmerc", g
+    g.pop("aux_type", None)
+    return tag, g
 
 
 def _wkt_ellipsoid(geog_node):
@@ -1819,6 +1903,13 @@ def _wkt_ellipsoid(geog_node):
     ell = _wkt_find(datum, "ELLIPSOID", "SPHEROID") if datum else None
     if ell is None:
         raise ValueError("WKT2 CRS carries no ellipsoid")
+    pm = _wkt_find(geog_node, "PRIMEM")
+    if pm is not None and len(pm[1]) > 1 and isinstance(pm[1][1], float) \
+            and pm[1][1] != 0.0:
+        # dropping a Paris/Ferro prime meridian would silently shift
+        # every longitude — refuse instead
+        raise ValueError(
+            f"non-Greenwich prime meridian {pm[1][0]!r} is not supported")
     a = float(ell[1][1])
     rf = float(ell[1][2])
     return a, (1.0 / rf if rf else 0.0)

@@ -566,3 +566,109 @@ def test_proj_string_nad27_convention():
     assert crs.helmert is None
     a, f = P._PROJ_ELLPS["clrk66"]
     assert crs.a == a and abs(crs.f - f) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# ESRI WKT1 — the dialect ArcGIS writes into shapefile .prj sidecars
+# ---------------------------------------------------------------------------
+
+_ESRI_GCS = ('GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",'
+             '6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],'
+             'UNIT["Degree",0.0174532925199433]]')
+
+ESRI_TWINS = {
+    # name -> (wkt, EPSG twin, lon range, lat range)
+    "utm33n": (
+        f'PROJCS["WGS_1984_UTM_Zone_33N",{_ESRI_GCS},'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["False_Easting",500000.0],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",15.0],'
+        'PARAMETER["Scale_Factor",0.9996],'
+        'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]',
+        32633, (12.0, 18.0), (35.0, 70.0)),
+    "webmerc": (
+        f'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",{_ESRI_GCS},'
+        'PROJECTION["Mercator_Auxiliary_Sphere"],'
+        'PARAMETER["False_Easting",0.0],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",0.0],'
+        'PARAMETER["Standard_Parallel_1",0.0],'
+        'PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]',
+        3857, (-179.0, 179.0), (-85.0, 85.0)),
+    "polar_north": (
+        f'PROJCS["NSIDC_Polar_Stereographic_North",{_ESRI_GCS},'
+        'PROJECTION["Stereographic_North_Pole"],'
+        'PARAMETER["False_Easting",0.0],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",-45.0],'
+        'PARAMETER["Standard_Parallel_1",70.0],UNIT["Meter",1.0]]',
+        3413, (-180.0, 180.0), (62.0, 88.0)),
+    "laea_europe": (
+        'PROJCS["ETRS_1989_LAEA",GEOGCS["GCS_ETRS_1989",'
+        'DATUM["D_ETRS_1989",SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+        'PARAMETER["False_Easting",4321000.0],'
+        'PARAMETER["False_Northing",3210000.0],'
+        'PARAMETER["Central_Meridian",10.0],'
+        'PARAMETER["Latitude_Of_Origin",52.0],UNIT["Meter",1.0]]',
+        3035, (-10.0, 30.0), (35.0, 65.0)),
+}
+
+
+def test_esri_wkt1_geogcs_resolves():
+    assert P.parse_crs(_ESRI_GCS) == 4326
+
+
+@pytest.mark.parametrize("name", sorted(ESRI_TWINS))
+def test_esri_wkt1_matches_epsg_twin(name):
+    wkt, epsg, lon_rng, lat_rng = ESRI_TWINS[name]
+    crs = P.parse_crs(wkt)
+    assert isinstance(crs, P.CustomCRS)
+    lon, lat = _samples(lon_rng, lat_rng)
+    xe, ye = P.transform_xy(lon, lat, 4326, epsg)
+    xc, yc = P.transform_xy(lon, lat, 4326, crs)
+    assert np.max(np.abs(xe - xc)) <= 1e-6
+    assert np.max(np.abs(ye - yc)) <= 1e-6
+
+
+def test_esri_wkt1_lcc_2sp():
+    """ESRI uses one Lambert_Conformal_Conic name for 1SP and 2SP; the
+    2SP split must reproduce the generic conic engine's numbers for the
+    same parameters fed through PROJJSON."""
+    wkt = (
+        'PROJCS["NAD_1983_StatePlane_California_V",'
+        'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+        'SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic"],'
+        'PARAMETER["False_Easting",2000000.0],'
+        'PARAMETER["False_Northing",500000.0],'
+        'PARAMETER["Central_Meridian",-118.0],'
+        'PARAMETER["Standard_Parallel_1",34.0333333],'
+        'PARAMETER["Standard_Parallel_2",35.4666667],'
+        'PARAMETER["Latitude_Of_Origin",33.5],UNIT["Meter",1.0]]'
+    )
+    crs = P.parse_crs(wkt)
+    assert isinstance(crs, P.CustomCRS) and crs.kind == "conic"
+    # closure at the repo bar
+    lon, lat = _samples((-121.0, -115.0), (32.5, 36.5))
+    x, y = P.transform_xy(lon, lat, 4326, crs)
+    lon2, lat2 = P.transform_xy(x, y, crs, 4326)
+    assert np.max(np.abs(lon2 - lon)) <= 1e-9
+    assert np.max(np.abs(lat2 - lat)) <= 1e-9
+
+
+def test_esri_wkt1_unsupported_forms_raise():
+    foot = ESRI_TWINS["utm33n"][0].replace(
+        'UNIT["Meter",1.0]]', 'UNIT["Foot_US",0.3048006096012192]]')
+    paris = ('GEOGCS["NTF_Paris",DATUM["D_NTF",SPHEROID["Clarke_1880_IGN",'
+             '6378249.2,293.4660212936265]],'
+             'PRIMEM["Paris",2.337229166666667],'
+             'UNIT["Grad",0.01570796326794897]]')
+    aux = ESRI_TWINS["webmerc"][0].replace(
+        '"Auxiliary_Sphere_Type",0.0', '"Auxiliary_Sphere_Type",1.0')
+    for bad in (foot, paris, aux):
+        with pytest.raises(ValueError):
+            P.parse_crs(bad)
