@@ -192,9 +192,29 @@ def read_shapefile(spark, shp_path: str, dbf_path: str = None, geometry_col="geo
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-    return ranges.repartition(max(1, len(index) // 10000)).mapInPandas(
+    out = ranges.repartition(max(1, len(index) // 10000)).mapInPandas(
         decode, schema=out_schema
     ).drop("__rid")
+
+    # .prj sidecar (WKT1 / ESRI WKT1 / WKT2): tag the geometry column so
+    # ST_Transform and the edges-aware kernels see the source CRS. The
+    # raw text is attached verbatim — parse_crs resolves all three
+    # dialects lazily at use time — and an unreadable sidecar never
+    # fails the read (the geometry column just stays untagged).
+    import os
+
+    prj_path = shp_path[:-4] + ".prj" if shp_path.endswith(".shp") else None
+    if prj_path and os.path.exists(prj_path):
+        try:
+            with open(prj_path, "r", encoding="utf-8", errors="replace") as fh:
+                wkt = fh.read().strip()
+            if wkt:
+                from ..types.geo_types import set_crs
+
+                out = set_crs(out, geometry_col, wkt)
+        except OSError:
+            pass
+    return out
 
 
 def _encode_geom(g):
@@ -355,3 +375,24 @@ def write_shapefile(df, shp_path: str, geometry_col="geometry"):
         fshx.write(header(100 + 8 * n_rec, main_type, bbox))
         for (o, l) in shx_entries:
             fshx.write(struct.pack(">ii", o, l))
+
+    # .prj sidecar from the geometry column's CRS tag: WKT text is
+    # written verbatim; the WGS84 codes get the canonical WKT1; anything
+    # else is skipped (emitting invented WKT would be worse than none).
+    from ..types.geo_types import get_crs
+
+    crs = get_crs(df, geometry_col)
+    prj = None
+    if isinstance(crs, str) and crs.lstrip()[:7].upper() in (
+        "PROJCS[", "GEOGCS[", "PROJCRS", "GEOGCRS", "COMPOUN", "BOUNDCR",
+    ):
+        prj = crs
+    elif crs in (4326, "4326", "EPSG:4326", "OGC:CRS84"):
+        prj = (
+            'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+            'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+            'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]'
+        )
+    if prj:
+        with open(shp_path[:-4] + ".prj", "w", encoding="utf-8") as fprj:
+            fprj.write(prj)

@@ -752,3 +752,50 @@ def test_geoparquet_read_limit_offset(spark, tmp_path):
     few = read_geoparquet(spark, p, bbox=(50, 50, 60, 60), limit=3)
     ids = sorted(r["id"] for r in few.collect())
     assert len(ids) == 3 and all(50 <= i <= 60 for i in ids)
+
+
+def test_shapefile_prj_sidecar_roundtrip(spark, tmp_path):
+    """A CRS-tagged frame writes a .prj; reading tags the geometry column
+    with the sidecar text; parse_crs resolves all three dialects the
+    sidecar may carry (WKT1, ESRI WKT1, WKT2)."""
+    from geoarrow_rs_spark.io import read_shapefile, write_shapefile
+    from geoarrow_rs_spark.types.geo_types import get_crs, set_crs
+    from geoarrow_rs_spark.wkb.proj import parse_crs
+
+    df = spark.createDataFrame(
+        [Row(name="pt", wkt="POINT (9 52)")]
+    ).selectExpr("name", "ST_GeomFromWKT(wkt) AS geometry")
+
+    # EPSG:4326 tag -> canonical WGS84 WKT1 .prj
+    shp = os.path.join(str(tmp_path), "w84.shp")
+    write_shapefile(set_crs(df, "geometry", "EPSG:4326"), shp)
+    prj = shp[:-4] + ".prj"
+    assert os.path.exists(prj)
+    back = read_shapefile(spark, shp, shp.replace(".shp", ".dbf"))
+    assert parse_crs(get_crs(back, "geometry")) == 4326
+
+    # ESRI WKT1 text tag -> verbatim .prj -> parses to the same CustomCRS
+    esri = (
+        'PROJCS["WGS_1984_UTM_Zone_33N",GEOGCS["GCS_WGS_1984",'
+        'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["False_Easting",500000.0],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",15.0],'
+        'PARAMETER["Scale_Factor",0.9996],'
+        'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]'
+    )
+    shp2 = os.path.join(str(tmp_path), "esri.shp")
+    write_shapefile(set_crs(df, "geometry", esri), shp2)
+    with open(shp2[:-4] + ".prj") as fh:
+        assert fh.read() == esri
+    back2 = read_shapefile(spark, shp2, shp2.replace(".shp", ".dbf"))
+    assert parse_crs(get_crs(back2, "geometry")) == parse_crs(esri)
+
+    # untagged frame -> no .prj, read leaves the column untagged
+    shp3 = os.path.join(str(tmp_path), "none.shp")
+    write_shapefile(df, shp3)
+    assert not os.path.exists(shp3[:-4] + ".prj")
+    back3 = read_shapefile(spark, shp3, shp3.replace(".shp", ".dbf"))
+    assert get_crs(back3, "geometry") is None
