@@ -52,6 +52,9 @@ HEADLINE = [
     "sim_binary_hamming_topk",
     "text_url_canonical",
     "dedup_graph_kcore",
+    # round-6 additions
+    "events_geofence_transitions",
+    "geo_native_pruned_read",
 ]
 
 
