@@ -14,8 +14,11 @@ from .geoparquet import (
 )
 from .postgis import read_postgis
 from .shapefile import read_shapefile, write_shapefile
+from .gdal import gdal_layers, read_gdal
 
 __all__ = [
+    "gdal_layers",
+    "read_gdal",
     "geoparquet_info",
     "read_geoparquet",
     "write_geoparquet",
