@@ -325,32 +325,214 @@ class _GpqReader(DataSourceReader):
     def __init__(self, plan_meta, options, schema):
         import os
 
-        from .geoparquet import _file_rowgroup_tasks, _hive_partition_values
-
         path, parts, gcol, enc, covering = plan_meta
+        self.path = path
+        self.parts = parts
         self.gcol = gcol
         self.enc = enc
         self.covering = covering
         self.schema = schema
+        self.root = path if os.path.isdir(path) else os.path.dirname(path)
         self.bbox = None
         if options.get("bbox"):
             self.bbox = tuple(float(v) for v in options["bbox"].split(","))
-        root = path if os.path.isdir(path) else os.path.dirname(path)
-        self._tasks = []
-        for f in parts:
-            pv = _hive_partition_values(f, root)
-            if self.bbox is None:
-                import pyarrow.parquet as pq
+        self.pushed = []  # accepted attribute Filters (AND semantics)
 
-                rgs = [(rg, True) for rg in range(pq.read_metadata(f).num_row_groups)]
-            else:
-                rgs = _file_rowgroup_tasks(f, gcol, self.bbox, covering)
-            self._tasks.extend(
-                _GpqPartition(f, rg, pv) for rg, keep in rgs if keep
+    # -- Catalyst attribute-filter pushdown (Spark 4.1 Python DataSource) --
+
+    _PUSH_VAL_TYPES = (int, float, bool, str)
+
+    def pushFilters(self, filters):
+        """Accept simple comparisons on top-level non-geometry columns;
+        accepted filters are FULLY applied here (row-group stats pruning
+        in partitions() + exact row-level evaluation in read()), so Spark
+        drops them from its own post-scan filter. The geometry bbox
+        filter stays option-driven — ST_* predicates never reach the V2
+        filter API."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        simple = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                  LessThanOrEqual)
+        names = {f.name for f in self.schema.fields}
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            ok = (
+                attr is not None
+                and len(attr) == 1
+                and attr[0] in names
+                and attr[0] != self.gcol
             )
+            if ok and isinstance(f, simple):
+                ok = isinstance(f.value, self._PUSH_VAL_TYPES)
+            elif ok and isinstance(f, In):
+                ok = all(isinstance(v, self._PUSH_VAL_TYPES)
+                         for v in f.value)
+            elif ok and isinstance(f, (IsNull, IsNotNull)):
+                pass
+            elif ok:
+                ok = False
+            if ok:
+                self.pushed.append(f)
+            else:
+                yield f  # Spark keeps evaluating it
+
+    @staticmethod
+    def _rg_possibly_matches(stats_by_col, flt):
+        """False only when footer statistics PROVE no row in the row
+        group satisfies ``flt``. Strings are never range-pruned (parquet
+        byte-array stats may be writer-truncated); numeric min/max are
+        exact."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        col = flt.attribute[0]
+        st = stats_by_col.get(col)
+        if st is None:
+            return True
+        n_values, null_count, mn, mx = st
+        all_null = null_count is not None and null_count == n_values
+        if isinstance(flt, IsNull):
+            return null_count is None or null_count > 0
+        if isinstance(flt, IsNotNull):
+            return not all_null
+        if all_null:
+            return False  # comparisons never match NULL
+        numeric = isinstance(mn, (int, float)) and not isinstance(mn, bool)
+        if mn is None or mx is None or not numeric:
+            return True
+        v = getattr(flt, "value", None)
+        if isinstance(flt, EqualTo):
+            return isinstance(v, (int, float)) and mn <= v <= mx
+        if isinstance(flt, In):
+            return any(isinstance(x, (int, float)) and mn <= x <= mx
+                       for x in flt.value)
+        if not isinstance(v, (int, float)):
+            return True
+        if isinstance(flt, GreaterThan):
+            return mx > v
+        if isinstance(flt, GreaterThanOrEqual):
+            return mx >= v
+        if isinstance(flt, LessThan):
+            return mn < v
+        if isinstance(flt, LessThanOrEqual):
+            return mn <= v
+        return True
+
+    @staticmethod
+    def _row_matches(value, flt):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        if isinstance(flt, IsNull):
+            return value is None
+        if isinstance(flt, IsNotNull):
+            return value is not None
+        if value is None:
+            return False
+        try:
+            if isinstance(flt, EqualTo):
+                return value == flt.value
+            if isinstance(flt, In):
+                return value in flt.value
+            if isinstance(flt, GreaterThan):
+                return value > flt.value
+            if isinstance(flt, GreaterThanOrEqual):
+                return value >= flt.value
+            if isinstance(flt, LessThan):
+                return value < flt.value
+            if isinstance(flt, LessThanOrEqual):
+                return value <= flt.value
+        except TypeError:
+            return False
+        return True
+
+    def _hive_prunes(self, part_vals):
+        """True when an accepted filter on a hive partition column proves
+        the whole file can't match (values surface as strings)."""
+        from pyspark.sql.datasource import EqualTo, In, IsNull
+
+        for f in self.pushed:
+            col = f.attribute[0]
+            if col not in part_vals:
+                continue
+            v = part_vals[col]
+            if isinstance(f, EqualTo) and v != str(f.value):
+                return True
+            if isinstance(f, In) and v not in {str(x) for x in f.value}:
+                return True
+            if isinstance(f, IsNull):
+                return True  # hive values are never null here
+        return False
 
     def partitions(self):
-        return self._tasks or [_GpqPartition(None, -1, {})]
+        import pyarrow.parquet as pq
+
+        from .geoparquet import _file_rowgroup_tasks, _hive_partition_values
+
+        file_cols = {
+            f.attribute[0] for f in self.pushed
+        }
+        tasks = []
+        for f in self.parts:
+            pv = _hive_partition_values(f, self.root)
+            if self.pushed and self._hive_prunes(pv):
+                continue
+            md = pq.read_metadata(f)
+            if self.bbox is None:
+                rgs = [(rg, True) for rg in range(md.num_row_groups)]
+            else:
+                rgs = _file_rowgroup_tasks(f, self.gcol, self.bbox,
+                                           self.covering)
+            want_stats = [c for c in file_cols if c not in pv]
+            for rg, keep in rgs:
+                if not keep:
+                    continue
+                if want_stats:
+                    rgmd = md.row_group(rg)
+                    stats = {}
+                    for ci in range(rgmd.num_columns):
+                        cc = rgmd.column(ci)
+                        name = cc.path_in_schema
+                        if name in want_stats and cc.statistics is not None:
+                            s = cc.statistics
+                            stats[name] = (
+                                rgmd.num_rows, s.null_count,
+                                s.min if s.has_min_max else None,
+                                s.max if s.has_min_max else None,
+                            )
+                    if not all(
+                        self._rg_possibly_matches(stats, flt)
+                        for flt in self.pushed
+                        if flt.attribute[0] in want_stats
+                    ):
+                        continue
+                tasks.append(_GpqPartition(f, rg, pv))
+        return tasks or [_GpqPartition(None, -1, {})]
 
     def read(self, partition):
         if partition.file is None:
@@ -363,20 +545,26 @@ class _GpqReader(DataSourceReader):
         gcol = self.gcol
         names = [f.name for f in self.schema.fields]
         file_cols = [n for n in names if n not in partition.part_vals]
+        # a fully-pushed filter's column may have been pruned from the
+        # projected schema — read it anyway so the filter can be applied
+        for flt in self.pushed:
+            c = flt.attribute[0]
+            if c not in file_cols and c not in partition.part_vals:
+                file_cols.append(c)
         tbl = pq.ParquetFile(partition.file).read_row_group(
             partition.rg, columns=file_cols
         )
         cols = {n: tbl.column(n).to_pylist() for n in file_cols}
-        if self.enc != "WKB":
+        if gcol in cols and self.enc != "WKB":
             from ..functions import kernels as K
             import pandas as pd
 
             cols[gcol] = list(K.k_from_native(pd.Series(cols[gcol]), self.enc))
-        else:
+        elif gcol in cols:
             cols[gcol] = [bytes(v) if v is not None else None for v in cols[gcol]]
         n = tbl.num_rows
         keep = [True] * n
-        if self.bbox is not None:
+        if self.bbox is not None and gcol in cols:
             bx0, by0, bx1, by1 = self.bbox
             for i, v in enumerate(cols[gcol]):
                 if v is None:
@@ -389,6 +577,18 @@ class _GpqReader(DataSourceReader):
         for k, v in partition.part_vals.items():
             if k in names:
                 cols[k] = [v] * n
+        # accepted pushed filters are FULLY applied here (the contract:
+        # Spark no longer re-evaluates them post-scan)
+        for flt in self.pushed:
+            col = flt.attribute[0]
+            vals = cols.get(col)
+            if vals is None and col in partition.part_vals:
+                vals = [partition.part_vals[col]] * n
+            if vals is None:
+                continue
+            for i in range(n):
+                if keep[i] and not self._row_matches(vals[i], flt):
+                    keep[i] = False
         for i in range(n):
             if keep[i]:
                 yield tuple(cols[c][i] for c in names)
@@ -405,6 +605,12 @@ def register_datasources(spark):
     registry = getattr(spark, "dataSource", None)
     if registry is None:
         return  # Spark < 4: Python DataSource API unavailable
+    try:
+        # _GpqReader implements pushFilters(); Spark refuses to plan a
+        # reader that defines it while the feature flag is off
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # Spark 4.0: conf (and pushFilters) don't exist yet
     for src in (FlatGeobufDataSource, ShapefileDataSource, GeoParquetDataSource):
         try:
             registry.register(src)

@@ -297,3 +297,80 @@ def test_geoparquet_python_datasource_wkb_covering(tmp_path, spark):
     assert ds.columns == ["id", "geometry"]
     got = sorted(r.id for r in ds.collect())
     assert got == list(range(100, 201))
+
+
+def test_geoparquet_datasource_filter_pushdown(tmp_path, spark):
+    """Catalyst attribute filters reach the Python DataSource
+    (pushFilters, Spark 4.1): `id` range predicates prune row groups from
+    footer stats, results match the unpushed plan exactly, and the
+    accepted filters are fully applied (no double-filter drift)."""
+    import geoarrow_rs_spark as gs
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+        StringStartsWith,
+    )
+    from geoarrow_rs_spark.io.datasource import GeoParquetDataSource
+
+    gs.register_all(spark)
+    f = str(tmp_path / "pts.parquet")
+    _write_separated_points(f)  # ids 0..999, 10 row groups of 100, sorted
+
+    ds = spark.read.format("geoparquet").load(f)
+    got = sorted(r.id for r in ds.where("id >= 250 AND id < 420").collect())
+    assert got == list(range(250, 420))
+    # filter + projection that drops the filter column
+    n = ds.where("id < 130").selectExpr("ST_X(geometry) AS x").count()
+    assert n == 130
+
+    # reader-level: stats pruning keeps only the row groups that can match
+    src = GeoParquetDataSource({"path": f})
+    rdr = src.reader(src.schema())
+    leftover = list(rdr.pushFilters(
+        [GreaterThanOrEqual(("id",), 250), LessThan(("id",), 420),
+         StringStartsWith(("id",), "x")]  # unsupported -> returned
+    ))
+    assert len(leftover) == 1 and isinstance(leftover[0], StringStartsWith)
+    parts = rdr.partitions()
+    assert len(parts) == 3  # row groups [200,300), [300,400), [400,500)
+    rows = [r for p in parts for r in rdr.read(p)]
+    ids = sorted(r[0] for r in rows)
+    assert ids == list(range(250, 420))
+
+    # IsNotNull never prunes a fully-populated column; EqualTo outside the
+    # id range prunes everything
+    src2 = GeoParquetDataSource({"path": f})
+    r2 = src2.reader(src2.schema())
+    assert list(r2.pushFilters([IsNotNull(("id",)), EqualTo(("id",), 5000)])) == []
+    parts2 = r2.partitions()
+    assert len(parts2) == 1 and parts2[0].file is None  # empty sentinel
+
+
+def test_geoparquet_datasource_hive_filter_prunes_files(tmp_path, spark):
+    """Equality on a hive partition column prunes whole directories at
+    planning time, composed with the bbox row-group pruning."""
+    import geoarrow_rs_spark as gs
+    from pyspark.sql.datasource import EqualTo
+    from geoarrow_rs_spark.io.datasource import GeoParquetDataSource
+
+    gs.register_all(spark)
+    root = tmp_path / "ds"
+    for reg in ("east", "west"):
+        d = root / f"region={reg}"
+        d.mkdir(parents=True)
+        _write_separated_points(str(d / "part.parquet"), n=300,
+                                row_group_size=100)
+
+    ds = spark.read.format("geoparquet").load(str(root))
+    got = ds.where("region = 'east' AND id < 150")
+    assert got.count() == 150
+    assert {r.region for r in got.collect()} == {"east"}
+
+    src = GeoParquetDataSource({"path": str(root)})
+    rdr = src.reader(src.schema())
+    assert list(rdr.pushFilters([EqualTo(("region",), "west")])) == []
+    parts = rdr.partitions()
+    assert len(parts) == 3  # west's 3 row groups only
+    assert all("region=west" in p.file for p in parts)
