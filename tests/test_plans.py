@@ -597,3 +597,44 @@ def test_domain_plan_broadcast_is_size_gated(spark, sf_dir):
             assert "CartesianProduct" not in _plan(df)
     finally:
         S._PLAN_BROADCAST_MAX_BYTES = saved
+
+
+def test_geoparquet_datasource_pushed_filter_leaves_plan(spark, tmp_path):
+    """A fully-pushed attribute filter must DISAPPEAR from the executed
+    plan (no Filter node above the Python BatchScan) — proof Spark
+    accepted the pushFilters contract and isn't double-evaluating."""
+    import json
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import geoarrow_rs_spark as gs
+
+    gs.register_all(spark)
+    xs = [float(i) for i in range(1000)]
+    coords = pa.StructArray.from_arrays(
+        [pa.array(xs), pa.array([x % 50 for x in xs])], ["x", "y"]
+    )
+    tbl = pa.table({"id": pa.array(list(range(1000))), "geometry": coords})
+    tbl = tbl.replace_schema_metadata({b"geo": json.dumps({
+        "version": "1.1.0", "primary_column": "geometry",
+        "columns": {"geometry": {"encoding": "point",
+                                 "geometry_types": ["Point"]}},
+    })})
+    f = str(tmp_path / "pts.parquet")
+    pq.write_table(tbl, f, row_group_size=100)
+
+    ds = spark.read.format("geoparquet").load(f).where(
+        "id >= 250 AND id < 420"
+    )
+    plan = ds._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan geoparquet" in plan
+    # fully pushed, not re-evaluated ("RuntimeFilters:" is not a node)
+    assert re.search(r"Filter \(", plan) is None
+    assert ds.count() == 170
+
+    # an UNSUPPORTED predicate (arithmetic) must stay in the plan
+    ds2 = spark.read.format("geoparquet").load(f).where("id % 2 = 0")
+    plan2 = ds2._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Filter \(", plan2) is not None
+    assert ds2.count() == 500
