@@ -30,6 +30,95 @@ from pyspark.sql.types import BinaryType, StructField, StructType
 _CHUNK = 20000  # feature offsets per partition (matches read_flatgeobuf)
 
 
+class _AttrFilterMixin:
+    """Shared Catalyst attribute-filter pushdown (Spark 4.1 pushFilters)
+    for the Python sources: accept simple comparisons / In / IsNull /
+    IsNotNull on non-geometry columns and apply them EXACTLY, row-level,
+    inside read() — rows drop before WKB encode + Arrow transfer. Readers
+    with planning statistics (GeoParquet) additionally prune partitions.
+
+    Subclasses set ``self.pushed = []`` in __init__ and define
+    ``_filterable_names()``."""
+
+    _PUSH_VAL_TYPES = (int, float, bool, str)
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        simple = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                  LessThanOrEqual)
+        names = self._filterable_names()
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            ok = attr is not None and len(attr) == 1 and attr[0] in names
+            if ok and isinstance(f, simple):
+                ok = isinstance(f.value, self._PUSH_VAL_TYPES)
+            elif ok and isinstance(f, In):
+                ok = all(isinstance(v, self._PUSH_VAL_TYPES)
+                         for v in f.value)
+            elif ok and isinstance(f, (IsNull, IsNotNull)):
+                pass
+            elif ok:
+                ok = False
+            if ok:
+                self.pushed.append(f)
+            else:
+                yield f  # Spark keeps evaluating it
+
+    @staticmethod
+    def _row_matches(value, flt):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        if isinstance(flt, IsNull):
+            return value is None
+        if isinstance(flt, IsNotNull):
+            return value is not None
+        if value is None:
+            return False
+        try:
+            if isinstance(flt, EqualTo):
+                return value == flt.value
+            if isinstance(flt, In):
+                return value in flt.value
+            if isinstance(flt, GreaterThan):
+                return value > flt.value
+            if isinstance(flt, GreaterThanOrEqual):
+                return value >= flt.value
+            if isinstance(flt, LessThan):
+                return value < flt.value
+            if isinstance(flt, LessThanOrEqual):
+                return value <= flt.value
+        except TypeError:
+            return False
+        return True
+
+    def _props_pass(self, getval):
+        """Evaluate every accepted filter; ``getval(col)`` supplies the
+        row's value for a column."""
+        for flt in self.pushed:
+            if not self._row_matches(getval(flt.attribute[0]), flt):
+                return False
+        return True
+
+
 class _FgbPartition(InputPartition):
     def __init__(self, extents):
         self.extents = extents  # [(off, end)]
@@ -69,18 +158,22 @@ class FlatGeobufDataSource(DataSource):
         return _FgbReader(self._path(), self.options, schema)
 
 
-class _FgbReader(DataSourceReader):
+class _FgbReader(_AttrFilterMixin, DataSourceReader):
     def __init__(self, path, options, schema):
         from .flatgeobuf import _plan_fgb
 
         self.path = path
         self.schema = schema
+        self.pushed = []
         self.bbox = None
         if options.get("bbox"):
             self.bbox = tuple(float(v) for v in options["bbox"].split(","))
         # plan at construction: the reader object is pickled to executors,
         # so header + extents computed here ship with it
         self._header, self._extents = _plan_fgb(path, self.bbox)
+
+    def _filterable_names(self):
+        return {f.name for f in self.schema.fields[:-1]}  # props only
 
     def partitions(self):
         extents = self._extents
@@ -121,6 +214,8 @@ class _FgbReader(DataSourceReader):
                         ):
                             continue
                     props = _decode_properties(feat.vector_bytes(1), cols_meta)
+                    if self.pushed and not self._props_pass(props.get):
+                        continue  # dropped before WKB encode + transfer
                     yield tuple(
                         [props.get(n) for n in prop_names]
                         + [wc.to_wkb(geom) if geom is not None else None]
@@ -181,13 +276,14 @@ class ShapefileDataSource(DataSource):
         return _ShpReader(*self._paths(), schema)
 
 
-class _ShpReader(DataSourceReader):
+class _ShpReader(_AttrFilterMixin, DataSourceReader):
     def __init__(self, shp_path, dbf_path, schema):
         from .shapefile import _read_dbf_header, _read_shx
 
         self.shp_path = shp_path
         self.dbf_path = dbf_path
         self.schema = schema
+        self.pushed = []
         import os
 
         self._index = _read_shx(os.path.splitext(shp_path)[0] + ".shx")
@@ -197,6 +293,9 @@ class _ShpReader(DataSourceReader):
             _, hsize, rsize, fields = _read_dbf_header(dbf_path)
             self._dbf_meta = (hsize, rsize)
             self._fields = fields
+
+    def _filterable_names(self):
+        return {n for (n, _t, _l, _d) in self._fields}
 
     def partitions(self):
         recs = [
@@ -210,10 +309,9 @@ class _ShpReader(DataSourceReader):
         from .shapefile import _decode_record, _parse_dbf_value
 
         dbf = open(self.dbf_path, "rb") if self.dbf_path else None
+        names = [n for (n, _t, _l, _d) in self._fields]
         with open(self.shp_path, "rb") as shp:
             for rid, off, length in partition.records:
-                shp.seek(off + 8)
-                geom = _decode_record(shp.read(length))
                 vals = []
                 if dbf is not None:
                     hsize, rsize = self._dbf_meta
@@ -223,6 +321,14 @@ class _ShpReader(DataSourceReader):
                     for (n, t, l, d) in self._fields:
                         vals.append(_parse_dbf_value(raw[pos : pos + l], t, d))
                         pos += l
+                # dbf attributes filter BEFORE the geometry record is even
+                # read — pushed predicates skip the .shp seek entirely
+                if self.pushed:
+                    row = dict(zip(names, vals))
+                    if not self._props_pass(row.get):
+                        continue
+                shp.seek(off + 8)
+                geom = _decode_record(shp.read(length))
                 vals.append(wc.to_wkb(geom) if geom is not None else None)
                 yield tuple(vals)
         if dbf is not None:
@@ -321,7 +427,13 @@ class GeoParquetDataSource(DataSource):
         return _GpqReader(self._plan_meta(), self.options, schema)
 
 
-class _GpqReader(DataSourceReader):
+class _GpqReader(_AttrFilterMixin, DataSourceReader):
+    """Accepted filters are FULLY applied: row-group stats pruning +
+    hive-directory pruning in partitions(), exact row-level evaluation in
+    read() — so Spark drops them from its post-scan Filter. The geometry
+    bbox filter stays option-driven; ST_* predicates never reach the V2
+    filter API."""
+
     def __init__(self, plan_meta, options, schema):
         import os
 
@@ -338,52 +450,8 @@ class _GpqReader(DataSourceReader):
             self.bbox = tuple(float(v) for v in options["bbox"].split(","))
         self.pushed = []  # accepted attribute Filters (AND semantics)
 
-    # -- Catalyst attribute-filter pushdown (Spark 4.1 Python DataSource) --
-
-    _PUSH_VAL_TYPES = (int, float, bool, str)
-
-    def pushFilters(self, filters):
-        """Accept simple comparisons on top-level non-geometry columns;
-        accepted filters are FULLY applied here (row-group stats pruning
-        in partitions() + exact row-level evaluation in read()), so Spark
-        drops them from its own post-scan filter. The geometry bbox
-        filter stays option-driven — ST_* predicates never reach the V2
-        filter API."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            IsNotNull,
-            IsNull,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        simple = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
-                  LessThanOrEqual)
-        names = {f.name for f in self.schema.fields}
-        for f in filters:
-            attr = getattr(f, "attribute", None)
-            ok = (
-                attr is not None
-                and len(attr) == 1
-                and attr[0] in names
-                and attr[0] != self.gcol
-            )
-            if ok and isinstance(f, simple):
-                ok = isinstance(f.value, self._PUSH_VAL_TYPES)
-            elif ok and isinstance(f, In):
-                ok = all(isinstance(v, self._PUSH_VAL_TYPES)
-                         for v in f.value)
-            elif ok and isinstance(f, (IsNull, IsNotNull)):
-                pass
-            elif ok:
-                ok = False
-            if ok:
-                self.pushed.append(f)
-            else:
-                yield f  # Spark keeps evaluating it
+    def _filterable_names(self):
+        return {f.name for f in self.schema.fields} - {self.gcol}
 
     @staticmethod
     def _rg_possibly_matches(stats_by_col, flt):
@@ -433,42 +501,6 @@ class _GpqReader(DataSourceReader):
             return mn < v
         if isinstance(flt, LessThanOrEqual):
             return mn <= v
-        return True
-
-    @staticmethod
-    def _row_matches(value, flt):
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            IsNotNull,
-            IsNull,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        if isinstance(flt, IsNull):
-            return value is None
-        if isinstance(flt, IsNotNull):
-            return value is not None
-        if value is None:
-            return False
-        try:
-            if isinstance(flt, EqualTo):
-                return value == flt.value
-            if isinstance(flt, In):
-                return value in flt.value
-            if isinstance(flt, GreaterThan):
-                return value > flt.value
-            if isinstance(flt, GreaterThanOrEqual):
-                return value >= flt.value
-            if isinstance(flt, LessThan):
-                return value < flt.value
-            if isinstance(flt, LessThanOrEqual):
-                return value <= flt.value
-        except TypeError:
-            return False
         return True
 
     def _hive_prunes(self, part_vals):

@@ -374,3 +374,45 @@ def test_geoparquet_datasource_hive_filter_prunes_files(tmp_path, spark):
     parts = rdr.partitions()
     assert len(parts) == 3  # west's 3 row groups only
     assert all("region=west" in p.file for p in parts)
+
+
+def test_fgb_and_shapefile_datasource_filter_pushdown(tmp_path, spark):
+    """Attribute filters push into the FGB and Shapefile Python sources:
+    rows drop source-side (before WKB encode / geometry decode), the
+    filter leaves Spark's executed plan, and results equal the unpushed
+    baseline."""
+    import re
+
+    import geoarrow_rs_spark as gs
+    from pyspark.sql import Row
+
+    gs.register_all(spark)
+
+    # FlatGeobuf: reference countries fixture (179 rows, 'id'/'name' props)
+    fgb = "/root/reference/fixtures/flatgeobuf/countries.fgb"
+    base = spark.read.format("flatgeobuf").load(fgb)
+    prop = [c for c in base.columns if c != "geometry"][0]
+    sample = [r[0] for r in base.select(prop).limit(3).collect()]
+    pushed = base.where(base[prop] == sample[0])
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Filter \(", plan) is None  # fully pushed
+    want = [r for r in base.collect() if r[prop] == sample[0]]
+    assert sorted(r[prop] for r in pushed.collect()) == sorted(
+        r[prop] for r in want
+    ) and len(want) > 0
+
+    # Shapefile: repo-written file, numeric range + string equality
+    from geoarrow_rs_spark.io import write_shapefile
+
+    df = spark.createDataFrame(
+        [Row(name=f"n{i % 4}", value=i,
+             wkt=f"POINT ({float(i)} {float(i % 7)})") for i in range(200)]
+    ).selectExpr("name", "value", "ST_GeomFromWKT(wkt) AS geometry")
+    shp = str(tmp_path / "pts.shp")
+    write_shapefile(df, shp)
+    ds = spark.read.format("shapefile").load(shp)
+    out = ds.where("value >= 50 AND value < 120 AND name = 'n1'")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Filter \(", plan) is None
+    got = sorted(r.value for r in out.collect())
+    assert got == [v for v in range(50, 120) if v % 4 == 1]
