@@ -29,6 +29,51 @@ from pyspark.sql.types import BinaryType, StructField, StructType
 
 _CHUNK = 20000  # feature offsets per partition (matches read_flatgeobuf)
 
+# SQL catalog tables (CREATE TABLE ... USING <source>) reach schema()
+# with the full option map but reach reader() with an EMPTY one in this
+# Spark build — only the schema survives the catalog round trip. So
+# schema() stamps the reader-relevant options into the first field's
+# metadata and reader() recovers them when its own options are bare.
+_OPT_STAMP_KEY = "__geoarrow_source_options"
+
+
+def _strip_file_scheme(p):
+    """Catalog tables URI-ize paths ('file:/x' or 'file:///x')."""
+    if p and p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _stamp_options(schema, options, keys):
+    rel = {k: str(options[k]) for k in keys if options.get(k)}
+    if not schema.fields or not rel:
+        return schema
+    f0 = schema.fields[0]
+    md = dict(f0.metadata or {})
+    md[_OPT_STAMP_KEY] = rel
+    return StructType(
+        [StructField(f0.name, f0.dataType, f0.nullable, md)]
+        + list(schema.fields[1:])
+    )
+
+
+def _recover_options(options, schema):
+    """Reader-side twin of _stamp_options: prefer live options (the
+    DataFrame-reader path), fall back to the stamped copy (catalog
+    tables)."""
+    if options.get("path"):
+        return options
+    for f in schema.fields:
+        md = f.metadata or {}
+        if _OPT_STAMP_KEY in md:
+            merged = dict(md[_OPT_STAMP_KEY])
+            for k, v in dict(options).items():
+                merged[k] = v
+            return merged
+    return options
+
 
 class _AttrFilterMixin:
     """Shared Catalyst attribute-filter pushdown (Spark 4.1 pushFilters)
@@ -134,7 +179,7 @@ class FlatGeobufDataSource(DataSource):
         return "flatgeobuf"
 
     def _path(self):
-        p = self.options.get("path")
+        p = _strip_file_scheme(self.options.get("path"))
         if not p:
             raise ValueError("flatgeobuf: .load(path) or .option('path', ...) required")
         return p
@@ -152,9 +197,13 @@ class FlatGeobufDataSource(DataSource):
             for c in header["columns"]
             if want is None or c["name"] in want
         ]
-        return StructType(fields + [StructField(geometry_col, BinaryType())])
+        out = StructType(fields + [StructField(geometry_col, BinaryType())])
+        return _stamp_options(
+            out, self.options, ("path", "bbox", "columns", "geometry_col")
+        )
 
     def reader(self, schema):
+        self.options = _recover_options(self.options, schema)
         return _FgbReader(self._path(), self.options, schema)
 
 
@@ -237,14 +286,16 @@ class ShapefileDataSource(DataSource):
         return "shapefile"
 
     def _paths(self):
-        p = self.options.get("path")
+        p = _strip_file_scheme(self.options.get("path"))
         if not p:
             raise ValueError("shapefile: .load(path.shp) required")
         import os
 
         # splitext, not str.replace: a '.shp' elsewhere in the path (e.g.
         # a directory named data.shp.d) must not be rewritten.
-        dbf = self.options.get("dbf", os.path.splitext(p)[0] + ".dbf")
+        dbf = _strip_file_scheme(
+            self.options.get("dbf") or os.path.splitext(p)[0] + ".dbf"
+        )
         return p, (dbf if os.path.exists(dbf) else None)
 
     def schema(self):
@@ -267,12 +318,16 @@ class ShapefileDataSource(DataSource):
             return StringType()
 
         geometry_col = self.options.get("geometry_col", "geometry")
-        return StructType(
+        out = StructType(
             [StructField(n, sp(t, d)) for (n, t, _l, d) in fields]
             + [StructField(geometry_col, BinaryType())]
         )
+        return _stamp_options(
+            out, self.options, ("path", "dbf", "geometry_col")
+        )
 
     def reader(self, schema):
+        self.options = _recover_options(self.options, schema)
         return _ShpReader(*self._paths(), schema)
 
 
@@ -369,7 +424,7 @@ class GeoParquetDataSource(DataSource):
         p = self.options.get("path")
         if not p:
             raise ValueError("geoparquet: .load(path) or .option('path', ...) required")
-        local = p[len("file://"):] if p.startswith("file://") else p
+        local = _strip_file_scheme(p)
         if "://" in local:
             raise ValueError(
                 "geoparquet data source reads local/file:// paths; use "
@@ -421,9 +476,13 @@ class GeoParquetDataSource(DataSource):
                 from pyspark.sql.types import StringType
 
                 fields.append(StructField(k, StringType()))
-        return StructType(fields)
+        return _stamp_options(
+            StructType(fields), self.options,
+            ("path", "bbox", "columns", "geometry_col"),
+        )
 
     def reader(self, schema):
+        self.options = _recover_options(self.options, schema)
         return _GpqReader(self._plan_meta(), self.options, schema)
 
 

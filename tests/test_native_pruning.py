@@ -416,3 +416,42 @@ def test_fgb_and_shapefile_datasource_filter_pushdown(tmp_path, spark):
     assert re.search(r"Filter \(", plan) is None
     got = sorted(r.value for r in out.collect())
     assert got == [v for v in range(50, 120) if v % 4 == 1]
+
+
+def test_create_table_using_python_sources(tmp_path, spark):
+    """The docstring-claimed SQL surface: CREATE TABLE ... USING
+    geoparquet / flatgeobuf, queried through plain spark.sql with a
+    pushed filter."""
+    import geoarrow_rs_spark as gs
+
+    gs.register_all(spark)
+    f = str(tmp_path / "pts.parquet")
+    _write_separated_points(f, n=500)
+    spark.sql("DROP TABLE IF EXISTS gpq_tbl")
+    spark.sql(
+        f"CREATE TABLE gpq_tbl USING geoparquet OPTIONS (path '{f}')"
+    )
+    try:
+        n = spark.sql(
+            "SELECT count(*) AS n FROM gpq_tbl WHERE id < 120"
+        ).collect()[0]["n"]
+        assert n == 120
+        xs = spark.sql(
+            "SELECT round(ST_X(ST_GeomFromWKB(geometry)), 1) AS x "
+            "FROM gpq_tbl WHERE id = 7"
+        ).collect()
+        assert [r.x for r in xs] == [7.0]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gpq_tbl")
+
+    fgb = "/root/reference/fixtures/flatgeobuf/countries.fgb"
+    spark.sql("DROP TABLE IF EXISTS fgb_tbl")
+    spark.sql(
+        f"CREATE TABLE fgb_tbl USING flatgeobuf OPTIONS (path '{fgb}')"
+    )
+    try:
+        assert spark.sql(
+            "SELECT count(*) AS n FROM fgb_tbl"
+        ).collect()[0]["n"] == 179
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fgb_tbl")
