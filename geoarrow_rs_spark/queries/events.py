@@ -1033,3 +1033,52 @@ SELECT entity, tsn AS ts, CAST(2 AS BIGINT) AS fence_id,
        CASE WHEN m2 THEN 'enter' ELSE 'exit' END AS transition
 FROM lagd WHERE m2 <> p2
 """
+
+
+def events_geofence_dwell(spark, sf_dir):
+    """Dwell-time analytics over geofence transitions: pair each 'enter'
+    with the entity's next 'exit' of the same fence (lead window over the
+    transition stream) and aggregate visits + exact integer dwell
+    nanoseconds per fence. Open visits (still inside at end of data) are
+    counted separately, not guessed. The downstream consumer every
+    geofence system feeds — exact-int arithmetic end to end."""
+    out = events_geofence_transitions(spark, sf_dir)
+    w = Window.partitionBy("entity", "fence_id").orderBy(F.col("ts").asc())
+    paired = (
+        out.withColumn("__next_t", F.lead("transition").over(w))
+        .withColumn("__next_ts", F.lead("ts").over(w))
+        .where(F.col("transition") == "enter")
+    )
+    return paired.groupBy("fence_id").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum(F.when(F.col("__next_t") == "exit", 1).otherwise(0))
+        .cast("long").alias("n_closed"),
+        F.sum(
+            F.when(
+                F.col("__next_t") == "exit",
+                F.col("__next_ts") - F.col("ts"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("dwell_ns"),
+        F.sum(F.when(F.col("__next_t").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_open"),
+    )
+
+
+ORACLE_EVENTS_GEOFENCE_DWELL = f"""
+WITH transitions AS ({ORACLE_EVENTS_GEOFENCE}),
+paired AS (
+  SELECT entity, fence_id, ts, transition,
+         lead(transition) OVER w AS next_t,
+         lead(ts) OVER w AS next_ts
+  FROM transitions
+  WINDOW w AS (PARTITION BY entity, fence_id ORDER BY ts)
+)
+SELECT fence_id,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(SUM(CASE WHEN next_t = 'exit' THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+       CAST(SUM(CASE WHEN next_t = 'exit' THEN next_ts - ts ELSE 0 END) AS BIGINT) AS dwell_ns,
+       CAST(SUM(CASE WHEN next_t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+FROM paired
+WHERE transition = 'enter'
+GROUP BY fence_id
+"""
