@@ -50,8 +50,9 @@ for name in sorted(QUERIES):
 
 hdr = f"""# PARITY_sf01_r06 — FULL-catalog value parity vs DuckDB at sf0.1
 #
-# Refreshed at the end of round 6 (177-entry catalog; round 6 adds
-# events_geofence_transitions and geo_native_pruned_read). Every
+# Refreshed at the end of round 6 (178-entry catalog; round 6 adds
+# events_geofence_transitions, events_geofence_dwell and
+# geo_native_pruned_read). Every
 # queries() entry executed at sf0.1 and compared against its
 # oracle_sql() with the exact order-insensitive value comparator from
 # tests/test_oracle_parity.py (row count + schema + exact values, float
