@@ -643,6 +643,7 @@ def streaming_geofence_transitions(
     y_col: str = "y",
     fence_id_col: str = "fence_id",
     fence_geometry_col: str = "geometry",
+    idle_timeout_ms: int = 0,
 ) -> DataFrame:
     """Stateful geofence ENTER/EXIT detector: a stream of per-entity
     positions against a static polygon layer, emitting one row per
@@ -664,7 +665,11 @@ def streaming_geofence_transitions(
     (broadcast-join contract — geofence layers are dimension-sized);
     per-polygon bbox reject keeps the point test O(candidate polygons).
     The stream shuffles once on entity — the minimum any stateful per-key
-    operator needs.
+    operator needs. On unbounded-churn streams (new entity ids forever)
+    pass ``idle_timeout_ms`` to evict entities idle longer than that
+    processing-time span: state stays O(active entities), and an evicted
+    entity that reappears re-emits 'enter' for every containing fence
+    (cold-start semantics, documented tradeoff).
 
     Batch DataFrames run the identical per-entity walk through
     ``applyInPandas`` (state degenerates to 'no prior history'), so a
@@ -816,7 +821,36 @@ def streaming_geofence_transitions(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    stream_fn = _geofence_stream_fn(walk, idle_timeout_ms)
+
+    return src.groupBy("__entity").applyInPandasWithState(
+        stream_fn,
+        outputStructType=out_schema,
+        stateStructType="fences array<long>, last_ts long",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def _geofence_stream_fn(walk, idle_timeout_ms):
+    """The applyInPandasWithState function for geofence transitions,
+    factored out so the idle-eviction branch is directly unit-testable
+    against a stub GroupState. ``walk(rows, prev, last_ts)`` is the
+    vectorized per-entity pass from streaming_geofence_transitions."""
+    import pandas as pd
+
     def stream_fn(key, pdfs, state):
+        if getattr(state, "hasTimedOut", False):
+            # idle entity: drop its membership; if it reappears, its next
+            # position re-emits 'enter' for every containing fence (the
+            # documented cold-start semantics) — state stays O(ACTIVE
+            # entities) on unbounded-churn streams
+            state.remove()
+            return
         if state.exists:
             fence_list, last_ts = state.get
             prev = set(int(f) for f in fence_list)
@@ -829,13 +863,9 @@ def streaming_geofence_transitions(
             frame, prev, last_ts = walk(rows, prev, last_ts)
             if last_ts is not None:
                 state.update((sorted(prev), last_ts))
+                if idle_timeout_ms:
+                    state.setTimeoutDuration(int(idle_timeout_ms))
             if len(frame):
                 yield frame
 
-    return src.groupBy("__entity").applyInPandasWithState(
-        stream_fn,
-        outputStructType=out_schema,
-        stateStructType="fences array<long>, last_ts long",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return stream_fn

@@ -921,3 +921,103 @@ def test_streaming_geofence_rejects_non_polygon_layer(spark):
         streaming_geofence_transitions(
             spark.createDataFrame(_walk_rows()), bad
         )
+
+
+class _StubState:
+    """Minimal GroupState stand-in for driving _geofence_stream_fn."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_geofence_idle_eviction_branch():
+    """The ProcessingTimeTimeout branch: a timed-out entity's state is
+    removed and nothing is emitted; a live batch under idle_timeout_ms
+    re-arms the timeout after updating state."""
+    import pandas as pd
+
+    from geoarrow_rs_spark.streaming.ops import _geofence_stream_fn
+
+    def walk(rows, prev, last_ts):
+        frame = pd.DataFrame(
+            {"entity": ["e"], "ts": [7], "fence_id": [1],
+             "transition": ["enter"]}
+        )
+        return frame, {1}, 7
+
+    fn = _geofence_stream_fn(walk, idle_timeout_ms=60000)
+
+    # timed-out call: state dropped, no output
+    st = _StubState(value=([1, 2], 5), timed_out=True)
+    assert list(fn(("e",), iter([]), st)) == []
+    assert st.removed and not st.exists
+
+    # live call: state updated from the walk and the timeout re-armed
+    st2 = _StubState()
+    rows = pd.DataFrame({"__entity": ["e"], "__ts": [7],
+                         "__x": [0.0], "__y": [0.0]})
+    out = list(fn(("e",), iter([rows]), st2))
+    assert len(out) == 1 and out[0]["transition"].tolist() == ["enter"]
+    assert st2.get == ([1], 7)
+    assert st2.timeout_set == 60000
+
+    # without idle_timeout_ms no timeout is armed
+    fn0 = _geofence_stream_fn(walk, idle_timeout_ms=0)
+    st3 = _StubState()
+    list(fn0(("e",), iter([rows]), st3))
+    assert st3.timeout_set is None
+
+
+def test_geofence_idle_timeout_stream_matches_batch(spark, tmp_path):
+    """With a generous idle_timeout_ms (never reached inside one
+    availableNow run) the streamed transitions equal the batch twin —
+    eviction must not perturb normal operation."""
+    import time
+
+    from geoarrow_rs_spark.streaming import streaming_geofence_transitions
+
+    src = os.path.join(str(tmp_path), "positions")
+    rows = _walk_rows()
+    spark.createDataFrame(rows[:4]).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(rows[4:]).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_geofence_transitions(
+        stream, _fence_layer(spark), idle_timeout_ms=3_600_000
+    )
+    q = (
+        out.writeStream.format("memory").queryName("geofence_idle")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r["entity"], r["ts"], r["fence_id"], r["transition"])
+           for r in spark.sql("SELECT * FROM geofence_idle").collect()}
+    assert got == EXPECT_TRANSITIONS
