@@ -86,12 +86,21 @@ def streaming_dedup(
     text_col: str = "text",
     watermark_col: str = None,
     watermark: str = "2 hours",
+    state_ttl_ms: int = 0,
 ) -> DataFrame:
     """Custom stateful operator: exact dedup across a stream. Rows are
     grouped by content digest; per-digest state records whether the digest
     was already emitted, so only the FIRST occurrence ever passes downstream
     (``applyInPandasWithState`` — the stateful-op vehicle Structured
     Streaming provides for semantics Spark lacks natively).
+
+    Exact dedup over an unbounded horizon fundamentally needs unbounded
+    state; on infinite streams pass ``state_ttl_ms`` for the standard
+    bounded-memory compromise — a SLIDING processing-time TTL per digest
+    (re-armed every time the digest is touched), so only digests unseen
+    for the TTL span are evicted and a later duplicate re-emits (the
+    same contract as dropDuplicatesWithinWatermark, but by idle time
+    rather than event time).
 
     Works on batch DataFrames too (state degenerates to per-group first)."""
     from pyspark.sql import functions as F
@@ -109,28 +118,46 @@ def streaming_dedup(
         )
         return first.select("__row.*")
 
-    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = df.schema
-
-    def dedup_fn(key, pdfs, state):
-        if state.exists:
-            return iter([])
-        emitted = False
-        for pdf in pdfs:
-            if len(pdf) and not emitted:
-                emitted = True
-                state.update((1,))
-                yield pdf.head(1).drop(columns=["__digest"])
+    dedup_fn = _dedup_stream_fn(state_ttl_ms)
 
     return src.groupBy("__digest").applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType="seen int",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )
+
+
+def _dedup_stream_fn(state_ttl_ms):
+    """streaming_dedup's state function, factored out so the TTL branches
+    are unit-testable against a stub GroupState."""
+
+    def dedup_fn(key, pdfs, state):
+        if getattr(state, "hasTimedOut", False):
+            state.remove()  # idle digest: forget; a later dup re-emits
+            return
+        if state.exists:
+            if state_ttl_ms:
+                state.setTimeoutDuration(int(state_ttl_ms))  # sliding TTL
+            return
+        emitted = False
+        for pdf in pdfs:
+            if len(pdf) and not emitted:
+                emitted = True
+                state.update((1,))
+                if state_ttl_ms:
+                    state.setTimeoutDuration(int(state_ttl_ms))
+                yield pdf.head(1).drop(columns=["__digest"])
+
+    return dedup_fn
 
 
 def streaming_asof_join(

@@ -1021,3 +1021,66 @@ def test_geofence_idle_timeout_stream_matches_batch(spark, tmp_path):
     got = {(r["entity"], r["ts"], r["fence_id"], r["transition"])
            for r in spark.sql("SELECT * FROM geofence_idle").collect()}
     assert got == EXPECT_TRANSITIONS
+
+
+def test_streaming_dedup_ttl_branches():
+    """_dedup_stream_fn TTL contract: timed-out digests drop state and
+    emit nothing; a seen digest re-arms the sliding TTL and stays
+    suppressed; the first occurrence arms the TTL when configured."""
+    import pandas as pd
+
+    from geoarrow_rs_spark.streaming.ops import _dedup_stream_fn
+
+    fn = _dedup_stream_fn(state_ttl_ms=30000)
+    pdf = pd.DataFrame({"text": ["a", "a"], "__digest": ["d", "d"]})
+
+    # timeout fires -> state removed, nothing emitted
+    st = _StubState(value=(1,), timed_out=True)
+    assert list(fn(("d",), iter([pdf]), st) or []) == []
+    assert st.removed
+
+    # already seen -> suppressed, TTL re-armed (sliding)
+    st2 = _StubState(value=(1,))
+    assert list(fn(("d",), iter([pdf]), st2) or []) == []
+    assert st2.timeout_set == 30000
+
+    # first occurrence -> one row out, state + TTL armed
+    st3 = _StubState()
+    out = list(fn(("d",), iter([pdf]), st3))
+    assert len(out) == 1 and len(out[0]) == 1
+    assert st3.get == (1,) and st3.timeout_set == 30000
+
+    # without TTL no timeout is armed anywhere
+    fn0 = _dedup_stream_fn(state_ttl_ms=0)
+    st4 = _StubState()
+    list(fn0(("d",), iter([pdf]), st4))
+    assert st4.timeout_set is None
+
+
+def test_streaming_dedup_ttl_stream_matches_untimed(spark, tmp_path):
+    """A generous TTL (never reached within one availableNow run) leaves
+    the deduped stream identical to the untimed operator."""
+    import time
+
+    from geoarrow_rs_spark.streaming import streaming_dedup
+
+    rows = [Row(doc_id=i, text=f"t{i % 7}") for i in range(50)]
+    src = os.path.join(str(tmp_path), "dd_src")
+    spark.createDataFrame(rows[:25]).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(rows[25:]).coalesce(1).write.mode(
+        "append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream, "text", state_ttl_ms=3_600_000)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_ttl")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT text FROM dedup_ttl").collect()
+    assert sorted(r.text for r in got) == [f"t{i}" for i in range(7)]
