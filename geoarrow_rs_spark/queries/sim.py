@@ -1058,3 +1058,76 @@ SELECT qid AS query_id, vid AS neighbor_id, adc_d2, CAST(rn AS INT) AS rank FROM
 
 
 ORACLE_SIM_IVFPQ = _ivfpq_oracle_sql()
+
+
+def sim_ivf_recall(spark, sf_dir):
+    """Retrieval-quality evaluation: recall@5 of the SRP-IVF multiprobe
+    retriever (sim_ivf_topk's pipeline) against the exact float-cosine
+    top-5 per query — the measurement that justifies nprobe/n_planes
+    choices before a 100 TB rollout. A k-row equi-join of two top-k
+    tables; evaluation never rescans the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    corpus = e.where(F.col("vec_id") >= 8)
+    ivf = similarity.ivf_topk(q, corpus, k=5, n_planes=6, probe_radius=1) \
+        .select("query_id", "neighbor_id")
+    ex = similarity.cosine_topk(q, corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ivf.join(ex, ["query_id", "neighbor_id"]).groupBy("query_id").count()
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("count"), F.lit(0)) / F.lit(5.0))
+            .alias("recall_at_5"),
+        )
+    )
+
+
+def _ivf_recall_oracle_sql(n_planes: int = 6) -> str:
+    flips = ", ".join(
+        f"substr(b, 1, {j}) || (CASE WHEN substr(b, {j + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(b, {j + 2})"
+        for j in range(n_planes)
+    )
+    return f"""
+WITH withb AS (
+  SELECT vec_id, embedding, {_srp_bucket_sql('embedding', n_planes)} AS b FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, unnest([b, {flips}]) AS probe
+  FROM withb WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, b FROM withb WHERE vec_id >= 8
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {_inorder_cosine_sql('qe', 'ce')} DESC, neighbor_id ASC) AS rn
+    FROM (SELECT query_id, qe, neighbor_id, ce FROM q JOIN c ON c.b = q.probe)
+  ) WHERE rn <= 5
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qq.query_id, cc.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qq.query_id
+             ORDER BY {_inorder_cosine_sql('qq.qe', 'cc.ce')} DESC, cc.neighbor_id ASC) AS rn
+    FROM (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8) qq
+    CROSS JOIN (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 8) cc
+  ) WHERE rn <= 5
+),
+hits AS (
+  SELECT i.query_id, COUNT(*) AS n
+  FROM ivf i JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY i.query_id
+)
+SELECT qs.query_id, coalesce(hits.n, 0) / 5.0 AS recall_at_5
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 8) qs
+LEFT JOIN hits ON hits.query_id = qs.query_id
+"""
+
+
+ORACLE_SIM_IVF_RECALL = _ivf_recall_oracle_sql()
