@@ -42,7 +42,7 @@ over5 = ("NO query exceeds 5s" if not over5 else
          f"over 5s: {', '.join(over5)} — see notes")
 hdr = f"""# SF01_TIMING_r06 — full-catalog execution log at sf0.1
 #
-# Refreshed at the end of round 6 (178-entry catalog; adds
+# Refreshed at the end of round 6 (179-entry catalog; adds
 # events_geofence_transitions and geo_native_pruned_read). Methodology:
 # every catalog query executed once, COLD (its own plan analysis +
 # codegen compile included), in one fresh local[32] session
