@@ -38,12 +38,52 @@ _OPT_STAMP_KEY = "__geoarrow_source_options"
 
 
 def _strip_file_scheme(p):
-    """Catalog tables URI-ize paths ('file:/x' or 'file:///x')."""
+    """Catalog tables URI-ize paths ('file:/x' or 'file:///x'). Defers
+    to geoparquet._local_path — ONE parser for file: URIs — but keeps
+    non-file schemes (http(s) for FlatGeobuf) intact."""
     if p and p.startswith("file:"):
-        p = p[5:]
-        while p.startswith("//"):
-            p = p[1:]
+        from .geoparquet import _local_path
+
+        return _local_path(p)
     return p
+
+
+_BATCH_ROWS = 4096
+
+
+def _rows_to_batches(rows, schema):
+    """Accumulate per-row tuples into Arrow RecordBatches: the Python
+    DataSource ships a batch to the JVM in one Arrow transfer instead of
+    pickling every row. Decode loops that are inherently per-feature
+    (FlatGeobuf flatbuffers, shapefile records) wrap their row generator
+    with this."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    aschema = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
+    )
+
+    def flush(buf):
+        cols = list(zip(*buf))
+        arrays = []
+        for i, f in enumerate(aschema):
+            try:
+                arrays.append(pa.array(cols[i], type=f.type))
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # e.g. a dbf numeric field with fdec=0 that still holds a
+                # decimal point — same leniency the row-tuple path had
+                arrays.append(pa.array(cols[i]).cast(f.type, safe=False))
+        return pa.RecordBatch.from_arrays(arrays, schema=aschema)
+
+    buf = []
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= _BATCH_ROWS:
+            yield flush(buf)
+            buf = []
+    if buf:
+        yield flush(buf)
 
 
 def _stamp_options(schema, options, keys):
@@ -232,6 +272,9 @@ class _FgbReader(_AttrFilterMixin, DataSourceReader):
         return [_FgbPartition(c) for c in chunks]
 
     def read(self, partition):
+        return _rows_to_batches(self._rows(partition), self.schema)
+
+    def _rows(self, partition):
         from ..wkb import algorithms as alg
         from ..wkb import core as wc
         from .flatgeobuf import _decode_properties, _geometry_to_geom, _root
@@ -360,6 +403,9 @@ class _ShpReader(_AttrFilterMixin, DataSourceReader):
         return [_ShpPartition(c) for c in chunks]
 
     def read(self, partition):
+        return _rows_to_batches(self._rows(partition), self.schema)
+
+    def _rows(self, partition):
         from ..wkb import core as wc
         from .shapefile import _decode_record, _parse_dbf_value
 
@@ -433,6 +479,12 @@ class GeoParquetDataSource(DataSource):
         return local
 
     def _plan_meta(self):
+        # memoized: schema() and reader() both need the plan, and each
+        # used to re-glob the parts and re-read the geo footer
+        cached = getattr(self, "_plan_meta_cache", None)
+        if cached is not None:
+            return cached
+
         from .geoparquet import _parquet_parts, read_geo_metadata
 
         path = self._path()
@@ -444,7 +496,9 @@ class GeoParquetDataSource(DataSource):
         cov = col_meta.get("covering", {}).get("bbox")
         covering = cov["xmin"][0] if cov else None
         enc = col_meta.get("encoding", "WKB")
-        return path, _parquet_parts(path), gcol, enc, covering
+        cached = (path, _parquet_parts(path), gcol, enc, covering)
+        self._plan_meta_cache = cached
+        return cached
 
     def schema(self):
         import os
@@ -471,7 +525,12 @@ class GeoParquetDataSource(DataSource):
         seen = {f.name for f in fields}
         root = path if os.path.isdir(path) else os.path.dirname(path)
         from .geoparquet import _hive_partition_values
-        for k in _hive_partition_values(parts[0], root):
+        hive_keys = []  # union over ALL parts — a stray rootless part
+        for part in parts:  # file must not hide the dataset's keys
+            for k in _hive_partition_values(part, root):
+                if k not in hive_keys:
+                    hive_keys.append(k)
+        for k in hive_keys:
             if k not in seen and (want is None or k in want):
                 from pyspark.sql.types import StringType
 
@@ -625,64 +684,156 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
                 tasks.append(_GpqPartition(f, rg, pv))
         return tasks or [_GpqPartition(None, -1, {})]
 
+    @staticmethod
+    def _arrow_filter_mask(arr, flt):
+        """Arrow-compute mask for one accepted filter over one column
+        (nulls fail comparisons, matching _row_matches). Raises on type
+        mismatch — the caller falls back to per-row Python for that
+        filter only."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        if isinstance(flt, IsNull):
+            return pc.is_null(arr)
+        if isinstance(flt, IsNotNull):
+            return pc.is_valid(arr)
+        if isinstance(flt, EqualTo):
+            m = pc.equal(arr, flt.value)
+        elif isinstance(flt, In):
+            m = pc.is_in(arr, value_set=pa.array(list(flt.value)))
+        elif isinstance(flt, GreaterThan):
+            m = pc.greater(arr, flt.value)
+        elif isinstance(flt, GreaterThanOrEqual):
+            m = pc.greater_equal(arr, flt.value)
+        elif isinstance(flt, LessThan):
+            m = pc.less(arr, flt.value)
+        elif isinstance(flt, LessThanOrEqual):
+            m = pc.less_equal(arr, flt.value)
+        else:
+            raise TypeError(f"unexpected pushed filter {flt!r}")
+        return pc.fill_null(m, False)
+
     def read(self, partition):
         if partition.file is None:
             return
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
-
-        from ..wkb import algorithms as alg
-        from ..wkb import core as wc
+        from pyspark.sql.pandas.types import to_arrow_type
 
         gcol = self.gcol
         names = [f.name for f in self.schema.fields]
-        file_cols = [n for n in names if n not in partition.part_vals]
+        want = [n for n in names if n not in partition.part_vals]
         # a fully-pushed filter's column may have been pruned from the
         # projected schema — read it anyway so the filter can be applied
         for flt in self.pushed:
             c = flt.attribute[0]
-            if c not in file_cols and c not in partition.part_vals:
-                file_cols.append(c)
-        tbl = pq.ParquetFile(partition.file).read_row_group(
-            partition.rg, columns=file_cols
-        )
-        cols = {n: tbl.column(n).to_pylist() for n in file_cols}
-        if gcol in cols and self.enc != "WKB":
-            from ..functions import kernels as K
-            import pandas as pd
+            if c not in want and c not in partition.part_vals:
+                want.append(c)
+        pf = pq.ParquetFile(partition.file)
+        avail = set(pf.schema_arrow.names)
+        # mixed layouts: a part may lack a column other parts carry
+        # (e.g. hive keys unioned into the schema) — absent columns
+        # surface as nulls rather than crashing the row-group read
+        file_cols = [c for c in want if c in avail]
+        tbl = pf.read_row_group(partition.rg, columns=file_cols)
 
-            cols[gcol] = list(K.k_from_native(pd.Series(cols[gcol]), self.enc))
-        elif gcol in cols:
-            cols[gcol] = [bytes(v) if v is not None else None for v in cols[gcol]]
-        n = tbl.num_rows
-        keep = [True] * n
-        if self.bbox is not None and gcol in cols:
-            bx0, by0, bx1, by1 = self.bbox
-            for i, v in enumerate(cols[gcol]):
-                if v is None:
-                    keep[i] = False
-                    continue
-                b = alg.bounds(wc.from_wkb(v))
-                keep[i] = b is not None and not (
-                    b[2] < bx0 or b[0] > bx1 or b[3] < by0 or b[1] > by1
+        # geometry -> canonical WKB, Arrow-side for the WKB encoding
+        if gcol in file_cols:
+            if self.enc != "WKB":
+                import pandas as pd
+
+                from ..functions import kernels as K
+
+                wkb = K.k_from_native(
+                    pd.Series(tbl.column(gcol).to_pylist()), self.enc
                 )
-        for k, v in partition.part_vals.items():
-            if k in names:
-                cols[k] = [v] * n
+                arr = pa.array(list(wkb), type=pa.binary())
+            else:
+                arr = tbl.column(gcol).cast(pa.binary())
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index(gcol), gcol, arr
+            )
+
+        # hive-constant filters decide the whole row group at once
+        for flt in self.pushed:
+            col = flt.attribute[0]
+            if col in partition.part_vals and not self._row_matches(
+                partition.part_vals[col], flt
+            ):
+                return
+
+        mask = None
+
+        def and_mask(m):
+            nonlocal mask
+            mask = m if mask is None else pc.and_(mask, m)
+
+        if self.bbox is not None and gcol in file_cols:
+            from ..wkb import algorithms as alg
+            from ..wkb import core as wc
+
+            bx0, by0, bx1, by1 = self.bbox
+            keep = []
+            for v in tbl.column(gcol).to_pylist():
+                b = alg.bounds(wc.from_wkb(v)) if v is not None else None
+                keep.append(
+                    b is not None
+                    and not (b[2] < bx0 or b[0] > bx1
+                             or b[3] < by0 or b[1] > by1)
+                )
+            and_mask(pa.array(keep, type=pa.bool_()))
         # accepted pushed filters are FULLY applied here (the contract:
         # Spark no longer re-evaluates them post-scan)
         for flt in self.pushed:
             col = flt.attribute[0]
-            vals = cols.get(col)
-            if vals is None and col in partition.part_vals:
-                vals = [partition.part_vals[col]] * n
-            if vals is None:
-                continue
-            for i in range(n):
-                if keep[i] and not self._row_matches(vals[i], flt):
-                    keep[i] = False
-        for i in range(n):
-            if keep[i]:
-                yield tuple(cols[c][i] for c in names)
+            if col in partition.part_vals:
+                continue  # decided above
+            if col not in tbl.schema.names:
+                return  # column absent in this part -> all-null -> no match
+            arr = tbl.column(col)
+            try:
+                and_mask(self._arrow_filter_mask(arr, flt))
+            except Exception:
+                # type-mismatched literal etc. — per-row semantics on
+                # this one column only
+                and_mask(pa.array(
+                    [self._row_matches(v, flt) for v in arr.to_pylist()],
+                    type=pa.bool_(),
+                ))
+        if mask is not None:
+            tbl = tbl.filter(mask)
+
+        # assemble in schema order: file columns cast to the declared
+        # type, hive values as constants, absent columns as nulls
+        n = tbl.num_rows
+        arrays, fields = [], []
+        for f in self.schema.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name in tbl.schema.names:
+                arrays.append(tbl.column(f.name).cast(at))
+            elif f.name in partition.part_vals:
+                arrays.append(
+                    pa.array([partition.part_vals[f.name]] * n, type=at)
+                )
+            else:
+                arrays.append(pa.nulls(n, type=at))
+            fields.append(pa.field(f.name, at))
+        out = pa.table(arrays, schema=pa.schema(fields))
+        # Arrow RecordBatches cross to the JVM as-is — no per-row
+        # Python tuples, no column-wide to_pylist of non-geometry data
+        for batch in out.to_batches():
+            yield batch
 
 
 def register_datasources(spark):
@@ -692,16 +843,36 @@ def register_datasources(spark):
     existing (Spark < 4) and re-registration of the same source. Any
     other failure is a real registration problem and is re-raised so
     ``format("flatgeobuf")`` doesn't silently go missing.
+
+    Side effect (warned, not silent): the readers implement
+    ``pushFilters()``, and Spark refuses to plan any reader that defines
+    it while ``spark.sql.python.filterPushdown.enabled`` is false — so
+    registration enables that flag when it isn't already on. The flag is
+    session-wide: other Python data sources in the session that define
+    ``pushFilters`` start being consulted too.
     """
     registry = getattr(spark, "dataSource", None)
     if registry is None:
         return  # Spark < 4: Python DataSource API unavailable
+    flag = "spark.sql.python.filterPushdown.enabled"
     try:
-        # _GpqReader implements pushFilters(); Spark refuses to plan a
-        # reader that defines it while the feature flag is off
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        cur = spark.conf.get(flag, None)
     except Exception:
-        pass  # Spark 4.0: conf (and pushFilters) don't exist yet
+        cur = None  # Spark 4.0: conf (and pushFilters) don't exist yet
+    if cur is not None and str(cur).lower() != "true":
+        import warnings
+
+        warnings.warn(
+            f"register_datasources: enabling {flag} (session-wide) — "
+            "required to plan readers that define pushFilters()",
+            stacklevel=2,
+        )
+        spark.conf.set(flag, "true")
+    elif cur is None:
+        try:
+            spark.conf.set(flag, "true")
+        except Exception:
+            pass  # conf doesn't exist on this build: nothing to enable
     for src in (FlatGeobufDataSource, ShapefileDataSource, GeoParquetDataSource):
         try:
             registry.register(src)

@@ -34,9 +34,12 @@ def _require_ogr():
 
 
 # public OGR field-type codes (gdal/ogr/ogr_core.h) -> Spark SQL types.
-# List types land as their element type joined to a string — OGR's own
-# CSV representation — because the long tail of drivers that emit lists
-# (KML, GML) do not round-trip them consistently either.
+# List types land as strings (OGR's own CSV representation — the long
+# tail of drivers that emit lists do not round-trip them consistently),
+# and so do date/time/datetime: ``Feature.GetField`` returns them as
+# strings ('2021/03/05 12:34:56'), so declaring Date/Timestamp types
+# would crash the Arrow conversion; callers cast with to_date/
+# to_timestamp and the format they know their data uses.
 _OGR_FIELD_TYPES = {
     0: "long",      # OFTInteger
     1: "string",    # OFTIntegerList
@@ -45,9 +48,9 @@ _OGR_FIELD_TYPES = {
     4: "string",    # OFTString
     5: "string",    # OFTStringList
     8: "binary",    # OFTBinary
-    9: "date",      # OFTDate
+    9: "string",    # OFTDate
     10: "string",   # OFTTime
-    11: "timestamp_ntz",  # OFTDateTime
+    11: "string",   # OFTDateTime
     12: "long",     # OFTInteger64
     13: "string",   # OFTInteger64List
 }
@@ -91,13 +94,11 @@ def read_gdal(
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
-        DateType,
         DoubleType,
         LongType,
         StringType,
         StructField,
         StructType,
-        TimestampNTZType,
     )
 
     ds = ogr.Open(path)
@@ -127,8 +128,6 @@ def read_gdal(
         "double": DoubleType(),
         "string": StringType(),
         "binary": BinaryType(),
-        "date": DateType(),
-        "timestamp_ntz": TimestampNTZType(),
     }
     out_schema = StructType(
         [StructField("fid", LongType())]

@@ -391,9 +391,17 @@ def _native_coords_to_arrays(df, gcol, enc):
 
 
 def _local_path(path: str):
-    """Filesystem path for local / file:// URIs; None for remote schemes."""
-    if path.startswith("file://"):
-        return path[len("file://"):]
+    """Filesystem path for local / file: URIs; None for remote schemes.
+
+    The single parser for file: URIs (the DataSource wrappers route
+    through it too): 'file:/x', 'file:///x' and 'file://x' all denote
+    local '/x' — catalog tables URI-ize paths in any of these shapes.
+    """
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
     if "://" in path:
         return None
     return path
@@ -590,10 +598,12 @@ def _read_native_rowgroups(spark, path, tasks, gcol, enc, out_schema):
     """Distributed scan of the surviving (file, row_group) tasks: one Spark
     task per row group, geometry decoded native->WKB inside the scan (so no
     nested-struct column ever crosses the Arrow->pandas UDF boundary)."""
+    import datetime as _dt
+
     import pandas as pd
     from pyspark.sql.types import (
-        ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType,
-        StringType,
+        BooleanType, ByteType, DateType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType, StringType, TimestampNTZType, TimestampType,
     )
 
     root = _local_path(path)
@@ -606,6 +616,16 @@ def _read_native_rowgroups(spark, path, tasks, gcol, enc, out_schema):
             part_casts[f.name] = float
         elif isinstance(f.dataType, StringType):
             part_casts[f.name] = str
+        elif isinstance(f.dataType, BooleanType):
+            part_casts[f.name] = lambda v: v.lower() == "true"
+        elif isinstance(f.dataType, DateType):
+            # Spark types date-like hive directory values as DateType;
+            # a raw string here would crash the Arrow conversion
+            part_casts[f.name] = _dt.date.fromisoformat
+        elif isinstance(f.dataType, (TimestampType, TimestampNTZType)):
+            part_casts[f.name] = lambda v: pd.Timestamp(
+                v.replace("%3A", ":")
+            ).to_pydatetime()
 
     if not tasks:
         return spark.createDataFrame([], out_schema)

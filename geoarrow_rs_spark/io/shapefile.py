@@ -393,6 +393,6 @@ def write_shapefile(df, shp_path: str, geometry_col="geometry"):
             'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
             'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]'
         )
-    if prj:
+    if prj and shp_path.endswith(".shp"):  # same guard as the read side
         with open(shp_path[:-4] + ".prj", "w", encoding="utf-8") as fprj:
             fprj.write(prj)

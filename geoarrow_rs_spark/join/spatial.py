@@ -666,11 +666,15 @@ def dwithin_sphere_join(
     # north cap already claims so the three outputs partition the matches.
     theta_max = math.radians(90.0 - cap_floor)
     c_scale = theta_max / math.sin(theta_max)
-    cap_cell = c_scale * eps_deg
-    # |x|, |y| <= colat <= 90 - cap_floor < 90 deg -> |ix| < 90/cap_cell;
-    # offset-pack with a power-of-two stride comfortably above that
-    cap_pack = 1 << 21
-    cap_off = 1 << 20
+    # |x|, |y| <= colat <= 90 - cap_floor deg -> |ix|,|iy| <= colat/cell.
+    # The packed id (ix+off)*stride + iy+off must stay injective, so the
+    # cell is floored such that the index range fits the offset — a
+    # LARGER cell is always safe (the exact refine stands), it just
+    # admits more candidates; aliasing across AEQD strips would too, but
+    # then the grid no longer bounds candidate counts.
+    cap_off = 1 << 29  # 4*off^2 < 2^60: packed ids fit a long
+    cap_pack = 1 << 30
+    cap_cell = max(c_scale * eps_deg, (90.0 - cap_floor) / (cap_off - 2))
 
     def aeqd_xy(lat_col, lon_col, pole: int):
         theta = F.lit(90.0) - F.lit(float(pole)) * lat_col  # colat, degrees

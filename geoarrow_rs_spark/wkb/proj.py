@@ -1574,18 +1574,26 @@ def _custom_from_proj_string(s):
     if tag is None:
         raise ValueError(f"unsupported PROJ projection +proj={name!r}")
     if tag == "lcc":
-        # PROJ: lat_2 absent -> tangent cone at lat_1 (1SP, k_0 honored)
-        if "lat2" in g and g.get("lat2") != g.get("lat1"):
-            tag = "lcc2"
-        else:
-            if "lat1" in g and "lat0" in g and g["lat1"] != g["lat0"]:
+        # PROJ semantics: n comes from lat_1/lat_2 (lat_2 defaults to
+        # lat_1), rho0 from lat_0 independently — i.e. even "+lat_1 only"
+        # is the 2SP formula in its equal-parallel limit, NOT a tangent
+        # cone at lat_0. k_0 is the one thing the generic conic engine
+        # doesn't carry; it folds into the 1SP setup only when the cone
+        # is tangent at the origin (lat_0 == lat_1).
+        if g.get("k0", 1.0) != 1.0:
+            if ("lat2" in g and g["lat2"] != g.get("lat1")) or (
+                "lat1" in g and "lat0" in g and g["lat1"] != g["lat0"]
+            ):
                 raise ValueError(
-                    "+proj=lcc 1SP with lat_0 != lat_1 is not supported "
-                    "(the engine's 1SP cone is tangent at its origin "
-                    "latitude)")
+                    "+proj=lcc with k_0 != 1 is only supported on the "
+                    "tangent cone (lat_0 == lat_1, no distinct lat_2)")
             tag = "lcc1"
             g.setdefault("lat1", g.get("lat0", 0.0))
             g["lat0"] = g["lat1"]
+        else:
+            tag = "lcc2"
+            g.setdefault("lat1", g.get("lat0", 0.0))
+            g.setdefault("lat2", g["lat1"])
     elif tag == "stere":
         lat0 = g.get("lat0")
         if lat0 is None or abs(lat0) != 90.0:
@@ -1593,10 +1601,14 @@ def _custom_from_proj_string(s):
                              "(+lat_0=90 or -90; oblique stereographic "
                              "has no engine here)")
         if "lat_ts" in g:
-            tag = "polar_b"
             if g["lat_ts"] == 0.0:
-                g["lat_ts"] = lat0  # sign selects the hemisphere
-            elif (g["lat_ts"] < 0) != (lat0 < 0):
+                raise ValueError(
+                    "+proj=stere with lat_ts=0 (true scale at the "
+                    "equator) has no engine here; use +lat_0=+-90 with "
+                    "+k_0 (variant A) or a nonzero lat_ts")
+            tag = "polar_b"
+            if (g["lat_ts"] < 0) != (lat0 < 0):
+                # PROJ reads |lat_ts| with the hemisphere from lat_0
                 g["lat_ts"] = -g["lat_ts"]
         else:
             tag = "polar_a"
@@ -1868,18 +1880,26 @@ _ESRI_PARAMS = {
 def _resolve_esri_tag(tag, g):
     """Split ESRI's parameter-overloaded method names onto engine tags."""
     if tag == "lcc_auto":
-        # ESRI uses one name for 1SP and 2SP; 2SP carries both parallels
-        if "lat2" in g and g.get("lat2") != g.get("lat1"):
-            return "lcc2", g
-        if "lat1" in g and "lat0" in g and g["lat1"] != g["lat0"] and \
-                g.get("k0", 1.0) != 1.0:
-            raise ValueError(
-                "ESRI Lambert_Conformal_Conic 1SP with "
-                "Latitude_Of_Origin != Standard_Parallel_1 and a scale "
-                "factor is not supported")
+        # one ESRI name covers 1SP and 2SP. Same resolution as the PROJ
+        # string front end: the 2SP formula (equal-parallel limit
+        # included) honors a distinct Latitude_Of_Origin; a non-unit
+        # Scale_Factor only folds into the tangent (1SP) cone.
+        if g.get("k0", 1.0) != 1.0:
+            if ("lat2" in g and g["lat2"] != g.get("lat1")) or (
+                "lat1" in g and "lat0" in g and g["lat1"] != g["lat0"]
+            ):
+                raise ValueError(
+                    "ESRI Lambert_Conformal_Conic with Scale_Factor != 1 "
+                    "is only supported on the tangent cone "
+                    "(Latitude_Of_Origin == Standard_Parallel_1, no "
+                    "distinct Standard_Parallel_2)")
+            g = dict(g)
+            g["lat0"] = g.get("lat1", g.get("lat0", 0.0))
+            return "lcc1", g
         g = dict(g)
-        g["lat0"] = g.get("lat1", g.get("lat0", 0.0))
-        return "lcc1", g
+        g.setdefault("lat1", g.get("lat0", 0.0))
+        g.setdefault("lat2", g["lat1"])
+        return "lcc2", g
     if tag in ("polar_north", "polar_south"):
         south = tag == "polar_south"
         g = dict(g)

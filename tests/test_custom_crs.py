@@ -546,7 +546,7 @@ def test_proj_string_unsupported_forms_raise():
         "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +ellps=GRS80",
         "+proj=utm +zone=32 +datum=WGS84 +units=us-ft",
         "+proj=longlat +datum=WGS84 +pm=paris",
-        "+proj=lcc +lat_1=33 +lat_0=40 +lon_0=-96 +ellps=GRS80",  # 1SP mismatch
+        "+proj=lcc +lat_1=33 +lat_0=40 +k_0=0.9 +lon_0=-96 +ellps=GRS80",  # k0 off-tangent
         "+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel",  # oblique
         "+proj=tmerc +lat_0=0 +lon_0=9 +ellps=unknown_ellps",
         "+proj=utm +zone=99 +datum=WGS84",
@@ -556,6 +556,54 @@ def test_proj_string_unsupported_forms_raise():
     ):
         with pytest.raises((ValueError, KeyError)):
             P.parse_crs(bad)
+
+
+def test_proj_string_lcc_degenerate_2sp_honors_lat0():
+    """PROJ semantics: lcc with only lat_1 (or lat_1 == lat_2) is the 2SP
+    formula in its equal-parallel limit — a distinct lat_0 moves the
+    false origin and must NOT be overwritten by the parallel. Twin: the
+    same parameters through the PROJJSON 2SP method."""
+    pstr = ("+proj=lcc +lat_1=45 +lat_2=45 +lat_0=44 +lon_0=3 "
+            "+x_0=700000 +y_0=6600000 +ellps=GRS80")
+    crs_p = P.parse_crs(pstr)
+    d = {
+        "type": "ProjectedCRS", "name": "degenerate 2sp",
+        "base_crs": {
+            "type": "GeographicCRS", "name": "GRS80",
+            "datum": {"type": "GeodeticReferenceFrame", "name": "g",
+                      "ellipsoid": {"name": "GRS 1980",
+                                    "semi_major_axis": 6378137.0,
+                                    "inverse_flattening": 298.257222101}},
+        },
+        "conversion": {
+            "name": "lcc", "method": {
+                "name": "Lambert Conic Conformal (2SP)",
+                "id": {"authority": "EPSG", "code": 9802}},
+            "parameters": [
+                {"name": "Latitude of false origin", "value": 44,
+                 "unit": "degree", "id": {"authority": "EPSG", "code": 8821}},
+                {"name": "Longitude of false origin", "value": 3,
+                 "unit": "degree", "id": {"authority": "EPSG", "code": 8822}},
+                {"name": "Latitude of 1st standard parallel", "value": 45,
+                 "unit": "degree", "id": {"authority": "EPSG", "code": 8823}},
+                {"name": "Latitude of 2nd standard parallel", "value": 45,
+                 "unit": "degree", "id": {"authority": "EPSG", "code": 8824}},
+                {"name": "Easting at false origin", "value": 700000,
+                 "unit": "metre", "id": {"authority": "EPSG", "code": 8826}},
+                {"name": "Northing at false origin", "value": 6600000,
+                 "unit": "metre", "id": {"authority": "EPSG", "code": 8827}},
+            ],
+        },
+    }
+    crs_j = P.parse_crs(d)
+    lon, lat = _samples((-2.0, 8.0), (41.0, 49.0))
+    xp, yp = P.transform_xy(lon, lat, 4326, crs_p)
+    xj, yj = P.transform_xy(lon, lat, 4326, crs_j)
+    assert np.array_equal(xp, xj) and np.array_equal(yp, yj)
+    # and lat_0 genuinely matters: dropping it changes the northing
+    crs_n = P.parse_crs(pstr.replace("+lat_0=44 ", "+lat_0=45 "))
+    _, y45 = P.transform_xy(lon, lat, 4326, crs_n)
+    assert np.max(np.abs(y45 - yp)) > 100000.0  # ~1 degree of meridian
 
 
 def test_proj_string_nad27_convention():

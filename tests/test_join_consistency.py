@@ -248,3 +248,41 @@ def test_dwithin_sphere_join_eps_too_large_raises(spark):
 
     with _pytest.raises(ValueError, match="too large"):
         dwithin_sphere_join(left, left, 8_000_000.0)
+
+def test_dwithin_sphere_join_tiny_eps_cap_packing(spark):
+    """Small radii used to shrink the AEQD cap cell until |iy| overflowed
+    the fixed packing offset, aliasing unrelated strips into one cell id.
+    The cell is now floored so the index range always fits: results stay
+    exact and the candidate grid keeps its locality guarantee."""
+    import numpy as np
+
+    from geoarrow_rs_spark.join.spatial import dwithin_sphere_join, haversine_expr
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    # clusters near the pole + scattered far points; eps = 5 m
+    rows_l, rows_r = [], []
+    for i in range(40):
+        lat = rng.uniform(80.0, 90.0)
+        lon = rng.uniform(-180.0, 180.0)
+        rows_l.append((i, float(lon), float(lat)))
+        # half the right rows within ~3 m of a left row, half far away
+        if i % 2 == 0:
+            dlat = rng.uniform(-2e-5, 2e-5)   # ~2 m
+            rows_r.append((1000 + i, float(lon), float(lat + dlat)))
+        else:
+            rows_r.append((1000 + i, float((lon + 90.0 + 360.0) % 360.0 - 180.0), float(lat - 5.0)))
+    left = spark.createDataFrame(rows_l, "l_id LONG, lon DOUBLE, lat DOUBLE")
+    right = spark.createDataFrame(rows_r, "r_id LONG, lon DOUBLE, lat DOUBLE")
+    eps = 5.0
+    got = {(r["l_id"], r["r_id"])
+           for r in dwithin_sphere_join(left, right, eps).collect()}
+    brute = (
+        left.crossJoin(right.select("r_id", F.col("lon").alias("rlon"),
+                                    F.col("lat").alias("rlat")))
+        .withColumn("d", haversine_expr(F.col("lon"), F.col("lat"),
+                                        F.col("rlon"), F.col("rlat")))
+        .filter(F.col("d") <= eps)
+    )
+    want = {(r["l_id"], r["r_id"]) for r in brute.collect()}
+    assert got == want and len(want) >= 10

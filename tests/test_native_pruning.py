@@ -335,8 +335,14 @@ def test_geoparquet_datasource_filter_pushdown(tmp_path, spark):
     assert len(leftover) == 1 and isinstance(leftover[0], StringStartsWith)
     parts = rdr.partitions()
     assert len(parts) == 3  # row groups [200,300), [300,400), [400,500)
-    rows = [r for p in parts for r in rdr.read(p)]
-    ids = sorted(r[0] for r in rows)
+    # read() yields Arrow RecordBatches (not per-row tuples)
+    import pyarrow as pa
+
+    batches = [b for p in parts for b in rdr.read(p)]
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    ids = sorted(
+        i for b in batches for i in b.column("id").to_pylist()
+    )
     assert ids == list(range(250, 420))
 
     # IsNotNull never prunes a fully-populated column; EqualTo outside the
@@ -455,3 +461,53 @@ def test_create_table_using_python_sources(tmp_path, spark):
         ).collect()[0]["n"] == 179
     finally:
         spark.sql("DROP TABLE IF EXISTS fgb_tbl")
+
+
+def test_native_pruned_read_date_hive_partition(tmp_path, spark):
+    """Date-typed hive partition dirs (dt=2024-01-01 — Spark infers
+    DateType) must survive the native pruned scan's partition-value
+    reattachment: raw strings in a DateType column crash the Arrow
+    conversion."""
+    import datetime
+
+    root = tmp_path / "dds"
+    for day in ("2024-01-01", "2024-01-02"):
+        d = root / f"dt={day}"
+        os.makedirs(d)
+        _write_separated_points(str(d / "part.parquet"), n=200,
+                                row_group_size=100)
+
+    df = read_geoparquet(spark, str(root), bbox=(50.0, 0.0, 120.0, 50.0))
+    assert dict(df.dtypes)["dt"] == "date"
+    rows = df.selectExpr("id", "dt").orderBy("dt", "id").collect()
+    assert [r.id for r in rows] == list(range(50, 121)) * 2
+    assert rows[0].dt == datetime.date(2024, 1, 1)
+    assert rows[-1].dt == datetime.date(2024, 1, 2)
+
+
+def test_geoparquet_datasource_mixed_layout(tmp_path, spark):
+    """A stray rootless part next to key=value subdirectories: schema()
+    unions hive keys over ALL parts (the rootless file must not hide
+    them), and read() tolerates a part lacking the column — its rows
+    surface with a NULL key instead of crashing the row-group read."""
+    import geoarrow_rs_spark as gs
+
+    gs.register_all(spark)
+    root = tmp_path / "mixed"
+    os.makedirs(root / "key=a")
+    # rootless part sorts first ("apart.parquet" < "key=a")
+    _write_separated_points(str(root / "apart.parquet"), n=100,
+                            row_group_size=100)
+    _write_separated_points(str(root / "key=a" / "part.parquet"), n=100,
+                            row_group_size=100)
+
+    ds = spark.read.format("geoparquet").load(str(root))
+    assert "key" in ds.columns
+    rows = ds.selectExpr("id", "key").collect()
+    assert len(rows) == 200
+    vals = sorted((r.key or "") for r in rows)
+    assert vals == [""] * 100 + ["a"] * 100
+    # filter on the hive key: planning prunes the key=a dir, and the
+    # rootless part's all-null column can never match an EqualTo
+    assert ds.where("key = 'b'").count() == 0
+    assert ds.where("key = 'a'").count() == 100
