@@ -24,7 +24,13 @@ from __future__ import annotations
 
 import struct
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import BinaryType, StructField, StructType
 
 _CHUNK = 20000  # feature offsets per partition (matches read_flatgeobuf)
@@ -544,6 +550,18 @@ class GeoParquetDataSource(DataSource):
         self.options = _recover_options(self.options, schema)
         return _GpqReader(self._plan_meta(), self.options, schema)
 
+    def writer(self, schema, overwrite):
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("geoparquet: .save(path) required")
+        local = _strip_file_scheme(p)
+        if "://" in local:
+            raise ValueError(
+                "geoparquet data source writes local/file:// paths; use "
+                "write_geoparquet for Hadoop-filesystem destinations"
+            )
+        return _GpqWriter(local, schema, self.options, overwrite)
+
 
 class _GpqReader(_AttrFilterMixin, DataSourceReader):
     """Accepted filters are FULLY applied: row-group stats pruning +
@@ -834,6 +852,251 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
         # Python tuples, no column-wide to_pylist of non-geometry data
         for batch in out.to_batches():
             yield batch
+
+
+class _GpqCommit(WriterCommitMessage):
+    """Per-task commit message: the finalized part file and its exact
+    data bbox."""
+
+    def __init__(self, file, bbox, rows):
+        self.file = file
+        self.bbox = bbox  # (xmin, ymin, xmax, ymax) or None (no geometry)
+        self.rows = rows
+
+
+class _GpqWriter(DataSourceArrowWriter):
+    """``df.write.format("geoparquet").save(path)`` — a SINGLE-PASS
+    distributed GeoParquet write.
+
+    Each task streams its Arrow batches straight into its own part file
+    whose parquet footer already carries the ``geo`` key-value metadata
+    (per-part covering column generated inline; row groups coalesced to
+    ``rowgroup_rows``). The function API (``write_geoparquet``) must
+    re-open every part AFTER Spark's parquet sink to stamp footers — a
+    second full pass over everything written, which at 100 TB doubles the
+    job; here the task owns the file, so spec-compliant footers cost
+    nothing extra. The dataset bbox is unioned from per-task commit
+    messages on the driver — no post-hoc aggregation scan either.
+
+    The footer's geo doc omits the optional file-level ``bbox`` (unknown
+    until the part is finished, and pyarrow can't amend footer metadata
+    after streaming); read-side row-group pruning keys off the covering
+    column's statistics, which each written row group carries, so nothing
+    is lost. The exact dataset bbox lands in the sidecar at commit.
+
+    Options: ``geometry_col`` (default 'geometry', must be WKB binary),
+    ``crs`` (PROJJSON text or any parse_crs-able string — stored
+    verbatim/decoded in the geo doc), ``covering`` ('false' disables the
+    covering column), ``covering_col`` (default 'bbox'),
+    ``rowgroup_rows`` (default 65536). Native (non-WKB) encodings stay on
+    ``write_geoparquet`` — they are Catalyst-side column rewrites.
+
+    Save modes: Spark only plans Python data source writes as Append or
+    Overwrite (``UNSUPPORTED_DATA_SOURCE_SAVE_MODE`` otherwise) — pass
+    ``.mode("overwrite")`` or ``.mode("append")`` explicitly.
+    """
+
+    def __init__(self, path, schema, options, overwrite):
+        import glob
+        import json as _json
+        import os
+
+        self.path = path
+        self.schema = schema
+        names = [f.name for f in schema.fields]
+        self.gcol = options.get("geometry_col", "geometry")
+        if self.gcol not in names:
+            raise ValueError(
+                f"geoparquet write: geometry column {self.gcol!r} not in "
+                f"schema {names}; pass .option('geometry_col', ...)"
+            )
+        crs = options.get("crs")
+        if crs:
+            try:
+                crs = _json.loads(crs)  # PROJJSON text -> dict in the doc
+            except ValueError:
+                pass  # WKT / authority string: store verbatim
+        self.crs = crs
+        self.covering = str(options.get("covering", "true")).lower() != "false"
+        self.covering_col = options.get("covering_col", "bbox")
+        self.rowgroup_rows = int(options.get("rowgroup_rows", 65536))
+        self.overwrite = overwrite
+        os.makedirs(path, exist_ok=True)
+        # recorded on the driver BEFORE tasks run: overwrite replaces
+        # exactly these at commit (new parts have unique names, so a
+        # failed job never destroys the old data)
+        self._pre_existing = sorted(
+            glob.glob(os.path.join(glob.escape(path), "*.parquet"))
+        )
+        self._doc_json = None  # built lazily (shared by tasks + commit)
+
+    def _geo_doc_json(self, with_bbox=None):
+        import json as _json
+
+        from .geoparquet import _geo_doc
+
+        doc = _geo_doc(
+            self.gcol, self.crs, with_bbox,
+            self.covering_col if self.covering else None,
+        )
+        return _json.dumps(doc)
+
+    def write(self, it):
+        import math
+        import os
+        import uuid
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..functions.kernels import k_bbox_struct
+
+        try:
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else 0
+        except Exception:
+            pid = 0
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.path, f".{fname}.inprogress")
+        final = os.path.join(self.path, fname)
+
+        footer = {b"geo": self._geo_doc_json().encode()}
+        writer = None
+        buf, buffered = [], 0
+        rows = 0
+        bb = [math.inf, math.inf, -math.inf, -math.inf]
+
+        def flush():
+            nonlocal writer, buf, buffered
+            if not buf:
+                return
+            tbl = pa.Table.from_batches(buf)
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    tmp, tbl.schema.with_metadata(footer)
+                )
+            writer.write_table(tbl)
+            buf, buffered = [], 0
+
+        for batch in it:
+            tbl = pa.Table.from_batches([batch])
+            if self.covering and self.covering_col not in tbl.schema.names:
+                frame = k_bbox_struct(
+                    pd.Series(tbl.column(self.gcol).to_pylist())
+                )
+                null = np.isnan(frame["xmin"].to_numpy())
+                fields = [
+                    pa.array(frame[k], from_pandas=True)
+                    for k in ("xmin", "ymin", "xmax", "ymax")
+                ]
+                cov = pa.StructArray.from_arrays(
+                    fields, ["xmin", "ymin", "xmax", "ymax"],
+                    mask=pa.array(null),
+                )
+                tbl = tbl.append_column(self.covering_col, cov)
+                if not bool(null.all()):
+                    bb[0] = min(bb[0], float(np.nanmin(frame["xmin"])))
+                    bb[1] = min(bb[1], float(np.nanmin(frame["ymin"])))
+                    bb[2] = max(bb[2], float(np.nanmax(frame["xmax"])))
+                    bb[3] = max(bb[3], float(np.nanmax(frame["ymax"])))
+            elif self.covering and self.covering_col in tbl.schema.names:
+                # caller brought their own covering column: union the
+                # dataset bbox from it instead of re-deriving
+                import pyarrow.compute as pc
+
+                col = tbl.column(self.covering_col)
+                for fld, i, op in (("xmin", 0, min), ("ymin", 1, min),
+                                   ("xmax", 2, max), ("ymax", 3, max)):
+                    agg = pc.min if op is min else pc.max
+                    v = agg(pc.struct_field(col, fld)).as_py()
+                    if v is not None:
+                        bb[i] = op(bb[i], float(v))
+            rows += tbl.num_rows
+            buffered += tbl.num_rows
+            buf.extend(tbl.to_batches())
+            if buffered >= self.rowgroup_rows:
+                flush()
+        flush()
+        if writer is None:
+            # empty task: still emit a zero-row part so the schema (and
+            # geo footer) survive an empty write
+            empty = pa.Table.from_pylist([], schema=self._empty_schema())
+            writer = pq.ParquetWriter(tmp, empty.schema.with_metadata(footer))
+            writer.write_table(empty)
+        writer.close()
+        os.replace(tmp, final)
+        bbox = None if bb[0] is math.inf else tuple(bb)
+        return _GpqCommit(fname, bbox, rows)
+
+    def _empty_schema(self):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        fields = [
+            pa.field(f.name, to_arrow_type(f.dataType))
+            for f in self.schema.fields
+        ]
+        if self.covering and self.covering_col not in [f.name for f in fields]:
+            bb = pa.struct(
+                [(k, pa.float64()) for k in ("xmin", "ymin", "xmax", "ymax")]
+            )
+            fields.append(pa.field(self.covering_col, bb))
+        return pa.schema(fields)
+
+    def commit(self, messages):
+        import json as _json
+        import math
+        import os
+
+        from .geoparquet import SIDECAR
+
+        bb = [math.inf, math.inf, -math.inf, -math.inf]
+        written = set()
+        for m in messages:
+            if m is None:
+                continue
+            written.add(m.file)
+            if m.bbox is not None:
+                bb[0] = min(bb[0], m.bbox[0])
+                bb[1] = min(bb[1], m.bbox[1])
+                bb[2] = max(bb[2], m.bbox[2])
+                bb[3] = max(bb[3], m.bbox[3])
+        side = os.path.join(self.path, SIDECAR)
+        if self.overwrite:
+            for old in self._pre_existing:
+                if os.path.basename(old) not in written:
+                    os.remove(old)
+        elif os.path.exists(side):
+            # append: union the new extent with the existing dataset's
+            try:
+                with open(side) as f:
+                    old = _json.load(f)
+                obb = old["columns"][self.gcol].get("bbox")
+            except (KeyError, ValueError):
+                obb = None
+            if obb:
+                bb[0] = min(bb[0], obb[0])
+                bb[1] = min(bb[1], obb[1])
+                bb[2] = max(bb[2], obb[2])
+                bb[3] = max(bb[3], obb[3])
+        bbox = None if bb[0] is math.inf else list(bb)
+        with open(side, "w") as f:
+            f.write(self._geo_doc_json(with_bbox=bbox))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.file))
+            except OSError:
+                pass
 
 
 def register_datasources(spark):
