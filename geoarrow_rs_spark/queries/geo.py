@@ -743,3 +743,54 @@ FROM customer
 WHERE (c_custkey % 1000) BETWEEN 100 AND 300
   AND c_nationkey BETWEEN 0 AND 12
 """
+
+
+def geo_datasource_write_roundtrip(spark, sf_dir):
+    """Single-pass distributed GeoParquet WRITE + pruned read-back, fully
+    through the DataSource API: customer points go out via
+    ``df.write.format("geoparquet")`` (each task streams its batches into
+    its own part with the ``geo`` footer and covering column in place; no
+    footer-stamping second pass), then come back through
+    ``spark.read.format("geoparquet")`` with a bbox window that prunes row
+    groups from the covering statistics before the exact filter. The temp
+    dataset is keyed by sf_dir and overwritten per call. Reference write
+    surface: rust/geoparquet/src/writer (options/encode.rs); the
+    distributed single-pass shape is the Spark design."""
+    import os as _os
+    import tempfile as _tempfile
+
+    out = _os.path.join(
+        _tempfile.gettempdir(),
+        f"geoarrow_ds_write_{abs(hash(_os.path.abspath(sf_dir)))}",
+    )
+    c = _t(spark, sf_dir, "customer")
+    pts = c.selectExpr(
+        "c_custkey",
+        "ST_Point(CAST(c_custkey % 1000 AS DOUBLE), "
+        "CAST(c_nationkey AS DOUBLE)) AS geometry",
+    )
+    pts.write.format("geoparquet").mode("overwrite").save(out)
+    back = (
+        spark.read.format("geoparquet")
+        .option("bbox", "100,0,300,12")
+        .load(out)
+    )
+    return back.selectExpr(
+        "c_custkey AS id",
+        "ST_X(geometry) AS gx",
+        "ST_Y(geometry) AS gy",
+        "bbox.xmin AS cov_xmin",
+        "bbox.ymax AS cov_ymax",
+    )
+
+
+ORACLE_GEO_DS_WRITE = """
+SELECT c_custkey AS id,
+       CAST(c_custkey % 1000 AS DOUBLE) AS gx,
+       CAST(c_nationkey AS DOUBLE) AS gy,
+       CAST(c_custkey % 1000 AS DOUBLE) AS cov_xmin,
+       CAST(c_nationkey AS DOUBLE) AS cov_ymax
+FROM customer
+WHERE (c_custkey % 1000) BETWEEN 100 AND 300
+  AND c_nationkey BETWEEN 0 AND 12
+"""
