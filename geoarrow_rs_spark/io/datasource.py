@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -562,6 +563,19 @@ class GeoParquetDataSource(DataSource):
             )
         return _GpqWriter(local, schema, self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite):
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("geoparquet: .start(path) required")
+        local = _strip_file_scheme(p)
+        if "://" in local:
+            raise ValueError(
+                "geoparquet stream sink writes local/file:// paths"
+            )
+        # streaming epochs only ever append; replay dedup lives in the
+        # sink log, not in SaveMode semantics
+        return _GpqStreamWriter(local, schema, self.options, overwrite=False)
+
 
 class _GpqReader(_AttrFilterMixin, DataSourceReader):
     """Accepted filters are FULLY applied: row-group stats pruning +
@@ -1047,45 +1061,67 @@ class _GpqWriter(DataSourceArrowWriter):
             fields.append(pa.field(self.covering_col, bb))
         return pa.schema(fields)
 
-    def commit(self, messages):
-        import json as _json
+    @staticmethod
+    def _union_bbox(messages):
         import math
+
+        bb = [math.inf, math.inf, -math.inf, -math.inf]
+        for m in messages:
+            if m is None or m.bbox is None:
+                continue
+            bb[0] = min(bb[0], m.bbox[0])
+            bb[1] = min(bb[1], m.bbox[1])
+            bb[2] = max(bb[2], m.bbox[2])
+            bb[3] = max(bb[3], m.bbox[3])
+        return bb
+
+    def _sidecar_path(self):
         import os
 
         from .geoparquet import SIDECAR
 
-        bb = [math.inf, math.inf, -math.inf, -math.inf]
-        written = set()
-        for m in messages:
-            if m is None:
-                continue
-            written.add(m.file)
-            if m.bbox is not None:
-                bb[0] = min(bb[0], m.bbox[0])
-                bb[1] = min(bb[1], m.bbox[1])
-                bb[2] = max(bb[2], m.bbox[2])
-                bb[3] = max(bb[3], m.bbox[3])
-        side = os.path.join(self.path, SIDECAR)
+        return os.path.join(self.path, SIDECAR)
+
+    def _union_existing_sidecar(self, bb):
+        """Fold the existing sidecar's bbox into ``bb`` (append paths)."""
+        import json as _json
+        import os
+
+        side = self._sidecar_path()
+        if not os.path.exists(side):
+            return bb
+        try:
+            with open(side) as f:
+                old = _json.load(f)
+            obb = old["columns"][self.gcol].get("bbox")
+        except (KeyError, ValueError):
+            obb = None
+        if obb:
+            bb[0] = min(bb[0], obb[0])
+            bb[1] = min(bb[1], obb[1])
+            bb[2] = max(bb[2], obb[2])
+            bb[3] = max(bb[3], obb[3])
+        return bb
+
+    def _write_sidecar(self, bb):
+        import math
+
+        bbox = None if bb[0] is math.inf else list(bb)
+        with open(self._sidecar_path(), "w") as f:
+            f.write(self._geo_doc_json(with_bbox=bbox))
+
+    def commit(self, messages):
+        import os
+
+        written = {m.file for m in messages if m is not None}
+        bb = self._union_bbox(messages)
         if self.overwrite:
             for old in self._pre_existing:
                 if os.path.basename(old) not in written:
                     os.remove(old)
-        elif os.path.exists(side):
-            # append: union the new extent with the existing dataset's
-            try:
-                with open(side) as f:
-                    old = _json.load(f)
-                obb = old["columns"][self.gcol].get("bbox")
-            except (KeyError, ValueError):
-                obb = None
-            if obb:
-                bb[0] = min(bb[0], obb[0])
-                bb[1] = min(bb[1], obb[1])
-                bb[2] = max(bb[2], obb[2])
-                bb[3] = max(bb[3], obb[3])
-        bbox = None if bb[0] is math.inf else list(bb)
-        with open(side, "w") as f:
-            f.write(self._geo_doc_json(with_bbox=bbox))
+        else:
+            bb = self._union_existing_sidecar(bb)
+        self._write_sidecar(bb)
 
     def abort(self, messages):
         import os
@@ -1097,6 +1133,107 @@ class _GpqWriter(DataSourceArrowWriter):
                 os.remove(os.path.join(self.path, m.file))
             except OSError:
                 pass
+
+
+class _GpqStreamWriter(_GpqWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("geoparquet")`` — a streaming GeoParquet
+    sink with the same single-pass part writes as the batch writer.
+
+    Every microbatch's tasks stream their Arrow batches into unique part
+    files (geo footer + covering column in place); ``commit(batchId)``
+    unions the epoch's bboxes into the sidecar and appends the epoch to a
+    sink log (``_geo_stream_log.json``: batchId -> part files). The log
+    makes epoch replay idempotent: after a restart Spark re-runs the last
+    unacknowledged epoch, and a commit for a batchId already in the log
+    discards the replayed duplicate parts instead of double-counting them
+    (the standard transactional-sink dedup contract). Aborted epochs
+    remove their finalized parts. Output mode: append (geo parts are
+    immutable once committed)."""
+
+    STREAM_LOG = "_geo_stream_log.json"
+
+    # NOTE on lifecycle: Spark constructs a _GpqStreamWriter in EVERY
+    # python task worker (write() runs there) and one on the driver for
+    # commit()/abort(). __init__ therefore stays side-effect-light
+    # (the inherited makedirs is idempotent); ALL log bookkeeping and
+    # garbage collection happen inside commit(), which only ever runs on
+    # the driver, serialized between epochs — executor-side GC would race
+    # sibling tasks finalizing their parts.
+
+    def _log_path(self):
+        import os
+
+        return os.path.join(self.path, self.STREAM_LOG)
+
+    def _gc_orphans(self, log):
+        """Remove finalized parts that are neither pre-existing
+        (batch-written before any stream touched this directory) nor in a
+        committed epoch: leftovers of aborted epochs whose Python-level
+        abort never ran (query killed mid-epoch — observed on
+        query.stop()), from this run or a previous one. Safe because
+        commit() is driver-only and epochs are serialized, so every
+        legitimate part is in the log by the time this runs. One
+        streaming query per sink directory; batch appends while a stream
+        is attached are unsupported."""
+        import glob as _glob
+        import os
+
+        known = set()
+        for v in log.values():
+            known.update(v)
+        for p in _glob.glob(
+            os.path.join(_glob.escape(self.path), "*.parquet")
+        ):
+            if os.path.basename(p) not in known:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+    def commit(self, messages, batchId):
+        import glob as _glob
+        import json as _json
+        import os
+
+        logp = self._log_path()
+        log = None
+        if os.path.exists(logp):
+            with open(logp) as f:
+                log = _json.load(f)
+        files = [m.file for m in messages if m is not None]
+        if log is None:
+            # first-ever commit against this directory: everything on
+            # disk that this epoch didn't just write is batch-written
+            # data to preserve forever
+            log = {"_preexisting": sorted(
+                os.path.basename(p)
+                for p in _glob.glob(
+                    os.path.join(_glob.escape(self.path), "*.parquet")
+                )
+                if os.path.basename(p) not in files
+            )}
+        if str(batchId) in log:
+            # replayed epoch, already committed: the re-written parts are
+            # duplicates of data the sidecar/log already account for
+            for fname in files:
+                if fname in log[str(batchId)]:
+                    continue
+                try:
+                    os.remove(os.path.join(self.path, fname))
+                except OSError:
+                    pass
+            return
+        bb = self._union_existing_sidecar(self._union_bbox(messages))
+        self._write_sidecar(bb)
+        log[str(batchId)] = files
+        tmp = logp + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(log, f)
+        os.replace(tmp, logp)
+        self._gc_orphans(log)
+
+    def abort(self, messages, batchId):
+        _GpqWriter.abort(self, messages)
 
 
 def register_datasources(spark):

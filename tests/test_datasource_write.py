@@ -130,3 +130,103 @@ def test_write_null_geometries(tmp_path, spark):
     assert back.where("geometry IS NULL").count() == 5
     side = json.load(open(os.path.join(out, SIDECAR)))
     assert side["columns"]["geometry"]["bbox"] == [0.0, 1.0, 8.0, 1.0]
+
+
+def test_stream_sink_roundtrip(tmp_path, spark):
+    """writeStream.format('geoparquet'): deterministic availableNow runs —
+    first run writes the backlog, a second run after more source data
+    appends WITHOUT duplicating the already-committed epochs; parts carry
+    geo footers and the sink log accounts for every file on disk."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+
+    def add_source(lo, hi, name):
+        spark.range(lo, hi).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS x", "CAST(id % 7 AS DOUBLE) AS y"
+        ).coalesce(1).write.mode("append").parquet(str(src / name))
+
+    add_source(0, 100, "a")
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("id LONG, x DOUBLE, y DOUBLE")
+            .option("recursiveFileLookup", "true").parquet(str(src))
+        )
+        pts = sdf.selectExpr("id", "ST_Point(x, y) AS geometry")
+        q = (
+            pts.writeStream.format("geoparquet")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True).start(out)
+        )
+        q.awaitTermination()
+
+    run_once()
+    back = spark.read.format("geoparquet").load(out)
+    assert back.count() == 100
+    assert sorted(r.id for r in back.select("id").collect()) == list(range(100))
+
+    add_source(100, 150, "b")
+    run_once()
+    back = spark.read.format("geoparquet").load(out)
+    assert back.count() == 150
+    dup = back.groupBy("id").count().where("count > 1").count()
+    assert dup == 0  # no epoch replayed into duplicates
+
+    parts = glob.glob(out + "/*.parquet")
+    for p in parts:
+        assert b"geo" in pq.read_metadata(p).metadata
+    log = json.load(open(os.path.join(out, "_geo_stream_log.json")))
+    logged = {f for v in log.values() for f in v}
+    assert {os.path.basename(p) for p in parts} <= logged
+    side = json.load(open(os.path.join(out, SIDECAR)))
+    assert side["columns"]["geometry"]["bbox"] == [0.0, 0.0, 149.0, 6.0]
+
+
+def test_stream_sink_commit_protocol(tmp_path):
+    """Driver-side commit bookkeeping without Spark: replayed batchIds
+    discard duplicate parts, unlogged finalized parts are GC'd, and
+    batch-written pre-existing parts survive forever."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from geoarrow_rs_spark.io.datasource import _GpqCommit, _GpqStreamWriter
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+
+    def touch(name):
+        open(os.path.join(out, name), "wb").write(b"PAR1")
+
+    touch("batch-part.parquet")  # pre-existing batch data
+    schema = StructType([StructField("g", BinaryType())])
+    w = _GpqStreamWriter(out, schema, {"geometry_col": "g"}, overwrite=False)
+
+    touch("e0-a.parquet"); touch("e0-b.parquet")
+    w.commit([_GpqCommit("e0-a.parquet", (0, 0, 1, 1), 10),
+              _GpqCommit("e0-b.parquet", None, 0)], batchId=0)
+    names = set(os.listdir(out))
+    assert {"batch-part.parquet", "e0-a.parquet", "e0-b.parquet"} <= names
+
+    # replay of epoch 0 with a fresh duplicate part: dropped, log unchanged
+    touch("e0-replay.parquet")
+    w.commit([_GpqCommit("e0-replay.parquet", (5, 5, 6, 6), 10)], batchId=0)
+    names = set(os.listdir(out))
+    assert "e0-replay.parquet" not in names
+    log = json.load(open(os.path.join(out, "_geo_stream_log.json")))
+    assert log["0"] == ["e0-a.parquet", "e0-b.parquet"]
+    assert log["_preexisting"] == ["batch-part.parquet"]
+    side = json.load(open(os.path.join(out, SIDECAR)))
+    assert side["columns"]["g"]["bbox"] == [0.0, 0.0, 1.0, 1.0]  # no replay union
+
+    # epoch 1: a finalized part from an aborted earlier attempt (the
+    # Python-level abort never ran) is GC'd at the next commit; the
+    # sidecar bbox unions; batch data survives
+    touch("orphan.parquet")
+    touch("e1-a.parquet")
+    w.commit([_GpqCommit("e1-a.parquet", (-3, 0, 0, 9), 5)], batchId=1)
+    names = set(os.listdir(out))
+    assert "orphan.parquet" not in names
+    assert "batch-part.parquet" in names
+    side = json.load(open(os.path.join(out, SIDECAR)))
+    assert side["columns"]["g"]["bbox"] == [-3.0, 0.0, 1.0, 9.0]
