@@ -134,6 +134,11 @@ class _AttrFilterMixin:
 
     _PUSH_VAL_TYPES = (int, float, bool, str)
 
+    def _accepts_attr(self, attr):
+        """Default: top-level non-geometry columns only. Readers with
+        nested-field support (GeoParquet) override."""
+        return len(attr) == 1 and attr[0] in self._filterable_names()
+
     def pushFilters(self, filters):
         from pyspark.sql.datasource import (
             EqualTo,
@@ -148,10 +153,9 @@ class _AttrFilterMixin:
 
         simple = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
                   LessThanOrEqual)
-        names = self._filterable_names()
         for f in filters:
             attr = getattr(f, "attribute", None)
-            ok = attr is not None and len(attr) == 1 and attr[0] in names
+            ok = attr is not None and self._accepts_attr(attr)
             if ok and isinstance(f, simple):
                 ok = isinstance(f.value, self._PUSH_VAL_TYPES)
             elif ok and isinstance(f, In):
@@ -603,6 +607,25 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
     def _filterable_names(self):
         return {f.name for f in self.schema.fields} - {self.gcol}
 
+    def _accepts_attr(self, attr):
+        """Top-level non-geometry columns, plus NESTED struct-field paths
+        (e.g. the covering column's ('bbox', 'xmin')) — parquet keeps
+        min/max statistics per LEAF, so a filter on a covering leaf
+        prunes row groups exactly like the bbox option does, straight
+        from a WHERE clause."""
+        if len(attr) == 1:
+            return attr[0] in self._filterable_names()
+        if attr[0] == self.gcol:
+            return False
+        from pyspark.sql.types import StructType
+
+        node = self.schema
+        for name in attr:
+            if not isinstance(node, StructType) or name not in node.names:
+                return False
+            node = node[name].dataType
+        return not isinstance(node, StructType)  # must end on a leaf
+
     @staticmethod
     def _rg_possibly_matches(stats_by_col, flt):
         """False only when footer statistics PROVE no row in the row
@@ -620,7 +643,7 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
             LessThanOrEqual,
         )
 
-        col = flt.attribute[0]
+        col = ".".join(flt.attribute)  # parquet stats key by leaf path
         st = stats_by_col.get(col)
         if st is None:
             return True
@@ -659,6 +682,8 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
         from pyspark.sql.datasource import EqualTo, In, IsNull
 
         for f in self.pushed:
+            if len(f.attribute) != 1:
+                continue  # hive columns are scalar
             col = f.attribute[0]
             if col not in part_vals:
                 continue
@@ -676,9 +701,7 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
 
         from .geoparquet import _file_rowgroup_tasks, _hive_partition_values
 
-        file_cols = {
-            f.attribute[0] for f in self.pushed
-        }
+        filter_paths = {".".join(f.attribute) for f in self.pushed}
         tasks = []
         for f in self.parts:
             pv = _hive_partition_values(f, self.root)
@@ -690,7 +713,7 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
             else:
                 rgs = _file_rowgroup_tasks(f, self.gcol, self.bbox,
                                            self.covering)
-            want_stats = [c for c in file_cols if c not in pv]
+            want_stats = [c for c in filter_paths if c not in pv]
             for rg, keep in rgs:
                 if not keep:
                     continue
@@ -710,7 +733,7 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
                     if not all(
                         self._rg_possibly_matches(stats, flt)
                         for flt in self.pushed
-                        if flt.attribute[0] in want_stats
+                        if ".".join(flt.attribute) in want_stats
                     ):
                         continue
                 tasks.append(_GpqPartition(f, rg, pv))
@@ -800,8 +823,10 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
         # hive-constant filters decide the whole row group at once
         for flt in self.pushed:
             col = flt.attribute[0]
-            if col in partition.part_vals and not self._row_matches(
-                partition.part_vals[col], flt
+            if (
+                len(flt.attribute) == 1
+                and col in partition.part_vals
+                and not self._row_matches(partition.part_vals[col], flt)
             ):
                 return
 
@@ -828,12 +853,15 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
         # accepted pushed filters are FULLY applied here (the contract:
         # Spark no longer re-evaluates them post-scan)
         for flt in self.pushed:
-            col = flt.attribute[0]
-            if col in partition.part_vals:
+            attr = flt.attribute
+            root = attr[0]
+            if len(attr) == 1 and root in partition.part_vals:
                 continue  # decided above
-            if col not in tbl.schema.names:
+            if root not in tbl.schema.names:
                 return  # column absent in this part -> all-null -> no match
-            arr = tbl.column(col)
+            arr = tbl.column(root)
+            for name in attr[1:]:  # nested struct leaf (covering fields)
+                arr = pc.struct_field(arr, name)
             try:
                 and_mask(self._arrow_filter_mask(arr, flt))
             except Exception:
@@ -993,7 +1021,7 @@ class _GpqWriter(DataSourceArrowWriter):
                 writer = pq.ParquetWriter(
                     tmp, tbl.schema.with_metadata(footer)
                 )
-            writer.write_table(tbl)
+            writer.write_table(tbl, row_group_size=self.rowgroup_rows)
             buf, buffered = [], 0
 
         for batch in it:

@@ -230,3 +230,41 @@ def test_stream_sink_commit_protocol(tmp_path):
     assert "batch-part.parquet" in names
     side = json.load(open(os.path.join(out, SIDECAR)))
     assert side["columns"]["g"]["bbox"] == [-3.0, 0.0, 1.0, 9.0]
+
+
+def test_nested_covering_filter_pushdown(tmp_path, spark):
+    """A WHERE clause on the covering struct's leaves prunes row groups
+    from parquet leaf statistics — the bbox option's pruning, reachable
+    from plain SQL. The filter is fully absorbed by the source (gone from
+    the executed plan) and results are exact."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from geoarrow_rs_spark.io.datasource import GeoParquetDataSource
+
+    out = str(tmp_path / "ds")
+    df = spark.sql(
+        "SELECT id, ST_Point(CAST(id AS DOUBLE), CAST(id % 50 AS DOUBLE)) "
+        "AS geometry FROM range(1000) t(id)"
+    )
+    (
+        df.repartition(1).sortWithinPartitions("id")
+        .write.format("geoparquet").mode("overwrite")
+        .option("rowgroup_rows", "100").save(out)
+    )
+    p = glob.glob(out + "/*.parquet")[0]
+    assert pq.read_metadata(p).num_row_groups == 10  # rowgroup_rows honored
+
+    ds = spark.read.format("geoparquet").load(out)
+    q = ds.where("bbox.xmin >= 250.0 AND bbox.xmax < 420.0")
+    assert sorted(r.id for r in q.collect()) == list(range(250, 420))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "xmin" not in plan  # fully applied inside the source
+
+    src = GeoParquetDataSource({"path": out})
+    rdr = src.reader(src.schema())
+    left = list(rdr.pushFilters([
+        GreaterThanOrEqual(("bbox", "xmin"), 250.0),
+        LessThan(("bbox", "xmax"), 420.0),
+    ]))
+    assert left == []
+    assert len(rdr.partitions()) == 3  # row groups [200,300),[300,400),[400,500)
