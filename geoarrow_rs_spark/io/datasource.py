@@ -962,6 +962,15 @@ class _GpqWriter(DataSourceArrowWriter):
         self.covering = str(options.get("covering", "true")).lower() != "false"
         self.covering_col = options.get("covering_col", "bbox")
         self.rowgroup_rows = int(options.get("rowgroup_rows", 65536))
+        # the doc's declared encoding: write_geoparquet delegates here
+        # after converting the column Catalyst-side, so non-WKB values
+        # only label the doc — covering can't be derived from them
+        self.encoding = str(options.get("encoding", "WKB"))
+        gt = options.get("geometry_types")
+        self.geometry_types = _json.loads(gt) if gt else None
+        self.compute_bbox = (
+            str(options.get("compute_bbox", "true")).lower() != "false"
+        )
         self.overwrite = overwrite
         os.makedirs(path, exist_ok=True)
         # recorded on the driver BEFORE tasks run: overwrite replaces
@@ -980,6 +989,8 @@ class _GpqWriter(DataSourceArrowWriter):
         doc = _geo_doc(
             self.gcol, self.crs, with_bbox,
             self.covering_col if self.covering else None,
+            encoding=self.encoding,
+            geometry_types=self.geometry_types,
         )
         return _json.dumps(doc)
 
@@ -1026,7 +1037,11 @@ class _GpqWriter(DataSourceArrowWriter):
 
         for batch in it:
             tbl = pa.Table.from_batches([batch])
-            if self.covering and self.covering_col not in tbl.schema.names:
+            if (
+                self.covering
+                and self.covering_col not in tbl.schema.names
+                and self.encoding == "WKB"
+            ):
                 frame = k_bbox_struct(
                     pd.Series(tbl.column(self.gcol).to_pylist())
                 )
@@ -1045,9 +1060,10 @@ class _GpqWriter(DataSourceArrowWriter):
                     bb[1] = min(bb[1], float(np.nanmin(frame["ymin"])))
                     bb[2] = max(bb[2], float(np.nanmax(frame["xmax"])))
                     bb[3] = max(bb[3], float(np.nanmax(frame["ymax"])))
-            elif self.covering and self.covering_col in tbl.schema.names:
-                # caller brought their own covering column: union the
-                # dataset bbox from it instead of re-deriving
+            elif self.covering_col in tbl.schema.names:
+                # a covering column exists (caller's, or pre-converted by
+                # write_geoparquet): union the dataset bbox from it even
+                # when the doc won't declare it
                 import pyarrow.compute as pc
 
                 col = tbl.column(self.covering_col)
@@ -1139,10 +1155,15 @@ class _GpqWriter(DataSourceArrowWriter):
             f.write(self._geo_doc_json(with_bbox=bbox))
 
     def commit(self, messages):
+        import math
         import os
 
         written = {m.file for m in messages if m is not None}
-        bb = self._union_bbox(messages)
+        bb = (
+            self._union_bbox(messages)
+            if self.compute_bbox
+            else [math.inf, math.inf, -math.inf, -math.inf]
+        )
         if self.overwrite:
             for old in self._pre_existing:
                 if os.path.basename(old) not in written:

@@ -171,6 +171,46 @@ def write_geoparquet(
     elif enc != "WKB":
         raise ValueError(f"unsupported write encoding: {encoding}")
 
+    doc_enc = (
+        enc.lower()
+        if enc.lower() in _ENC_DEPTH or enc.lower() == "point"
+        else "WKB"
+    )
+
+    # Preferred path: the Python DataSource writer (Spark 4) — each task
+    # streams its batches into its own part with the geo footer already
+    # in place, so the footer-stamping second pass below never runs (at
+    # 100 TB that pass doubles the write job). Falls back to the Spark
+    # parquet sink + stamping for remote/Hadoop destinations, non-
+    # append/overwrite save modes, or Spark < 4.
+    local = _local_path(path)
+    if (
+        local is not None
+        and mode in ("overwrite", "append")
+        and getattr(df.sparkSession, "dataSource", None) is not None
+    ):
+        from .datasource import register_datasources
+
+        register_datasources(df.sparkSession)
+        w = (
+            out.write.format("geoparquet").mode(mode)
+            .option("geometry_col", geometry_col)
+            .option("covering", "true" if generate_covering else "false")
+            .option("covering_col", covering_col)
+            .option("encoding", doc_enc)
+            .option("compute_bbox", "true" if compute_bbox else "false")
+        )
+        if crs is not None:
+            w = w.option(
+                "crs",
+                json.dumps(crs) if not isinstance(crs, str) else crs,
+            )
+        if geometry_types is not None:
+            w = w.option("geometry_types", json.dumps(list(geometry_types)))
+        w.save(local)
+        with open(os.path.join(local, SIDECAR)) as f:
+            return json.load(f)
+
     obs = None
     if compute_bbox and covering_col in out.columns:
         from pyspark.sql import Observation
@@ -193,8 +233,7 @@ def write_geoparquet(
 
     doc = _geo_doc(
         geometry_col, crs, file_bbox, covering_col if generate_covering else None,
-        encoding=enc.lower() if enc.lower() in _ENC_DEPTH or enc.lower() == "point"
-        else "WKB",
+        encoding=doc_enc,
         geometry_types=geometry_types,
     )
     with open(os.path.join(path, SIDECAR), "w") as f:
