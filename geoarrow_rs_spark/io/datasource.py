@@ -28,10 +28,15 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
+
+try:  # added in pyspark 4.1; on 4.0 the batch surfaces must still import
+    from pyspark.sql.datasource import DataSourceStreamArrowWriter
+except ImportError:  # pragma: no cover - env ships 4.1
+    class DataSourceStreamArrowWriter:  # subclass base only; Spark 4.0
+        pass                            # never plans a Python stream sink
 from pyspark.sql.types import BinaryType, StructField, StructType
 
 _CHUNK = 20000  # feature offsets per partition (matches read_flatgeobuf)
@@ -858,7 +863,13 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
             if len(attr) == 1 and root in partition.part_vals:
                 continue  # decided above
             if root not in tbl.schema.names:
-                return  # column absent in this part -> all-null -> no match
+                # column absent in this part -> all-null: IsNull matches
+                # every row, everything else matches none
+                from pyspark.sql.datasource import IsNull
+
+                if isinstance(flt, IsNull):
+                    continue
+                return
             arr = tbl.column(root)
             for name in attr[1:]:  # nested struct leaf (covering fields)
                 arr = pc.struct_field(arr, name)
@@ -975,9 +986,14 @@ class _GpqWriter(DataSourceArrowWriter):
         os.makedirs(path, exist_ok=True)
         # recorded on the driver BEFORE tasks run: overwrite replaces
         # exactly these at commit (new parts have unique names, so a
-        # failed job never destroys the old data)
+        # failed job never destroys the old data). Recursive, matching
+        # the reader's _parquet_parts glob — a previously hive-
+        # partitioned dataset's key=*/part files must be replaced too.
         self._pre_existing = sorted(
-            glob.glob(os.path.join(glob.escape(path), "*.parquet"))
+            glob.glob(
+                os.path.join(glob.escape(path), "**", "*.parquet"),
+                recursive=True,
+            )
         )
         self._doc_json = None  # built lazily (shared by tasks + commit)
 
@@ -1023,7 +1039,10 @@ class _GpqWriter(DataSourceArrowWriter):
         rows = 0
         bb = [math.inf, math.inf, -math.inf, -math.inf]
 
-        def flush():
+        def flush(final=False):
+            # write only FULL multiples of rowgroup_rows until the end —
+            # flushing the overshoot remainder would fragment the file
+            # into runt row groups and blunt covering-stats pruning
             nonlocal writer, buf, buffered
             if not buf:
                 return
@@ -1032,8 +1051,17 @@ class _GpqWriter(DataSourceArrowWriter):
                 writer = pq.ParquetWriter(
                     tmp, tbl.schema.with_metadata(footer)
                 )
-            writer.write_table(tbl, row_group_size=self.rowgroup_rows)
-            buf, buffered = [], 0
+            n = tbl.num_rows
+            take = (
+                n if final else (n // self.rowgroup_rows) * self.rowgroup_rows
+            )
+            if take:
+                writer.write_table(
+                    tbl.slice(0, take), row_group_size=self.rowgroup_rows
+                )
+            rem = tbl.slice(take)
+            buf = rem.to_batches() if rem.num_rows else []
+            buffered = rem.num_rows
 
         for batch in it:
             tbl = pa.Table.from_batches([batch])
@@ -1078,7 +1106,7 @@ class _GpqWriter(DataSourceArrowWriter):
             buf.extend(tbl.to_batches())
             if buffered >= self.rowgroup_rows:
                 flush()
-        flush()
+        flush(final=True)
         if writer is None:
             # empty task: still emit a zero-row part so the schema (and
             # geo footer) survive an empty write
@@ -1155,6 +1183,8 @@ class _GpqWriter(DataSourceArrowWriter):
             f.write(self._geo_doc_json(with_bbox=bbox))
 
     def commit(self, messages):
+        import glob as _glob
+        import json as _json
         import math
         import os
 
@@ -1170,6 +1200,40 @@ class _GpqWriter(DataSourceArrowWriter):
                     os.remove(old)
         else:
             bb = self._union_existing_sidecar(bb)
+        # losing task attempts (speculation, executor lost after the
+        # rename but before its message reached the driver) leave
+        # finalized parts the job doesn't own: anything top-level that is
+        # neither pre-existing nor this job's output is such an orphan —
+        # only this writer produces top-level uuid-named parts here, and
+        # the job is finished, so nothing else is mid-write
+        keep = written | {os.path.basename(p) for p in self._pre_existing}
+        for p in _glob.glob(os.path.join(_glob.escape(self.path),
+                                         "*.parquet")):
+            if os.path.basename(p) not in keep:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        # stream-log hygiene for a directory that was once a stream sink:
+        # overwrite replaces the dataset wholesale (a stale log would make
+        # a future stream misclassify fresh epochs as replays); append
+        # registers its parts so a future stream's orphan GC keeps them
+        logp = os.path.join(self.path, _GpqStreamWriter.STREAM_LOG)
+        if os.path.exists(logp):
+            if self.overwrite:
+                os.remove(logp)
+            else:
+                try:
+                    with open(logp) as f:
+                        log = _json.load(f)
+                except ValueError:
+                    log = {}
+                pre = set(log.get("_preexisting", []))
+                log["_preexisting"] = sorted(pre | written)
+                tmp = logp + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump(log, f)
+                os.replace(tmp, logp)
         self._write_sidecar(bb)
 
     def abort(self, messages):

@@ -1574,26 +1574,31 @@ def _custom_from_proj_string(s):
     if tag is None:
         raise ValueError(f"unsupported PROJ projection +proj={name!r}")
     if tag == "lcc":
-        # PROJ semantics: n comes from lat_1/lat_2 (lat_2 defaults to
-        # lat_1), rho0 from lat_0 independently — i.e. even "+lat_1 only"
-        # is the 2SP formula in its equal-parallel limit, NOT a tangent
-        # cone at lat_0. k_0 is the one thing the generic conic engine
-        # doesn't carry; it folds into the 1SP setup only when the cone
-        # is tangent at the origin (lat_0 == lat_1).
+        # PROJ semantics: n comes from lat_1/lat_2 (lat_1 DEFAULTS TO 0
+        # like PROJ — not to lat_0 — and lat_2 defaults to lat_1), rho0
+        # from lat_0 independently — i.e. even "+lat_1 only" is the 2SP
+        # formula in its equal-parallel limit, NOT a tangent cone at
+        # lat_0. k_0 is the one thing the generic conic engine doesn't
+        # carry; it folds into the 1SP setup only when the cone is
+        # tangent at the origin (lat_0 == lat_1).
+        g.setdefault("lat1", 0.0)
+        g.setdefault("lat2", g["lat1"])
+        if abs(g["lat1"] + g["lat2"]) < 1e-10:
+            # n = 0: PROJ rejects these ("|lat_1 + lat_2| should be > 0")
+            raise ValueError(
+                "+proj=lcc with lat_1 + lat_2 == 0 is degenerate (the "
+                "cone constant vanishes); PROJ rejects it too")
         if g.get("k0", 1.0) != 1.0:
-            if ("lat2" in g and g["lat2"] != g.get("lat1")) or (
-                "lat1" in g and "lat0" in g and g["lat1"] != g["lat0"]
+            if g["lat2"] != g["lat1"] or (
+                "lat0" in g and g["lat0"] != g["lat1"]
             ):
                 raise ValueError(
                     "+proj=lcc with k_0 != 1 is only supported on the "
                     "tangent cone (lat_0 == lat_1, no distinct lat_2)")
             tag = "lcc1"
-            g.setdefault("lat1", g.get("lat0", 0.0))
             g["lat0"] = g["lat1"]
         else:
             tag = "lcc2"
-            g.setdefault("lat1", g.get("lat0", 0.0))
-            g.setdefault("lat2", g["lat1"])
     elif tag == "stere":
         lat0 = g.get("lat0")
         if lat0 is None or abs(lat0) != 90.0:

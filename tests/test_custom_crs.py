@@ -720,3 +720,62 @@ def test_esri_wkt1_unsupported_forms_raise():
     for bad in (foot, paris, aux):
         with pytest.raises(ValueError):
             P.parse_crs(bad)
+
+
+def test_proj_string_lcc_lat2_only_defaults_lat1_to_zero():
+    """PROJ defaults lat_1 to 0 (NOT to lat_0): '+proj=lcc +lat_2=60
+    +lat_0=40' means standard parallels (0, 60) with the false origin at
+    40 — twin-checked against the PROJJSON 2SP method with those exact
+    parameters. And the old behavior (parallels (40, 60)) must measurably
+    differ, so a regression cannot hide."""
+    pstr = "+proj=lcc +lat_2=60 +lat_0=40 +lon_0=3 +ellps=GRS80"
+    crs_p = P.parse_crs(pstr)
+
+    def lcc2_json(lat1, lat2, lat0):
+        return {
+            "type": "ProjectedCRS", "name": "t",
+            "base_crs": {
+                "type": "GeographicCRS", "name": "GRS80",
+                "datum": {"type": "GeodeticReferenceFrame", "name": "g",
+                          "ellipsoid": {"name": "GRS 1980",
+                                        "semi_major_axis": 6378137.0,
+                                        "inverse_flattening": 298.257222101}},
+            },
+            "conversion": {
+                "name": "lcc", "method": {
+                    "name": "Lambert Conic Conformal (2SP)",
+                    "id": {"authority": "EPSG", "code": 9802}},
+                "parameters": [
+                    {"name": "Latitude of false origin", "value": lat0,
+                     "unit": "degree",
+                     "id": {"authority": "EPSG", "code": 8821}},
+                    {"name": "Longitude of false origin", "value": 3,
+                     "unit": "degree",
+                     "id": {"authority": "EPSG", "code": 8822}},
+                    {"name": "Latitude of 1st standard parallel",
+                     "value": lat1, "unit": "degree",
+                     "id": {"authority": "EPSG", "code": 8823}},
+                    {"name": "Latitude of 2nd standard parallel",
+                     "value": lat2, "unit": "degree",
+                     "id": {"authority": "EPSG", "code": 8824}},
+                ],
+            },
+        }
+
+    lon, lat = _samples((-2.0, 8.0), (35.0, 62.0))
+    xp, yp = P.transform_xy(lon, lat, 4326, crs_p)
+    xj, yj = P.transform_xy(lon, lat, 4326, P.parse_crs(lcc2_json(0, 60, 40)))
+    assert np.array_equal(xp, xj) and np.array_equal(yp, yj)
+    xo, _ = P.transform_xy(lon, lat, 4326, P.parse_crs(lcc2_json(40, 60, 40)))
+    assert np.max(np.abs(xo - xp)) > 1000.0  # old lat_1=lat_0 reading differs
+
+
+def test_proj_string_lcc_degenerate_cone_raises():
+    """lat_1 + lat_2 == 0 (incl. both absent -> (0, 0)) makes the cone
+    constant vanish; PROJ rejects these and so do we."""
+    for bad in (
+        "+proj=lcc +lat_0=40 +lon_0=3 +ellps=GRS80",          # (0, 0)
+        "+proj=lcc +lat_1=30 +lat_2=-30 +lon_0=3 +ellps=GRS80",  # n = 0
+    ):
+        with pytest.raises(ValueError, match="degenerate"):
+            P.parse_crs(bad)

@@ -268,3 +268,115 @@ def test_nested_covering_filter_pushdown(tmp_path, spark):
     ]))
     assert left == []
     assert len(rdr.partitions()) == 3  # row groups [200,300),[300,400),[400,500)
+
+
+def test_isnull_filter_on_absent_column(tmp_path, spark):
+    """Mixed layout: IS NULL on a hive key must match every row of a part
+    that lacks the column (absent == all-null), not drop the part."""
+    root = tmp_path / "mixed"
+    os.makedirs(root / "key=a")
+    _points_df(spark, 40).write.format("geoparquet").mode(
+        "overwrite").save(str(root / "key=a"))
+    # rootless part without the hive key column
+    _points_df(spark, 25).write.format("geoparquet").mode(
+        "overwrite").save(str(root / "tmp_stage"))
+    import shutil
+    for p in glob.glob(str(root / "tmp_stage" / "*.parquet")):
+        shutil.move(p, str(root / ("a" + os.path.basename(p))))
+    shutil.rmtree(root / "tmp_stage")
+    os.remove(root / "key=a" / SIDECAR)  # single dataset, one sidecar
+    for extra in glob.glob(str(root / "key=a" / "_geo_stream_log.json")):
+        os.remove(extra)
+    # dataset-level sidecar so the reader finds the geo doc
+    side = {"version": "1.1.0", "primary_column": "geometry",
+            "columns": {"geometry": {"encoding": "WKB",
+                                     "geometry_types": []}}}
+    json.dump(side, open(root / SIDECAR, "w"))
+
+    ds = spark.read.format("geoparquet").load(str(root))
+    assert ds.count() == 65
+    assert ds.where("key IS NULL").count() == 25   # absent column = null
+    assert ds.where("key IS NOT NULL").count() == 40
+
+
+def test_overwrite_replaces_hive_subdir_parts(tmp_path, spark):
+    """Overwriting a directory that previously held a hive-partitioned
+    dataset must remove the key=*/part files too — the reader globs
+    recursively, so leftovers would surface as stale rows."""
+    from geoarrow_rs_spark.io.geoparquet import write_geoparquet_partitioned
+
+    out = str(tmp_path / "ds")
+    write_geoparquet_partitioned(
+        _points_df(spark, 200).selectExpr("id", "geometry"), out,
+        cell_size=50.0,
+    )
+    assert glob.glob(out + "/gpcell=*/*.parquet")  # partitioned layout
+    _points_df(spark, 30).write.format("geoparquet").mode(
+        "overwrite").save(out)
+    assert not glob.glob(out + "/gpcell=*/*.parquet")
+    assert spark.read.format("geoparquet").load(out).count() == 30
+
+
+def test_batch_commit_gc_and_stream_log_hygiene(tmp_path):
+    """Driver-side batch commit: losing-task-attempt orphans are removed,
+    overwrite clears a stale stream log, append registers its parts in an
+    existing log's _preexisting set."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from geoarrow_rs_spark.io.datasource import _GpqCommit, _GpqWriter
+
+    out = str(tmp_path / "ds")
+    os.makedirs(out)
+
+    def touch(name):
+        open(os.path.join(out, name), "wb").write(b"PAR1")
+
+    schema = StructType([StructField("g", BinaryType())])
+    json.dump({"_preexisting": [], "0": ["old-epoch.parquet"]},
+              open(os.path.join(out, "_geo_stream_log.json"), "w"))
+    touch("old-epoch.parquet")
+
+    w = _GpqWriter(out, schema, {"geometry_col": "g"}, overwrite=True)
+    touch("win.parquet")
+    touch("loser-attempt.parquet")  # speculative duplicate, no message
+    w.commit([_GpqCommit("win.parquet", (0, 0, 1, 1), 5)])
+    names = set(os.listdir(out))
+    assert "loser-attempt.parquet" not in names     # attempt orphan GC'd
+    assert "old-epoch.parquet" not in names         # overwritten
+    assert "_geo_stream_log.json" not in names      # stale log cleared
+    assert "win.parquet" in names
+
+    # append into a stream-sink dir registers the new parts in the log
+    json.dump({"_preexisting": [], "0": ["s0.parquet"]},
+              open(os.path.join(out, "_geo_stream_log.json"), "w"))
+    touch("s0.parquet")
+    w2 = _GpqWriter(out, schema, {"geometry_col": "g"}, overwrite=False)
+    touch("appended.parquet")
+    w2.commit([_GpqCommit("appended.parquet", None, 3)])
+    log = json.load(open(os.path.join(out, "_geo_stream_log.json")))
+    assert "appended.parquet" in log["_preexisting"]
+    assert set(os.listdir(out)) >= {"s0.parquet", "appended.parquet",
+                                    "win.parquet"}
+
+
+def test_no_runt_row_groups(tmp_path, spark):
+    """flush() writes only full rowgroup_rows multiples until the final
+    flush, so arrow-batch overshoot never fragments the file."""
+    out = str(tmp_path / "ds")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "150")
+    try:
+        (
+            _points_df(spark, 1030).repartition(1)
+            .write.format("geoparquet").mode("overwrite")
+            .option("rowgroup_rows", "100").save(out)
+        )
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    p = glob.glob(out + "/*.parquet")[0]
+    md = pq.read_metadata(p)
+    sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    assert sizes[:-1] == [100] * (len(sizes) - 1)  # only the tail may be short
+    assert sum(sizes) == 1030
