@@ -842,19 +842,28 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
             mask = m if mask is None else pc.and_(mask, m)
 
         if self.bbox is not None and gcol in file_cols:
-            from ..wkb import algorithms as alg
-            from ..wkb import core as wc
+            # vectorized exact refine: the batch bbox kernel decodes the
+            # whole column in one pass (numpy fast path for points) —
+            # the per-row from_wkb loop cost ~40µs/row, which dominated
+            # the scan whenever stats pruning couldn't narrow the read
+            import numpy as np
+            import pandas as pd
+
+            from ..functions.kernels import k_bbox_struct
 
             bx0, by0, bx1, by1 = self.bbox
-            keep = []
-            for v in tbl.column(gcol).to_pylist():
-                b = alg.bounds(wc.from_wkb(v)) if v is not None else None
-                keep.append(
-                    b is not None
-                    and not (b[2] < bx0 or b[0] > bx1
-                             or b[3] < by0 or b[1] > by1)
+            frame = k_bbox_struct(pd.Series(tbl.column(gcol).to_pylist()))
+            xmin = frame["xmin"].to_numpy()
+            ymin = frame["ymin"].to_numpy()
+            xmax = frame["xmax"].to_numpy()
+            ymax = frame["ymax"].to_numpy()
+            with np.errstate(invalid="ignore"):
+                keep = (
+                    (xmax >= bx0) & (xmin <= bx1)
+                    & (ymax >= by0) & (ymin <= by1)
                 )
-            and_mask(pa.array(keep, type=pa.bool_()))
+            keep &= ~np.isnan(xmin)  # null / empty geometries drop
+            and_mask(pa.array(keep))
         # accepted pushed filters are FULLY applied here (the contract:
         # Spark no longer re-evaluates them post-scan)
         for flt in self.pushed:

@@ -769,7 +769,17 @@ def geo_datasource_write_roundtrip(spark, sf_dir):
         "ST_Point(CAST(c_custkey % 1000 AS DOUBLE), "
         "CAST(c_nationkey AS DOUBLE)) AS geometry",
     )
-    pts.write.format("geoparquet").mode("overwrite").save(out)
+    # spatially-clustered write (x-sorted range partitions + bounded row
+    # groups): covering-leaf statistics become disjoint, so the bbox
+    # read-back prunes instead of scanning the whole dataset — the write
+    # pattern any at-scale pipeline uses (functions/curves.py)
+    from pyspark.sql import functions as _F
+
+    (
+        pts.orderBy(_F.expr("c_custkey % 1000"))  # cluster on x
+        .write.format("geoparquet").mode("overwrite")
+        .option("rowgroup_rows", "8192").save(out)
+    )
     back = (
         spark.read.format("geoparquet")
         .option("bbox", "100,0,300,12")
