@@ -325,19 +325,22 @@ def tfidf_topk(
         )
     base = corpus.select(F.col(id_col), words_of(F.col(text_col)).alias("__w"))
 
-    # ONE corpus pass (array scans, no explode) yields everything the query
-    # side needs: N plus the per-term document frequencies. Collapses to a
-    # single broadcast row — the query vector, its idfs and its norm all
-    # derive from it without touching the corpus again.
-    stats = base.agg(
-        F.count(F.lit(1)).alias("__N"),
-        *[
-            F.sum(
-                (F.size(F.filter(F.col("__w"), lambda x: x == F.lit(t))) > 0).cast("long")
-            ).alias(f"__df{i}")
-            for i, t in enumerate(terms)
-        ],
+    # corpus side FIRST: ONE explode + groupBy is the only heavy pass.
+    # Checkpointed because both the scoring chain and the query-side
+    # document frequencies read it (r7: the previous version paid two
+    # extra tokenization scans of the corpus — one for a per-term stats
+    # row, computed twice because the query vector and the broadcast N
+    # consumed it separately).
+    tf = (
+        base.select(F.col(id_col), F.explode(F.col("__w")).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    # N is a column-pruned count-star (row-group metadata scan, no
+    # tokenization); per-term document frequencies fall out of tf (df(t) =
+    # rows of tf with word = t, since (doc, word) is unique post-groupBy).
+    nn = corpus.agg(F.count(F.lit(1)).alias("__N"))
 
     def _idf(df_col):
         return F.round(
@@ -348,42 +351,30 @@ def tfidf_topk(
             12,
         )
 
-    # query terms absent from the corpus vocabulary carry no weight
-    # (df = 0 -> dropped, mirroring the oracle's inner join against idf)
+    # query terms absent from the corpus vocabulary carry no weight:
+    # they have no tf rows, mirroring the oracle's inner join against idf
     dec_small = "decimal(20,12)"  # scale-preserving additions (no 38+38 -> scale 11)
-    qn_sum = None
-    for i in range(len(terms)):
-        term = F.when(
-            F.col(f"__df{i}") > 0,
-            F.round(_idf(F.col(f"__df{i}")) * _idf(F.col(f"__df{i}")), 12).cast(dec_small),
-        ).otherwise(F.lit(0).cast(dec_small))
-        qn_sum = term if qn_sum is None else (qn_sum + term).cast(dec_small)
-    qrow = stats.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("word"),
-                        F.when(F.col(f"__df{i}") > 0, _idf(F.col(f"__df{i}"))).alias("__qidf"),
-                    )
-                    for i, t in enumerate(terms)
-                ]
-            )
-        ).alias("__q"),
-        F.sqrt(qn_sum.cast("double")).alias("__qn"),
-    ).select(F.col("__q.word").alias("word"), F.col("__q.__qidf").alias("__qidf"), "__qn")
-    qw = qrow.where(F.col("__qidf").isNotNull())
-
-    # corpus side: ONE explode; document frequency via a word-partitioned
-    # window over tf (no vocabulary self-join), N via the broadcast stats row
-    tf = (
-        base.select(F.col(id_col), F.explode(F.col("__w")).alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    qv = (
+        tf.where(F.col("word").isin(list(terms)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__tdf"))
+        .crossJoin(F.broadcast(nn))
+        .select("word", _idf(F.col("__tdf")).alias("__qidf"))
     )
+    qn = qv.agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("__qidf") * F.col("__qidf"), 12).cast(dec_small)
+            ).cast("double")
+        ).alias("__qn")
+    )
+    qw = qv.crossJoin(F.broadcast(qn))
+
+    # document frequency via a word-partitioned window over tf (no
+    # vocabulary self-join), N via the broadcast count row
     dfw = tf.withColumn(
         "__df", F.count(F.lit(1)).over(Window.partitionBy("word"))
-    ).crossJoin(F.broadcast(stats.select("__N")))
+    ).crossJoin(F.broadcast(nn))
     idf = F.round(
         F.log(
             (F.col("__N").cast("double") + F.lit(1.0))

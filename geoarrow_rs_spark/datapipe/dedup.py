@@ -119,6 +119,15 @@ def minhash_lsh_pairs(
         with_sig = df.select(*cols).join(sig_df, on=id_col)
     else:
         with_sig = sig_df
+    # The band self-join references this subtree on BOTH sides. Without a
+    # materialization boundary Catalyst plans the whole signature pipeline
+    # (gram explode + md5 + 16 partial-min aggregate) twice — broadcast on
+    # one side defeats ReuseExchange (r7 plan audit: two full `Scan parquet
+    # -> Generate -> HashAggregate` subtrees). A lazy localCheckpoint makes
+    # the narrow (id, sig[, text]) table compute ONCE; both sides then read
+    # the materialized blocks. At scale this is the standard
+    # materialize-the-signatures step (signatures are ~128 B/doc).
+    with_sig = with_sig.localCheckpoint(eager=False)
     banded = with_sig.withColumn(
         "__band",
         F.explode(

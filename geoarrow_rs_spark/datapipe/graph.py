@@ -299,6 +299,9 @@ def k_core(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    # round 1 references e three times (degree union x2 + the semi-join
+    # probe side); checkpoint so the upstream pair generation runs once
+    e = e.localCheckpoint(eager=False)
     prev_edges = None
     for _ in range(rounds):
         deg = (

@@ -328,17 +328,22 @@ def budget_fill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("__cum", F.sum("__btok").over(w))
-    hit = cum.where(F.col("__cum") >= F.lit(int(budget_tokens)))
-    thresh = hit.groupBy(domain_col).agg(F.max("bucket").alias("__tb"))
+    # Threshold bucket = the HIGHEST bucket whose best-first cumulative
+    # crosses the budget. __cum is nondecreasing in descending-bucket
+    # order, so that row is rank 1 of the crossing rows — one window over
+    # the tiny histogram instead of the previous groupBy(max) + self-join
+    # back onto cum, which consumed cum twice and therefore planned the
+    # whole histogram pass over the corpus (with its heavyweight
+    # score/token expressions) twice (r7 plan audit: 3 corpus scans where
+    # the docstring promises 2).
+    wt = Window.partitionBy(domain_col).orderBy(F.desc("bucket"))
     plan = (
-        thresh.join(
-            cum.select(domain_col, F.col("bucket").alias("__tb"),
-                       "__btok", "__cum"),
-            [domain_col, "__tb"],
-        )
+        cum.where(F.col("__cum") >= F.lit(int(budget_tokens)))
+        .withColumn("__rn", F.row_number().over(wt))
+        .where(F.col("__rn") == 1)
         .select(
             domain_col,
-            "__tb",
+            F.col("bucket").alias("__tb"),
             F.round(
                 (F.lit(float(budget_tokens))
                  - (F.col("__cum") - F.col("__btok")).cast("double"))
