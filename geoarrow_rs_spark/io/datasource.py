@@ -986,6 +986,12 @@ class _GpqWriter(DataSourceArrowWriter):
         # after converting the column Catalyst-side, so non-WKB values
         # only label the doc — covering can't be derived from them
         self.encoding = str(options.get("encoding", "WKB"))
+        if self.covering and self.encoding != "WKB" and self.covering_col not in names:
+            # write() can only generate the covering column from WKB; for a
+            # native encoding with no pre-built covering column the footer
+            # would otherwise declare a column that no part contains (and
+            # _empty_schema would diverge from data parts)
+            self.covering = False
         gt = options.get("geometry_types")
         self.geometry_types = _json.loads(gt) if gt else None
         self.compute_bbox = (
@@ -1207,22 +1213,29 @@ class _GpqWriter(DataSourceArrowWriter):
             for old in self._pre_existing:
                 if os.path.basename(old) not in written:
                     os.remove(old)
-        else:
+            # losing task attempts (speculation, executor lost after the
+            # rename but before its message reached the driver) leave
+            # finalized parts the job doesn't own: anything top-level that
+            # is neither pre-existing nor in a commit message is such an
+            # orphan. Overwrite mode ONLY — overwrite replaces the dataset
+            # wholesale, so unrecognized files are fair game; under append
+            # a concurrent job's freshly-renamed parts would be removed
+            # between our plan snapshot and commit (data loss the standard
+            # parquet sink avoids via unique filenames), so append leaves
+            # unrecognized files alone, exactly like the built-in sink.
+            keep = written | {os.path.basename(p) for p in self._pre_existing}
+            for p in _glob.glob(os.path.join(_glob.escape(self.path),
+                                             "*.parquet")):
+                if os.path.basename(p) not in keep:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+        elif self.compute_bbox:
             bb = self._union_existing_sidecar(bb)
-        # losing task attempts (speculation, executor lost after the
-        # rename but before its message reached the driver) leave
-        # finalized parts the job doesn't own: anything top-level that is
-        # neither pre-existing nor this job's output is such an orphan —
-        # only this writer produces top-level uuid-named parts here, and
-        # the job is finished, so nothing else is mid-write
-        keep = written | {os.path.basename(p) for p in self._pre_existing}
-        for p in _glob.glob(os.path.join(_glob.escape(self.path),
-                                         "*.parquet")):
-            if os.path.basename(p) not in keep:
-                try:
-                    os.remove(p)
-                except OSError:
-                    pass
+        # else: append with compute_bbox=false — appended rows may fall
+        # outside the old bbox, so the sidecar must say "unknown" (null)
+        # rather than preserve a now-possibly-stale extent
         # stream-log hygiene for a directory that was once a stream sink:
         # overwrite replaces the dataset wholesale (a stale log would make
         # a future stream misclassify fresh epochs as replays); append

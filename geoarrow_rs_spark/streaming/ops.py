@@ -14,6 +14,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _int_conf(spark, key: str, default: int = 0) -> int:
+    """Integer conf value, tolerating non-numeric deployments (e.g.
+    spark.sql.shuffle.partitions = 'auto' under AQE auto-optimized
+    shuffle) — falls back to ``default`` instead of raising."""
+    try:
+        return int(spark.conf.get(key))
+    except (TypeError, ValueError):
+        return default
+
+
 def read_stream_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """File-source stream over a parquet directory; schema required by
     Structured Streaming (pass df.schema from a batch read)."""
@@ -794,7 +804,7 @@ def streaming_geofence_transitions(
         # transitions, not entities.
         n_parts = max(
             points.sparkSession.sparkContext.defaultParallelism,
-            int(points.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            _int_conf(points.sparkSession, "spark.sql.shuffle.partitions"),
         )
         part = src.repartition(n_parts, "__entity").sortWithinPartitions(
             "__entity", "__ts", "__x", "__y"

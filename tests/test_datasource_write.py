@@ -380,3 +380,104 @@ def test_no_runt_row_groups(tmp_path, spark):
     sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
     assert sizes[:-1] == [100] * (len(sizes) - 1)  # only the tail may be short
     assert sum(sizes) == 1030
+
+
+def test_append_commit_leaves_concurrent_parts(tmp_path):
+    """ADVICE r6: append-mode commit must NOT GC unrecognized fresh parts
+    — a concurrent append job's freshly-renamed part that appeared between
+    this job's plan snapshot and its commit survives (the standard parquet
+    sink is safe here via unique filenames; so are we now)."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from geoarrow_rs_spark.io.datasource import _GpqCommit, _GpqWriter
+
+    out = str(tmp_path / "ds")
+    os.makedirs(out)
+
+    def touch(name):
+        open(os.path.join(out, name), "wb").write(b"PAR1")
+
+    schema = StructType([StructField("g", BinaryType())])
+    w = _GpqWriter(out, schema, {"geometry_col": "g"}, overwrite=False)
+    # appears AFTER the plan snapshot (not in _pre_existing), owned by a
+    # concurrent job — so it is not in this job's commit messages either
+    touch("part-00000-deadbeefdeadbeefdeadbeefdeadbeef.parquet")
+    touch("mine.parquet")
+    w.commit([_GpqCommit("mine.parquet", (0, 0, 1, 1), 5)])
+    names = set(os.listdir(out))
+    assert "part-00000-deadbeefdeadbeefdeadbeefdeadbeef.parquet" in names
+    assert "mine.parquet" in names
+
+
+def test_append_compute_bbox_false_nulls_sidecar_bbox(tmp_path):
+    """ADVICE r6: append with compute_bbox=false must write bbox null
+    (unknown) — appended rows may fall outside the old extent, so
+    preserving the stale sidecar bbox under-reports."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from geoarrow_rs_spark.io.datasource import _GpqCommit, _GpqWriter
+
+    out = str(tmp_path / "ds")
+    os.makedirs(out)
+    schema = StructType([StructField("g", BinaryType())])
+
+    w = _GpqWriter(out, schema, {"geometry_col": "g"}, overwrite=True)
+    open(os.path.join(out, "a.parquet"), "wb").write(b"PAR1")
+    w.commit([_GpqCommit("a.parquet", (0.0, 0.0, 1.0, 1.0), 5)])
+    side = json.load(open(os.path.join(out, SIDECAR)))
+    assert side["columns"]["g"]["bbox"] == [0.0, 0.0, 1.0, 1.0]
+
+    w2 = _GpqWriter(
+        out, schema, {"geometry_col": "g", "compute_bbox": "false"},
+        overwrite=False,
+    )
+    open(os.path.join(out, "b.parquet"), "wb").write(b"PAR1")
+    w2.commit([_GpqCommit("b.parquet", None, 3)])
+    side = json.load(open(os.path.join(out, SIDECAR)))
+    assert side["columns"]["g"].get("bbox") is None
+
+
+def test_native_encoding_without_covering_col_drops_covering(tmp_path):
+    """ADVICE r6: encoding != WKB with no pre-built covering column must
+    not declare 'covering' in the geo doc (write() can only generate the
+    column from WKB, so the footer would reference a nonexistent column
+    and _empty_schema would diverge from data parts)."""
+    from pyspark.sql.types import (
+        DoubleType, StructField, StructType,
+    )
+
+    from geoarrow_rs_spark.io.datasource import _GpqWriter
+
+    out = str(tmp_path / "ds")
+    schema = StructType([
+        StructField("x", DoubleType()), StructField("geometry", DoubleType()),
+    ])
+    w = _GpqWriter(
+        out, schema, {"geometry_col": "geometry", "encoding": "point"},
+        overwrite=True,
+    )
+    assert w.covering is False
+    doc = json.loads(w._geo_doc_json())
+    assert "covering" not in doc["columns"]["geometry"]
+    assert [f.name for f in w._empty_schema()] == ["x", "geometry"]
+
+
+def test_int_conf_tolerates_auto():
+    """ADVICE r6: spark.sql.shuffle.partitions='auto' (Databricks AQE
+    auto-optimized shuffle) must not raise in the geofence batch twin."""
+    from geoarrow_rs_spark.streaming.ops import _int_conf
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key):
+            return self._v
+
+    class _S:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert _int_conf(_S("auto"), "spark.sql.shuffle.partitions") == 0
+    assert _int_conf(_S(None), "spark.sql.shuffle.partitions") == 0
+    assert _int_conf(_S("64"), "spark.sql.shuffle.partitions") == 64
