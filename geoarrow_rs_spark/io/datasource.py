@@ -61,6 +61,12 @@ def _strip_file_scheme(p):
 
 
 _BATCH_ROWS = 4096
+# footer-planning pool engages only when one footer fetch costs at least
+# this much (object-store latency); warm local page-cache parses are
+# GIL-bound and the pool measurably hurts them (see _GpqReader.partitions)
+_POOL_LATENCY_S = float(
+    __import__("os").environ.get("SPARK_GRAFT_FOOTER_POOL_LATENCY", "0.001")
+)
 
 
 def _rows_to_batches(rows, schema):
@@ -702,23 +708,33 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
         return False
 
     def partitions(self):
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
         from .geoparquet import _file_rowgroup_tasks, _hive_partition_values
 
         filter_paths = {".".join(f.attribute) for f in self.pushed}
-        tasks = []
+
+        # hive pruning first: pure path arithmetic, no I/O
+        survivors = []
         for f in self.parts:
             pv = _hive_partition_values(f, self.root)
             if self.pushed and self._hive_prunes(pv):
                 continue
+            survivors.append((f, pv))
+
+        def plan_file(item):
+            f, pv = item
             md = pq.read_metadata(f)
             if self.bbox is None:
                 rgs = [(rg, True) for rg in range(md.num_row_groups)]
             else:
                 rgs = _file_rowgroup_tasks(f, self.gcol, self.bbox,
-                                           self.covering)
+                                           self.covering, md=md)
             want_stats = [c for c in filter_paths if c not in pv]
+            out = []
             for rg, keep in rgs:
                 if not keep:
                     continue
@@ -741,7 +757,45 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
                         if ".".join(flt.attribute) in want_stats
                     ):
                         continue
-                tasks.append(_GpqPartition(f, rg, pv))
+                out.append(_GpqPartition(f, rg, pv))
+            return out
+
+        # Footer planning strategy, decided by a latency probe on the
+        # first footer. When footers are warm local page-cache hits
+        # (~0.1 ms, GIL-bound thrift parse) a thread pool only adds
+        # contention — measured 4x SLOWER on a 240-file local dataset —
+        # so the serial loop stays. When a footer fetch is genuinely
+        # I/O-bound (object storage: 2-50 ms/footer, pyarrow releases
+        # the GIL while waiting), the serial loop at 1e5 files is minutes
+        # of driver planning; a bounded pool makes it aggregate-latency
+        # bound (measured 3.9x faster at 2 ms injected latency, 240
+        # files). Results are ordered identically either way.
+        if not survivors:
+            return [_GpqPartition(None, -1, {})]
+        import time as _time
+
+        t0 = _time.perf_counter()
+        first = plan_file(survivors[0])
+        probe = _time.perf_counter() - t0
+        rest = survivors[1:]
+        workers = min(16, len(rest), (os.cpu_count() or 8))
+        if rest and workers > 1 and probe >= _POOL_LATENCY_S:
+            chunks = [rest[i::workers] for i in range(workers)]
+
+            def plan_chunk(chunk):
+                return [plan_file(item) for item in chunk]
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                chunk_results = list(ex.map(plan_chunk, chunks))
+            # de-interleave back to input order: chunk i holds files
+            # i, i+workers, i+2*workers, ...
+            per_file = [None] * len(rest)
+            for ci, res in enumerate(chunk_results):
+                for j, lst in enumerate(res):
+                    per_file[ci + j * workers] = lst
+        else:
+            per_file = [plan_file(s) for s in rest]
+        tasks = [t for lst in [first] + per_file for t in lst]
         return tasks or [_GpqPartition(None, -1, {})]
 
     @staticmethod

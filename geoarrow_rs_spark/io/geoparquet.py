@@ -511,17 +511,21 @@ def _covering_stat_leaves(md, covering: str):
     return None
 
 
-def _file_rowgroup_tasks(file_path: str, gcol: str, bbox, covering: str = None):
+def _file_rowgroup_tasks(
+    file_path: str, gcol: str, bbox, covering: str = None, md=None
+):
     """(row_group_index, intersects) pairs for one file from footer stats.
 
     Prunes via the covering struct's leaf statistics when ``covering`` is
     given and resolvable, else via the native coordinate leaves. Row groups
     with missing/disabled statistics are kept (can't prune — same
     conservative fallback as parse_statistics_f64 erroring out of the
-    reference's pruning path)."""
+    reference's pruning path). Pass ``md`` (a pre-read FileMetaData) to
+    avoid a second footer fetch when the caller already has it."""
     import pyarrow.parquet as pq
 
-    md = pq.read_metadata(file_path)
+    if md is None:
+        md = pq.read_metadata(file_path)
     if md.num_row_groups == 0:
         return []
     xmin, ymin, xmax, ymax = (float(v) for v in bbox)
