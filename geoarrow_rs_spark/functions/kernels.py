@@ -357,7 +357,32 @@ def k_envelope(s):
     return _geom_out([alg.envelope(g) if g is not None else None for g in geoms_of(s)])
 
 
+def _uniq_apply(s, fn):
+    """Apply a pure WKB->result kernel once per DISTINCT value when the
+    batch repeats geometries (2x+ repetition). Real batches are highly
+    repetitive (tiled envelopes, admin boundaries, grid cells), and the
+    per-row python work of chain-style kernels (convex hull, calipers)
+    dominates; computing per distinct value and scattering back is
+    byte-identical per row. Returns None when the batch is mostly unique
+    so the caller runs its normal path with zero overhead beyond one
+    dict build over the value bytes."""
+    vals = list(s)
+    uniq = dict.fromkeys(v for v in vals if v is not None)
+    n_nonnull = sum(v is not None for v in vals)
+    if n_nonnull == 0 or len(uniq) * 2 > n_nonnull:
+        return None
+    u_vals = list(uniq)
+    res = list(fn(pd.Series(u_vals, dtype=object)))
+    m = dict(zip(u_vals, res))
+    return pd.Series(
+        [m[v] if v is not None else None for v in vals], dtype=object
+    )
+
+
 def k_convex_hull(s):
+    dd = _uniq_apply(s, k_convex_hull)
+    if dd is not None:
+        return dd
     vals = list(s)
     db = decoded_of(vals, allow_gc=True)
     if db is not None:
@@ -387,6 +412,9 @@ def k_convex_hull(s):
 
 
 def k_min_rotated_rect(s):
+    dd = _uniq_apply(s, k_min_rotated_rect)
+    if dd is not None:
+        return dd
     vals = list(s)
     db = decoded_of(vals, allow_gc=True)
     if db is not None:
