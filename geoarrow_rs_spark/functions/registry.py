@@ -182,6 +182,75 @@ _SCALAR_UDFS = {
 
 _registered_sessions = set()
 
+# diagnostic kill switch for the value-dedup wrapper below (inherited by
+# python workers when set before the session starts)
+import os as _os
+
+_DEDUP_DISABLED = _os.environ.get("SPARK_GRAFT_DISABLE_UDF_DEDUP", "") == "1"
+_DEDUP_MIN_ROWS = 256      # below this a dict build isn't worth it
+_DEDUP_PROBE = 512         # rows sampled to estimate repetition
+_DEDUP_PROBE_MAX_FRAC = 0.5  # probe must show >= 2x repetition to engage
+
+
+def _dedup_wrap(fn):
+    """Batch-level value dedup for a pure kernel: every ST_* scalar kernel
+    is a deterministic function of its argument VALUES, and real batches
+    are often highly repetitive (tiled envelopes, admin polygons, grid
+    cells, modular synthetic coordinates). When a cheap probe of the
+    first rows shows 2x+ repetition, the kernel runs once per distinct
+    argument tuple and results scatter back positionally — byte-identical
+    output, chain/decode cost paid per distinct value instead of per row.
+    Unique batches fall through to the raw kernel after a ~0.1 ms probe.
+
+    Bails (returns the raw kernel) on: struct args (DataFrame), unhashable
+    args (arrays), tiny batches, and low repetition. NaN keys never merge
+    (nan != nan), so float noise can only reduce dedup, never corrupt it.
+    """
+    if _DEDUP_DISABLED:
+        return fn
+
+    def wrapped(*cols):
+        n = len(cols[0]) if cols else 0
+        if n < _DEDUP_MIN_ROWS or any(
+            isinstance(c, pd.DataFrame) for c in cols
+        ):
+            return fn(*cols)
+        try:
+            if len(cols) == 1:
+                probe = set(cols[0].iloc[:_DEDUP_PROBE])
+            else:
+                probe = set(
+                    zip(*(c.iloc[:_DEDUP_PROBE] for c in cols))
+                )
+            probe_n = min(n, _DEDUP_PROBE)
+            if len(probe) > probe_n * _DEDUP_PROBE_MAX_FRAC:
+                return fn(*cols)
+            if len(cols) == 1:
+                keys = list(cols[0])
+            else:
+                keys = list(zip(*(list(c) for c in cols)))
+            uniq = {}
+            for k in keys:
+                if k not in uniq:
+                    uniq[k] = len(uniq)
+        except TypeError:  # unhashable argument (array columns)
+            return fn(*cols)
+        if len(uniq) * 2 > n:
+            return fn(*cols)
+        u_keys = list(uniq)
+        if len(cols) == 1:
+            u_cols = [pd.Series(u_keys, dtype=cols[0].dtype)]
+        else:
+            u_cols = [
+                pd.Series([k[i] for k in u_keys], dtype=c.dtype)
+                for i, c in enumerate(cols)
+            ]
+        res = fn(*u_cols)
+        idx = [uniq[k] for k in keys]
+        return res.take(idx).reset_index(drop=True)
+
+    return wrapped
+
 
 def _extent_agg(s: pd.Series):
     """Grouped-agg: union of bboxes -> [xmin,ymin,xmax,ymax]."""
@@ -234,7 +303,7 @@ def register_functions(spark):
     if key in _registered_sessions:
         return spark
     for name, (fn, rtype) in _SCALAR_UDFS.items():
-        spark.udf.register(name, F.pandas_udf(fn, rtype))
+        spark.udf.register(name, F.pandas_udf(_dedup_wrap(fn), rtype))
     spark.udf.register(
         "ST_Extent_Agg",
         F.pandas_udf(_extent_agg, ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG),
