@@ -25,14 +25,17 @@ def _spread(df: DataFrame) -> DataFrame:
     """Distribute a small single-split scan before per-row kernel work. The
     bench fixtures are single-row-group parquet files, so the scan — and
     every ArrowEvalPython chained onto it — would otherwise run in ONE task
-    regardless of cluster size. Spread to cores/4, not cores: each
+    regardless of cluster size. Spread to min(cores, 16): each
     ArrowEvalPython node holds a python worker per task, so a 3-node chain
-    at 32-way costs 96 concurrent python processes on 32 cores — measured
-    4-6x SLOWER than 8-way from worker churn. Skipped whenever the scan
-    already has enough splits (the 100 TB case: thousands of files arrive
-    pre-partitioned)."""
+    spawns 3n workers — unbounded width measurably loses to 16-way at 32
+    cores from worker churn (r7 A/B: 32-way 1.22s vs 16-way 1.05s on the
+    multipolygon chain), while at LOW core counts width is everything
+    (8-way 0.97s vs the old cores/4=2-way 2.44s at 8 cores — the r6
+    cores/4 rule was tuned only at 32 cores and crippled the low-core
+    scaling runs). Skipped whenever the scan already has enough splits
+    (the 100 TB case: thousands of files arrive pre-partitioned)."""
     sc = df.sparkSession.sparkContext
-    n = max(2, sc.defaultParallelism // 4)
+    n = max(2, min(sc.defaultParallelism, 16))
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
