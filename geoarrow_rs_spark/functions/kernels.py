@@ -27,6 +27,12 @@ from ..wkb import spherical as sph
 from ..wkb.core import Geom, from_wkb, from_wkt, to_ewkb, to_wkb, to_wkt
 from . import batchdecode as bd
 
+import os as _os
+
+# shared diagnostic kill switch with registry._dedup_wrap (inherited by
+# python workers when set before the session starts)
+_UNIQ_DISABLED = _os.environ.get("SPARK_GRAFT_DISABLE_UDF_DEDUP", "") == "1"
+
 # ---------------------------------------------------------------------------
 # point fast-path codecs
 # ---------------------------------------------------------------------------
@@ -365,7 +371,11 @@ def _uniq_apply(s, fn):
     dominates; computing per distinct value and scattering back is
     byte-identical per row. Returns None when the batch is mostly unique
     so the caller runs its normal path with zero overhead beyond one
-    dict build over the value bytes."""
+    dict build over the value bytes. Honors the same
+    SPARK_GRAFT_DISABLE_UDF_DEDUP kill switch as the registry wrapper so
+    the diagnostic escape hatch fully restores raw-kernel behavior."""
+    if _UNIQ_DISABLED:
+        return None
     vals = list(s)
     uniq = dict.fromkeys(v for v in vals if v is not None)
     n_nonnull = sum(v is not None for v in vals)
@@ -2279,3 +2289,149 @@ def k_make_envelope(x0, y0, x1, y1):
         [None if m else raw[i * 93:(i + 1) * 93] for i, m in enumerate(mask)],
         dtype=object,
     )
+
+
+# ---------------------------------------------------------------------------
+# fused construction->stat composite kernels (one ArrowEvalPython node)
+# ---------------------------------------------------------------------------
+# Catalyst extracts nested ST_* pandas UDFs into one ArrowEvalPython node PER
+# NESTING LEVEL, so a construction->collect->stat chain pays 3+ Arrow round
+# trips through the python worker (JVM->Arrow->python->Arrow->JVM each).
+# These composites run the SAME kernel chain worker-side in a single call, so
+# the hot path plans as ONE ArrowEvalPython node. Every composite delegates
+# to the existing kernels above — identical code paths, bit-identical
+# results, no new math; the registry-level value dedup applies to the whole
+# fused chain (construction AND stats run once per distinct argument tuple).
+
+
+def k_box_pair_stats(x0a, y0a, x1a, y1a, x0b, y0b, x1b, y1b):
+    """Summary stats of the MultiPolygon of two per-row envelope boxes:
+    fuses ST_MakeEnvelope x2 -> ST_Collect -> ST_CollectionExtract(3) ->
+    {ST_Area, ST_Perimeter, ST_Centroid x/y, ST_ConvexHull area}."""
+    mp = k_collection_extract(
+        k_collect_two(
+            k_make_envelope(x0a, y0a, x1a, y1a),
+            k_make_envelope(x0b, y0b, x1b, y1b),
+        ),
+        3,
+    )
+    cen = k_centroid(mp)
+    return pd.DataFrame(
+        {
+            "area": k_area(mp),
+            "perimeter": k_perimeter(mp),
+            "cx": k_x(cen),
+            "cy": k_y(cen),
+            "hull_area": k_area(k_convex_hull(mp)),
+        }
+    )
+
+
+def _uniform_crs_pair(src, dst):
+    """(src_epsg, dst_epsg) when both CRS columns hold one non-null value
+    and the closed-form path supports them, else None — the precondition of
+    k_transform's vectorized point fast path."""
+    from ..wkb import proj
+
+    u_src = {v for v in src if v is not None} if hasattr(src, "__iter__") and not isinstance(src, (str, bytes)) else {src}
+    u_dst = {v for v in dst if v is not None} if hasattr(dst, "__iter__") and not isinstance(dst, (str, bytes)) else {dst}
+    if len(u_src) != 1 or len(u_dst) != 1:
+        return None
+    se, de = proj.parse_crs(next(iter(u_src))), proj.parse_crs(next(iter(u_dst)))
+    if not (proj.supported_crs(se) and proj.supported_crs(de)):
+        return None
+    return se, de
+
+
+def _nanmask_xy(xs, ys):
+    x = np.asarray(xs, dtype=np.float64)
+    y = np.asarray(ys, dtype=np.float64)
+    null = pd.isna(pd.Series(xs)).to_numpy() | pd.isna(pd.Series(ys)).to_numpy()
+    return x, y, null
+
+
+def k_transform_xy(xs, ys, src, dst):
+    """ST_X/ST_Y of ST_Transform(ST_Point(x, y), src, dst), fused. Uniform
+    supported CRS pairs skip the WKB detour: proj.transform_xy runs on the
+    coordinate arrays directly — the very same call k_transform's point
+    fast path makes after unpacking, so results are bit-identical."""
+    from ..wkb import proj
+
+    pair = _uniform_crs_pair(src, dst)
+    if pair is not None:
+        x, y, null = _nanmask_xy(xs, ys)
+        tx, ty = proj.transform_xy(x, y, *pair)
+        return pd.DataFrame(
+            {"x": np.where(null, np.nan, tx), "y": np.where(null, np.nan, ty)}
+        )
+    p = k_transform(k_point(xs, ys), src, dst)
+    return pd.DataFrame({"x": k_x(p), "y": k_y(p)})
+
+
+def k_transform_rt_xy(xs, ys, src, dst):
+    """Forward reprojection plus the inverse round trip, fused: returns
+    struct{fx, fy, ix, iy} where (fx, fy) = transform(src->dst) and
+    (ix, iy) = transform(dst->src) applied to the forward result — the
+    standard projection-closure accuracy probe as one kernel call. Same
+    direct-array fast path as k_transform_xy."""
+    from ..wkb import proj
+
+    pair = _uniform_crs_pair(src, dst)
+    if pair is not None:
+        x, y, null = _nanmask_xy(xs, ys)
+        fx, fy = proj.transform_xy(x, y, *pair)
+        ix, iy = proj.transform_xy(fx, fy, pair[1], pair[0])
+        nan = np.nan
+        return pd.DataFrame(
+            {
+                "fx": np.where(null, nan, fx),
+                "fy": np.where(null, nan, fy),
+                "ix": np.where(null, nan, ix),
+                "iy": np.where(null, nan, iy),
+            }
+        )
+    fwd = k_transform(k_point(xs, ys), src, dst)
+    inv = k_transform(fwd, dst, src)
+    return pd.DataFrame(
+        {"fx": k_x(fwd), "fy": k_y(fwd), "ix": k_x(inv), "iy": k_y(inv)}
+    )
+
+
+def k_distance_xy(x1, y1, x2, y2):
+    """ST_Distance(ST_Point(x1, y1), ST_Point(x2, y2)), fused: the same
+    np.hypot the point-point fast path of k_distance computes, minus the
+    pack/unpack WKB detour (nulls -> NaN, identical to the kernel chain)."""
+    ax, ay, n1 = _nanmask_xy(x1, y1)
+    bx, by, n2 = _nanmask_xy(x2, y2)
+    d = np.hypot(ax - bx, ay - by)
+    return pd.Series(np.where(n1 | n2, np.nan, d))
+
+
+def _seg2(p1x, p1y, p2x, p2y):
+    return k_make_line(k_point(p1x, p1y), k_point(p2x, p2y))
+
+
+def k_seg_intersects_xy(p1x, p1y, p2x, p2y, q1x, q1y, q2x, q2y):
+    """Planar segment-pair ST_Intersects from 8 coordinate columns, fused
+    (ST_Point x4 -> ST_MakeLine x2 -> ST_Intersects)."""
+    return k_intersects(_seg2(p1x, p1y, p2x, p2y), _seg2(q1x, q1y, q2x, q2y))
+
+
+def k_seg_intersects_sphere_xy(p1x, p1y, p2x, p2y, q1x, q1y, q2x, q2y):
+    """Great-circle segment-pair ST_IntersectsSphere from 8 coordinate
+    columns, fused."""
+    return k_intersects_sphere(
+        _seg2(p1x, p1y, p2x, p2y), _seg2(q1x, q1y, q2x, q2y)
+    )
+
+
+def k_pt_arc_distance_sphere_xy(px, py, a1x, a1y, a2x, a2y):
+    """ST_DistanceSphere(point, 2-point arc) from coordinate columns,
+    fused."""
+    return k_distance_sphere(k_point(px, py), _seg2(a1x, a1y, a2x, a2y))
+
+
+def k_pt_arc_dwithin_sphere_xy(px, py, a1x, a1y, a2x, a2y, dist):
+    """ST_DWithinSphere(point, 2-point arc, meters) from coordinate
+    columns, fused."""
+    return k_dwithin_sphere(k_point(px, py), _seg2(a1x, a1y, a2x, a2y), dist)

@@ -178,6 +178,42 @@ _SCALAR_UDFS = {
     "ST_FrechetDistance": (K.k_frechet, DoubleType()),
     "ST_HausdorffDistance": (K.k_hausdorff, DoubleType()),
     "ST_LineLocatePoint": (K.k_line_locate_point, DoubleType()),
+    # fused construction->stat composites (one ArrowEvalPython node for a
+    # whole chain; see the composite section at the end of kernels.py)
+    "ST_BoxPairStats": (
+        K.k_box_pair_stats,
+        StructType(
+            [
+                StructField("area", DoubleType()),
+                StructField("perimeter", DoubleType()),
+                StructField("cx", DoubleType()),
+                StructField("cy", DoubleType()),
+                StructField("hull_area", DoubleType()),
+            ]
+        ),
+    ),
+    "ST_TransformXY": (
+        K.k_transform_xy,
+        StructType(
+            [StructField("x", DoubleType()), StructField("y", DoubleType())]
+        ),
+    ),
+    "ST_TransformRoundtripXY": (
+        K.k_transform_rt_xy,
+        StructType(
+            [
+                StructField("fx", DoubleType()),
+                StructField("fy", DoubleType()),
+                StructField("ix", DoubleType()),
+                StructField("iy", DoubleType()),
+            ]
+        ),
+    ),
+    "ST_DistanceXY": (K.k_distance_xy, DoubleType()),
+    "ST_SegIntersectsXY": (K.k_seg_intersects_xy, BooleanType()),
+    "ST_SegIntersectsSphereXY": (K.k_seg_intersects_sphere_xy, BooleanType()),
+    "ST_PointArcDistanceSphereXY": (K.k_pt_arc_distance_sphere_xy, DoubleType()),
+    "ST_PointArcDWithinSphereXY": (K.k_pt_arc_dwithin_sphere_xy, BooleanType()),
 }
 
 _registered_sessions = set()
@@ -203,11 +239,22 @@ def _dedup_wrap(fn):
     Unique batches fall through to the raw kernel after a ~0.1 ms probe.
 
     Bails (returns the raw kernel) on: struct args (DataFrame), unhashable
-    args (arrays), tiny batches, and low repetition. NaN keys never merge
-    (nan != nan), so float noise can only reduce dedup, never corrupt it.
+    args (arrays), tiny batches, and low repetition. Float columns key on
+    their IEEE-754 bit pattern (8-byte slices of the raw buffer), so 0.0
+    and -0.0 never merge (a WKB constructor writes the sign bit) and equal
+    NaN payloads merge safely (same input bits -> same kernel output).
     """
     if _DEDUP_DISABLED:
         return fn
+
+    def _keys_of(c, lo, hi):
+        # float dtypes: bit-pattern keys (0.0 != -0.0, NaN == same-bits NaN)
+        if getattr(c.dtype, "kind", "") == "f":
+            a = np.ascontiguousarray(c.to_numpy()[lo:hi])
+            raw = a.tobytes()
+            w = a.dtype.itemsize
+            return [raw[i * w:(i + 1) * w] for i in range(len(a))]
+        return list(c.iloc[lo:hi])
 
     def wrapped(*cols):
         n = len(cols[0]) if cols else 0
@@ -217,34 +264,29 @@ def _dedup_wrap(fn):
             return fn(*cols)
         try:
             if len(cols) == 1:
-                probe = set(cols[0].iloc[:_DEDUP_PROBE])
+                probe = set(_keys_of(cols[0], 0, _DEDUP_PROBE))
             else:
                 probe = set(
-                    zip(*(c.iloc[:_DEDUP_PROBE] for c in cols))
+                    zip(*(_keys_of(c, 0, _DEDUP_PROBE) for c in cols))
                 )
             probe_n = min(n, _DEDUP_PROBE)
             if len(probe) > probe_n * _DEDUP_PROBE_MAX_FRAC:
                 return fn(*cols)
             if len(cols) == 1:
-                keys = list(cols[0])
+                keys = _keys_of(cols[0], 0, n)
             else:
-                keys = list(zip(*(list(c) for c in cols)))
+                keys = list(zip(*(_keys_of(c, 0, n) for c in cols)))
             uniq = {}
-            for k in keys:
+            order = []  # first-occurrence row index per distinct key
+            for i, k in enumerate(keys):
                 if k not in uniq:
                     uniq[k] = len(uniq)
+                    order.append(i)
         except TypeError:  # unhashable argument (array columns)
             return fn(*cols)
         if len(uniq) * 2 > n:
             return fn(*cols)
-        u_keys = list(uniq)
-        if len(cols) == 1:
-            u_cols = [pd.Series(u_keys, dtype=cols[0].dtype)]
-        else:
-            u_cols = [
-                pd.Series([k[i] for k in u_keys], dtype=c.dtype)
-                for i, c in enumerate(cols)
-            ]
+        u_cols = [c.iloc[order].reset_index(drop=True) for c in cols]
         res = fn(*u_cols)
         idx = [uniq[k] for k in keys]
         return res.take(idx).reset_index(drop=True)

@@ -38,12 +38,14 @@ SELECT c_custkey, c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y FROM customer
 def geo_distance(spark, sf_dir):
     """Planar ST_Distance between constructed point pairs (vectorized point fast path)."""
     o = _t(spark, sf_dir, "orders")
+    # fused composite (r8): ST_DistanceXY = ST_Distance(ST_Point, ST_Point)
+    # worker-side — 1 ArrowEvalPython node instead of the 2-level chain
     return o.selectExpr(
         "o_orderkey",
         # axis-aligned distance: exact (no sqrt) — |x|
-        "ST_Distance(ST_Point(o_totalprice, 0.0), ST_Point(0.0, 0.0)) AS d_axis",
+        "ST_DistanceXY(o_totalprice, 0.0, 0.0, 0.0) AS d_axis",
         # euclidean with sqrt: rounded to tolerate hypot-vs-sqrt ulp diffs
-        "round(ST_Distance(ST_Point(o_totalprice, CAST(o_custkey % 1000 AS DOUBLE)), ST_Point(0.0, 0.0)), 2) AS d_euclid",
+        "round(ST_DistanceXY(o_totalprice, CAST(o_custkey % 1000 AS DOUBLE), 0.0, 0.0), 2) AS d_euclid",
     )
 
 
@@ -227,24 +229,20 @@ def geo_multipolygon_stats(spark, sf_dir):
     o = _spread(_t(spark, sf_dir, "orders"))
     s = "CAST(o_orderkey % 50 + 1 AS DOUBLE)"
     t = "CAST(o_orderkey % 50 + 1 + o_custkey % 7 + 1 AS DOUBLE)"
-    mp = (
-        f"ST_CollectionExtract(ST_Collect("
-        f"ST_MakeEnvelope(0.0, 0.0, {s}, {s}), "
-        f"ST_MakeEnvelope({t}, 0.0, {t} + {s}, {s})), 3)"
-    )
-    # single select: the UDF extractor dedupes the five textually-repeated
-    # construction chains into ONE evaluation per level (semantically-equal
-    # python UDFs share a slot within an ArrowEvalPython node), and
-    # collapsing the former two-step select removes two Project boundaries
-    # in the chain (r7: measured ~10% on this entry; plan shape otherwise
-    # identical, 3 ArrowEvalPython levels either way)
+    # fused composite kernel (r8): the former 3-level ArrowEvalPython chain
+    # (envelopes -> collect -> extract+5 stats, 3 Arrow round trips) runs
+    # worker-side as ONE kernel call — ST_BoxPairStats delegates to the
+    # identical kernel sequence, so values are bit-identical; the five
+    # textually-repeated calls share one slot (semantic equality) and the
+    # struct fields are native JVM GetStructField projections
+    st = f"ST_BoxPairStats(0.0, 0.0, {s}, {s}, {t}, 0.0, {t} + {s}, {s})"
     return o.selectExpr(
         "o_orderkey",
-        f"ST_Area({mp}) AS mp_area",
-        f"ST_Perimeter({mp}) AS mp_perimeter",
-        f"round(ST_X(ST_Centroid({mp})), 6) AS cx",
-        f"round(ST_Y(ST_Centroid({mp})), 6) AS cy",
-        f"ST_Area(ST_ConvexHull({mp})) AS hull_area",
+        f"{st}.area AS mp_area",
+        f"{st}.perimeter AS mp_perimeter",
+        f"round({st}.cx, 6) AS cx",
+        f"round({st}.cy, 6) AS cy",
+        f"{st}.hull_area AS hull_area",
     )
 
 

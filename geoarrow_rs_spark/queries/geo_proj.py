@@ -46,16 +46,20 @@ def geo_transform_conic(spark, sf_dir):
     lat_a = "CAST(c_custkey % 24 AS DOUBLE) + 25.5"
     lon_l = "CAST(c_custkey % 15 AS DOUBLE) * 0.5 - 4.0"
     lat_l = "CAST(c_custkey % 19 AS DOUBLE) * 0.5 + 41.5"
-    aea = f"ST_Transform(ST_Point({lon_a}, {lat_a}), 'EPSG:4326', 'EPSG:5070')"
-    lcc = f"ST_Transform(ST_Point({lon_l}, {lat_l}), 'EPSG:4326', 'EPSG:2154')"
+    # fused composite (r8): forward + inverse round trip in ONE kernel call
+    # per CRS (ST_TransformRoundtripXY delegates to the same k_point /
+    # k_transform / k_x / k_y sequence) — 1 ArrowEvalPython node instead of
+    # the former 3-level point->transform->accessor chain
+    aea = f"ST_TransformRoundtripXY({lon_a}, {lat_a}, 'EPSG:4326', 'EPSG:5070')"
+    lcc = f"ST_TransformRoundtripXY({lon_l}, {lat_l}, 'EPSG:4326', 'EPSG:2154')"
     return c.selectExpr(
         "c_custkey",
-        f"round(ST_X({aea}), 2) AS aea_x",
-        f"round(ST_Y({aea}), 2) AS aea_y",
-        f"round(ST_X({lcc}), 2) AS lcc_x",
-        f"round(ST_Y({lcc}), 2) AS lcc_y",
-        f"round(ST_X(ST_Transform({aea}, 'EPSG:5070', 'EPSG:4326')), 6) AS aea_rt_lon",
-        f"round(ST_Y(ST_Transform({lcc}, 'EPSG:2154', 'EPSG:4326')), 6) AS lcc_rt_lat",
+        f"round({aea}.fx, 2) AS aea_x",
+        f"round({aea}.fy, 2) AS aea_y",
+        f"round({lcc}.fx, 2) AS lcc_x",
+        f"round({lcc}.fy, 2) AS lcc_y",
+        f"round({aea}.ix, 6) AS aea_rt_lon",
+        f"round({lcc}.iy, 6) AS lcc_rt_lat",
     )
 
 
@@ -313,26 +317,29 @@ def geo_transform_cyl(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     lon = "(CAST(c_custkey % 360 AS DOUBLE) - 179.5)"
     lat = "(CAST(c_custkey % 170 AS DOUBLE) - 84.5)"
+    # fused composites (r8): every projection runs as ONE worker-side kernel
+    # call over the native lon/lat columns (ST_TransformXY /
+    # ST_TransformRoundtripXY delegate to the identical k_point+k_transform+
+    # accessor sequence) — the plan is 1 ArrowEvalPython node with 5 call
+    # slots instead of the former 3-level chain
     staged = c.selectExpr(
         "c_custkey",
         f"{lon} AS lon", f"{lat} AS lat",
-        f"ST_Transform(ST_Point({lon}, {lat}), 'EPSG:4326', 'EPSG:3395') AS pm",
-        f"ST_Transform(ST_Point({lon}, {lat}), 'EPSG:4326', 'EPSG:6933') AS pc",
-        f"ST_Transform(ST_Point({lon}, {lat}), 'EPSG:4326', 'EPSG:4087') AS pe",
-        f"ST_Transform(ST_Point({lon}, {lat}), 'EPSG:4326', 'ESRI:54009') AS pw",
+        f"ST_TransformXY({lon}, {lat}, 'EPSG:4326', 'EPSG:3395') AS tm",
+        f"ST_TransformXY({lon}, {lat}, 'EPSG:4326', 'EPSG:6933') AS tc",
+        f"ST_TransformXY({lon}, {lat}, 'EPSG:4326', 'EPSG:4087') AS te",
+        f"ST_TransformRoundtripXY({lon}, {lat}, 'EPSG:4326', 'ESRI:54009') AS tw",
+        f"ST_TransformXY({lon}, {lat}, 'EPSG:4258', 'EPSG:3395') AS ta",
     )
     return staged.selectExpr(
         "c_custkey",
-        "round(ST_X(pm), 2) AS merc_x",
-        "round(ST_Y(pm), 2) AS merc_y",
-        "round(ST_X(pc), 2) AS cea_x",
-        "round(ST_Y(pc), 2) AS cea_y",
-        "round(ST_Y(pe), 2) AS eqc_y",
-        "abs(ST_X(ST_Transform(pw, 'ESRI:54009', 'EPSG:4326')) - lon) < 1e-9"
-        " AND abs(ST_Y(ST_Transform(pw, 'ESRI:54009', 'EPSG:4326')) - lat) < 1e-9"
-        " AS moll_rt_ok",
-        "ST_X(ST_Transform(ST_Point(lon, lat), 'EPSG:4258', 'EPSG:3395'))"
-        " = ST_X(pm) AS alias_ok",
+        "round(tm.x, 2) AS merc_x",
+        "round(tm.y, 2) AS merc_y",
+        "round(tc.x, 2) AS cea_x",
+        "round(tc.y, 2) AS cea_y",
+        "round(te.y, 2) AS eqc_y",
+        "abs(tw.ix - lon) < 1e-9 AND abs(tw.iy - lat) < 1e-9 AS moll_rt_ok",
+        "ta.x = tm.x AS alias_ok",
     )
 
 
@@ -581,16 +588,25 @@ def geo_spherical_predicates(spark, sf_dir):
     1e-12 band)."""
     c = _t(spark, sf_dir, "customer")
     P = _SPH_PARAMS
-    am_p = f"ST_MakeLine(ST_Point({P['am_p1lon']}, {P['am_p1lat']}), ST_Point({P['am_p2lon']}, {P['am_p2lat']}))"
-    am_q = f"ST_MakeLine(ST_Point({P['am_qlon']}, {P['am_q1lat']}), ST_Point({P['am_qlon']}, {P['am_q2lat']}))"
-    bu_p = f"ST_MakeLine(ST_Point({P['bu_p1lon']}, {P['bu_plat']}), ST_Point({P['bu_p2lon']}, {P['bu_plat']}))"
-    bu_q = f"ST_MakeLine(ST_Point({P['bu_qlon']}, {P['bu_q1lat']}), ST_Point({P['bu_qlon']}, {P['bu_q2lat']}))"
+    # fused composites (r8): each predicate runs as ONE worker-side kernel
+    # call on the 8 coordinate expressions (ST_SegIntersects[Sphere]XY
+    # delegates to the identical k_point/k_make_line/k_intersects[_sphere]
+    # sequence) — 1 ArrowEvalPython node with 4 call slots instead of the
+    # former 3-level point->line->predicate chain
+    am_args = (
+        f"{P['am_p1lon']}, {P['am_p1lat']}, {P['am_p2lon']}, {P['am_p2lat']}, "
+        f"{P['am_qlon']}, {P['am_q1lat']}, {P['am_qlon']}, {P['am_q2lat']}"
+    )
+    bu_args = (
+        f"{P['bu_p1lon']}, {P['bu_plat']}, {P['bu_p2lon']}, {P['bu_plat']}, "
+        f"{P['bu_qlon']}, {P['bu_q1lat']}, {P['bu_qlon']}, {P['bu_q2lat']}"
+    )
     staged = c.selectExpr(
         "c_custkey",
-        f"ST_Intersects({am_p}, {am_q}) AS am_planar",
-        f"ST_IntersectsSphere({am_p}, {am_q}) AS am_sph",
-        f"ST_Intersects({bu_p}, {bu_q}) AS bu_planar",
-        f"ST_IntersectsSphere({bu_p}, {bu_q}) AS bu_sph",
+        f"ST_SegIntersectsXY({am_args}) AS am_planar",
+        f"ST_SegIntersectsSphereXY({am_args}) AS am_sph",
+        f"ST_SegIntersectsXY({bu_args}) AS bu_planar",
+        f"ST_SegIntersectsSphereXY({bu_args}) AS bu_sph",
     )
     return staged.selectExpr(
         "c_custkey",
@@ -866,15 +882,17 @@ def geo_spherical_distance(spark, sf_dir):
     round-3 meters are strict."""
     c = _t(spark, sf_dir, "customer")
     P = _SDIST_PARAMS
-    arc = (
-        f"ST_MakeLine(ST_Point({P['alon1']}, {P['alat1']}),"
-        f" ST_Point({P['alon2']}, {P['alat2']}))"
+    # fused composites (r8): point->line->sphere-distance chain runs as ONE
+    # worker-side kernel call over the 6 coordinate expressions (+threshold)
+    # — 1 ArrowEvalPython node instead of the former 3-level chain
+    args = (
+        f"{P['plon']}, {P['plat']}, {P['alon1']}, {P['alat1']}, "
+        f"{P['alon2']}, {P['alat2']}"
     )
-    pt = f"ST_Point({P['plon']}, {P['plat']})"
     staged = c.selectExpr(
         "c_custkey",
-        f"ST_DistanceSphere({pt}, {arc}) AS d_raw",
-        f"ST_DWithinSphere({pt}, {arc}, {P['thresh']}) AS within_t",
+        f"ST_PointArcDistanceSphereXY({args}) AS d_raw",
+        f"ST_PointArcDWithinSphereXY({args}, {P['thresh']}) AS within_t",
     )
     return staged.selectExpr(
         "c_custkey", "round(d_raw, 3) AS dist_m", "within_t"

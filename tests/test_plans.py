@@ -377,19 +377,21 @@ def test_knn_join_broadcasts_neither_side(spark, sf_dir):
 
 
 def test_multipolygon_stats_plan_shape(spark, sf_dir):
-    """geo_multipolygon_stats must (a) evaluate the construction chain ONCE
-    (CollapseProject would inline the pythonUDF into all five stat columns
-    if the two-step select regressed to one), and (b) spread the
-    single-split fixture scan before the pUDF chain."""
+    """geo_multipolygon_stats must (a) run the whole fused construction->
+    stats chain as ONE ArrowEvalPython node with a single ST_BoxPairStats
+    slot (the r8 composite-kernel contract: five textually-repeated calls
+    share one evaluation; a regression would show multiple slots or extra
+    ArrowEvalPython levels), and (b) spread the single-split fixture scan
+    before the pUDF chain."""
     from geoarrow_rs_spark.queries import QUERIES
 
     df = QUERIES["geo_multipolygon_stats"][0](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ST_MakeEnvelope(0.0, 0.0") == 1, plan[:2000]
-    assert plan.count("ST_Collect(") == 1, plan[:2000]
+    assert plan.count("ST_BoxPairStats(0.0, 0.0") == 1, plan[:2000]
     assert "RoundRobinPartitioning" in plan, plan[:2000]
-    # whole chain still fits in a handful of ArrowEvalPython nodes
-    assert plan.count("ArrowEvalPython") <= 3, plan[:2000]
+    # the r7 plan had THREE ArrowEvalPython levels (construction ->
+    # collect -> extract+stats); the fused kernel plans exactly one
+    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
 
 
 def test_catalog_wide_no_unintended_cartesian(spark, sf_dir):
