@@ -109,34 +109,86 @@ def cosine_topk(
     )
 
 
-def srp_bucket_expr(vec, n_planes: int = 12, seed: int = 7):
+def _srp_weights(n_planes: int, seed: int, dim: int) -> list:
+    """Driver-side replica of the md5 plane weights, bit-exact to the SQL
+    expression: conv(hex, 16, 10) yields an integer < 2**32 (exactly
+    representable), the division is by 16**8 == 2**32 (a power of two, so
+    exact), and the 0.5 subtraction is exact — every step is the same IEEE
+    double the JVM computes."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16)
+            / float(16**8)
+            - 0.5
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def _srp_proj_md5(v, j: int, seed: int):
+    """One plane's projection with weights derived per element by md5 at
+    RUNTIME — the general-dim path (and the SQL-oracle-shaped original)."""
+    return F.aggregate(
+        F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda x, i: x.cast("double")
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{seed}:{j}:"), i.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(16**8))
+                - F.lit(0.5)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def srp_bucket_expr(vec, n_planes: int = 12, seed: int = 7, dim_hint: int | None = None):
     """Sign-random-projection bucket id (string of sign bits). Plane j weight
     for dimension i = md5-derived pseudo-random in [-0.5, 0.5) — deterministic,
-    no data movement, reproducible in SQL."""
+    no data movement, reproducible in SQL.
+
+    ``dim_hint`` (guide §1.2 per-task work): when the caller knows the
+    common vector dimension, the plane weights are precomputed driver-side
+    (bit-exact, see ``_srp_weights``) and embedded as literal arrays, so
+    each row's projection is a plain zip_with multiply-add instead of
+    ``n_planes * dim`` runtime md5+conv string evaluations (384 md5 calls
+    per row at dim 64 / 6 planes). Rows whose actual size differs from the
+    hint (and null vectors) fall back to the md5 path via a per-row guard,
+    so results are identical for EVERY input regardless of the hint."""
     v = F.col(vec) if isinstance(vec, str) else vec
-    bits = []
-    for j in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, i: x.cast("double")
-                * (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"{seed}:{j}:"), i.cast("string"))), 1, 8
-                        ),
-                        16,
-                        10,
-                    ).cast("double")
-                    / F.lit(float(16**8))
-                    - F.lit(0.5)
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if dim_hint:
+        W = _srp_weights(n_planes, seed, dim_hint)
+        fast_bits = []
+        for j in range(n_planes):
+            wj = F.array(*[F.lit(w) for w in W[j]])
+            proj = F.aggregate(
+                F.zip_with(v, wj, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            fast_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        slow_bits = [
+            F.when(_srp_proj_md5(v, j, seed) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(n_planes)
+        ]
+        return F.when(F.size(v) == dim_hint, F.concat(*fast_bits)).otherwise(
+            F.concat(*slow_bits)
         )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bits = [
+        F.when(_srp_proj_md5(v, j, seed) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(n_planes)
+    ]
     return F.concat(*bits)
 
 
@@ -147,12 +199,14 @@ def _flip_bit_expr(bucket, j):
     return F.concat(F.substring(b, 1, j), flipped, F.substring(b, j + 2, 2_000_000))
 
 
-def multiprobe_buckets_expr(vec, n_planes: int = 6, seed: int = 7, radius: int = 1):
-    """Array of probe buckets: the vector's own SRP bucket plus every bucket
-    within the given Hamming radius (radius 1 => n_planes+1 probes). Probing
-    neighbors recovers candidates that a near-boundary projection pushed into
-    an adjacent bucket — the standard multiprobe-LSH recall fix."""
-    base = srp_bucket_expr(vec, n_planes, seed)
+def multiprobe_from_base_expr(base, n_planes: int = 6, radius: int = 1):
+    """Probe-bucket array derived from an ALREADY-COMPUTED bucket column:
+    the base plus every bucket within Hamming ``radius``. Each flip embeds
+    ``base`` three times (two substrings + the condition), so deriving the
+    flips from a staged column instead of re-inlining the full SRP tree
+    shrinks the expression by ~3 * n_planes SRP evaluations per row
+    (guide §1.2 — the optimizer does not CSE textually-duplicated
+    aggregate lambdas)."""
     probes = [base]
     if radius >= 1:
         probes += [_flip_bit_expr(base, j) for j in range(n_planes)]
@@ -161,6 +215,25 @@ def multiprobe_buckets_expr(vec, n_planes: int = 6, seed: int = 7, radius: int =
             for b in range(a + 1, n_planes):
                 probes.append(_flip_bit_expr(_flip_bit_expr(base, a), b))
     return F.array(*probes)
+
+
+def multiprobe_buckets_expr(
+    vec,
+    n_planes: int = 6,
+    seed: int = 7,
+    radius: int = 1,
+    dim_hint: int | None = None,
+):
+    """Array of probe buckets: the vector's own SRP bucket plus every bucket
+    within the given Hamming radius (radius 1 => n_planes+1 probes). Probing
+    neighbors recovers candidates that a near-boundary projection pushed into
+    an adjacent bucket — the standard multiprobe-LSH recall fix.
+
+    NOTE: the base bucket expression is inlined into every flip; when you
+    can stage the base as a column first, prefer
+    ``srp_bucket_expr`` + ``multiprobe_from_base_expr`` (see ivf_topk)."""
+    base = srp_bucket_expr(vec, n_planes, seed, dim_hint=dim_hint)
+    return multiprobe_from_base_expr(base, n_planes, radius)
 
 
 def ivf_topk(
@@ -173,24 +246,32 @@ def ivf_topk(
     k: int = 10,
     n_planes: int = 6,
     probe_radius: int = 1,
+    dim_hint: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket the corpus (inverted file); each query
     probes its own bucket plus all buckets within Hamming ``probe_radius``
     (multiprobe). The corpus keeps ONE bucket per vector, so a candidate pair
     joins at most once — no dedup shuffle. Scale path when the corpus no
     longer fits the brute-force broadcast cross-join; probe_radius trades
-    compute for recall (radius 1 lifts recall to ~1.0 on clustered data)."""
+    compute for recall (radius 1 lifts recall to ~1.0 on clustered data).
+    ``dim_hint`` engages the literal-weight SRP fast path (bit-identical,
+    see srp_bucket_expr); the base bucket is staged as a column so the
+    Hamming flips reference it instead of re-inlining the SRP tree."""
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
+        srp_bucket_expr(query_vec, n_planes, dim_hint=dim_hint).alias("__b"),
+    ).select(
+        "query_id",
+        "__qv",
         F.explode(
-            multiprobe_buckets_expr(query_vec, n_planes, radius=probe_radius)
+            multiprobe_from_base_expr(F.col("__b"), n_planes, radius=probe_radius)
         ).alias("__bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
-        srp_bucket_expr(corpus_vec, n_planes).alias("__bucket"),
+        srp_bucket_expr(corpus_vec, n_planes, dim_hint=dim_hint).alias("__bucket"),
     )
     scored = c.join(F.broadcast(q), on="__bucket").select(
         "query_id",
@@ -210,6 +291,7 @@ def knn_join(
     k: int = 5,
     n_planes: int = 6,
     probe_radius: int = 1,
+    dim_hint: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN SELF-join: every vector finds its top-k neighbors
     among all others — the all-pairs similarity-search shape (dedup graph
@@ -221,18 +303,23 @@ def knn_join(
     side explodes to its Hamming-``probe_radius`` neighborhood, so a pair
     joins at most once and no dedup shuffle is needed. Per-point top-k is
     a window over the candidate set (partitioned by the point — scales
-    with keys, never a global sort). Self-matches are excluded."""
+    with keys, never a global sort). Self-matches are excluded.
+    ``dim_hint``: see ivf_topk."""
     q = df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        srp_bucket_expr(vec_col, n_planes, dim_hint=dim_hint).alias("__b"),
+    ).select(
+        "query_id",
+        "__qv",
         F.explode(
-            multiprobe_buckets_expr(vec_col, n_planes, radius=probe_radius)
+            multiprobe_from_base_expr(F.col("__b"), n_planes, radius=probe_radius)
         ).alias("__bucket"),
     )
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        srp_bucket_expr(vec_col, n_planes).alias("__bucket"),
+        srp_bucket_expr(vec_col, n_planes, dim_hint=dim_hint).alias("__bucket"),
     )
     scored = (
         c.join(q, on="__bucket")
@@ -366,6 +453,59 @@ def _collect_if_small(corpus: DataFrame, id_col: str, vec: str):
     rows = [(r[0], [float(x) for x in r[1]]) for r in rows]
     rows.sort(key=lambda r: r[0])
     return rows
+
+
+def _assigned_local_df(spark, corpus, id_col, vec, local_rows, cents,
+                       with_vec: bool):
+    """Driver-local replica of ``assign_clusters`` over an already-collected
+    corpus: (id[, vec], cid) DataFrame, bit-identical to the distributed
+    broadcast-cross-join + min(struct(d2, cid)) (see ``_assign_local`` for
+    the exact-decimal tie contract). Returns None when the collected rows
+    are not a clean 2-D matrix — caller uses the distributed path. Saves a
+    corpus re-scan AND the k_clusters x dim exact-decimal distance
+    evaluation per corpus row (guide §2.4: the corpus was already
+    collected for training; assignment is a pure function of it)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    X = _np.asarray([v for _, v in local_rows], dtype=_np.float64)
+    if X.ndim != 2 or X.shape[0] == 0:
+        return None
+    idx = _assign_local(X, cents)
+    cid_of = [int(cents[i][0]) for i in idx]
+    src = corpus.select(id_col, vec).schema
+    if with_vec:
+        fields = [src[0], src[1], StructField("cid", LongType(), False)]
+        rows = [(rid, v, c) for (rid, v), c in zip(local_rows, cid_of)]
+    else:
+        fields = [src[0], StructField("cid", LongType(), False)]
+        rows = [(rid, c) for (rid, _), c in zip(local_rows, cid_of)]
+    return spark.createDataFrame(rows, StructType(fields))
+
+
+def _codes_local_df(spark, corpus, id_col, local_rows, pcents, m: int, w: int):
+    """Driver-local replica of ``pq_encode`` over an already-collected
+    corpus: (vid, s, code) DataFrame. Same exact-decimal tie contract as
+    ``_assigned_local_df``; None -> caller uses the distributed path."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    X = _np.asarray([v for _, v in local_rows], dtype=_np.float64)
+    if X.ndim != 2 or X.shape[0] == 0 or X.shape[1] != m * w:
+        return None
+    id_field = corpus.select(id_col).schema[0]
+    rows = []
+    for s in range(m):
+        sub_cents = [(code, v) for (cs, code, v) in pcents if cs == s]
+        idx = _assign_local(X[:, s * w:(s + 1) * w], sub_cents)
+        rows += [
+            (rid, s, int(sub_cents[i][0]))
+            for (rid, _), i in zip(local_rows, idx)
+        ]
+    schema = StructType([
+        StructField("vid", id_field.dataType, id_field.nullable),
+        StructField("s", IntegerType(), False),
+        StructField("code", IntegerType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
 
 
 def _dec12_int_matrix(X: _np.ndarray) -> _np.ndarray:
@@ -532,14 +672,41 @@ def kmeans_ivf_topk(
     cosine rerank inside the probed cells. The learned partitioning adapts
     to the data distribution (vs the data-agnostic SRP planes of ivf_topk),
     which is what lifts recall on clustered embeddings at the same probe
-    budget. Every stage is a broadcast or equi-join — no all-pairs."""
-    cents = kmeans_train(corpus, vec=corpus_vec, id_col=corpus_id, k=k_clusters, iters=iters)
-    cdf = _centroid_df(queries.sparkSession, cents)
-    assigned = assign_clusters(corpus, cdf, vec=corpus_vec, id_col=corpus_id).select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("__cv"),
-        "cid",
-    )
+    budget. Every stage is a broadcast or equi-join — no all-pairs.
+
+    Size-gated local fast path (guide §2.4): when the corpus is
+    plan-estimated small it is collected ONCE and both training and the
+    final corpus assignment run driver-local (bit-identical replicas, see
+    _kmeans_train_local / _assigned_local_df) — one collect job replaces
+    the training jobs plus a corpus re-scan and the per-row k x d
+    exact-decimal assignment. At scale the distributed path is unchanged:
+    train on a sample, assign fully distributed."""
+    spark = queries.sparkSession
+    local_rows = _collect_if_small(corpus, corpus_id, corpus_vec)
+    cents = _kmeans_train_local(local_rows, k_clusters, iters) \
+        if local_rows is not None else None
+    if cents is None:
+        cents = kmeans_train(corpus, vec=corpus_vec, id_col=corpus_id,
+                             k=k_clusters, iters=iters)
+    cdf = _centroid_df(spark, cents)
+    assigned = None
+    if local_rows is not None:
+        la = _assigned_local_df(spark, corpus, corpus_id, corpus_vec,
+                                local_rows, cents, with_vec=True)
+        if la is not None:
+            assigned = la.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(corpus_vec).alias("__cv"),
+                "cid",
+            )
+    if assigned is None:
+        assigned = assign_clusters(
+            corpus, cdf, vec=corpus_vec, id_col=corpus_id
+        ).select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+            "cid",
+        )
     qd = queries.crossJoin(F.broadcast(cdf)).select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
@@ -755,11 +922,28 @@ def ivfpq_topk(
         pcents = pq_train(corpus, vec=corpus_vec, id_col=corpus_id, m=m,
                           k_codes=k_codes, iters=pq_iters, dim=dim)
     cdf = _centroid_df(spark, ccents)
-    assigned = assign_clusters(corpus, cdf, vec=corpus_vec, id_col=corpus_id).select(
-        F.col(corpus_id).alias("neighbor_id"), "cid"
-    )
-    codes = pq_encode(corpus, pcents, vec=corpus_vec, id_col=corpus_id,
-                      m=m, dim=dim).withColumnRenamed("vid", "neighbor_id")
+    # size-gated local fast path (guide §2.4): the corpus was already
+    # collected for training — coarse assignment and PQ encoding are pure
+    # functions of it, so compute both driver-local (bit-identical
+    # replicas) instead of re-scanning the corpus twice and re-running the
+    # exact-decimal distance evaluation distributed. Distributed path
+    # unchanged when the corpus is big (the documented 100 TB shape:
+    # vectors touched exactly twice, embarrassingly parallel).
+    assigned = codes = None
+    if local_rows is not None:
+        la = _assigned_local_df(spark, corpus, corpus_id, corpus_vec,
+                                local_rows, ccents, with_vec=False)
+        lc = _codes_local_df(spark, corpus, corpus_id, local_rows, pcents,
+                             m, dim // m)
+        if la is not None and lc is not None:
+            assigned = la.withColumnRenamed(corpus_id, "neighbor_id")
+            codes = lc.withColumnRenamed("vid", "neighbor_id")
+    if assigned is None or codes is None:
+        assigned = assign_clusters(
+            corpus, cdf, vec=corpus_vec, id_col=corpus_id
+        ).select(F.col(corpus_id).alias("neighbor_id"), "cid")
+        codes = pq_encode(corpus, pcents, vec=corpus_vec, id_col=corpus_id,
+                          m=m, dim=dim).withColumnRenamed("vid", "neighbor_id")
 
     # query-side: probed cells + per-subspace distance tables
     qd = queries.crossJoin(F.broadcast(cdf)).select(

@@ -28,7 +28,7 @@ def sim_srp_buckets(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return (
-        e.select(srp_bucket_expr("embedding", n_planes=8).alias("bucket"))
+        e.select(srp_bucket_expr("embedding", n_planes=8, dim_hint=64).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -307,7 +307,8 @@ def sim_ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 8)
     corpus = e.where(F.col("vec_id") >= 8)
-    out = similarity.ivf_topk(q, corpus, k=5, n_planes=6, probe_radius=1)
+    out = similarity.ivf_topk(q, corpus, k=5, n_planes=6, probe_radius=1,
+                              dim_hint=64)
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
@@ -354,7 +355,7 @@ def sim_knn_join(spark, sf_dir):
     must replay every candidate pair) stays fast; the Spark plan is
     identical at any size."""
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120)
-    out = similarity.knn_join(e, k=3, n_planes=6, probe_radius=1)
+    out = similarity.knn_join(e, k=3, n_planes=6, probe_radius=1, dim_hint=64)
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
@@ -1069,7 +1070,8 @@ def sim_ivf_recall(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 8)
     corpus = e.where(F.col("vec_id") >= 8)
-    ivf = similarity.ivf_topk(q, corpus, k=5, n_planes=6, probe_radius=1) \
+    ivf = similarity.ivf_topk(q, corpus, k=5, n_planes=6, probe_radius=1,
+                              dim_hint=64) \
         .select("query_id", "neighbor_id")
     ex = similarity.cosine_topk(q, corpus, k=5).select(
         "query_id", "neighbor_id"

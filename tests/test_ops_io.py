@@ -954,3 +954,62 @@ def test_tiff_singleton_channel_and_bad_shapes():
         mm.encode_tiff(np.zeros((3, 4, 4), np.uint8))
     with pytest.raises(ValueError, match="encode_tiff"):
         mm.encode_tiff(np.zeros((5,), np.uint8))
+
+
+def test_local_assignment_bit_identical_to_distributed(spark, sf_dir):
+    """r8: the driver-local corpus ASSIGNMENT + PQ ENCODING fast paths
+    (_assigned_local_df / _codes_local_df) must reproduce the distributed
+    assign_clusters / pq_encode exactly — same (id, cid) and (vid, s,
+    code) sets — or the kmeans-IVF / IVF-PQ oracles would silently
+    break."""
+    from geoarrow_rs_spark.datapipe import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id >= 8")
+    rows = S._collect_if_small(e, "vec_id", "embedding")
+    assert rows is not None
+    cents = S._kmeans_train_local(rows, 8, 2)
+    pcents = S._pq_train_local(rows, 4, 8, 2, 16)
+
+    la = S._assigned_local_df(spark, e, "vec_id", "embedding", rows, cents,
+                              with_vec=False)
+    lc = S._codes_local_df(spark, e, "vec_id", rows, pcents, 4, 16)
+    cdf = S._centroid_df(spark, cents)
+    da = S.assign_clusters(e, cdf, vec="embedding", id_col="vec_id") \
+        .select("vec_id", "cid")
+    dc = S.pq_encode(e, pcents, vec="embedding", id_col="vec_id", m=4, dim=64)
+
+    assert sorted(map(tuple, la.collect())) == sorted(map(tuple, da.collect()))
+    assert sorted(map(tuple, lc.collect())) == sorted(map(tuple, dc.collect()))
+
+
+def test_srp_dim_hint_bit_identical(spark, sf_dir):
+    """r8: the literal-weight SRP fast path must be bit-identical to the
+    runtime-md5 expression — for a CORRECT hint, and (via the per-row size
+    guard) for a WRONG hint too."""
+    from pyspark.sql import functions as F
+
+    from geoarrow_rs_spark.datapipe.similarity import srp_bucket_expr
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.select(
+        "vec_id", srp_bucket_expr("embedding", n_planes=6).alias("b")
+    ).collect()
+    hinted = e.select(
+        "vec_id",
+        srp_bucket_expr("embedding", n_planes=6, dim_hint=64).alias("b"),
+    ).collect()
+    wrong = e.select(
+        "vec_id",
+        srp_bucket_expr("embedding", n_planes=6, dim_hint=48).alias("b"),
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, hinted))
+    assert sorted(map(tuple, base)) == sorted(map(tuple, wrong))
+    # null vectors fall through the size guard to the md5 path, which
+    # yields the all-zeros bucket (null proj -> otherwise branch) — the
+    # hinted expression must reproduce that exactly
+    nuldf = spark.createDataFrame([(1, None)], "id long, v array<double>")
+    plain = nuldf.select(srp_bucket_expr("v", n_planes=4).alias("b"))
+    hinted = nuldf.select(
+        srp_bucket_expr("v", n_planes=4, dim_hint=64).alias("b")
+    )
+    assert plain.collect()[0]["b"] == hinted.collect()[0]["b"] == "0000"
