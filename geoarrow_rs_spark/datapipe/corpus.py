@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..checkpoint import checkpoint_df
+
 
 # ---------------------------------------------------------------------------
 # word n-grams (native)
@@ -335,8 +337,10 @@ def tfidf_topk(
         base.select(F.col(id_col), F.explode(F.col("__w")).alias("word"))
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
     )
+    # checkpoint_df: reliable-checkpoint escape hatch — the tf table is
+    # corpus-sized, the worst case for executor-local blocks at scale
+    tf = checkpoint_df(tf, eager=False)
     # N is a column-pruned count-star (row-group metadata scan, no
     # tokenization); per-term document frequencies fall out of tf (df(t) =
     # rows of tf with word = t, since (doc, word) is unique post-groupBy).

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..checkpoint import checkpoint_df
+
 from .text import char_ngrams
 
 
@@ -127,7 +129,8 @@ def minhash_lsh_pairs(
     # the narrow (id, sig[, text]) table compute ONCE; both sides then read
     # the materialized blocks. At scale this is the standard
     # materialize-the-signatures step (signatures are ~128 B/doc).
-    with_sig = with_sig.localCheckpoint(eager=False)
+    # (checkpoint_df: reliable-checkpoint escape hatch for real clusters)
+    with_sig = checkpoint_df(with_sig, eager=False)
     banded = with_sig.withColumn(
         "__band",
         F.explode(

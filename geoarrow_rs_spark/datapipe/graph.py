@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..checkpoint import checkpoint_df
+
 _DEC = "decimal(38,12)"
 
 
@@ -301,7 +303,8 @@ def k_core(
     )
     # round 1 references e three times (degree union x2 + the semi-join
     # probe side); checkpoint so the upstream pair generation runs once
-    e = e.localCheckpoint(eager=False)
+    # (checkpoint_df: reliable-checkpoint escape hatch for real clusters)
+    e = checkpoint_df(e, eager=False)
     prev_edges = None
     for _ in range(rounds):
         deg = (
