@@ -725,9 +725,10 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
                 continue
             survivors.append((f, pv))
 
-        def plan_file(item):
+        def plan_file(item, md=None):
             f, pv = item
-            md = pq.read_metadata(f)
+            if md is None:
+                md = pq.read_metadata(f)
             if self.bbox is None:
                 rgs = [(rg, True) for rg in range(md.num_row_groups)]
             else:
@@ -774,9 +775,14 @@ class _GpqReader(_AttrFilterMixin, DataSourceReader):
             return [_GpqPartition(None, -1, {})]
         import time as _time
 
+        # probe ONLY the footer fetch (ADVICE r7: timing the whole
+        # plan_file let row-group pruning CPU masquerade as object-store
+        # latency and engage the pool in exactly the GIL-bound case);
+        # the fetched metadata is reused, not re-read
         t0 = _time.perf_counter()
-        first = plan_file(survivors[0])
+        md0 = pq.read_metadata(survivors[0][0])
         probe = _time.perf_counter() - t0
+        first = plan_file(survivors[0], md=md0)
         rest = survivors[1:]
         workers = min(16, len(rest), (os.cpu_count() or 8))
         if rest and workers > 1 and probe >= _POOL_LATENCY_S:
@@ -1183,7 +1189,13 @@ class _GpqWriter(DataSourceArrowWriter):
             writer = pq.ParquetWriter(tmp, empty.schema.with_metadata(footer))
             writer.write_table(empty)
         writer.close()
-        os.replace(tmp, final)
+        # r8 (ADVICE r7): tasks do NOT finalize. The part stays at its
+        # .inprogress name; driver-side commit() renames exactly the
+        # acknowledged parts — so a losing attempt (speculation, executor
+        # lost after close but before its message reached the driver) can
+        # never leave a committed-looking part that is read back as
+        # duplicate rows. This is the built-in sink's task-commit shape.
+        del final  # finalization is commit()'s job
         bbox = None if bb[0] is math.inf else tuple(bb)
         return _GpqCommit(fname, bbox, rows)
 
@@ -1201,6 +1213,49 @@ class _GpqWriter(DataSourceArrowWriter):
             )
             fields.append(pa.field(self.covering_col, bb))
         return pa.schema(fields)
+
+    def _tmp_of(self, fname):
+        import os
+
+        return os.path.join(self.path, f".{fname}.inprogress")
+
+    def _finalize_parts(self, messages):
+        """Driver-side task commit: rename exactly the acknowledged parts
+        from their .inprogress names. Runs before any sidecar/log work so
+        a crash mid-commit leaves either an unrenamed (invisible) part or
+        a renamed one — never a half-written visible file."""
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            tmp = self._tmp_of(m.file)
+            final = os.path.join(self.path, m.file)
+            if os.path.exists(tmp):
+                os.replace(tmp, final)
+            elif not os.path.exists(final):
+                # neither name present: the acknowledged part is GONE —
+                # surface the data loss instead of committing silently
+                raise FileNotFoundError(
+                    f"acknowledged part missing at commit: {m.file}"
+                )
+            # else: already finalized (retried commit) — idempotent
+
+    def _sweep_inprogress(self):
+        """Remove leftover .inprogress files (losing task attempts).
+        Overwrite mode only — under append a CONCURRENT job's in-flight
+        parts would be swept; stray dotfiles are invisible to readers
+        (parts glob matches *.parquet), so leaving them costs nothing."""
+        import glob as _glob
+        import os
+
+        for p in _glob.glob(
+            os.path.join(_glob.escape(self.path), ".*.inprogress")
+        ):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
     @staticmethod
     def _union_bbox(messages):
@@ -1258,6 +1313,11 @@ class _GpqWriter(DataSourceArrowWriter):
         import os
 
         written = {m.file for m in messages if m is not None}
+        # r8 task-commit protocol (ADVICE r7): acknowledged parts are
+        # renamed HERE, driver-side — tasks leave their output at
+        # .inprogress names, so losing attempts never produce a
+        # committed-looking file in either mode
+        self._finalize_parts(messages)
         bb = (
             self._union_bbox(messages)
             if self.compute_bbox
@@ -1267,16 +1327,13 @@ class _GpqWriter(DataSourceArrowWriter):
             for old in self._pre_existing:
                 if os.path.basename(old) not in written:
                     os.remove(old)
-            # losing task attempts (speculation, executor lost after the
-            # rename but before its message reached the driver) leave
-            # finalized parts the job doesn't own: anything top-level that
-            # is neither pre-existing nor in a commit message is such an
-            # orphan. Overwrite mode ONLY — overwrite replaces the dataset
-            # wholesale, so unrecognized files are fair game; under append
-            # a concurrent job's freshly-renamed parts would be removed
-            # between our plan snapshot and commit (data loss the standard
-            # parquet sink avoids via unique filenames), so append leaves
-            # unrecognized files alone, exactly like the built-in sink.
+            self._sweep_inprogress()
+            # defense in depth from the pre-r8 protocol: finalized parts
+            # that are neither pre-existing nor acknowledged (e.g. left by
+            # a job that crashed mid-commit) are orphans. Overwrite mode
+            # ONLY — under append a concurrent job's freshly-renamed parts
+            # would be removed between our plan snapshot and commit (data
+            # loss the standard parquet sink avoids via unique filenames).
             keep = written | {os.path.basename(p) for p in self._pre_existing}
             for p in _glob.glob(os.path.join(_glob.escape(self.path),
                                              "*.parquet")):
@@ -1318,10 +1375,14 @@ class _GpqWriter(DataSourceArrowWriter):
         for m in messages:
             if m is None:
                 continue
-            try:
-                os.remove(os.path.join(self.path, m.file))
-            except OSError:
-                pass
+            # r8 protocol: parts live at .inprogress names until commit;
+            # the final-name removal stays for defense in depth
+            for p in (self._tmp_of(m.file),
+                      os.path.join(self.path, m.file)):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
 
 class _GpqStreamWriter(_GpqWriter, DataSourceStreamArrowWriter):
@@ -1403,15 +1464,22 @@ class _GpqStreamWriter(_GpqWriter, DataSourceStreamArrowWriter):
             )}
         if str(batchId) in log:
             # replayed epoch, already committed: the re-written parts are
-            # duplicates of data the sidecar/log already account for
+            # duplicates of data the sidecar/log already account for —
+            # they are still at their .inprogress names (r8 protocol), so
+            # discard the tmp files and never finalize them
             for fname in files:
                 if fname in log[str(batchId)]:
                     continue
-                try:
-                    os.remove(os.path.join(self.path, fname))
-                except OSError:
-                    pass
+                for p in (self._tmp_of(fname),
+                          os.path.join(self.path, fname)):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
             return
+        # r8 task-commit protocol: finalize this epoch's acknowledged
+        # parts driver-side (see _GpqWriter.commit)
+        self._finalize_parts(messages)
         bb = self._union_existing_sidecar(self._union_bbox(messages))
         self._write_sidecar(bb)
         log[str(batchId)] = files

@@ -481,3 +481,71 @@ def test_int_conf_tolerates_auto():
     assert _int_conf(_S("auto"), "spark.sql.shuffle.partitions") == 0
     assert _int_conf(_S(None), "spark.sql.shuffle.partitions") == 0
     assert _int_conf(_S("64"), "spark.sql.shuffle.partitions") == 64
+
+
+def test_task_commit_protocol_losing_attempt_never_visible(tmp_path):
+    """r8 (ADVICE r7): tasks leave parts at .inprogress names; commit()
+    renames ONLY acknowledged parts. A losing attempt's finalized-looking
+    output can no longer appear: its tmp file is swept (overwrite) or left
+    invisible to readers (append), never read back as duplicate rows."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from geoarrow_rs_spark.io.datasource import _GpqCommit, _GpqWriter
+
+    out = str(tmp_path / "ds")
+    os.makedirs(out)
+    schema = StructType([StructField("g", BinaryType())])
+
+    def tmp_part(name):
+        open(os.path.join(out, f".{name}.inprogress"), "wb").write(b"PAR1")
+
+    w = _GpqWriter(out, schema, {"geometry_col": "g"}, overwrite=True)
+    tmp_part("winner.parquet")
+    tmp_part("loser.parquet")   # speculative duplicate: no commit message
+    w.commit([_GpqCommit("winner.parquet", (0, 0, 1, 1), 5)])
+    names = set(os.listdir(out))
+    assert "winner.parquet" in names
+    assert "loser.parquet" not in names
+    assert ".loser.parquet.inprogress" not in names  # swept in overwrite
+
+    # append mode: losing tmp is left alone (concurrent-append safety)
+    # but stays invisible to the parts glob
+    w2 = _GpqWriter(out, schema, {"geometry_col": "g"}, overwrite=False)
+    tmp_part("mine.parquet")
+    tmp_part("concurrent-loser.parquet")
+    w2.commit([_GpqCommit("mine.parquet", None, 3)])
+    names = set(os.listdir(out))
+    assert "mine.parquet" in names
+    assert "concurrent-loser.parquet" not in names
+    assert ".concurrent-loser.parquet.inprogress" in names
+    assert not [p for p in glob.glob(out + "/*.parquet")
+                if "concurrent-loser" in p]
+
+
+def test_task_commit_protocol_abort_removes_tmp(tmp_path):
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from geoarrow_rs_spark.io.datasource import _GpqCommit, _GpqWriter
+
+    out = str(tmp_path / "ds")
+    os.makedirs(out)
+    schema = StructType([StructField("g", BinaryType())])
+    w = _GpqWriter(out, schema, {"geometry_col": "g"}, overwrite=False)
+    open(os.path.join(out, ".aborted.parquet.inprogress"), "wb").write(b"x")
+    w.abort([_GpqCommit("aborted.parquet", None, 1)])
+    assert os.listdir(out) == []
+
+
+def test_task_commit_missing_acknowledged_part_raises(tmp_path):
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    import pytest as _pytest
+
+    from geoarrow_rs_spark.io.datasource import _GpqCommit, _GpqWriter
+
+    out = str(tmp_path / "ds")
+    os.makedirs(out)
+    schema = StructType([StructField("g", BinaryType())])
+    w = _GpqWriter(out, schema, {"geometry_col": "g"}, overwrite=False)
+    with _pytest.raises(FileNotFoundError):
+        w.commit([_GpqCommit("ghost.parquet", None, 1)])
