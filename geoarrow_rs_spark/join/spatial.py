@@ -237,6 +237,11 @@ def _refine_expr(predicate: str, lg: str, rg: str):
 LOCAL_KNN_DISABLED = __import__("os").environ.get(
     "SPARK_GRAFT_DISABLE_LOCAL_KNN", ""
 ) == "1"
+# diagnostic escape hatch: pin the distributed kNN grid to the caller's
+# cell_size instead of sizing it from the right side's measured density
+ADAPTIVE_KNN_CELL_DISABLED = __import__("os").environ.get(
+    "SPARK_GRAFT_DISABLE_ADAPTIVE_KNN_CELL", ""
+) == "1"
 _LOCAL_KNN_MAX = 50_000
 
 
@@ -421,11 +426,7 @@ def knn_spatial_join(
         F.col(right_id).alias("r_id"),
         F.col(rx).cast("double").alias("rx"),
         F.col(ry).cast("double").alias("ry"),
-    ).filter(F.col("rx").isNotNull() & F.col("ry").isNotNull()).withColumn(
-        "__cell",
-        F.floor(F.col("rx") / cs).cast("long") * F.lit(1 << 21)
-        + F.floor(F.col("ry") / cs).cast("long"),
-    )
+    ).filter(F.col("rx").isNotNull() & F.col("ry").isNotNull())
 
     # Small-input fast path: probe both sides with limit(cap + 1) — when
     # they fit on the driver, the identical grid-rounds algorithm (same
@@ -443,7 +444,7 @@ def knn_spatial_join(
                     columns={"l_id": "r_id", "lx": "rx", "ly": "ry"}
                 )
             else:
-                rp = R.drop("__cell").limit(_LOCAL_KNN_MAX + 1).toPandas()
+                rp = R.limit(_LOCAL_KNN_MAX + 1).toPandas()
             if len(rp) <= _LOCAL_KNN_MAX:
                 local = _knn_local(
                     lp["l_id"].to_numpy(), lp["lx"].to_numpy(), lp["ly"].to_numpy(),
@@ -468,6 +469,54 @@ def knn_spatial_join(
 
     R = R.localCheckpoint(eager=True)
 
+    # Density-adaptive cell size (distributed path only; results are
+    # provably invariant to cell size — the (2R+1)^2 probe square plus the
+    # kdist <= R*cs resolution rule stay exact for ANY cs). A fixed
+    # cell_size is a scale trap: candidate pairs per left grow linearly
+    # with point density, so 10x the rows in the same extent means 100x
+    # the rows through the ranking window (measured: geo_lof_outliers
+    # 478 s / executor OOM at 10x sf0.1). Size cells from the right side's
+    # measured density instead, targeting ~4k/9 points per cell so a
+    # radius-1 probe square carries ~4k candidates — enough to resolve a
+    # uniform-density left in round one, independent of scale. One extra
+    # metadata-cheap aggregate over the already-checkpointed R pays for it.
+    cs_eff, max_radius_eff = cs, max_radius_cells
+    if not ADAPTIVE_KNN_CELL_DISABLED:
+        import math
+
+        st = R.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rx").alias("x0"), F.max("rx").alias("x1"),
+            F.min("ry").alias("y0"), F.max("ry").alias("y1"),
+        ).first()
+        n_r = int(st["n"] or 0)
+        if n_r > 0 and None not in (st["x0"], st["x1"], st["y0"], st["y1"]):
+            ex, ey = st["x1"] - st["x0"], st["y1"] - st["y0"]
+            if ex > 0.0 and ey > 0.0 and math.isfinite(ex * ey):
+                cs_ad = math.sqrt(4.0 * float(k) * ex * ey / (9.0 * n_r))
+                # packed-key guard: keep |floor(coord/cs)| well under 2^20
+                # (collisions would only add spurious candidates — still
+                # exact — but degrade the equi-join's selectivity)
+                lim = max(abs(st["x0"]), abs(st["x1"]),
+                          abs(st["y0"]), abs(st["y1"]))
+                if lim > 0.0:
+                    cs_ad = max(cs_ad, lim / float(1 << 19))
+                if math.isfinite(cs_ad) and cs_ad > 0.0:
+                    cs_eff = cs_ad
+                    # preserve the ABSOLUTE straggler cutoff the caller
+                    # implied (max_radius_cells * cs) before the broadcast
+                    # fallback engages; the doubling ladder keeps round
+                    # count logarithmic in the ratio
+                    max_radius_eff = max(
+                        1, math.ceil(max_radius_cells * cs / cs_eff)
+                    )
+
+    R = R.withColumn(
+        "__cell",
+        F.floor(F.col("rx") / cs_eff).cast("long") * F.lit(1 << 21)
+        + F.floor(F.col("ry") / cs_eff).cast("long"),
+    )
+
     from pyspark.sql import Window
 
     w = Window.partitionBy("l_id").orderBy("dist", "r_id")
@@ -489,9 +538,9 @@ def knn_spatial_join(
     remaining = L.localCheckpoint(eager=True)
     n_rem = remaining.count()
     radius = 1
-    while radius <= max_radius_cells and n_rem > 0:
-        cx = F.floor(F.col("lx") / cs).cast("long")
-        cy = F.floor(F.col("ly") / cs).cast("long")
+    while radius <= max_radius_eff and n_rem > 0:
+        cx = F.floor(F.col("lx") / cs_eff).cast("long")
+        cy = F.floor(F.col("ly") / cs_eff).cast("long")
         cells = F.flatten(
             F.transform(
                 F.sequence(cx - radius, cx + radius),
@@ -508,7 +557,7 @@ def knn_spatial_join(
         # recompute (they are the round's dominant cost)
         resolved = ranked.filter(
             (F.col("cnt") >= k)
-            & (F.col("kdist") <= F.lit(radius * cs))
+            & (F.col("kdist") <= F.lit(radius * cs_eff))
             & (F.col("rn") <= k)
         ).select("l_id", "r_id", "rn", "dist").localCheckpoint(eager=True)
         out.append(resolved)

@@ -217,3 +217,40 @@ def test_local_fast_paths_match_distributed(spark):
     assert local[0] == dist[0]
     assert local[1] == dist[1]
     assert local[2] == dist[2]
+
+
+def test_adaptive_knn_cell_results_invariant(spark):
+    """The distributed grid kNN's density-adaptive cell sizing (r8) must
+    not change results: the probe square + kdist <= R*cs resolution rule
+    are exact for ANY cell size. Dense cluster + sparse outliers so both
+    the round ladder and the broadcast fallback engage, forced onto the
+    distributed path, adaptive vs pinned-to-caller cell size."""
+    import numpy as np
+
+    from geoarrow_rs_spark.join import spatial as SP
+
+    rng = np.random.default_rng(7)
+    dense = rng.uniform(0, 2, (400, 2))            # ~100 pts per 1x1 cell
+    sparse = rng.uniform(40, 90, (20, 2))          # isolated stragglers
+    pts = [(i, float(x), float(y))
+           for i, (x, y) in enumerate(np.vstack([dense, sparse]))]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+
+    def knn_rows():
+        return sorted(
+            (r["l_id"], r["r_id"], r["rn"], round(r["dist"], 12))
+            for r in knn_spatial_join(
+                df, df, k=3, cell_size=1.0, max_radius_cells=2
+            ).collect()
+        )
+
+    SP.LOCAL_KNN_DISABLED = True
+    try:
+        adaptive = knn_rows()
+        SP.ADAPTIVE_KNN_CELL_DISABLED = True
+        pinned = knn_rows()
+    finally:
+        SP.LOCAL_KNN_DISABLED = False
+        SP.ADAPTIVE_KNN_CELL_DISABLED = False
+    assert len(adaptive) == 420 * 3
+    assert adaptive == pinned
