@@ -481,6 +481,7 @@ def knn_spatial_join(
     # uniform-density left in round one, independent of scale. One extra
     # metadata-cheap aggregate over the already-checkpointed R pays for it.
     cs_eff, max_radius_eff = cs, max_radius_cells
+    n_right_total = None
     if not ADAPTIVE_KNN_CELL_DISABLED:
         import math
 
@@ -490,6 +491,7 @@ def knn_spatial_join(
             F.min("ry").alias("y0"), F.max("ry").alias("y1"),
         ).first()
         n_r = int(st["n"] or 0)
+        n_right_total = n_r
         if n_r > 0 and None not in (st["x0"], st["x1"], st["y0"], st["y1"]):
             ex, ey = st["x1"] - st["x0"], st["y1"] - st["y0"]
             if ex > 0.0 and ey > 0.0 and math.isfinite(ex * ey):
@@ -539,6 +541,17 @@ def knn_spatial_join(
     n_rem = remaining.count()
     radius = 1
     while radius <= max_radius_eff and n_rem > 0:
+        # Straggler tail: once the remaining-lefts x right-rows product fits
+        # the same dense budget the local path uses, one bounded broadcast
+        # scan is strictly cheaper than more grid rounds (each round is 3
+        # sequential job barriers; measured 0.77 s for a SINGLE remaining
+        # left at 10x sf0.1). Exact either way — the fallback ranks against
+        # ALL rights.
+        if (
+            n_right_total is not None
+            and n_rem * n_right_total <= (1 << 26)
+        ):
+            break
         cx = F.floor(F.col("lx") / cs_eff).cast("long")
         cy = F.floor(F.col("ly") / cs_eff).cast("long")
         cells = F.flatten(
