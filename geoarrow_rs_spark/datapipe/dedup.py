@@ -477,6 +477,11 @@ def substring_dup_stats(
     g = df.select(F.col(id_col), F.explode(grams).alias("__g")).select(
         id_col, gram_hash_expr(F.col("__g")).alias("__h")
     )
+    # the exploded (doc, window-hash) table feeds BOTH the per-gram count
+    # and the join-back side; without a checkpoint the plan runs the corpus
+    # explode + md5 pass twice (checkpoint_df: reliable-checkpoint escape
+    # hatch for real clusters)
+    g = checkpoint_df(g, eager=False)
     per_gram = g.groupBy("__h").agg(
         F.countDistinct(id_col).alias("__ndocs")
     )

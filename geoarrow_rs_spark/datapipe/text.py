@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from ..checkpoint import checkpoint_df
+
 
 def token_count(text) -> Column:
     """Whitespace-token count (empty tokens dropped)."""
@@ -224,26 +226,38 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    words = words.select(
-        "cnt",
-        F.expr(
-            "concat('  ', array_join(transform(sequence(1, length(w)),"
-            " i -> substring(w, i, 1)), '  '), '  ')"
-        ).alias("s2"),
-    ).localCheckpoint(eager=True)
+    # carry the token ARRAY alongside the delimited string: the pair stage
+    # previously re-split s2 inside every lambda element access (O(len^2)
+    # char work per word per round); splitting once into `t` at the
+    # materialization point makes each pair O(1) array lookups
+    words = checkpoint_df(
+        words.select(
+            "cnt",
+            F.expr(
+                "concat('  ', array_join(transform(sequence(1, length(w)),"
+                " i -> substring(w, i, 1)), '  '), '  ')"
+            ).alias("s2"),
+        ),
+        eager=True,
+    )
 
     merges = []
     for step in range(n_merges):
+        # split once per row per round into an array; the pair lambdas then
+        # do O(1) element_at lookups instead of re-splitting s2 per access
+        staged = words.select(
+            "cnt", F.split(F.trim("s2"), "  ").alias("t")
+        )
         # sequence(1, 0) DESCENDS in Spark, so single-token words must be
         # excluded before the pair explode rather than relying on an
         # empty sequence
-        pairs = words.where("size(split(trim(s2), '  ')) >= 2").select(
+        pairs = staged.where("size(t) >= 2").select(
             "cnt",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(trim(s2), '  ')) - 1),"
-                    " i -> struct(element_at(split(trim(s2), '  '), i) AS a,"
-                    "             element_at(split(trim(s2), '  '), i + 1) AS b))"
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS a,"
+                    "             element_at(t, i + 1) AS b))"
                 )
             ).alias("p"),
         ).select("cnt", "p.a", "p.b")
@@ -260,9 +274,12 @@ def bpe_train_merges(
         merges.append((step, a, b, n))
         pat = F.lit(f" {a}  {b} ")
         rep = F.lit(f" {a}{b} ")
+        # merge application stays LAZY: a chain of <= n_merges cheap
+        # non-regex replaces over the checkpointed base beats paying a
+        # full materialization job barrier every round
         words = words.select(
             "cnt", F.replace(F.col("s2"), pat, rep).alias("s2")
-        ).localCheckpoint(eager=True)
+        )
 
     from pyspark.sql.types import (
         IntegerType, LongType, StringType, StructField, StructType,
@@ -311,6 +328,9 @@ def bpe_tokenize_counts(
         .where(F.length("w") > 0)
         .select(id_col, F.substring("w", 1, max_word_chars).alias("w"))
     )
+    # doc_words feeds BOTH the distinct-vocab side and the tokenize join:
+    # checkpoint so the document explode runs once, not twice
+    doc_words = checkpoint_df(doc_words, eager=False)
     vocab = doc_words.select("w").distinct().select(
         "w",
         F.expr(
