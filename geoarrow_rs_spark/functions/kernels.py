@@ -2435,3 +2435,53 @@ def k_pt_arc_dwithin_sphere_xy(px, py, a1x, a1y, a2x, a2y, dist):
     """ST_DWithinSphere(point, 2-point arc, meters) from coordinate
     columns, fused."""
     return k_dwithin_sphere(k_point(px, py), _seg2(a1x, a1y, a2x, a2y), dist)
+
+
+def k_envelope_areas_xy(x0, y0, x1, y1):
+    """struct{spheroid, spherical} areas of the same per-row
+    ST_MakeEnvelope(x0, y0, x1, y1), fused: the envelope is constructed
+    ONCE (the unfused plan nested a separate ST_MakeEnvelope inside each
+    area UDF) and both area kernels run on it in one worker call.
+
+    Coordinate batches additionally take a whole-batch array path: the box
+    ring layout is fixed (wc.box's 5-point CCW shell), so the exact
+    per-ring formulas of _ring_ellipsoidal_area / _ring_spherical_excess
+    run over an (n, 5) coordinate matrix — the same elementwise op
+    sequence, 5-element axis reductions and (rows, 8) @ (8,) quadrature
+    dot products the per-geometry path performs, minus the WKB pack/parse
+    detour and the tiny-array numpy dispatch overhead per row."""
+    if bd.DISABLED:
+        env = k_make_envelope(x0, y0, x1, y1)
+        return pd.DataFrame(
+            {
+                "spheroid": k_area_spheroid(env),
+                "spherical": k_area_spherical(env),
+            }
+        )
+    xa, ya, n0 = _nanmask_xy(x0, y0)
+    xb, yb, n1 = _nanmask_xy(x1, y1)
+    null = n0 | n1
+    lon = np.stack([xa, xb, xb, xa, xa], axis=1)  # wc.box ring order
+    lat = np.stack([ya, ya, yb, yb, ya], axis=1)
+    phi = np.radians(lat)
+    phi2 = np.roll(phi, -1, axis=1)
+    # ellipsoidal: dlam * GL8 quadrature of the authalic integral per edge
+    dlam = np.radians((np.roll(lon, -1, axis=1) - lon + 180.0) % 360.0 - 180.0)
+    pt = phi[..., None] + (phi2 - phi)[..., None] * alg._GL8_T[None, None, :]
+    # stacked matmul: each ring gets the SAME (5, 8) @ (8,) dgemv call the
+    # per-geometry path makes (a flattened (n*5, 8) gemv accumulates
+    # differently at the ULP level)
+    fvals = np.matmul(alg._authalic_F(pt), alg._GL8_W)
+    spheroid = np.abs(np.sum(dlam * fvals, axis=1))
+    # spherical: Chamberlain-Duquette excess * R^2 (signed, shell only)
+    lam = np.radians(lon)
+    lam2 = np.roll(lam, -1, axis=1)
+    sph = (
+        np.sum((lam2 - lam) * (2 + np.sin(phi) + np.sin(phi2)), axis=1) / 2.0
+    ) * alg.EARTH_RADIUS_M * alg.EARTH_RADIUS_M
+    return pd.DataFrame(
+        {
+            "spheroid": np.where(null, np.nan, spheroid),
+            "spherical": np.where(null, np.nan, sph),
+        }
+    )

@@ -210,6 +210,15 @@ _SCALAR_UDFS = {
         ),
     ),
     "ST_DistanceXY": (K.k_distance_xy, DoubleType()),
+    "ST_EnvelopeAreasXY": (
+        K.k_envelope_areas_xy,
+        StructType(
+            [
+                StructField("spheroid", DoubleType()),
+                StructField("spherical", DoubleType()),
+            ]
+        ),
+    ),
     "ST_SegIntersectsXY": (K.k_seg_intersects_xy, BooleanType()),
     "ST_SegIntersectsSphereXY": (K.k_seg_intersects_sphere_xy, BooleanType()),
     "ST_PointArcDistanceSphereXY": (K.k_pt_arc_distance_sphere_xy, DoubleType()),

@@ -419,10 +419,16 @@ def geo_geodesic_area(spark, sf_dir):
     lon2 = f"({lon1}) + 1.0 + CAST(p_partkey % 3 AS DOUBLE)"
     lat1 = "CAST(p_size % 60 AS DOUBLE) - 30.0"
     lat2 = f"({lat1}) + 1.0 + CAST(p_size % 5 AS DOUBLE)"
+    # fused composite (r8): one envelope construction + both area kernels
+    # in a single worker call (ST_EnvelopeAreasXY delegates to the exact
+    # same kernels, so results are bit-identical)
     return p.selectExpr(
         "p_partkey",
-        f"round(ST_AreaSpheroid(ST_MakeEnvelope({lon1}, {lat1}, {lon2}, {lat2})) / 1e6, 3) AS geod_area_km2",
-        f"round(abs(ST_AreaSpherical(ST_MakeEnvelope({lon1}, {lat1}, {lon2}, {lat2}))) / 1e6, 3) AS sphere_area_km2",
+        f"ST_EnvelopeAreasXY({lon1}, {lat1}, {lon2}, {lat2}) AS __ea",
+    ).selectExpr(
+        "p_partkey",
+        "round(__ea.spheroid / 1e6, 3) AS geod_area_km2",
+        "round(abs(__ea.spherical) / 1e6, 3) AS sphere_area_km2",
     )
 
 

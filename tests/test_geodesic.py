@@ -701,3 +701,52 @@ def test_cylindrical_pole_edges():
     xs, ys = P.laea_forward(np.array([10.0]), np.array([90.0]), 3035)
     _, la3 = P.laea_inverse(xs, ys, 3035)
     assert abs(la3[0] - 90.0) < 1e-9
+
+
+def test_envelope_areas_xy_fast_path_bit_identical():
+    """The batched array path of k_envelope_areas_xy must be BIT-identical
+    to the unfused kernel chain (ST_MakeEnvelope -> ST_AreaSpheroid /
+    ST_AreaSpherical) over the query domain plus adversarial boxes:
+    inverted extents, zero-size, negative-zero corners, antimeridian-
+    crossing widths, and nulls."""
+    import numpy as np
+    import pandas as pd
+
+    from geoarrow_rs_spark.functions import kernels as K
+
+    rng = np.random.default_rng(8)
+    # geo_geodesic_area's modular domain
+    pk = rng.integers(0, 10_000, 400)
+    ps = rng.integers(1, 51, 400)
+    x0 = (pk % 30).astype(float) * 2.0 - 30.0
+    y0 = (ps % 60).astype(float) - 30.0
+    x1 = x0 + 1.0 + (pk % 3).astype(float)
+    y1 = y0 + 1.0 + (ps % 5).astype(float)
+    # adversarial rows
+    extra = np.array(
+        [
+            [0.0, 0.0, 0.0, 0.0],
+            [-0.0, -0.0, 0.0, 0.0],
+            [5.0, 5.0, 1.0, 1.0],        # inverted (xmax < xmin)
+            [-179.5, -80.0, 179.5, 80.0],  # near-global, wide dlam
+            [170.0, 10.0, 190.0, 20.0],  # crosses the antimeridian wrap
+            [-30.0, -90.0, 30.0, 90.0],  # pole-to-pole
+            [1e-9, 1e-9, 2e-9, 2e-9],    # degenerate tiny
+        ]
+    )
+    X0 = pd.Series(np.concatenate([x0, extra[:, 0], [np.nan]]))
+    Y0 = pd.Series(np.concatenate([y0, extra[:, 1], [1.0]]))
+    X1 = pd.Series(np.concatenate([x1, extra[:, 2], [2.0]]))
+    Y1 = pd.Series(np.concatenate([y1, extra[:, 3], [3.0]]))
+
+    fast = K.k_envelope_areas_xy(X0, Y0, X1, Y1)
+    env = K.k_make_envelope(X0, Y0, X1, Y1)
+    ref_spheroid = K.k_area_spheroid(env).to_numpy()
+    ref_spherical = K.k_area_spherical(env).to_numpy()
+
+    fs = fast["spheroid"].to_numpy()
+    fp = fast["spherical"].to_numpy()
+    assert np.array_equal(fs, ref_spheroid, equal_nan=True)
+    assert np.array_equal(fp, ref_spherical, equal_nan=True)
+    # the null row really is null in both
+    assert np.isnan(fs[-1]) and np.isnan(ref_spheroid[-1])
