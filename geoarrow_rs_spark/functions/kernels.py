@@ -2437,6 +2437,45 @@ def k_pt_arc_dwithin_sphere_xy(px, py, a1x, a1y, a2x, a2y, dist):
     return k_dwithin_sphere(k_point(px, py), _seg2(a1x, a1y, a2x, a2y), dist)
 
 
+def k_subdivide_box_stats_xy(x0, y0, x1, y1, dens, maxv):
+    """array<struct{area, xmin}> over the ST_Dump pieces of
+    ST_Subdivide(ST_Densify(ST_MakeEnvelope(x0, y0, x1, y1), dens), maxv),
+    fused: the whole construct -> densify -> subdivide -> dump -> per-piece
+    stat chain runs worker-side in ONE call (the unfused plan paid five
+    ArrowEvalPython round trips), delegating to the same kernels — piece
+    order, areas and bounds are bit-identical. Per-piece stats run as one
+    batched kernel call over the flattened piece list, and the registry
+    value-dedup covers the entire chain, so repetitive box domains pay per
+    distinct box rather than per row."""
+    pieces = k_dump(
+        k_subdivide(k_densify(k_make_envelope(x0, y0, x1, y1), dens), maxv)
+    )
+    flat, spans = [], []
+    for lst in pieces:
+        if lst is None:
+            spans.append(None)
+        else:
+            spans.append((len(flat), len(lst)))
+            flat.extend(lst)
+    if flat:
+        fs = pd.Series(flat, dtype=object)
+        areas = k_area(fs).to_numpy()
+        xmins = k_xmin(fs).to_numpy()
+    out = []
+    for sp in spans:
+        if sp is None:
+            out.append(None)
+        else:
+            st, m = sp
+            out.append(
+                [
+                    {"area": float(areas[st + j]), "xmin": float(xmins[st + j])}
+                    for j in range(m)
+                ]
+            )
+    return pd.Series(out, dtype=object)
+
+
 def k_envelope_areas_xy(x0, y0, x1, y1):
     """struct{spheroid, spherical} areas of the same per-row
     ST_MakeEnvelope(x0, y0, x1, y1), fused: the envelope is constructed

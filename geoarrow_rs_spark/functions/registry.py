@@ -210,6 +210,17 @@ _SCALAR_UDFS = {
         ),
     ),
     "ST_DistanceXY": (K.k_distance_xy, DoubleType()),
+    "ST_SubdivideBoxStatsXY": (
+        K.k_subdivide_box_stats_xy,
+        ArrayType(
+            StructType(
+                [
+                    StructField("area", DoubleType()),
+                    StructField("xmin", DoubleType()),
+                ]
+            )
+        ),
+    ),
     "ST_EnvelopeAreasXY": (
         K.k_envelope_areas_xy,
         StructType(
@@ -226,6 +237,10 @@ _SCALAR_UDFS = {
 }
 
 _registered_sessions = set()
+
+# expensive array-returning composites that feed posexplode: see the
+# asNondeterministic note in register_functions
+_NONDETERMINISTIC_MARK = {"ST_SubdivideBoxStatsXY"}
 
 # diagnostic kill switch for the value-dedup wrapper below (inherited by
 # python workers when set before the session starts)
@@ -354,7 +369,15 @@ def register_functions(spark):
     if key in _registered_sessions:
         return spark
     for name, (fn, rtype) in _SCALAR_UDFS.items():
-        spark.udf.register(name, F.pandas_udf(_dedup_wrap(fn), rtype))
+        udf = F.pandas_udf(_dedup_wrap(fn), rtype)
+        if name in _NONDETERMINISTIC_MARK:
+            # guide §4.4: generator-feeding UDFs get duplicated when the
+            # optimizer pushes the Generate's inferred size()/isnotnull
+            # filter below the projection that computes them; marking them
+            # non-deterministic forces a single evaluation (the kernels
+            # ARE deterministic — this only constrains the optimizer)
+            udf = udf.asNondeterministic()
+        spark.udf.register(name, udf)
     spark.udf.register(
         "ST_Extent_Agg",
         F.pandas_udf(_extent_agg, ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG),

@@ -698,15 +698,21 @@ def geo_subdivide(spark, sf_dir):
     shoelace step exact)."""
     c = _t(spark, sf_dir, "customer")
     t = "CAST(c_custkey % 100 AS DOUBLE)"
-    geom = f"ST_Densify(ST_MakeEnvelope({t}, 0.0, {t} + 8.0, 2.0), 1.0)"
+    # fused composite (r8): construct -> densify -> subdivide -> dump ->
+    # per-piece stats as ONE ArrowEvalPython node (was five), with the
+    # posexplode staying in the JVM; delegates to the same kernels, so
+    # piece order/areas/bounds are bit-identical
     return (
-        c.selectExpr("c_custkey", f"ST_Subdivide({geom}, 12) AS pieces")
-        .selectExpr("c_custkey", "posexplode(ST_Dump(pieces)) AS (piece_idx, piece)")
+        c.selectExpr(
+            "c_custkey",
+            f"ST_SubdivideBoxStatsXY({t}, 0.0, {t} + 8.0, 2.0, 1.0, 12) AS pieces",
+        )
+        .selectExpr("c_custkey", "posexplode(pieces) AS (piece_idx, p)")
         .selectExpr(
             "c_custkey",
             "CAST(piece_idx AS INT) AS piece_idx",
-            "ST_Area(piece) AS piece_area",
-            "ST_XMin(piece) AS piece_xmin",
+            "p.area AS piece_area",
+            "p.xmin AS piece_xmin",
         )
     )
 

@@ -750,3 +750,42 @@ def test_envelope_areas_xy_fast_path_bit_identical():
     assert np.array_equal(fp, ref_spherical, equal_nan=True)
     # the null row really is null in both
     assert np.isnan(fs[-1]) and np.isnan(ref_spheroid[-1])
+
+
+def test_subdivide_box_stats_xy_matches_unfused_chain():
+    """The fused subdivide-pieces composite must reproduce the unfused
+    kernel chain exactly: same piece order, same area/xmin doubles, nulls
+    and degenerate boxes included."""
+    import numpy as np
+    import pandas as pd
+
+    from geoarrow_rs_spark.functions import kernels as K
+
+    t = np.arange(250).astype(float) % 100.0
+    X0 = pd.Series(np.concatenate([t, [np.nan, 0.0]]))
+    Y0 = pd.Series([0.0] * 250 + [0.0, 0.0])
+    X1 = pd.Series(np.concatenate([t + 8.0, [1.0, 0.0]]))  # last: zero-size
+    Y1 = pd.Series([2.0] * 250 + [1.0, 0.0])
+    dens = pd.Series([1.0] * 252)
+    mv = pd.Series([12] * 252)
+
+    fused = K.k_subdivide_box_stats_xy(X0, Y0, X1, Y1, dens, mv)
+    pieces = K.k_dump(
+        K.k_subdivide(K.k_densify(K.k_make_envelope(X0, Y0, X1, Y1), dens), mv)
+    )
+    for i in range(252):
+        lst = pieces[i]
+        if lst is None:
+            assert fused[i] is None
+            continue
+        ref_area = K.k_area(pd.Series(lst, dtype=object)).to_numpy()
+        ref_xmin = K.k_xmin(pd.Series(lst, dtype=object)).to_numpy()
+        got = fused[i]
+        assert len(got) == len(lst)
+        for j, d in enumerate(got):
+            assert d["area"] == ref_area[j] or (
+                np.isnan(d["area"]) and np.isnan(ref_area[j])
+            )
+            assert d["xmin"] == ref_xmin[j] or (
+                np.isnan(d["xmin"]) and np.isnan(ref_xmin[j])
+            )
