@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..checkpoint import checkpoint_df
+
 
 def dot_expr(v1, v2):
     return F.aggregate(
@@ -53,19 +55,41 @@ def cosine_expr(v1, v2):
     return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
 
-def dot_inorder_expr(v1, v2):
+def dot_inorder_expr(v1, v2, dim_hint: int | None = None):
     """Sequential left-fold double dot product. Deterministic because both
     engines execute the identical IEEE op sequence (Spark's aggregate and
     DuckDB's list_sum both fold the list left-to-right) — ~2x faster than
-    the decimal accumulation, used on the top-k rerank hot paths."""
+    the decimal accumulation, used on the top-k rerank hot paths.
+
+    ``dim_hint`` (guide §1.2 per-task work): when the caller knows the
+    vector dimension, rows matching it take an UNROLLED static sum —
+    0.0 + x1 + x2 + ... — which whole-stage codegen compiles to straight
+    multiply-adds instead of an interpreted HOF lambda per element. The
+    leading literal 0.0 makes the unrolled chain the exact fold op
+    sequence, so results are bit-identical; rows whose size mismatches
+    the hint fall back to the fold."""
+    if dim_hint:
+        terms = [
+            F.element_at(v1, i).cast("double")
+            * F.element_at(v2, i).cast("double")
+            for i in range(1, dim_hint + 1)
+        ]
+        unrolled = F.lit(0.0)
+        for t in terms:
+            unrolled = unrolled + t
+        return F.when(
+            (F.size(v1) == dim_hint) & (F.size(v2) == dim_hint), unrolled
+        ).otherwise(dot_inorder_expr(v1, v2))
     prods = F.zip_with(v1, v2, lambda a, b: a.cast("double") * b.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def cosine_fast_expr(v1, v2):
+def cosine_fast_expr(v1, v2, dim_hint: int | None = None):
     """Cosine on the in-order double fold (see dot_inorder_expr)."""
-    num = dot_inorder_expr(v1, v2)
-    den = F.sqrt(dot_inorder_expr(v1, v1)) * F.sqrt(dot_inorder_expr(v2, v2))
+    num = dot_inorder_expr(v1, v2, dim_hint)
+    den = F.sqrt(dot_inorder_expr(v1, v1, dim_hint)) * F.sqrt(
+        dot_inorder_expr(v2, v2, dim_hint)
+    )
     return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
 
@@ -1079,6 +1103,7 @@ def semantic_dedup(
     k_clusters: int = 8,
     iters: int = 2,
     threshold: float = 0.35,
+    dim_hint: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
     clusters the embedding space, then cosine pairs are examined ONLY
@@ -1097,13 +1122,36 @@ def semantic_dedup(
     Output: (id_col, cid, kept) — one row per input row, kept=false for
     dropped near-duplicates.
     """
-    cents = kmeans_train(corpus, vec=vec, id_col=id_col, k=k_clusters, iters=iters)
-    cdf = _centroid_df(corpus.sparkSession, cents)
-    assigned = assign_clusters(corpus, cdf, vec=vec, id_col=id_col)
+    spark = corpus.sparkSession
+    # size-gated local fast path (guide §2.4, same as kmeans_ivf_topk):
+    # a small corpus is collected ONCE and training + assignment run
+    # driver-local, bit-identical to the distributed replicas
+    local_rows = _collect_if_small(corpus, id_col, vec)
+    cents = _kmeans_train_local(local_rows, k_clusters, iters) \
+        if local_rows is not None else None
+    if cents is None:
+        cents = kmeans_train(
+            corpus, vec=vec, id_col=id_col, k=k_clusters, iters=iters
+        )
+    assigned = None
+    if local_rows is not None:
+        assigned = _assigned_local_df(
+            spark, corpus, id_col, vec, local_rows, cents, with_vec=True
+        )
+    if assigned is None:
+        cdf = _centroid_df(spark, cents)
+        # `assigned` is referenced THREE times (both pair-join sides and
+        # the final keep join): checkpoint so the broadcast-cross-join
+        # assignment pass runs once, not three times (§2.4;
+        # checkpoint_df honors the reliable-checkpoint escape hatch)
+        assigned = checkpoint_df(
+            assign_clusters(corpus, cdf, vec=vec, id_col=id_col),
+            eager=False,
+        )
     # precompute each row's norm ONCE before the pair join — recomputing it
     # per pair would triple the dot-product work (the per-pair op sequence
     # is unchanged, so the rounded cosine stays bit-identical)
-    norm = F.sqrt(dot_inorder_expr(F.col(vec), F.col(vec)))
+    norm = F.sqrt(dot_inorder_expr(F.col(vec), F.col(vec), dim_hint))
     a = assigned.select(
         F.col(id_col).alias("__aid"), F.col(vec).alias("__av"),
         norm.alias("__an"), "cid",
@@ -1113,7 +1161,7 @@ def semantic_dedup(
         norm.alias("__bn"), "cid",
     )
     den = F.col("__an") * F.col("__bn")
-    num = dot_inorder_expr(F.col("__av"), F.col("__bv"))
+    num = dot_inorder_expr(F.col("__av"), F.col("__bv"), dim_hint)
     sim = F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 8)
     dup_ids = (
         a.join(b, on="cid")

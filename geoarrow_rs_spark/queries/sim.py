@@ -850,7 +850,7 @@ def sim_semantic_dedup(spark, sf_dir):
     training, assignment, and the pairwise threshold in unrolled CTEs."""
     e = _t(spark, sf_dir, "embeddings")
     out = similarity.semantic_dedup(
-        e, k_clusters=8, iters=2, threshold=0.35
+        e, k_clusters=8, iters=2, threshold=0.35, dim_hint=64
     )
     return out.select("vec_id", F.col("cid").cast("bigint").alias("cid"), "kept")
 

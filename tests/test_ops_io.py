@@ -1013,3 +1013,39 @@ def test_srp_dim_hint_bit_identical(spark, sf_dir):
         srp_bucket_expr("v", n_planes=4, dim_hint=64).alias("b")
     )
     assert plain.collect()[0]["b"] == hinted.collect()[0]["b"] == "0000"
+
+
+def test_dot_dim_hint_bit_identical(spark, sf_dir):
+    """r8: the unrolled dim-hinted in-order dot must be bit-identical to
+    the HOF left fold — correct hint, wrong hint (size-guard fallback),
+    short vectors, and nulls. The leading literal 0.0 of the unrolled
+    chain reproduces the fold's 0.0 + x1 first step exactly (including
+    -0.0 products)."""
+    from pyspark.sql import functions as F
+
+    from geoarrow_rs_spark.datapipe.similarity import dot_inorder_expr
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = e.select(
+        "vec_id",
+        F.col("embedding").alias("v1"),
+        F.reverse("embedding").alias("v2"),
+    )
+    plain = pairs.select("vec_id", dot_inorder_expr(F.col("v1"), F.col("v2")).alias("d")).collect()
+    hinted = pairs.select("vec_id", dot_inorder_expr(F.col("v1"), F.col("v2"), 64).alias("d")).collect()
+    wrong = pairs.select("vec_id", dot_inorder_expr(F.col("v1"), F.col("v2"), 48).alias("d")).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, hinted))
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, wrong))
+
+    odd = spark.createDataFrame(
+        [
+            (1, [1.5, -2.5, 3.0], [0.5, 4.0, -1.0]),
+            (2, [-0.0, 0.0], [0.5, 1.0]),
+            (3, None, [1.0]),
+            (4, [2.0], None),
+        ],
+        "id long, v1 array<double>, v2 array<double>",
+    )
+    p = odd.select("id", dot_inorder_expr(F.col("v1"), F.col("v2")).alias("d")).collect()
+    h = odd.select("id", dot_inorder_expr(F.col("v1"), F.col("v2"), 3).alias("d")).collect()
+    assert sorted(map(tuple, p)) == sorted(map(tuple, h))
