@@ -250,9 +250,16 @@ def pipe_full_pipeline(spark, sf_dir):
     survivors, not the raw table)."""
     from ..datapipe import sampling, text as tx
 
+    from ..checkpoint import checkpoint_df
+
     d = _t(spark, sf_dir, "documents")
     q = d.where(tx.token_count("text") >= 10)
-    kept1 = dedup.exact_dedup(q, "text", "doc_id", keep="min")
+    # kept1 feeds the minhash pairs, the cluster-assignment node set AND
+    # the final semi-join/split — without a checkpoint the quality-gate +
+    # exact-dedup corpus pass is planned four times (guide §2.4)
+    kept1 = checkpoint_df(
+        dedup.exact_dedup(q, "text", "doc_id", keep="min"), eager=False
+    )
     pairs = dedup.minhash_lsh_pairs(
         kept1, "doc_id", "text", num_perm=16, bands=4, shingle=8, max_chars=128
     )
