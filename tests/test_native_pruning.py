@@ -575,25 +575,37 @@ def test_multifile_footer_planning_parallel(tmp_path):
     ]
     assert len(warm) > 0
 
-    delay = 0.002  # a cheap object-store footer RTT
+    # 5 ms object-store footer RTT: big enough that the parallelizable
+    # latency dominates the GIL-bound pruning CPU even when this box is in
+    # its documented slow phase (2 ms flaked there: pruning CPU does not
+    # parallelize and compressed the observed ratio below the 2x bound)
+    delay = 0.005
     real_md = pq.read_metadata
 
     def slow_md(f, *a, **k):
         time.sleep(delay)
         return real_md(f, *a, **k)
 
-    with mock.patch.object(pq, "read_metadata", side_effect=slow_md):
-        t0 = time.perf_counter()
-        pooled = reader.partitions()
-        t_pool = time.perf_counter() - t0
-        with mock.patch("os.cpu_count", return_value=1):
+    def timed_pair():
+        with mock.patch.object(pq, "read_metadata", side_effect=slow_md):
             t0 = time.perf_counter()
-            slow_serial = reader.partitions()
-            t_serial = time.perf_counter() - t0
+            pooled = reader.partitions()
+            t_pool = time.perf_counter() - t0
+            with mock.patch("os.cpu_count", return_value=1):
+                t0 = time.perf_counter()
+                slow_serial = reader.partitions()
+                t_serial = time.perf_counter() - t0
+        return pooled, t_pool, slow_serial, t_serial
+
+    pooled, t_pool, slow_serial, t_serial = timed_pair()
+    if not (t_pool < t_serial / 2.0):
+        # one retry absorbs a scheduler hiccup; the equality asserts below
+        # stay unconditional either way
+        pooled, t_pool, slow_serial, t_serial = timed_pair()
 
     assert [(p.file, p.rg) for p in pooled] == [
         (p.file, p.rg) for p in slow_serial
     ]
-    # sub-linear: 200 x 2 ms serial floor is ~0.4 s; the pool must beat
-    # it by a wide margin (measured ~3.8x; assert 2x for CI headroom)
+    # sub-linear: 200 x 5 ms serial floor is ~1 s; the pool must beat it
+    # by a wide margin (measured ~3.8x; assert 2x for CI headroom)
     assert t_pool < t_serial / 2.0, (t_pool, t_serial)
