@@ -23,6 +23,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..checkpoint import checkpoint_df
@@ -365,20 +367,37 @@ def tfidf_topk(
         .crossJoin(F.broadcast(nn))
         .select("word", _idf(F.col("__tdf")).alias("__qidf"))
     )
-    qn = qv.agg(
+    # query norm as an unpartitioned window over the (<= |terms|-row) qv
+    # table: the previous groupBy + crossJoin attached the same scalar by
+    # re-planning the ENTIRE qv subtree (tf filter + aggregate + a third
+    # count-star) a second time. Decimal addition is order-independent, so
+    # the windowed sum is value-identical to the aggregated one.
+    qw = qv.withColumn(
+        "__qn",
         F.sqrt(
-            F.sum(
-                F.round(F.col("__qidf") * F.col("__qidf"), 12).cast(dec_small)
-            ).cast("double")
-        ).alias("__qn")
+            F.sum(F.round(F.col("__qidf") * F.col("__qidf"), 12).cast(dec_small))
+            .over(Window.partitionBy())
+            .cast("double")
+        ),
     )
-    qw = qv.crossJoin(F.broadcast(qn))
 
-    # document frequency via a word-partitioned window over tf (no
-    # vocabulary self-join), N via the broadcast count row
-    dfw = tf.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("word"))
-    ).crossJoin(F.broadcast(nn))
+    # document frequency: ONE vocabulary-sized aggregate over tf (map-side
+    # partial aggregation shuffles per-partition distinct words, not the
+    # corpus-sized tf table), broadcast-joined back on word. The previous
+    # word-partitioned window shuffled AND sorted all of tf by word to
+    # attach the same count; df(t) = tf rows with word = t is exact since
+    # (doc, word) is unique post-groupBy. The vocabulary of a real corpus
+    # is bounded (Heaps' law) and dfreq is 2 small columns, so the
+    # broadcast is dimension-sized; for a vocabulary too big to broadcast
+    # set SPARK_GRAFT_TFIDF_DF_BROADCAST=0 to restore the word-window
+    # formulation (same values — the window IS the shuffle-join plan).
+    if os.environ.get("SPARK_GRAFT_TFIDF_DF_BROADCAST", "1") != "0":
+        dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("__df"))
+        dfw = tf.join(F.broadcast(dfreq), on="word").crossJoin(F.broadcast(nn))
+    else:
+        dfw = tf.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+        ).crossJoin(F.broadcast(nn))
     idf = F.round(
         F.log(
             (F.col("__N").cast("double") + F.lit(1.0))
