@@ -22,27 +22,33 @@ except ImportError:  # pragma: no cover - py4j ships with pyspark
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..checkpoint import checkpoint_df
+
 PLAN_BROADCAST_DISABLED = (
     _os.environ.get("SPARK_GRAFT_DISABLE_PLAN_BROADCAST", "") == "1"
 )
 _PLAN_BROADCAST_MAX_BYTES = 64 << 20
 
 
-def _broadcast_if_small(plan: DataFrame) -> DataFrame:
+def _broadcast_if_small(
+    plan: DataFrame, stats_proxy: DataFrame | None = None
+) -> DataFrame:
     """Attach a broadcast hint to a per-domain plan table only when the
     plan-time size estimate proves it small. The plan has one row per
     distinct domain; at web-scale domain cardinality (hostname level,
     1e8+) an unconditional hint would exceed broadcast limits, so above
     the gate (or when stats are unavailable) the hint is dropped and the
     equi-join is left to AQE, which still broadcasts at runtime when the
-    built side turns out small. Kill switch:
-    SPARK_GRAFT_DISABLE_PLAN_BROADCAST=1."""
+    built side turns out small. ``stats_proxy`` supplies an equivalent
+    lineage to probe when ``plan`` itself reads a checkpoint (whose stats
+    are unknown). Kill switch: SPARK_GRAFT_DISABLE_PLAN_BROADCAST=1."""
     if PLAN_BROADCAST_DISABLED:
         return plan
+    probe = stats_proxy if stats_proxy is not None else plan
     try:
         if plan.isStreaming:
             return plan
-        jstats = plan._jdf.queryExecution().optimizedPlan().stats()
+        jstats = probe._jdf.queryExecution().optimizedPlan().stats()
         size = jstats.sizeInBytes()
         size = size if isinstance(size, int) else int(size.toString())
     except (AttributeError, ValueError, TypeError, _Py4JError) as exc:
@@ -318,41 +324,64 @@ def budget_fill(
         F.floor(score * F.lit(float(n_buckets))).cast("long"),
         F.lit(n_buckets - 1).cast("long"),
     )
-    rows = df.withColumn("bucket", b).withColumn("__tok", tok.cast("long"))
-    hist = rows.groupBy(domain_col, "bucket").agg(
-        F.sum("__tok").alias("__btok")
+    rows_logical = (
+        df.withColumn("bucket", b).withColumn("__tok", tok.cast("long"))
     )
+    # Materialize the per-doc (…, bucket, __tok) table ONCE: the histogram
+    # pass and the final per-doc join both consume it, and without a
+    # boundary Catalyst plans the caller's heavyweight score/token
+    # expressions (regex + HOF chains over the text) in BOTH subtrees —
+    # two full corpus scans for one logical pass (r8 plan audit). The
+    # materialized table is fingerprint-shaped (ids + a few longs, no
+    # text), the standard decide-on-small-rows proxy.
+    # (checkpoint_df: reliable-checkpoint escape hatch for real clusters)
+    rows = checkpoint_df(rows_logical, eager=False)
+
     w = (
         Window.partitionBy(domain_col)
         .orderBy(F.desc("bucket"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.withColumn("__cum", F.sum("__btok").over(w))
-    # Threshold bucket = the HIGHEST bucket whose best-first cumulative
-    # crosses the budget. __cum is nondecreasing in descending-bucket
-    # order, so that row is rank 1 of the crossing rows — one window over
-    # the tiny histogram instead of the previous groupBy(max) + self-join
-    # back onto cum, which consumed cum twice and therefore planned the
-    # whole histogram pass over the corpus (with its heavyweight
-    # score/token expressions) twice (r7 plan audit: 3 corpus scans where
-    # the docstring promises 2).
     wt = Window.partitionBy(domain_col).orderBy(F.desc("bucket"))
-    plan = (
-        cum.where(F.col("__cum") >= F.lit(int(budget_tokens)))
-        .withColumn("__rn", F.row_number().over(wt))
-        .where(F.col("__rn") == 1)
-        .select(
-            domain_col,
-            F.col("bucket").alias("__tb"),
-            F.round(
-                (F.lit(float(budget_tokens))
-                 - (F.col("__cum") - F.col("__btok")).cast("double"))
-                / F.col("__btok").cast("double"),
-                8,
-            ).alias("__rate"),
+
+    def _threshold_plan(base: DataFrame) -> DataFrame:
+        # Threshold bucket = the HIGHEST bucket whose best-first
+        # cumulative crosses the budget. __cum is nondecreasing in
+        # descending-bucket order, so that row is rank 1 of the crossing
+        # rows — one window over the tiny histogram instead of the
+        # previous groupBy(max) + self-join back onto cum, which consumed
+        # cum twice and therefore planned the whole histogram pass over
+        # the corpus twice (r7 plan audit: 3 corpus scans where the
+        # docstring promises 2).
+        hist = base.groupBy(domain_col, "bucket").agg(
+            F.sum("__tok").alias("__btok")
         )
+        cum = hist.withColumn("__cum", F.sum("__btok").over(w))
+        return (
+            cum.where(F.col("__cum") >= F.lit(int(budget_tokens)))
+            .withColumn("__rn", F.row_number().over(wt))
+            .where(F.col("__rn") == 1)
+            .select(
+                domain_col,
+                F.col("bucket").alias("__tb"),
+                F.round(
+                    (F.lit(float(budget_tokens))
+                     - (F.col("__cum") - F.col("__btok")).cast("double"))
+                    / F.col("__btok").cast("double"),
+                    8,
+                ).alias("__rate"),
+            )
+        )
+
+    plan = _threshold_plan(rows)
+    # the broadcast size gate probes the UN-checkpointed twin of the same
+    # chain: identical expressions, so the plan-time estimate is the one
+    # the gate always used — the checkpointed lineage has no stats
+    joined = rows.join(
+        _broadcast_if_small(plan, stats_proxy=_threshold_plan(rows_logical)),
+        domain_col,
+        "left",
     )
-    joined = rows.join(_broadcast_if_small(plan), domain_col, "left")
     u = hash_uniform(key, salt)
     selected = F.when(F.col("__tb").isNull(), F.lit(True)).otherwise(
         (F.col("bucket") > F.col("__tb"))
