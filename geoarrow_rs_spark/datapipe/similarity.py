@@ -1062,14 +1062,29 @@ def quantized_topk(
 
     Output: query_id, neighbor_id, qcosine, rank.
     """
-    am = amax_per_dim(corpus, vec=corpus_vec)
-    q = queries.crossJoin(F.broadcast(am)).select(
-        F.col(query_id).alias("query_id"),
-        quantize_expr(F.col(query_vec), F.col("__amax")).alias("__qq"),
+    # The quantization scale is MODEL STATE — one row of d doubles — and
+    # it feeds BOTH the query-side and corpus-side encodes. As a broadcast
+    # subtree it was planned twice (two complete corpus posexplode +
+    # max-per-dim passes, one per encode side; r8 plan audit). Collecting
+    # the single row (bounded by the embedding dimension, never the
+    # corpus) and inlining it as a literal array computes the pass once;
+    # Python floats round-trip IEEE-exactly, so every encode sees
+    # bit-identical scales.
+    am_row = amax_per_dim(corpus, vec=corpus_vec).collect()[0]
+    ma = am_row["__amax"] or []
+    am_col = (
+        F.array(*[F.lit(float(v)) for v in ma])
+        if ma
+        else F.expr("CAST(array() AS array<double>)")  # empty corpus: same
+        # zip_with padding semantics as the old empty __amax row
     )
-    c = corpus.crossJoin(F.broadcast(am)).select(
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        quantize_expr(F.col(query_vec), am_col).alias("__qq"),
+    )
+    c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
-        quantize_expr(F.col(corpus_vec), F.col("__amax")).alias("__cq"),
+        quantize_expr(F.col(corpus_vec), am_col).alias("__cq"),
     )
     q = q.select(
         "query_id", "__qq",
