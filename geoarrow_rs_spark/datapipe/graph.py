@@ -18,11 +18,25 @@ small-star contraction); this module adds the weighted-centrality side.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..checkpoint import checkpoint_df
 
 _DEC = "decimal(38,12)"
+
+# k_core local fast path: when the canonical edge list is small (gated by
+# an exact count over the already-materialized checkpoint — the
+# distributed rounds would materialize it anyway), peel driver-locally
+# instead of paying ~3 shuffle stages per round. Pure integer set logic,
+# bit-identical to the distributed rounds by construction.
+LOCAL_KCORE_DISABLED = (
+    _os.environ.get("SPARK_GRAFT_DISABLE_LOCAL_KCORE", "") == "1"
+)
+_LOCAL_KCORE_MAX_EDGES = int(
+    _os.environ.get("SPARK_GRAFT_LOCAL_KCORE_MAX_EDGES", str(2_000_000))
+)
 
 
 def pagerank(
@@ -305,6 +319,33 @@ def k_core(
     # probe side); checkpoint so the upstream pair generation runs once
     # (checkpoint_df: reliable-checkpoint escape hatch for real clusters)
     e = checkpoint_df(e, eager=False)
+    if not LOCAL_KCORE_DISABLED and not pairs.isStreaming:
+        # the count materializes the checkpoint (the distributed rounds'
+        # first action would too) and gates the collect, so nothing big
+        # is ever pulled to the driver
+        n_edges = e.count()
+        if n_edges <= _LOCAL_KCORE_MAX_EDGES:
+            edges = [(r[0], r[1]) for r in e.collect()]
+            prev_n = None
+            for _ in range(rounds):
+                deg: dict = {}
+                for a, b in edges:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                keep = {n for n, d in deg.items() if d >= k}
+                edges = [(a, b) for a, b in edges if a in keep and b in keep]
+                if early_stop:
+                    if prev_n is not None and len(edges) == prev_n:
+                        break
+                    prev_n = len(edges)
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            out = sorted((n, d) for n, d in deg.items() if d >= k)
+            return pairs.sparkSession.createDataFrame(
+                out, "node long, core_deg long"
+            )
     prev_edges = None
     for _ in range(rounds):
         deg = (

@@ -119,6 +119,33 @@ def test_quantized_topk_empty_corpus(spark):
     assert quantized_topk(e, empty, k=3).count() == 0
 
 
+def test_k_core_local_path_matches_distributed(spark):
+    """The size-gated local peel must be row-identical to the distributed
+    rounds, for both the fixed-round and early-stop modes, including an
+    empty result."""
+    import geoarrow_rs_spark.datapipe.graph as G
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3), (6, 7), (2, 1)],
+        "a_id long, b_id long",
+    )
+    lone = spark.createDataFrame([(1, 2), (3, 4)], "a_id long, b_id long")
+    for df, kw in [
+        (pairs, dict(k=2, rounds=4, early_stop=False)),
+        (pairs, dict(k=2)),
+        (pairs, dict(k=3, rounds=4, early_stop=False)),  # empty 3-core
+        (lone, dict(k=2, rounds=2, early_stop=False)),   # empty result
+    ]:
+        local = _rows(G.k_core(df, **kw))
+        saved = G.LOCAL_KCORE_DISABLED
+        G.LOCAL_KCORE_DISABLED = True
+        try:
+            dist = _rows(G.k_core(df, **kw))
+        finally:
+            G.LOCAL_KCORE_DISABLED = saved
+        assert local == dist
+
+
 def test_budget_fill_checkpointed_rows_keep_broadcast_hint(spark, sf_dir):
     from geoarrow_rs_spark.datapipe.sampling import budget_fill
     from geoarrow_rs_spark.datapipe.text import quality_score, token_count
