@@ -38,6 +38,60 @@ _LOCAL_KCORE_MAX_EDGES = int(
     _os.environ.get("SPARK_GRAFT_LOCAL_KCORE_MAX_EDGES", str(2_000_000))
 )
 
+# pagerank local fast path: same gate design (exact counts over inputs the
+# distributed rounds would materialize anyway), with every decimal /
+# rounding step replicated exactly (see the replica rules block in
+# datapipe/similarity.py): CAST(double AS DECIMAL(38,12)) ==
+# Decimal(repr(x)) HALF_UP at 12 dp, decimal SUM exact, CAST(decimal AS
+# DOUBLE) == float(Decimal), round(double, 12) == the shortest-repr
+# HALF_UP replica.
+LOCAL_PAGERANK_DISABLED = (
+    _os.environ.get("SPARK_GRAFT_DISABLE_LOCAL_PAGERANK", "") == "1"
+)
+_LOCAL_PAGERANK_MAX_EDGES = int(
+    _os.environ.get("SPARK_GRAFT_LOCAL_PAGERANK_MAX_EDGES", str(1_000_000))
+)
+_LOCAL_PAGERANK_MAX_NODES = int(
+    _os.environ.get("SPARK_GRAFT_LOCAL_PAGERANK_MAX_NODES", str(1_000_000))
+)
+
+
+def _pagerank_local(node_ids, directed_edges, iters, damping):
+    """Driver-local replica of the fixed-iteration pagerank rounds —
+    identical IEEE/decimal op sequence, so output is bit-identical to the
+    distributed plan (equality-tested)."""
+    from decimal import ROUND_HALF_UP as _HALF_UP, Decimal as _Dec
+
+    _e12 = _Dec("1e-12")
+
+    def _round12(x: float) -> float:
+        return float(_Dec(repr(float(x))).quantize(_e12, rounding=_HALF_UP))
+
+    def _dec12(x: float) -> _Dec:
+        return _Dec(repr(float(x))).quantize(_e12, rounding=_HALF_UP)
+
+    n = float(len(node_ids))
+    d = float(damping)
+    deg: dict = {}
+    for s, _t in directed_edges:
+        deg[s] = deg.get(s, 0) + 1
+    pr0 = _round12(1.0 / n)
+    pr = {v: pr0 for v in node_ids}
+    for _ in range(iters):
+        sums: dict = {}
+        for s, t in directed_edges:
+            p = pr.get(s)
+            if p is None:
+                continue
+            c = _dec12(_round12(p / float(deg[s])))
+            sums[t] = sums.get(t, _Dec(0)) + c
+        base = (1.0 - d) / n
+        pr = {
+            v: _round12(base + d * (float(sums[v]) if v in sums else 0.0))
+            for v in node_ids
+        }
+    return [(v, pr[v]) for v in node_ids]
+
 
 def pagerank(
     nodes: DataFrame,
@@ -69,6 +123,29 @@ def pagerank(
     E = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    if not LOCAL_PAGERANK_DISABLED and not (
+        pairs.isStreaming or nodes.isStreaming
+    ):
+        # counts gate the collects (E is already materialized above; the
+        # node count is a column-pruned aggregate), so nothing big is
+        # ever pulled to the driver
+        if E.count() <= _LOCAL_PAGERANK_MAX_EDGES:
+            n_nodes = nodes.count()
+            if 0 < n_nodes <= _LOCAL_PAGERANK_MAX_NODES:
+                node_ids = [
+                    r[0]
+                    for r in nodes.select(
+                        F.col(id_col).cast("long")
+                    ).collect()
+                ]
+                if len(set(node_ids)) == len(node_ids):
+                    directed = [(r[0], r[1]) for r in E.collect()]
+                    out = _pagerank_local(
+                        node_ids, directed, iters, damping
+                    )
+                    return nodes.sparkSession.createDataFrame(
+                        out, f"{id_col} long, pr double"
+                    )
     deg = E.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     ED = E.join(deg, on="src").localCheckpoint(eager=True)
 

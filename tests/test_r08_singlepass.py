@@ -146,6 +146,31 @@ def test_k_core_local_path_matches_distributed(spark):
         assert local == dist
 
 
+def test_pagerank_local_path_matches_distributed(spark):
+    """The size-gated local pagerank replica must be bit-identical to the
+    distributed rounds — including isolated nodes (teleport mass only),
+    edges referencing unknown nodes, and self-loops."""
+    import geoarrow_rs_spark.datapipe.graph as G
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3), (2, 1), (6, 6),
+         (7, 99)],  # 99 is not in nodes; 6-6 is a self-loop (dropped)
+        "a_id long, b_id long",
+    )
+    for iters in (1, 3):
+        local = _rows(G.pagerank(nodes, pairs, id_col="doc_id", iters=iters))
+        saved = G.LOCAL_PAGERANK_DISABLED
+        G.LOCAL_PAGERANK_DISABLED = True
+        try:
+            dist = _rows(G.pagerank(nodes, pairs, id_col="doc_id", iters=iters))
+        finally:
+            G.LOCAL_PAGERANK_DISABLED = saved
+        assert local == dist
+
+
 def test_budget_fill_checkpointed_rows_keep_broadcast_hint(spark, sf_dir):
     from geoarrow_rs_spark.datapipe.sampling import budget_fill
     from geoarrow_rs_spark.datapipe.text import quality_score, token_count
