@@ -93,6 +93,68 @@ def _pagerank_local(node_ids, directed_edges, iters, damping):
     return [(v, pr[v]) for v in node_ids]
 
 
+# neighborhood_function (HyperBall/KMV) local fast path: same gate/kill-
+# switch design; the md5 node hashes, k-smallest-distinct merges and the
+# HALF_UP micro-unit estimates are replicated exactly.
+LOCAL_ANF_DISABLED = (
+    _os.environ.get("SPARK_GRAFT_DISABLE_LOCAL_ANF", "") == "1"
+)
+_LOCAL_ANF_MAX_EDGES = int(
+    _os.environ.get("SPARK_GRAFT_LOCAL_ANF_MAX_EDGES", str(500_000))
+)
+
+
+def _anf_local(directed_edges, k, hops, salt):
+    """Driver-local replica of the KMV sketch-merge rounds — identical
+    hashes, merges and rounding, so output is bit-identical to the
+    distributed plan (equality-tested). directed_edges already contains
+    both directions of every undirected pair."""
+    import hashlib
+    from decimal import ROUND_HALF_UP as _HALF_UP, Decimal as _Dec
+
+    import math as _math
+
+    def _half_up(x: float, exp: str) -> float:
+        return float(_Dec(repr(float(x))).quantize(_Dec(exp), rounding=_HALF_UP))
+
+    M = float(1 << 60)
+    nbrs: dict = {}
+    for s, t in directed_edges:
+        nbrs.setdefault(s, []).append(t)
+    state = {
+        v: (int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16),)
+        for v in nbrs
+    }
+    micros: dict = {v: [] for v in nbrs}
+    for _h in range(hops):
+        new_state = {}
+        for v, hs in state.items():
+            merged = set(hs)
+            for t in nbrs[v]:
+                merged.update(state[t])
+            new_state[v] = tuple(sorted(merged)[:k])
+        state = new_state
+        for v, hs in state.items():
+            if len(hs) < k:
+                raw = float(len(hs))
+            else:
+                raw = _half_up(float(k - 1) * M / float(hs[k - 1]), "1E-6")
+            micros[v].append(int(_half_up(raw * 1e6, "1")))
+    lcm = _math.lcm(*range(1, hops + 1))
+    denom = float(lcm) * 1e6
+    out = []
+    for v in sorted(micros):
+        ns = micros[v]
+        harm, prev = 0, 1_000_000
+        for h in range(1, hops + 1):
+            harm += (lcm // h) * (ns[h - 1] - prev)
+            prev = ns[h - 1]
+        out.append(
+            (v, *[n / 1e6 for n in ns], float(harm) / denom)
+        )
+    return out
+
+
 def pagerank(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -290,6 +352,18 @@ def neighborhood_function(
     # upstream lineage (e.g. minhash pair generation) runs once, not
     # once per hop
     e = e.localCheckpoint(eager=False)
+    if not LOCAL_ANF_DISABLED and not pairs.isStreaming:
+        # the count materializes the checkpoint (the distributed rounds'
+        # first action would too) and gates the collect
+        if e.count() <= _LOCAL_ANF_MAX_EDGES:
+            directed = [(r[0], r[1]) for r in e.collect()]
+            out = _anf_local(directed, k, hops, salt)
+            schema = ", ".join(
+                ["node long"]
+                + [f"n{h} double" for h in range(1, hops + 1)]
+                + ["harmonic double"]
+            )
+            return pairs.sparkSession.createDataFrame(out, schema)
     from .dedup import gram_hash_expr
 
     h_expr = gram_hash_expr(

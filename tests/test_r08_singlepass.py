@@ -171,6 +171,28 @@ def test_pagerank_local_path_matches_distributed(spark):
         assert local == dist
 
 
+def test_neighborhood_function_local_path_matches_distributed(spark):
+    """The size-gated local KMV sketch replica must be bit-identical to
+    the distributed HyperBall rounds — connected component, isolated
+    pair, star hub, self-loop dropped."""
+    import geoarrow_rs_spark.datapipe.graph as G
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3), (6, 7), (8, 8),
+         (10, 11), (10, 12), (10, 13), (10, 14)],
+        "a_id long, b_id long",
+    )
+    for k, hops in ((4, 2), (32, 3)):
+        local = _rows(G.neighborhood_function(pairs, k=k, hops=hops))
+        saved = G.LOCAL_ANF_DISABLED
+        G.LOCAL_ANF_DISABLED = True
+        try:
+            dist = _rows(G.neighborhood_function(pairs, k=k, hops=hops))
+        finally:
+            G.LOCAL_ANF_DISABLED = saved
+        assert local == dist and len(local) > 0
+
+
 def test_budget_fill_checkpointed_rows_keep_broadcast_hint(spark, sf_dir):
     from geoarrow_rs_spark.datapipe.sampling import budget_fill
     from geoarrow_rs_spark.datapipe.text import quality_score, token_count
