@@ -131,6 +131,12 @@ def minhash_lsh_pairs(
     # materialize-the-signatures step (signatures are ~128 B/doc).
     # (checkpoint_df: reliable-checkpoint escape hatch for real clusters)
     with_sig = checkpoint_df(with_sig, eager=False)
+    # band explode and the candidate-pair dedup carry ONLY (id, band) /
+    # (a_id, b_id) — never the text (guide §2.3: shuffle keys, not
+    # payloads). The refine joins text back from the materialized
+    # checkpoint for the few SURVIVING candidates instead of fanning the
+    # full text out 4x through the band explode and shipping two copies
+    # per candidate through the dedup exchange.
     banded = with_sig.withColumn(
         "__band",
         F.explode(
@@ -150,28 +156,30 @@ def minhash_lsh_pairs(
                 ]
             )
         ),
-    ).select(id_col, *([text_col] if need_text else []), "__band")
+    ).select(id_col, "__band")
     a = banded.alias("a")
     b = banded.alias("b")
-    sel = [
-        F.col(f"a.{id_col}").alias("a_id"),
-        F.col(f"b.{id_col}").alias("b_id"),
-    ]
-    if need_text:
-        sel += [
-            F.col(f"a.{text_col}").alias("__ta"),
-            F.col(f"b.{text_col}").alias("__tb"),
-        ]
     pairs = (
         a.join(b, on="__band")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(*sel)
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
         .dropDuplicates(["a_id", "b_id"])
     )
     if need_text:
+        ta = with_sig.select(
+            F.col(id_col).alias("a_id"), F.col(text_col).alias("__ta")
+        )
+        tb = with_sig.select(
+            F.col(id_col).alias("b_id"), F.col(text_col).alias("__tb")
+        )
         jac = ngram_jaccard(F.col("__ta"), F.col("__tb"), n=shingle, max_chars=max_chars)
         pairs = (
-            pairs.withColumn("jaccard", jac)
+            pairs.join(ta, "a_id")
+            .join(tb, "b_id")
+            .withColumn("jaccard", jac)
             .where(F.col("jaccard") >= F.lit(jaccard_threshold))
             .drop("__ta", "__tb")
         )
