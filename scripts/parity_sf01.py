@@ -48,11 +48,10 @@ for name in sorted(QUERIES):
         lines.append(f"{name}: FAIL {exc}")
     print(lines[-1], flush=True)
 
-hdr = f"""# PARITY_sf01_r07 — FULL-catalog value parity vs DuckDB at sf0.1
+hdr = f"""# PARITY_sf01_r08 — FULL-catalog value parity vs DuckDB at sf0.1
 #
-# Refreshed at the end of round 7 (178-entry catalog; round 7 adds
-# events_geofence_transitions, events_geofence_dwell and
-# geo_native_pruned_read). Every
+# Refreshed at the end of round 8 (180-entry catalog unchanged; round 8
+# is the second OPTIMIZATION round — see OPTIMIZATION_r08.md). Every
 # queries() entry executed at sf0.1 and compared against its
 # oracle_sql() with the exact order-insensitive value comparator from
 # tests/test_oracle_parity.py (row count + schema + exact values, float
@@ -72,6 +71,6 @@ hdr = f"""# PARITY_sf01_r07 — FULL-catalog value parity vs DuckDB at sf0.1
 #   - pipe_full_pipeline
 
 """
-with open("/root/repo/PARITY_sf01_r07.log", "w") as f:
+with open("/root/repo/PARITY_sf01_r08.log", "w") as f:
     f.write(hdr + "\n".join(lines) + "\n")
 print("DONE", ok, bad)

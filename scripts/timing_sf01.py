@@ -95,11 +95,12 @@ ts = [t for _, t in rows if t == t]
 over5 = [n for n, t in rows if t == t and t > 5]
 over5 = ("NO query exceeds 5s" if not over5 else
          f"over 5s: {', '.join(over5)} — see notes")
-hdr = f"""# SF01_TIMING_r07 — full-catalog execution log at sf0.1
+hdr = f"""# SF01_TIMING_r08 — full-catalog execution log at sf0.1
 #
-# Refreshed at the end of round 7 (180-entry catalog unchanged; round 7 is the first
-# OPTIMIZATION round — see OPTIMIZATION_r07.md for the per-operator
-# changes). Methodology:
+# Refreshed at the end of round 8 (180-entry catalog unchanged; round 8 is the
+# second OPTIMIZATION round — see OPTIMIZATION_r08.md for the per-operator
+# changes). Methodology FROZEN from r7 (VERDICT r7 #9) — this is the first
+# clean like-for-like full-catalog comparison under the r7 preamble:
 # every catalog query executed once at sf0.1 in one fresh local[32]
 # session, after a full-catalog compile warmup at sf0.001 (so numbers
 # are steady-state execution; plan analysis still per-entry)
@@ -121,6 +122,6 @@ hdr = f"""# SF01_TIMING_r07 — full-catalog execution log at sf0.1
 # median: {statistics.median(ts):.2f}s   max: {max(ts):.2f}s ({max(rows, key=lambda r: r[1] if r[1] == r[1] else -1)[0]})\n# {over5}
 
 """
-with open("/root/repo/SF01_TIMING_r07.log", "w") as f:
+with open("/root/repo/SF01_TIMING_r08.log", "w") as f:
     f.write(hdr + "\n".join(f"{n}: {t:.2f}" for n, t in rows) + "\n")
 print("DONE total", sum(ts))
